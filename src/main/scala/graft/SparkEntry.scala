@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    RelationalQueries)
+    RelationalQueries,
+    TimeSeriesQueries)
 
   val allQueries: Seq[Q] = modules.flatMap(_.queries)
 

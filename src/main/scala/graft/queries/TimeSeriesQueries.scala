@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+import Exact._
+
+/** Time-series / candle analytics — SURVEY.md §2.5 A4-A6, §2.6 W1-W3,
+  * §2.10 T4, plus the scalar date/json function surface (F1-F3, F11, F13).
+  *
+  * The reference consumes these metrics precomputed (24 h accumulated sums,
+  * 52-week extremes, daily OHLCV candles from the Upbit API); here the engine
+  * computes them itself over the `events` fixture.
+  *
+  * Scale notes:
+  *  - Rolling range-frame windows (q12/q13) shuffle once on the partition key
+  *    (user_id) and sort within partitions — the same plan shape a 1000-node
+  *    cluster wants; state is bounded by the frame, not the partition.
+  *  - Tumbling buckets (q14) are a plain hash aggregate: partial map-side
+  *    combine keeps the shuffle small no matter how many raw events.
+  */
+object TimeSeriesQueries extends QueryModule {
+
+  /** Daily OHLCV candles per user (A6). Deterministic open/close via
+    * row_number over (ts, event_id) — `first/last` in plain aggregates are
+    * order-nondeterministic (SURVEY §7.4 risk 2). */
+  private def q11Ohlcv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+    val asc  = Window.partitionBy($"user_id", $"day").orderBy($"ts".asc, $"event_id".asc)
+    val desc = Window.partitionBy($"user_id", $"day").orderBy($"ts".desc, $"event_id".desc)
+    e.withColumn("rna", row_number().over(asc))
+      .withColumn("rnd", row_number().over(desc))
+      .groupBy($"user_id", $"day")
+      .agg(
+        max(when($"rna" === 1, $"value")).as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max(when($"rnd" === 1, $"value")).as("close"),
+        dsum($"value").as("volume"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id", $"day")
+  }
+
+  private val q11Sql =
+    s"""SELECT user_id, day,
+       |  MAX(CASE WHEN rna = 1 THEN value END) AS open,
+       |  MAX(value) AS high,
+       |  MIN(value) AS low,
+       |  MAX(CASE WHEN rnd = 1 THEN value END) AS close,
+       |  ${sqlDsum("value")} AS volume,
+       |  COUNT(*) AS n_events
+       |FROM (
+       |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, value,
+       |    row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+       |                       ORDER BY ts ASC, event_id ASC) AS rna,
+       |    row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+       |                       ORDER BY ts DESC, event_id DESC) AS rnd
+       |  FROM events)
+       |GROUP BY user_id, day
+       |ORDER BY user_id, day""".stripMargin
+
+  /** Rolling 24 h accumulated sums per user (A4: acc_*_24h engine-side).
+    * Event-time range frame on epoch-micros. */
+  private def q12Rolling24h(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dayUs = 24L * 3600 * 1000000
+    val w = Window.partitionBy($"user_id").orderBy($"us").rangeBetween(-dayUs, 0)
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("acc_value_24h",
+        sum($"value".cast("decimal(18,4)")).over(w).cast("double"))
+      .withColumn("acc_events_24h", count(lit(1)).over(w))
+      .select($"event_id", $"user_id", $"acc_value_24h", $"acc_events_24h")
+      .orderBy($"event_id")
+  }
+
+  private val q12Sql =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS acc_value_24h,
+      |  COUNT(*) OVER w AS acc_events_24h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** Rolling 7-day extremes per user (A5: 52-week-high/low shape at the
+    * fixture's time scale). */
+  private def q13RollingExtremes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weekUs = 7L * 24 * 3600 * 1000000
+    val w = Window.partitionBy($"user_id").orderBy($"us").rangeBetween(-weekUs, 0)
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("high_7d", max($"value").over(w))
+      .withColumn("low_7d", min($"value").over(w))
+      .select($"event_id", $"user_id", $"high_7d", $"low_7d")
+      .orderBy($"event_id")
+  }
+
+  private val q13Sql =
+    """SELECT event_id, user_id,
+      |  MAX(value) OVER w AS high_7d,
+      |  MIN(value) OVER w AS low_7d
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** Daily tumbling buckets per event type (T4/W2 — the engine-side form of
+    * the reference's `container-logs-%{+YYYY.MM.dd}` index rotation). */
+  private def q14DailyBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd").as("day"),
+        $"event_type", $"n", $"total_value")
+      .orderBy($"day", $"event_type")
+  }
+
+  private val q14Sql =
+    s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       |  COUNT(*) AS n,
+       |  ${sqlDsum("value")} AS total_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY day, event_type""".stripMargin
+
+  /** JSON parse + typed extraction (F11/F13 — the Logstash
+    * `json {} + mutate convert` chain, relationally). */
+  private def q15JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .groupBy($"event_type")
+      .agg(
+        sum($"k").as("sum_k"),
+        max($"k").as("max_k"),
+        count($"k").as("n_k"))
+      .orderBy($"event_type")
+  }
+
+  private val q15Sql =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+      |  COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Scalar date-function surface (F1 format, F2 parse, F3 arithmetic, W2
+    * bucket keys) — row-level, no aggregation. */
+  private def q16DateFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"event_id" < 2000)
+      .select(
+        $"event_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        date_format($"ts", "yyyyMMdd").as("day_key"),
+        date_format($"ts" - expr("INTERVAL 1 DAY"), "yyyy-MM-dd").as("prev_day"),
+        hour($"ts").as("hr"),
+        (dayofweek($"ts") - 1).as("dow"))
+      .orderBy($"event_id")
+  }
+
+  private val q16Sql =
+    """SELECT event_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  strftime(ts, '%Y%m%d') AS day_key,
+      |  strftime(ts - INTERVAL 1 DAY, '%Y-%m-%d') AS prev_day,
+      |  CAST(strftime(ts, '%H') AS INT) AS hr,
+      |  CAST(strftime(ts, '%w') AS INT) AS dow
+      |FROM events
+      |WHERE event_id < 2000
+      |ORDER BY event_id""".stripMargin
+
+  /** Keyed dedup keeping the earliest row (T2/A2 — the streaming
+    * `dropDuplicates("uuid")` semantic, made deterministic). */
+  private def q17EventDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("first_ts"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  private val q17Sql =
+    """SELECT user_id, event_type, event_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |                               ORDER BY ts ASC, event_id ASC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  override def queries: Seq[Q] = Seq(
+    Q("q11_ohlcv", q11Ohlcv, Some(q11Sql), "daily OHLCV candles, deterministic open/close (A6)"),
+    Q("q12_rolling_24h", q12Rolling24h, Some(q12Sql), "24h accumulated sums, event-time range frame (A4)"),
+    Q("q13_rolling_extremes", q13RollingExtremes, Some(q13Sql), "rolling 7d high/low (A5)"),
+    Q("q14_daily_buckets", q14DailyBuckets, Some(q14Sql), "daily tumbling buckets (T4/W2)"),
+    Q("q15_json_extract", q15JsonExtract, Some(q15Sql), "JSON parse + cast + agg (F11/F13)"),
+    Q("q16_date_functions", q16DateFunctions, Some(q16Sql), "date format/parse/arithmetic (F1-F3)"),
+    Q("q17_event_dedup", q17EventDedup, Some(q17Sql), "keyed dedup keeping earliest (T2/A2)"))
+}
