@@ -13,7 +13,9 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     RelationalQueries,
-    TimeSeriesQueries)
+    TimeSeriesQueries,
+    TextQueries,
+    SimilarityQueries)
 
   val allQueries: Seq[Q] = modules.flatMap(_.queries)
 

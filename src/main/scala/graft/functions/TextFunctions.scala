@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, document fingerprinting.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs): higher-order array functions keep the work inside whole-stage
+  * codegen, so these run at scan speed over 100 TB of documents.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-piece regex splits on non-alnum boundaries
+    * and digit runs, approximating byte-pair token inflation. */
+  def subwordCount(text: Column): Column =
+    size(split(text, "[^\\p{L}\\p{N}]+|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"))
+
+  /** Count of tokens present in `words`. */
+  def tokenHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isin(words: _*)))
+
+  /** Small function-word lists per language for the n-gram/stopword
+    * language-ID heuristic. Deterministic, dictionary-free. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
+    "es" -> Seq("el", "la", "y", "los", "de", "es", "una"))
+
+  /** Stopword-hit ratio against the English list (quality signal). */
+  def stopwordRatio(text: Column): Column =
+    tokenHits(text, stopwords("en")).cast("double") / tokenCount(text)
+
+  /** Punctuation-character ratio (quality signal). */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      length(text)
+
+  /** Mean token length in characters (quality signal). */
+  def meanTokenLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") / tokenCount(text)
+
+  /** Composite document quality score in [0, ~1]: rewards function-word
+    * density and typical word lengths, penalizes punctuation noise.
+    * All double arithmetic is row-local → deterministic across engines. */
+  def qualityScore(text: Column): Column =
+    least(stopwordRatio(text) * 4.0, lit(1.0)) * 0.4 +
+      least(meanTokenLen(text) / 8.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0))) * 0.2
+
+  /** Language-ID: score each language's function-word list, take the argmax
+    * (ties broken by fixed language order), 'und' (undetermined) if no hits. */
+  def langId(text: Column): Column = {
+    val scores = Seq("en", "de", "fr", "es").map(l => l -> tokenHits(text, stopwords(l)))
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Order/multiplicity-insensitive content fingerprint: md5 over the sorted
+    * distinct token set. Groups permuted / lightly-edited duplicates. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Word n-gram shingles as a distinct array — the unit for Jaccard/MinHash
+    * dedup. Computed with a higher-order `transform` over an index sequence
+    * (no explode/window shuffle; stays row-local). */
+  def shingleArray(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(ws) - n),
+          i => array_join(slice(ws, i + 1, lit(n)), " "))))
+  }
+}

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Document deduplication operators for training-data pipelines:
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (the point of each variant):
+  *  - exact:   one hash-groupBy shuffle on a 32-byte digest, never on the
+  *             document text itself.
+  *  - jaccard: set-similarity join — explode shingles, self-join on the
+  *             shingle key. Exact but quadratic in cluster size; use when a
+  *             blocking key (LSH band) has already bounded candidates.
+  *  - minhash: constant-size signature per doc (k mins), LSH banding turns
+  *             all-pairs into groupBy(band) — linear shuffle volume, no
+  *             cross join anywhere. The 100 TB path.
+  *  - simhash: single 64-bit fingerprint per doc; band the 64 bits into
+  *             16-bit chunks for candidate generation (hamming <= 3 ⇒ at
+  *             least one of 4 chunks equal, by pigeonhole).
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by content digest.
+    * Returns (text_hash, canonical_doc_id, dup_count) for groups of >= 2. */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(md5(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy("text_hash")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") >= 2)
+
+  /** Keep one row per distinct content digest (min id wins — deterministic,
+    * unlike dropDuplicates). Window-based rather than agg+join-back: a
+    * single shuffle on the digest, and robust to fully-identical rows
+    * (same id AND same text), which a rejoin would multiply. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** (id, shingle) pairs, distinct per doc — shared candidate input for
+    * jaccard / minhash. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("sid"),
+        explode(TextFunctions.shingleArray(col(textCol), n)).as("shingle"))
+
+  /** Exact pairwise word-n-gram Jaccard >= minJac, via set-similarity join.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJac: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n).cache()
+    val counts = sh.groupBy("sid").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.sid") < col("y.sid"))
+      .groupBy(col("x.sid").as("id_a"), col("y.sid").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.withColumnRenamed("sid", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+      .join(counts.withColumnRenamed("sid", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= minJac)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature: k permutation-mins over xxhash64 shingle hashes,
+    * h_i(s) = (a_i * x + b_i) mod p. Columnar (one aggregate over the
+    * exploded shingles), deterministic (seeded coefficients). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, seed: Long = 42L): DataFrame = {
+    // p = 2^31 - 1 (Mersenne prime): with a, b, x all < p, the product a*x
+    // stays below 2^62, so (a*x + b) never overflows a signed 64-bit long —
+    // plain Column arithmetic, fully inside whole-stage codegen.
+    val p = 2147483647L
+    val rnd = new scala.util.Random(seed)
+    val coeffs = Seq.fill(k)((rnd.nextLong().abs % (p - 1) + 1, rnd.nextLong().abs % p))
+    val sh = shingles(docs, idCol, textCol, n)
+      .withColumn("x", pmod(xxhash64(col("shingle")), lit(p)))
+    val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("x") + lit(b), lit(p))).as(s"h$i")
+    }
+    sh.groupBy(col("sid").as(idCol)).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** LSH candidate pairs from minhash signatures: band the k mins into
+    * `bands` groups, hash each band, groupBy (band_idx, band_hash).
+    * Shuffle volume is O(docs * bands) — no cross join. */
+  def minhashCandidatePairs(sigs: DataFrame, idCol: String,
+      k: Int = 64, bands: Int = 16): DataFrame = {
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        xxhash64((b * r until (b + 1) * r).map(i => col(s"h$i")): _*).as("band_hash"))
+    }
+    sigs.select(col(idCol).as("sid"), explode(array(bandCols: _*)).as("band"))
+      .select(col("sid"), col("band.band_idx"), col("band.band_hash"))
+      .as("x").join(sigs.select(col(idCol).as("sid"),
+          explode(array(bandCols: _*)).as("band"))
+        .select(col("sid"), col("band.band_idx"), col("band.band_hash")).as("y"),
+        Seq("band_idx", "band_hash"))
+      .filter(col("x.sid") < col("y.sid"))
+      .select(col("x.sid").as("id_a"), col("y.sid").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    * exact Jaccard verification >= minJac on the candidates only. */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16, minJac: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k, seed)
+    val cands = minhashCandidatePairs(sigs, idCol, k, bands)
+    val sh = shingles(docs, idCol, textCol, n).cache()
+    val counts = sh.groupBy("sid").agg(count(lit(1)).as("n_sh"))
+    // verify only the candidate pairs (intersection via shingle join restricted
+    // to candidates — at scale, candidates << all pairs)
+    val inter = cands
+      .join(sh.select(col("sid").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("sid").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.withColumnRenamed("sid", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+      .join(counts.withColumnRenamed("sid", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= minJac)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash fingerprint per doc: sign-sum of per-token hash bits. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("sid"),
+      explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    // For each bit position, +1 if set else -1; fingerprint bit = sign >= 0.
+    val bitSums = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = tok.groupBy("sid").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map(i =>
+        when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("sid").as(idCol), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming, banded into
+    * (maxHamming+1) bit-chunks for candidate generation. Pigeonhole makes
+    * this EXACT, not approximate: maxHamming differing bits can touch at
+    * most maxHamming of the maxHamming+1 chunks, so every qualifying pair
+    * shares at least one identical chunk and is generated as a candidate. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15, "maxHamming must be in [0, 15]")
+    val fps = simhash(docs, idCol, textCol).cache()
+    val nChunks = maxHamming + 1
+    val width = (64 + nChunks - 1) / nChunks
+    val chunks = (0 until nChunks).map { c =>
+      val lo = c * width
+      val w = math.min(width, 64 - lo)
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      struct(lit(c).as("chunk_idx"),
+        shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask)).as("chunk"))
+    }
+    def banded(d: DataFrame, as: String) =
+      d.select(col(idCol).as(as), col("simhash").as(s"fp_$as"),
+          explode(array(chunks: _*)).as("b"))
+        .select(col(as), col(s"fp_$as"), col("b.chunk_idx"), col("b.chunk"))
+    val cands = banded(fps, "id_a").join(banded(fps, "id_b"), Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_id_a", "fp_id_b").distinct()
+    cands
+      .withColumn("hamming", bit_count(col("fp_id_a").bitwiseXOR(col("fp_id_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

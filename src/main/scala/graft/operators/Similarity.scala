@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths, per the standard ANN trade-off:
+  *  - [[cosineTopK]]: brute-force exact top-k. One broadcast of the query
+  *    set, one scan of the candidates — correct baseline, and actually the
+  *    right plan whenever |queries| is small (the scan is the cost floor).
+  *  - [[lshCosineTopK]]: random-hyperplane LSH. Each vector gets a sign
+  *    bucket; join on bucket. Sub-linear candidates at the cost of recall —
+  *    the 100 TB path when |queries| is large.
+  *
+  * All arithmetic is a sequential left-fold over the array in index order
+  * (`aggregate`), in double precision — deterministic, and bit-identical to
+  * the DuckDB oracle's list_cosine_similarity.
+  */
+object Similarity {
+
+  /** Elementwise-double view of a float embedding. */
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** L2 norm via the same fold. */
+  def l2norm(a: Column): Column = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+
+  /** Cosine similarity of two float-array columns (double internally). */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a); val bd = asDouble(b)
+    dot(ad, bd) / (l2norm(ad) * l2norm(bd))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * Norms are computed once per side before the join (not per pair), the
+    * query side is broadcast, and ranking uses the similarity rounded to 6
+    * decimals with the candidate id as tie-break — deterministic across
+    * engines and runs.
+    *
+    * Output: (query_id, rank, neighbor_id, sim). */
+  def cosineTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    def withNorm(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(vec))
+        .withColumn(s"${vec}_norm", l2norm(col(vec)))
+    val q = withNorm(queries, "query_id", "qv")
+    val c = withNorm(candidates, "neighbor_id", "cv")
+    val paired = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qv_norm") * col("cv_norm")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    paired.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: a unit-free ±-valued
+    * projection weight derived from (plane, dim) via xxhash64 — no RNG state,
+    * so executors agree without broadcasting plane matrices. */
+  private def planeWeight(plane: Int, dim: Column): Column =
+    when(xxhash64(lit(plane), dim).bitwiseAND(lit(1L)) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign-bucket id from `nPlanes` random hyperplanes (random-projection LSH
+    * for cosine distance). */
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    val vd = asDouble(vec)
+    (0 until nPlanes).map { pl =>
+      val proj = aggregate(
+        zip_with(vd, sequence(lit(0), size(vd) - 1),
+          (x, i) => x * planeWeight(pl, i)),
+        lit(0.0), _ + _)
+      when(proj >= 0, lit(1L << pl)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket
+    * (multi-probe over `nTables` independent bucket sets for recall).
+    * Same output shape as [[cosineTopK]]. */
+  def lshCosineTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String) = {
+      val base = df.select(col(idCol).as(id), asDouble(col(vecCol)).as(vec))
+        .withColumn(s"${vec}_norm", l2norm(col(vec)))
+      // independent tables via distinct plane id offsets
+      val tableCols = (0 until nTables).map { t =>
+        val vd = col(vec)
+        val b = (0 until nPlanes).map { pl =>
+          val proj = aggregate(
+            zip_with(vd, sequence(lit(0), size(vd) - 1),
+              (x, i) => x * planeWeight(t * 1000 + pl, i)),
+            lit(0.0), _ + _)
+          when(proj >= 0, lit(1L << pl)).otherwise(lit(0L))
+        }.reduce((x, y) => x.bitwiseOR(y))
+        struct(lit(t).as("tbl"), b.as("bucket"))
+      }
+      base.withColumn("tb", explode(array(tableCols: _*)))
+        .select(col(id), col(vec), col(s"${vec}_norm"),
+          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    }
+    val q = bucketed(queries, "query_id", "qv")
+    val c = bucketed(candidates, "neighbor_id", "cv")
+    val paired = q.join(c, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"),
+        col("qv_norm"), col("cv_norm"))
+      .distinct()
+      .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qv_norm") * col("cv_norm")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    paired.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Near-duplicate pairs by cosine >= minSim, blocked on a coarse key to
+    * avoid the all-pairs cross join (callers pass a clustering column like a
+    * label, an LSH bucket, or a shard key). */
+  def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, minSim: Double): DataFrame = {
+    val v = vectors.select(col(blockCol).as("blk"), col(idCol).as("vid"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    v.as("x").join(v.as("y"),
+        col("x.blk") === col("y.blk") && col("x.vid") < col("y.vid"))
+      .withColumn("sim",
+        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 6))
+      .filter(col("sim") >= minSim)
+      .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"), col("sim"))
+  }
+}

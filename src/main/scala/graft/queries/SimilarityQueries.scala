@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Similarity
+
+/** Similarity search over the `embeddings` table (north star).
+  *
+  * The oracle side uses DuckDB's list_cosine_similarity over DOUBLE[] —
+  * verified bit-identical to our sequential-fold arithmetic (dot /
+  * (sqrt(na)*sqrt(nb)), left-to-right accumulation); outputs are rounded to
+  * 6 decimals anyway so ranking is robust.
+  */
+object SimilarityQueries extends QueryModule {
+
+  /** Brute-force exact cosine top-5 for 10 query vectors. */
+  private def q28KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.cosineTopK(
+        emb.filter($"vec_id" < 10), emb, "vec_id", "embedding", k = 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  private val q28Sql =
+    """WITH sims AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      |  WHERE q.vec_id < 10),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM sims)
+      |SELECT query_id, rank, neighbor_id, sim
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Embedding near-dup pairs, label-blocked, cosine >= 0.4. */
+  private def q29NearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.nearDupPairs(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", blockCol = "label", minSim = 0.4)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val q29Sql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+      |FROM embeddings a
+      |JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** LSH-bucketed approximate top-k — the scale path. No SQL oracle (bucket
+    * assignment is hash-based); recall vs q28 asserted in SimilaritySpec. */
+  private def q30LshKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshCosineTopK(
+        emb.filter($"vec_id" < 10), emb, "vec_id", "embedding",
+        k = 5, nPlanes = 4, nTables = 8)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Centroid stats per label: elementwise mean over the embedding column
+    * via decimal-exact per-dimension sums (posexplode + groupBy). */
+  private def q31LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .filter($"pos" < 4)
+      .withColumn("dim", $"pos".cast("long"))
+      .groupBy($"label", $"dim")
+      .agg(
+        Exact.dsum($"x".cast("double"), 18, 8).as("dim_sum"),
+        count(lit(1)).as("n"))
+      .orderBy($"label", $"dim")
+  }
+
+  private val q31Sql =
+    """SELECT label, dim, CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) AS dim_sum,
+      |  COUNT(*) AS n
+      |FROM (
+      |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings)
+      |WHERE dim < 4
+      |GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin
+
+  /** Multimodal plumbing: opaque binary payloads with typed metadata.
+    * The "decode" stage is a deterministic stand-in (sha256 + byte length —
+    * the real image/audio decode would be a mapInPandas/mapPartitions over
+    * the same binary column; see graft.operators.Multimodal). */
+  private def q32BinaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        $"text".cast("binary").as("payload"))
+      .select(
+        $"doc_id",
+        sha2($"payload", 256).as("payload_sha256"),
+        octet_length($"payload").cast("long").as("payload_bytes"))
+      .orderBy($"doc_id")
+  }
+
+  private val q32Sql =
+    """SELECT doc_id,
+      |  sha256(text) AS payload_sha256,
+      |  strlen(text) AS payload_bytes
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  override def queries: Seq[Q] = Seq(
+    Q("q28_knn_brute", q28KnnBrute, Some(q28Sql), "exact cosine top-k (north star)"),
+    Q("q29_embedding_neardup", q29NearDup, Some(q29Sql), "blocked cosine near-dup pairs (north star)"),
+    Q("q30_lsh_knn", q30LshKnn, None, "LSH-bucketed ANN top-k (rows-only, spec-verified)"),
+    Q("q31_label_centroids", q31LabelCentroids, Some(q31Sql), "per-label per-dim exact sums"),
+    Q("q32_binary_meta", q32BinaryMeta, Some(q32Sql), "binary payload metadata (multimodal plumbing)"))
+}

@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Text analysis + deduplication over the `documents` table — the
+  * training-data-pipeline operator family (north star; SURVEY.md §0 scope
+  * extension), plus the reference's string-function surface (F7-F9).
+  *
+  * Everything row-local (token stats, scores, fingerprints) runs inside
+  * whole-stage codegen with no shuffle; the dedup entries are the shuffling
+  * ones and are annotated with their exchange shape.
+  */
+object TextQueries extends QueryModule {
+
+  /** Per-document token statistics (token counting op). */
+  private def q18TextStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        tokenCount($"text").cast("long").as("n_tokens"),
+        length($"text").cast("long").as("n_chars_computed"),
+        size(array_distinct(tokens($"text"))).cast("long").as("n_distinct_tokens"),
+        meanTokenLen($"text").as("mean_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  private val q18Sql =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  length(text) AS n_chars_computed,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+      |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS mean_token_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: stopword ratio + mean token length + punctuation. */
+  private def q19Quality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        stopwordRatio($"text").as("stopword_ratio"),
+        punctRatio($"text").as("punct_ratio"),
+        qualityScore($"text").as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  // Mirror of TextFunctions.qualityScore / stopwordRatio / punctRatio.
+  private val enList = "('the','a','of','and','to','is','in','that','it')"
+  private val q19Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN $enList)) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS swr,
+       |    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS pr,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS mtl
+       |  FROM documents)
+       |SELECT doc_id,
+       |  swr AS stopword_ratio,
+       |  pr AS punct_ratio,
+       |  least(swr * 4.0, 1.0) * 0.4 + least(mtl / 8.0, 1.0) * 0.4
+       |    + (1.0 - least(pr * 10.0, 1.0)) * 0.2 AS quality
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
+
+  /** Language ID per document + accuracy rollup vs the labeled lang col. */
+  private def q20LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("pred_lang", langId($"text"))
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  private def hits(lang: String): String = {
+    val list = stopwords(lang).map(w => s"'$w'").mkString("(", ",", ")")
+    s"len(list_filter(string_split(text, ' '), w -> w IN $list))"
+  }
+
+  private val q20Sql =
+    s"""WITH s AS (
+       |  SELECT lang,
+       |    ${hits("en")} AS s_en, ${hits("de")} AS s_de,
+       |    ${hits("fr")} AS s_fr, ${hits("es")} AS s_es,
+       |    greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")}) AS best
+       |  FROM documents)
+       |SELECT lang,
+       |  CASE WHEN s_en = best AND best > 0 THEN 'en'
+       |       WHEN s_de = best AND best > 0 THEN 'de'
+       |       WHEN s_fr = best AND best > 0 THEN 'fr'
+       |       WHEN s_es = best AND best > 0 THEN 'es'
+       |       ELSE 'und' END AS pred_lang,
+       |  COUNT(*) AS n
+       |FROM s
+       |GROUP BY 1, 2
+       |ORDER BY lang, pred_lang""".stripMargin
+
+  /** Exact dedup groups by content digest (md5-groupBy). */
+  private def q21ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.exactDupGroups(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy($"text_hash")
+  }
+
+  private val q21Sql =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id,
+      |  COUNT(*) AS dup_count
+      |FROM documents
+      |GROUP BY 1
+      |HAVING COUNT(*) >= 2
+      |ORDER BY text_hash""".stripMargin
+
+  /** Fingerprint dedup: sorted-distinct-token md5 groups permuted /
+    * multiplicity-edited near-duplicates that exact dedup misses. */
+  private def q22Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(fingerprint($"text").as("fp"), $"doc_id")
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("dup_count"))
+      .filter($"dup_count" >= 2)
+      .orderBy($"fp")
+  }
+
+  private val q22Sql =
+    """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+      |  MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+      |FROM documents
+      |GROUP BY 1
+      |HAVING COUNT(*) >= 2
+      |ORDER BY fp""".stripMargin
+
+  /** Exact pairwise 3-gram Jaccard >= 0.5 via set-similarity join. */
+  private def q23NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+        n = 3, minJac = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val q23Sql =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w || ' ' || lead(w, 1) OVER o || ' ' || lead(w, 2) OVER o AS shingle
+      |  FROM words WINDOW o AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY shingle IS NOT NULL),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+      |FROM inter
+      |JOIN cnt ca ON ca.doc_id = id_a
+      |JOIN cnt cb ON cb.doc_id = id_b
+      |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash+LSH near-dup pairs — approximate path; no closed-form SQL
+    * oracle (signature permutations aren't SQL-expressible), so the driver
+    * records a rows-only check. Recall vs q23's exact answer is asserted in
+    * DedupSpec instead. */
+  private def q24Minhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.minhashNearDupPairs(Tables.documents(spark, dir), "doc_id", "text",
+        n = 3, k = 64, bands = 16, minJac = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** SimHash near-dup pairs (hamming <= 3 over 64-bit fingerprints) —
+    * rows-only check, verified against known near-dups in DedupSpec. */
+  private def q25Simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.simhashNearDupPairs(Tables.documents(spark, dir), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Regex extraction + substring filter (F7/F8/P6) on the source column. */
+  private def q26RegexExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"text".contains("spark"))
+      .select(
+        $"doc_id",
+        regexp_extract($"source", "src([0-9]+)", 1).as("src_num"),
+        regexp_extract($"text", "^(\\w+)", 1).as("first_word"),
+        substring($"text", 1, 12).as("prefix12"))
+      .orderBy($"doc_id")
+  }
+
+  private val q26Sql =
+    """SELECT doc_id,
+      |  regexp_extract(source, 'src([0-9]+)', 1) AS src_num,
+      |  regexp_extract(text, '^(\w+)', 1) AS first_word,
+      |  substring(text, 1, 12) AS prefix12
+      |FROM documents
+      |WHERE contains(text, 'spark')
+      |ORDER BY doc_id""".stripMargin
+
+  /** Null-cleanup / cast chain (P3/P5/F13): trim-empty-to-null + casts. */
+  private def q27Cleanup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        when(length(trim($"lang")) === 0, lit(null)).otherwise(trim($"lang")).as("lang_clean"),
+        upper($"source").as("source_upper"),
+        $"n_chars".cast("int").as("n_chars_int"))
+      .na.drop(Seq("lang_clean"))
+      .orderBy($"doc_id")
+  }
+
+  private val q27Sql =
+    """SELECT doc_id,
+      |  nullif(trim(lang), '') AS lang_clean,
+      |  upper(source) AS source_upper,
+      |  CAST(n_chars AS INT) AS n_chars_int
+      |FROM documents
+      |WHERE nullif(trim(lang), '') IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
+
+  override def queries: Seq[Q] = Seq(
+    Q("q18_text_stats", q18TextStats, Some(q18Sql), "token counting (north star)"),
+    Q("q19_quality", q19Quality, Some(q19Sql), "document quality scoring (north star)"),
+    Q("q20_langid", q20LangId, Some(q20Sql), "language-ID heuristic (north star)"),
+    Q("q21_exact_dedup", q21ExactDedup, Some(q21Sql), "exact dedup by digest (north star)"),
+    Q("q22_fingerprint", q22Fingerprint, Some(q22Sql), "token-set fingerprint dedup (north star)"),
+    Q("q23_ngram_jaccard", q23NgramJaccard, Some(q23Sql), "n-gram Jaccard similarity join (north star)"),
+    Q("q24_minhash_pairs", q24Minhash, None, "MinHash+LSH near-dup (rows-only, spec-verified)"),
+    Q("q25_simhash_pairs", q25Simhash, None, "SimHash near-dup (rows-only, spec-verified)"),
+    Q("q26_regex_extract", q26RegexExtract, Some(q26Sql), "regex extract + contains filter (F7/F8)"),
+    Q("q27_cleanup", q27Cleanup, Some(q27Sql), "null-cleanup + casts (P3/P5/F13)"))
+}

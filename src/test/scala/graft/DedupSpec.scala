@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sfDir).cache()
+
+  lazy val exactPairs: Set[(Long, Long)] =
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJac = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+
+  test("corpus contains known near-duplicate pairs") {
+    assert(exactPairs.nonEmpty, "fixture should contain near-dups")
+  }
+
+  test("minhash LSH recalls >= 90% of exact jaccard pairs, no false accepts") {
+    val mh = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        n = 3, k = 64, bands = 16, minJac = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val recall = (mh intersect exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"recall $recall, found ${mh.size} vs exact ${exactPairs.size}")
+    // verification step re-computes exact jaccard, so no pair below threshold
+    assert((mh diff exactPairs).isEmpty, "verified pairs must be a subset of exact")
+  }
+
+  test("simhash banding is exact: finds every pair within maxHamming") {
+    // The banded join must equal brute-force hamming filtering (pigeonhole).
+    val fps = Dedup.simhash(docs, "doc_id", "text").cache()
+    val brute = fps.as("x").join(fps.as("y"), $"x.doc_id" < $"y.doc_id")
+      .withColumn("hamming", bit_count($"x.simhash".bitwiseXOR($"y.simhash")))
+      .filter($"hamming" <= 6)
+      .select($"x.doc_id", $"y.doc_id").as[(Long, Long)].collect().toSet
+    val banded = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(banded === brute)
+  }
+
+  test("simhash near-dup pairs cover the jaccard>=0.9 cluster cores") {
+    val strong = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJac = 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val sh = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val recall = if (strong.isEmpty) 1.0
+      else (sh intersect strong).size.toDouble / strong.size
+    assert(recall >= 0.8, s"simhash recall $recall on strong pairs (${strong.size})")
+  }
+
+  test("exact dedup is idempotent and keeps min doc_id per digest") {
+    val withDups = docs.union(docs.limit(10)) // inject exact duplicates
+    val deduped = Dedup.exactDedup(withDups, "doc_id", "text")
+    assert(deduped.count() === docs.count())
+    val twice = Dedup.exactDedup(deduped, "doc_id", "text")
+    assert(twice.count() === deduped.count())
+  }
+
+  test("exactDupGroups finds injected duplicates with correct counts") {
+    val withDups = docs.union(docs.filter($"doc_id" < 5))
+    val groups = Dedup.exactDupGroups(withDups, "doc_id", "text")
+    assert(groups.count() === 5)
+    assert(groups.agg(max($"dup_count")).as[Long].head() === 2L)
+  }
+
+  test("minhash signatures are deterministic across runs") {
+    val s1 = Dedup.minhashSignatures(docs.limit(20), "doc_id", "text").collect()
+    val s2 = Dedup.minhashSignatures(docs.limit(20), "doc_id", "text").collect()
+    assert(s1.map(_.toSeq).toSet === s2.map(_.toSeq).toSet)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sfDir).cache()
+
+  test("cosine similarity of a vector with itself is 1") {
+    val sims = emb.limit(10)
+      .select(Similarity.cosine($"embedding", $"embedding").as("s"))
+      .as[Double].collect()
+    sims.foreach(s => assert(math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("brute-force top-k returns k ranked neighbors per query") {
+    val res = Similarity.cosineTopK(
+      emb.filter($"vec_id" < 5), emb, "vec_id", "embedding", k = 3)
+    val rows = res.collect()
+    assert(rows.length === 15)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val sims = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(sims.sameElements(sims.sorted.reverse), "sims non-increasing by rank")
+    }
+  }
+
+  test("LSH top-k achieves >= 60% recall@5 vs brute force") {
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.cosineTopK(queries, emb, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshCosineTopK(queries, emb, "vec_id", "embedding",
+        k = 5, nPlanes = 4, nTables = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall@5 = $recall")
+  }
+
+  test("near-dup pairs are symmetric-free (id_a < id_b) and above threshold") {
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", "label", 0.3)
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.3)
+    }
+  }
+}

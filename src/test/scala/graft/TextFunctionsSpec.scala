@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount counts whitespace tokens") {
+    val df = Seq("one two three", "solo").toDF("text")
+    assert(df.select(tokenCount($"text")).as[Int].collect().toSeq === Seq(3, 1))
+  }
+
+  test("fingerprint is invariant to token order and multiplicity") {
+    val df = Seq(
+      ("a", "spark fast join merge"),
+      ("b", "merge join fast spark"),
+      ("c", "spark spark fast join merge join"),
+      ("d", "completely different words here")).toDF("id", "text")
+    val fps = df.select($"id", fingerprint($"text").as("fp")).as[(String, String)]
+      .collect().toMap
+    assert(fps("a") === fps("b"))
+    assert(fps("a") === fps("c"))
+    assert(fps("a") !== fps("d"))
+  }
+
+  test("langId picks the language with most function-word hits") {
+    val df = Seq(
+      "the cat is of the house and it",
+      "der hund ist nicht das problem und",
+      "le chat et la maison est une",
+      "xyzzy qwerty plugh").toDF("text")
+    assert(df.select(langId($"text")).as[String].collect().toSeq ===
+      Seq("en", "de", "fr", "und"))
+  }
+
+  test("shingleArray produces n-grams, distinct, empty when too short") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val got = df.select(shingleArray($"text", 3).as("sh")).as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)
+  }
+
+  test("qualityScore is bounded and ranks clean text above noise") {
+    val df = Seq(
+      ("clean", "the quick brown fox is one of the best examples in writing and it shows"),
+      ("noise", "@@ ## !! ?? ;; :: ~~ ^^")).toDF("id", "text")
+    val scores = df.select($"id", qualityScore($"text")).as[(String, Double)].collect().toMap
+    assert(scores("clean") > scores("noise"))
+    scores.values.foreach(s => assert(s >= 0.0 && s <= 1.0))
+  }
+
+  test("subwordCount splits digit/letter boundaries") {
+    val df = Seq("abc123def 45x").toDF("text")
+    // abc|123|def, 45|x -> 5 pieces
+    assert(df.select(subwordCount($"text")).as[Int].head() === 5)
+  }
+}
