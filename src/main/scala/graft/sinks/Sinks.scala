@@ -1,0 +1,87 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sink operators (SURVEY §2.2).
+  *
+  * The reference's core write semantic is idempotent keyed append
+  * (`INSERT .. ON CONFLICT (pk) DO NOTHING`, K1) — re-delivery of the same
+  * keyed batch must not duplicate rows. Engine-native form: left_anti
+  * against the stored keys, then append.
+  */
+object Sinks {
+
+  /** Rows of `incoming` whose key is absent from `existing` (K1/J2).
+    * Deduplicates `incoming` on the key first (min-sort deterministic), as
+    * the reference does (insert_csv_to_postgres.py:61 drop_duplicates).
+    *
+    * Scale note: the anti join only needs `existing`'s key columns — pass a
+    * key-pruned frame (or rely on Catalyst column pruning as here). For a
+    * date-keyed table, pre-filter `existing` to the incoming date range so
+    * the build side stays bounded (SURVEY §7.4 risk 1). */
+  def newRowsOnly(existing: DataFrame, incoming: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(keys.map(col): _*)
+    val deduped = incoming
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    deduped.join(existing.select(keys.map(col): _*), keys, "left_anti")
+  }
+
+  /** Idempotent keyed append to a parquet table directory (the engine's
+    * stand-in for the JDBC ON CONFLICT sink; same contract). */
+  def upsertIgnoreParquet(incoming: DataFrame, path: String, keys: Seq[String]): Unit = {
+    val spark = incoming.sparkSession
+    val existing =
+      try spark.read.parquet(path)
+      catch { case _: org.apache.spark.sql.AnalysisException => // first write
+        incoming.limit(0)
+      }
+    newRowsOnly(existing, incoming, keys)
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** Kafka-shaped frame (K3): key column + whole-row JSON value — matches
+    * send_to_kafka.py:14-16 (key=uuid, value=json.dumps(msg)). Feed to
+    * `.write.format("kafka")` in a real deployment; tests assert the frame. */
+  def kafkaShaped(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** Header CSV writer (K5). */
+  def writeCsv(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  /** Date-partitioned writer (K7/W2 — the `index-%{+YYYY.MM.dd}` rotation as
+    * a partitioned table; partition pruning replaces index selection). */
+  def writeDatePartitioned(df: DataFrame, path: String, tsCol: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.withColumn("event_date", date_format(col(tsCol), "yyyy.MM.dd"))
+      .write.mode(mode).partitionBy("event_date").parquet(path)
+
+  /** Side-effect alert hook (K10/T7). Trait so tests record instead of POST;
+    * a production impl would do the Slack-style webhook POST driver-side. */
+  trait AlertHook { def send(text: String, channel: String): Unit }
+
+  final class RecordingAlertHook extends AlertHook {
+    val sent = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    override def send(text: String, channel: String): Unit =
+      synchronized { sent += ((text, channel)) }
+  }
+
+  /** Run a batch action with success/failure alerting — the engine-side form
+    * of the DAG's on_failure_callback + success notification
+    * (upbit_data_pipeline.py:188-227). */
+  def withAlerts[T](hook: AlertHook, jobName: String, channel: String = "#alerts")(
+      action: => T): T =
+    try {
+      val r = action
+      hook.send(s"$jobName succeeded", channel)
+      r
+    } catch {
+      case e: Throwable =>
+        hook.send(s"$jobName FAILED: ${e.getMessage}", channel)
+        throw e
+    }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQueryListener, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.sinks.Sinks.AlertHook
+
+/** Structured Streaming assembly (SURVEY §2.10 T1-T7).
+  *
+  * Each builder takes a streaming DataFrame (Kafka, file, rate, or
+  * MemoryStream in tests — the transform is source-agnostic) and returns
+  * either a transformed stream or a configured writer.
+  */
+object StreamingJobs {
+
+  /** T2: at-least-once → effectively-once via event-time watermark + keyed
+    * dedup. State is bounded by the watermark horizon — the streaming
+    * equivalent of the JDBC ON CONFLICT absorption. */
+  def dedupByKey(stream: DataFrame, keyCol: String, tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  /** T4: per-minute tumbling counts per type with watermarked late-data
+    * handling; append-mode-compatible (final results only). */
+  def tumblingCounts(stream: DataFrame, tsCol: String, typeCol: String,
+      valueCol: String = "value", window_ : String = "1 minute",
+      watermark: String = "5 minutes"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(typeCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
+      .select(col("window.start").as("window_start"), col(typeCol),
+        col("n"), col("total_value"))
+
+  /** K7/T4: writer rotated by event date — the ES daily-index pattern as a
+    * partitioned parquet stream. */
+  def dateRotatedWriter(stream: DataFrame, tsCol: String, path: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    stream.withColumn("event_date", date_format(col(tsCol), "yyyy.MM.dd"))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("event_date")
+      .trigger(Trigger.AvailableNow())
+
+  /** T7/K10: query-lifecycle alerting — the DAG failure-callback as a
+    * StreamingQueryListener. */
+  final class AlertListener(hook: AlertHook, channel: String = "#alerts")
+      extends StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+      hook.send(s"query ${e.name} started", channel)
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+      val status = e.exception.map(msg => s"FAILED: $msg").getOrElse("stopped cleanly")
+      hook.send(s"query ${e.id} $status", channel)
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.Tables
+import graft.pipelines.Pipelines
+import graft.sinks.Sinks
+import graft.operators.Multimodal
+
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fake-data pipeline: generate -> idempotent store -> alert (§3.1)") {
+    val dir = Files.createTempDirectory("pipeA").toString + "/users"
+    val hook = new Sinks.RecordingAlertHook
+    Pipelines.fakeDataPipeline(spark, 1000, dir, hook)
+    Pipelines.fakeDataPipeline(spark, 1000, dir, hook) // rerun: no dups
+    assert(spark.read.parquet(dir).count() === 1000)
+    assert(hook.sent.count(_._1.contains("succeeded")) === 2)
+  }
+
+  test("upbit ingest pipeline: upsert stores + combine CTAS (§3.2)") {
+    val base = Files.createTempDirectory("pipeB").toString
+    val hook = new Sinks.RecordingAlertHook
+    val markets = Seq(
+      ("KRW-BTC", "비트코인", "Bitcoin"),
+      ("KRW-ETH", "이더리움", "Ethereum"),
+      ("KRW-XRP", "리플", "Ripple")).toDF("market", "korean_name", "english_name")
+    val prices = Seq(
+      ("KRW-BTC", 83000000.0, 1200.5),
+      ("KRW-ETH", 3900000.0, 800.25)).toDF("market", "trade_price", "trade_volume")
+    Pipelines.upbitIngestPipeline(spark, markets, prices,
+      s"$base/markets", s"$base/prices", s"$base/combined", hook)
+    val combined = spark.read.parquet(s"$base/combined")
+    assert(combined.columns.toSeq ===
+      Seq("market", "korean_name", "english_name", "trade_price", "trade_volume"))
+    // inner join: XRP has no price row
+    assert(combined.count() === 2)
+    assert(hook.sent.last._1 === "upbit_data_pipeline succeeded")
+  }
+
+  test("multimodal: payload meta + partition-wise feature extraction") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val payloads = Multimodal.asBinaryPayload(docs, "doc_id", "text")
+    val meta = Multimodal.payloadMeta(payloads)
+    assert(meta.count() === 50)
+    assert(meta.filter($"n_bytes" <= 0).count() === 0)
+    val feats = Multimodal.extractFeatures(payloads)
+    val rows = feats.collect()
+    assert(rows.length === 50)
+    rows.foreach { f =>
+      assert(f.mean_intensity >= 0.0 && f.mean_intensity <= 1.0)
+      assert(f.width >= 16 && f.height >= 16)
+    }
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(payloads).collect()
+    assert(rows.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
+  }
+}

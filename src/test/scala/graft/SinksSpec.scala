@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sinks.Sinks
+import graft.sources.FakeDataGenerator
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert-ignore is idempotent: writing the same batch twice counts once") {
+    val dir = Files.createTempDirectory("upsert").toString + "/t"
+    val users = FakeDataGenerator.users(spark, 100).toDF()
+    Sinks.upsertIgnoreParquet(users, dir, Seq("uuid"))
+    Sinks.upsertIgnoreParquet(users, dir, Seq("uuid"))
+    assert(spark.read.parquet(dir).count() === 100)
+    // overlapping new batch: 50 old + 50 new -> only 50 appended
+    val more = FakeDataGenerator.users(spark, 150).toDF()
+    Sinks.upsertIgnoreParquet(more, dir, Seq("uuid"))
+    assert(spark.read.parquet(dir).count() === 150)
+  }
+
+  test("upsert-ignore equals union+dropDuplicates on the key (property)") {
+    val existing = FakeDataGenerator.users(spark, 80).toDF()
+    val incoming = FakeDataGenerator.users(spark, 120).toDF() // 80 overlap
+    val viaAnti = existing.union(Sinks.newRowsOnly(existing, incoming, Seq("uuid")))
+    val viaDedup = existing.union(incoming).dropDuplicates("uuid")
+    assert(viaAnti.count() === viaDedup.count())
+    assert(viaAnti.select("uuid").except(viaDedup.select("uuid")).isEmpty)
+  }
+
+  test("kafka-shaped frame has string key and round-trippable JSON value") {
+    val users = FakeDataGenerator.users(spark, 10).toDF()
+    val shaped = Sinks.kafkaShaped(users, "uuid")
+    assert(shaped.columns.toSeq === Seq("key", "value"))
+    val back = shaped.select(
+      from_json($"value", users.schema).as("r")).select("r.*")
+    assert(back.select("uuid").except(users.select("uuid")).isEmpty)
+  }
+
+  test("date-partitioned sink creates daily partitions and prunes") {
+    val dir = Files.createTempDirectory("part").toString + "/logs"
+    val events = graft.core.Tables.events(spark, sfDir)
+    Sinks.writeDatePartitioned(events, dir, "ts")
+    val days = spark.read.parquet(dir).select("event_date").distinct().count()
+    assert(days > 1)
+    val one = spark.read.parquet(dir).filter($"event_date" === "2024.01.01")
+    // partition pruning: only one partition directory scanned
+    val scanned = one.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(one.count() > 0)
+  }
+
+  test("withAlerts reports success and failure") {
+    val hook = new Sinks.RecordingAlertHook
+    Sinks.withAlerts(hook, "job_ok") { 42 }
+    intercept[RuntimeException] {
+      Sinks.withAlerts(hook, "job_bad") { throw new RuntimeException("boom") }
+    }
+    assert(hook.sent.map(_._1) ===
+      Seq("job_ok succeeded", "job_bad FAILED: boom"))
+  }
+
+  test("csv sink writes header and round-trips with declared schema") {
+    val dir = Files.createTempDirectory("csv").toString + "/out"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    Sinks.writeCsv(df, dir)
+    val back = graft.sources.CsvSource.read(spark, dir, df.schema)
+    assert(back.orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+  }
+}
