@@ -1,0 +1,155 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
+/** Custom Catalyst expressions for the vector/text hot paths.
+  *
+  * The composable forms (`aggregate`/`zip_with` higher-order functions) are
+  * interpreted per element — lambda dispatch and boxing per array slot. On a
+  * 100 TB corpus the per-pair cosine and per-doc fingerprint ARE the inner
+  * loop, so they get native expressions with `doGenCode` emitting a call to
+  * a tight static JVM loop, keeping the whole stage inside codegen.
+  *
+  * Numeric contract: [[CosineSim]] accumulates dot and norms sequentially in
+  * index order, double precision, and returns dot/(sqrt(na)*sqrt(nb)) — the
+  * exact arithmetic of the composable form and of DuckDB's
+  * list_cosine_similarity, so oracle hash-compare stays bit-identical.
+  */
+object VectorExpressions {
+
+  /** Cosine similarity as a Column over two array<float>/array<double>. */
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
+
+  /** 64-bit SimHash over an array<string> of tokens. */
+  def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+
+  /** Dot product (same sequential-fold contract as cosine). */
+  def dot_product(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+}
+
+/** Static kernels invoked from generated code (must stay public: codegen'd
+  * Java calls the static forwarders directly). */
+object VecUtil {
+  private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = get(a, i, aFloat); val y = get(b, i, bFloat)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += get(a, i, aFloat) * get(b, i, bFloat); i += 1 }
+    s
+  }
+
+  /** SimHash: per token t, h = xxh64(t, seed 42); counter c_i += (bit_i(h) ?
+    * 1 : -1); fingerprint bit_i = (c_i >= 0). Order-independent, so equal to
+    * the exploded sum-per-bit formulation. */
+  def simhash(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val s = tokens.getUTF8String(t)
+      if (s != null) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var fp = 0L; var i = 0
+    while (i < 64) { if (counts(i) >= 0) fp |= (1L << i); i += 1 }
+    fp
+  }
+}
+
+private[expressions] trait VecPairExpression extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  protected def isFloatArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> inputs, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+}
+
+case class CosineSim(left: Expression, right: Expression) extends VecPairExpression {
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecUtil.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloatArr(left), isFloatArr(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.VecUtil.cosine($a, $b, ${isFloatArr(left)}, ${isFloatArr(right)})")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class DotProduct(left: Expression, right: Expression) extends VecPairExpression {
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecUtil.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloatArr(left), isFloatArr(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.VecUtil.dot($a, $b, ${isFloatArr(left)}, ${isFloatArr(right)})")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash64"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(tokens: Any): Any =
+    VecUtil.simhash(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.expressions.VecUtil.simhash($t)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.functions.expressions.VectorExpressions.simhash64
 
 /** Document deduplication operators for training-data pipelines:
   * exact, n-gram Jaccard, MinHash+LSH, SimHash.
@@ -42,11 +43,16 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** (id, shingle) pairs, distinct per doc — shared candidate input for
-    * jaccard / minhash. */
+  /** (id, shingle-hash) pairs, distinct per doc — shared candidate input for
+    * jaccard / minhash. Shingles are xxhash64'd to longs at the source: the
+    * set-similarity self-join and minhash then shuffle/compare 8-byte keys
+    * instead of n-gram strings (the dominant cost at corpus scale; a 64-bit
+    * collision across ~1e6 distinct shingles is ~1e-7 and only perturbs one
+    * intersection count by 1). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("sid"),
-        explode(TextFunctions.shingleArray(col(textCol), n)).as("shingle"))
+        explode(TextFunctions.shingleArray(col(textCol), n)).as("sh_str"))
+      .select(col("sid"), xxhash64(col("sh_str")).as("shingle"))
 
   /** Exact pairwise word-n-gram Jaccard >= minJac, via set-similarity join.
     * Output: (id_a, id_b, jaccard) with id_a < id_b. */
@@ -78,7 +84,7 @@ object Dedup {
     val rnd = new scala.util.Random(seed)
     val coeffs = Seq.fill(k)((rnd.nextLong().abs % (p - 1) + 1, rnd.nextLong().abs % p))
     val sh = shingles(docs, idCol, textCol, n)
-      .withColumn("x", pmod(xxhash64(col("shingle")), lit(p)))
+      .withColumn("x", pmod(col("shingle"), lit(p)))
     val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("x") + lit(b), lit(p))).as(s"h$i")
     }
@@ -129,21 +135,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash fingerprint per doc: sign-sum of per-token hash bits. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("sid"),
-      explode(TextFunctions.tokens(col(textCol))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    // For each bit position, +1 if set else -1; fingerprint bit = sign >= 0.
-    val bitSums = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i")
-    }
-    val agg = tok.groupBy("sid").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map(i =>
-        when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("sid").as(idCol), fp.as("simhash"))
-  }
+  /** 64-bit SimHash fingerprint per doc: sign-sum of per-token hash bits.
+    * One codegen expression per row (graft.functions.expressions.SimHash64)
+    * — no explode, no 64-column aggregate, no shuffle at all. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      simhash64(TextFunctions.tokens(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, banded into
     * (maxHamming+1) bit-chunks for candidate generation. Pigeonhole makes

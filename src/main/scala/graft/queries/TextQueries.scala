@@ -75,8 +75,7 @@ object TextQueries extends QueryModule {
   /** Language ID per document + accuracy rollup vs the labeled lang col. */
   private def q20LangId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .withColumn("pred_lang", langId($"text"))
+    withLangId(Tables.documents(spark, dir), "text")
       .groupBy($"lang", $"pred_lang")
       .agg(count(lit(1)).as("n"))
       .orderBy($"lang", $"pred_lang")

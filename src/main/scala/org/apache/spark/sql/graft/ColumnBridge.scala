@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made Column↔Expression conversion `private[sql]`
+  * (ExpressionUtils). Extensions shipping custom Catalyst expressions need
+  * exactly these two hooks, so this shim lives in the org.apache.spark.sql
+  * namespace — the standard pattern for Spark extension libraries. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
