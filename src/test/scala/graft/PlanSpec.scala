@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan shape assertions: the optimizations we rely on at scale
+  * must actually appear in the executed plan, not just in intent.
+  * Guards against regressions that stay correct but stop scaling. */
+class PlanSpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    unwrap(df.queryExecution.executedPlan).toString
+  }
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("q2: filter and projection are pushed to the parquet scan") {
+    val plan = run("q2_filter_project").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan.take(2000))
+    // pruned read schema: only the 6 referenced columns, not all 11
+    assert(!plan.contains("l_returnflag"), "unused columns pruned from scan")
+  }
+
+  test("q3: dimension joins are broadcast, no shuffle join") {
+    val plan = planString(run("q3_join_agg"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), "dims must not sort-merge")
+  }
+
+  test("q8: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val plan = run("q8_topk").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q1: aggregation is partial (map-side) before the shuffle") {
+    val plan = planString(run("q1_agg"))
+    // two HashAggregate stages around the exchange = partial + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
+  test("q28: query side of brute-force knn is broadcast") {
+    val plan = planString(run("q28_knn_brute"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(2000))
+  }
+
+  test("q29 hot path uses the codegen cosine expression inside WSCG") {
+    val df = run("q29_embedding_neardup")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("cosine_sim"), optimized.take(2000))
+    // and the executed plan has whole-stage codegen spans ("*(n)" markers)
+    assert(planString(df).contains("*("), "codegen spans present")
+  }
+
+  test("whole-stage codegen covers the scan->filter->project spine of q2") {
+    // "*(n)" prefixes mark WholeStageCodegen spans in the simple plan string
+    assert(planString(run("q2_filter_project")).contains("*("))
+  }
+}

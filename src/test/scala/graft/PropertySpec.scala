@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.sources.HttpSource
+
+/** Property tests (SURVEY §5.2): pure logic gets full ScalaCheck sweeps;
+  * Spark-touching properties run one job over a generated batch. */
+class PropertySpec extends SparkSpec {
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("backoff delay is monotone in retry and capped at 3600s") {
+    check(Prop.forAll(Gen.choose(0, 100), Gen.choose(0, 100)) { (r1, r2) =>
+      val p = HttpSource.RetryPolicy()
+      val (lo, hi) = if (r1 <= r2) (r1, r2) else (r2, r1)
+      p.delaySec(lo) <= p.delaySec(hi) && p.delaySec(hi) <= 3600
+    })
+  }
+
+  test("pagination returns all rows and stops exactly on the short page") {
+    check(Prop.forAll(Gen.choose(1, 20), Gen.choose(0, 200)) { (pageSize, total) =>
+      val fetched = HttpSource.paginate(first = 0, pageSize = pageSize) { c =>
+        val page = (c until math.min(c + pageSize, total))
+        (page, c + page.size)
+      }
+      fetched == (0 until total)
+    })
+  }
+
+  test("to_json . from_json = identity on generated user rows") {
+    import spark.implicits._
+    val users = graft.sources.FakeDataGenerator.users(spark, 200, seed = 99)
+    val schema = users.schema
+    val roundTripped = users.toDF()
+      .select(to_json(struct(users.columns.map(col): _*)).as("j"))
+      .select(from_json($"j", schema).as("r")).select("r.*")
+    assert(roundTripped.except(users.toDF()).isEmpty &&
+      users.toDF().except(roundTripped).isEmpty)
+  }
+
+  test("upsert-ignore row set == union+dropDuplicates row-key set (generated overlaps)") {
+    import spark.implicits._
+    val gen = for {
+      aKeys <- Gen.listOfN(30, Gen.choose(0, 50))
+      bKeys <- Gen.listOfN(30, Gen.choose(0, 50))
+    } yield (aKeys, bKeys)
+    // a handful of generated cases; each runs one tiny local job
+    val cases = Gen.listOfN(5, gen).sample.get
+    cases.foreach { case (aKeys, bKeys) =>
+      val a = aKeys.distinct.map(k => (k, s"a$k")).toDF("k", "v")
+      val b = bKeys.distinct.map(k => (k, s"b$k")).toDF("k", "v")
+      val upserted = a.union(graft.sinks.Sinks.newRowsOnly(a, b, Seq("k")))
+      val expectKeys = (aKeys ++ bKeys).distinct.sorted
+      assert(upserted.select("k").as[Int].collect().sorted.toSeq === expectKeys)
+      // rows present in a always win
+      assert(upserted.filter($"v".startsWith("b") &&
+        $"k".isin(aKeys.distinct: _*)).count() === 0)
+    }
+  }
+
+  test("jaccard output is within [minJac, 1] and pair-ordered") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, minJac = 0.3).collect()
+    pairs.foreach { r =>
+      val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(a < b)
+      assert(j >= 0.3 && j <= 1.0)
+    }
+  }
+}
