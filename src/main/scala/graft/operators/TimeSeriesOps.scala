@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-series operators (SURVEY A4-A6, W1-W3): OHLCV candles, rolling
+  * event-time aggregates, and incremental resume cursors.
+  *
+  * All are single-shuffle shapes: one hash partitioning on the series key,
+  * sorts stay within partitions, rolling state is bounded by the frame. */
+object TimeSeriesOps {
+
+  /** Per-key, per-bucket OHLCV candles with deterministic open/close
+    * (row_number over (ts, tieCol) — never `first`/`last`, which are
+    * order-nondeterministic in aggregates; SURVEY §7.4 risk 2). */
+  def ohlcv(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      tieCol: String, bucketFormat: String = "yyyy-MM-dd",
+      volumeAgg: Column => Column = sum): DataFrame = {
+    val bucketed = df.withColumn("bucket", date_format(col(tsCol), bucketFormat))
+    val asc = Window.partitionBy(col(keyCol), col("bucket"))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val desc = Window.partitionBy(col(keyCol), col("bucket"))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    bucketed
+      .withColumn("__rna", row_number().over(asc))
+      .withColumn("__rnd", row_number().over(desc))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(
+        max(when(col("__rna") === 1, col(valueCol))).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max(when(col("__rnd") === 1, col(valueCol))).as("close"),
+        volumeAgg(col(valueCol)).as("volume"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Rolling event-time aggregate over the trailing `windowSec` seconds per
+    * key (A4's acc_*_24h / A5's 52-week extremes generalized). `aggs` map
+    * output name -> agg column builder applied over the frame. */
+  def rolling(df: DataFrame, keyCol: String, tsCol: String, windowSec: Long)(
+      aggs: (String, Column => Column)*): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val frame = Window.partitionBy(col(keyCol)).orderBy(us)
+      .rangeBetween(-windowSec * 1000000L, 0)
+    aggs.foldLeft(df.withColumn("__us", us)) { case (d, (name, f)) =>
+      d.withColumn(name, f(col("__us")).over(frame))
+    }.drop("__us")
+  }
+
+  /** Trailing high/low with the timestamp each extreme occurred at (A5's
+    * highest_52_week_price + highest_52_week_date pair) via max_by/min_by
+    * over the range frame. */
+  def rollingExtremes(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowSec: Long): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val frame = Window.partitionBy(col(keyCol)).orderBy(us)
+      .rangeBetween(-windowSec * 1000000L, 0)
+    df.withColumn("__us", us)
+      .withColumn("rolling_high", max(col(valueCol)).over(frame))
+      .withColumn("rolling_low", min(col(valueCol)).over(frame))
+      .withColumn("rolling_high_ts", max_by(col(tsCol), struct(col(valueCol), us)).over(frame))
+      .withColumn("rolling_low_ts", min_by(col(tsCol), struct(col(valueCol), us)).over(frame))
+      .drop("__us")
+  }
+
+  /** Resume cursor (W1): the max stored event time per key — the engine's
+    * set-oriented form of the reference's per-market `ORDER BY ts DESC
+    * LIMIT 1` probe loop (upbit_daily_candels.py:184-201: one query per
+    * market; here one hash aggregate for all keys). */
+  def resumeCursors(stored: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    stored.groupBy(col(keyCol)).agg(max(col(tsCol)).as("resume_from"))
+
+  /** Incremental filter: keep only rows strictly newer than each key's
+    * stored cursor; keys never seen before pass through. The anti-join-free
+    * shape: broadcast the (small) cursor table. */
+  def newerThanCursor(incoming: DataFrame, cursors: DataFrame,
+      keyCol: String, tsCol: String): DataFrame =
+    incoming.join(broadcast(cursors), Seq(keyCol), "left")
+      .filter(col("resume_from").isNull || col(tsCol) > col("resume_from"))
+      .drop("resume_from")
+}

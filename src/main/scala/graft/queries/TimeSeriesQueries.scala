@@ -28,20 +28,12 @@ object TimeSeriesQueries extends QueryModule {
     * order-nondeterministic (SURVEY §7.4 risk 2). */
   private def q11Ohlcv(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.events(spark, dir)
-      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
-    val asc  = Window.partitionBy($"user_id", $"day").orderBy($"ts".asc, $"event_id".asc)
-    val desc = Window.partitionBy($"user_id", $"day").orderBy($"ts".desc, $"event_id".desc)
-    e.withColumn("rna", row_number().over(asc))
-      .withColumn("rnd", row_number().over(desc))
-      .groupBy($"user_id", $"day")
-      .agg(
-        max(when($"rna" === 1, $"value")).as("open"),
-        max($"value").as("high"),
-        min($"value").as("low"),
-        max(when($"rnd" === 1, $"value")).as("close"),
-        dsum($"value").as("volume"),
-        count(lit(1)).as("n_events"))
+    graft.operators.TimeSeriesOps.ohlcv(
+        Tables.events(spark, dir),
+        keyCol = "user_id", tsCol = "ts", valueCol = "value",
+        tieCol = "event_id", volumeAgg = c => dsum(c))
+      .select($"user_id", $"bucket".as("day"), $"open", $"high", $"low",
+        $"close", $"volume", $"n".as("n_events"))
       .orderBy($"user_id", $"day")
   }
 
@@ -205,8 +197,32 @@ object TimeSeriesQueries extends QueryModule {
       |WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Offset window functions (lead/lag) + running delta per series. */
+  private def q33LeadLag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(spark, dir)
+      .filter($"user_id" < 5)
+      .withColumn("prev_value", lag($"value", 1).over(w))
+      .withColumn("next_value", lead($"value", 1).over(w))
+      .withColumn("delta", $"value" - $"prev_value")
+      .select($"event_id", $"user_id", $"value", $"prev_value", $"next_value", $"delta")
+      .orderBy($"event_id")
+  }
+
+  private val q33Sql =
+    """SELECT event_id, user_id, value,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  lead(value, 1) OVER w AS next_value,
+      |  value - lag(value, 1) OVER w AS delta
+      |FROM events
+      |WHERE user_id < 5
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |ORDER BY event_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q11_ohlcv", q11Ohlcv, Some(q11Sql), "daily OHLCV candles, deterministic open/close (A6)"),
+    Q("q33_lead_lag", q33LeadLag, Some(q33Sql), "offset window functions (lead/lag/delta)"),
     Q("q12_rolling_24h", q12Rolling24h, Some(q12Sql), "24h accumulated sums, event-time range frame (A4)"),
     Q("q13_rolling_extremes", q13RollingExtremes, Some(q13Sql), "rolling 7d high/low (A5)"),
     Q("q14_daily_buckets", q14DailyBuckets, Some(q14Sql), "daily tumbling buckets (T4/W2)"),

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+import graft.operators.{TimeSeriesOps, TopK}
+
+class TimeSeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("ohlcv: open/close follow event time, not input order") {
+    val rows = Seq(
+      // deliberately out of order within the day
+      ("m1", ts("2024-01-01 12:00:00"), 1L, 50.0),
+      ("m1", ts("2024-01-01 00:00:01"), 2L, 10.0), // earliest -> open
+      ("m1", ts("2024-01-01 23:59:59"), 3L, 70.0), // latest -> close
+      ("m1", ts("2024-01-01 06:00:00"), 4L, 5.0),  // low
+      ("m1", ts("2024-01-01 18:00:00"), 5L, 90.0), // high
+      ("m2", ts("2024-01-01 01:00:00"), 6L, 42.0))
+      .toDF("market", "ts", "seq", "price")
+    val candles = TimeSeriesOps.ohlcv(rows, "market", "ts", "price", "seq")
+      .orderBy("market").collect()
+    val m1 = candles(0)
+    assert(m1.getAs[Double]("open") === 10.0)
+    assert(m1.getAs[Double]("close") === 70.0)
+    assert(m1.getAs[Double]("high") === 90.0)
+    assert(m1.getAs[Double]("low") === 5.0)
+    assert(m1.getAs[Long]("n") === 5)
+    val m2 = candles(1)
+    assert(m2.getAs[Double]("open") === 42.0 && m2.getAs[Double]("close") === 42.0)
+  }
+
+  test("ohlcv: identical timestamps broken deterministically by tie column") {
+    val t = ts("2024-01-01 10:00:00")
+    val rows = Seq(("m", t, 2L, 20.0), ("m", t, 1L, 10.0), ("m", t, 3L, 30.0))
+      .toDF("market", "ts", "seq", "price")
+    val c = TimeSeriesOps.ohlcv(rows, "market", "ts", "price", "seq").head()
+    assert(c.getAs[Double]("open") === 10.0)  // seq 1
+    assert(c.getAs[Double]("close") === 30.0) // seq 3
+  }
+
+  test("rollingExtremes pairs each extreme with its timestamp") {
+    val rows = Seq(
+      ("m", ts("2024-01-01 00:00:00"), 10.0),
+      ("m", ts("2024-01-02 00:00:00"), 30.0),
+      ("m", ts("2024-01-03 00:00:00"), 20.0))
+      .toDF("market", "ts", "price")
+    val r = TimeSeriesOps.rollingExtremes(rows, "market", "ts", "price",
+        windowSec = 7L * 86400)
+      .orderBy("ts").collect()
+    assert(r(2).getAs[Double]("rolling_high") === 30.0)
+    assert(r(2).getAs[Timestamp]("rolling_high_ts") === ts("2024-01-02 00:00:00"))
+    assert(r(2).getAs[Double]("rolling_low") === 10.0)
+    assert(r(2).getAs[Timestamp]("rolling_low_ts") === ts("2024-01-01 00:00:00"))
+  }
+
+  test("resume cursor + incremental filter (W1): only newer rows survive") {
+    val stored = Seq(
+      ("m1", ts("2024-01-05 00:00:00")), ("m1", ts("2024-01-06 00:00:00")),
+      ("m2", ts("2024-01-03 00:00:00"))).toDF("market", "ts")
+    val incoming = Seq(
+      ("m1", ts("2024-01-06 00:00:00")), // == cursor -> dropped
+      ("m1", ts("2024-01-07 00:00:00")), // newer -> kept
+      ("m2", ts("2024-01-01 00:00:00")), // older -> dropped
+      ("m3", ts("2024-01-01 00:00:00"))) // unseen key -> kept
+      .toDF("market", "ts")
+    val cursors = TimeSeriesOps.resumeCursors(stored, "market", "ts")
+    val got = TimeSeriesOps.newerThanCursor(incoming, cursors, "market", "ts")
+      .as[(String, Timestamp)].collect().toSet
+    assert(got === Set(("m1", ts("2024-01-07 00:00:00")),
+      ("m3", ts("2024-01-01 00:00:00"))))
+  }
+
+  test("heap top-k aggregator equals the window-function form") {
+    val events = Tables.events(spark, sfDir)
+    val triples = events.select($"user_id", $"event_id", $"value")
+      .as[(Long, Long, Double)]
+    val viaAgg = TopK.topKPerGroup(triples, k = 3).collect().toSet
+    val w = Window.partitionBy($"user_id").orderBy($"value".desc, $"event_id".asc)
+    val viaWindow = events
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"user_id", $"rank", $"event_id", $"value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaAgg === viaWindow)
+  }
+
+  test("top-k aggregator handles groups smaller than k and score ties") {
+    val ds = Seq((1L, 10L, 5.0), (1L, 11L, 5.0), (2L, 20L, 1.0))
+      .toDS()
+    val got = TopK.topKPerGroup(ds, k = 3).collect().toSet
+    // ties broken by smaller id first
+    assert(got === Set((1L, 1L, 10L, 5.0), (1L, 2L, 11L, 5.0), (2L, 1L, 20L, 1.0)))
+  }
+}
