@@ -1,0 +1,148 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
+/** Sketch expressions: per-row MinHash signatures and LSH bucket arrays.
+  *
+  * Both replace a whole explode→shuffle→aggregate subplan with one codegen
+  * call per row:
+  *  - [[MinHashSig]]: the exploded-shingle formulation shuffles |doc| rows
+  *    per doc and runs a 64-column min-aggregate; this computes the whole
+  *    signature in a tight loop over the (row-local) shingle array. The
+  *    minhash pipeline becomes shuffle-free until LSH banding.
+  *  - [[LshBuckets]]: random-hyperplane sign buckets for all tables at once
+  *    (the composable zip_with form pays interpreted lambda dispatch per
+  *    vector element per plane per table).
+  */
+object SketchExpressions {
+
+  /** k-permutation MinHash signature over an array<string> of shingles. */
+  def minhash_sig(shingles: Column, k: Int = 64, seed: Long = 42L): Column =
+    column(MinHashSig(expression(shingles), k, seed))
+
+  /** nTables LSH sign-buckets (nPlanes bits each) over array<float/double>. */
+  def lsh_buckets(vec: Column, nTables: Int, nPlanes: Int): Column =
+    column(LshBuckets(expression(vec), nTables, nPlanes))
+}
+
+case class MinHashSig(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  override def prettyName: String = "minhash_sig"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<string>, got ${other.simpleString}")
+  }
+
+  // Same (a, b) derivation as Dedup.minhashSignatures historically used:
+  // p = 2^31-1 keeps a*x+b within a signed long.
+  @transient private lazy val coeffs: Array[Long] = {
+    val p = MinHashSig.P
+    val rnd = new scala.util.Random(seed)
+    Array.fill(k * 2) { 0L }.zipWithIndex.map { case (_, i) =>
+      if (i % 2 == 0) rnd.nextLong().abs % (p - 1) + 1 else rnd.nextLong().abs % p
+    }
+  }
+
+  def compute(shingles: ArrayData): ArrayData = {
+    val p = MinHashSig.P
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var t = 0
+    while (t < n) {
+      val s = shingles.getUTF8String(t)
+      if (s != null) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val x = ((h % p) + p) % p // pmod
+        var i = 0
+        while (i < k) {
+          val v = (coeffs(2 * i) * x + coeffs(2 * i + 1)) % p
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(arr: Any): Any = compute(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashExpr", this,
+      classOf[MinHashSig].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.compute($a)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashSig { val P: Long = 2147483647L }
+
+case class LshBuckets(child: Expression, nTables: Int, nPlanes: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "lsh_buckets"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_buckets requires array<float>/array<double>, got ${other.simpleString}")
+  }
+
+  // lazy: child may be unresolved at construction (dataType would throw)
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** ±1 weight for (table, plane, dim): one xxh64 of the packed ids — no RNG
+    * state, identical on every executor. */
+  @inline private def weight(table: Int, plane: Int, dim: Int): Double = {
+    val key = (table.toLong * 131071L + plane) * 1000003L + dim
+    if ((XXH64.hashLong(key, 42L) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  def compute(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var pl = 0
+      while (pl < nPlanes) {
+        var proj = 0.0
+        var i = 0
+        while (i < n) {
+          val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+          proj += x * weight(t, pl, i)
+          i += 1
+        }
+        if (proj >= 0) bucket |= (1L << pl)
+        pl += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(arr: Any): Any = compute(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshExpr", this, classOf[LshBuckets].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.compute($a)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

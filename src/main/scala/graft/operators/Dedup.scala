@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.functions.expressions.VectorExpressions.simhash64
+import graft.functions.expressions.SketchExpressions.minhash_sig
 
 /** Document deduplication operators for training-data pipelines:
   * exact, n-gram Jaccard, MinHash+LSH, SimHash.
@@ -72,41 +73,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signature: k permutation-mins over xxhash64 shingle hashes,
-    * h_i(s) = (a_i * x + b_i) mod p. Columnar (one aggregate over the
-    * exploded shingles), deterministic (seeded coefficients). */
+  /** MinHash signature: k permutation-mins h_i(s) = (a_i * x + b_i) mod p
+    * over xxhash64 shingle hashes (p = 2^31-1 keeps the arithmetic within a
+    * signed long). One codegen expression per row
+    * (graft.functions.expressions.MinHashSig): the whole signature computes
+    * from the row-local shingle array — no explode, no 64-column
+    * min-aggregate, no shuffle until LSH banding. Docs too short to have a
+    * shingle are excluded (they cannot minhash-match; matches the exploded
+    * formulation, where they produced no rows). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 64, seed: Long = 42L): DataFrame = {
-    // p = 2^31 - 1 (Mersenne prime): with a, b, x all < p, the product a*x
-    // stays below 2^62, so (a*x + b) never overflows a signed 64-bit long —
-    // plain Column arithmetic, fully inside whole-stage codegen.
-    val p = 2147483647L
-    val rnd = new scala.util.Random(seed)
-    val coeffs = Seq.fill(k)((rnd.nextLong().abs % (p - 1) + 1, rnd.nextLong().abs % p))
-    val sh = shingles(docs, idCol, textCol, n)
-      .withColumn("x", pmod(col("shingle"), lit(p)))
-    val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("x") + lit(b), lit(p))).as(s"h$i")
-    }
-    sh.groupBy(col("sid").as(idCol)).agg(minCols.head, minCols.tail: _*)
-  }
+      n: Int = 3, k: Int = 64, seed: Long = 42L): DataFrame =
+    // Shingle-less docs (fewer than n tokens) are excluded via the cheap
+    // token-count predicate — filtering on size(shingleArray) would force
+    // the interpreted shingle transform to evaluate twice per row.
+    docs.filter(size(TextFunctions.tokens(col(textCol))) >= n)
+      .select(col(idCol),
+        minhash_sig(TextFunctions.shingleArray(col(textCol), n), k, seed).as("sig"))
 
   /** LSH candidate pairs from minhash signatures: band the k mins into
-    * `bands` groups, hash each band, groupBy (band_idx, band_hash).
-    * Shuffle volume is O(docs * bands) — no cross join. */
+    * `bands` slices of the signature array, hash each band, join on
+    * (band_idx, band_hash). Shuffle volume is O(docs * bands) — no cross
+    * join anywhere. */
   def minhashCandidatePairs(sigs: DataFrame, idCol: String,
       k: Int = 64, bands: Int = 16): DataFrame = {
     val r = k / bands
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band_idx"),
-        xxhash64((b * r until (b + 1) * r).map(i => col(s"h$i")): _*).as("band_hash"))
-    }
-    sigs.select(col(idCol).as("sid"), explode(array(bandCols: _*)).as("band"))
-      .select(col("sid"), col("band.band_idx"), col("band.band_hash"))
-      .as("x").join(sigs.select(col(idCol).as("sid"),
-          explode(array(bandCols: _*)).as("band"))
-        .select(col("sid"), col("band.band_idx"), col("band.band_hash")).as("y"),
-        Seq("band_idx", "band_hash"))
+    val bandCols = (0 until bands).map(b => xxhash64(slice(col("sig"), b * r + 1, r)))
+    // cache: the self-join would otherwise recompute the signature subplan
+    // (shingle transform + k hashes per doc) on both sides
+    val banded = sigs.select(col(idCol).as("sid"),
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+      .cache()
+    banded.as("x").join(banded.as("y"), Seq("band_idx", "band_hash"))
       .filter(col("x.sid") < col("y.sid"))
       .select(col("x.sid").as("id_a"), col("y.sid").as("id_b"))
       .distinct()

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.expressions.VectorExpressions.cosine_sim
+import graft.functions.expressions.SketchExpressions.lsh_buckets
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -81,24 +82,10 @@ object Similarity {
     * Same output shape as [[cosineTopK]]. */
   def lshCosineTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, id: String, vec: String) = {
-      val base = df.select(col(idCol).as(id), asDouble(col(vecCol)).as(vec))
-      // independent tables via distinct plane id offsets
-      val tableCols = (0 until nTables).map { t =>
-        val vd = col(vec)
-        val b = (0 until nPlanes).map { pl =>
-          val proj = aggregate(
-            zip_with(vd, sequence(lit(0), size(vd) - 1),
-              (x, i) => x * planeWeight(t * 1000 + pl, i)),
-            lit(0.0), _ + _)
-          when(proj >= 0, lit(1L << pl)).otherwise(lit(0L))
-        }.reduce((x, y) => x.bitwiseOR(y))
-        struct(lit(t).as("tbl"), b.as("bucket"))
-      }
-      base.withColumn("tb", explode(array(tableCols: _*)))
+    def bucketed(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
         .select(col(id), col(vec),
-          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    }
+          posexplode(lsh_buckets(col(vec), nTables, nPlanes)).as(Seq("tbl", "bucket")))
     val q = bucketed(queries, "query_id", "qv")
     val c = bucketed(candidates, "neighbor_id", "cv")
     val paired = q.join(c, Seq("tbl", "bucket"))
