@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions._
+
+/** Registers the graft native expressions as SQL functions, so
+  * `spark.sql("SELECT cosine_sim(a, b) ...")` and the DataFrame API share
+  * one codegen implementation.
+  *
+  * Wire up any of three ways:
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *   --conf spark.sql.extensions=graft.plans.GraftExtensions
+  *   GraftExtensions.register(existingSession)   // post-hoc
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float/double arrays"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "cosine_sim takes 2 arguments")
+        CosineSim(args.head, args(1))
+      }),
+    (FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two float/double arrays"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "dot_product takes 2 arguments")
+        DotProduct(args.head, args(1))
+      }),
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of an array<string>"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "simhash64 takes 1 argument")
+        SimHash64(args.head)
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles[, k, seed]) - MinHash signature array"),
+      (args: Seq[Expression]) => args.size match {
+        case 1 => MinHashSig(args.head, 64, 42L)
+        case 3 =>
+          val k = args(1).eval().asInstanceOf[Number].intValue()
+          val seed = args(2).eval().asInstanceOf[Number].longValue()
+          MinHashSig(args.head, k, seed)
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig takes (shingles) or (shingles, k, seed)")
+      }))
+
+  /** Inject into an already-built session (tests, REPLs). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftExtensions
+import graft.streaming.StreamingCandles
+import graft.streaming.StreamingCandles.{Candle, Tick}
+
+class ExtensionsAndCandlesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SQL functions registered via GraftExtensions match the column API") {
+    GraftExtensions.register(spark)
+    graft.core.Tables.embeddings(spark, sfDir).limit(20)
+      .createOrReplaceTempView("emb_ext")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id qa, b.vec_id qb,
+        |  cosine_sim(a.embedding, b.embedding) s,
+        |  dot_product(a.embedding, b.embedding) d
+        |FROM emb_ext a JOIN emb_ext b ON a.vec_id < b.vec_id""".stripMargin)
+    val viaCols = spark.table("emb_ext").as("a")
+      .join(spark.table("emb_ext").as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("qa"), $"b.vec_id".as("qb"),
+        graft.operators.Similarity.cosine($"a.embedding", $"b.embedding").as("s"),
+        graft.functions.expressions.VectorExpressions
+          .dot_product($"a.embedding", $"b.embedding").as("d"))
+    assert(viaSql.collect().toSet === viaCols.collect().toSet)
+  }
+
+  test("simhash64 and minhash_sig are SQL-callable") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT simhash64(array('a','b','c')) fp,
+        |  size(minhash_sig(array('a b c', 'b c d'))) k,
+        |  size(minhash_sig(array('a b c'), 16, 7L)) k16""".stripMargin).head()
+    assert(r.getAs[Long]("k") === 64)
+    assert(r.getAs[Long]("k16") === 16)
+  }
+
+  test("streaming candles finalize per day with deterministic open/close") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val source = MemoryStream[Tick]
+    val ticks = source.toDS().withWatermark("ts", "0 seconds").as[Tick]
+    val out = StreamingCandles.candles(spark, ticks)
+    val q = out.writeStream.format("memory").queryName("candles")
+      .outputMode("append").start()
+    try {
+      // day 1: out-of-order arrivals within one batch (a 0s watermark would
+      // drop cross-batch late events — correct semantics, separate concern)
+      source.addData(
+        Tick("m1", ts("2024-01-01 12:00:00"), 1, 50.0),
+        Tick("m1", ts("2024-01-01 00:00:01"), 2, 10.0),
+        Tick("m1", ts("2024-01-01 23:59:59"), 3, 70.0),
+        Tick("m1", ts("2024-01-01 18:00:00"), 4, 90.0))
+      q.processAllAvailable()
+      assert(spark.table("candles").count() === 0, "day not finalized yet")
+      // an event well past day 1 advances the watermark -> day 1 finalizes
+      source.addData(Tick("m1", ts("2024-01-03 00:00:10"), 5, 33.0))
+      q.processAllAvailable()
+      source.addData(Tick("m1", ts("2024-01-03 00:00:11"), 6, 34.0))
+      q.processAllAvailable()
+      val done = spark.table("candles").as[Candle].collect()
+      assert(done.length === 1)
+      val c = done.head
+      assert(c.series === "m1" && c.day === "2024-01-01")
+      assert(c.open === 10.0, "earliest event time opens")
+      assert(c.close === 70.0, "latest event time closes")
+      assert(c.high === 90.0 && c.low === 10.0 && c.n === 4)
+    } finally q.stop()
+  }
+}
