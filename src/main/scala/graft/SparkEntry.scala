@@ -15,7 +15,8 @@ object SparkEntry {
     RelationalQueries,
     TimeSeriesQueries,
     TextQueries,
-    SimilarityQueries)
+    SimilarityQueries,
+    AdvancedQueries)
 
   val allQueries: Seq[Q] = modules.flatMap(_.queries)
 

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.AsOfJoin
+import Exact._
+
+/** Operators beyond the reference's literal surface that a complete
+  * engine needs: as-of join, session windows, rollup, pivot, set ops. */
+object AdvancedQueries extends QueryModule {
+
+  /** As-of join: each event enriched with the user's latest order at or
+    * before the event time. Engine side: single-shuffle union+window
+    * (operators/AsOfJoin); oracle side: the naive theta-join + top-1 —
+    * different algorithms, same relation. */
+  private def q34AsOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts")
+    val orders = Tables.orders(spark, dir)
+    AsOfJoin.asOf(events, orders, leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate", tieCol = "o_orderkey",
+        payload = Seq("o_orderkey", "o_totalprice"))
+      .select($"event_id", $"user_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        $"o_orderkey", $"o_totalprice")
+      .orderBy($"event_id")
+  }
+
+  // The oracle intentionally uses the explosive formulation (theta join +
+  // row_number) — an independent algorithm validating the windowed one.
+  private val q34Sql =
+    """SELECT event_id, user_id, ts_s, o_orderkey, o_totalprice FROM (
+      |  SELECT e.event_id, e.user_id,
+      |    strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |    o.o_orderkey, o.o_totalprice,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e
+      |  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+      |WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
+  /** Session windows (30 min inactivity gap) per user. Oracle: classic
+    * gaps-and-islands. Spark's session closes at last+gap (exclusive), so
+    * the island break condition is diff >= gap. */
+  private def q35Sessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .select($"user_id",
+        date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        $"n", $"total_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  private val q35Sql =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |sessions AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+       |                   ROWS UNBOUNDED PRECEDING) AS sess
+       |  FROM marked)
+       |SELECT user_id,
+       |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       |  COUNT(*) AS n,
+       |  ${sqlDsum("value")} AS total_value
+       |FROM sessions
+       |GROUP BY user_id, sess
+       |ORDER BY user_id, session_start""".stripMargin
+
+  /** Rollup with grouping indicators (subtotals + grand total). */
+  private def q36Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy($"gid", $"l_returnflag", $"l_linestatus")
+  }
+
+  // Spark sorts NULLS FIRST by default on ASC; DuckDB NULLS LAST — pinned
+  // explicitly so both engines emit identical row order.
+  private val q36Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  COUNT(*) AS n,
+       |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Pivot: event counts per user by type, one column per type. */
+  private def q37Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"user_id")
+  }
+
+  private val q37Sql =
+    """SELECT user_id,
+      |  COUNT(*) FILTER (event_type = 'click') AS click,
+      |  COUNT(*) FILTER (event_type = 'view') AS view,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (event_type = 'error') AS error
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Set operations: INTERSECT / EXCEPT over user activity sets. */
+  private def q38SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val purchasers = e.filter($"event_type" === "purchase").select($"user_id")
+    val errorers   = e.filter($"event_type" === "error").select($"user_id")
+    purchasers.intersect(errorers).withColumn("cohort", lit("both"))
+      .union(purchasers.except(errorers).withColumn("cohort", lit("purchase_only")))
+      .orderBy($"cohort", $"user_id")
+  }
+
+  private val q38Sql =
+    """SELECT user_id, 'both' AS cohort FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  INTERSECT
+      |  SELECT user_id FROM events WHERE event_type = 'error')
+      |UNION ALL
+      |SELECT user_id, 'purchase_only' AS cohort FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  EXCEPT
+      |  SELECT user_id FROM events WHERE event_type = 'error')
+      |ORDER BY cohort, user_id""".stripMargin
+
+  override def queries: Seq[Q] = Seq(
+    Q("q34_asof_join", q34AsOf, Some(q34Sql), "as-of join (union+window vs theta-join oracle)"),
+    Q("q35_session_windows", q35Sessions, Some(q35Sql), "session windows vs gaps-and-islands oracle"),
+    Q("q36_rollup", q36Rollup, Some(q36Sql), "rollup with grouping indicators"),
+    Q("q37_pivot", q37Pivot, Some(q37Sql), "pivot per event type"),
+    Q("q38_setops", q38SetOps, Some(q38Sql), "INTERSECT/EXCEPT cohorts"))
+}
