@@ -38,9 +38,15 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType | LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_sig requires array<string>, got ${other.simpleString}")
+      s"minhash_sig requires array<string> (raw shingles) or array<long> " +
+        s"(pre-hashed, e.g. shingle_hashes), got ${other.simpleString}")
+  }
+
+  @transient private lazy val inputIsString = child.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
   }
 
   // Same (a, b) derivation as Dedup.minhashSignatures historically used:
@@ -59,16 +65,18 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
     val n = shingles.numElements()
     var t = 0
     while (t < n) {
-      val s = shingles.getUTF8String(t)
-      if (s != null) {
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        val x = ((h % p) + p) % p // pmod
-        var i = 0
-        while (i < k) {
-          val v = (coeffs(2 * i) * x + coeffs(2 * i + 1)) % p
-          if (v < mins(i)) mins(i) = v
-          i += 1
-        }
+      val h =
+        if (inputIsString) {
+          val s = shingles.getUTF8String(t)
+          if (s == null) 0L
+          else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        } else shingles.getLong(t)
+      val x = ((h % p) + p) % p // pmod
+      var i = 0
+      while (i < k) {
+        val v = (coeffs(2 * i) * x + coeffs(2 * i + 1)) % p
+        if (v < mins(i)) mins(i) = v
+        i += 1
       }
       t += 1
     }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.functions.expressions.VectorExpressions.simhash64
 import graft.functions.expressions.SketchExpressions.minhash_sig
+import graft.functions.expressions.ShingleHashes.shingle_hashes
 
 /** Document deduplication operators for training-data pipelines:
   * exact, n-gram Jaccard, MinHash+LSH, SimHash.
@@ -45,15 +46,14 @@ object Dedup {
   }
 
   /** (id, shingle-hash) pairs, distinct per doc — shared candidate input for
-    * jaccard / minhash. Shingles are xxhash64'd to longs at the source: the
-    * set-similarity self-join and minhash then shuffle/compare 8-byte keys
-    * instead of n-gram strings (the dominant cost at corpus scale; a 64-bit
-    * collision across ~1e6 distinct shingles is ~1e-7 and only perturbs one
-    * intersection count by 1). */
+    * jaccard / minhash. Shingle identity is an 8-byte hash computed by the
+    * codegen ShingleHashes expression (no n-gram string is ever built):
+    * joins and shuffles move primitive longs, not text. A 64-bit collision
+    * across ~1e6 distinct shingles is ~1e-7 and only perturbs one
+    * intersection count by 1. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("sid"),
-        explode(TextFunctions.shingleArray(col(textCol), n)).as("sh_str"))
-      .select(col("sid"), xxhash64(col("sh_str")).as("shingle"))
+      explode(shingle_hashes(TextFunctions.tokens(col(textCol)), n)).as("shingle"))
 
   /** Exact pairwise word-n-gram Jaccard >= minJac, via set-similarity join.
     * Output: (id_a, id_b, jaccard) with id_a < id_b.
@@ -111,7 +111,8 @@ object Dedup {
     // the interpreted shingle transform to evaluate twice per row.
     docs.filter(size(TextFunctions.tokens(col(textCol))) >= n)
       .select(col(idCol),
-        minhash_sig(TextFunctions.shingleArray(col(textCol), n), k, seed).as("sig"))
+        minhash_sig(shingle_hashes(TextFunctions.tokens(col(textCol)), n), k, seed)
+          .as("sig"))
 
   /** LSH candidate pairs from minhash signatures: band the k mins into
     * `bands` slices of the signature array, hash each band, join on
