@@ -115,7 +115,19 @@ object SimilarityQueries extends QueryModule {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** IVF-clustered ANN — the second scale path besides LSH. No SQL oracle
+    * (iterative k-means); recall vs q28 asserted in IvfIndexSpec. */
+  private def q39IvfKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    graft.operators.IvfIndex.topK(
+        emb.filter($"vec_id" < 10), emb, "vec_id", "embedding",
+        k = 5, nLists = 16, nProbe = 6)
+      .orderBy($"query_id", $"rank")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q39_ivf_knn", q39IvfKnn, None, "IVF-clustered ANN top-k (rows-only, spec-verified)"),
     Q("q28_knn_brute", q28KnnBrute, Some(q28Sql), "exact cosine top-k (north star)"),
     Q("q29_embedding_neardup", q29NearDup, Some(q29Sql), "blocked cosine near-dup pairs (north star)"),
     Q("q30_lsh_knn", q30LshKnn, None, "LSH-bucketed ANN top-k (rows-only, spec-verified)"),

@@ -1,0 +1,43 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.{IvfIndex, Similarity}
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sfDir).cache()
+
+  test("training yields nLists unit-norm centroids, deterministically") {
+    val c1 = IvfIndex.train(emb, "vec_id", "embedding", nLists = 8)
+    val rows = c1.collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9, s"centroid norm $norm")
+    }
+    val c2 = IvfIndex.train(emb, "vec_id", "embedding", nLists = 8)
+    assert(c1.collect().map(_.toString).sorted.toSeq ===
+      c2.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("every vector lands in exactly one list") {
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", nLists = 8)
+    val assigned = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
+    assert(assigned.count() === emb.count())
+    assert(assigned.select("vec_id").distinct().count() === emb.count())
+    assert(assigned.select("list_id").distinct().count() <= 8)
+  }
+
+  test("IVF top-k achieves >= 50% recall@5 vs brute force at 1/2 probe ratio") {
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.cosineTopK(queries, emb, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = IvfIndex.topK(queries, emb, "vec_id", "embedding", k = 5,
+        nLists = 8, nProbe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@5 = $recall")
+  }
+}
