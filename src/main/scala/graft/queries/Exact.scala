@@ -35,9 +35,16 @@ object Exact {
   def dsumProduct(a: Column, b: Column): Column =
     sum(a.cast(DecimalType(18, 4)) * b.cast(DecimalType(18, 4))).cast("double")
 
-  /** SQL fragment mirrors, for building the DuckDB oracle strings. */
+  /** SQL fragment mirrors, for building the DuckDB oracle strings.
+    *
+    * The final decimal->double cast routes through VARCHAR: DuckDB's direct
+    * DECIMAL->DOUBLE converts the scaled hugeint to double and then divides
+    * (two roundings), which diverges from Spark's correctly-rounded
+    * Decimal.toDouble once the scaled integer exceeds 2^53. strtod on the
+    * decimal string is correctly rounded, matching Spark bit-for-bit at
+    * any magnitude. */
   def sqlDsum(expr: String): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)"
   def sqlDavg(expr: String): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE) / COUNT($expr)"
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT($expr)"
 }

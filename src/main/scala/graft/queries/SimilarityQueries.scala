@@ -81,7 +81,7 @@ object SimilarityQueries extends QueryModule {
   }
 
   private val q31Sql =
-    """SELECT label, dim, CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) AS dim_sum,
+    """SELECT label, dim, CAST(CAST(SUM(CAST(x AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE) AS dim_sum,
       |  COUNT(*) AS n
       |FROM (
       |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,

@@ -72,7 +72,7 @@ object TimeSeriesQueries extends QueryModule {
 
   private val q12Sql =
     """SELECT event_id, user_id,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS acc_value_24h,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE) AS acc_value_24h,
       |  COUNT(*) OVER w AS acc_events_24h
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
