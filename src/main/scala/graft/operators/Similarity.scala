@@ -23,10 +23,8 @@ import graft.functions.expressions.SketchExpressions.lsh_buckets
   */
 object Similarity {
 
-  /** Elementwise-double view of a float embedding. */
-  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
-
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product (composable reference implementation; the
+    * hot paths use the codegen expressions in VectorExpressions). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
@@ -56,25 +54,6 @@ object Similarity {
     paired.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
-  }
-
-  /** Deterministic pseudo-random hyperplane component: a unit-free ±-valued
-    * projection weight derived from (plane, dim) via xxhash64 — no RNG state,
-    * so executors agree without broadcasting plane matrices. */
-  private def planeWeight(plane: Int, dim: Column): Column =
-    when(xxhash64(lit(plane), dim).bitwiseAND(lit(1L)) === 0, lit(1.0)).otherwise(lit(-1.0))
-
-  /** Sign-bucket id from `nPlanes` random hyperplanes (random-projection LSH
-    * for cosine distance). */
-  def lshBucket(vec: Column, nPlanes: Int): Column = {
-    val vd = asDouble(vec)
-    (0 until nPlanes).map { pl =>
-      val proj = aggregate(
-        zip_with(vd, sequence(lit(0), size(vd) - 1),
-          (x, i) => x * planeWeight(pl, i)),
-        lit(0.0), _ + _)
-      when(proj >= 0, lit(1L << pl)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket

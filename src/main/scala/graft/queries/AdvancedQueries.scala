@@ -143,7 +143,26 @@ object AdvancedQueries extends QueryModule {
       |  SELECT user_id FROM events WHERE event_type = 'error')
       |ORDER BY cohort, user_id""".stripMargin
 
+  /** Sketched statistics: HLL distinct counts and approximate percentiles
+    * next to their exact counterparts. The approx columns have no
+    * cross-engine oracle (different sketch implementations), so the oracle
+    * covers the exact columns and ApproxStatsSpec bounds the sketch error
+    * against them. */
+  private def q40ApproxStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("exact_users"),
+        approx_count_distinct($"user_id", 0.02).as("approx_users"),
+        percentile_approx($"value", lit(0.5), lit(10000)).as("approx_p50"),
+        dsum($"value").as("total_value"))
+      .orderBy($"event_type")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q40_approx_stats", q40ApproxStats, None,
+      "HLL distinct + approx percentile (rows-only; error-bounded in spec)"),
     Q("q34_asof_join", q34AsOf, Some(q34Sql), "as-of join (union+window vs theta-join oracle)"),
     Q("q35_session_windows", q35Sessions, Some(q35Sql), "session windows vs gaps-and-islands oracle"),
     Q("q36_rollup", q36Rollup, Some(q36Sql), "rollup with grouping indicators"),
