@@ -33,6 +33,8 @@ object AsOfJoin {
       rightKey: String, leftTs: String, rightTs: String, tieCol: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(payload.forall(!leftCols.contains(_)),
+      s"payload columns ${payload.filter(leftCols.contains)} collide with left columns; alias them first")
     val payloadStruct = struct(payload.map(col): _*)
     // side 0 = right (sorts before left at equal ts -> "<=" semantics)
     val taggedRight = right.select(

@@ -160,7 +160,38 @@ object AdvancedQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** Sliding windows (T9): 1-day windows sliding every 6 h — each event
+    * lands in 4 overlapping windows. Oracle: lateral generate_series over
+    * the window starts covering each event. */
+  private def q41SlidingWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 day", "6 hours"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n", $"total_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  // Each event lies in exactly 4 sliding windows: starts at
+  // floor(epoch/slide)*slide - i*slide for i in 0..3 (epoch-aligned, same
+  // as Spark's window()). Static offsets because DuckDB 1.0's
+  // generate_series cannot take lateral column parameters.
+  private val q41Sql =
+    s"""SELECT strftime(TIMESTAMP '1970-01-01' + to_seconds(
+       |    CAST(floor(epoch(e.ts) / 21600) * 21600 - i.i * 21600 AS BIGINT)),
+       |    '%Y-%m-%d %H:%M:%S') AS window_start,
+       |  event_type,
+       |  COUNT(*) AS n,
+       |  ${sqlDsum("value")} AS total_value
+       |FROM events e, (SELECT unnest([0, 1, 2, 3]) AS i) i
+       |GROUP BY 1, 2
+       |ORDER BY window_start, event_type""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q41_sliding_windows", q41SlidingWindows, Some(q41Sql),
+      "sliding 1d/6h windows (T9) vs lateral-series oracle"),
     Q("q40_approx_stats", q40ApproxStats, None,
       "HLL distinct + approx percentile (rows-only; error-bounded in spec)"),
     Q("q34_asof_join", q34AsOf, Some(q34Sql), "as-of join (union+window vs theta-join oracle)"),
