@@ -20,7 +20,11 @@ object TextFunctions {
   /** BPE-ish subword count: word-piece regex splits on non-alnum boundaries
     * and digit runs, approximating byte-pair token inflation. */
   def subwordCount(text: Column): Column =
-    size(split(text, "[^\\p{L}\\p{N}]+|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"))
+    // split keeps empty strings at leading/trailing delimiter boundaries;
+    // they are not tokens
+    size(filter(
+      split(text, "[^\\p{L}\\p{N}]+|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"),
+      w => length(w) > 0))
 
   /** Count of tokens present in `words`. */
   def tokenHits(text: Column, words: Seq[String]): Column =

@@ -61,8 +61,11 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
 
   def compute(shingles: ArrayData): ArrayData = {
     val p = MinHashSig.P
-    val mins = Array.fill(k)(Long.MaxValue)
     val n = shingles.numElements()
+    // no shingles -> no signature: a k*Long.MaxValue sentinel would make
+    // every empty doc collide in every LSH band (quadratic false pairs)
+    if (n == 0) return null
+    val mins = Array.fill(k)(Long.MaxValue)
     var t = 0
     while (t < n) {
       val h =
@@ -83,13 +86,18 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
     new GenericArrayData(mins)
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(arr: Any): Any = compute(arr.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("minhashExpr", this,
-      classOf[MinHashSig].getName)
-    defineCodeGen(ctx, ev, a => s"$ref.compute($a)")
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("minhashExpr", this, classOf[MinHashSig].getName)
+      s"""
+         |${ev.value} = $ref.compute($a);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

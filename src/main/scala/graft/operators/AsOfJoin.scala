@@ -35,6 +35,9 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(payload.forall(!leftCols.contains(_)),
       s"payload columns ${payload.filter(leftCols.contains)} collide with left columns; alias them first")
+    val reserved = Set("__k", "__ts", "__side", "__tie", "__p", "__last")
+    require(leftCols.forall(!reserved.contains(_)) && payload.forall(!reserved.contains(_)),
+      s"column names $reserved are reserved by asOf")
     val payloadStruct = struct(payload.map(col): _*)
     // side 0 = right (sorts before left at equal ts -> "<=" semantics)
     val taggedRight = right.select(

@@ -23,6 +23,12 @@ import graft.functions.expressions.ShingleHashes.shingle_hashes
   *  - simhash: single 64-bit fingerprint per doc; band the 64 bits into
   *             16-bit chunks for candidate generation (hamming <= 3 ⇒ at
   *             least one of 4 chunks equal, by pigeonhole).
+  *
+  * Cache contract: the multi-pass operators (jaccard, minhash, simhash
+  * pairs) cache intermediates that their own plan consumes more than once
+  * and do NOT unpersist (results are lazy). Long-lived drivers looping
+  * over many corpora should clearCache()/unpersist between invocations —
+  * Bench and Verify do exactly that.
   */
 object Dedup {
 

@@ -56,7 +56,9 @@ object IvfIndex {
   private def normalized(vec: org.apache.spark.sql.Column, dim: Int) = {
     val vd = transform(vec, _.cast("double"))
     val nrm = sqrt(aggregate(transform(vd, x => x * x), lit(0.0), _ + _))
-    transform(vd, x => x / nrm)
+    // zero vectors stay zero instead of becoming NaN and poisoning a
+    // centroid mean during Lloyd iterations
+    when(nrm === 0.0, vd).otherwise(transform(vd, x => x / nrm))
   }
 
   /** Nearest-centroid assignment: broadcast join + rank-1 (adds `list_id`). */

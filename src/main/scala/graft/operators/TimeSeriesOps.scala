@@ -36,16 +36,16 @@ object TimeSeriesOps {
   }
 
   /** Rolling event-time aggregate over the trailing `windowSec` seconds per
-    * key (A4's acc_*_24h / A5's 52-week extremes generalized). `aggs` map
-    * output name -> agg column builder applied over the frame. */
+    * key (A4's acc_*_24h generalized). `aggs` maps output name -> aggregate
+    * expression (e.g. `sum($"value")`), which is evaluated over the
+    * trailing range frame. */
   def rolling(df: DataFrame, keyCol: String, tsCol: String, windowSec: Long)(
-      aggs: (String, Column => Column)*): DataFrame = {
-    val us = unix_micros(col(tsCol))
-    val frame = Window.partitionBy(col(keyCol)).orderBy(us)
+      aggs: (String, Column)*): DataFrame = {
+    val frame = Window.partitionBy(col(keyCol)).orderBy(unix_micros(col(tsCol)))
       .rangeBetween(-windowSec * 1000000L, 0)
-    aggs.foldLeft(df.withColumn("__us", us)) { case (d, (name, f)) =>
-      d.withColumn(name, f(col("__us")).over(frame))
-    }.drop("__us")
+    aggs.foldLeft(df) { case (d, (name, aggExpr)) =>
+      d.withColumn(name, aggExpr.over(frame))
+    }
   }
 
   /** Trailing high/low with the timestamp each extreme occurred at (A5's

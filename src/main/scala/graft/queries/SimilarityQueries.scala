@@ -111,7 +111,7 @@ object SimilarityQueries extends QueryModule {
   private val q32Sql =
     """SELECT doc_id,
       |  sha256(text) AS payload_sha256,
-      |  strlen(text) AS payload_bytes
+      |  octet_length(encode(text)) AS payload_bytes
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 

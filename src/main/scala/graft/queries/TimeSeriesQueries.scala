@@ -59,13 +59,11 @@ object TimeSeriesQueries extends QueryModule {
     * Event-time range frame on epoch-micros. */
   private def q12Rolling24h(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dayUs = 24L * 3600 * 1000000
-    val w = Window.partitionBy($"user_id").orderBy($"us").rangeBetween(-dayUs, 0)
-    Tables.events(spark, dir)
-      .withColumn("us", unix_micros($"ts"))
-      .withColumn("acc_value_24h",
-        sum($"value".cast("decimal(18,4)")).over(w).cast("double"))
-      .withColumn("acc_events_24h", count(lit(1)).over(w))
+    graft.operators.TimeSeriesOps.rolling(
+        Tables.events(spark, dir), "user_id", "ts", windowSec = 24L * 3600)(
+        "acc_value_24h_dec" -> sum($"value".cast("decimal(18,4)")),
+        "acc_events_24h" -> count(lit(1)))
+      .withColumn("acc_value_24h", $"acc_value_24h_dec".cast("double"))
       .select($"event_id", $"user_id", $"acc_value_24h", $"acc_events_24h")
       .orderBy($"event_id")
   }

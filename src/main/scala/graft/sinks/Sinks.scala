@@ -22,8 +22,11 @@ object Sinks {
     * the build side stays bounded (SURVEY §7.4 risk 1). */
   def newRowsOnly(existing: DataFrame, incoming: DataFrame,
       keys: Seq[String]): DataFrame = {
+    // order by every column (keys first) so the kept row per key is
+    // deterministic even when the batch has conflicting payloads
+    val order = (keys ++ incoming.columns.filterNot(keys.contains)).map(col)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*).orderBy(keys.map(col): _*)
+      .partitionBy(keys.map(col): _*).orderBy(order: _*)
     val deduped = incoming
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
     deduped.join(existing.select(keys.map(col): _*), keys, "left_anti")
@@ -33,11 +36,14 @@ object Sinks {
     * stand-in for the JDBC ON CONFLICT sink; same contract). */
   def upsertIgnoreParquet(incoming: DataFrame, path: String, keys: Seq[String]): Unit = {
     val spark = incoming.sparkSession
+    // Only a genuinely-absent table counts as first write; any other read
+    // failure (corrupt footer, incompatible schema) must surface rather
+    // than silently appending the whole batch and breaking idempotence.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing =
-      try spark.read.parquet(path)
-      catch { case _: org.apache.spark.sql.AnalysisException => // first write
-        incoming.limit(0)
-      }
+      if (fs.exists(hPath)) spark.read.parquet(path)
+      else incoming.limit(0)
     newRowsOnly(existing, incoming, keys)
       .write.mode(SaveMode.Append).parquet(path)
   }

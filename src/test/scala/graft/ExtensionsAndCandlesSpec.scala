@@ -40,6 +40,21 @@ class ExtensionsAndCandlesSpec extends SparkSpec {
     assert(r.getAs[Long]("k16") === 16)
   }
 
+  test("minhash_sig of an empty shingle set is null, not a colliding sentinel") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT minhash_sig(array_remove(array('x'), 'x')) AS sig").head()
+    assert(r.isNullAt(0))
+  }
+
+  test("newRowsOnly keeps a deterministic row under conflicting payloads") {
+    val incoming = Seq((1, "b"), (1, "a"), (2, "z")).toDF("k", "v")
+    val existing = incoming.limit(0)
+    val kept = graft.sinks.Sinks.newRowsOnly(existing, incoming, Seq("k"))
+      .as[(Int, String)].collect().toSet
+    assert(kept === Set((1, "a"), (2, "z")), "smallest payload wins the tie")
+  }
+
   test("streaming candles finalize per day with deterministic open/close") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = Timestamp.valueOf(s)
