@@ -52,6 +52,60 @@ object Multimodal {
       }
   }
 
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int, payload: Array[Byte])
+  case class FrameSample(doc_id: Long, frame_idx: Int, ts_ms: Long, payload: Array[Byte])
+
+  /** Resize plumbing: per-partition kernel with the real codec's signature
+    * (bytes -> bytes at target dims). STUB: emits a deterministic
+    * target-sized payload derived from the source bytes; a real
+    * implementation swaps `resizeKernel` only. */
+  def resize(payloads: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ResizedMedia(id, targetW, targetH, resizeKernel(bytes, targetW, targetH))
+      })
+  }
+
+  /** STUB resize kernel: samples the source bytes onto a targetW*targetH
+    * grid (nearest-neighbor over the byte stream) — deterministic, byte
+    * count = target area, so downstream sizing logic is exercised for real. */
+  private def resizeKernel(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    if (bytes.nonEmpty) {
+      var i = 0
+      while (i < out.length) {
+        out(i) = bytes((i.toLong * bytes.length / out.length).toInt)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Frame sampling plumbing: one payload row -> every-nth-frame rows.
+    * STUB: treats the payload as `frameCount` equal chunks at `fps`; a real
+    * implementation replaces the chunking with a container demuxer, keeping
+    * the same one-to-many row shape (flatMap inside mapPartitions — the
+    * executor-side explode that keeps frames off the driver). */
+  def sampleFrames(payloads: DataFrame, everyNth: Int, frameCount: Int = 16,
+      fps: Double = 25.0): Dataset[FrameSample] = {
+    require(everyNth >= 1 && frameCount >= 1)
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        (0 until frameCount by everyNth).iterator.map { f =>
+          val start = (f.toLong * bytes.length / frameCount).toInt
+          val end = ((f + 1).toLong * bytes.length / frameCount).toInt
+          FrameSample(id, f, (f * 1000 / fps).toLong,
+            java.util.Arrays.copyOfRange(bytes, start, end))
+        }
+      })
+  }
+
   /** Deterministic fake decode: dimensions and intensity derived from byte
     * stats. Replace with a real codec (??? in production terms) — marked
     * clearly as the stubbed stage. */

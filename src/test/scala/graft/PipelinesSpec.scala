@@ -56,4 +56,30 @@ class PipelinesSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(payloads).collect()
     assert(rows.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
   }
+
+  test("multimodal: resize emits target-sized payloads deterministically") {
+    val docs = Tables.documents(spark, sfDir).limit(10)
+    val payloads = Multimodal.asBinaryPayload(docs, "doc_id", "text")
+    val resized = Multimodal.resize(payloads, targetW = 8, targetH = 4).collect()
+    assert(resized.length === 10)
+    resized.foreach { r =>
+      assert(r.width === 8 && r.height === 4)
+      assert(r.payload.length === 32, "payload bytes = target area")
+    }
+    val again = Multimodal.resize(payloads, 8, 4).collect()
+    assert(resized.map(_.payload.toSeq).toSeq.sortBy(_.hashCode) ===
+      again.map(_.payload.toSeq).toSeq.sortBy(_.hashCode))
+  }
+
+  test("multimodal: frame sampling explodes every-nth frame executor-side") {
+    val docs = Tables.documents(spark, sfDir).limit(5)
+    val payloads = Multimodal.asBinaryPayload(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(payloads, everyNth = 4, frameCount = 16)
+      .collect()
+    assert(frames.length === 5 * 4, "16 frames / every 4th = 4 per doc")
+    frames.groupBy(_.doc_id).values.foreach { fs =>
+      assert(fs.map(_.frame_idx).sorted.toSeq === Seq(0, 4, 8, 12))
+      assert(fs.forall(f => f.ts_ms === f.frame_idx * 40L), "25fps -> 40ms/frame")
+    }
+  }
 }
