@@ -122,7 +122,7 @@ object SimilarityQueries extends QueryModule {
     val emb = Tables.embeddings(spark, dir)
     graft.operators.IvfIndex.topK(
         emb.filter($"vec_id" < 10), emb, "vec_id", "embedding",
-        k = 5, nLists = 16, nProbe = 6)
+        k = 5, nLists = 16, nProbe = 6, iters = 2)
       .orderBy($"query_id", $"rank")
   }
 
