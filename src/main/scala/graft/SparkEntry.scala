@@ -20,9 +20,26 @@ object SparkEntry {
 
   val allQueries: Seq[Q] = modules.flatMap(_.queries)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    allQueries.head.run(spark, "/root/testdata/sf0.001")
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The SURVEY §7.2 fused slice: scan → broadcast dim join → filter →
+    * daily window agg → latest-per-key — one query exercising the engine's
+    * core plan shapes. */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val orders = graft.core.Tables.orders(spark, dir)
+    val customer = graft.core.Tables.customer(spark, dir)
+    val daily = orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderstatus") =!= "X")
+      .groupBy(col("c_mktsegment"), date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("month").desc)
+    daily.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("month"), col("revenue"), col("n_orders"))
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
