@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps formatted physical plans for representative queries — the
+  * `.explain("formatted")` iteration artifact (see PLANS.md).
+  * Usage: runMain graft.Plans [sfDir] */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val picks = Seq(
+      "q2_filter_project", "q3_join_agg", "q8_topk", "q11_ohlcv",
+      "q24_minhash_pairs", "q28_knn_brute", "q34_asof_join")
+    picks.foreach { name =>
+      println(s"\n===== $name =====")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
