@@ -21,9 +21,9 @@ object SparkEntry {
   val allQueries: Seq[Q] = modules.flatMap(_.queries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The SURVEY §7.2 fused slice: scan → broadcast dim join → filter →
-    * daily window agg → latest-per-key — one query exercising the engine's
-    * core plan shapes. */
+    * A fused slice of the engine's core plan shapes: scan → broadcast dim
+    * join → filter → monthly revenue aggregate per market segment → top-3
+    * most recent months per segment (window rank). */
   def entry(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

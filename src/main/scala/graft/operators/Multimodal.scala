@@ -28,6 +28,13 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("doc_id"),
       col(dataCol).cast("binary").as("payload"))
 
+  /** Typed view of a payload frame — the one adapter all kernels share. */
+  private def typedPayloads(df: DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+  }
+
   /** Typed metadata without decoding: cheap, columnar, no UDF. */
   def payloadMeta(payloads: DataFrame): DataFrame =
     payloads.select(
@@ -44,8 +51,7 @@ object Multimodal {
   def extractFeatures(payloads: DataFrame): Dataset[MediaFeatures] = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col("doc_id").cast("long"), col("payload"))
-      .as[(Long, Array[Byte])]
+    typedPayloads(payloads)
       .mapPartitions { it =>
         // per-partition init happens here in a real decoder (codec, model)
         it.map { case (id, bytes) => decodeStub(id, bytes) }
@@ -60,10 +66,12 @@ object Multimodal {
     * target-sized payload derived from the source bytes; a real
     * implementation swaps `resizeKernel` only. */
   def resize(payloads: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    require(targetW > 0 && targetH > 0 &&
+      targetW.toLong * targetH <= Int.MaxValue,
+      s"invalid target dimensions ${targetW}x$targetH")
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col("doc_id").cast("long"), col("payload"))
-      .as[(Long, Array[Byte])]
+    typedPayloads(payloads)
       .mapPartitions(_.map { case (id, bytes) =>
         ResizedMedia(id, targetW, targetH, resizeKernel(bytes, targetW, targetH))
       })
@@ -94,8 +102,7 @@ object Multimodal {
     require(everyNth >= 1 && frameCount >= 1)
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col("doc_id").cast("long"), col("payload"))
-      .as[(Long, Array[Byte])]
+    typedPayloads(payloads)
       .mapPartitions(_.flatMap { case (id, bytes) =>
         (0 until frameCount by everyNth).iterator.map { f =>
           val start = (f.toLong * bytes.length / frameCount).toInt

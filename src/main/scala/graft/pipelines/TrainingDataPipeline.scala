@@ -25,49 +25,60 @@ object TrainingDataPipeline {
       nearDupJaccard: Double = 0.8,
       shingleSize: Int = 3)
 
-  /** Curated corpus: annotation columns added, low-quality / wrong-language
-    * / short docs removed, exact and near duplicates dropped keeping the
-    * smallest doc_id per duplicate group. */
-  def curate(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", cfg: Config = Config()): DataFrame = {
-    // 1. row-local annotation (fused into the scan by Catalyst)
+  /** Annotation + filter + exact-dedup stages, shared by curate and funnel
+    * so the reported funnel can never diverge from the executed pipeline.
+    * `exact` is cached: three downstream subplans consume it (minhash
+    * signatures, verification shingles, the final anti-join). */
+  private def stages(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config): (DataFrame, DataFrame) = {
     val annotated = TextFunctions.withLangId(docs, textCol, "pred_lang")
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
-
-    // 2. narrow filters
     val filtered = annotated.filter(
       col("quality") >= cfg.minQuality &&
         col("pred_lang").isin(cfg.allowedLangs.toSeq: _*) &&
         col("n_tokens") >= cfg.minTokens)
-
-    // 3. exact dedup (digest groupBy, min id wins)
-    val exact = Dedup.exactDedup(filtered, idCol, textCol)
-
-    // 4. near-dup removal: MinHash candidates verified by exact Jaccard;
-    //    from each surviving pair drop the larger id (keep canonical min)
-    val nearDupLosers = Dedup.minhashNearDupPairs(exact, idCol, textCol,
-        n = cfg.shingleSize, minJac = cfg.nearDupJaccard)
-      .select(col("id_b").as(idCol)).distinct()
-    exact.join(nearDupLosers, Seq(idCol), "left_anti")
+    val exact = Dedup.exactDedup(filtered, idCol, textCol).cache()
+    (filtered, exact)
   }
 
-  /** Per-stage row accounting — the curation funnel report. */
+  /** Near-dup removal rule: drop a doc iff it has a verified near-duplicate
+    * with a SMALLER id. This keeps every "local minimum" — strictly fewer
+    * removals than connected-component dedup (which keeps one doc per
+    * transitive cluster) while still guaranteeing no surviving pair is
+    * within the threshold of each other... except across removed
+    * intermediaries: in a chain 1~2~3 (1 !~ 3), doc 2 and 3 both drop even
+    * though 3's only near-dup was itself removed. That bias toward removal
+    * is deliberate — duplicate-cluster members are the risk in training
+    * data, and the alternative (maximum independent set) is not computable
+    * in a bounded number of distributed passes. */
+  private def dropNearDups(exact: DataFrame, idCol: String, textCol: String,
+      cfg: Config): DataFrame = {
+    val losers = Dedup.minhashNearDupPairs(exact, idCol, textCol,
+        n = cfg.shingleSize, minJac = cfg.nearDupJaccard)
+      .select(col("id_b").as(idCol)).distinct()
+    exact.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Curated corpus: annotation columns added, low-quality / wrong-language
+    * / short docs removed, exact duplicates keep the smallest id, near
+    * duplicates removed per the [[dropNearDups]] rule. */
+  def curate(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", cfg: Config = Config()): DataFrame = {
+    val (_, exact) = stages(docs, idCol, textCol, cfg)
+    dropNearDups(exact, idCol, textCol, cfg)
+  }
+
+  /** Per-stage row accounting — the curation funnel report. Shares the
+    * stage frames with [[curate]] (cached where fanned out), so one call
+    * costs one annotated scan plus the two dedup shuffles. */
   def funnel(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", cfg: Config = Config()): Map[String, Long] = {
-    val annotated = TextFunctions.withLangId(docs, textCol, "pred_lang")
-      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
-      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
-    val filtered = annotated.filter(
-      col("quality") >= cfg.minQuality &&
-        col("pred_lang").isin(cfg.allowedLangs.toSeq: _*) &&
-        col("n_tokens") >= cfg.minTokens)
-    val exact = Dedup.exactDedup(filtered, idCol, textCol)
-    val curated = curate(docs, idCol, textCol, cfg)
+    val (filtered, exact) = stages(docs, idCol, textCol, cfg)
     Map(
       "input" -> docs.count(),
       "after_filters" -> filtered.count(),
       "after_exact_dedup" -> exact.count(),
-      "after_near_dedup" -> curated.count())
+      "after_near_dedup" -> dropNearDups(exact, idCol, textCol, cfg).count())
   }
 }

@@ -67,8 +67,8 @@ class PipelinesSpec extends SparkSpec {
       assert(r.payload.length === 32, "payload bytes = target area")
     }
     val again = Multimodal.resize(payloads, 8, 4).collect()
-    assert(resized.map(_.payload.toSeq).toSeq.sortBy(_.hashCode) ===
-      again.map(_.payload.toSeq).toSeq.sortBy(_.hashCode))
+    assert(resized.sortBy(_.doc_id).map(_.payload.toSeq).toSeq ===
+      again.sortBy(_.doc_id).map(_.payload.toSeq).toSeq)
   }
 
   test("multimodal: frame sampling explodes every-nth frame executor-side") {
