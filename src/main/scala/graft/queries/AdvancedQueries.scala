@@ -189,7 +189,30 @@ object AdvancedQueries extends QueryModule {
        |GROUP BY 1, 2
        |ORDER BY window_start, event_type""".stripMargin
 
+  /** Collect-to-array aggregation (the grouped-gather F16/F17 surface),
+    * emitted as a sorted joined string for cross-engine comparison. */
+  private def q42CollectList(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_custkey" < 100)
+      .groupBy($"o_custkey")
+      .agg(
+        concat_ws(",", sort_array(collect_list($"o_orderkey"))).as("orderkeys"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_custkey")
+  }
+
+  private val q42Sql =
+    """SELECT o_custkey,
+      |  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
+      |  COUNT(*) AS n
+      |FROM orders
+      |WHERE o_custkey < 100
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q42_collect_list", q42CollectList, Some(q42Sql), "grouped gather to sorted list (F16/F17)"),
     Q("q41_sliding_windows", q41SlidingWindows, Some(q41Sql),
       "sliding 1d/6h windows (T9) vs lateral-series oracle"),
     Q("q40_approx_stats", q40ApproxStats, None,
