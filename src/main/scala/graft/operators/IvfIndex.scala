@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.expressions.VectorExpressions.cosine_sim
 
@@ -41,11 +42,15 @@ object IvfIndex {
       val assigned = assign(vectors, idCol, vecCol, centroids)
       // new centroid = mean of members, renormalized; empty lists keep
       // their previous centroid (left join + coalesce)
+      // per-dimension means via exact decimal sums: float avg is
+      // accumulation-order dependent, which would make centroids (and
+      // borderline assignments) vary with partitioning/parallelism
       val sums = assigned
         .select(col("list_id"), normalized(col(vecCol), dim).as("nv"))
         .groupBy("list_id")
         .agg(array((0 until dim).map(i =>
-          avg(element_at(col("nv"), i + 1))): _*).as("mean"))
+          (sum(element_at(col("nv"), i + 1).cast(DecimalType(28, 14))).cast("double") /
+            count(lit(1)))): _*).as("mean"))
         .select(col("list_id"), normalized(col("mean"), dim).as("newc"))
       centroids = centroids.join(sums, Seq("list_id"), "left")
         .select(col("list_id"), coalesce(col("newc"), col("centroid")).as("centroid"))
