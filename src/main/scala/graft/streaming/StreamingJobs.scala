@@ -46,6 +46,37 @@ object StreamingJobs {
       .partitionBy("event_date")
       .trigger(Trigger.AvailableNow())
 
+  /** K1/T2 streaming form: idempotent keyed append via foreachBatch — the
+    * reference's ON CONFLICT DO NOTHING absorbing redelivery, applied per
+    * micro-batch. Combined with upstream watermark dedup this gives
+    * effectively-once delivery into the table. */
+  def idempotentParquetSink(stream: DataFrame, path: String,
+      keys: Seq[String], checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sinks.Sinks.upsertIgnoreParquet(batch, path, keys)
+      }
+
+  /** Stream-static enrichment join: per micro-batch broadcast-hash join
+    * against a (small) dimension table — no state store involved. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream inner join with event-time range: both sides watermarked
+    * so the state store evicts rows once the other side can no longer
+    * match (the condition bounds the buffering window). */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, withinMinutes: Int,
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .drop(r(key)) // keep one unambiguous copy of the join key
+  }
+
   /** T7/K10: query-lifecycle alerting — the DAG failure-callback as a
     * StreamingQueryListener. */
   final class AlertListener(hook: AlertHook, channel: String = "#alerts")
