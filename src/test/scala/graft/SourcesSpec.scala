@@ -64,4 +64,33 @@ class SourcesSpec extends SparkSpec {
     assert(p.delaySec(3) === 480)
     assert(p.delaySec(10) === 3600)
   }
+
+  test("rate limiter schedules each call one interval after the last") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val rl = new HttpSource.RateLimiter(5.0, sleeps += _) // 5 req/s = 200ms gap
+    (1 to 4).foreach(_ => rl.acquire())
+    // the fake sleeper doesn't advance the clock, so waits accumulate by
+    // one ~200ms interval per call: ≈(200, 400, 600) — i.e. the limiter
+    // books each call one interval after the previous slot
+    assert(sleeps.size === 3, s"first call free, rest paced: $sleeps")
+    sleeps.zipWithIndex.foreach { case (s, i) =>
+      val expected = 200L * (i + 1)
+      assert(math.abs(s - expected) <= 20, s"sleep $i was $s, expected ~$expected")
+    }
+  }
+
+  test("csv validation fails fast on missing required columns") {
+    val dir = java.nio.file.Files.createTempDirectory("csvv").toString + "/f"
+    val df = Seq((1L, "a")).toDF("id", "name")
+    graft.sinks.Sinks.writeCsv(df, dir)
+    val ok = graft.sources.CsvSource.readValidated(spark, dir, df.schema,
+      required = Seq("id", "name"))
+    assert(ok.count() === 1)
+    val err = intercept[IllegalArgumentException] {
+      graft.sources.CsvSource.readValidated(spark, dir, df.schema,
+        required = Seq("id", "value", "timestamp"))
+    }
+    assert(err.getMessage.contains("value"))
+    assert(err.getMessage.contains("timestamp"))
+  }
 }
