@@ -34,6 +34,12 @@ object VectorExpressions {
   /** Dot product (same sequential-fold contract as cosine). */
   def dot_product(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+
+  /** Index of the nearest centroid by cosine (ties → lowest index). The
+    * centroid matrix is driver-side data baked into the expression — the
+    * k-means inner loop stays a narrow, codegen'd map over the corpus. */
+  def nearest_centroid(vec: Column, cents: Seq[Seq[Double]]): Column =
+    column(NearestCentroid(expression(vec), cents.map(_.toArray).toArray))
 }
 
 /** Static kernels invoked from generated code (must stay public: codegen'd
@@ -83,6 +89,28 @@ object VecUtil {
     var fp = 0L; var i = 0
     while (i < 64) { if (counts(i) >= 0) fp |= (1L << i); i += 1 }
     fp
+  }
+
+  /** Argmax over centroids of cosine(v, c); strict > keeps the lowest
+    * index on ties — same order as (sim DESC, list_id ASC). */
+  def nearest(v: ArrayData, isFloat: Boolean, cents: Array[Array[Double]]): Int = {
+    var best = Double.NegativeInfinity; var bestId = 0
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      val n = math.min(v.numElements(), cv.length)
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = get(v, i, isFloat); val y = cv(i)
+        dot += x * y; nv += x * x; nc += y * y
+        i += 1
+      }
+      val sim = dot / (math.sqrt(nv) * math.sqrt(nc))
+      if (sim > best) { best = sim; bestId = c }
+      c += 1
+    }
+    bestId
   }
 }
 
@@ -150,6 +178,38 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.functions.expressions.VecUtil.simhash($t)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Nearest-centroid argmax with the centroid matrix as bound driver-side
+  * data (nLists × dim doubles — tiny; ships inside the serialized plan the
+  * same way a broadcast literal would). */
+case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+  override def prettyName: String = "nearest_centroid"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid requires array<float>/array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VecUtil.nearest(v.asInstanceOf[ArrayData], isFloat, cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.expressions.VecUtil.nearest($v, $isFloat, $ref)")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

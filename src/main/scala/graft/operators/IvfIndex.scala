@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -11,54 +11,81 @@ import graft.functions.expressions.VectorExpressions.cosine_sim
   * alternative to random-hyperplane LSH ([[Similarity.lshCosineTopK]]).
   *
   * Train: pick nLists deterministic seed centroids (hash-ordered sample),
-  * run a few Lloyd iterations of spherical k-means entirely as DataFrame
-  * aggregations. Index: assign every vector to its nearest centroid (one
-  * broadcast join — centroids are tiny). Query: probe the nProbe nearest
-  * lists per query and scan only those lists.
+  * run a few Lloyd iterations of spherical k-means. Index: assign every
+  * vector to its nearest centroid. Query: probe the nProbe nearest lists
+  * per query and scan only those lists.
   *
-  * Scale shape: training touches each vector `iters` times with a
-  * broadcast of nLists centroids (no shuffle of the vectors); the index
-  * assignment is one narrow pass; a query with nProbe/nLists = 1/8 scans
-  * ~12% of the corpus instead of 100%. Lists can additionally be written
-  * `partitionBy(list_id)` so probing prunes at the file level.
+  * Scale shape (the MLlib k-means shape): the centroid table is tiny
+  * (nLists × dim doubles), so it rides along as a broadcast literal and
+  * nearest-centroid assignment is a NARROW map — no join expansion, no
+  * shuffle of the vectors, ever. Each Lloyd iteration costs one scan of
+  * the corpus plus a map-side-combined groupBy over nLists keys whose
+  * result (nLists rows) is collected to the driver. A query with
+  * nProbe/nLists = 1/8 then scans ~12% of the corpus instead of 100%.
+  * Lists can additionally be written `partitionBy(list_id)` so probing
+  * prunes at the file level.
   *
-  * Determinism: centroid seeds are chosen by xxhash64(id) order; every
-  * arithmetic step is Column math; ties broken by id throughout.
+  * Determinism: centroid seeds are chosen by xxhash64(id) order; per-
+  * dimension means use exact decimal sums (float accumulation order would
+  * make centroids vary with partitioning); ties in assignment break toward
+  * the lowest list_id via the struct-max trick below.
   */
 object IvfIndex {
+
+  private type Centroids = Seq[(Int, Seq[Double])]
+
+  /** Nearest-centroid id as a narrow, codegen'd Column expression (ties
+    * pick the lowest list_id). Requires centroid ids to be 0..n-1 dense —
+    * collectCentroids sorts and train produces them that way. */
+  private def nearestList(vec: Column, cents: Centroids): Column =
+    graft.functions.expressions.VectorExpressions.nearest_centroid(
+      vec, cents.map(_._2))
+
+  private def collectCentroids(centroids: DataFrame): Centroids = {
+    import centroids.sparkSession.implicits._
+    centroids.select(col("list_id").cast("int"), col("centroid"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+  }
 
   /** Spherical k-means centroids as (list_id, centroid array<double>). */
   def train(vectors: DataFrame, idCol: String, vecCol: String,
       nLists: Int, iters: Int = 3): DataFrame = {
     val spark = vectors.sparkSession
+    import spark.implicits._
     val dim = vectors.select(size(col(vecCol))).head().getInt(0)
     // seed centroids: nLists vectors in deterministic pseudo-random order
-    var centroids = vectors
+    val seeds: Centroids = vectors
       .withColumn("__h", xxhash64(col(idCol)))
       .orderBy("__h").limit(nLists)
-      .withColumn("list_id", row_number().over(Window.orderBy("__h")) - 1)
-      .select(col("list_id"), normalized(col(vecCol), dim).as("centroid"))
+      .select(normalized(col(vecCol), dim))
+      .as[Seq[Double]].collect().toSeq.zipWithIndex.map { case (c, i) => (i, c) }
+    var cents = seeds
     for (_ <- 0 until iters) {
-      val assigned = assign(vectors, idCol, vecCol, centroids)
-      // new centroid = mean of members, renormalized; empty lists keep
-      // their previous centroid (left join + coalesce)
-      // per-dimension means via exact decimal sums: float avg is
-      // accumulation-order dependent, which would make centroids (and
-      // borderline assignments) vary with partitioning/parallelism
-      val sums = assigned
-        .select(col("list_id"), normalized(col(vecCol), dim).as("nv"))
-        .groupBy("list_id")
-        .agg(array((0 until dim).map(i =>
-          (sum(element_at(col("nv"), i + 1).cast(DecimalType(28, 14))).cast("double") /
-            count(lit(1)))): _*).as("mean"))
-        .select(col("list_id"), normalized(col("mean"), dim).as("newc"))
-      centroids = centroids.join(sums, Seq("list_id"), "left")
-        .select(col("list_id"), coalesce(col("newc"), col("centroid")).as("centroid"))
+      // new centroid = renormalized mean of members; empty lists keep
+      // their previous centroid. One corpus scan: narrow assignment +
+      // posexplode + partial-aggregated groupBy over nLists×dim keys,
+      // collected (tiny) and renormalized driver-side. Decimal sums keep
+      // the means independent of partitioning/accumulation order.
+      val sums = vectors
+        .select(
+          nearestList(col(vecCol), cents).as("list_id"),
+          posexplode(normalized(col(vecCol), dim)).as(Seq("pos", "x")))
+        .groupBy("list_id", "pos")
+        .agg((sum(col("x").cast(DecimalType(28, 14))).cast("double") /
+          count(lit(1))).as("mean"))
+        .as[(Int, Int, Double)].collect()
+        .groupBy(_._1)
+        .map { case (listId, dims) =>
+          val mean = dims.sortBy(_._2).map(_._3)
+          val nrm = math.sqrt(mean.map(x => x * x).sum)
+          listId -> (if (nrm == 0.0) mean.toSeq else mean.map(_ / nrm).toSeq)
+        }
+      cents = cents.map { case (i, old) => (i, sums.getOrElse(i, old)) }
     }
-    centroids
+    cents.toDF("list_id", "centroid")
   }
 
-  private def normalized(vec: org.apache.spark.sql.Column, dim: Int) = {
+  private def normalized(vec: Column, dim: Int): Column = {
     val vd = transform(vec, _.cast("double"))
     val nrm = sqrt(aggregate(transform(vd, x => x * x), lit(0.0), _ + _))
     // zero vectors stay zero instead of becoming NaN and poisoning a
@@ -66,16 +93,12 @@ object IvfIndex {
     when(nrm === 0.0, vd).otherwise(transform(vd, x => x / nrm))
   }
 
-  /** Nearest-centroid assignment: broadcast join + rank-1 (adds `list_id`). */
+  /** Nearest-centroid assignment (adds `list_id`) — a narrow map; the
+    * centroid frame is collected driver-side (nLists rows) and inlined. */
   def assign(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__sim").desc, col("list_id").asc)
-    vectors.join(broadcast(centroids))
-      .withColumn("__sim", cosine_sim(col(vecCol), col("centroid")))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .drop("__sim", "__rk", "centroid")
+    val cents = collectCentroids(centroids)
+    vectors.withColumn("list_id", nearestList(col(vecCol), cents))
   }
 
   /** Top-k cosine neighbors per query, scanning only the nProbe nearest
@@ -83,20 +106,25 @@ object IvfIndex {
   def topK(queries: DataFrame, vectors: DataFrame, idCol: String,
       vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
       iters: Int = 3): DataFrame = {
-    val centroids = train(vectors, idCol, vecCol, nLists, iters).cache()
-    val indexed = assign(vectors, idCol, vecCol, centroids)
+    val cents = collectCentroids(
+      train(vectors, idCol, vecCol, nLists, iters))
+    val indexed = vectors
+      .withColumn("list_id", nearestList(col(vecCol), cents))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("list_id"))
-    // nProbe nearest lists per query
+    // nProbe nearest lists per query: the query side is small, so rank
+    // its centroid sims driver-free via posexplode of the literal — still
+    // narrow — then broadcast the (query, list) probe set into the scan.
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("__sim").desc, col("list_id").asc)
+    val centsExploded = posexplode(typedLit(cents.map(_._2)))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .join(broadcast(centroids))
+      .select(col("query_id"), col("qv"), centsExploded.as(Seq("list_id", "centroid")))
       .withColumn("__sim", cosine_sim(col("qv"), col("centroid")))
       .withColumn("__rk", row_number().over(wq))
       .filter(col("__rk") <= nProbe)
       .select(col("query_id"), col("qv"), col("list_id"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    probes.join(indexed, "list_id")
+    indexed.join(broadcast(probes), "list_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosine_sim(col("qv"), col("cv")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
