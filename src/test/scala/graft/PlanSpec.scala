@@ -63,4 +63,16 @@ class PlanSpec extends SparkSpec {
     // "*(n)" prefixes mark WholeStageCodegen spans in the simple plan string
     assert(planString(run("q2_filter_project")).contains("*("))
   }
+
+  test("IVF nearest-centroid assignment is a narrow codegen map, no exchange") {
+    import graft.core.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = graft.operators.IvfIndex.train(emb, "vec_id", "embedding",
+      nLists = 4, iters = 1)
+    val assigned = graft.operators.IvfIndex.assign(emb, "vec_id", "embedding", cents)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(plan.contains("nearest_centroid"), plan.take(2000))
+    assert(plan.contains("*("), "assignment stays inside whole-stage codegen")
+  }
 }
