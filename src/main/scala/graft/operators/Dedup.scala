@@ -102,6 +102,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact pairwise Jaccard via PPJoin-style prefix filtering — same
+    * result as [[ngramJaccardPairs]], different scale shape.
+    *
+    * For Jaccard >= t, two docs with shingle-set sizes na <= nb must share
+    * a shingle among the first `n - ceil(t*n) + 1` of each doc's shingles
+    * under ANY global total order (prefix filter, lossless). Ordering by
+    * ascending document frequency puts the rarest shingles in the prefix,
+    * so hot near-stopword shingles never generate candidates — the s^2/2
+    * pair blow-up of the naive shingle join disappears without the
+    * `maxDocFreq` approximation. Candidates additionally pass the length
+    * filter nb >= ceil(t * na) before exact verification over the full
+    * shingle sets.
+    *
+    * Cost: one df aggregation + one per-doc window sort + a self-join on
+    * PREFIX shingles only + verification joins restricted to candidates.
+    * More shuffles than the naive form, but each moves a fraction of the
+    * data — the trade that wins once corpora stop fitting a single
+    * group's pair explosion. */
+  def ppjoinJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJac: Double = 0.5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sid")).orderBy(col("df").asc, col("shingle").asc)
+    val sh = shingles(docs, idCol, textCol, n).cache()
+    val counts = sh.groupBy("sid").agg(count(lit(1)).as("n_sh"))
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefixes = sh.join(df, "shingle")
+      .withColumn("pos", row_number().over(w))
+      .withColumn("n_sh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sid"))))
+      // the 1e-9 slack keeps float error in t*n from rounding the ceil UP
+      // past the exact integer value, which would shorten the prefix and
+      // silently drop qualifying pairs (longer prefix = safe direction)
+      .filter(col("pos") <=
+        col("n_sh") - ceil(lit(minJac) * col("n_sh") - 1e-9) + 1)
+      .select(col("sid"), col("shingle"), col("n_sh"))
+    val cands = prefixes.as("x").join(prefixes.as("y"), "shingle")
+      .filter(col("x.sid") < col("y.sid"))
+      // length filter: J >= t forces min(na,nb) >= t * max(na,nb);
+      // same float slack, erring toward keeping the candidate
+      .filter(greatest(col("x.n_sh"), col("y.n_sh")) * minJac - 1e-9 <=
+        least(col("x.n_sh"), col("y.n_sh")))
+      .select(col("x.sid").as("id_a"), col("y.sid").as("id_b"))
+      .distinct()
+    val inter = cands
+      .join(sh.select(col("sid").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("sid").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.withColumnRenamed("sid", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+      .join(counts.withColumnRenamed("sid", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= minJac)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** MinHash signature: k permutation-mins h_i(s) = (a_i * x + b_i) mod p
     * over xxhash64 shingle hashes (p = 2^31-1 keeps the arithmetic within a
     * signed long). One codegen expression per row

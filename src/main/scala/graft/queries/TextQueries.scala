@@ -139,7 +139,10 @@ object TextQueries extends QueryModule {
       |HAVING COUNT(*) >= 2
       |ORDER BY fp""".stripMargin
 
-  /** Exact pairwise 3-gram Jaccard >= 0.5 via set-similarity join. */
+  /** Exact pairwise 3-gram Jaccard >= 0.5 via set-similarity join.
+    * At bench scale the single-shuffle naive form wins; the PPJoin
+    * prefix-filtered variant (Dedup.ppjoinJaccardPairs, proven equal in
+    * DedupSpec) is the switch to flip once group pair-explosion dominates. */
   private def q23NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",

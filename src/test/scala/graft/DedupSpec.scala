@@ -17,6 +17,16 @@ class DedupSpec extends SparkSpec {
     assert(exactPairs.nonEmpty, "fixture should contain near-dups")
   }
 
+  test("ppjoin prefix filtering is lossless: equals the naive exact join") {
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val naive = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJac = t)
+        .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+      val pp = Dedup.ppjoinJaccardPairs(docs, "doc_id", "text", n = 3, minJac = t)
+        .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(pp === naive, s"ppjoin != naive at t=$t")
+    }
+  }
+
   test("minhash LSH recalls >= 90% of exact jaccard pairs, no false accepts") {
     val mh = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
         n = 3, k = 64, bands = 16, minJac = 0.5)
