@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and dataset splitting for
+  * training-data pipelines.
+  *
+  * Everything keys off an md5 hash bucket of (salt ++ id): the first 8 hex
+  * chars, compared LEXICOGRAPHICALLY against precomputed hex thresholds.
+  * Lowercase fixed-width hex compares identically to the underlying 32-bit
+  * value, and md5 is bit-identical across engines (Spark, DuckDB,
+  * Postgres), so a split/sample computed here is reproducible anywhere —
+  * no RNG, no partition-order dependence, stable under repartitioning and
+  * re-runs. Changing `salt` draws an independent assignment.
+  *
+  * Scale shape: a narrow per-row map — no shuffle, no state; the split
+  * column composes with partitioned writes (`partitionBy("split")`).
+  */
+object Sampling {
+
+  /** floor(p * 2^32) as 8 lowercase hex chars; p in [0, 1]. */
+  def hexThreshold(p: Double): String = {
+    require(p >= 0.0 && p <= 1.0, s"fraction $p outside [0, 1]")
+    f"${math.min((p * 4294967296.0).toLong, 0xffffffffL)}%08x"
+  }
+
+  /** First 8 hex chars of md5(salt ++ id) — the portable hash bucket. */
+  def hashBucket(id: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), id.cast("string"))), 1, 8)
+
+  /** Adds a `split` column assigning each row to the named fractions
+    * (e.g. Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)), by hash
+    * bucket — deterministic, disjoint, exhaustive. Fractions must sum to
+    * ~1; the last split absorbs the rounding tail. */
+  def deterministicSplit(df: DataFrame, idCol: String, salt: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty, "at least one split required")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${weights.map(_._2).sum}")
+    val bucket = hashBucket(col(idCol), salt)
+    val cuts = weights.map(_._2).scanLeft(0.0)(_ + _).tail.dropRight(1)
+      .map(hexThreshold)
+    val expr2 = weights.map(_._1).zip(cuts.map(Some(_)) :+ None)
+      .foldRight(lit(weights.last._1)) {
+        case ((name, Some(cut)), rest) => when(bucket < cut, name).otherwise(rest)
+        case ((_, None), rest) => rest
+      }
+    df.withColumn("split", expr2)
+  }
+
+  /** Deterministic ~fraction sample: keeps a row iff its hash bucket falls
+    * below floor(fraction * 2^32). Applied per row, so it is stratified by
+    * construction over any grouping whose ids hash uniformly. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+      salt: String): DataFrame =
+    df.filter(hashBucket(col(idCol), salt) < hexThreshold(fraction))
+}

@@ -236,7 +236,37 @@ object TextQueries extends QueryModule {
       |WHERE nullif(trim(lang), '') IS NOT NULL
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic 80/10/10 train/val/test split by md5 hash bucket —
+    * reproducible in any engine (the oracle recomputes the identical
+    * assignment in DuckDB), stable under repartitioning; summarized per
+    * (lang, split). */
+  private def q43Split(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Sampling.deterministicSplit(
+        Tables.documents(spark, dir), "doc_id", "split:",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length($"text")).cast("long").as("chars"))
+      .orderBy($"lang", $"split")
+  }
+
+  private val q43Sql =
+    """WITH b AS (
+      |  SELECT lang,
+      |    substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h,
+      |    octet_length(encode(text)) AS len
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN h < 'cccccccc' THEN 'train'
+      |       WHEN h < 'e6666666' THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS chars
+      |FROM b GROUP BY 1, 2
+      |ORDER BY lang, split""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q43_split", q43Split, Some(q43Sql), "deterministic hash train/val/test split (north star)"),
     Q("q18_text_stats", q18TextStats, Some(q18Sql), "token counting (north star)"),
     Q("q19_quality", q19Quality, Some(q19Sql), "document quality scoring (north star)"),
     Q("q20_langid", q20LangId, Some(q20Sql), "language-ID heuristic (north star)"),

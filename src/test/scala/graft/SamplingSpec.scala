@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sfDir).cache()
+
+  private val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  test("split is disjoint, exhaustive, and near the requested fractions") {
+    val split = Sampling.deterministicSplit(docs, "doc_id", "s1", weights)
+    val total = docs.count().toDouble
+    val byName = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byName.values.sum === total.toLong, "every row lands in one split")
+    assert(byName.keySet === weights.map(_._1).toSet)
+    weights.foreach { case (name, w) =>
+      val got = byName(name) / total
+      assert(math.abs(got - w) < 0.05, s"$name: got $got, want ~$w")
+    }
+  }
+
+  test("split is invariant under repartitioning and re-run (no RNG)") {
+    val a = Sampling.deterministicSplit(docs, "doc_id", "s1", weights)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.deterministicSplit(docs.repartition(7), "doc_id", "s1", weights)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a === b)
+  }
+
+  test("different salts draw independent assignments") {
+    val a = Sampling.deterministicSplit(docs, "doc_id", "s1", weights)
+      .filter($"split" === "train").select("doc_id").as[Long].collect().toSet
+    val b = Sampling.deterministicSplit(docs, "doc_id", "s2", weights)
+      .filter($"split" === "train").select("doc_id").as[Long].collect().toSet
+    assert(a !== b, "distinct salts should not reproduce the same split")
+    // and both are still ~80%
+    assert(math.abs(b.size.toDouble / docs.count() - 0.8) < 0.05)
+  }
+
+  test("hashSample keeps ~fraction of rows and is a subset-stable filter") {
+    val s10 = Sampling.hashSample(docs, "doc_id", 0.1, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    val s30 = Sampling.hashSample(docs, "doc_id", 0.3, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(math.abs(s10.size.toDouble / docs.count() - 0.1) < 0.04)
+    // same salt, larger fraction ⊇ smaller fraction (threshold family)
+    assert(s10.subsetOf(s30), "nested thresholds must nest the samples")
+  }
+
+  test("split assignment is a narrow map: no exchange in the plan") {
+    val plan = Sampling.deterministicSplit(docs, "doc_id", "s1", weights)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1000))
+  }
+}
