@@ -19,7 +19,8 @@ object Plans {
     spark.sparkContext.setLogLevel("ERROR")
     val picks = Seq(
       "q2_filter_project", "q3_join_agg", "q8_topk", "q11_ohlcv",
-      "q24_minhash_pairs", "q28_knn_brute", "q34_asof_join")
+      "q24_minhash_pairs", "q28_knn_brute", "q34_asof_join",
+      "q39_ivf_knn", "q43_split")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)

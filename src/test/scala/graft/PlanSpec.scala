@@ -64,6 +64,21 @@ class PlanSpec extends SparkSpec {
     assert(planString(run("q2_filter_project")).contains("*("))
   }
 
+  test("date-partitioned layout prunes partitions at the scan (W2/K7)") {
+    import graft.core.Tables
+    val dir = java.nio.file.Files.createTempDirectory("pruned").toString
+    graft.sinks.Sinks.writeDatePartitioned(
+      Tables.events(spark, sfDir), dir, "ts")
+    val oneDay = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("event_date") === "2024-01-03")
+    val plan = oneDay.queryExecution.executedPlan.toString
+    // the filter must become a PartitionFilters entry on the file scan —
+    // file-level pruning, not a post-scan filter over all partitions
+    assert(plan.contains("PartitionFilters: [isnotnull(event_date"), plan.take(2000))
+    val scannedParts = oneDay.select("event_date").distinct().count()
+    assert(scannedParts <= 1)
+  }
+
   test("IVF nearest-centroid assignment is a narrow codegen map, no exchange") {
     import graft.core.Tables
     val emb = Tables.embeddings(spark, sfDir)
