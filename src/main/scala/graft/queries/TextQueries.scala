@@ -265,7 +265,43 @@ object TextQueries extends QueryModule {
       |FROM b GROUP BY 1, 2
       |ORDER BY lang, split""".stripMargin
 
+  /** Benchmark-contamination scan: treat every 10th doc as the "benchmark
+    * set" and find corpus docs containing >= 80% of a benchmark doc's
+    * 3-gram shingles. Containment, not Jaccard — a benchmark item pasted
+    * into a longer doc still scores ~1. */
+  private def q44Contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    graft.operators.Contamination.ngramContainment(
+        docs.filter($"doc_id" % 10 =!= 0), docs.filter($"doc_id" % 10 === 0),
+        "doc_id", "text", n = 3, minContainment = 0.8)
+      .orderBy($"corpus_id", $"bench_id")
+  }
+
+  private val q44Sql =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w || ' ' || lead(w, 1) OVER o || ' ' || lead(w, 2) OVER o AS shingle
+      |  FROM words WINDOW o AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY shingle IS NOT NULL),
+      |bn AS (
+      |  SELECT doc_id, COUNT(*) AS n_b FROM sh WHERE doc_id % 10 = 0 GROUP BY 1),
+      |inter AS (
+      |  SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, COUNT(*) AS i
+      |  FROM sh c JOIN sh b ON c.shingle = b.shingle
+      |  WHERE c.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+      |  GROUP BY 1, 2)
+      |SELECT corpus_id, bench_id,
+      |  round(CAST(i AS DOUBLE) / bn.n_b, 6) AS containment
+      |FROM inter JOIN bn ON bn.doc_id = bench_id
+      |WHERE CAST(i AS DOUBLE) / bn.n_b >= 0.8
+      |ORDER BY corpus_id, bench_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q44_contamination", q44Contamination, Some(q44Sql), "benchmark n-gram containment scan (north star)"),
     Q("q43_split", q43Split, Some(q43Sql), "deterministic hash train/val/test split (north star)"),
     Q("q18_text_stats", q18TextStats, Some(q18Sql), "token counting (north star)"),
     Q("q19_quality", q19Quality, Some(q19Sql), "document quality scoring (north star)"),

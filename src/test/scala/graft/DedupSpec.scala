@@ -17,6 +17,26 @@ class DedupSpec extends SparkSpec {
     assert(exactPairs.nonEmpty, "fixture should contain near-dups")
   }
 
+  test("contamination finds planted benchmark text, asymmetric by design") {
+    import graft.operators.Contamination
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // benchmark pasted inside a longer doc: containment 1.0, low jaccard
+      (10L, "intro words here alpha beta gamma delta epsilon zeta and a long tail of unrelated prose"),
+      // half the benchmark only: containment 0.5
+      (11L, "alpha beta gamma delta plus other content"),
+      (12L, "completely unrelated text with no overlap at all")).toDF("doc_id", "text")
+    val hits = Contamination.ngramContainment(corpus, bench, "doc_id", "text",
+        n = 3, minContainment = 0.9)
+      .select($"corpus_id", $"containment").as[(Long, Double)].collect().toMap
+    assert(hits.keySet === Set(10L))
+    assert(hits(10L) === 1.0)
+    val loose = Contamination.ngramContainment(corpus, bench, "doc_id", "text",
+        n = 3, minContainment = 0.4)
+      .select($"corpus_id").as[Long].collect().toSet
+    assert(loose === Set(10L, 11L))
+  }
+
   test("ppjoin prefix filtering is lossless: equals the naive exact join") {
     for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
       val naive = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJac = t)
