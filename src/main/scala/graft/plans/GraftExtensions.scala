@@ -45,6 +45,13 @@ object GraftExtensions {
         require(args.size == 1, "simhash64 takes 1 argument")
         SimHash64(args.head)
       }),
+    (FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(tokens, n) - 64-bit hashes of word n-grams"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "shingle_hashes takes (tokens, n)")
+        ShingleHashesExpr(args.head,
+          args(1).eval().asInstanceOf[Number].intValue())
+      }),
     (FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingles[, k, seed]) - MinHash signature array"),
       (args: Seq[Expression]) => args.size match {

@@ -40,6 +40,17 @@ class ExtensionsAndCandlesSpec extends SparkSpec {
     assert(r.getAs[Long]("k16") === 16)
   }
 
+  test("shingle_hashes is SQL-callable and matches the Column form") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT shingle_hashes(array('a','b','c','a','b'), 2) AS sh").head().getSeq[Long](0)
+    val viaCol = Seq(Tuple1(Seq("a", "b", "c", "a", "b"))).toDF("t")
+      .select(graft.functions.expressions.ShingleHashes
+        .shingle_hashes($"t", 2).as("sh")).head().getSeq[Long](0)
+    assert(viaSql === viaCol)
+    assert(viaSql.length === 3, "distinct bigrams of (a b, b c, c a, a b)")
+  }
+
   test("minhash_sig of an empty shingle set is null, not a colliding sentinel") {
     GraftExtensions.register(spark)
     val r = spark.sql(
