@@ -35,11 +35,13 @@ object IvfIndex {
   private type Centroids = Seq[(Int, Seq[Double])]
 
   /** Nearest-centroid id as a narrow, codegen'd Column expression (ties
-    * pick the lowest list_id). Requires centroid ids to be 0..n-1 dense —
-    * collectCentroids sorts and train produces them that way. */
-  private def nearestList(vec: Column, cents: Centroids): Column =
-    graft.functions.expressions.VectorExpressions.nearest_centroid(
+    * pick the lowest list_id). The argmax index maps back through the id
+    * array, so sparse/filtered centroid frames keep their true ids. */
+  private def nearestList(vec: Column, cents: Centroids): Column = {
+    val idx = graft.functions.expressions.VectorExpressions.nearest_centroid(
       vec, cents.map(_._2))
+    element_at(typedLit(cents.map(_._1)), idx + 1)
+  }
 
   private def collectCentroids(centroids: DataFrame): Centroids = {
     import centroids.sparkSession.implicits._
