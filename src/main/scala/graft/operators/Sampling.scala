@@ -54,5 +54,8 @@ object Sampling {
     * construction over any grouping whose ids hash uniformly. */
   def hashSample(df: DataFrame, idCol: String, fraction: Double,
       salt: String): DataFrame =
-    df.filter(hashBucket(col(idCol), salt) < hexThreshold(fraction))
+    // fraction 1.0 short-circuits: the strict < against the clamped
+    // "ffffffff" threshold would drop buckets equal to the max value
+    if (fraction >= 1.0) df
+    else df.filter(hashBucket(col(idCol), salt) < hexThreshold(fraction))
 }
