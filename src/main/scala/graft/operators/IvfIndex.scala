@@ -54,12 +54,11 @@ object IvfIndex {
       nLists: Int, iters: Int = 3): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
     // seed centroids: nLists vectors in deterministic pseudo-random order
     val seeds: Centroids = vectors
       .withColumn("__h", xxhash64(col(idCol)))
       .orderBy("__h").limit(nLists)
-      .select(normalized(col(vecCol), dim))
+      .select(normalized(col(vecCol)))
       .as[Seq[Double]].collect().toSeq.zipWithIndex.map { case (c, i) => (i, c) }
     var cents = seeds
     for (_ <- 0 until iters) {
@@ -71,7 +70,7 @@ object IvfIndex {
       val sums = vectors
         .select(
           nearestList(col(vecCol), cents).as("list_id"),
-          posexplode(normalized(col(vecCol), dim)).as(Seq("pos", "x")))
+          posexplode(normalized(col(vecCol))).as(Seq("pos", "x")))
         .groupBy("list_id", "pos")
         .agg((sum(col("x").cast(DecimalType(28, 14))).cast("double") /
           count(lit(1))).as("mean"))
@@ -87,7 +86,7 @@ object IvfIndex {
     cents.toDF("list_id", "centroid")
   }
 
-  private def normalized(vec: Column, dim: Int): Column = {
+  private def normalized(vec: Column): Column = {
     val vd = transform(vec, _.cast("double"))
     val nrm = sqrt(aggregate(transform(vd, x => x * x), lit(0.0), _ + _))
     // zero vectors stay zero instead of becoming NaN and poisoning a
@@ -120,7 +119,10 @@ object IvfIndex {
       .orderBy(col("__sim").desc, col("list_id").asc)
     val centsExploded = posexplode(typedLit(cents.map(_._2)))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .select(col("query_id"), col("qv"), centsExploded.as(Seq("list_id", "centroid")))
+      .select(col("query_id"), col("qv"), centsExploded.as(Seq("pos", "centroid")))
+      // map the explode position through the id array, same as nearestList,
+      // so probe list ids agree with assignment even for sparse centroids
+      .withColumn("list_id", element_at(typedLit(cents.map(_._1)), col("pos") + 1))
       .withColumn("__sim", cosine_sim(col("qv"), col("centroid")))
       .withColumn("__rk", row_number().over(wq))
       .filter(col("__rk") <= nProbe)
