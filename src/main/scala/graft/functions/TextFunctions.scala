@@ -94,6 +94,19 @@ object TextFunctions {
       .drop(("__toks" +: "__best" +: langs.map(l => s"__s_$l")): _*)
   }
 
+  /** Fraction of characters in the CJK Unified Ideographs block — the
+    * script signal the stopword heuristic is blind to (CJK text has no
+    * space-separated stopwords to hit, so [[langId]] returns "und"). */
+  def cjkRatio(text: Column): Column =
+    length(regexp_replace(text, "[^一-鿿]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Two-signal language ID: script ratio first (CJK → "zh"), stopword
+    * hits otherwise. Layered rather than blended so each signal stays
+    * individually SQL-mirrorable for the oracle. */
+  def langIdScript(text: Column, cjkThreshold: Double = 0.3): Column =
+    when(cjkRatio(text) >= cjkThreshold, lit("zh")).otherwise(langId(text))
+
   /** Order/multiplicity-insensitive content fingerprint: md5 over the sorted
     * distinct token set. Groups permuted / lightly-edited duplicates. */
   def fingerprint(text: Column): Column =

@@ -300,7 +300,43 @@ object TextQueries extends QueryModule {
       |WHERE CAST(i AS DOUBLE) / bn.n_b >= 0.8
       |ORDER BY corpus_id, bench_id""".stripMargin
 
+  /** Two-signal language ID confusion matrix: CJK-script ratio first,
+    * stopword scorer fallthrough. (The fixture's zh-labeled docs are
+    * synthetic English-token text, so here the matrix exercises the
+    * fallthrough + the cross-engine unicode-regex agreement; real CJK
+    * detection is unit-tested in TextFunctionsSpec.) */
+  private def q45LangIdScript(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"lang", langIdScript($"text").as("pred_lang"))
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  private val q45Sql =
+    s"""WITH s AS (
+       |  SELECT lang,
+       |    length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 1.0 /
+       |      greatest(length(text), 1) AS cjk,
+       |    ${hits("en")} AS s_en, ${hits("de")} AS s_de,
+       |    ${hits("fr")} AS s_fr, ${hits("es")} AS s_es,
+       |    greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")}) AS best
+       |  FROM documents)
+       |SELECT lang,
+       |  CASE WHEN cjk >= 0.3 THEN 'zh'
+       |       WHEN s_en = best AND best > 0 THEN 'en'
+       |       WHEN s_de = best AND best > 0 THEN 'de'
+       |       WHEN s_fr = best AND best > 0 THEN 'fr'
+       |       WHEN s_es = best AND best > 0 THEN 'es'
+       |       ELSE 'und' END AS pred_lang,
+       |  COUNT(*) AS n
+       |FROM s
+       |GROUP BY 1, 2
+       |ORDER BY lang, pred_lang""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q45_langid_script", q45LangIdScript, Some(q45Sql), "two-signal language ID (script + stopwords)"),
     Q("q44_contamination", q44Contamination, Some(q44Sql), "benchmark n-gram containment scan (north star)"),
     Q("q43_split", q43Split, Some(q43Sql), "deterministic hash train/val/test split (north star)"),
     Q("q18_text_stats", q18TextStats, Some(q18Sql), "token counting (north star)"),

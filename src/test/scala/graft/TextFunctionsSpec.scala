@@ -34,6 +34,15 @@ class TextFunctionsSpec extends SparkSpec {
       Seq("en", "de", "fr", "und"))
   }
 
+  test("langIdScript layers CJK detection over the stopword signal") {
+    val df = Seq(
+      "这是 一个 中文 文档 的 例子 有 很多 汉字",  // zh: script signal
+      "the quick brown fox and the lazy dog",     // en: stopword signal
+      "12345 67890 !!!").toDF("text")             // neither → und
+    assert(df.select(langIdScript($"text")).as[String].collect().toSeq ===
+      Seq("zh", "en", "und"))
+  }
+
   test("shingleArray produces n-grams, distinct, empty when too short") {
     val df = Seq("a b c d", "a b").toDF("text")
     val got = df.select(shingleArray($"text", 3).as("sh")).as[Seq[String]].collect()
