@@ -30,6 +30,20 @@ class IvfIndexSpec extends SparkSpec {
     assert(assigned.select("list_id").distinct().count() <= 8)
   }
 
+  test("lists written partitionBy(list_id) prune at the file level on probe") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_lists").toString + "/lists"
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding", nLists = 8)
+    IvfIndex.assign(emb, "vec_id", "embedding", centroids)
+      .write.partitionBy("list_id").parquet(dir)
+    val probe = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("list_id").isin(0, 3))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(2000))
+    assert(plan.contains("list_id"), "probe filter must prune list partitions")
+    // only the probed lists' files are scanned
+    assert(probe.select("list_id").distinct().count() <= 2)
+  }
+
   test("IVF top-k achieves >= 50% recall@5 vs brute force at 1/2 probe ratio") {
     val queries = emb.filter($"vec_id" < 20)
     val exact = Similarity.cosineTopK(queries, emb, "vec_id", "embedding", k = 5)
