@@ -22,6 +22,17 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("sampling hex thresholds are monotone, fixed-width, order-isomorphic") {
+    check(Prop.forAll(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (p1, p2) =>
+      val (t1, t2) = (graft.operators.Sampling.hexThreshold(p1),
+        graft.operators.Sampling.hexThreshold(p2))
+      t1.length == 8 && t2.length == 8 &&
+        // string order == numeric order: the property the lexicographic
+        // bucket comparison in deterministicSplit/hashSample relies on
+        ((p1 <= p2) == (t1 <= t2) || t1 == t2)
+    })
+  }
+
   test("pagination returns all rows and stops exactly on the short page") {
     check(Prop.forAll(Gen.choose(1, 20), Gen.choose(0, 200)) { (pageSize, total) =>
       val fetched = HttpSource.paginate(first = 0, pageSize = pageSize) { c =>
