@@ -106,6 +106,11 @@ object MinHashSig { val P: Long = 2147483647L }
 
 case class LshBuckets(child: Expression, nTables: Int, nPlanes: Int)
     extends UnaryExpression {
+  // nPlanes >= 64 would wrap `1L << pl` (shift count mod 64), silently
+  // duplicating plane bits; non-positive values yield meaningless buckets
+  require(nTables >= 1 && nPlanes >= 1 && nPlanes <= 63,
+    s"lsh_buckets requires nTables >= 1 and nPlanes in [1, 63], got " +
+      s"nTables=$nTables nPlanes=$nPlanes")
   override def prettyName: String = "lsh_buckets"
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

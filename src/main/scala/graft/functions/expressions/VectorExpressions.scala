@@ -48,8 +48,18 @@ object VecUtil {
   private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
+  // Mismatched dimensions are corrupt input, not a prefix to silently
+  // truncate to — erroring matches the oracle (DuckDB's
+  // list_cosine_similarity raises on length mismatch).
+  private def checkDims(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"vector dimension mismatch: $n vs ${b.numElements()}")
+    n
+  }
+
   def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkDims(a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -61,7 +71,7 @@ object VecUtil {
   }
 
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkDims(a, b)
     var s = 0.0; var i = 0
     while (i < n) { s += get(a, i, aFloat) * get(b, i, bFloat); i += 1 }
     s
@@ -98,7 +108,9 @@ object VecUtil {
     var c = 0
     while (c < cents.length) {
       val cv = cents(c)
-      val n = math.min(v.numElements(), cv.length)
+      val n = v.numElements()
+      if (n != cv.length) throw new IllegalArgumentException(
+        s"vector dimension mismatch: $n vs centroid ${cv.length}")
       var dot = 0.0; var nv = 0.0; var nc = 0.0
       var i = 0
       while (i < n) {

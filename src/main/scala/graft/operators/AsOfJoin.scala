@@ -39,8 +39,11 @@ object AsOfJoin {
     require(leftCols.forall(!reserved.contains(_)) && payload.forall(!reserved.contains(_)),
       s"column names $reserved are reserved by asOf")
     val payloadStruct = struct(payload.map(col): _*)
-    // side 0 = right (sorts before left at equal ts -> "<=" semantics)
-    val taggedRight = right.select(
+    // side 0 = right (sorts before left at equal ts -> "<=" semantics).
+    // Null-ts right rows are dropped up front: they would sort NULLS FIRST
+    // (before every left row) and leak their payload as if they occurred at
+    // the beginning of time, violating the rightTs <= leftTs contract.
+    val taggedRight = right.filter(col(rightTs).isNotNull).select(
       (col(rightKey).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
         col(tieCol).cast("long").as("__tie") +: payloadStruct.as("__p") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)

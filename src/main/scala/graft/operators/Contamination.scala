@@ -32,8 +32,10 @@ object Contamination {
     val bs = Dedup.shingles(bench, idCol, textCol, n).cache()
     val bn = bs.groupBy("sid").agg(count(lit(1)).as("n_b"))
       .withColumnRenamed("sid", "bench_id")
+    // the benchmark shingle set is small by nature (eval sets are thousands
+    // of docs) — broadcast it so the corpus side never shuffles for the join
     val inter = cs.select(col("sid").as("corpus_id"), col("shingle"))
-      .join(bs.select(col("sid").as("bench_id"), col("shingle")), "shingle")
+      .join(broadcast(bs.select(col("sid").as("bench_id"), col("shingle"))), "shingle")
       .groupBy("corpus_id", "bench_id").agg(count(lit(1)).as("i"))
     inter.join(bn, "bench_id")
       .withColumn("containment", col("i").cast("double") / col("n_b"))

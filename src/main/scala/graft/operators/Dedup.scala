@@ -43,12 +43,38 @@ object Dedup {
   /** Keep one row per distinct content digest (min id wins — deterministic,
     * unlike dropDuplicates). Window-based rather than agg+join-back: a
     * single shuffle on the digest, and robust to fully-identical rows
-    * (same id AND same text), which a rejoin would multiply. */
+    * (same id AND same text), which a rejoin would multiply. The shuffle
+    * moves full document rows; when ids are unique (the normal corpus
+    * contract) prefer [[exactDedupNarrow]], whose exchanges move 24-byte
+    * digest+id rows instead of the corpus. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col(textCol))).orderBy(col(idCol))
     docs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Scale variant of [[exactDedup]]: aggregate (digest → min id) winners,
+    * then semi-join the corpus on (digest, id).
+    *
+    * Shuffle volume: the winner aggregate exchanges 24 bytes/row
+    * (map-side-combined), never the document text. The semi-join's corpus
+    * side stays unshuffled whenever the winner set broadcasts (AQE decides);
+    * past broadcast size it degrades to a shuffled hash join — still no
+    * sort, and the window variant would have shuffled the same rows anyway.
+    *
+    * Contract: requires ids unique per row. A corpus containing physically
+    * duplicated rows (same id AND same text) keeps every copy of a winning
+    * (digest, id) — use [[exactDedup]] when that matters. */
+  def exactDedupNarrow(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val winners = docs
+      .select(md5(col(textCol)).as("__digest"), col(idCol).as("__wid"))
+      .groupBy("__digest").agg(min(col("__wid")).as("__wid"))
+    val tagged = docs.withColumn("__digest", md5(col(textCol)))
+    tagged.join(winners,
+        tagged("__digest") === winners("__digest") && tagged(idCol) === winners("__wid"),
+        "left_semi")
+      .drop("__digest")
   }
 
   /** (id, shingle-hash) pairs, distinct per doc — shared candidate input for
@@ -101,6 +127,32 @@ object Dedup {
       .filter(col("jaccard") >= minJac)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Size-gated exact Jaccard: picks the plan shape from a corpus
+    * statistic, so the DEFAULT path can never hit the naive form's
+    * quadratic pair explosion on a large corpus.
+    *
+    * Gate: document count bounds the worst damage a hot shingle can do in
+    * [[ngramJaccardPairs]] — a shingle shared by s docs emits s^2/2 pairs
+    * from one group and s <= nDocs, so at nDocs <= naiveMaxDocs the
+    * explosion is capped regardless of skew, and the naive single-shuffle
+    * plan is the measured winner (PPJoin's extra prefix/df stages dominate
+    * small corpora — see DedupSpec's equality proof and the bench notes).
+    * Above the gate, [[ppjoinJaccardPairs]] takes over: its ascending-df
+    * prefix filter is lossless, and hot near-stopword shingles never
+    * generate candidates in the first place. `count()` on a parquet source
+    * is metadata-only — far cheaper than a shingle-df scan, and the
+    * statistic it bounds is the worst case, not an estimate.
+    *
+    * Both branches return identical results (DedupSpec pins equality at 4
+    * thresholds); the gate is purely a plan-shape choice. */
+  def jaccardPairsAuto(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJac: Double = 0.5,
+      naiveMaxDocs: Long = 20000L): DataFrame =
+    if (docs.count() <= naiveMaxDocs)
+      ngramJaccardPairs(docs, idCol, textCol, n, minJac)
+    else
+      ppjoinJaccardPairs(docs, idCol, textCol, n, minJac)
 
   /** Exact pairwise Jaccard via PPJoin-style prefix filtering — same
     * result as [[ngramJaccardPairs]], different scale shape.
@@ -181,6 +233,11 @@ object Dedup {
     * join anywhere. */
   def minhashCandidatePairs(sigs: DataFrame, idCol: String,
       k: Int = 64, bands: Int = 16): DataFrame = {
+    // bands must tile the signature exactly: a non-divisor silently ignores
+    // the signature tail, and bands > k gives empty slices whose common hash
+    // degenerates the band join into a full cross product
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k)")
     val r = k / bands
     val bandCols = (0 until bands).map(b => xxhash64(slice(col("sig"), b * r + 1, r)))
     // cache: the self-join would otherwise recompute the signature subplan

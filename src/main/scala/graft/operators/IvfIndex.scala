@@ -1,34 +1,51 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.expressions.VectorExpressions.cosine_sim
+
+/** Trained IVF index model: the centroid table. Tiny by construction
+  * (nLists × dim doubles) — it rides along as plan-embedded data, the same
+  * way a broadcast literal would, so assignment and probing stay narrow. */
+case class IvfModel(centroids: Seq[(Int, Seq[Double])]) {
+  require(centroids.nonEmpty, "IvfModel requires at least one centroid")
+  def nLists: Int = centroids.size
+  def toDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    centroids.toDF("list_id", "centroid")
+  }
+}
 
 /** IVF (inverted-file) approximate nearest neighbor — the clustered
   * alternative to random-hyperplane LSH ([[Similarity.lshCosineTopK]]).
   *
-  * Train: pick nLists deterministic seed centroids (hash-ordered sample),
-  * run a few Lloyd iterations of spherical k-means. Index: assign every
-  * vector to its nearest centroid. Query: probe the nProbe nearest lists
-  * per query and scan only those lists.
+  * Build/probe are SPLIT (an index is built once per corpus and probed many
+  * times):
+  *  - [[fit]]: train spherical k-means centroids on a deterministic
+  *    hash-ordered sample (<= trainCap vectors) collected driver-side, with
+  *    Lloyd iterations running locally. This is the standard IVF training
+  *    shape (FAISS trains its coarse quantizer on a bounded sample too):
+  *    centroid quality needs a representative sample, not the corpus, and a
+  *    local loop over <= trainCap × dim doubles costs microseconds where
+  *    each distributed Lloyd pass cost a full corpus scan + shuffle.
+  *    The only cluster job is the sample collection — a TakeOrdered over
+  *    (xxhash64(id), vector): narrow, no shuffle, and the hash order makes
+  *    the sample (hence the model) independent of partitioning.
+  *  - [[assign]]: nearest-centroid assignment — a narrow codegen map
+  *    (graft.functions.expressions.NearestCentroid), no vector shuffle.
+  *    Lists can be written `partitionBy(list_id)` so probing prunes at the
+  *    file level (spec-proven).
+  *  - [[probe]]: scan only the nProbe nearest lists per query.
   *
-  * Scale shape (the MLlib k-means shape): the centroid table is tiny
-  * (nLists × dim doubles), so it rides along as a broadcast literal and
-  * nearest-centroid assignment is a NARROW map — no join expansion, no
-  * shuffle of the vectors, ever. Each Lloyd iteration costs one scan of
-  * the corpus plus a map-side-combined groupBy over nLists keys whose
-  * result (nLists rows) is collected to the driver. A query with
-  * nProbe/nLists = 1/8 then scans ~12% of the corpus instead of 100%.
-  * Lists can additionally be written `partitionBy(list_id)` so probing
-  * prunes at the file level.
+  * [[topK]] composes fit + probe for one-shot use; long-lived callers keep
+  * the [[IvfModel]] (or a persisted assigned table) and call [[probe]].
   *
-  * Determinism: centroid seeds are chosen by xxhash64(id) order; per-
-  * dimension means use exact decimal sums (float accumulation order would
-  * make centroids vary with partitioning); ties in assignment break toward
-  * the lowest list_id via the struct-max trick below.
+  * Determinism: the sample is sorted by (xxhash64(id), id); Lloyd sums run
+  * sequentially in that order in double precision — bit-deterministic
+  * regardless of cluster partitioning, no decimal casts needed. Assignment
+  * ties break toward the lowest list_id (strict > in the argmax kernel).
   */
 object IvfIndex {
 
@@ -49,50 +66,70 @@ object IvfIndex {
       .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
   }
 
-  /** Spherical k-means centroids as (list_id, centroid array<double>). */
-  def train(vectors: DataFrame, idCol: String, vecCol: String,
-      nLists: Int, iters: Int = 3): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    // seed centroids: nLists vectors in deterministic pseudo-random order
-    val seeds: Centroids = vectors
-      .withColumn("__h", xxhash64(col(idCol)))
-      .orderBy("__h").limit(nLists)
-      .select(normalized(col(vecCol)))
-      .as[Seq[Double]].collect().toSeq.zipWithIndex.map { case (c, i) => (i, c) }
-    var cents = seeds
-    for (_ <- 0 until iters) {
-      // new centroid = renormalized mean of members; empty lists keep
-      // their previous centroid. One corpus scan: narrow assignment +
-      // posexplode + partial-aggregated groupBy over nLists×dim keys,
-      // collected (tiny) and renormalized driver-side. Decimal sums keep
-      // the means independent of partitioning/accumulation order.
-      val sums = vectors
-        .select(
-          nearestList(col(vecCol), cents).as("list_id"),
-          posexplode(normalized(col(vecCol))).as(Seq("pos", "x")))
-        .groupBy("list_id", "pos")
-        .agg((sum(col("x").cast(DecimalType(28, 14))).cast("double") /
-          count(lit(1))).as("mean"))
-        .as[(Int, Int, Double)].collect()
-        .groupBy(_._1)
-        .map { case (listId, dims) =>
-          val mean = dims.sortBy(_._2).map(_._3)
-          val nrm = math.sqrt(mean.map(x => x * x).sum)
-          listId -> (if (nrm == 0.0) mean.toSeq else mean.map(_ / nrm).toSeq)
-        }
-      cents = cents.map { case (i, old) => (i, sums.getOrElse(i, old)) }
-    }
-    cents.toDF("list_id", "centroid")
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    // zero vectors stay zero instead of becoming NaN and poisoning a mean
+    if (nrm == 0.0) v else v.map(_ / nrm)
   }
 
-  private def normalized(vec: Column): Column = {
-    val vd = transform(vec, _.cast("double"))
-    val nrm = sqrt(aggregate(transform(vd, x => x * x), lit(0.0), _ + _))
-    // zero vectors stay zero instead of becoming NaN and poisoning a
-    // centroid mean during Lloyd iterations
-    when(nrm === 0.0, vd).otherwise(transform(vd, x => x / nrm))
+  /** Train an [[IvfModel]]: deterministic sample collection (one narrow
+    * TakeOrdered job), then local spherical k-means.
+    *
+    * @param trainCap max sample size for Lloyd; 4096 vectors bound centroid
+    *                 variance well for the nLists counts IVF uses, and keep
+    *                 the driver transfer at a few MB regardless of corpus
+    *                 size. */
+  def fit(vectors: DataFrame, idCol: String, vecCol: String, nLists: Int,
+      iters: Int = 3, trainCap: Int = 4096): IvfModel = {
+    require(nLists >= 1 && iters >= 0 && trainCap >= nLists,
+      s"need trainCap ($trainCap) >= nLists ($nLists), iters >= 0")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Double]] = vectors
+      .select(xxhash64(col(idCol)).as("__h"), col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(col("__h"), col("__id")).limit(trainCap)
+      .select("__v").as[Array[Double]].collect()
+      .map(l2normalize)
+    require(sample.nonEmpty, "cannot fit an IVF index on an empty corpus")
+    // seeds: first nLists sample vectors in hash order (a uniform
+    // pseudo-random draw, same as the previous distributed seeding)
+    var cents: Array[Array[Double]] = sample.take(nLists)
+    val dim = cents(0).length
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        // all centroids are unit-norm (or zero) here, so cosine argmax
+        // reduces to dot argmax; strict > keeps the lowest list on ties,
+        // matching the assignment kernel
+        var best = Double.NegativeInfinity; var bi = 0
+        var c = 0
+        while (c < cents.length) {
+          var dot = 0.0; var i = 0
+          val cv = cents(c)
+          while (i < dim) { dot += v(i) * cv(i); i += 1 }
+          if (dot > best) { best = dot; bi = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(bi)(i) += v(i); i += 1 }
+        counts(bi) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        // empty lists keep their previous centroid
+        if (counts(c) == 0) old
+        else l2normalize(sums(c).map(_ / counts(c)))
+      }
+    }
+    IvfModel(cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
   }
+
+  /** Spherical k-means centroids as (list_id, centroid array<double>) — the
+    * DataFrame view of [[fit]], kept for table-oriented callers. */
+  def train(vectors: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, iters: Int = 3): DataFrame =
+    fit(vectors, idCol, vecCol, nLists, iters).toDF(vectors.sparkSession)
 
   /** Nearest-centroid assignment (adds `list_id`) — a narrow map; the
     * centroid frame is collected driver-side (nLists rows) and inlined. */
@@ -102,13 +139,12 @@ object IvfIndex {
     vectors.withColumn("list_id", nearestList(col(vecCol), cents))
   }
 
-  /** Top-k cosine neighbors per query, scanning only the nProbe nearest
-    * lists. Same output shape as [[Similarity.cosineTopK]]. */
-  def topK(queries: DataFrame, vectors: DataFrame, idCol: String,
-      vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
-      iters: Int = 3): DataFrame = {
-    val cents = collectCentroids(
-      train(vectors, idCol, vecCol, nLists, iters))
+  /** Top-k cosine neighbors per query against a pre-built [[IvfModel]],
+    * scanning only the nProbe nearest lists. Same output shape as
+    * [[Similarity.cosineTopK]]. */
+  def probe(queries: DataFrame, vectors: DataFrame, idCol: String,
+      vecCol: String, k: Int, model: IvfModel, nProbe: Int = 4): DataFrame = {
+    val cents = model.centroids
     val indexed = vectors
       .withColumn("list_id", nearestList(col(vecCol), cents))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("list_id"))
@@ -135,4 +171,12 @@ object IvfIndex {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
+
+  /** One-shot convenience: [[fit]] then [[probe]]. Long-lived callers
+    * should fit once and probe many. */
+  def topK(queries: DataFrame, vectors: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+      iters: Int = 3): DataFrame =
+    probe(queries, vectors, idCol, vecCol, k,
+      fit(vectors, idCol, vecCol, nLists, iters), nProbe)
 }

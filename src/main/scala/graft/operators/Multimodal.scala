@@ -35,28 +35,71 @@ object Multimodal {
     df.select(col("doc_id").cast("long"), col("payload")).as[(Long, Array[Byte])]
   }
 
-  /** Typed metadata without decoding: cheap, columnar, no UDF. */
-  def payloadMeta(payloads: DataFrame): DataFrame =
+  /** Typed metadata without decoding: cheap, columnar, no UDF. Format is
+    * sniffed from real magic bytes — PNG's 8-byte signature and JPEG's
+    * FF D8 marker — by slicing only the payload prefix (never hex-encoding
+    * the whole blob: that would churn O(payload) string bytes per row to
+    * inspect a handful). */
+  def payloadMeta(payloads: DataFrame): DataFrame = {
+    val pngMagic = lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+    val jpegMagic = lit(Array[Byte](0xFF.toByte, 0xD8.toByte))
     payloads.select(
       col("doc_id"),
       octet_length(col("payload")).cast("long").as("n_bytes"),
-      // magic-byte sniffing stand-in: first byte selects a pseudo-format
-      when(substring(hex(col("payload")), 1, 2) < "40", "png")
-        .when(substring(hex(col("payload")), 1, 2) < "80", "jpeg")
+      when(substring(col("payload"), 1, 8) === pngMagic, "png")
+        .when(substring(col("payload"), 1, 2) === jpegMagic, "jpeg")
         .otherwise("bin").as("format"))
+  }
 
-  /** Feature extraction via mapPartitions. `decode` is the stub kernel: a
-    * real implementation swaps in an image decoder with the same signature —
-    * the partitioning, batching, and schema do not change. */
+  /** Feature extraction via mapPartitions. PNG/JPEG payloads are decoded
+    * for real (`javax.imageio` — pure JDK, executor-local); audio/video and
+    * unrecognized formats fall back to the deterministic stub kernel. The
+    * partitioning, batching, and schema are identical either way. */
   def extractFeatures(payloads: DataFrame): Dataset[MediaFeatures] = {
     val spark = payloads.sparkSession
     import spark.implicits._
     typedPayloads(payloads)
       .mapPartitions { it =>
-        // per-partition init happens here in a real decoder (codec, model)
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
+        // per-partition init for a heavier codec/model would happen here;
+        // ImageIO readers are stateless so decode() is called per row
+        it.map { case (id, bytes) => decode(id, bytes) }
       }
   }
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && b(4) == 0x0D && b(5) == 0x0A && b(6) == 0x1A && b(7) == 0x0A
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte
+
+  /** Real image decode for PNG/JPEG via `javax.imageio`; everything else
+    * (audio/video containers — no codec in this environment) routes to the
+    * deterministic stub. Corrupt image payloads also fall back to the stub
+    * rather than failing the task: at corpus scale a handful of truncated
+    * blobs must not kill a 100 TB job. */
+  private[operators] def decode(id: Long, bytes: Array[Byte]): MediaFeatures =
+    if (isPng(bytes) || isJpeg(bytes)) {
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) decodeStub(id, bytes)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var sum = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+              x += 1
+            }
+            y += 1
+          }
+          MediaFeatures(id, bytes.length.toLong, w, h, sum / (w.toLong * h) / 255.0)
+        }
+      } catch { case _: java.io.IOException => decodeStub(id, bytes) }
+    } else decodeStub(id, bytes)
 
   case class ResizedMedia(doc_id: Long, width: Int, height: Int, payload: Array[Byte])
   case class FrameSample(doc_id: Long, frame_idx: Int, ts_ms: Long, payload: Array[Byte])
@@ -113,9 +156,10 @@ object Multimodal {
       })
   }
 
-  /** Deterministic fake decode: dimensions and intensity derived from byte
-    * stats. Replace with a real codec (??? in production terms) — marked
-    * clearly as the stubbed stage. */
+  /** Deterministic fake decode for payloads with no in-environment codec
+    * (audio/video, unknown formats): dimensions and intensity derived from
+    * byte stats. Image payloads never reach this — [[decode]] handles
+    * PNG/JPEG with the real `javax.imageio` path. */
   private def decodeStub(id: Long, bytes: Array[Byte]): MediaFeatures = {
     val n = bytes.length
     val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xFF))

@@ -58,19 +58,31 @@ object Similarity {
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * (multi-probe over `nTables` independent bucket sets for recall).
-    * Same output shape as [[cosineTopK]]. */
+    * Same output shape as [[cosineTopK]].
+    *
+    * Shuffle discipline: the bucket join and the candidate-dedup distinct
+    * move ONLY ids — a vector that collides with a query in several tables
+    * must be scored once, and deduplicating (query_id, neighbor_id) pairs
+    * keyed on the 16-byte id pair costs a fraction of hashing the embedding
+    * arrays as grouping keys. Vectors are re-attached afterwards: the query
+    * side by broadcast (queries are small by contract), the candidate side
+    * by one id-keyed join that AQE broadcasts whenever the surviving pair
+    * set is small. */
   def lshCosineTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     def bucketed(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec))
-        .select(col(id), col(vec),
-          posexplode(lsh_buckets(col(vec), nTables, nPlanes)).as(Seq("tbl", "bucket")))
-    val q = bucketed(queries, "query_id", "qv")
-    val c = bucketed(candidates, "neighbor_id", "cv")
-    val paired = q.join(c, Seq("tbl", "bucket"))
+      df.select(col(id),
+        posexplode(lsh_buckets(col(vec), nTables, nPlanes)).as(Seq("tbl", "bucket")))
+    val cands = bucketed(q, "query_id", "qv")
+      .join(bucketed(c, "neighbor_id", "cv"), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
+    val paired = cands
+      .join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
       .withColumn("sim", round(cosine_sim(col("qv"), col("cv")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     paired.withColumn("rank", row_number().over(w).cast("long"))

@@ -38,7 +38,9 @@ object TrainingDataPipeline {
       col("quality") >= cfg.minQuality &&
         col("pred_lang").isin(cfg.allowedLangs.toSeq: _*) &&
         col("n_tokens") >= cfg.minTokens)
-    val exact = Dedup.exactDedup(filtered, idCol, textCol).cache()
+    // narrow variant: corpus ids are unique by contract here, so the dedup
+    // exchanges move 24-byte digest+id rows, never the document text
+    val exact = Dedup.exactDedupNarrow(filtered, idCol, textCol).cache()
     (filtered, exact)
   }
 

@@ -25,6 +25,19 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Evaluate a parameter expression that must be a compile-time constant
+    * (n, k, seed). Non-foldable arguments would otherwise hit eval() on an
+    * unresolved attribute and die with an opaque UnsupportedOperationException
+    * deep in Catalyst. */
+  private def constArg(fn: String, name: String, e: Expression): Number = {
+    require(e.foldable, s"$fn: argument '$name' must be a constant literal")
+    e.eval() match {
+      case n: Number => n
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$name' must be a numeric constant, got $other")
+    }
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
@@ -50,15 +63,15 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "shingle_hashes takes (tokens, n)")
         ShingleHashesExpr(args.head,
-          args(1).eval().asInstanceOf[Number].intValue())
+          constArg("shingle_hashes", "n", args(1)).intValue())
       }),
     (FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(shingles[, k, seed]) - MinHash signature array"),
       (args: Seq[Expression]) => args.size match {
         case 1 => MinHashSig(args.head, 64, 42L)
         case 3 =>
-          val k = args(1).eval().asInstanceOf[Number].intValue()
-          val seed = args(2).eval().asInstanceOf[Number].longValue()
+          val k = constArg("minhash_sig", "k", args(1)).intValue()
+          val seed = constArg("minhash_sig", "seed", args(2)).longValue()
           MinHashSig(args.head, k, seed)
         case _ => throw new IllegalArgumentException(
           "minhash_sig takes (shingles) or (shingles, k, seed)")

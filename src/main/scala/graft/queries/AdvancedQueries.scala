@@ -160,6 +160,29 @@ object AdvancedQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** The exact half of the q40 statistics, split out so it can be oracled:
+    * exact distinct counts and exact decimal sums are DuckDB-matchable even
+    * though the HLL/percentile sketches next to them (q40) are not. */
+  private def q46ExactStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("exact_users"),
+        count(lit(1)).as("n_events"),
+        dsum($"value").as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  private val q46Sql =
+    s"""SELECT event_type,
+       |  COUNT(DISTINCT user_id) AS exact_users,
+       |  COUNT(*) AS n_events,
+       |  ${sqlDsum("value")} AS total_value
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   /** Sliding windows (T9): 1-day windows sliding every 6 h — each event
     * lands in 4 overlapping windows. Oracle: lateral generate_series over
     * the window starts covering each event. */
@@ -217,6 +240,8 @@ object AdvancedQueries extends QueryModule {
       "sliding 1d/6h windows (T9) vs lateral-series oracle"),
     Q("q40_approx_stats", q40ApproxStats, None,
       "HLL distinct + approx percentile (rows-only; error-bounded in spec)"),
+    Q("q46_exact_stats", q46ExactStats, Some(q46Sql),
+      "exact distinct counts + sums (the oracled half of q40)"),
     Q("q34_asof_join", q34AsOf, Some(q34Sql), "as-of join (union+window vs theta-join oracle)"),
     Q("q35_session_windows", q35Sessions, Some(q35Sql), "session windows vs gaps-and-islands oracle"),
     Q("q36_rollup", q36Rollup, Some(q36Sql), "rollup with grouping indicators"),

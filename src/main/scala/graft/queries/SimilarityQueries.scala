@@ -115,14 +115,19 @@ object SimilarityQueries extends QueryModule {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  /** IVF-clustered ANN — the second scale path besides LSH. No SQL oracle
-    * (iterative k-means); recall vs q28 asserted in IvfIndexSpec. */
+  /** IVF-clustered ANN — the second scale path besides LSH. Build and
+    * probe are explicitly split: `fit` trains the centroid model once (one
+    * bounded sample-collection job, local Lloyd), `probe` scans only the
+    * probed lists. No SQL oracle (iterative k-means); recall vs q28
+    * asserted in IvfIndexSpec. */
   private def q39IvfKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    graft.operators.IvfIndex.topK(
+    val model = graft.operators.IvfIndex.fit(
+      emb, "vec_id", "embedding", nLists = 16, iters = 2)
+    graft.operators.IvfIndex.probe(
         emb.filter($"vec_id" < 10), emb, "vec_id", "embedding",
-        k = 5, nLists = 16, nProbe = 6, iters = 2)
+        k = 5, model, nProbe = 6)
       .orderBy($"query_id", $"rank")
   }
 

@@ -139,13 +139,15 @@ object TextQueries extends QueryModule {
       |HAVING COUNT(*) >= 2
       |ORDER BY fp""".stripMargin
 
-  /** Exact pairwise 3-gram Jaccard >= 0.5 via set-similarity join.
-    * At bench scale the single-shuffle naive form wins; the PPJoin
-    * prefix-filtered variant (Dedup.ppjoinJaccardPairs, proven equal in
-    * DedupSpec) is the switch to flip once group pair-explosion dominates. */
+  /** Exact pairwise 3-gram Jaccard >= 0.5 via the size-gated entry point:
+    * below the gate the single-shuffle naive set-similarity join (the
+    * measured winner at bench scale), above it the lossless PPJoin prefix
+    * filter — so this default path cannot hit the naive form's quadratic
+    * pair explosion on a large corpus. Both branches are proven equal in
+    * DedupSpec; the gate itself is pinned in PlanSpec. */
   private def q23NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+    Dedup.jaccardPairsAuto(Tables.documents(spark, dir), "doc_id", "text",
         n = 3, minJac = 0.5)
       .orderBy($"id_a", $"id_b")
   }

@@ -19,48 +19,92 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object JdbcUpsert {
 
-  /** Postgres-dialect idempotent insert statement. */
-  def upsertIgnoreSql(table: String, columns: Seq[String], pk: Seq[String]): String = {
+  /** A dialect-specific prepared statement plus its bind plan: statement
+    * parameter position i binds the row column at `bindCols(i)`. Postgres's
+    * ON CONFLICT binds each column once; dialects without it (Derby's
+    * NOT-EXISTS form) re-bind the pk columns for the existence probe. */
+  final case class UpsertStatement(sql: String, bindCols: Seq[Int])
+      extends Serializable
+
+  private def checkPk(columns: Seq[String], pk: Seq[String]): Unit =
     require(columns.nonEmpty && pk.nonEmpty && pk.forall(columns.contains),
       s"pk $pk must be a subset of columns $columns")
+
+  /** Postgres-dialect idempotent insert statement. */
+  def upsertIgnoreSql(table: String, columns: Seq[String], pk: Seq[String]): String = {
+    checkPk(columns, pk)
     val placeholders = Seq.fill(columns.size)("?").mkString(", ")
     s"INSERT INTO $table (${columns.mkString(", ")}) VALUES ($placeholders) " +
       s"ON CONFLICT (${pk.mkString(", ")}) DO NOTHING"
   }
 
+  /** Postgres dialect as an [[UpsertStatement]] (each column binds once). */
+  def postgresUpsertIgnore(table: String, columns: Seq[String],
+      pk: Seq[String]): UpsertStatement =
+    UpsertStatement(upsertIgnoreSql(table, columns, pk), columns.indices)
+
+  /** ANSI-ish dialect for databases without ON CONFLICT (Derby, DB2):
+    * `INSERT ... SELECT ... WHERE NOT EXISTS (pk probe)`. Within one
+    * transaction batch rows execute in order, so intra-batch duplicates
+    * dedup exactly like the Postgres form. Derby requires parameter types
+    * in a SELECT list, hence the per-column CASTs (`columnTypes` are SQL
+    * type names aligned with `columns`). */
+  def derbyUpsertIgnore(table: String, columns: Seq[String],
+      columnTypes: Seq[String], pk: Seq[String]): UpsertStatement = {
+    checkPk(columns, pk)
+    require(columnTypes.size == columns.size,
+      s"columnTypes (${columnTypes.size}) must align with columns (${columns.size})")
+    val casts = columnTypes.map(t => s"CAST(? AS $t)").mkString(", ")
+    val probe = pk.map(c => s"$table.$c = ?").mkString(" AND ")
+    val sql = s"INSERT INTO $table (${columns.mkString(", ")}) " +
+      s"SELECT $casts FROM SYSIBM.SYSDUMMY1 " +
+      s"WHERE NOT EXISTS (SELECT 1 FROM $table WHERE $probe)"
+    UpsertStatement(sql, columns.indices ++ pk.map(columns.indexOf))
+  }
+
   /** Stream rows through one prepared statement with batched commits.
     * Returns the number of rows submitted. Exposed for direct testing. */
-  def writePartition(rows: Iterator[Row], conn: Connection, sql: String,
-      nCols: Int, batchSize: Int): Long = {
+  def writePartition(rows: Iterator[Row], conn: Connection,
+      stmt: UpsertStatement, batchSize: Int): Long = {
     conn.setAutoCommit(false)
-    val stmt = conn.prepareStatement(sql)
+    val ps = conn.prepareStatement(stmt.sql)
+    val binds = stmt.bindCols.toArray
     try {
       var n = 0L
       var inBatch = 0
       rows.foreach { row =>
         var i = 0
-        while (i < nCols) { stmt.setObject(i + 1, row.get(i)); i += 1 }
-        stmt.addBatch()
+        while (i < binds.length) { ps.setObject(i + 1, row.get(binds(i))); i += 1 }
+        ps.addBatch()
         inBatch += 1; n += 1
         if (inBatch >= batchSize) {
-          stmt.executeBatch(); conn.commit(); inBatch = 0
+          ps.executeBatch(); conn.commit(); inBatch = 0
         }
       }
-      if (inBatch > 0) { stmt.executeBatch(); conn.commit() }
+      if (inBatch > 0) { ps.executeBatch(); conn.commit() }
       n
-    } finally stmt.close()
+    } finally ps.close()
   }
 
-  /** Distributed idempotent JDBC append. `connFactory` runs on executors. */
-  def upsertIgnore(df: DataFrame, table: String, pk: Seq[String],
-      connFactory: () => Connection, batchSize: Int = 1000): Unit = {
-    val columns = df.columns.toSeq
-    val sql = upsertIgnoreSql(table, columns, pk)
-    val nCols = columns.size
+  /** One-column-per-parameter convenience overload (Postgres bind order). */
+  def writePartition(rows: Iterator[Row], conn: Connection, sql: String,
+      nCols: Int, batchSize: Int): Long =
+    writePartition(rows, conn, UpsertStatement(sql, 0 until nCols), batchSize)
+
+  /** Distributed idempotent JDBC append with an explicit dialect statement.
+    * `connFactory` runs on executors. */
+  def upsert(df: DataFrame, stmt: UpsertStatement,
+      connFactory: () => Connection, batchSize: Int = 1000): Unit =
     df.foreachPartition { rows: Iterator[Row] =>
       val conn = connFactory()
-      try { writePartition(rows, conn, sql, nCols, batchSize); () }
+      try { writePartition(rows, conn, stmt, batchSize); () }
       finally conn.close()
     }
-  }
+
+  /** Distributed idempotent JDBC append (Postgres dialect — the reference's
+    * literal write path). */
+  def upsertIgnore(df: DataFrame, table: String, pk: Seq[String],
+      connFactory: () => Connection, batchSize: Int = 1000): Unit =
+    upsert(df, postgresUpsertIgnore(table, df.columns.toSeq, pk),
+      connFactory, batchSize)
 }

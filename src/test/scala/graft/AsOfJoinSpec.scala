@@ -55,4 +55,20 @@ class AsOfJoinSpec extends SparkSpec {
       Seq("price"))
     assert(out.count() === trades.count())
   }
+
+  test("null right timestamps never match (would otherwise sort before time zero)") {
+    val q = Seq(
+      ("A", null.asInstanceOf[Timestamp], 1L, 666.0, "phantom"),
+      ("A", ts("2024-01-01 10:00:00"), 2L, 100.0, "mm1"))
+      .toDF("sym", "qts", "qid", "price", "source")
+    val t = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 100L), // before any real quote
+      ("A", ts("2024-01-01 11:00:00"), 101L))
+      .toDF("sym", "tts", "tid")
+    val got = AsOfJoin.asOf(t, q, "sym", "sym", "tts", "qts", "qid",
+        Seq("price"))
+      .select($"tid", $"price").as[(Long, Option[Double])].collect().toMap
+    assert(got(100L) === None, "null-ts quote must not leak as an early match")
+    assert(got(101L) === Some(100.0))
+  }
 }

@@ -79,6 +79,51 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"simhash recall $recall on strong pairs (${strong.size})")
   }
 
+  test("jaccardPairsAuto: gate is plan-only — both branches return the exact answer") {
+    val expected = exactPairs
+    // corpus is below the default gate -> naive branch
+    val auto = Dedup.jaccardPairsAuto(docs, "doc_id", "text", n = 3, minJac = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(auto === expected)
+    // force the over-gate branch -> ppjoin, same answer
+    val gated = Dedup.jaccardPairsAuto(docs, "doc_id", "text", n = 3, minJac = 0.5,
+        naiveMaxDocs = 0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(gated === expected)
+  }
+
+  test("jaccardPairsAuto: plan switches from naive to ppjoin above the gate") {
+    // the ppjoin branch is the only one with window functions (prefix ranks)
+    val below = Dedup.jaccardPairsAuto(docs, "doc_id", "text")
+    assert(!below.queryExecution.optimizedPlan.toString.contains("row_number"),
+      "below the gate the single-shuffle naive plan must be chosen")
+    val above = Dedup.jaccardPairsAuto(docs, "doc_id", "text", naiveMaxDocs = 0)
+    assert(above.queryExecution.optimizedPlan.toString.contains("row_number"),
+      "above the gate the prefix-filtered ppjoin plan must be chosen")
+  }
+
+  test("minhash bands must tile the signature exactly") {
+    val sigs = Dedup.minhashSignatures(docs.limit(5), "doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashCandidatePairs(sigs, "doc_id", k = 64, bands = 7) // 7 ∤ 64
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashCandidatePairs(sigs, "doc_id", k = 8, bands = 16) // bands > k
+    }
+  }
+
+  test("exactDedupNarrow equals exactDedup on a unique-id corpus") {
+    val a = Dedup.exactDedup(docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    val b = Dedup.exactDedupNarrow(docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(b === a)
+    // and it is idempotent
+    val twice = Dedup.exactDedupNarrow(
+        Dedup.exactDedupNarrow(docs, "doc_id", "text"), "doc_id", "text")
+    assert(twice.count() === a.size)
+  }
+
   test("exact dedup is idempotent and keeps min doc_id per digest") {
     val withDups = docs.union(docs.limit(10)) // inject exact duplicates
     val deduped = Dedup.exactDedup(withDups, "doc_id", "text")

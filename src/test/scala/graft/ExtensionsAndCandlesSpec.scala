@@ -58,6 +58,20 @@ class ExtensionsAndCandlesSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("non-constant n/k/seed arguments fail with a clear plan-time error") {
+    GraftExtensions.register(spark)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(array('a','b'), CAST(id AS INT)) FROM range(3)")
+        .collect()
+    }
+    assert(e1.getMessage.contains("must be a constant"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array('a b'), CAST(id AS INT), 42L) FROM range(3)")
+        .collect()
+    }
+    assert(e2.getMessage.contains("must be a constant"), e2.getMessage)
+  }
+
   test("newRowsOnly keeps a deterministic row under conflicting payloads") {
     val incoming = Seq((1, "b"), (1, "a"), (2, "z")).toDF("k", "v")
     val existing = incoming.limit(0)

@@ -44,6 +44,23 @@ class IvfIndexSpec extends SparkSpec {
     assert(probe.select("list_id").distinct().count() <= 2)
   }
 
+  test("fit once, probe many: a prebuilt model reproduces topK exactly") {
+    val queries = emb.filter($"vec_id" < 10)
+    val model = IvfIndex.fit(emb, "vec_id", "embedding", nLists = 8, iters = 3)
+    assert(model.nLists === 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"query_id", $"rank").collect().map(_.toString).toSeq
+    val viaModel = rows(IvfIndex.probe(queries, emb, "vec_id", "embedding",
+      k = 5, model, nProbe = 4))
+    val oneShot = rows(IvfIndex.topK(queries, emb, "vec_id", "embedding",
+      k = 5, nLists = 8, nProbe = 4))
+    assert(viaModel === oneShot)
+    // the model is plain data: probing twice is bit-identical, no retrain
+    val again = rows(IvfIndex.probe(queries, emb, "vec_id", "embedding",
+      k = 5, model, nProbe = 4))
+    assert(again === viaModel)
+  }
+
   test("IVF top-k achieves >= 50% recall@5 vs brute force at 1/2 probe ratio") {
     val queries = emb.filter($"vec_id" < 20)
     val exact = Similarity.cosineTopK(queries, emb, "vec_id", "embedding", k = 5)

@@ -73,4 +73,85 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(n === 0)
     assert(!rec.events.contains("executeBatch"))
   }
+
+  // ---- live embedded-Derby round trip (a real database, no mocks) ----
+
+  private val derbyUrl = "jdbc:derby:memory:graftUpsert"
+
+  private def derbyConn(): java.sql.Connection =
+    java.sql.DriverManager.getConnection(derbyUrl + ";create=true")
+
+  test("live Derby upsert-ignore: write twice, count once") {
+    import spark.implicits._
+    // keep derby.log out of the repo
+    System.setProperty("derby.system.home", sys.props("java.io.tmpdir"))
+    val setup = derbyConn()
+    try setup.createStatement().execute(
+      "CREATE TABLE daily_candles (market VARCHAR(20) NOT NULL, " +
+        "candle_date VARCHAR(10) NOT NULL, trade_price DOUBLE, " +
+        "PRIMARY KEY (market, candle_date))")
+    finally setup.close()
+
+    val stmt = JdbcUpsert.derbyUpsertIgnore("daily_candles",
+      Seq("market", "candle_date", "trade_price"),
+      Seq("VARCHAR(20)", "VARCHAR(10)", "DOUBLE"),
+      Seq("market", "candle_date"))
+    val df = Seq(
+      ("KRW-BTC", "2024-01-01", 83000000.0),
+      ("KRW-BTC", "2024-01-02", 84100000.0),
+      ("KRW-ETH", "2024-01-01", 3900000.0)).toDF("market", "candle_date", "trade_price")
+
+    def tableCount(): Long = {
+      val c = derbyConn()
+      try {
+        val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM daily_candles")
+        rs.next(); rs.getLong(1)
+      } finally c.close()
+    }
+
+    val factory = () => java.sql.DriverManager.getConnection(
+      "jdbc:derby:memory:graftUpsert")
+    JdbcUpsert.upsert(df, stmt, factory, batchSize = 2)
+    assert(tableCount() === 3, "first write inserts all rows")
+    // the reference's core semantic: re-running the batch is a no-op
+    JdbcUpsert.upsert(df, stmt, factory, batchSize = 2)
+    assert(tableCount() === 3, "identical second write inserts nothing")
+    // overlapping batch: only the genuinely new row lands
+    val overlap = Seq(
+      ("KRW-BTC", "2024-01-02", 99999999.0), // pk exists -> ignored
+      ("KRW-XRP", "2024-01-01", 700.0)).toDF("market", "candle_date", "trade_price")
+    JdbcUpsert.upsert(overlap, stmt, factory, batchSize = 2)
+    assert(tableCount() === 4)
+    // ignored means original value kept, not overwritten
+    val c = derbyConn()
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT trade_price FROM daily_candles " +
+          "WHERE market = 'KRW-BTC' AND candle_date = '2024-01-02'")
+      rs.next()
+      assert(rs.getDouble(1) === 84100000.0)
+    } finally c.close()
+  }
+
+  test("live Derby: intra-batch duplicates dedup like ON CONFLICT") {
+    import spark.implicits._
+    System.setProperty("derby.system.home", sys.props("java.io.tmpdir"))
+    val setup = java.sql.DriverManager.getConnection(
+      "jdbc:derby:memory:graftDup;create=true")
+    try setup.createStatement().execute(
+      "CREATE TABLE t (id INT NOT NULL, v VARCHAR(10), PRIMARY KEY (id))")
+    finally setup.close()
+    val stmt = JdbcUpsert.derbyUpsertIgnore("t",
+      Seq("id", "v"), Seq("INT", "VARCHAR(10)"), Seq("id"))
+    // same pk twice within one partition/batch: first wins, second ignored
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("id", "v").coalesce(1)
+    JdbcUpsert.upsert(df, stmt,
+      () => java.sql.DriverManager.getConnection("jdbc:derby:memory:graftDup"),
+      batchSize = 10)
+    val c = java.sql.DriverManager.getConnection("jdbc:derby:memory:graftDup")
+    try {
+      val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM t")
+      rs.next(); assert(rs.getLong(1) === 2)
+    } finally c.close()
+  }
 }

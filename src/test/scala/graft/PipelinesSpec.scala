@@ -57,6 +57,40 @@ class PipelinesSpec extends SparkSpec {
     assert(rows.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
   }
 
+  test("multimodal: real PNG/JPEG payloads decode via javax.imageio") {
+    import java.awt.image.BufferedImage
+    def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    // 3x2 PNG: five white pixels, one black -> mean intensity 5/6 exactly
+    val png = new BufferedImage(3, 2, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 3; y <- 0 until 2) png.setRGB(x, y, 0xFFFFFF)
+    png.setRGB(0, 0, 0x000000)
+    // 8x5 uniform mid-gray JPEG: lossy, so assert dims exactly + intensity loosely
+    val jpg = new BufferedImage(8, 5, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 5) jpg.setRGB(x, y, 0x808080)
+    val payloads = Seq(
+      (1L, encode(png, "png")),
+      (2L, encode(jpg, "jpg")),
+      (3L, "not an image at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val meta = Multimodal.payloadMeta(payloads).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(meta === Map(1L -> "png", 2L -> "jpeg", 3L -> "bin"))
+    val feats = Multimodal.extractFeatures(payloads).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(1L).width === 3 && feats(1L).height === 2)
+    assert(math.abs(feats(1L).mean_intensity - 5.0 / 6.0) < 1e-9,
+      s"png mean ${feats(1L).mean_intensity}")
+    assert(feats(2L).width === 8 && feats(2L).height === 5)
+    assert(math.abs(feats(2L).mean_intensity - 128.0 / 255.0) < 0.05,
+      s"jpeg mean ${feats(2L).mean_intensity}")
+    // non-image payloads keep the deterministic stub path
+    assert(feats(3L).width >= 16 && feats(3L).height >= 16)
+  }
+
   test("multimodal: resize emits target-sized payloads deterministically") {
     val docs = Tables.documents(spark, sfDir).limit(10)
     val payloads = Multimodal.asBinaryPayload(docs, "doc_id", "text")

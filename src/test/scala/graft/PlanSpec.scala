@@ -79,6 +79,57 @@ class PlanSpec extends SparkSpec {
     assert(scannedParts <= 1)
   }
 
+  private def hashPartitionings(plan: String): List[String] =
+    "hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toList
+
+  test("lshCosineTopK: no exchange is keyed on embedding arrays, ids only") {
+    import graft.core.Tables
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val df = graft.operators.Similarity.lshCosineTopK(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+      k = 5, nPlanes = 4, nTables = 8)
+    val parts = hashPartitionings(planString(df))
+    assert(parts.nonEmpty, "expected shuffles for dedup/window stages")
+    parts.foreach { p =>
+      assert(!p.contains("qv#") && !p.contains("cv#") && !p.contains("embedding#"),
+        s"vector column used as a partitioning key: $p")
+    }
+  }
+
+  test("contamination: benchmark shingle side broadcasts — corpus side never shuffles for the join") {
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.core.Tables.documents(spark, sfDir)
+    // a real corpus document as the benchmark: guaranteed hits, so AQE
+    // cannot collapse the plan to EmptyRelation
+    val bench = corpus.limit(1)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+    val df = graft.operators.Contamination.ngramContainment(
+      corpus, bench, "doc_id", "text", n = 3, minContainment = 0.5)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the only hash exchanges are the containment-count aggregations, which
+    // are keyed on ids — the corpus shingle stream joins map-side
+    hashPartitionings(plan).foreach { p =>
+      assert(!p.contains("shingle#"), s"corpus shuffled on the shingle key: $p")
+    }
+  }
+
+  test("exactDedupNarrow: winner agg shuffles digest+id; corpus side joins without shuffle") {
+    import graft.core.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val df = graft.operators.Dedup.exactDedupNarrow(docs, "doc_id", "text")
+    val plan = planString(df)
+    // at this scale AQE broadcasts the winner set: the corpus rows reach the
+    // semi-join without an exchange, so the only shuffled rows are the
+    // 24-byte (digest, id) pairs of the winner aggregate
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(2000))
+    hashPartitionings(plan).foreach { p =>
+      assert(!p.contains("text#"), s"document text shuffled: $p")
+    }
+  }
+
   test("IVF nearest-centroid assignment is a narrow codegen map, no exchange") {
     import graft.core.Tables
     val emb = Tables.embeddings(spark, sfDir)

@@ -16,6 +16,27 @@ class SimilaritySpec extends SparkSpec {
     sims.foreach(s => assert(math.abs(s - 1.0) < 1e-12))
   }
 
+  test("mismatched vector dimensions error instead of silently truncating") {
+    // matches the oracle: DuckDB's list_cosine_similarity raises too
+    val pairs = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      pairs.select(Similarity.cosine($"a", $"b")).collect()
+    }
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert(rootCause(e).getMessage.contains("dimension mismatch"), e.getMessage)
+  }
+
+  test("lsh_buckets rejects degenerate table/plane counts") {
+    import graft.functions.expressions.SketchExpressions.lsh_buckets
+    for ((tables, planes) <- Seq((0, 8), (4, 0), (4, 64))) {
+      intercept[IllegalArgumentException] {
+        emb.limit(1).select(lsh_buckets($"embedding", tables, planes)).collect()
+      }
+    }
+  }
+
   test("brute-force top-k returns k ranked neighbors per query") {
     val res = Similarity.cosineTopK(
       emb.filter($"vec_id" < 5), emb, "vec_id", "embedding", k = 3)
