@@ -61,6 +61,39 @@ class SinksSpec extends SparkSpec {
       Seq("job_ok succeeded", "job_bad FAILED: boom"))
   }
 
+  test("index sink: rotated naming follows the ES convention, one write per index") {
+    import graft.sinks.IndexSink
+    import graft.sinks.IndexSink.{Daily, IndexSpec, Monthly, NoRotation}
+    val events = graft.core.Tables.events(spark, sfDir).limit(2000).cache()
+    // naming
+    val named = IndexSink.withIndexColumn(events,
+      IndexSpec("logs", Daily, "ts"), "idx")
+    val idx = named.select($"idx").distinct().as[String].collect().sorted
+    assert(idx.forall(_.matches("logs-\\d{4}\\.\\d{2}\\.\\d{2}")), idx.take(3).mkString(","))
+    val monthly = IndexSink.withIndexColumn(events,
+      IndexSpec("logs", Monthly, "ts"), "idx")
+      .select($"idx").distinct().as[String].collect()
+    assert(monthly.forall(_.matches("logs-\\d{4}\\.\\d{2}")))
+    // recording writer: every row lands in exactly the index its ts names
+    val written = scala.collection.mutable.Map.empty[String, Long]
+    IndexSink.write(events, IndexSpec("logs", Daily, "ts"),
+      (batch, index) => written(index) = batch.count())
+    assert(written.keySet === idx.toSet)
+    assert(written.values.sum === events.count())
+    // static spec: single call, frame untouched
+    val staticCalls = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    IndexSink.write(events, IndexSpec("catalog", NoRotation),
+      (batch, index) => staticCalls += index -> batch.count())
+    assert(staticCalls.toSeq === Seq("catalog" -> events.count()))
+    // parquet default writer: one directory per index
+    val root = Files.createTempDirectory("idxsink").toString
+    IndexSink.write(events, IndexSpec("logs", Daily, "ts"),
+      IndexSink.parquetWriter(root))
+    val dirs = new java.io.File(root).listFiles().map(_.getName).sorted
+    assert(dirs.toSeq === idx.toSeq)
+    assert(spark.read.parquet(s"$root/${idx.head}").count() === written(idx.head))
+  }
+
   test("csv sink writes header and round-trips with declared schema") {
     val dir = Files.createTempDirectory("csv").toString + "/out"
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
