@@ -139,22 +139,15 @@ object IvfIndex {
     vectors.withColumn("list_id", nearestList(col(vecCol), cents))
   }
 
-  /** Top-k cosine neighbors per query against a pre-built [[IvfModel]],
-    * scanning only the nProbe nearest lists. Same output shape as
-    * [[Similarity.cosineTopK]]. */
-  def probe(queries: DataFrame, vectors: DataFrame, idCol: String,
-      vecCol: String, k: Int, model: IvfModel, nProbe: Int = 4): DataFrame = {
+  /** The (query, list) probe set: nProbe nearest lists per query, ranked
+    * driver-free via posexplode of the centroid literal — still narrow. */
+  private def probeSet(queries: DataFrame, idCol: String, vecCol: String,
+      model: IvfModel, nProbe: Int): DataFrame = {
     val cents = model.centroids
-    val indexed = vectors
-      .withColumn("list_id", nearestList(col(vecCol), cents))
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("list_id"))
-    // nProbe nearest lists per query: the query side is small, so rank
-    // its centroid sims driver-free via posexplode of the literal — still
-    // narrow — then broadcast the (query, list) probe set into the scan.
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("__sim").desc, col("list_id").asc)
     val centsExploded = posexplode(typedLit(cents.map(_._2)))
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .select(col("query_id"), col("qv"), centsExploded.as(Seq("pos", "centroid")))
       // map the explode position through the id array, same as nearestList,
       // so probe list ids agree with assignment even for sparse centroids
@@ -163,6 +156,11 @@ object IvfIndex {
       .withColumn("__rk", row_number().over(wq))
       .filter(col("__rk") <= nProbe)
       .select(col("query_id"), col("qv"), col("list_id"))
+  }
+
+  /** Score a probed candidate frame (neighbor_id, cv, list_id) against the
+    * broadcast probe set and keep the top k per query. */
+  private def scoreProbes(indexed: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     indexed.join(broadcast(probes), "list_id")
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -170,6 +168,50 @@ object IvfIndex {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Top-k cosine neighbors per query against a pre-built [[IvfModel]],
+    * scanning only the nProbe nearest lists. Same output shape as
+    * [[Similarity.cosineTopK]]. */
+  def probe(queries: DataFrame, vectors: DataFrame, idCol: String,
+      vecCol: String, k: Int, model: IvfModel, nProbe: Int = 4): DataFrame = {
+    val indexed = vectors
+      .withColumn("list_id", nearestList(col(vecCol), model.centroids))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("list_id"))
+    scoreProbes(indexed, probeSet(queries, idCol, vecCol, model, nProbe), k)
+  }
+
+  /** Persist a fitted index under `dir`: centroids parquet + the assigned
+    * corpus written `partitionBy(list_id)` so probes prune whole list files.
+    * Build once, probe many — across jobs, not just within one. */
+  def save(vectors: DataFrame, idCol: String, vecCol: String,
+      model: IvfModel, dir: String): Unit = {
+    model.toDF(vectors.sparkSession)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    assign(vectors, idCol, vecCol, model.toDF(vectors.sparkSession))
+      .write.partitionBy("list_id").mode("overwrite").parquet(s"$dir/lists")
+  }
+
+  /** Load a persisted index: the model plus the list-partitioned corpus. */
+  def load(spark: SparkSession, dir: String): (IvfModel, DataFrame) = {
+    val model = IvfModel(collectCentroids(spark.read.parquet(s"$dir/centroids")))
+    (model, spark.read.parquet(s"$dir/lists"))
+  }
+
+  /** Probe a PERSISTED index (a frame carrying a `list_id` partition
+    * column, as written by [[save]]). The probed list ids are resolved
+    * driver-side first — at most nLists integers — and applied as a static
+    * `isin` filter, so the parquet scan prunes non-probed list files at
+    * planning time (no scan, no shuffle, of unprobed lists). */
+  def probeIndexed(queries: DataFrame, lists: DataFrame, idCol: String,
+      vecCol: String, k: Int, model: IvfModel, nProbe: Int = 4): DataFrame = {
+    val probes = probeSet(queries, idCol, vecCol, model, nProbe)
+    val probedLists = probes.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).sorted // <= nLists values, never data
+    val indexed = lists
+      .filter(col("list_id").isin(probedLists.toSeq.map(Integer.valueOf): _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("list_id"))
+    scoreProbes(indexed, probes, k)
   }
 
   /** One-shot convenience: [[fit]] then [[probe]]. Long-lived callers

@@ -90,6 +90,31 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Near-duplicate pairs with NO caller-provided block key: candidates
+    * come from random-hyperplane LSH bucket collisions (multi-probe over
+    * nTables), then exact cosine verification keeps pairs >= minSim.
+    * Approximate — a pair the planes separate in every table is missed —
+    * where [[nearDupPairs]] with a semantic key is exact within blocks; no
+    * false accepts either way (verification is exact). Same shuffle
+    * discipline as [[lshCosineTopK]]: bucket join and dedup move ids only,
+    * vectors rejoin once by id. */
+  def lshNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      minSim: Double, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val bucketed = v.select(col("vid"),
+      posexplode(lsh_buckets(col("v"), nTables, nPlanes)).as(Seq("tbl", "bucket")))
+    val cands = bucketed.as("x").join(bucketed.as("y"), Seq("tbl", "bucket"))
+      .filter(col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"))
+      .distinct()
+    cands
+      .join(v.select(col("vid").as("id_a"), col("v").as("va")), "id_a")
+      .join(v.select(col("vid").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("sim", round(cosine_sim(col("va"), col("vb")), 6))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Near-duplicate pairs by cosine >= minSim, blocked on a coarse key to
     * avoid the all-pairs cross join (callers pass a clustering column like a
     * label, an LSH bucket, or a shard key). */

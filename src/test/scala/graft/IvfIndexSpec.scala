@@ -61,6 +61,25 @@ class IvfIndexSpec extends SparkSpec {
     assert(again === viaModel)
   }
 
+  test("persisted index: save/load round trip, file-pruned probe matches live probe") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_saved").toString + "/index"
+    val model = IvfIndex.fit(emb, "vec_id", "embedding", nLists = 8, iters = 2)
+    IvfIndex.save(emb, "vec_id", "embedding", model, dir)
+    val (loaded, lists) = IvfIndex.load(spark, dir)
+    assert(loaded === model, "centroids survive the round trip exactly")
+    val queries = emb.filter($"vec_id" < 10)
+    val viaIndex = IvfIndex.probeIndexed(queries, lists, "vec_id", "embedding",
+      k = 5, loaded, nProbe = 3)
+    val live = IvfIndex.probe(queries, emb, "vec_id", "embedding",
+      k = 5, model, nProbe = 3)
+    assert(viaIndex.orderBy($"query_id", $"rank").collect().map(_.toString).toSeq ===
+      live.orderBy($"query_id", $"rank").collect().map(_.toString).toSeq)
+    // the probed-list isin filter must prune at the file level
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(2000))
+    assert(plan.contains("list_id"), "probe must prune list partitions")
+  }
+
   test("IVF top-k achieves >= 50% recall@5 vs brute force at 1/2 probe ratio") {
     val queries = emb.filter($"vec_id" < 20)
     val exact = Similarity.cosineTopK(queries, emb, "vec_id", "embedding", k = 5)

@@ -37,6 +37,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lshNearDupPairs: subset of brute-force pairs, strong pairs recalled") {
+    val sub = emb.filter($"vec_id" < 200).cache()
+    val brute = sub.as("x").join(sub.as("y"), $"x.vec_id" < $"y.vec_id")
+      .withColumn("sim", round(Similarity.cosine($"x.embedding", $"y.embedding"), 6))
+      .filter($"sim" >= 0.4)
+      .select($"x.vec_id", $"y.vec_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshNearDupPairs(sub, "vec_id", "embedding",
+        minSim = 0.4, nPlanes = 4, nTables = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // exact verification: never a false accept
+    assert((lsh diff brute).isEmpty)
+    val recall = if (brute.isEmpty) 1.0 else (lsh intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"lsh near-dup recall $recall of ${brute.size} pairs")
+  }
+
   test("brute-force top-k returns k ranked neighbors per query") {
     val res = Similarity.cosineTopK(
       emb.filter($"vec_id" < 5), emb, "vec_id", "embedding", k = 3)
