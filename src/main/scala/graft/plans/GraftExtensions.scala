@@ -75,6 +75,14 @@ object GraftExtensions {
           MinHashSig(args.head, k, seed)
         case _ => throw new IllegalArgumentException(
           "minhash_sig takes (shingles) or (shingles, k, seed)")
+      }),
+    (FunctionIdentifier("lsh_buckets"),
+      info("lsh_buckets", "lsh_buckets(vec, nTables, nPlanes) - random-hyperplane sign buckets"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "lsh_buckets takes (vec, nTables, nPlanes)")
+        LshBuckets(args.head,
+          constArg("lsh_buckets", "nTables", args(1)).intValue(),
+          constArg("lsh_buckets", "nPlanes", args(2)).intValue())
       }))
 
   /** Inject into an already-built session (tests, REPLs). */

@@ -58,6 +58,21 @@ class ExtensionsAndCandlesSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("lsh_buckets is SQL-callable and matches the Column form") {
+    GraftExtensions.register(spark)
+    graft.core.Tables.embeddings(spark, sfDir).limit(5)
+      .createOrReplaceTempView("emb_lsh")
+    val viaSql = spark.sql(
+      "SELECT vec_id, lsh_buckets(embedding, 4, 8) AS b FROM emb_lsh")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaCol = spark.table("emb_lsh")
+      .select($"vec_id", graft.functions.expressions.SketchExpressions
+        .lsh_buckets($"embedding", 4, 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql === viaCol)
+    assert(viaSql.values.forall(_.length === 4))
+  }
+
   test("non-constant n/k/seed arguments fail with a clear plan-time error") {
     GraftExtensions.register(spark)
     val e1 = intercept[Exception] {
