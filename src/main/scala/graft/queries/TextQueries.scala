@@ -337,7 +337,30 @@ object TextQueries extends QueryModule {
        |GROUP BY 1, 2
        |ORDER BY lang, pred_lang""".stripMargin
 
+  /** Corpus vocabulary statistics: term frequency + document frequency per
+    * token — the df table that drives stopword lists, PPJoin prefix
+    * ordering, and tf-idf weighting. One explode + one map-side-combined
+    * aggregation on the term key; the tf floor keeps the long tail out of
+    * the result without changing the aggregation shape. */
+  private def q47TermStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+      .filter($"tf" >= 50)
+      .orderBy($"term")
+  }
+
+  private val q47Sql =
+    """SELECT w AS term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |GROUP BY w
+      |HAVING COUNT(*) >= 50
+      |ORDER BY term""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q47_term_stats", q47TermStats, Some(q47Sql), "vocabulary tf/df statistics (north star)"),
     Q("q45_langid_script", q45LangIdScript, Some(q45Sql), "two-signal language ID (script + stopwords)"),
     Q("q44_contamination", q44Contamination, Some(q44Sql), "benchmark n-gram containment scan (north star)"),
     Q("q43_split", q43Split, Some(q43Sql), "deterministic hash train/val/test split (north star)"),

@@ -61,6 +61,14 @@ class IvfIndexSpec extends SparkSpec {
     assert(again === viaModel)
   }
 
+  test("fit is independent of input partitioning (hash-ordered sample)") {
+    val m1 = IvfIndex.fit(emb.repartition(1), "vec_id", "embedding",
+      nLists = 8, iters = 2)
+    val m2 = IvfIndex.fit(emb.repartition(13, $"label"), "vec_id", "embedding",
+      nLists = 8, iters = 2)
+    assert(m1 === m2)
+  }
+
   test("persisted index: save/load round trip, file-pruned probe matches live probe") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_saved").toString + "/index"
     val model = IvfIndex.fit(emb, "vec_id", "embedding", nLists = 8, iters = 2)

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Packing
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sfDir).cache()
+
+  test("every document lands in exactly one chunk; totals respect the cap") {
+    val chunks = Packing.packDocuments(docs, "doc_id", "text",
+      maxTokens = 512, nBuckets = 16).cache()
+    val allIds = docs.select($"doc_id").as[Long].collect().toSet
+    val packedIds = chunks.flatMap(_.doc_ids).collect()
+    assert(packedIds.length === allIds.size, "no doc duplicated")
+    assert(packedIds.toSet === allIds, "no doc dropped")
+    // every multi-doc chunk respects the cap (single docs always admit)
+    chunks.collect().foreach { c =>
+      assert(c.n_docs === c.doc_ids.size)
+      if (c.n_docs > 1) assert(c.total_tokens <= 512, s"chunk ${c.chunk_id} overflows")
+    }
+    // totals are consistent with the corpus
+    val corpusTokens = docs
+      .select(sum(size(split($"text", " ")))).as[Long].head()
+    assert(chunks.map(_.total_tokens).collect().sum === corpusTokens)
+  }
+
+  test("packing is deterministic and independent of input partitioning") {
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Packing.packDocuments(d, "doc_id", "text", maxTokens = 512, nBuckets = 8)
+        .collect().map(c => c.chunk_id -> ((c.doc_ids, c.total_tokens))).toMap
+    val a = run(docs.repartition(1))
+    val b = run(docs.repartition(13, $"lang"))
+    assert(a === b)
+  }
+
+  test("greedy fill: chunks are substantially full when docs are small vs cap") {
+    val chunks = Packing.packDocuments(docs, "doc_id", "text",
+      maxTokens = 2048, nBuckets = 4).collect()
+    val fill = chunks.map(_.total_tokens).sum.toDouble / (chunks.length * 2048L)
+    assert(fill >= 0.5, s"average fill $fill")
+  }
+
+  test("an oversized document gets its own chunk instead of stalling the stream") {
+    val big = Seq(
+      (1L, Seq.fill(100)("w").mkString(" ")), // 100 tokens > cap
+      (2L, "a b c"),
+      (3L, "d e f")).toDF("doc_id", "text")
+    val chunks = Packing.packDocuments(big, "doc_id", "text",
+      maxTokens = 10, nBuckets = 2).collect()
+    val byDoc = chunks.flatMap(c => c.doc_ids.map(_ -> c)).toMap
+    assert(byDoc(1L).n_docs === 1, "oversized doc isolated")
+    assert(byDoc(1L).total_tokens === 100)
+    assert(chunks.flatMap(_.doc_ids).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+}
