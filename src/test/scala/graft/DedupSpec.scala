@@ -100,6 +100,12 @@ class DedupSpec extends SparkSpec {
     val above = Dedup.jaccardPairsAuto(docs, "doc_id", "text", naiveMaxDocs = 0)
     assert(above.queryExecution.optimizedPlan.toString.contains("row_number"),
       "above the gate the prefix-filtered ppjoin plan must be chosen")
+    // boundary: the gate is inclusive — exactly-at-threshold stays naive
+    val n = docs.count()
+    val atGate = Dedup.jaccardPairsAuto(docs, "doc_id", "text", naiveMaxDocs = n)
+    assert(!atGate.queryExecution.optimizedPlan.toString.contains("row_number"))
+    val justBelow = Dedup.jaccardPairsAuto(docs, "doc_id", "text", naiveMaxDocs = n - 1)
+    assert(justBelow.queryExecution.optimizedPlan.toString.contains("row_number"))
   }
 
   test("minhash bands must tile the signature exactly") {
