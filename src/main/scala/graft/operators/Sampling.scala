@@ -58,4 +58,29 @@ object Sampling {
     // "ffffffff" threshold would drop buckets equal to the max value
     if (fraction >= 1.0) df
     else df.filter(hashBucket(col(idCol), salt) < hexThreshold(fraction))
+
+  /** Per-stratum deterministic sampling — the corpus-balancing op (cap an
+    * over-represented language at 10%, keep low-resource strata whole).
+    * Each row keeps iff its hash bucket falls under ITS stratum's fraction;
+    * strata absent from the map use `defaultFraction`.
+    *
+    * Still a narrow per-row map: the strata table is small by nature, so
+    * the fraction lookup compiles to a literal CASE chain — no join, no
+    * shuffle, no state. Same salt ⇒ nested samples (a 0.25 sample of a
+    * stratum is a subset of its 0.5 sample), same portability contract as
+    * [[hashSample]]. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0,
+      salt: String = "strat:"): DataFrame = {
+    (fractions.values ++ Seq(defaultFraction)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction $f outside [0, 1]"))
+    val bucket = hashBucket(col(idCol), salt)
+    def keep(f: Double): Column =
+      if (f >= 1.0) lit(true) else bucket < hexThreshold(f)
+    val decision = fractions.toSeq.sortBy(_._1)
+      .foldRight(keep(defaultFraction)) { case ((stratum, f), rest) =>
+        when(col(stratumCol) === stratum, keep(f)).otherwise(rest)
+      }
+    df.filter(decision)
+  }
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.TextFunctions
+
+/** TF-IDF document vectorization: the classic sparse feature bridge from
+  * raw text to the vector operators ([[Similarity]], [[IvfIndex]]).
+  *
+  * Scale shape:
+  *  - [[fitVocab]] is one explode + map-side-combined term aggregation
+  *    (the q47 shape) followed by a top-V cut. Only the V surviving terms
+  *    pass through the final single-partition index-assignment sort — the
+  *    vocabulary is small by construction (V × ~30 bytes), the corpus
+  *    never is.
+  *  - [[vectorize]] joins the BROADCAST vocabulary against per-doc term
+  *    counts: one shuffle keyed by (doc, term) for the tf aggregate, one
+  *    keyed by doc for the gather. Out-of-vocabulary terms drop at the
+  *    broadcast join — no skew risk from hapax legomena.
+  *
+  * Determinism: vocabulary order is (df DESC, term ASC); idf uses the
+  * smooth form ln((N + 1) / (df + 1)) + 1, computed once per vocab row;
+  * per-doc indices are emitted sorted ascending.
+  */
+object TfIdf {
+
+  /** Top-`vocabSize` terms by document frequency as (term, idx, df, idf). */
+  def fitVocab(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val nDocs = docs.count()
+    val byDf = Window.orderBy(col("df").desc, col("term").asc)
+    docs
+      .select(col(idCol).as("__id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("term")
+      .agg(countDistinct(col("__id")).as("df"))
+      // top-V cut BEFORE the global index sort: orderBy+limit plans as
+      // TakeOrdered, so only V rows ever reach one partition
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(vocabSize)
+      .withColumn("idx", row_number().over(byDf) - 1)
+      .withColumn("idf",
+        log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0)
+      .select(col("term"), col("idx"), col("df"), col("idf"))
+  }
+
+  /** Sparse tf-idf vectors per document: (id, indices sorted asc, weights
+    * aligned, n_terms). Documents with no in-vocabulary term keep a row
+    * with empty arrays (left join) — downstream batch shapes stay total. */
+  def vectorize(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("__id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("__id", "term").agg(count(lit(1)).as("tf"))
+    val weighted = tf
+      .join(broadcast(vocab.select(col("term"), col("idx"), col("idf"))), "term")
+      .withColumn("w", col("tf") * col("idf"))
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("idx"), col("w")))).as("iw"))
+    docs.select(col(idCol).as("__id"))
+      .join(weighted, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        coalesce(transform(col("iw"), e => e.getField("idx")),
+          array().cast("array<int>")).as("indices"),
+        coalesce(transform(col("iw"), e => e.getField("w")),
+          array().cast("array<double>")).as("weights"),
+        coalesce(size(col("iw")), lit(0)).as("n_terms"))
+  }
+}

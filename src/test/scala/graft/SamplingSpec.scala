@@ -52,6 +52,28 @@ class SamplingSpec extends SparkSpec {
     assert(s10.subsetOf(s30), "nested thresholds must nest the samples")
   }
 
+  test("stratifiedSample caps named strata, keeps the rest whole, nests by salt") {
+    val langs = docs.select($"lang").distinct().as[String].collect().toSet
+    val capped = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5), defaultFraction = 1.0)
+    val counts = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val sampled = capped.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    // non-capped strata survive untouched
+    (langs - "en").foreach(l => assert(sampled(l) === counts(l), s"stratum $l"))
+    // the capped stratum lands near its fraction
+    val ratio = sampled("en").toDouble / counts("en")
+    assert(ratio > 0.3 && ratio < 0.7, s"en ratio $ratio")
+    // deterministic, and nested: 0.25 sample ⊆ 0.5 sample under one salt
+    val quarter = Sampling.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 0.25), defaultFraction = 1.0)
+      .filter($"lang" === "en").select($"doc_id").as[Long].collect().toSet
+    val half = capped.filter($"lang" === "en")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(quarter.subsetOf(half))
+    // narrow map: no exchange
+    assert(!capped.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("split assignment is a narrow map: no exchange in the plan") {
     val plan = Sampling.deterministicSplit(docs, "doc_id", "s1", weights)
       .queryExecution.executedPlan.toString
