@@ -359,7 +359,36 @@ object TextQueries extends QueryModule {
       |HAVING COUNT(*) >= 50
       |ORDER BY term""".stripMargin
 
+  /** TF-IDF weights in flat exploded form (doc_id, vocab idx, weight) so
+    * the sparse vectors hash-compare across engines. Vocabulary = top 200
+    * terms by (df DESC, term ASC); smooth idf ln((N+1)/(df+1)) + 1. */
+  private def q48Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val vocab = graft.operators.TfIdf.fitVocab(docs, "doc_id", "text", vocabSize = 200)
+    graft.operators.TfIdf.vectorize(docs, "doc_id", "text", vocab)
+      .select($"doc_id",
+        explode(arrays_zip($"indices", $"weights")).as("iw"))
+      .select($"doc_id", $"iw.indices".as("idx"),
+        round($"iw.weights", 6).as("w"))
+      .orderBy($"doc_id", $"idx")
+  }
+
+  private val q48Sql =
+    """WITH tokens AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+      |vocab AS (
+      |  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS idx,
+      |    ln(((SELECT COUNT(*) FROM documents) + 1.0) / (df + 1.0)) + 1.0 AS idf
+      |  FROM df ORDER BY df DESC, term ASC LIMIT 200),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2)
+      |SELECT t.doc_id, CAST(v.idx AS INT) AS idx, round(t.tf * v.idf, 6) AS w
+      |FROM tf t JOIN vocab v USING (term)
+      |ORDER BY doc_id, idx""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q48_tfidf", q48Tfidf, Some(q48Sql), "TF-IDF sparse vectors, flat form (north star)"),
     Q("q47_term_stats", q47TermStats, Some(q47Sql), "vocabulary tf/df statistics (north star)"),
     Q("q45_langid_script", q45LangIdScript, Some(q45Sql), "two-signal language ID (script + stopwords)"),
     Q("q44_contamination", q44Contamination, Some(q44Sql), "benchmark n-gram containment scan (north star)"),
