@@ -59,6 +59,39 @@ object Sampling {
     if (fraction >= 1.0) df
     else df.filter(hashBucket(col(idCol), salt) < hexThreshold(fraction))
 
+  /** Deterministic corpus mixing: combine named corpora at target mixture
+    * proportions by DOWNSAMPLING only (no replication), emitting the
+    * largest possible mixture that honors the proportions exactly in
+    * expectation.
+    *
+    * Solving for rates: with corpus sizes n_i and target proportions p_i,
+    * the binding corpus is the one with the smallest n_i / p_i; the total
+    * mixture size is T = min_i(n_i / p_i) and corpus i samples at rate
+    * p_i * T / n_i (the binding corpus keeps everything). Each row then
+    * passes the same portable md5 hex-bucket filter as [[hashSample]] —
+    * zero shuffle, reproducible anywhere, stable under repartitioning.
+    *
+    * Counts are parquet-metadata cheap; the output carries a `source`
+    * column naming each row's corpus. Proportions must be positive;
+    * schemas must match (union semantics). */
+  def mixture(corpora: Seq[(String, DataFrame, Double)], idCol: String,
+      salt: String = "mix:"): DataFrame = {
+    require(corpora.nonEmpty, "at least one corpus required")
+    require(corpora.forall(_._3 > 0.0), "mixture proportions must be > 0")
+    val totalP = corpora.map(_._3).sum
+    val sized = corpora.map { case (name, df, p) =>
+      (name, df, p / totalP, df.count().toDouble)
+    }
+    val t = sized.map { case (_, _, p, n) => n / p }.min
+    sized.map { case (name, df, p, n) =>
+      val rate = math.min(1.0, p * t / n)
+      // per-corpus salt: the same id appearing in two corpora draws
+      // independent keep-decisions instead of correlated ones
+      hashSample(df, idCol, rate, salt + name)
+        .withColumn("source", lit(name))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Per-stratum deterministic sampling — the corpus-balancing op (cap an
     * over-represented language at 10%, keep low-resource strata whole).
     * Each row keeps iff its hash bucket falls under ITS stratum's fraction;

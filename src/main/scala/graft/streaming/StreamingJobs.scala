@@ -23,6 +23,19 @@ object StreamingJobs {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming content dedup — the streaming analog of
+    * [[graft.operators.Dedup.exactDedup]]: drop records whose PAYLOAD
+    * digest was already seen inside the watermark horizon (re-scraped
+    * pages, replayed documents — same content under a fresh id, which
+    * keyed dedup cannot catch). State per distinct digest is 16 bytes +
+    * watermark bookkeeping, evicted at the horizon. */
+  def dedupByContent(stream: DataFrame, contentCol: String, tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    stream.withColumn("__digest", md5(col(contentCol).cast("string")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+
   /** T4: per-minute tumbling counts per type with watermarked late-data
     * handling; append-mode-compatible (final results only). */
   def tumblingCounts(stream: DataFrame, tsCol: String, typeCol: String,

@@ -74,6 +74,27 @@ class SamplingSpec extends SparkSpec {
     assert(!capped.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("mixture hits target proportions by downsampling, binding corpus kept whole") {
+    // big: 400 docs, small: 100 docs; ask for 50/50 -> small binds (T = 200),
+    // big samples at ~0.25, small keeps everything
+    val big = docs.filter($"doc_id" < 400)
+    val small = docs.filter($"doc_id" >= 400 && $"doc_id" < 500)
+    val mixed = Sampling.mixture(
+      Seq(("web", big, 0.5), ("books", small, 0.5)), "doc_id").cache()
+    val bySource = mixed.groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(bySource("books") === small.count(), "binding corpus keeps all rows")
+    val ratio = bySource("web").toDouble / big.count()
+    assert(ratio > 0.15 && ratio < 0.35, s"web sample rate $ratio, want ~0.25")
+    // deterministic across re-runs and repartitioning
+    val again = Sampling.mixture(
+      Seq(("web", big.repartition(7), 0.5), ("books", small, 0.5)), "doc_id")
+    assert(again.select($"doc_id").as[Long].collect().sorted.toSeq ===
+      mixed.select($"doc_id").as[Long].collect().sorted.toSeq)
+    // a corpus at proportion 1 alone is the identity
+    val solo = Sampling.mixture(Seq(("only", small, 1.0)), "doc_id")
+    assert(solo.count() === small.count())
+  }
+
   test("split assignment is a narrow map: no exchange in the plan") {
     val plan = Sampling.deterministicSplit(docs, "doc_id", "s1", weights)
       .queryExecution.executedPlan.toString

@@ -54,6 +54,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("content dedup drops same-payload records under fresh ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(String, Timestamp, String)]
+    val stream = source.toDF().toDF("uuid", "ts", "body")
+    val deduped = StreamingJobs.dedupByContent(stream, "body", "ts")
+    val q = deduped.writeStream.format("memory").queryName("content_dedup")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      source.addData(("a", t0, "same payload"), ("b", t0, "other payload"))
+      q.processAllAvailable()
+      // re-scrape: new uuid, identical content -> dropped; new content kept
+      source.addData(("c", t0, "same payload"), ("d", t0, "third payload"))
+      q.processAllAvailable()
+      val kept = spark.table("content_dedup").select("uuid").as[String].collect().sorted
+      assert(kept.toSeq === Seq("a", "b", "d"))
+      // the helper digest column does not leak into the output
+      assert(!spark.table("content_dedup").columns.contains("__digest"))
+    } finally q.stop()
+  }
+
   test("watermark dedup absorbs redelivery (T2 at-least-once -> once)") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(String, Timestamp, Double)]
