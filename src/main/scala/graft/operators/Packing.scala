@@ -10,19 +10,28 @@ import graft.functions.TextFunctions
   * as little padding as possible.
   *
   * Algorithm: greedy first-fit over a deterministic pseudo-random document
-  * order (xxhash64). Not bin-packing-optimal — optimal packing is a global
-  * problem that cannot stream — but greedy over a shuffled order is the
-  * standard corpus-scale choice and fills chunks to ~maxTokens whenever
-  * documents are small relative to the context.
+  * order. Not bin-packing-optimal — optimal packing is a global problem
+  * that cannot stream — but greedy over a shuffled order is the standard
+  * corpus-scale choice and fills chunks to ~maxTokens whenever documents
+  * are small relative to the context.
   *
-  * Scale shape: the ONLY thing shuffled is (doc_id, n_tokens, bucket) —
-  * ~20 bytes per document, never the text. Documents are hash-bucketed
-  * (`nBuckets` fixed), one exchange routes each bucket to one partition,
-  * and packing streams through each bucket's hash-sorted run holding ONE
-  * open chunk in memory. Chunk ids are (bucket << 32 | index-in-bucket):
-  * deterministic for a given corpus and nBuckets, independent of the
-  * input's partitioning. The text gather is a later id-join against the
-  * corpus (chunks carry doc ids, not payloads).
+  * Portability: both the order key and the bucket come from
+  * md5(salt ++ id) — the same engine-portable scheme as [[Sampling]] — so
+  * the exact chunk assignment is reproducible in any engine with md5 (the
+  * q49 oracle recomputes it in DuckDB via a recursive CTE and the results
+  * hash-match).
+  *
+  * Scale shape: the ONLY thing shuffled is (doc_id, n_tokens, bucket, h) —
+  * tens of bytes per document, never the text. Documents are bucketed by
+  * an md5 hex prefix (16^bucketHexChars buckets), one exchange routes each
+  * bucket to a partition, and packing streams through each bucket's
+  * hash-sorted run holding ONE open chunk in memory. Chunk ids are
+  * "<bucket>-<index-in-bucket>": deterministic for a given corpus, salt,
+  * and bucketHexChars, independent of the input's partitioning. Size
+  * bucketHexChars so a bucket's (id, count) stream fits a task comfortably
+  * (~10M docs per bucket is fine; 16^4 = 65536 buckets covers ~1e12 docs).
+  * The text gather is a later id-join against the corpus — chunks carry
+  * doc ids, not payloads.
   *
   * A single document larger than maxTokens gets its own chunk (the first
   * document of a chunk is always admitted); split oversized documents
@@ -30,29 +39,32 @@ import graft.functions.TextFunctions
   */
 object Packing {
 
-  final case class PackedChunk(chunk_id: Long, doc_ids: Seq[Long],
+  final case class PackedChunk(chunk_id: String, doc_ids: Seq[Long],
       n_docs: Int, total_tokens: Long)
 
   /** Pack by a precomputed token-count column. */
   def packGreedy(docs: DataFrame, idCol: String, nTokensCol: String,
-      maxTokens: Int, nBuckets: Int = 256): Dataset[PackedChunk] = {
-    require(maxTokens >= 1 && nBuckets >= 1,
-      s"need maxTokens >= 1 (got $maxTokens) and nBuckets >= 1 (got $nBuckets)")
+      maxTokens: Int, bucketHexChars: Int = 2,
+      salt: String = "pack:"): Dataset[PackedChunk] = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(bucketHexChars >= 1 && bucketHexChars <= 4,
+      s"bucketHexChars must be in [1, 4], got $bucketHexChars")
     val spark = docs.sparkSession
     import spark.implicits._
+    val nPartitions = math.min(math.pow(16, bucketHexChars).toInt, 4096)
     docs
       .select(col(idCol).cast("long").as("id"),
-        col(nTokensCol).cast("long").as("n"))
-      .withColumn("bucket", pmod(xxhash64(col("id")), lit(nBuckets)).cast("int"))
-      .withColumn("h", xxhash64(col("id"), lit("pack")))
-      .repartition(nBuckets, col("bucket"))
+        col(nTokensCol).cast("long").as("n"),
+        md5(concat(lit(salt), col(idCol).cast("long").cast("string"))).as("h"))
+      .withColumn("bucket", substring(col("h"), 1, bucketHexChars))
+      .repartition(nPartitions, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("h"), col("id"))
       .select(col("id"), col("n"), col("bucket"))
-      .as[(Long, Long, Int)]
+      .as[(Long, Long, String)]
       .mapPartitions { rows =>
         val buf = rows.buffered
         new Iterator[PackedChunk] {
-          private var bucket = Int.MinValue
+          private var bucket: String = null
           private var idx = -1L
           override def hasNext: Boolean = buf.hasNext
           override def next(): PackedChunk = {
@@ -67,7 +79,7 @@ object Packing {
               if (b != bucket || toks + math.max(n, 0L) > maxTokens) open = false
               else { buf.next(); ids += id; toks += math.max(n, 0L) }
             }
-            PackedChunk((bucket.toLong << 32) | idx, ids.toSeq, ids.size, toks)
+            PackedChunk(s"$bucket-$idx", ids.toSeq, ids.size, toks)
           }
         }
       }
@@ -75,8 +87,9 @@ object Packing {
 
   /** Convenience: pack raw text documents, counting tokens inline. */
   def packDocuments(docs: DataFrame, idCol: String, textCol: String,
-      maxTokens: Int, nBuckets: Int = 256): Dataset[PackedChunk] =
+      maxTokens: Int, bucketHexChars: Int = 2,
+      salt: String = "pack:"): Dataset[PackedChunk] =
     packGreedy(
       docs.withColumn("__n_tokens", TextFunctions.tokenCount(col(textCol))),
-      idCol, "__n_tokens", maxTokens, nBuckets)
+      idCol, "__n_tokens", maxTokens, bucketHexChars, salt)
 }

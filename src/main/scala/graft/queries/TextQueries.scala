@@ -387,7 +387,46 @@ object TextQueries extends QueryModule {
       |FROM tf t JOIN vocab v USING (term)
       |ORDER BY doc_id, idx""".stripMargin
 
+  /** Greedy sequence packing, cross-validated by an INDEPENDENT algorithm:
+    * the engine streams first-fit chunks per md5 bucket; the oracle
+    * re-derives the identical assignment in DuckDB with a recursive CTE
+    * walking each bucket's hash order. Both sides are deterministic because
+    * every ordering key is md5 (engine-portable, like q43's split). */
+  private def q49Packing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Packing.packDocuments(
+        Tables.documents(spark, dir), "doc_id", "text",
+        maxTokens = 512, bucketHexChars = 1)
+      .toDF()
+      .select($"chunk_id", $"n_docs".cast("long").as("n_docs"), $"total_tokens",
+        concat_ws(",", transform(sort_array($"doc_ids"), _.cast("string"))).as("doc_ids"))
+      .orderBy($"chunk_id")
+  }
+
+  private val q49Sql =
+    """WITH RECURSIVE ordered AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |    md5('pack:' || CAST(doc_id AS VARCHAR)) AS h,
+      |    substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+      |    row_number() OVER (PARTITION BY substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 1)
+      |                       ORDER BY md5('pack:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents),
+      |walk AS (
+      |  SELECT bucket, rn, doc_id, n, 0 AS ci, n AS toks FROM ordered WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.bucket, o.rn, o.doc_id, o.n,
+      |    CASE WHEN w.toks + o.n > 512 THEN w.ci + 1 ELSE w.ci END,
+      |    CASE WHEN w.toks + o.n > 512 THEN o.n ELSE w.toks + o.n END
+      |  FROM walk w JOIN ordered o ON o.bucket = w.bucket AND o.rn = w.rn + 1)
+      |SELECT bucket || '-' || CAST(ci AS VARCHAR) AS chunk_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
+      |  array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+      |FROM walk GROUP BY 1 ORDER BY chunk_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q49_packing", q49Packing, Some(q49Sql),
+      "greedy sequence packing vs recursive-CTE oracle (north star)"),
     Q("q48_tfidf", q48Tfidf, Some(q48Sql), "TF-IDF sparse vectors, flat form (north star)"),
     Q("q47_term_stats", q47TermStats, Some(q47Sql), "vocabulary tf/df statistics (north star)"),
     Q("q45_langid_script", q45LangIdScript, Some(q45Sql), "two-signal language ID (script + stopwords)"),

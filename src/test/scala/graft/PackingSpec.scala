@@ -11,7 +11,7 @@ class PackingSpec extends SparkSpec {
 
   test("every document lands in exactly one chunk; totals respect the cap") {
     val chunks = Packing.packDocuments(docs, "doc_id", "text",
-      maxTokens = 512, nBuckets = 16).cache()
+      maxTokens = 512, bucketHexChars = 1).cache()
     val allIds = docs.select($"doc_id").as[Long].collect().toSet
     val packedIds = chunks.flatMap(_.doc_ids).collect()
     assert(packedIds.length === allIds.size, "no doc duplicated")
@@ -29,7 +29,7 @@ class PackingSpec extends SparkSpec {
 
   test("packing is deterministic and independent of input partitioning") {
     def run(d: org.apache.spark.sql.DataFrame) =
-      Packing.packDocuments(d, "doc_id", "text", maxTokens = 512, nBuckets = 8)
+      Packing.packDocuments(d, "doc_id", "text", maxTokens = 512, bucketHexChars = 1)
         .collect().map(c => c.chunk_id -> ((c.doc_ids, c.total_tokens))).toMap
     val a = run(docs.repartition(1))
     val b = run(docs.repartition(13, $"lang"))
@@ -38,7 +38,7 @@ class PackingSpec extends SparkSpec {
 
   test("greedy fill: chunks are substantially full when docs are small vs cap") {
     val chunks = Packing.packDocuments(docs, "doc_id", "text",
-      maxTokens = 2048, nBuckets = 4).collect()
+      maxTokens = 2048, bucketHexChars = 1).collect()
     val fill = chunks.map(_.total_tokens).sum.toDouble / (chunks.length * 2048L)
     assert(fill >= 0.5, s"average fill $fill")
   }
@@ -49,10 +49,21 @@ class PackingSpec extends SparkSpec {
       (2L, "a b c"),
       (3L, "d e f")).toDF("doc_id", "text")
     val chunks = Packing.packDocuments(big, "doc_id", "text",
-      maxTokens = 10, nBuckets = 2).collect()
+      maxTokens = 10, bucketHexChars = 1).collect()
     val byDoc = chunks.flatMap(c => c.doc_ids.map(_ -> c)).toMap
     assert(byDoc(1L).n_docs === 1, "oversized doc isolated")
     assert(byDoc(1L).total_tokens === 100)
     assert(chunks.flatMap(_.doc_ids).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("chunk ids name their md5 bucket; salt draws an independent packing") {
+    val chunks = Packing.packDocuments(docs, "doc_id", "text",
+      maxTokens = 512, bucketHexChars = 2).collect()
+    assert(chunks.forall(_.chunk_id.matches("[0-9a-f]{2}-\\d+")))
+    val other = Packing.packDocuments(docs, "doc_id", "text",
+      maxTokens = 512, bucketHexChars = 2, salt = "pack2:").collect()
+    val a = chunks.map(c => c.chunk_id -> c.doc_ids).toMap
+    val b = other.map(c => c.chunk_id -> c.doc_ids).toMap
+    assert(a !== b, "different salts must draw different assignments")
   }
 }
