@@ -424,7 +424,33 @@ object TextQueries extends QueryModule {
       |  array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
       |FROM walk GROUP BY 1 ORDER BY chunk_id""".stripMargin
 
+  /** Stratified corpus balancing: cap en at 50% and de at 25%, keep other
+    * strata whole; summarized per lang. The md5 hex-bucket thresholds are
+    * the same portable scheme as q43, so the oracle recomputes the exact
+    * assignment (hexThreshold(0.5) = 80000000, 0.25 = 40000000). */
+  private def q50Stratified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Sampling.stratifiedSample(
+        Tables.documents(spark, dir), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 1.0)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").cast("long").as("chars"))
+      .orderBy($"lang")
+  }
+
+  private val q50Sql =
+    s"""SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+       |FROM documents
+       |WHERE CASE
+       |  WHEN lang = 'de' THEN substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+       |  WHEN lang = 'en' THEN substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+       |  ELSE TRUE END
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q50_stratified", q50Stratified, Some(q50Sql),
+      "stratified corpus balancing by portable hash thresholds (north star)"),
     Q("q49_packing", q49Packing, Some(q49Sql),
       "greedy sequence packing vs recursive-CTE oracle (north star)"),
     Q("q48_tfidf", q48Tfidf, Some(q48Sql), "TF-IDF sparse vectors, flat form (north star)"),
