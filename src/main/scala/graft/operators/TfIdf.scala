@@ -47,10 +47,15 @@ object TfIdf {
   }
 
   /** Sparse tf-idf vectors per document: (id, indices sorted asc, weights
-    * aligned, n_terms). Documents with no in-vocabulary term keep a row
-    * with empty arrays (left join) — downstream batch shapes stay total. */
+    * aligned, n_terms).
+    *
+    * @param keepEmpty when true (default), documents with no in-vocabulary
+    *                  term keep a row with empty arrays via a second pass
+    *                  over the corpus ids (left join) — downstream batch
+    *                  shapes stay total. Pass false to skip that join when
+    *                  empty vectors carry no information for the caller. */
   def vectorize(docs: DataFrame, idCol: String, textCol: String,
-      vocab: DataFrame): DataFrame = {
+      vocab: DataFrame, keepEmpty: Boolean = true): DataFrame = {
     val tf = docs
       .select(col(idCol).as("__id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy("__id", "term").agg(count(lit(1)).as("tf"))
@@ -59,14 +64,15 @@ object TfIdf {
       .withColumn("w", col("tf") * col("idf"))
       .groupBy("__id")
       .agg(sort_array(collect_list(struct(col("idx"), col("w")))).as("iw"))
-    docs.select(col(idCol).as("__id"))
-      .join(weighted, Seq("__id"), "left")
-      .select(
-        col("__id").as(idCol),
-        coalesce(transform(col("iw"), e => e.getField("idx")),
-          array().cast("array<int>")).as("indices"),
-        coalesce(transform(col("iw"), e => e.getField("w")),
-          array().cast("array<double>")).as("weights"),
-        coalesce(size(col("iw")), lit(0)).as("n_terms"))
+    val base =
+      if (keepEmpty) docs.select(col(idCol).as("__id")).join(weighted, Seq("__id"), "left")
+      else weighted
+    base.select(
+      col("__id").as(idCol),
+      coalesce(transform(col("iw"), e => e.getField("idx")),
+        array().cast("array<int>")).as("indices"),
+      coalesce(transform(col("iw"), e => e.getField("w")),
+        array().cast("array<double>")).as("weights"),
+      coalesce(size(col("iw")), lit(0)).as("n_terms"))
   }
 }

@@ -366,7 +366,9 @@ object TextQueries extends QueryModule {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val vocab = graft.operators.TfIdf.fitVocab(docs, "doc_id", "text", vocabSize = 200)
-    graft.operators.TfIdf.vectorize(docs, "doc_id", "text", vocab)
+    // keepEmpty=false: the explode drops empty vectors anyway, so the
+    // totality join would be a pure extra corpus pass
+    graft.operators.TfIdf.vectorize(docs, "doc_id", "text", vocab, keepEmpty = false)
       .select($"doc_id",
         explode(arrays_zip($"indices", $"weights")).as("iw"))
       .select($"doc_id", $"iw.indices".as("idx"),
