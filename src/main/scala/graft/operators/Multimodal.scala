@@ -36,18 +36,22 @@ object Multimodal {
   }
 
   /** Typed metadata without decoding: cheap, columnar, no UDF. Format is
-    * sniffed from real magic bytes — PNG's 8-byte signature and JPEG's
-    * FF D8 marker — by slicing only the payload prefix (never hex-encoding
-    * the whole blob: that would churn O(payload) string bytes per row to
-    * inspect a handful). */
+    * sniffed from real magic bytes — PNG's 8-byte signature, JPEG's FF D8
+    * marker, WAV's RIFF/WAVE header — by slicing only the payload prefix
+    * (never hex-encoding the whole blob: that would churn O(payload)
+    * string bytes per row to inspect a handful). */
   def payloadMeta(payloads: DataFrame): DataFrame = {
     val pngMagic = lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
     val jpegMagic = lit(Array[Byte](0xFF.toByte, 0xD8.toByte))
+    val riff = lit("RIFF".getBytes("US-ASCII"))
+    val wave = lit("WAVE".getBytes("US-ASCII"))
     payloads.select(
       col("doc_id"),
       octet_length(col("payload")).cast("long").as("n_bytes"),
       when(substring(col("payload"), 1, 8) === pngMagic, "png")
         .when(substring(col("payload"), 1, 2) === jpegMagic, "jpeg")
+        .when(substring(col("payload"), 1, 4) === riff &&
+          substring(col("payload"), 9, 4) === wave, "wav")
         .otherwise("bin").as("format"))
   }
 
@@ -100,6 +104,69 @@ object Multimodal {
         }
       } catch { case _: java.io.IOException => decodeStub(id, bytes) }
     } else decodeStub(id, bytes)
+
+  case class AudioFeatures(doc_id: Long, n_bytes: Long, sample_rate: Double,
+      channels: Int, n_frames: Long, duration_ms: Double, rms: Double)
+
+  /** Audio feature extraction via mapPartitions. WAV payloads are decoded
+    * for real (`javax.sound.sampled` — pure JDK: header parse + PCM frame
+    * read); compressed formats (no codec in this environment) and corrupt
+    * payloads fall back to the deterministic stub. RMS amplitude is
+    * computed over 16-bit signed PCM samples, normalized to [0, 1]. */
+  def extractAudioFeatures(payloads: DataFrame): Dataset[AudioFeatures] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    typedPayloads(payloads)
+      .mapPartitions(_.map { case (id, bytes) => decodeAudio(id, bytes) })
+  }
+
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  private[operators] def decodeAudio(id: Long, bytes: Array[Byte]): AudioFeatures =
+    if (isWav(bytes)) {
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          val frames = ais.getFrameLength
+          val durationMs =
+            if (fmt.getFrameRate > 0) frames * 1000.0 / fmt.getFrameRate else 0.0
+          val rms =
+            if (fmt.getSampleSizeInBits == 16 &&
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+              val data = ais.readAllBytes()
+              var sumSq = 0.0; var n = 0
+              var i = 0
+              while (i + 1 < data.length) {
+                val s = if (fmt.isBigEndian)
+                  ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort
+                else ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort
+                sumSq += (s / 32768.0) * (s / 32768.0); n += 1
+                i += 2
+              }
+              if (n == 0) 0.0 else math.sqrt(sumSq / n)
+            } else 0.0
+          AudioFeatures(id, bytes.length.toLong, fmt.getSampleRate.toDouble,
+            fmt.getChannels, frames, durationMs, rms)
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException => audioStub(id, bytes)
+      }
+    } else audioStub(id, bytes)
+
+  /** Deterministic stub for formats with no in-environment codec: assumes
+    * 16 kHz mono 16-bit framing over the raw bytes. */
+  private def audioStub(id: Long, bytes: Array[Byte]): AudioFeatures = {
+    val frames = bytes.length / 2L
+    val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xFF))
+    AudioFeatures(id, bytes.length.toLong, 16000.0, 1, frames,
+      frames * 1000.0 / 16000.0,
+      if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length / 255.0)
+  }
 
   case class ResizedMedia(doc_id: Long, width: Int, height: Int, payload: Array[Byte])
   case class FrameSample(doc_id: Long, frame_idx: Int, ts_ms: Long, payload: Array[Byte])

@@ -91,6 +91,42 @@ class PipelinesSpec extends SparkSpec {
     assert(feats(3L).width >= 16 && feats(3L).height >= 16)
   }
 
+  test("multimodal: real WAV decode via javax.sound.sampled") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 0.1 s of 440 Hz sine at 8 kHz mono 16-bit, amplitude 0.5 full scale
+    val sampleRate = 8000f
+    val nFrames = 800
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s = (math.sin(2 * math.Pi * 440 * i / sampleRate) * 0.5 * 32767).toInt.toShort
+      pcm(2 * i) = (s & 0xFF).toByte          // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    val wavBytes = out.toByteArray
+    val payloads = Seq(
+      (1L, wavBytes),
+      (2L, "definitely not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val meta = Multimodal.payloadMeta(payloads).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(meta === Map(1L -> "wav", 2L -> "bin"))
+    val feats = Multimodal.extractAudioFeatures(payloads).collect()
+      .map(f => f.doc_id -> f).toMap
+    val wav = feats(1L)
+    assert(wav.sample_rate === 8000.0 && wav.channels === 1)
+    assert(wav.n_frames === 800L)
+    assert(math.abs(wav.duration_ms - 100.0) < 1e-6)
+    // a sine of amplitude a has rms a/sqrt(2) ≈ 0.3536
+    assert(math.abs(wav.rms - 0.5 / math.sqrt(2)) < 0.01, s"rms ${wav.rms}")
+    // non-audio payloads keep the deterministic stub framing
+    assert(feats(2L).sample_rate === 16000.0)
+  }
+
   test("multimodal: resize emits target-sized payloads deterministically") {
     val docs = Tables.documents(spark, sfDir).limit(10)
     val payloads = Multimodal.asBinaryPayload(docs, "doc_id", "text")
