@@ -53,7 +53,7 @@ object Sinks {
     * `.write.format("kafka")` in a real deployment; tests assert the frame. */
   def kafkaShaped(df: DataFrame, keyCol: String): DataFrame =
     df.select(col(keyCol).cast("string").as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** Header CSV writer (K5). */
   def writeCsv(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =

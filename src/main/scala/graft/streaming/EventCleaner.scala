@@ -47,7 +47,7 @@ object EventCleaner {
       (stringFields.map(f => emptyToNull(col(s"parsed_data.$f")).as(f)) ++
         boolFields.map(f => emptyToNull(col(s"parsed_data.$f")).cast(BooleanType).as(f)) ++
         intFields.map(f => emptyToNull(col(s"parsed_data.$f")).cast(IntegerType).as(f))): _*)
-    flattened.select(profileRawSchema.fieldNames.map(col): _*)
+    flattened.select(profileRawSchema.fieldNames.toIndexedSeq.map(col): _*)
   }
 
   /** container-logs.conf:10-18 chain: parse → copy message into log_data
