@@ -71,6 +71,16 @@ object TrainingDataPipeline {
     dropNearDups(exact, idCol, textCol, cfg)
   }
 
+  /** The full preprocessing story: curate (filter → dedup → near-dup
+    * removal) then pack the survivors into training-ready chunks of at
+    * most `maxTokens`. Chunks carry doc ids; gather text by joining back
+    * to the curated frame. */
+  def curateAndPack(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", cfg: Config = Config(),
+      maxTokens: Int = 2048): org.apache.spark.sql.Dataset[graft.operators.Packing.PackedChunk] =
+    graft.operators.Packing.packDocuments(
+      curate(docs, idCol, textCol, cfg), idCol, textCol, maxTokens)
+
   /** Per-stage row accounting — the curation funnel report. Shares the
     * stage frames with [[curate]] (cached where fanned out), so one call
     * costs one annotated scan plus the two dedup shuffles. */

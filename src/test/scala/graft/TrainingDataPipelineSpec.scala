@@ -42,6 +42,20 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(again.count() === curated.count(), "idempotent on its own output")
   }
 
+  test("curateAndPack ends in training-ready chunks covering every curated doc") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val curated = TrainingDataPipeline.curate(docs)
+    val chunks = TrainingDataPipeline.curateAndPack(docs, maxTokens = 512)
+    val packedIds = chunks.flatMap(_.doc_ids).collect().sorted
+    val curatedIds = curated.select($"doc_id").as[Long].collect().sorted
+    assert(packedIds.toSeq === curatedIds.toSeq,
+      "every curated doc packed exactly once")
+    chunks.collect().foreach { c =>
+      if (c.n_docs > 1) assert(c.total_tokens <= 512)
+    }
+  }
+
   test("entry flagship returns rows with the expected shape") {
     val out = SparkEntry.entry(spark)
     val rows = out.collect()
