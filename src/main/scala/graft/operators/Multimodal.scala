@@ -202,11 +202,16 @@ object Multimodal {
     out
   }
 
-  /** Frame sampling plumbing: one payload row -> every-nth-frame rows.
-    * STUB: treats the payload as `frameCount` equal chunks at `fps`; a real
-    * implementation replaces the chunking with a container demuxer, keeping
-    * the same one-to-many row shape (flatMap inside mapPartitions — the
-    * executor-side explode that keeps frames off the driver). */
+  /** Frame sampling: one payload row -> every-nth-frame rows (flatMap
+    * inside mapPartitions — the executor-side explode that keeps frames
+    * off the driver).
+    *
+    * GIF payloads are demuxed for REAL: `javax.imageio`'s gif reader walks
+    * the container's frames, every nth frame re-encodes as a standalone
+    * PNG payload. Other container formats (no demuxer in this environment)
+    * fall back to the deterministic chunking stub with the same row shape.
+    * Frame timestamps use the caller's `fps` (a full demuxer would read
+    * per-frame delays from container metadata). */
   def sampleFrames(payloads: DataFrame, everyNth: Int, frameCount: Int = 16,
       fps: Double = 25.0): Dataset[FrameSample] = {
     require(everyNth >= 1 && frameCount >= 1)
@@ -214,14 +219,51 @@ object Multimodal {
     import spark.implicits._
     typedPayloads(payloads)
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        (0 until frameCount by everyNth).iterator.map { f =>
-          val start = (f.toLong * bytes.length / frameCount).toInt
-          val end = ((f + 1).toLong * bytes.length / frameCount).toInt
-          FrameSample(id, f, (f * 1000 / fps).toLong,
-            java.util.Arrays.copyOfRange(bytes, start, end))
-        }
+        if (isGif(bytes)) gifFrames(id, bytes, everyNth, fps)
+        else stubFrames(id, bytes, everyNth, frameCount, fps)
       })
   }
+
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  /** Real GIF demux: frame count from the container, each sampled frame
+    * re-encoded as PNG. Falls back to the stub on corrupt payloads — a
+    * truncated blob must not kill a corpus-scale job. */
+  private def gifFrames(id: Long, bytes: Array[Byte], everyNth: Int,
+      fps: Double): Iterator[FrameSample] = {
+    try {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return stubFrames(id, bytes, everyNth, 16, fps)
+      val reader = readers.next()
+      try {
+        reader.setInput(in)
+        val n = reader.getNumImages(true)
+        (0 until n by everyNth).iterator.map { f =>
+          val img = reader.read(f)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          FrameSample(id, f, (f * 1000 / fps).toLong, out.toByteArray)
+        }.toVector.iterator // materialize before the reader is disposed
+      } finally reader.dispose()
+    } catch {
+      case _: java.io.IOException | _: RuntimeException =>
+        stubFrames(id, bytes, everyNth, 16, fps)
+    }
+  }
+
+  /** Deterministic chunking stand-in for formats with no demuxer. */
+  private def stubFrames(id: Long, bytes: Array[Byte], everyNth: Int,
+      frameCount: Int, fps: Double): Iterator[FrameSample] =
+    (0 until frameCount by everyNth).iterator.map { f =>
+      val start = (f.toLong * bytes.length / frameCount).toInt
+      val end = ((f + 1).toLong * bytes.length / frameCount).toInt
+      FrameSample(id, f, (f * 1000 / fps).toLong,
+        java.util.Arrays.copyOfRange(bytes, start, end))
+    }
 
   /** Deterministic fake decode for payloads with no in-environment codec
     * (audio/video, unknown formats): dimensions and intensity derived from

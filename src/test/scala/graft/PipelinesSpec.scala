@@ -127,6 +127,37 @@ class PipelinesSpec extends SparkSpec {
     assert(feats(2L).sample_rate === 16000.0)
   }
 
+  test("multimodal: real GIF container demux samples every nth frame as PNG") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.{IIOImage, ImageIO}
+    val colors = Seq(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFF00)
+    val frames = colors.map { c =>
+      val img = new BufferedImage(5, 3, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 5; y <- 0 until 3) img.setRGB(x, y, c)
+      img
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f =>
+      writer.writeToSequence(new IIOImage(f, null, null), writer.getDefaultWriteParam))
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val gifBytes = out.toByteArray
+
+    val payloads = Seq((7L, gifBytes)).toDF("doc_id", "payload")
+    val sampled = Multimodal.sampleFrames(payloads, everyNth = 2, fps = 10.0)
+      .collect().sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq === Seq(0, 2), "every 2nd of 4 frames")
+    assert(sampled.map(_.ts_ms).toSeq === Seq(0L, 200L), "ts from frame_idx/fps")
+    sampled.zip(Seq(colors(0), colors(2))).foreach { case (fr, expected) =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(fr.payload))
+      assert(img.getWidth === 5 && img.getHeight === 3)
+      assert((img.getRGB(2, 1) & 0xFFFFFF) === expected, "frame pixels survive demux")
+    }
+  }
+
   test("multimodal: resize emits target-sized payloads deterministically") {
     val docs = Tables.documents(spark, sfDir).limit(10)
     val payloads = Multimodal.asBinaryPayload(docs, "doc_id", "text")
