@@ -25,9 +25,15 @@ import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 object ShingleHashes {
   def shingle_hashes(tokens: Column, n: Int): Column =
     column(ShingleHashesExpr(expression(tokens), n))
+
+  /** Non-distinct variant: one hash PER OCCURRENCE, for multiplicity
+    * consumers (repetition scoring) where duplicate grams are the signal. */
+  def gram_hashes(tokens: Column, n: Int): Column =
+    column(ShingleHashesExpr(expression(tokens), n, distinct = false))
 }
 
-case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHashesExpr(child: Expression, n: Int,
+    distinct: Boolean = true) extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
   override def prettyName: String = "shingle_hashes"
   override def nullIntolerant: Boolean = true
@@ -59,6 +65,7 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
       out(i) = h
       i += 1
     }
+    if (!distinct) return new GenericArrayData(out)
     // distinct: sort + unique (arrays are small; avoids boxing)
     Arrays.sort(out)
     var w = 0

@@ -29,6 +29,11 @@ object SketchExpressions {
   /** nTables LSH sign-buckets (nPlanes bits each) over array<float/double>. */
   def lsh_buckets(vec: Column, nTables: Int, nPlanes: Int): Column =
     column(LshBuckets(expression(vec), nTables, nPlanes))
+
+  /** Multiplicity statistics [total, distinct, max_count] of an
+    * array<long> — the row-local kernel behind repetition scoring. */
+  def multiplicity_stats(hashes: Column): Column =
+    column(MultiplicityStats(expression(hashes)))
 }
 
 case class MinHashSig(child: Expression, k: Int, seed: Long)
@@ -103,6 +108,66 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
 }
 
 object MinHashSig { val P: Long = 2147483647L }
+
+/** [total, distinct, max multiplicity] of an array<long> in one pass over
+  * a row-local open-addressing table — no explode, no (doc, gram) shuffle:
+  * the repetition signals (Gopher-style duplicate-n-gram filters) stay a
+  * narrow map over the corpus. Element identity is the 64-bit value, which
+  * for shingle_hashes input means the same ~1e-15 collision caveat as the
+  * dedup joins. */
+case class MultiplicityStats(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "multiplicity_stats"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"multiplicity_stats requires array<long> (e.g. shingle_hashes), " +
+        s"got ${other.simpleString}")
+  }
+
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (n == 0) return new GenericArrayData(Array(0L, 0L, 0L))
+    var cap = 4
+    while (cap < n * 2) cap <<= 1
+    val keys = new Array[Long](cap)
+    val counts = new Array[Int](cap)
+    val mask = cap - 1
+    var distinct = 0L
+    var maxCount = 0
+    var i = 0
+    while (i < n) {
+      val k = a.getLong(i)
+      // finalizer-style mix spreads sequential hashes across the table
+      var slot = (java.lang.Long.hashCode(k * -7046029254386353131L)) & mask
+      var placed = false
+      while (!placed) {
+        if (counts(slot) == 0) {
+          keys(slot) = k; counts(slot) = 1; distinct += 1
+          if (maxCount < 1) maxCount = 1
+          placed = true
+        } else if (keys(slot) == k) {
+          counts(slot) += 1
+          if (counts(slot) > maxCount) maxCount = counts(slot)
+          placed = true
+        } else slot = (slot + 1) & mask
+      }
+      i += 1
+    }
+    new GenericArrayData(Array(n.toLong, distinct, maxCount.toLong))
+  }
+
+  override def nullSafeEval(arr: Any): Any = compute(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("multExpr", this, classOf[MultiplicityStats].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.compute($a)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
 
 case class LshBuckets(child: Expression, nTables: Int, nPlanes: Int)
     extends UnaryExpression {

@@ -450,7 +450,46 @@ object TextQueries extends QueryModule {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  /** Gopher-style repetition signals per document: total / distinct /
+    * most-frequent 2-gram multiplicity and the top-gram fraction — the
+    * standard duplicate-n-gram quality filters. Engine side is ONE narrow
+    * codegen map per row (`gram_hashes` → `multiplicity_stats`, an
+    * open-addressing count table over the row's gram hashes — no explode,
+    * no (doc, gram) shuffle); the oracle recomputes the counts relationally
+    * in DuckDB. */
+  private def q51Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.expressions.ShingleHashes.gram_hashes
+    import graft.functions.expressions.SketchExpressions.multiplicity_stats
+    Tables.documents(spark, dir)
+      .select($"doc_id", multiplicity_stats(gram_hashes(tokens($"text"), 2)).as("ms"))
+      .filter(element_at($"ms", 1) > 0)
+      .select($"doc_id",
+        element_at($"ms", 1).as("n_grams"),
+        element_at($"ms", 2).as("distinct_grams"),
+        element_at($"ms", 3).as("max_count"),
+        round(element_at($"ms", 3).cast("double") / element_at($"ms", 1), 6).as("top_frac"))
+      .orderBy($"doc_id")
+  }
+
+  private val q51Sql =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+      |  FROM words QUALIFY gram IS NOT NULL),
+      |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+      |  CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+      |  CAST(MAX(c) AS BIGINT) AS max_count,
+      |  round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_frac
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q51_repetition", q51Repetition, Some(q51Sql),
+      "per-doc n-gram repetition signals via row-local count table (north star)"),
     Q("q50_stratified", q50Stratified, Some(q50Sql),
       "stratified corpus balancing by portable hash thresholds (north star)"),
     Q("q49_packing", q49Packing, Some(q49Sql),

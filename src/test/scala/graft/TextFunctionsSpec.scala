@@ -64,4 +64,40 @@ class TextFunctionsSpec extends SparkSpec {
     // abc|123|def, 45|x -> 5 pieces
     assert(df.select(subwordCount($"text")).as[Int].head() === 5)
   }
+
+  test("multiplicity_stats matches brute-force counting; gram_hashes keeps duplicates") {
+    import graft.functions.expressions.ShingleHashes.{gram_hashes, shingle_hashes}
+    import graft.functions.expressions.SketchExpressions.multiplicity_stats
+    val texts = Seq(
+      "a b a b a b",        // 2-grams: ab ba ab ba ab -> total 5, distinct 2, max 3
+      "x y z",              // total 2, distinct 2, max 1
+      "w",                  // no 2-gram
+      "r r r r")            // rr rr rr -> total 3, distinct 1, max 3
+    val df = texts.toDF("text")
+    val got = df.select(multiplicity_stats(gram_hashes(tokens($"text"), 2)))
+      .as[Seq[Long]].collect().map(_.toList).toList
+    assert(got === List(List(5, 2, 3), List(2, 2, 1), List(0, 0, 0), List(3, 1, 3)))
+    // distinct shingle_hashes would erase the signal — pin the difference
+    val distinctStats = df.limit(1)
+      .select(multiplicity_stats(shingle_hashes(tokens($"text"), 2)))
+      .as[Seq[Long]].head()
+    assert(distinctStats === Seq(2, 2, 1))
+    // random cross-check vs brute-force grouping, n = 3
+    val rnd = new scala.util.Random(7)
+    val randomTexts = Seq.fill(30)(Seq.fill(rnd.nextInt(30))(
+      ('a' + rnd.nextInt(3)).toChar.toString).mkString(" ")).toDF("text")
+    val viaKernel = randomTexts
+      .select(multiplicity_stats(gram_hashes(tokens($"text"), 3)))
+      .as[Seq[Long]].collect().map(_.toList)
+    val brute = randomTexts.as[String].collect().map { t =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      val grams = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      if (grams.isEmpty) List(0L, 0L, 0L)
+      else {
+        val c = grams.groupBy(identity).map(_._2.size)
+        List(grams.size.toLong, c.size.toLong, c.max.toLong)
+      }
+    }.toList
+    assert(viaKernel.toList === brute)
+  }
 }
