@@ -60,20 +60,26 @@ object Bpe {
     def encode(text: String): Seq[String] =
       text.split(" ").iterator.filter(_.nonEmpty).flatMap(encodeWord).toSeq
 
-    /** BPE piece count per text column — executor-side with per-partition
-      * word memoization (corpora repeat words heavily). */
+    /** Word→pieceCount memo, owned by THIS model (a shared per-thread
+      * cache would leak counts between different models). Transient: each
+      * deserialized task-side copy builds its own, which still amortizes
+      * encoding to a hash lookup per word occurrence within a task —
+      * corpora repeat words heavily. */
+    @transient private lazy val wordMemo =
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+    /** BPE piece count per text column — executor-side, memoized per
+      * distinct word. */
     def tokenCount(df: DataFrame, textCol: String,
         out: String = "bpe_tokens"): DataFrame = {
       val model = this
-      val spark = df.sparkSession
       val enc = udf { text: String =>
         if (text == null) 0
         else {
-          val memo = BpeModel.partitionMemo.get()
           var n = 0
           text.split(" ").foreach { w =>
             if (w.nonEmpty)
-              n += memo.computeIfAbsent(w,
+              n += model.wordMemo.computeIfAbsent(w,
                 (key: String) => model.encodeWord(key).length)
           }
           n
@@ -81,14 +87,6 @@ object Bpe {
       }
       df.withColumn(out, enc(col(textCol)))
     }
-  }
-
-  object BpeModel {
-    /** Per-JVM-thread word→pieceCount memo; corpora repeat words heavily,
-      * so encoding cost amortizes to a hash lookup per occurrence. */
-    private val partitionMemo =
-      ThreadLocal.withInitial[java.util.concurrent.ConcurrentHashMap[String, Integer]](
-        () => new java.util.concurrent.ConcurrentHashMap[String, Integer]())
   }
 
   /** Train `nMerges` BPE merges on the corpus's word-frequency table. */

@@ -47,6 +47,19 @@ object StreamingJobs {
       .select(col("window.start").as("window_start"), col(typeCol),
         col("n"), col("total_value"))
 
+  /** T9 streaming form: session windows (inactivity gap) per key with
+    * watermarked state — sessions close `gap` after their last event, the
+    * watermark bounds open-session state. Append-mode-compatible. */
+  def sessionCounts(stream: DataFrame, tsCol: String, keyCol: String,
+      gap: String = "30 minutes", watermark: String = "10 minutes"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n"))
+
   /** K7/T4: writer rotated by event date — the ES daily-index pattern as a
     * partitioned parquet stream. */
   def dateRotatedWriter(stream: DataFrame, tsCol: String, path: String,

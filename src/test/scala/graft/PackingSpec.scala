@@ -56,6 +56,22 @@ class PackingSpec extends SparkSpec {
     assert(chunks.flatMap(_.doc_ids).sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("packs by REAL BPE token counts when composed with Bpe.tokenCount") {
+    val sub = docs.limit(80)
+    val model = graft.functions.Bpe.fit(sub, "text", nMerges = 100, maxWords = 5000)
+    val counted = model.tokenCount(sub, "text")
+    val chunks = Packing.packGreedy(counted, "doc_id", "bpe_tokens",
+      maxTokens = 256, bucketHexChars = 1).collect()
+    val perDoc = counted.select($"doc_id", $"bpe_tokens")
+      .as[(Long, Int)].collect().toMap
+    assert(chunks.flatMap(_.doc_ids).length === 80)
+    chunks.foreach { c =>
+      assert(c.total_tokens === c.doc_ids.map(perDoc(_).toLong).sum,
+        "chunk totals are the BPE counts, not whitespace counts")
+      if (c.n_docs > 1) assert(c.total_tokens <= 256)
+    }
+  }
+
   test("chunk ids name their md5 bucket; salt draws an independent packing") {
     val chunks = Packing.packDocuments(docs, "doc_id", "text",
       maxTokens = 512, bucketHexChars = 2).collect()

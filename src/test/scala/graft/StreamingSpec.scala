@@ -54,6 +54,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows close at the inactivity gap (T9)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(String, Timestamp)]
+    val stream = source.toDF().toDF("user", "ts")
+    val sessions = StreamingJobs.sessionCounts(stream, "ts", "user",
+      gap = "30 minutes", watermark = "5 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // two bursts 40 min apart -> two sessions for u1
+      source.addData(
+        ("u1", Timestamp.valueOf("2024-01-01 00:00:00")),
+        ("u1", Timestamp.valueOf("2024-01-01 00:10:00")),
+        ("u1", Timestamp.valueOf("2024-01-01 00:50:00")))
+      q.processAllAvailable()
+      // advance the watermark far enough to finalize both sessions
+      source.addData(("u2", Timestamp.valueOf("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select($"user", $"n").as[(String, Long)].collect().toSeq.sorted
+      assert(rows === Seq(("u1", 1L), ("u1", 2L)),
+        s"two sessions of 2 and 1 events, got $rows")
+    } finally q.stop()
+  }
+
   test("content dedup drops same-payload records under fresh ids") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(String, Timestamp, String)]
