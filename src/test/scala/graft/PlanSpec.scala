@@ -130,6 +130,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("repetition signals are a narrow map: no exchange before presentation") {
+    import graft.core.Tables
+    import org.apache.spark.sql.functions.{col, element_at}
+    import graft.functions.TextFunctions.tokens
+    import graft.functions.expressions.ShingleHashes.gram_hashes
+    import graft.functions.expressions.SketchExpressions.multiplicity_stats
+    val op = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        multiplicity_stats(gram_hashes(tokens(col("text")), 2)).as("ms"))
+      .filter(element_at(col("ms"), 1) > 0)
+    val plan = op.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(plan.contains("multiplicity_stats"), plan.take(2000))
+    assert(plan.contains("*("), "kernel stays inside whole-stage codegen")
+  }
+
   test("IVF nearest-centroid assignment is a narrow codegen map, no exchange") {
     import graft.core.Tables
     val emb = Tables.embeddings(spark, sfDir)
