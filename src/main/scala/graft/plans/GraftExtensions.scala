@@ -83,6 +83,19 @@ object GraftExtensions {
         LshBuckets(args.head,
           constArg("lsh_buckets", "nTables", args(1)).intValue(),
           constArg("lsh_buckets", "nPlanes", args(2)).intValue())
+      }),
+    (FunctionIdentifier("gram_hashes"),
+      info("gram_hashes", "gram_hashes(tokens, n) - per-occurrence n-gram hashes (non-distinct)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "gram_hashes takes (tokens, n)")
+        ShingleHashesExpr(args.head,
+          constArg("gram_hashes", "n", args(1)).intValue(), distinct = false)
+      }),
+    (FunctionIdentifier("multiplicity_stats"),
+      info("multiplicity_stats", "multiplicity_stats(arr) - [total, distinct, max multiplicity] of array<long>"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "multiplicity_stats takes 1 argument")
+        MultiplicityStats(args.head)
       }))
 
   /** Inject into an already-built session (tests, REPLs). */

@@ -58,6 +58,15 @@ class ExtensionsAndCandlesSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("gram_hashes + multiplicity_stats are SQL-callable") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT multiplicity_stats(gram_hashes(array('a','b','a','b','a'), 2)) AS ms")
+      .head().getSeq[Long](0)
+    // grams: ab ba ab ba -> total 4, distinct 2, max 2
+    assert(r === Seq(4L, 2L, 2L))
+  }
+
   test("lsh_buckets is SQL-callable and matches the Column form") {
     GraftExtensions.register(spark)
     graft.core.Tables.embeddings(spark, sfDir).limit(5)

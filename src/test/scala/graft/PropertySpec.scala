@@ -74,6 +74,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bpe encoding is lossless: pieces always concatenate to word + EOW") {
+    import graft.functions.Bpe
+    import spark.implicits._
+    val docs = Seq("the cat sat on the mat the cat ran").toDF("text")
+    val model = Bpe.fit(docs, "text", nMerges = 20)
+    val rnd = new scala.util.Random(11)
+    val words = Seq("the", "cat", "mat", "thecatmat", "zzz", "a") ++
+      Seq.fill(50)(Seq.fill(1 + rnd.nextInt(8))(('a' + rnd.nextInt(5)).toChar).mkString)
+    words.foreach { w =>
+      val pieces = model.encodeWord(w)
+      assert(pieces.mkString === w + Bpe.EOW, s"lossy encode of '$w': $pieces")
+      assert(pieces.nonEmpty && pieces.forall(_.nonEmpty))
+    }
+    assert(model.encodeWord("") === Seq.empty)
+  }
+
   test("jaccard output is within [minJac, 1] and pair-ordered") {
     import spark.implicits._
     val docs = graft.core.Tables.documents(spark, sfDir)
