@@ -20,7 +20,8 @@ object Plans {
     val picks = Seq(
       "q2_filter_project", "q3_join_agg", "q8_topk", "q11_ohlcv",
       "q24_minhash_pairs", "q28_knn_brute", "q34_asof_join",
-      "q39_ivf_knn", "q43_split", "q48_tfidf", "q49_packing")
+      "q39_ivf_knn", "q43_split", "q48_tfidf", "q49_packing",
+      "q52_scrub", "q54_embed_quant")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)

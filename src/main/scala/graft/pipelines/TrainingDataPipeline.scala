@@ -23,7 +23,12 @@ object TrainingDataPipeline {
       allowedLangs: Set[String] = Set("en", "de", "fr", "es"),
       minTokens: Int = 5,
       nearDupJaccard: Double = 0.8,
-      shingleSize: Int = 3)
+      shingleSize: Int = 3,
+      /** false = pairwise rule (keep local minima — see [[dropNearDups]]);
+        * true = one keeper per TRANSITIVE near-dup cluster via connected
+        * components — strictly more removals, the conventional choice when
+        * duplicate clusters are the contamination risk. */
+      clusterNearDups: Boolean = false)
 
   /** Annotation + filter + exact-dedup stages, shared by curate and funnel
     * so the reported funnel can never diverge from the executed pipeline.
@@ -47,7 +52,8 @@ object TrainingDataPipeline {
   /** Near-dup removal rule: drop a doc iff it has a verified near-duplicate
     * with a SMALLER id. This keeps every "local minimum" — strictly fewer
     * removals than connected-component dedup (which keeps one doc per
-    * transitive cluster) while still guaranteeing no surviving pair is
+    * transitive cluster; opt in via Config.clusterNearDups, built on
+    * operators.Components) while still guaranteeing no surviving pair is
     * within the threshold of each other... except across removed
     * intermediaries: in a chain 1~2~3 (1 !~ 3), doc 2 and 3 both drop even
     * though 3's only near-dup was itself removed. That bias toward removal
@@ -56,9 +62,18 @@ object TrainingDataPipeline {
     * in a bounded number of distributed passes. */
   private def dropNearDups(exact: DataFrame, idCol: String, textCol: String,
       cfg: Config): DataFrame = {
-    val losers = Dedup.minhashNearDupPairs(exact, idCol, textCol,
-        n = cfg.shingleSize, minJac = cfg.nearDupJaccard)
-      .select(col("id_b").as(idCol)).distinct()
+    val pairs = Dedup.minhashNearDupPairs(exact, idCol, textCol,
+      n = cfg.shingleSize, minJac = cfg.nearDupJaccard)
+    val losers =
+      if (cfg.clusterNearDups)
+        // one keeper (minimum id) per transitive cluster: everything whose
+        // component label isn't itself goes. Chain 1~2~3 keeps only 1;
+        // the pairwise rule below would keep 1 and any other local minimum.
+        graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+          .filter(col("node") =!= col("component"))
+          .select(col("node").as(idCol))
+      else
+        pairs.select(col("id_b").as(idCol)).distinct()
     exact.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -131,7 +131,36 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Embedding hygiene (north star): per-vector L2 norm + symmetric int8
+    * quantization summary — row-local HOF arithmetic, zero shuffle (see
+    * graft.operators.Quantize for the float→double determinism contract
+    * that makes this bit-comparable across engines). */
+  private def q54EmbedQuant(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Quantize.int8Stats(
+        Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .orderBy($"vec_id")
+  }
+
+  private val q54Sql =
+    """WITH b AS (
+      |  SELECT vec_id, len(embedding) AS dim,
+      |    list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) AS ss,
+      |    coalesce(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 0.0) AS ma
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT e.vec_id, e.embedding, b.dim, b.ss, b.ma,
+      |    CASE WHEN b.ma > 0 THEN 127.0/b.ma ELSE 0.0 END AS sc
+      |  FROM b JOIN embeddings e USING (vec_id))
+      |SELECT vec_id, CAST(dim AS INT) AS dim, round(sqrt(ss), 6) AS l2_norm,
+      |  round(ma, 6) AS max_abs,
+      |  CAST(list_sum(list_transform(embedding::DOUBLE[], x -> floor(x*sc + 0.5))) AS BIGINT) AS q_sum,
+      |  CAST(len(list_filter(list_transform(embedding::DOUBLE[], x -> floor(x*sc + 0.5)), v -> v = 0)) AS BIGINT) AS q_zeros
+      |FROM q ORDER BY vec_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q54_embed_quant", q54EmbedQuant, Some(q54Sql),
+      "L2 norms + int8 quantization summary (north star)"),
     Q("q39_ivf_knn", q39IvfKnn, None, "IVF-clustered ANN top-k (rows-only, spec-verified)"),
     Q("q28_knn_brute", q28KnnBrute, Some(q28Sql), "exact cosine top-k (north star)"),
     Q("q29_embedding_neardup", q29NearDup, Some(q29Sql), "blocked cosine near-dup pairs (north star)"),

@@ -487,7 +487,91 @@ object TextQueries extends QueryModule {
       |  round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_frac
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** PII / identifier scrubbing (north star): rewrite every identifier-
+    * shaped match in `events.props` to a placeholder and keep the audit
+    * count. Pure row-local regexp fold (graft.operators.Scrub) — zero
+    * shuffle, the whole plan is a map over the scan; the email/IPv4 rules
+    * are exercised on adversarial fixtures in ScrubSpec (the synthetic
+    * events only carry digit runs). */
+  private def q52Scrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Scrub.scrub(
+        Tables.events(spark, dir).select($"event_id", $"props"), "props")
+      .select($"event_id", $"props", $"props_redactions")
+      .orderBy($"event_id")
+  }
+
+  // Counts mirror the engine's fold semantics: each rule counts on the
+  // text AFTER the earlier rules ran (an email's digits never double-count).
+  private val q52Sql =
+    """WITH s1 AS (
+      |  SELECT event_id,
+      |    regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS p1,
+      |    len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1
+      |  FROM events),
+      |s2 AS (
+      |  SELECT event_id,
+      |    regexp_replace(p1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS p2,
+      |    c1 + len(regexp_extract_all(p1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS c2
+      |  FROM s1)
+      |SELECT event_id,
+      |  regexp_replace(p2, '[0-9]+', '<NUM>', 'g') AS props,
+      |  CAST(c2 + len(regexp_extract_all(p2, '[0-9]+')) AS BIGINT) AS props_redactions
+      |FROM s2 ORDER BY event_id""".stripMargin
+
+  /** Near-dup CLUSTERS (north star): connected components over the exact
+    * Jaccard pair graph, one row per cluster with its canonical (minimum)
+    * doc id. This is the step q23's pairwise output feeds at scale —
+    * transitive near-dup chains (A~B~C with A!~C) collapse to one keeper.
+    * Engine side is the alternating star contraction
+    * (graft.operators.Components — O(log^2 n) bounded-shuffle rounds); the
+    * oracle recomputes components with a recursive-CTE transitive closure,
+    * an INDEPENDENT formulation that only exists at test scale. */
+  private def q53DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.jaccardPairsAuto(Tables.documents(spark, dir),
+      "doc_id", "text", n = 3, minJac = 0.5)
+    graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+      .groupBy($"component")
+      .agg(count(lit(1)).as("n_members"),
+        concat_ws(",",
+          transform(sort_array(collect_list($"node")), _.cast("string"))).as("members"))
+      .orderBy($"component")
+  }
+
+  private val q53Sql =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w || ' ' || lead(w, 1) OVER o || ' ' || lead(w, 2) OVER o AS shingle
+      |  FROM words WINDOW o AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY shingle IS NOT NULL),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+      |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach(n, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n),
+      |comp AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n)
+      |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  array_to_string(list_sort(list(node)), ',') AS members
+      |FROM comp GROUP BY component ORDER BY component""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q53_dup_clusters", q53DupClusters, Some(q53Sql),
+      "near-dup clusters: star-contraction components vs recursive-closure oracle (north star)"),
+    Q("q52_scrub", q52Scrub, Some(q52Sql),
+      "PII/identifier scrubbing with audit counts (north star)"),
     Q("q51_repetition", q51Repetition, Some(q51Sql),
       "per-doc n-gram repetition signals via row-local count table (north star)"),
     Q("q50_stratified", q50Stratified, Some(q50Sql),

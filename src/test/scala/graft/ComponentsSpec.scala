@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Components
+
+class ComponentsSpec extends SparkSpec {
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain collapses to one component rooted at the minimum") {
+    // A~B, B~C, C~D: pairwise near-dups that are NOT all mutually similar
+    assert(cc(Seq((4L, 3L), (3L, 2L), (2L, 1L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("disjoint components keep separate minimum labels") {
+    assert(cc(Seq((1L, 2L), (10L, 11L), (11L, 12L), (20L, 21L))) ===
+      Map(1L -> 1L, 2L -> 1L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L,
+        20L -> 20L, 21L -> 20L))
+  }
+
+  test("self-loops and duplicate/reversed edges are harmless") {
+    assert(cc(Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("empty edge set yields empty labels") {
+    assert(cc(Seq.empty) === Map.empty)
+  }
+
+  test("star contraction matches brute-force on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 200
+    val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    // driver-side union-find ground truth
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .filterNot(x => edges.filter(e => e._1 != e._2).forall(e => e._1 != x && e._2 != x))
+      .map(x => x -> {
+        // root = min node reachable; union-find parent chain bottoms out there
+        find(x.toInt).toLong
+      }).toMap
+    assert(cc(edges) === expected)
+  }
+
+  test("label is the component MINIMUM regardless of edge orientation") {
+    val forward = cc(Seq((1L, 9L), (9L, 4L)))
+    val backward = cc(Seq((9L, 1L), (4L, 9L)))
+    assert(forward === backward)
+    assert(forward.values.toSet === Set(1L))
+  }
+}

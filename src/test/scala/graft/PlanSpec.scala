@@ -157,4 +157,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("nearest_centroid"), plan.take(2000))
     assert(plan.contains("*("), "assignment stays inside whole-stage codegen")
   }
+
+  test("scrubbing is a pure map over the scan: no exchange, inside WSCG") {
+    import graft.core.Tables
+    val op = graft.operators.Scrub.scrub(
+      Tables.events(spark, sfDir).select("event_id", "props"), "props")
+    val plan = op.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(plan.contains("*("), "regexp fold stays inside whole-stage codegen")
+  }
+
+  test("quantization is a narrow map: no exchange before presentation") {
+    import graft.core.Tables
+    val op = graft.operators.Quantize.int8Stats(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+    val plan = op.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("component rounds exchange id pairs only, never payload columns") {
+    import spark.implicits._
+    // edges carrying a fat payload column: the contraction must not drag it
+    // through any exchange (only u/v ids are selected before the shuffles)
+    val edges = Seq((1L, 2L, "x" * 1000), (2L, 3L, "y" * 1000))
+      .toDF("a", "b", "payload")
+    val labels = graft.operators.Components.connectedComponents(edges, "a", "b")
+    val plan = labels.queryExecution.executedPlan.toString
+    assert(!plan.contains("payload"), "payload column pruned before the contraction")
+    assert(labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }

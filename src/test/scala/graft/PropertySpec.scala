@@ -90,6 +90,36 @@ class PropertySpec extends SparkSpec {
     assert(model.encodeWord("") === Seq.empty)
   }
 
+  test("scrubbing is idempotent: placeholders contain nothing scrubbable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val texts = Seq(
+      "a@b.co and c.d+e@f.org", "10.0.0.1 10.0.0.2", "42", "<NUM> 7",
+      "v1.2.3 at 192.168.1.1 from x@y.io", "clean text", "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val once = graft.operators.Scrub.scrub(df, "t")
+      .select("id", "t")
+    val twice = graft.operators.Scrub.scrub(once, "t")
+      .select(col("id"), col("t"), col("t_redactions"))
+    twice.collect().foreach { r =>
+      assert(r.getLong(2) === 0L, s"re-scrub found matches in '${r.getString(1)}'")
+    }
+    assert(once.collect().map(_.getString(1)).toSeq ===
+      twice.collect().map(_.getString(1)).toSeq)
+  }
+
+  test("int8 codes are bounded: |q_sum| <= 127 * dim on the real corpus") {
+    import spark.implicits._
+    val stats = graft.operators.Quantize.int8Stats(
+      graft.core.Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+    stats.collect().foreach { r =>
+      val (dim, qSum, qZeros) = (r.getAs[Int]("dim"), r.getAs[Long]("q_sum"),
+        r.getAs[Long]("q_zeros"))
+      assert(math.abs(qSum) <= 127L * dim)
+      assert(qZeros >= 0L && qZeros <= dim)
+    }
+  }
+
   test("jaccard output is within [minJac, 1] and pair-ordered") {
     import spark.implicits._
     val docs = graft.core.Tables.documents(spark, sfDir)

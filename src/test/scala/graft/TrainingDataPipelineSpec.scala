@@ -42,6 +42,37 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(again.count() === curated.count(), "idempotent on its own output")
   }
 
+  test("cluster mode keeps exactly one doc per transitive near-dup cluster") {
+    // Chain fixture A(10) ~ M(30) ~ C(20) with A !~ C, middle id LARGEST:
+    // shingle math at 3-grams — base = 40 tokens (38 shingles), each end
+    // adds a distinct 14-token suffix (52 shingles): J(end, mid) = 38/52 ≈
+    // 0.73 >= 0.7, J(A, C) = 38/66 ≈ 0.58 < 0.7. The pairwise rule keeps
+    // BOTH local minima {10, 20} (each end's only near-dup, 30, is larger);
+    // cluster mode collapses the transitive chain to its minimum {10}.
+    val base = Seq.tabulate(40)(i => s"tok$i").mkString(" ")
+    val a = base + " " + Seq.tabulate(14)(i => s"enda$i").mkString(" ")
+    val c = base + " " + Seq.tabulate(14)(i => s"endc$i").mkString(" ")
+    val fixture = Seq((10L, a), (20L, c), (30L, base))
+      .toDF("doc_id", "text")
+    val loose = Config(minQuality = -1.0, minTokens = 1, nearDupJaccard = 0.7,
+      allowedLangs = Set("en", "de", "fr", "es", "und"))
+    val pairIds = TrainingDataPipeline.curate(fixture, cfg = loose)
+      .select("doc_id").as[Long].collect().toSet
+    val clusterIds = TrainingDataPipeline.curate(fixture,
+        cfg = loose.copy(clusterNearDups = true))
+      .select("doc_id").as[Long].collect().toSet
+    assert(pairIds === Set(10L, 20L), s"pairwise rule kept $pairIds")
+    assert(clusterIds === Set(10L), s"cluster mode kept $clusterIds")
+  }
+
+  test("cluster mode on the real corpus removes at least as much as pairwise") {
+    val pairwise = TrainingDataPipeline.curate(docs, cfg = cfg).count()
+    val clustered = TrainingDataPipeline.curate(docs,
+      cfg = cfg.copy(clusterNearDups = true)).count()
+    assert(clustered <= pairwise)
+    assert(clustered > 0)
+  }
+
   test("curateAndPack ends in training-ready chunks covering every curated doc") {
     import spark.implicits._
     val docs = graft.core.Tables.documents(spark, sfDir)
