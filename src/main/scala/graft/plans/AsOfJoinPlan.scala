@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
@@ -70,6 +71,42 @@ object GraftStrategies {
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(AsOfJoinStrategy))
       exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+  }
+}
+
+/** DataFrame entry point for the native as-of join — same signature and
+  * bit-identical semantics as `operators.AsOfJoin.asOf` (the composed
+  * union+window form, which stays the default; AsOfJoinPlanSpec pins
+  * equality across the full semantic matrix). Use this form when the null
+  * padding of the union materially widens the shuffle — wide left schemas
+  * against wide right payloads. */
+object NativeAsOfJoin {
+
+  def asOf(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, leftTs: String, rightTs: String, tieCol: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(payload.forall(!leftCols.contains(_)),
+      s"payload columns ${payload.filter(leftCols.contains)} collide with left columns; alias them first")
+    val spark = left.sparkSession
+    GraftStrategies.ensure(spark)
+    val lPlan = org.apache.spark.sql.graftshim.PlanBridge.analyzed(left)
+    // self-join safety: re-alias the right side when attribute ids overlap
+    // with the left (BindReferences would otherwise bind ambiguously)
+    val rightPlan0 = org.apache.spark.sql.graftshim.PlanBridge.analyzed(right)
+    val rPlan =
+      if (rightPlan0.outputSet.intersect(lPlan.outputSet).isEmpty) rightPlan0
+      else org.apache.spark.sql.graftshim.PlanBridge.analyzed(
+        right.select(right.columns.map(c =>
+          org.apache.spark.sql.functions.col(c).as(c)): _*))
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"column '$name' not found among ${plan.output.map(_.name)}"))
+    org.apache.spark.sql.graftshim.PlanBridge.ofRows(spark, AsOfJoinPlan(
+      attr(lPlan, leftKey), attr(rPlan, rightKey),
+      attr(lPlan, leftTs), attr(rPlan, rightTs),
+      attr(rPlan, tieCol), payload.map(attr(rPlan, _)),
+      lPlan, rPlan))
   }
 }
 
