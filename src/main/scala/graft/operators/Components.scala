@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   *
   * Algorithm: alternating large-star / small-star contraction (Kiveris et
   * al., "Connected Components in MapReduce and Beyond", SoCC'14 — public).
-  * Each round is two groupBy-join passes over the edge set; the edge set
+  * Each round is two single-exchange window-min passes plus one distinct
+  * over the edge set (3 exchanges + 1 convergence action); the edge set
   * contracts toward one star per component rooted at the component's
   * minimum node id, converging in O(log^2 n) rounds. This is the 100 TB
   * shape: no driver-side graph, no transitive-closure blow-up — every
@@ -42,7 +43,7 @@ object Components {
     *   returning partially-contracted labels. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 25): DataFrame = {
-    // canonical orientation (big -> small); both star steps preserve it
+    // canonical orientation (big -> small); both star steps preserve it.
     // localCheckpoint (not cache) each round: each star step references its
     // input several times, so an un-truncated lineage grows ~4x per round
     // and the analyzer chokes on the tree long before the data is a
@@ -50,17 +51,22 @@ object Components {
     // from it — the loop's cost stays proportional to the edge count. (On
     // a cluster with executor churn, swap in reliable checkpoint() with a
     // checkpoint dir; the loop shape is identical.)
+    //
+    // ONE driver action per round: the checkpoint is non-eager, so the
+    // convergence fingerprint's aggregate is the job that materializes it —
+    // the rows persist on first compute and the next round's star steps
+    // read the persisted partitions, never the un-truncated plan.
     var e = edges
       .select(greatest(col(srcCol), col(dstCol)).as("u"),
         least(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var fp = fingerprint(e)
     var rounds = 0
     var converged = fp._1 == 0L
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nfp = fingerprint(next)
       e = next
       converged = nfp == fp
@@ -79,27 +85,42 @@ object Components {
 
   /** Large-star: every node u relinks its LARGER neighbors to
     * m = min(N(u) + u). Each input edge is processed from its smaller
-    * endpoint's side, so the output edge count never exceeds the input's,
-    * and every output edge (v, m) keeps v > m (canonical). */
+    * endpoint's side, so the output row count never exceeds the doubled
+    * input's, and every output edge (v, m) keeps v > m (canonical).
+    *
+    * Shape: ONE exchange (the per-u window min) — the groupBy+join
+    * formulation costs two — and NO distinct: duplicate edges don't
+    * perturb a min, [[smallStar]]'s round-ending distinct dedups, and the
+    * intra-round multiplicity is bounded (each input edge contributes at
+    * most one row here), so the extra shuffle round-trip buys nothing. */
   private def largeStar(e: DataFrame): DataFrame = {
-    val nb = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-    val mins = nb.groupBy("u").agg(min(col("v")).as("mv"))
-      .select(col("u"), least(col("mv"), col("u")).as("m"))
-    nb.join(mins, "u")
+    val wu = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    e.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .withColumn("m", least(min(col("v")).over(wu), col("u")))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** Small-star: every node u relinks its smaller neighbors (and itself)
     * to m = min of those neighbors. Operates on the canonical orientation
-    * directly — no doubling — and keeps it. */
+    * directly — no doubling — and keeps it.
+    *
+    * Same single-exchange window shape; the explode emits both the
+    * relinked (v, m) edge and the root-preserving (u, m) edge in one pass
+    * (a union would recompute the window per branch). The (v, m) self-loop
+    * at v == m drops in the filter; (u, m) can't self-loop since
+    * m <= v < u. The round's ONE distinct lives here. */
   private def smallStar(e: DataFrame): DataFrame = {
-    val mins = e.groupBy("u").agg(min(col("v")).as("m"))
-    e.join(mins, "u")
-      .filter(col("v") =!= col("m"))
-      .select(col("v").as("u"), col("m").as("v"))
-      .unionByName(mins.select(col("u"), col("m").as("v")))
+    val wu = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    e.withColumn("m", min(col("v")).over(wu))
+      .select(explode(array(
+        struct(col("v").as("u"), col("m").as("v")),
+        struct(col("u"), col("m").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
   }
 

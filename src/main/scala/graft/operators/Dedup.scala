@@ -145,11 +145,19 @@ object Dedup {
     * statistic it bounds is the worst case, not an estimate.
     *
     * Both branches return identical results (DedupSpec pins equality at 4
-    * thresholds); the gate is purely a plan-shape choice. */
+    * thresholds); the gate is purely a plan-shape choice.
+    *
+    * @param knownCount caller-supplied document count for the gate. On a
+    *   parquet source `count()` is metadata-only, but callers composing
+    *   this over DERIVED frames (filtered/deduped corpora, cached pair
+    *   inputs) pay a real scan per invocation — pass the count they
+    *   already hold and the gate costs nothing. The gate statistic bounds
+    *   the worst case, so an upper bound is also safe to pass. */
   def jaccardPairsAuto(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJac: Double = 0.5,
-      naiveMaxDocs: Long = 20000L): DataFrame =
-    if (docs.count() <= naiveMaxDocs)
+      naiveMaxDocs: Long = 20000L,
+      knownCount: Option[Long] = None): DataFrame =
+    if (knownCount.getOrElse(docs.count()) <= naiveMaxDocs)
       ngramJaccardPairs(docs, idCol, textCol, n, minJac)
     else
       ppjoinJaccardPairs(docs, idCol, textCol, n, minJac)

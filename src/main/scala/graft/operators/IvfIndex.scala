@@ -205,7 +205,10 @@ object IvfIndex {
     * planning time (no scan, no shuffle, of unprobed lists). */
   def probeIndexed(queries: DataFrame, lists: DataFrame, idCol: String,
       vecCol: String, k: Int, model: IvfModel, nProbe: Int = 4): DataFrame = {
-    val probes = probeSet(queries, idCol, vecCol, model, nProbe)
+    // cache: the probe subplan (query window over the centroid literal) is
+    // consumed twice — collected below for the static pruning filter, then
+    // again as scoreProbes' broadcast side. Without the cache it runs twice.
+    val probes = probeSet(queries, idCol, vecCol, model, nProbe).cache()
     val probedLists = probes.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).sorted // <= nLists values, never data
     val indexed = lists

@@ -102,7 +102,11 @@ object Multimodal {
           }
           MediaFeatures(id, bytes.length.toLong, w, h, sum / (w.toLong * h) / 255.0)
         }
-      } catch { case _: java.io.IOException => decodeStub(id, bytes) }
+      // NonFatal, not just IOException: ImageIO plugins throw runtime
+      // exceptions (IllegalArgument, ArrayIndexOutOfBounds, CMMException)
+      // on malformed payloads, and the fall-back-to-stub contract must hold
+      // for those too — a corrupt blob must not kill a corpus-scale job
+      } catch { case scala.util.control.NonFatal(_) => decodeStub(id, bytes) }
     } else decodeStub(id, bytes)
 
   case class AudioFeatures(doc_id: Long, n_bytes: Long, sample_rate: Double,
@@ -234,21 +238,26 @@ object Multimodal {
   private def gifFrames(id: Long, bytes: Array[Byte], everyNth: Int,
       fps: Double): Iterator[FrameSample] = {
     try {
+      // with ImageIO's default file cache, createImageInputStream returns a
+      // FileCacheImageInputStream backed by a temp file — close it in the
+      // finally or every GIF row leaks a temp file + handle on the executor
       val in = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(in)
-      if (!readers.hasNext) return stubFrames(id, bytes, everyNth, 16, fps)
-      val reader = readers.next()
       try {
-        reader.setInput(in)
-        val n = reader.getNumImages(true)
-        (0 until n by everyNth).iterator.map { f =>
-          val img = reader.read(f)
-          val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", out)
-          FrameSample(id, f, (f * 1000 / fps).toLong, out.toByteArray)
-        }.toVector.iterator // materialize before the reader is disposed
-      } finally reader.dispose()
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) return stubFrames(id, bytes, everyNth, 16, fps)
+        val reader = readers.next()
+        try {
+          reader.setInput(in)
+          val n = reader.getNumImages(true)
+          (0 until n by everyNth).iterator.map { f =>
+            val img = reader.read(f)
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", out)
+            FrameSample(id, f, (f * 1000 / fps).toLong, out.toByteArray)
+          }.toVector.iterator // materialize before the reader is disposed
+        } finally reader.dispose()
+      } finally in.close()
     } catch {
       case _: java.io.IOException | _: RuntimeException =>
         stubFrames(id, bytes, everyNth, 16, fps)

@@ -82,6 +82,12 @@ object Sampling {
     val sized = corpora.map { case (name, df, p) =>
       (name, df, p / totalP, df.count().toDouble)
     }
+    // an empty corpus would make t = min(n_i/p_i) = 0 and silently sample
+    // every OTHER corpus at rate 0 — fail loudly instead
+    sized.foreach { case (name, _, _, n) =>
+      require(n > 0, s"corpus '$name' is empty; a mixture honoring its " +
+        "proportion by downsampling would be empty — drop it or fix the input")
+    }
     val t = sized.map { case (_, _, p, n) => n / p }.min
     sized.map { case (name, df, p, n) =>
       val rate = math.min(1.0, p * t / n)

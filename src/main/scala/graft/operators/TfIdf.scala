@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.functions.TextFunctions
 
@@ -26,24 +25,34 @@ import graft.functions.TextFunctions
   */
 object TfIdf {
 
-  /** Top-`vocabSize` terms by document frequency as (term, idx, df, idf). */
+  /** Top-`vocabSize` terms by document frequency as (term, idx, df, idf).
+    *
+    * Index assignment happens driver-side over the COLLECTED top-V rows
+    * (orderBy+limit plans as TakeOrdered, so the collect moves <= V
+    * (term, df) pairs — bounded metadata, the IvfIndex-centroid pattern).
+    * The alternative — a global row_number window after the limit — is
+    * benign at <= V rows but emits WindowExec's single-partition warning,
+    * and a load-bearing-benign warning would mask a real one. */
   def fitVocab(docs: DataFrame, idCol: String, textCol: String,
       vocabSize: Int): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     val nDocs = docs.count()
-    val byDf = Window.orderBy(col("df").desc, col("term").asc)
-    docs
+    val top = docs
       .select(col(idCol).as("__id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy("term")
       .agg(countDistinct(col("__id")).as("df"))
-      // top-V cut BEFORE the global index sort: orderBy+limit plans as
-      // TakeOrdered, so only V rows ever reach one partition
+      // top-V cut via TakeOrdered: only V rows ever reach the driver
       .orderBy(col("df").desc, col("term").asc)
       .limit(vocabSize)
-      .withColumn("idx", row_number().over(byDf) - 1)
-      .withColumn("idf",
-        log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0)
-      .select(col("term"), col("idx"), col("df"), col("idf"))
+      .collect()
+    val rows = top.iterator.zipWithIndex.map { case (r, i) =>
+      val df = r.getLong(1)
+      // StrictMath.log mirrors Catalyst's Log expression bit-for-bit, so a
+      // vocabulary fit on the driver hashes identically to the window form
+      (r.getString(0), i, df, StrictMath.log((nDocs + 1.0) / (df + 1.0)) + 1.0)
+    }.toSeq
+    docs.sparkSession.createDataFrame(rows)
+      .toDF("term", "idx", "df", "idf")
   }
 
   /** Sparse tf-idf vectors per document: (id, indices sorted asc, weights

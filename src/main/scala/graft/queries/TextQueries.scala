@@ -529,8 +529,11 @@ object TextQueries extends QueryModule {
     * an INDEPENDENT formulation that only exists at test scale. */
   private def q53DupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = Dedup.jaccardPairsAuto(Tables.documents(spark, dir),
-      "doc_id", "text", n = 3, minJac = 0.5)
+    val docs = Tables.documents(spark, dir)
+    // pass the corpus count through the gate (metadata-only on parquet, but
+    // the parameter keeps the gate free however this corpus is derived)
+    val pairs = Dedup.jaccardPairsAuto(docs,
+      "doc_id", "text", n = 3, minJac = 0.5, knownCount = Some(docs.count()))
     graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
       .groupBy($"component")
       .agg(count(lit(1)).as("n_members"),

@@ -48,7 +48,17 @@ object JdbcUpsert {
     * transaction batch rows execute in order, so intra-batch duplicates
     * dedup exactly like the Postgres form. Derby requires parameter types
     * in a SELECT list, hence the per-column CASTs (`columnTypes` are SQL
-    * type names aligned with `columns`). */
+    * type names aligned with `columns`).
+    *
+    * CONCURRENCY CAVEAT (unlike the Postgres ON CONFLICT form, which is
+    * atomic): two writers carrying the same pk can both pass the NOT
+    * EXISTS probe before either commits, and the second insert aborts its
+    * task with a duplicate-key error. Under Spark that means cross-
+    * partition duplicates are NOT safe with this dialect — pre-aggregate
+    * to one row per pk (e.g. `Dedup.exactDedupNarrow` / dropDuplicates on
+    * the pk) or repartition by pk so duplicates land in one partition,
+    * where the in-order batch semantics above apply. The ON CONFLICT
+    * dialect has no such requirement. */
   def derbyUpsertIgnore(table: String, columns: Seq[String],
       columnTypes: Seq[String], pk: Seq[String]): UpsertStatement = {
     checkPk(columns, pk)

@@ -108,6 +108,21 @@ class DedupSpec extends SparkSpec {
     assert(justBelow.queryExecution.optimizedPlan.toString.contains("row_number"))
   }
 
+  test("jaccardPairsAuto: knownCount drives the gate without a count job") {
+    // a caller-supplied count above the gate flips to ppjoin even though the
+    // actual corpus is tiny — and vice versa — proving the gate consults the
+    // parameter, not the data
+    val forcedUp = Dedup.jaccardPairsAuto(docs, "doc_id", "text",
+      naiveMaxDocs = 20000L, knownCount = Some(20001L))
+    assert(forcedUp.queryExecution.optimizedPlan.toString.contains("row_number"))
+    val forcedDown = Dedup.jaccardPairsAuto(docs, "doc_id", "text",
+      naiveMaxDocs = 20000L, knownCount = Some(5L))
+    assert(!forcedDown.queryExecution.optimizedPlan.toString.contains("row_number"))
+    // and both still return the exact answer
+    assert(forcedUp.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      === exactPairs)
+  }
+
   test("minhash bands must tile the signature exactly") {
     val sigs = Dedup.minhashSignatures(docs.limit(5), "doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -95,6 +95,17 @@ class SamplingSpec extends SparkSpec {
     assert(solo.count() === small.count())
   }
 
+  test("mixture rejects an empty corpus instead of silently returning nothing") {
+    // empty corpus -> t = min(n_i/p_i) = 0 would zero out every OTHER
+    // corpus's rate; the operator must fail loudly naming the culprit
+    val small = docs.filter($"doc_id" >= 400 && $"doc_id" < 500)
+    val empty = docs.filter($"doc_id" < 0)
+    val err = intercept[IllegalArgumentException] {
+      Sampling.mixture(Seq(("web", small, 0.5), ("void", empty, 0.5)), "doc_id")
+    }
+    assert(err.getMessage.contains("void"))
+  }
+
   test("split assignment is a narrow map: no exchange in the plan") {
     val plan = Sampling.deterministicSplit(docs, "doc_id", "s1", weights)
       .queryExecution.executedPlan.toString
