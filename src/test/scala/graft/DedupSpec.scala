@@ -108,6 +108,44 @@ class DedupSpec extends SparkSpec {
     assert(justBelow.queryExecution.optimizedPlan.toString.contains("row_number"))
   }
 
+  test("ppjoin at volume: the over-gate branch on a 30k-doc corpus, equal to naive") {
+    // 30k synthetic docs, generated declaratively (no driver loop): doc i
+    // draws 18 body tokens from a 50k vocabulary keyed by its GROUP id plus
+    // 2 trailer tokens keyed by the doc itself. Docs 0..599 pair up into 300
+    // near-dup groups (group = i/2, so each pair shares all 18 body tokens
+    // and differs in the 2 trailers -> shingle Jaccard ~0.75); every other
+    // doc is its own group and matches nothing. This is the first corpus
+    // ABOVE the 20k gate, so jaccardPairsAuto takes the PPJoin branch on its
+    // default settings — the branch r2 only ever ran on fixture rows.
+    val nDocs = 30000L
+    val body = transform(sequence(lit(1), lit(18)),
+      i => concat(lit("w"), pmod(xxhash64(col("gid"), i), lit(50000))))
+    val trailer = transform(sequence(lit(19), lit(20)),
+      i => concat(lit("t"), pmod(xxhash64(col("id"), i), lit(50000))))
+    val corpus = spark.range(nDocs)
+      .withColumn("gid",
+        when(col("id") < 600, floor(col("id") / 2)).otherwise(col("id")))
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", concat(body, trailer)).as("text"))
+      .cache()
+    val t0 = System.nanoTime()
+    val auto = Dedup.jaccardPairsAuto(corpus, "doc_id", "text", n = 3, minJac = 0.5)
+    assert(auto.queryExecution.optimizedPlan.toString.contains("row_number"),
+      "30k docs must route to the ppjoin branch")
+    val pp = auto.select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"ppjoin over 30k docs: ${pp.size} pairs in $secs%.1f s")
+    // exactly the 300 planted pairs, nothing else
+    assert(pp.map(p => (p._1, p._2)) ===
+      (0L until 600L by 2).map(i => (i, i + 1)).toSet)
+    // lossless vs the naive branch on the same corpus
+    val naive = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, minJac = 0.5)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(pp === naive)
+    corpus.unpersist()
+  }
+
   test("jaccardPairsAuto: knownCount drives the gate without a count job") {
     // a caller-supplied count above the gate flips to ppjoin even though the
     // actual corpus is tiny — and vice versa — proving the gate consults the

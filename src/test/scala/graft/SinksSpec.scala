@@ -94,6 +94,44 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/${idx.head}").count() === written(idx.head))
   }
 
+  test("index sink: a non-parquet writer plugs into the seam — ordered dispatch, content round-trip, fail-fast") {
+    import graft.sinks.IndexSink
+    import graft.sinks.IndexSink.{Daily, IndexSpec}
+    val events = graft.core.Tables.events(spark, sfDir).limit(2000).cache()
+    // an in-memory document store standing in for es-hadoop: the writer
+    // lambda materializes each batch's rows under its index name — the
+    // exact shape `batch.write.format("es").save(index)` would consume
+    val store = scala.collection.mutable.LinkedHashMap.empty[String, Array[(Long, String)]]
+    IndexSink.write(events, IndexSpec("logs", Daily, "ts"), (batch, index) =>
+      store(index) = batch.select($"event_id", date_format($"ts", "yyyy.MM.dd"))
+        .as[(Long, String)].collect())
+    // dispatch order is the SORTED distinct index list (deterministic
+    // retry/resume order for a connector) — LinkedHashMap records arrival
+    assert(store.keys.toSeq === store.keys.toSeq.sorted)
+    // content: every row landed in exactly the index its timestamp names,
+    // and nothing was lost or duplicated across indices
+    store.foreach { case (index, rows) =>
+      assert(rows.nonEmpty)
+      assert(rows.forall { case (_, day) => s"logs-$day" == index }, index)
+    }
+    assert(store.values.map(_.length.toLong).sum === events.count())
+    assert(store.values.flatMap(_.map(_._1)).toSeq.distinct.size ===
+      events.select($"event_id").distinct().count())
+    // per-index failure semantics: the seam fails fast on the writer's
+    // exception — indices dispatched before the failure stay written,
+    // nothing after it is attempted (connector-style partial progress)
+    val attempted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val boom = intercept[RuntimeException] {
+      IndexSink.write(events, IndexSpec("logs", Daily, "ts"), (_, index) => {
+        attempted += index
+        if (attempted.size == 2) throw new RuntimeException(s"es down at $index")
+      })
+    }
+    assert(boom.getMessage.startsWith("es down"))
+    assert(attempted.toSeq === store.keys.toSeq.take(2),
+      "dispatch stops at the failing index, in sorted order")
+  }
+
   test("csv sink writes header and round-trips with declared schema") {
     val dir = Files.createTempDirectory("csv").toString + "/out"
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
