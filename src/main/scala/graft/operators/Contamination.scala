@@ -43,4 +43,39 @@ object Contamination {
       .select(col("corpus_id"), col("bench_id"),
         round(col("containment"), 6).as("containment"))
   }
+
+  /** [[ngramContainment]] behind a Bloom-filter document prefilter — the
+    * SAME exact result (bloom filters have no false negatives, and the
+    * exact containment join then discards every false positive), a
+    * different 100 TB shape: the benchmark's distinct shingle hashes build
+    * a driver-side bloom (~2 bytes/shingle at the default 16 bits/element
+    * vs ~50 bytes/entry as a broadcast join table), and candidacy becomes
+    * a row-LOCAL codegen probe over each corpus doc's shingle array — a
+    * clean corpus document is dismissed by a narrow filter without ever
+    * exploding into shingle rows or entering a join. Only the (rare)
+    * bloom-positive docs run the exact containment pipeline.
+    *
+    * Driver-bounded state: the collect moves the benchmark's DISTINCT
+    * shingle hashes (eval sets are thousands of docs — bounded metadata in
+    * the IvfIndex-centroid sense), and only the ~n/4-byte bloom ships with
+    * the plan. */
+  def ngramContainmentBloom(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 5,
+      minContainment: Double = 0.8, bitsPerElement: Int = 16): DataFrame = {
+    import graft.functions.TextFunctions
+    import graft.functions.expressions.BloomExpressions
+    import graft.functions.expressions.ShingleHashes.shingle_hashes
+    val benchHashes = Dedup.shingles(bench, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+      .collect().map(_.getLong(0))
+    if (benchHashes.isEmpty) {
+      // no benchmark shingles -> nothing can be contaminated
+      ngramContainment(corpus.limit(0), bench, idCol, textCol, n, minContainment)
+    } else {
+      val bloom = BloomExpressions.build(benchHashes, bitsPerElement)
+      val candidates = corpus.filter(BloomExpressions.bloom_any(
+        shingle_hashes(TextFunctions.tokens(col(textCol)), n), bloom))
+      ngramContainment(candidates, bench, idCol, textCol, n, minContainment)
+    }
+  }
 }

@@ -282,6 +282,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Corpus-level boilerplate segment removal — the line-dedup stage of
+    * CCNet/RefinedWeb-style pipelines: split every document on `sep`, find
+    * segments whose DOCUMENT frequency exceeds `maxDfFrac` of the corpus
+    * (site headers, footers, navigation, cookie banners), and rebuild each
+    * document with those segments removed, order preserved. All non-text
+    * columns pass through; an `n_removed` count is appended.
+    *
+    * 100 TB shape: the df aggregate exchanges 8-byte segment HASHES
+    * (map-side combined), never segment text; the removal itself is a
+    * narrow per-row array filter against the collected hot-hash literal —
+    * the corpus is never shuffled. The hot set is bounded by construction:
+    * with s average segments per document, at most s / maxDfFrac segments
+    * can exceed the threshold (pigeonhole over segment-document
+    * incidences), e.g. ~30 segments/doc at 2% ⇒ ≤ 1500 — driver-bounded
+    * metadata in the IvfIndex-centroid sense. `maxHotSegments` guards the
+    * bound; exceeding it throws rather than silently truncating.
+    *
+    * Hashing note: frequency and membership key on xxhash64(segment). A
+    * 64-bit collision could over-count a segment's df or remove an
+    * innocent segment; at any feasible distinct-segment count the
+    * probability is negligible, and the q57 oracle (which compares exact
+    * strings) would surface it.
+    *
+    * @param maxDfFrac  a segment is boilerplate when its document
+    *                   frequency is STRICTLY above maxDfFrac * corpus size
+    * @param knownCount caller-supplied corpus size (same contract as
+    *                   [[jaccardPairsAuto]]'s gate) */
+  def dropCommonSegments(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", maxDfFrac: Double = 0.02,
+      maxHotSegments: Int = 100000, knownCount: Option[Long] = None): DataFrame = {
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    require(sep.nonEmpty, "separator must be non-empty")
+    val n = knownCount.getOrElse(docs.count())
+    val segCol = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    // array_distinct: frequency counts DOCUMENTS containing the segment,
+    // not occurrences — a footer repeated inside one page is not corpus
+    // boilerplate
+    val hot = docs
+      .select(explode(array_distinct(segCol)).as("seg"))
+      .select(xxhash64(col("seg")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDfFrac * n)
+      .orderBy(col("df").desc, col("h").asc)
+      .limit(maxHotSegments + 1)
+      .collect().map(_.getLong(0))
+    require(hot.length <= maxHotSegments,
+      s"hot-segment set exceeds maxHotSegments=$maxHotSegments — raise the " +
+        "cap or maxDfFrac; refusing to silently truncate the boilerplate set")
+    if (hot.isEmpty) docs.withColumn("n_removed", lit(0L))
+    else {
+      val hotLit = typedLit(hot.sorted.toSeq)
+      val kept = filter(segCol, s => !array_contains(hotLit, xxhash64(s)))
+      docs.withColumn("__kept", kept)
+        .withColumn("n_removed", (size(segCol) - size(col("__kept"))).cast("long"))
+        .withColumn(textCol, concat_ws(sep, col("__kept")))
+        .drop("__kept")
+    }
+  }
+
   /** 64-bit SimHash fingerprint per doc: sign-sum of per-token hash bits.
     * One codegen expression per row (graft.functions.expressions.SimHash64)
     * — no explode, no 64-column aggregate, no shuffle at all. */

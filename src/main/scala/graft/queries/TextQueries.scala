@@ -302,6 +302,23 @@ object TextQueries extends QueryModule {
       |WHERE CAST(i AS DOUBLE) / bn.n_b >= 0.8
       |ORDER BY corpus_id, bench_id""".stripMargin
 
+  /** The q44 contamination scan through the BLOOM-prefilter path: a
+    * driver-built bloom over the benchmark's shingle hashes dismisses
+    * clean corpus docs with a row-local codegen probe (no explode, no
+    * join) before the exact containment pipeline verifies the rare
+    * candidates. Bloom filters have no false negatives and verification
+    * is exact, so the relation is IDENTICAL to q44 — the oracle SQL is
+    * the same text, which is the point: two physical strategies, one
+    * answer, both hash-checked independently. */
+  private def q55ContaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    graft.operators.Contamination.ngramContainmentBloom(
+        docs.filter($"doc_id" % 10 =!= 0), docs.filter($"doc_id" % 10 === 0),
+        "doc_id", "text", n = 3, minContainment = 0.8)
+      .orderBy($"corpus_id", $"bench_id")
+  }
+
   /** Two-signal language ID confusion matrix: CJK-script ratio first,
     * stopword scorer fallthrough. (The fixture's zh-labeled docs are
     * synthetic English-token text, so here the matrix exercises the
@@ -570,7 +587,107 @@ object TextQueries extends QueryModule {
       |  array_to_string(list_sort(list(node)), ',') AS members
       |FROM comp GROUP BY component ORDER BY component""".stripMargin
 
+  /** Corpus boilerplate line removal (north star): the CCNet/RefinedWeb
+    * line-dedup stage. Both engines first build a multi-line corpus
+    * DETERMINISTICALLY from the same tables (a universal header line plus
+    * a per-source footer on 2/3 of docs — the per-site boilerplate
+    * pattern), then remove every line whose document frequency exceeds 2%
+    * of the corpus. Engine: Dedup.dropCommonSegments — df aggregate over
+    * 8-byte line hashes + narrow literal-filter rebuild (the corpus text
+    * is never shuffled); oracle: relational string_split / anti-join /
+    * ordered string_agg — an independent formulation. */
+  private def q57LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val built = docs.select($"doc_id",
+      concat(
+        lit("copyright footer all rights reserved\n"),
+        $"text",
+        when($"doc_id" % 3 =!= 0, concat(lit("\nnewsletter of "), $"source"))
+          .otherwise(lit(""))).as("text"))
+    Dedup.dropCommonSegments(built, "doc_id", "text",
+        sep = "\n", maxDfFrac = 0.02)
+      .select($"doc_id", $"text", $"n_removed")
+      .orderBy($"doc_id")
+  }
+
+  private val q57Sql =
+    """WITH built AS (
+      |  SELECT doc_id,
+      |    'copyright footer all rights reserved' || chr(10) || text ||
+      |      CASE WHEN doc_id % 3 <> 0 THEN chr(10) || 'newsletter of ' || source
+      |           ELSE '' END AS text
+      |  FROM documents),
+      |segs AS (
+      |  SELECT doc_id, unnest(string_split(text, chr(10))) AS seg,
+      |         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      |  FROM built),
+      |df AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg),
+      |hot AS (
+      |  SELECT seg FROM df
+      |  WHERE df > 0.02 * (SELECT COUNT(*) FROM documents)),
+      |kept AS (
+      |  SELECT s.doc_id, s.pos, s.seg FROM segs s
+      |  LEFT JOIN hot h ON s.seg = h.seg WHERE h.seg IS NULL),
+      |counts AS (SELECT doc_id, COUNT(*) AS n_total FROM segs GROUP BY doc_id),
+      |keptagg AS (
+      |  SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS text,
+      |         COUNT(*) AS n_kept
+      |  FROM kept GROUP BY doc_id)
+      |SELECT c.doc_id, COALESCE(ka.text, '') AS text,
+      |  CAST(c.n_total - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM counts c LEFT JOIN keptagg ka USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** CCNet-style LM quality scoring (north star): fit an add-0.5 bigram
+    * model on the English reference slice, score EVERY document by average
+    * bigram log-probability. Engine: two hashed-gram count aggregates +
+    * broadcast model join + exact-decimal per-doc sum (NgramLm — no gram
+    * string ever materializes); oracle: string-keyed relational counts,
+    * lead() bigrams, and the same decimal-summed ln — independent keying
+    * AND independent bigram construction. */
+  private def q56LmScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    graft.operators.NgramLm.scoreAgainst(
+        docs, docs.filter($"lang" === "en"), "doc_id", "text", addK = 0.5)
+      // hash-compare the order-independent decimal SUM, not the divided
+      // average: avg sits arbitrarily close to round() half-boundaries
+      // where engines' rounding of a 1-ulp-apart double legitimately
+      // differs (seen at sf0.1), while the sum is bit-identical
+      .select($"doc_id", $"n_bigrams", $"sum_logprob")
+      .orderBy($"doc_id")
+  }
+
+  private val q56Sql =
+    """WITH words AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, lang, w AS w1,
+      |         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |  FROM words QUALIFY w2 IS NOT NULL),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+      |c1 AS (SELECT w, COUNT(*) AS c FROM words WHERE lang = 'en' GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT w) AS v FROM words WHERE lang = 'en'),
+      |scored AS (
+      |  SELECT b.doc_id,
+      |    ln((COALESCE(c2.c, 0) + 0.5) / (COALESCE(c1.c, 0) + 0.5 * v.v)) AS lp
+      |  FROM bg b
+      |  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      |  LEFT JOIN c1 ON b.w1 = c1.w
+      |  CROSS JOIN v)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+      |    AS sum_logprob
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q56_lm_score", q56LmScore, Some(q56Sql),
+      "add-k bigram LM quality scoring: hashed-gram engine vs string-keyed oracle (north star)"),
+    Q("q57_line_dedup", q57LineDedup, Some(q57Sql),
+      "corpus boilerplate line removal: hashed-df hot set + narrow rebuild vs relational oracle (north star)"),
     Q("q53_dup_clusters", q53DupClusters, Some(q53Sql),
       "near-dup clusters: star-contraction components vs recursive-closure oracle (north star)"),
     Q("q52_scrub", q52Scrub, Some(q52Sql),
@@ -584,6 +701,8 @@ object TextQueries extends QueryModule {
     Q("q48_tfidf", q48Tfidf, Some(q48Sql), "TF-IDF sparse vectors, flat form (north star)"),
     Q("q47_term_stats", q47TermStats, Some(q47Sql), "vocabulary tf/df statistics (north star)"),
     Q("q45_langid_script", q45LangIdScript, Some(q45Sql), "two-signal language ID (script + stopwords)"),
+    Q("q55_contamination_bloom", q55ContaminationBloom, Some(q44Sql),
+      "q44 via bloom prefilter: row-local codegen probe, exact after verification (north star)"),
     Q("q44_contamination", q44Contamination, Some(q44Sql), "benchmark n-gram containment scan (north star)"),
     Q("q43_split", q43Split, Some(q43Sql), "deterministic hash train/val/test split (north star)"),
     Q("q18_text_stats", q18TextStats, Some(q18Sql), "token counting (north star)"),

@@ -146,6 +146,47 @@ class DedupSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("dropCommonSegments removes corpus boilerplate, keeps order, strict threshold") {
+    // 10 docs: a universal header (df 10/10), a footer on docs 0..5
+    // (df 6/10), a segment on EXACTLY 3 docs (df 3/10 — at the 0.3
+    // threshold, strictly-above semantics must KEEP it), unique bodies
+    val fx = (0 until 10).map { i =>
+      val segs = Seq("HEADER") ++
+        (if (i < 3) Seq("at threshold") else Nil) ++
+        Seq(s"unique body $i", s"more text $i") ++
+        (if (i < 6) Seq("FOOTER") else Nil)
+      (i.toLong, segs.mkString("\n"))
+    }.toDF("doc_id", "text")
+    val out = Dedup.dropCommonSegments(fx, "doc_id", "text",
+        sep = "\n", maxDfFrac = 0.3)
+      .select($"doc_id", $"text", $"n_removed")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    out.foreach { case (i, text, nRemoved) =>
+      val lines = text.split("\n").toSeq
+      assert(!lines.contains("HEADER") && !lines.contains("FOOTER"), text)
+      val expected = (if (i < 3) Seq("at threshold") else Nil) ++
+        Seq(s"unique body $i", s"more text $i")
+      assert(lines === expected, s"doc $i order/content")
+      assert(nRemoved === (if (i < 6) 2L else 1L))
+    }
+    // boilerplate-free corpus passes through identically (threshold must
+    // exceed 1/n here — on a tiny corpus every df-1 segment is "above 2%")
+    val clean = (0 until 5).map(i => (i.toLong, s"only unique $i")).toDF("doc_id", "text")
+    val untouched = Dedup.dropCommonSegments(clean, "doc_id", "text", maxDfFrac = 0.5)
+      .select($"doc_id", $"text", $"n_removed").as[(Long, String, Long)].collect()
+    assert(untouched.forall(_._3 === 0L))
+    assert(untouched.map(r => r._1 -> r._2).toMap ===
+      (0 until 5).map(i => i.toLong -> s"only unique $i").toMap)
+  }
+
+  test("dropCommonSegments removal is a narrow map: no exchange touches the corpus") {
+    val fx = (0 until 10).map(i => (i.toLong, s"HEADER\nbody $i")).toDF("doc_id", "text")
+    val out = Dedup.dropCommonSegments(fx, "doc_id", "text", maxDfFrac = 0.5)
+    // the df aggregate already ran (driver-side hot set); what remains is
+    // the per-row rebuild — it must not shuffle document text
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("jaccardPairsAuto: knownCount drives the gate without a count job") {
     // a caller-supplied count above the gate flips to ppjoin even though the
     // actual corpus is tiny — and vice versa — proving the gate consults the
