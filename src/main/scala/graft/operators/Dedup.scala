@@ -282,6 +282,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Cross-corpus dedup: drop every doc whose content digest appears in a
+    * reference corpus — "never retrain on what the last run already saw",
+    * or "remove anything that exists in the eval set verbatim". The
+    * workhorse form of decontamination when exact matching suffices
+    * (n-gram containment, [[Contamination]], covers the pasted-fragment
+    * case).
+    *
+    * Scale shape: the seen side reduces to DISTINCT digests (map-side
+    * combined, 16 bytes each) before a left-anti join keyed on the
+    * digest — document text never enters an exchange on either side, and
+    * AQE broadcasts the digest set whenever it fits.
+    *
+    * @param digest content key; default md5 of the raw text. Pass
+    *   `TextFunctions.fingerprint` for order/multiplicity-insensitive
+    *   matching. */
+  def dropSeenDocs(docs: DataFrame, seen: DataFrame, textCol: String,
+      digest: Column => Column = md5(_)): DataFrame = {
+    val seenDigests = seen.select(digest(col(textCol)).as("__digest")).distinct()
+    docs.withColumn("__digest", digest(col(textCol)))
+      .join(seenDigests, Seq("__digest"), "left_anti")
+      .drop("__digest")
+  }
+
   /** Corpus-level boilerplate segment removal — the line-dedup stage of
     * CCNet/RefinedWeb-style pipelines: split every document on `sep`, find
     * segments whose DOCUMENT frequency exceeds `maxDfFrac` of the corpus

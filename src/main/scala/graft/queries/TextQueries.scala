@@ -683,7 +683,69 @@ object TextQueries extends QueryModule {
       |    AS sum_logprob
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style hard quality gates (north star): word-count bounds,
+    * mean-word-length bounds, alphabetic fraction, stopword minimum. The
+    * engine evaluates every rule in INTEGER-exact cross-multiplied form
+    * (no float division anywhere — the q56 round-boundary lesson applied
+    * preemptively), as one narrow HOF map per row; the oracle recomputes
+    * the stats relationally from exploded words. */
+  private def q58GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.QualityRules.annotate(
+        Tables.documents(spark, dir), "text")
+      .select($"doc_id", $"n_words", $"sum_word_len", $"n_alpha_words",
+        $"n_stopwords", $"gopher_pass")
+      .orderBy($"doc_id")
+  }
+
+  private val q58Sql =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_words,
+      |    CAST(SUM(len(w)) AS BIGINT) AS sum_word_len,
+      |    CAST(SUM(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words,
+      |    CAST(SUM(CASE WHEN w IN ('the','a','and','of','to','in','be','that','have','with')
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords
+      |  FROM words GROUP BY doc_id)
+      |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stopwords,
+      |  (n_words BETWEEN 50 AND 100000
+      |    AND sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words
+      |    AND n_alpha_words * 100 >= 80 * n_words
+      |    AND n_stopwords >= 2) AS gopher_pass
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Cross-corpus decontamination (north star): treat src0 as "already
+    * trained on" and drop every other-source doc whose token-set
+    * fingerprint matches a seen doc. Engine: distinct-digest reduce +
+    * anti-join (text never shuffles); oracle: NOT IN over the same
+    * fingerprint expression. */
+  private def q59DropSeen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    graft.operators.Dedup.dropSeenDocs(
+        docs.filter($"source" =!= "src0"), docs.filter($"source" === "src0"),
+        "text", digest = fingerprint)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  private val q59Sql =
+    """WITH fp AS (
+      |  SELECT doc_id, source,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      |  FROM documents)
+      |SELECT doc_id, source FROM fp
+      |WHERE source <> 'src0'
+      |  AND fp NOT IN (SELECT fp FROM fp WHERE source = 'src0')
+      |ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q59_drop_seen", q59DropSeen, Some(q59Sql),
+      "cross-corpus decontamination: distinct-digest anti-join vs NOT-IN oracle (north star)"),
+    Q("q58_gopher_rules", q58GopherRules, Some(q58Sql),
+      "Gopher hard quality gates in integer-exact rule arithmetic (north star)"),
     Q("q56_lm_score", q56LmScore, Some(q56Sql),
       "add-k bigram LM quality scoring: hashed-gram engine vs string-keyed oracle (north star)"),
     Q("q57_line_dedup", q57LineDedup, Some(q57Sql),
