@@ -28,7 +28,19 @@ object TrainingDataPipeline {
         * true = one keeper per TRANSITIVE near-dup cluster via connected
         * components — strictly more removals, the conventional choice when
         * duplicate clusters are the contamination risk. */
-      clusterNearDups: Boolean = false)
+      clusterNearDups: Boolean = false,
+      /** When set, corpus-frequency boilerplate segments (split on
+        * `sep`, document frequency above `maxDfFrac`) are stripped from
+        * every document BEFORE annotation — quality/language signals then
+        * score the prose, not the site chrome. */
+      boilerplate: Option[Config.Boilerplate] = None,
+      /** When set, the Gopher hard gates (integer-exact rule arithmetic)
+        * apply alongside the soft quality threshold. */
+      gopherRules: Option[graft.operators.QualityRules.Config] = None)
+
+  object Config {
+    final case class Boilerplate(sep: String = "\n", maxDfFrac: Double = 0.02)
+  }
 
   /** Annotation + filter + exact-dedup stages, shared by curate and funnel
     * so the reported funnel can never diverge from the executed pipeline.
@@ -36,13 +48,20 @@ object TrainingDataPipeline {
     * signatures, verification shingles, the final anti-join). */
   private def stages(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config): (DataFrame, DataFrame) = {
-    val annotated = TextFunctions.withLangId(docs, textCol, "pred_lang")
+    val deboiled = cfg.boilerplate.fold(docs)(b =>
+      Dedup.dropCommonSegments(docs, idCol, textCol,
+        sep = b.sep, maxDfFrac = b.maxDfFrac).drop("n_removed"))
+    val annotated = TextFunctions.withLangId(deboiled, textCol, "pred_lang")
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
-    val filtered = annotated.filter(
+    val softFiltered = annotated.filter(
       col("quality") >= cfg.minQuality &&
         col("pred_lang").isin(cfg.allowedLangs.toSeq: _*) &&
         col("n_tokens") >= cfg.minTokens)
+    val filtered = cfg.gopherRules.fold(softFiltered)(g =>
+      graft.operators.QualityRules.annotate(softFiltered, textCol, g)
+        .filter(col("gopher_pass"))
+        .select(softFiltered.columns.map(col): _*))
     // narrow variant: corpus ids are unique by contract here, so the dedup
     // exchanges move 24-byte digest+id rows, never the document text
     val exact = Dedup.exactDedupNarrow(filtered, idCol, textCol).cache()

@@ -179,6 +179,24 @@ class DedupSpec extends SparkSpec {
       (0 until 5).map(i => i.toLong -> s"only unique $i").toMap)
   }
 
+  test("dropCommonSegments is idempotent at a fixed threshold") {
+    // removing hot segments leaves every surviving segment's df unchanged
+    // (only whole segments go), so a second pass finds nothing new
+    val fx = (0 until 20).map { i =>
+      val segs = Seq("HEADER") ++ Seq(s"body $i", s"tail ${i % 7}") ++
+        (if (i % 2 == 0) Seq("FOOTER") else Nil)
+      (i.toLong, segs.mkString("\n"))
+    }.toDF("doc_id", "text")
+    val once = Dedup.dropCommonSegments(fx, "doc_id", "text", maxDfFrac = 0.25)
+      .select($"doc_id", $"text")
+    val twice = Dedup.dropCommonSegments(once, "doc_id", "text", maxDfFrac = 0.25)
+      .select($"doc_id", $"text", $"n_removed")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(twice.forall(_._3 === 0L), "second pass must remove nothing")
+    assert(once.as[(Long, String)].collect().sortBy(_._1).toSeq ===
+      twice.map(r => (r._1, r._2)).toSeq)
+  }
+
   test("dropCommonSegments removal is a narrow map: no exchange touches the corpus") {
     val fx = (0 until 10).map(i => (i.toLong, s"HEADER\nbody $i")).toDF("doc_id", "text")
     val out = Dedup.dropCommonSegments(fx, "doc_id", "text", maxDfFrac = 0.5)

@@ -87,6 +87,30 @@ class TrainingDataPipelineSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate + Gopher stages compose into curation") {
+    import graft.operators.QualityRules
+    // 12 docs: enough words to clear the gates, a universal header line,
+    // one gibberish doc that fails the stopword gate
+    val fx = ((0 until 11).map { i =>
+      val body = Seq.fill(20)(Seq("the", "quick", "word" + i, "and", "run")).flatten
+      (i.toLong, ("SITE HEADER\n" + body.mkString(" ")))
+    } :+ (11L, "SITE HEADER\n" + Seq.fill(100)("zzz").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cfg = Config(minQuality = 0.0, minTokens = 1,
+      allowedLangs = Set("en", "de", "fr", "es", "unk"),
+      boilerplate = Some(Config.Boilerplate(sep = "\n", maxDfFrac = 0.5)),
+      gopherRules = Some(QualityRules.Config(minWords = 50)))
+    val curated = TrainingDataPipeline.curate(fx, cfg = cfg).cache()
+    val texts = curated.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(texts.nonEmpty)
+    assert(texts.values.forall(!_.contains("SITE HEADER")),
+      "header must be stripped before curation output")
+    assert(!texts.contains(11L), "stopword-free gibberish must fail the Gopher gate")
+    // funnel reflects the same stages
+    val f = TrainingDataPipeline.funnel(fx, cfg = cfg)
+    assert(f("after_filters") < f("input"))
+  }
+
   test("entry flagship returns rows with the expected shape") {
     val out = SparkEntry.entry(spark)
     val rows = out.collect()
