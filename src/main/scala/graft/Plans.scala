@@ -21,13 +21,26 @@ object Plans {
       "q2_filter_project", "q3_join_agg", "q8_topk", "q11_ohlcv",
       "q24_minhash_pairs", "q28_knn_brute", "q34_asof_join",
       "q39_ivf_knn", "q43_split", "q48_tfidf", "q49_packing",
-      "q52_scrub", "q54_embed_quant")
+      "q52_scrub", "q54_embed_quant",
+      "q55_contamination_bloom", "q56_lm_score", "q57_line_dedup",
+      "q58_gopher_rules", "q59_drop_seen")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
+    // the native Catalyst as-of join (not a SparkEntry query: q34 keeps the
+    // composed default) — shows AsOfJoinExec with one exchange+sort per side
+    println(s"\n===== native_asof (q34 route via AsOfJoinExec) =====")
+    val events = graft.core.Tables.events(spark, sfDir)
+      .selectExpr("event_id", "user_id", "ts")
+    val orders = graft.core.Tables.orders(spark, sfDir)
+    println(graft.plans.NativeAsOfJoin.asOf(events, orders, "user_id",
+        "o_custkey", "ts", "o_orderdate", "o_orderkey",
+        Seq("o_orderkey", "o_totalprice"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     spark.stop()
   }
 }

@@ -35,6 +35,11 @@ object BloomExpressions {
     @transient private lazy val w: Array[Long] = words.toArray
     private def bitMask: Long = (words.length.toLong << 6) - 1
 
+    // a case-class toString would dump every packed word into plan strings
+    // and explain output; summarize instead
+    override def toString: String =
+      s"Bloom(${words.length << 6} bits, k=$numHashes)"
+
     def mightContain(x: Long): Boolean = {
       val arr = w
       var i = 0
