@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (fuzzy) join: all pairs with levenshtein(leftKey,
+  * rightKey) <= maxDist — entity resolution over noisy keys (names,
+  * addresses, product codes) without a quadratic comparison. Two lossless
+  * blocking strategies, dispatched on the distance (see
+  * [[editDistancePairs]]): SymSpell deletion neighborhoods for
+  * maxDist <= 2, PassJoin segment blocking beyond.
+  *
+  * Segment blocking (Li, Deng, Feng; public):
+  * Every right key of length n splits into maxDist+1 DISJOINT segments
+  * covering it; maxDist edits can touch at most maxDist of those, so any
+  * left key within distance maxDist contains at least one segment as an
+  * EXACT substring, at a position shifted by at most maxDist from the
+  * segment's home (each edit moves downstream positions by at most one).
+  * Pigeonhole makes the blocking LOSSLESS — the same argument as the
+  * SimHash chunk banding — and the per-key probe fan-out is a constant:
+  * at most (maxDist+1)·(2·maxDist+1) substrings per candidate length,
+  * lengths within ±maxDist.
+  *
+  * Scale shape: one narrow explode per side (segments right, probe
+  * substrings left — both row-local Column expressions), an equi-join on
+  * (length, segment_idx, segment) — hashable, skew-bounded by segment
+  * selectivity — then candidate dedup on ids and ONE codegen
+  * `levenshtein` verification per surviving pair. No cross join at any
+  * size. Keys shorter than maxDist+1 can't be segmented (pigeonhole
+  * needs maxDist+1 non-empty pieces); they route through a dedicated
+  * short-key branch — a length-banded nested-loop join over the
+  * (structurally tiny) population of keys of length <= 2·maxDist.
+  *
+  * Output: (id_a, id_b, dist) — id_a from the left side, id_b from the
+  * right (fixed names, like the Dedup pair operators, so self-joins don't
+  * collide). For a self-join, pass the same frame twice and keep
+  * `id_a < id_b` downstream. */
+object FuzzyJoin {
+
+  /** Dispatch: deletion-neighborhood blocking (SymSpell) for maxDist <= 2,
+    * segment blocking (PassJoin) beyond. The deletion path's candidate set
+    * tracks the TRUE pair count even when keys share long constant
+    * prefixes — the case that degenerates segment blocking to quadratic
+    * (every key's first segment is the shared prefix, so the hot block
+    * enumerates all pairs; observed on `Customer#…` style keys). The
+    * segment path wins for longer distances, where the deletion
+    * neighborhood grows as len^maxDist. */
+  def editDistancePairs(left: DataFrame, right: DataFrame,
+      leftId: String, leftKey: String, rightId: String, rightKey: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8,
+      s"maxDist must be in [1, 8] (probe fan-out grows with distance), got $maxDist")
+    val l = left.select(col(leftId).as("__lid"), col(leftKey).as("__lk"))
+      .filter(col("__lk").isNotNull)
+    val r = right.select(col(rightId).as("__rid"), col(rightKey).as("__rk"))
+      .filter(col("__rk").isNotNull)
+    val cands =
+      if (maxDist <= 2) deletionCandidates(l, r, maxDist)
+      else segmentCandidates(l, r, maxDist)
+    cands
+      .withColumn("dist", levenshtein(col("__lk"), col("__rk")))
+      .filter(col("dist") <= maxDist)
+      .select(col("__lid").as("id_a"), col("__rid").as("id_b"),
+        col("dist").cast("long").as("dist"))
+  }
+
+  /** SymSpell deletion-neighborhood candidates (Garbe, public domain):
+    * two keys within edit distance t share a common string in their
+    * <=t-deletion neighborhoods (delete the aligned edited positions from
+    * each side of any optimal alignment), so joining the exploded
+    * neighborhoods is lossless; sharing one bounds the distance by 2t,
+    * and the exact levenshtein verification above closes the gap.
+    *
+    * The join keys on xxhash64 of the variant (8 bytes through the
+    * exchange, never the variant text); a collision only adds a false
+    * candidate that verification discards. Neighborhood size is
+    * 1 + m + m^2/2 per key at t=2 — linear explode, no cross join, and
+    * shared constant prefixes do NOT collapse the blocking (deleting
+    * inside the shared prefix yields variants that still carry the keys'
+    * distinguishing tail). */
+  private def deletionCandidates(l: DataFrame, r: DataFrame, t: Int): DataFrame = {
+    // del1(s) = every single-char deletion of s; depth-2 applies it again
+    val del1 = "transform(sequence(1, length(%1$s)), i -> " +
+      "concat(substring(%1$s, 1, i - 1), substring(%1$s, i + 1, length(%1$s))))"
+    def neighborhood(key: String): String = {
+      val d1 = del1.format(key)
+      if (t == 1) s"array_distinct(concat(array($key), if(length($key) = 0, array(), $d1)))"
+      else {
+        val d2 = s"flatten(transform($d1, v -> " +
+          "transform(sequence(1, length(v)), j -> " +
+          "concat(substring(v, 1, j - 1), substring(v, j + 1, length(v))))))"
+        s"array_distinct(concat(array($key), " +
+          s"if(length($key) = 0, array(), $d1), " +
+          s"if(length($key) <= 1, array(), $d2)))"
+      }
+    }
+    val lv = l.select(col("__lid"), col("__lk"),
+      explode(expr(s"transform(${neighborhood("__lk")}, v -> xxhash64(v))")).as("vh"))
+    val rv = r.select(col("__rid"), col("__rk"),
+      explode(expr(s"transform(${neighborhood("__rk")}, v -> xxhash64(v))")).as("vh"))
+    lv.join(rv, "vh")
+      .select(col("__lid"), col("__lk"), col("__rid"), col("__rk"))
+      .distinct()
+  }
+
+  private def segmentCandidates(l: DataFrame, r: DataFrame, maxDist: Int): DataFrame = {
+    val t = maxDist
+    val k = t + 1
+
+    // ---- segment branch: right keys long enough to pigeonhole ----
+    // segment i of a length-n key: base = n div k wide, the last n % k
+    // segments one wider; home position start_i accumulates the widths
+    val segs = r.withColumn("n", length(col("__rk")))
+      .filter(col("n") >= k)
+      .select(col("__rid"), col("__rk"), col("n"),
+        explode(expr(
+          s"""transform(sequence(0, $t), i -> named_struct(
+             |  'seg_idx', i,
+             |  'seg', substring(__rk,
+             |    1 + i * (n div $k) + greatest(0, i - ($k - n % $k)),
+             |    (n div $k) + if(i >= $k - n % $k, 1, 0))))""".stripMargin))
+          .as("s"))
+      .select(col("__rid"), col("__rk"), col("n"),
+        col("s.seg_idx").as("seg_idx"), col("s.seg").as("seg"))
+
+    // probe substrings of each left key: for every candidate right length
+    // n in [m-t, m+t] (n >= k) and segment i, every start within +-t of
+    // the segment's home that stays inside the key
+    val probes = l.withColumn("m", length(col("__lk")))
+      .select(col("__lid"), col("__lk"),
+        explode(expr(
+          s"""flatten(flatten(
+             |  transform(filter(sequence(m - $t, m + $t), n -> n >= $k), n ->
+             |    transform(sequence(0, $t), i ->
+             |      transform(
+             |        filter(sequence(
+             |            i * (n div $k) + greatest(0, i - ($k - n % $k)) - $t,
+             |            i * (n div $k) + greatest(0, i - ($k - n % $k)) + $t),
+             |          p -> p >= 0 AND
+             |               p <= m - ((n div $k) + if(i >= $k - n % $k, 1, 0))),
+             |        p -> named_struct(
+             |          'n', n, 'seg_idx', i,
+             |          'seg', substring(__lk, p + 1,
+             |            (n div $k) + if(i >= $k - n % $k, 1, 0))))))))""".stripMargin))
+          .as("p"))
+      .select(col("__lid"), col("__lk"),
+        col("p.n").as("n"), col("p.seg_idx").as("seg_idx"), col("p.seg").as("seg"))
+
+    val longPairs = probes.join(segs, Seq("n", "seg_idx", "seg"))
+      .select(col("__lid"), col("__lk"), col("__rid"), col("__rk"))
+      .distinct()
+
+    // ---- short branch: right keys with < k characters ----
+    // any left within distance t of a key of length < k has length < k+t
+    // <= 2t+1; both sides of this branch are structurally tiny
+    val shortPairs = l.filter(length(col("__lk")) <= 2 * t)
+      .join(r.filter(length(col("__rk")) < k),
+        abs(length(col("__lk")) - length(col("__rk"))) <= t)
+      .select(col("__lid"), col("__lk"), col("__rid"), col("__rk"))
+
+    longPairs.unionByName(shortPairs).distinct()
+  }
+}

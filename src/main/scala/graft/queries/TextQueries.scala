@@ -741,7 +741,31 @@ object TextQueries extends QueryModule {
       |  AND fp NOT IN (SELECT fp FROM fp WHERE source = 'src0')
       |ORDER BY doc_id""".stripMargin
 
+  /** Fuzzy entity resolution (north star adjunct): every customer-name
+    * pair within edit distance 1 — the PassJoin segment-blocked join
+    * (FuzzyJoin) vs the oracle's quadratic cross-join definition. Two
+    * genuinely different algorithms: pigeonhole blocking + candidate
+    * verification on the engine side, full |n|^2 levenshtein in DuckDB
+    * (only possible at test scale — which is the point). */
+  private def q60FuzzyNames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).select($"c_custkey", $"c_name")
+    graft.operators.FuzzyJoin.editDistancePairs(
+        c, c, "c_custkey", "c_name", "c_custkey", "c_name", maxDist = 1)
+      .filter($"id_a" < $"id_b")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val q60Sql =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q60_fuzzy_names", q60FuzzyNames, Some(q60Sql),
+      "edit-distance-1 name pairs: PassJoin segment blocking vs quadratic oracle"),
     Q("q59_drop_seen", q59DropSeen, Some(q59Sql),
       "cross-corpus decontamination: distinct-digest anti-join vs NOT-IN oracle (north star)"),
     Q("q58_gopher_rules", q58GopherRules, Some(q58Sql),

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.FuzzyJoin
+
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Ground truth: the quadratic definition. */
+  private def naive(l: DataFrame, r: DataFrame, t: Int): Set[(Long, Long, Long)] =
+    l.select($"id".as("id_a"), $"k".as("ka"))
+      .crossJoin(r.select($"id".as("id_b"), $"k".as("kb")))
+      .withColumn("dist", levenshtein($"ka", $"kb").cast("long"))
+      .filter($"dist" <= t)
+      .select($"id_a", $"id_b", $"dist")
+      .as[(Long, Long, Long)].collect().toSet
+
+  private def blocked(l: DataFrame, r: DataFrame, t: Int): Set[(Long, Long, Long)] =
+    FuzzyJoin.editDistancePairs(l, r, "id", "k", "id", "k", t)
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("segment blocking is lossless: equals the cross-join definition") {
+    // adversarial lengths: empty, below maxDist, at the pigeonhole
+    // boundary, and normal-length keys with planted 1-2 edit variants
+    val base = Seq("johnson", "jonson", "johnsen", "smith", "smyth", "smithe",
+      "garcia-lopez", "garcia lopez", "zhang wei", "zhang wai",
+      "a", "ab", "", "xy", "abc", "acb", "kowalski", "kowalsky",
+      "0441-7721-9", "0441-7720-9", "hernandez", "hernandes")
+    val docs = base.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "k")
+    // t=1,2 exercise the SymSpell deletion path; t=3 the PassJoin segments
+    for (t <- Seq(1, 2, 3)) {
+      assert(blocked(docs, docs, t) === naive(docs, docs, t), s"t=$t")
+    }
+    assert(naive(docs, docs, 1).exists(p => p._1 != p._2),
+      "fixture must contain nontrivial close pairs")
+  }
+
+  test("lossless on 500 generated keys with planted typos (t=1)") {
+    // declaratively generated: 400 distinct-ish codes + 100 one-edit
+    // variants of the first 100 (substitution at a hash-picked position)
+    val codes = spark.range(400).select($"id",
+      concat(lit("code-"), md5($"id".cast("string")).substr(1, 8)).as("k"))
+    val variants = spark.range(400, 500).select($"id",
+      concat(lit("code-"), lit("X"),
+        md5(($"id" - 400).cast("string")).substr(2, 7)).as("k"))
+    val all = codes.unionByName(variants)
+    assert(blocked(all, all, 1) === naive(all, all, 1))
+  }
+
+  test("short-key branch: everything at or below maxDist length still pairs") {
+    val tiny = Seq((1L, ""), (2L, "a"), (3L, "b"), (4L, "ab"), (5L, "ba"),
+      (6L, "abc")).toDF("id", "k")
+    for (t <- Seq(1, 2)) {
+      assert(blocked(tiny, tiny, t) === naive(tiny, tiny, t), s"t=$t")
+    }
+  }
+}
