@@ -13,15 +13,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Local iteration aid: SPARK_GRAFT_ONLY=q60_fuzzy_names,q23_ngram_jaccard
+    // restricts the run to a comma-separated subset (driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name)) }
     // Warmup at the smallest SF: JIT, codegen compilation, parquet reader and
     // shuffle machinery init — excluded from the timed runs below.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
       spark.catalog.clearCache() // operators cache intermediates; don't let
                                  // entries accumulate across query runs
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
