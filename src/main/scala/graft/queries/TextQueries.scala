@@ -763,7 +763,101 @@ object TextQueries extends QueryModule {
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Repeated-substring spans (Lee et al. dedup, north star): maximal
+    * merged runs of tokens covered by an 8-gram occurring >= 2 times
+    * corpus-wide. Engine: hashed-shingle occurrence agg + back-join +
+    * per-doc island merge (SpanDedup); oracle: string-keyed shingles via
+    * list_slice and the same gaps-and-islands in window SQL — independent
+    * keying (xxhash64 vs raw strings) and independent slicing. */
+  private def q61DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.SpanDedup.repeatedSpans(
+        Tables.documents(spark, dir), "doc_id", "text", w = 8)
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  private val q61Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |occ AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(1, greatest(len(ts) - 8 + 1, 0))) AS pos,
+      |    ts
+      |  FROM toks),
+      |sh AS (
+      |  SELECT doc_id, pos,
+      |    array_to_string(list_slice(ts, pos, pos + 8 - 1), ' ') AS s
+      |  FROM occ),
+      |rep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2),
+      |cov AS (
+      |  SELECT o.doc_id, o.pos, o.pos + 8 - 1 AS e
+      |  FROM sh o JOIN rep USING (s)),
+      |brk AS (
+      |  SELECT doc_id, pos, e,
+      |    CASE WHEN pos > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+      |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      -1) + 1 THEN 1 ELSE 0 END AS b
+      |  FROM cov),
+      |isl AS (
+      |  SELECT doc_id, pos, e,
+      |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM brk)
+      |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      |  CAST(MAX(e) AS BIGINT) AS span_end
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
+  /** Corpus rewrite with all repeated spans dropped — the transformation
+    * form of q61, one row per document with audit counts. */
+  private def q62SpanRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.SpanDedup.removeRepeatedSpans(
+        Tables.documents(spark, dir), "doc_id", "text", w = 8)
+      .orderBy($"doc_id")
+  }
+
+  private val q62Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |occ AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(1, greatest(len(ts) - 8 + 1, 0))) AS pos,
+      |    ts
+      |  FROM toks),
+      |sh AS (
+      |  SELECT doc_id, pos,
+      |    array_to_string(list_slice(ts, pos, pos + 8 - 1), ' ') AS s
+      |  FROM occ),
+      |rep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2),
+      |covpos AS (
+      |  SELECT DISTINCT o.doc_id, o.pos + d AS p
+      |  FROM sh o JOIN rep USING (s),
+      |       unnest(generate_series(0, 7)) AS t(d)),
+      |tok AS (
+      |  SELECT doc_id, unnest(ts) AS tok,
+      |    generate_subscripts(ts, 1) AS pos
+      |  FROM toks),
+      |kept AS (
+      |  SELECT t.doc_id, t.pos, t.tok FROM tok t
+      |  LEFT JOIN covpos c ON t.doc_id = c.doc_id AND t.pos = c.p
+      |  WHERE c.p IS NULL),
+      |agg AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+      |    COUNT(*) AS n_kept
+      |  FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, len(ts) AS n_tokens FROM toks)
+      |SELECT tot.doc_id, COALESCE(agg.text, '') AS text,
+      |  CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(tot.n_tokens - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_dropped
+      |FROM tot LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q61_dup_spans", q61DupSpans, Some(q61Sql),
+      "repeated 8-gram spans: hashed-shingle islands vs string-keyed window oracle (north star)"),
+    Q("q62_span_rewrite", q62SpanRewrite, Some(q62Sql),
+      "corpus rewrite dropping repeated spans, with audit counts (north star)"),
     Q("q60_fuzzy_names", q60FuzzyNames, Some(q60Sql),
       "edit-distance-1 name pairs: PassJoin segment blocking vs quadratic oracle"),
     Q("q59_drop_seen", q59DropSeen, Some(q59Sql),
