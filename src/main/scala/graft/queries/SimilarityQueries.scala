@@ -54,6 +54,45 @@ object SimilarityQueries extends QueryModule {
       |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** SemDeDup (Abbas et al., public): semantic dedup = cluster the
+    * embedding space, prune cosine near-dups WITHIN each cluster, keep one
+    * representative per duplicate group. Here the cluster assignment is the
+    * `label` column (a k-means assignment would be rows-only; the label
+    * block makes the whole workflow exactly oracle-able), the within-block
+    * pair stage is q29's, the grouping is star-contraction components, and
+    * the representative is the component's min id. Output: the PRUNED rows
+    * (vec_id, kept_id) — what a curation pipeline would anti-join away.
+    * Oracle: same pairs relationally, closure via recursive CTE (the q53
+    * pattern — a genuinely different algorithm from the engine's
+    * alternating star contraction). */
+  private def q63SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Similarity.nearDupPairs(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", blockCol = "label", minSim = 0.4)
+    graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+      .filter($"node" =!= $"component")
+      .select($"node".as("vec_id"), $"component".as("kept_id"))
+      .orderBy($"vec_id")
+  }
+
+  private val q63Sql =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM embeddings a
+      |  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |    b.embedding::DOUBLE[]), 6) >= 0.4),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(n, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n),
+      |comp AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n)
+      |SELECT node AS vec_id, component AS kept_id FROM comp
+      |WHERE node <> component
+      |ORDER BY vec_id""".stripMargin
+
   /** LSH-bucketed approximate top-k — the scale path. No SQL oracle (bucket
     * assignment is hash-based); recall vs q28 asserted in SimilaritySpec. */
   private def q30LshKnn(spark: SparkSession, dir: String): DataFrame = {
@@ -164,6 +203,8 @@ object SimilarityQueries extends QueryModule {
     Q("q39_ivf_knn", q39IvfKnn, None, "IVF-clustered ANN top-k (rows-only, spec-verified)"),
     Q("q28_knn_brute", q28KnnBrute, Some(q28Sql), "exact cosine top-k (north star)"),
     Q("q29_embedding_neardup", q29NearDup, Some(q29Sql), "blocked cosine near-dup pairs (north star)"),
+    Q("q63_semdedup", q63SemDedup, Some(q63Sql),
+      "SemDeDup within-cluster semantic pruning: components over cosine pairs vs recursive-closure oracle (north star)"),
     Q("q30_lsh_knn", q30LshKnn, None, "LSH-bucketed ANN top-k (rows-only, spec-verified)"),
     Q("q31_label_centroids", q31LabelCentroids, Some(q31Sql), "per-label per-dim exact sums"),
     Q("q32_binary_meta", q32BinaryMeta, Some(q32Sql), "binary payload metadata (multimodal plumbing)"))
