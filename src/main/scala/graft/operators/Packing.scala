@@ -85,6 +85,39 @@ object Packing {
       }
   }
 
+  /** Fixed-size token windows with stride — the context-window chunking
+    * that feeds an LLM tokenizer/packer (stride < chunkSize gives the
+    * standard overlapping windows; stride == chunkSize tiles the document
+    * exactly). Start positions advance by `stride` from 1; generation
+    * stops once a window reaches the document's end (a window is emitted
+    * only if it is the first or extends coverage past the previous one, so
+    * no emitted window is wholly contained in its predecessor). The final
+    * window may be shorter than chunkSize — padding is the trainer's
+    * concern, not the chunker's.
+    *
+    * Entirely row-local (one explode, no shuffle): (idCol, chunk_idx,
+    * start_pos, n_tokens, chunk) with 1-based token positions. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
+    docs.select(col(idCol).as("__id"), split(col(textCol), " ").as("__ts"))
+      .select(col("__id"), explode(expr(
+        s"""transform(
+           |  filter(sequence(1, size(__ts), $stride),
+           |    st -> st = 1 OR st - $stride + $chunkSize - 1 < size(__ts)),
+           |  (st, i) -> named_struct(
+           |    'chunk_idx', cast(i + 1 as bigint),
+           |    'start_pos', cast(st as bigint),
+           |    'n_tokens', cast(least($chunkSize, size(__ts) - st + 1) as bigint),
+           |    'chunk', concat_ws(' ', slice(__ts, st, $chunkSize))))"""
+          .stripMargin)).as("c"))
+      .select(col("__id").as(idCol), col("c.chunk_idx").as("chunk_idx"),
+        col("c.start_pos").as("start_pos"), col("c.n_tokens").as("n_tokens"),
+        col("c.chunk").as("chunk"))
+  }
+
   /** Convenience: pack raw text documents, counting tokens inline. */
   def packDocuments(docs: DataFrame, idCol: String, textCol: String,
       maxTokens: Int, bucketHexChars: Int = 2,

@@ -853,7 +853,38 @@ object TextQueries extends QueryModule {
       |FROM tot LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Context-window chunking (north star): 32-token windows, stride 24
+    * (8-token overlap) — the tokenizer-feed step of a pretraining
+    * pipeline. Row-local on the engine side (PlanSpec-style no-exchange
+    * pin lives in PackingSpec); the oracle re-derives every window with
+    * generate_series + list_slice. */
+  private def q64Chunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Packing.chunkTokens(
+        Tables.documents(spark, dir), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  private val q64Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |st AS (
+      |  SELECT doc_id, ts,
+      |    unnest(generate_series(1, len(ts), 24)) AS st
+      |  FROM toks)
+      |SELECT doc_id,
+      |  CAST((st - 1) // 24 + 1 AS BIGINT) AS chunk_idx,
+      |  CAST(st AS BIGINT) AS start_pos,
+      |  CAST(least(32, len(ts) - st + 1) AS BIGINT) AS n_tokens,
+      |  array_to_string(list_slice(ts, st, st + 32 - 1), ' ') AS chunk
+      |FROM st
+      |WHERE st = 1 OR st - 24 + 32 - 1 < len(ts)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q64_chunking", q64Chunks, Some(q64Sql),
+      "overlapping context-window chunking: row-local windows vs generate_series oracle (north star)"),
     Q("q61_dup_spans", q61DupSpans, Some(q61Sql),
       "repeated 8-gram spans: hashed-shingle islands vs string-keyed window oracle (north star)"),
     Q("q62_span_rewrite", q62SpanRewrite, Some(q62Sql),

@@ -82,4 +82,45 @@ class PackingSpec extends SparkSpec {
     val b = other.map(c => c.chunk_id -> c.doc_ids).toMap
     assert(a !== b, "different salts must draw different assignments")
   }
+  test("chunkTokens: brute-force equality, coverage, and containment rules") {
+    import org.apache.spark.sql.functions.col
+    // adversarial lengths around the window: empty-ish, < chunk, == chunk,
+    // == chunk+1 (forces a 1-token-extension window), long
+    val fixture = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 8).map(i => s"s$i").mkString(" ")),
+      (3L, (1 to 9).map(i => s"u$i").mkString(" ")),
+      (4L, (1 to 17).map(i => s"v$i").mkString(" ")),
+      (5L, "solo"),
+      (6L, ""))
+    def brute(docs: Seq[(Long, String)], c: Int, s: Int): Set[(Long, Long, Long, Long, String)] =
+      docs.flatMap { case (id, t) =>
+        val ts = t.split(" ", -1)
+        val starts = Iterator.from(1, s).takeWhile(_ <= ts.length)
+          .toList.takeWhile(st => st == 1 || st - s + c - 1 < ts.length)
+        starts.zipWithIndex.map { case (st, i) =>
+          (id, (i + 1).toLong, st.toLong,
+            math.min(c, ts.length - st + 1).toLong,
+            ts.slice(st - 1, st - 1 + c).mkString(" "))
+        }
+      }.toSet
+    for ((c, s) <- Seq((8, 8), (8, 6), (8, 1), (1, 1))) {
+      val got = Packing.chunkTokens(fixture.toDF("doc_id", "text"),
+          "doc_id", "text", chunkSize = c, stride = s)
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert(got === brute(fixture, c, s), s"c=$c s=$s")
+    }
+    // tiling (stride == chunk): concatenating a doc's chunks rebuilds it
+    val tiled = Packing.chunkTokens(fixture.toDF("doc_id", "text"),
+        "doc_id", "text", chunkSize = 8, stride = 8)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .as[(Long, Long, Long, Long, String)].collect()
+    for ((id, text) <- fixture) {
+      assert(tiled.filter(_._1 == id).map(_._5).mkString(" ") === text, s"doc $id")
+    }
+    // chunking is a pure map: no exchange in the plan
+    val plan = Packing.chunkTokens(fixture.toDF("doc_id", "text"),
+      "doc_id", "text", 8, 6).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1000))
+  }
 }
