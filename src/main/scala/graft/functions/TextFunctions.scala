@@ -38,18 +38,26 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
     "es" -> Seq("el", "la", "y", "los", "de", "es", "una"))
 
+  // The three ratios guard their zero denominators explicitly (→ 0.0):
+  // empty documents exist in any wild corpus (and the span-dedup rewrite
+  // can empty one), and under ANSI mode an unguarded x/0 kills the job.
+
   /** Stopword-hit ratio against the English list (quality signal). */
   def stopwordRatio(text: Column): Column =
-    tokenHits(text, stopwords("en")).cast("double") / tokenCount(text)
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(tokenHits(text, stopwords("en")).cast("double") / tokenCount(text))
 
   /** Punctuation-character ratio (quality signal). */
   def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
-      length(text)
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+          length(text))
 
   /** Mean token length in characters (quality signal). */
   def meanTokenLen(text: Column): Column =
-    length(regexp_replace(text, " ", "")).cast("double") / tokenCount(text)
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, " ", "")).cast("double") / tokenCount(text))
 
   /** Composite document quality score in [0, ~1]: rewards function-word
     * density and typical word lengths, penalizes punctuation noise.

@@ -36,10 +36,16 @@ object TrainingDataPipeline {
       boilerplate: Option[Config.Boilerplate] = None,
       /** When set, the Gopher hard gates (integer-exact rule arithmetic)
         * apply alongside the soft quality threshold. */
-      gopherRules: Option[graft.operators.QualityRules.Config] = None)
+      gopherRules: Option[graft.operators.QualityRules.Config] = None,
+      /** When set, corpus-repeated token spans (Lee et al.; w-shingles
+        * occurring >= minCount times) are cut from every document after
+        * boilerplate removal and before annotation — repeated passages
+        * are gone before quality/language signals score the text. */
+      spanDedup: Option[Config.SpanDedup] = None)
 
   object Config {
     final case class Boilerplate(sep: String = "\n", maxDfFrac: Double = 0.02)
+    final case class SpanDedup(w: Int = 8, minCount: Long = 2L)
   }
 
   /** Annotation + filter + exact-dedup stages, shared by curate and funnel
@@ -51,7 +57,14 @@ object TrainingDataPipeline {
     val deboiled = cfg.boilerplate.fold(docs)(b =>
       Dedup.dropCommonSegments(docs, idCol, textCol,
         sep = b.sep, maxDfFrac = b.maxDfFrac).drop("n_removed"))
-    val annotated = TextFunctions.withLangId(deboiled, textCol, "pred_lang")
+    val despanned = cfg.spanDedup.fold(deboiled) { s =>
+      // the rewrite carries only (id, text); rejoin the other columns by id
+      val rewritten = graft.operators.SpanDedup.removeRepeatedSpans(
+          deboiled, idCol, textCol, s.w, s.minCount)
+        .select(col(idCol), col(textCol))
+      deboiled.drop(textCol).join(rewritten, Seq(idCol))
+    }
+    val annotated = TextFunctions.withLangId(despanned, textCol, "pred_lang")
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
     val softFiltered = annotated.filter(
@@ -114,6 +127,16 @@ object TrainingDataPipeline {
       maxTokens: Int = 2048): org.apache.spark.sql.Dataset[graft.operators.Packing.PackedChunk] =
     graft.operators.Packing.packDocuments(
       curate(docs, idCol, textCol, cfg), idCol, textCol, maxTokens)
+
+  /** Curate, then cut the survivors into overlapping context windows
+    * instead of packed chunks — the two tokenizer-feed shapes; pick
+    * packing for throughput training, chunking for long-document
+    * coverage with overlap. */
+  def curateAndChunk(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", cfg: Config = Config(),
+      chunkSize: Int = 2048, stride: Int = 2048): DataFrame =
+    graft.operators.Packing.chunkTokens(
+      curate(docs, idCol, textCol, cfg), idCol, textCol, chunkSize, stride)
 
   /** Per-stage row accounting — the curation funnel report. Shares the
     * stage frames with [[curate]] (cached where fanned out), so one call

@@ -117,4 +117,36 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(out.columns.toSeq === Seq("c_mktsegment", "month", "revenue", "n_orders"))
   }
+  test("span-dedup stage cuts repeated passages before annotation; chunking composes") {
+    // 10 clean docs + 3 docs sharing a verbatim 12-token passage; loose
+    // gates so only the span stage changes anything
+    // filler tokens are all distinct WITHIN a doc so nothing self-repeats;
+    // sprinkle stopwords so language/quality signals stay sane
+    val passage = Seq.tabulate(12)(i => s"dup$i").mkString(" ")
+    def filler(tag: String, n: Int): String =
+      (0 until n).map(j => if (j % 3 == 0) "the" else s"$tag$j").mkString(" ")
+    val fx = ((0 until 10).map { i =>
+      (i.toLong, filler(s"word${i}_", 60))
+    } ++ (10 until 13).map { i =>
+      (i.toLong, filler(s"item${i}_", 40) + " " + passage)
+    }).toDF("doc_id", "text")
+    val loose = Config(minQuality = -1.0, minTokens = 1,
+      allowedLangs = Set("en", "de", "fr", "es", "und", "unk"),
+      nearDupJaccard = 0.99,
+      spanDedup = Some(Config.SpanDedup(w = 8)))
+    val curated = TrainingDataPipeline.curate(fx, cfg = loose).cache()
+    val texts = curated.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(texts.keySet.intersect(Set(10L, 11L, 12L)).nonEmpty,
+      "span-cut docs survive curation (they are no longer near-dups)")
+    assert(texts.filterKeys(_ >= 10L).values.forall(!_.contains("dup0")),
+      "the repeated passage must be cut from every carrier")
+    assert(texts.filterKeys(_ < 10L).values.forall(_.nonEmpty),
+      "clean docs pass through the rewrite untouched")
+    // chunking composes downstream of the same curated frame
+    val chunks = TrainingDataPipeline.curateAndChunk(fx, cfg = loose,
+      chunkSize = 16, stride = 12)
+    val byDoc = chunks.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(byDoc.values.forall(_ >= 1L))
+    assert(byDoc.keySet === texts.keySet, "every curated doc is chunked")
+  }
 }
