@@ -55,4 +55,22 @@ class SkewAndBucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+  test("groupBy on the bucket key aggregates without an exchange") {
+    try {
+      Bucketing.writeBucketed(
+        Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_quantity"),
+        "b_li_agg", "l_orderkey", nBuckets = 8)
+      val agg = spark.table("b_li_agg")
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("qty"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucket-key groupBy must consume the bucketing:\n${plan.take(1500)}")
+      val viaShuffle = Tables.lineitem(spark, sfDir)
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("qty"))
+        .orderBy("l_orderkey").collect()
+      assert(agg.orderBy("l_orderkey").collect().sameElements(viaShuffle))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_li_agg")
+    }
+  }
 }
