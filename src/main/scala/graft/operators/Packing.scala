@@ -102,7 +102,10 @@ object Packing {
     require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
     require(stride >= 1 && stride <= chunkSize,
       s"stride must be in [1, chunkSize], got $stride")
-    docs.select(col(idCol).as("__id"), split(col(textCol), " ").as("__ts"))
+    // null text reads as empty: the doc still yields its one (empty) chunk
+    // instead of vanishing from the output
+    docs.select(col(idCol).as("__id"),
+        split(coalesce(col(textCol), lit("")), " ").as("__ts"))
       .select(col("__id"), explode(expr(
         s"""transform(
            |  filter(sequence(1, size(__ts), $stride),

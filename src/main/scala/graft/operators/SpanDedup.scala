@@ -29,10 +29,13 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
-  /** w-token shingle occurrences: (__id, pos, h), pos 1-based. */
+  /** w-token shingle occurrences: (__id, pos, h), pos 1-based. Null text
+    * reads as empty (a null would otherwise silently drop the document
+    * from the rewrite's one-row-per-doc contract). */
   private def occurrences(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame =
-    docs.select(col(idCol).as("__id"), split(col(textCol), " ").as("__ts"))
+    docs.select(col(idCol).as("__id"),
+        split(coalesce(col(textCol), lit("")), " ").as("__ts"))
       .select(col("__id"), explode(expr(
         s"""if(size(__ts) < $w, array(),
            |  transform(sequence(1, size(__ts) - $w + 1), i ->
@@ -86,7 +89,8 @@ object SpanDedup {
   def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       w: Int, minCount: Long = 2L): DataFrame = {
     val toks = docs
-      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__ts"))
+      .select(col(idCol).as("__id"),
+        split(coalesce(col(textCol), lit("")), " ").as("__ts"))
       .select(col("__id"), size(col("__ts")).as("__n"),
         posexplode(col("__ts")).as(Seq("__p0", "__tok")))
       .select(col("__id"), col("__n"),
@@ -102,7 +106,8 @@ object SpanDedup {
           .as("__text"),
         count(lit(1)).as("__kept"))
     docs.select(col(idCol).as("__id"),
-        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+        size(split(coalesce(col(textCol), lit("")), " ")).cast("long")
+          .as("n_tokens"))
       .join(kept, Seq("__id"), "left_outer")
       .select(col("__id").as(idCol),
         coalesce(col("__text"), lit("")).as(textCol),

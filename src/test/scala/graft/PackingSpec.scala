@@ -123,4 +123,12 @@ class PackingSpec extends SparkSpec {
       "doc_id", "text", 8, 6).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(1000))
   }
+  test("chunkTokens: null text yields one empty chunk instead of vanishing") {
+    val withNull = Seq((1L, "a b c"), (2L, null: String)).toDF("doc_id", "text")
+    val out = Packing.chunkTokens(withNull, "doc_id", "text", 8, 8)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(out.map(_._1).toSet === Set(1L, 2L))
+    val nullRow = out.find(_._1 == 2L).get
+    assert(nullRow._5 === "" && nullRow._2 === 1L)
+  }
 }

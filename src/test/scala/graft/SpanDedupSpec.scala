@@ -116,4 +116,15 @@ class SpanDedupSpec extends SparkSpec {
       }
     }
   }
+  test("null text reads as empty: rewrite keeps one row per doc, spans skip it") {
+    val withNull = Seq((1L, "a b c d e f g h i"), (2L, null: String),
+      (3L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val spans = SpanDedup.repeatedSpans(withNull, "doc_id", "text", w = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spans.map(_._1) === Set(1L, 3L))
+    val out = SpanDedup.removeRepeatedSpans(withNull, "doc_id", "text", w = 8)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out.length === 3, "null-text doc must not vanish")
+    assert(out(1)._2 === "" && out(1)._4 === 0L)
+  }
 }
