@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH index for INCREMENTAL near-dup screening: build
+  * the index once over the standing corpus, then test every arriving batch
+  * against it without touching the corpus text again — the continuous
+  * form of the reference's dedup-before-insert contract
+  * (`api_rapid/insert_csv_to_postgres.py:61`), upgraded from exact rows
+  * to near-duplicates. The batch/probe split mirrors [[IvfIndex]]'s
+  * fit/probe: the expensive global pass happens once at build time,
+  * per-batch cost is proportional to the batch.
+  *
+  * On-disk layout under `path`:
+  *  - `bands/`  (band_hash, id) parquet, partitionBy(band_idx) — the LSH
+  *    buckets. 16 longs + an id per doc; at 100 TB of text this index is
+  *    ~0.1% of the corpus.
+  *  - `sigs/`   (id, sig: array<long>) — full k-min signatures for
+  *    verification by the standard MinHash estimator (fraction of equal
+  *    signature positions), so probing never needs corpus text.
+  *  - `meta/`   one row (n, k, bands, seed) — probe reads its parameters
+  *    from here; a batch probed with different hashing than the index was
+  *    built with would silently match nothing.
+  *
+  * Scale shape of [[probe]]: batch signatures/bands compute row-local;
+  * the only exchanges are the (band_idx, band_hash) bucket join, the
+  * candidate (batch_id, corpus_id) distinct, and two id-keyed signature
+  * rejoins. Nothing ever shuffles a signature array or document text —
+  * the same discipline as the LSH-ANN and fuzzy-join candidate stages.
+  *
+  * Estimator, not exact: a probe hit means estimated Jaccard >= the
+  * threshold (unbiased, stderr ~ sqrt(j(1-j)/k) ≈ 0.06 at k=64). Route
+  * hits into an exact verification against gathered text if the policy
+  * needs certainty; [[dropSeenNearDups]] takes the estimate as-is, which
+  * is the usual curation choice (biased toward removal). */
+object MinHashIndex {
+
+  /** LSH bands of a signature frame: (id, band_idx, band_hash). */
+  private def banded(sigs: DataFrame, idCol: String, k: Int,
+      bands: Int): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k)")
+    val r = k / bands
+    val bandCols = (0 until bands).map(b => xxhash64(slice(col("sig"), b * r + 1, r)))
+    sigs.select(col(idCol).as("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Build and persist the index over `docs`. Overwrites `path`. */
+  def save(docs: DataFrame, idCol: String, textCol: String, path: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16, seed: Long = 42L): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = Dedup.minhashSignatures(docs, idCol, textCol, n, k, seed)
+      .select(col(idCol).as("id"), col("sig")).cache()
+    try {
+      sigs.write.mode("overwrite").parquet(s"$path/sigs")
+      banded(sigs, "id", k, bands).write.mode("overwrite")
+        .partitionBy("band_idx").parquet(s"$path/bands")
+      Seq((n, k, bands, seed)).toDF("n", "k", "bands", "seed")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally sigs.unpersist()
+  }
+
+  private def meta(spark: SparkSession, path: String): (Int, Int, Int, Long) = {
+    val row = spark.read.parquet(s"$path/meta").head()
+    (row.getAs[Int]("n"), row.getAs[Int]("k"), row.getAs[Int]("bands"),
+      row.getAs[Long]("seed"))
+  }
+
+  /** Probe a batch against the index: every (batch id, corpus id) pair
+    * whose estimated Jaccard >= minEstJac, as (idCol, corpus_id,
+    * est_jaccard). Hash parameters come from the index's meta. */
+  def probe(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String, minEstJac: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (n, k, bands, seed) = meta(spark, path)
+    val sigs = Dedup.minhashSignatures(newDocs, idCol, textCol, n, k, seed)
+      .select(col(idCol).as("__bid"), col("sig"))
+    val cands = banded(sigs, "__bid", k, bands)
+      .withColumnRenamed("id", "__bid")
+      .join(spark.read.parquet(s"$path/bands"), Seq("band_idx", "band_hash"))
+      .select(col("__bid"), col("id").as("corpus_id"))
+      .distinct()
+    cands
+      .join(sigs.select(col("__bid"), col("sig").as("__sa")), "__bid")
+      .join(spark.read.parquet(s"$path/sigs")
+        .select(col("id").as("corpus_id"), col("sig").as("__sb")), "corpus_id")
+      .withColumn("est_jaccard",
+        expr(s"""aggregate(zip_with(__sa, __sb, (a, b) -> if(a = b, 1, 0)),
+                |  0, (acc, x) -> acc + x) / cast($k as double)""".stripMargin))
+      .filter(col("est_jaccard") >= minEstJac)
+      .select(col("__bid").as(idCol), col("corpus_id"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** The curation form: the batch minus everything that near-duplicates
+    * the indexed corpus (docs too short to shingle pass through — they
+    * cannot match). */
+  def dropSeenNearDups(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String, minEstJac: Double = 0.5): DataFrame =
+    newDocs.join(
+      probe(newDocs, idCol, textCol, path, minEstJac)
+        .select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+}

@@ -882,7 +882,28 @@ object TextQueries extends QueryModule {
       |WHERE st = 1 OR st - 24 + 32 - 1 < len(ts)
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Incremental near-dup screening (north star): build a persisted
+    * MinHash-LSH index over the standing corpus (every source but src0),
+    * then admit only the src0 batch docs that near-duplicate nothing in
+    * it — the continuous-ingest dedup workflow. Hash-based (rows-only);
+    * MinHashIndexSpec proves probe ≡ in-memory banding, estimator error
+    * bounds, and the drop/keep split. */
+  private def q65IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("mh_idx_q65").toString
+    graft.operators.MinHashIndex.save(
+      docs.filter($"source" =!= "src0"), "doc_id", "text", path)
+    graft.operators.MinHashIndex.dropSeenNearDups(
+        docs.filter($"source" === "src0"), "doc_id", "text", path,
+        minEstJac = 0.5)
+      .select($"doc_id")
+      .orderBy($"doc_id")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q65_incremental_dedup", q65IncrementalDedup, None,
+      "batch-vs-corpus near-dup screening via persisted MinHash index (rows-only, spec-verified)"),
     Q("q64_chunking", q64Chunks, Some(q64Sql),
       "overlapping context-window chunking: row-local windows vs generate_series oracle (north star)"),
     Q("q61_dup_spans", q61DupSpans, Some(q61Sql),

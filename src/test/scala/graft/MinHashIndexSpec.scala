@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, MinHashIndex}
+
+class MinHashIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus: 30 distinct docs; batch: 5 verbatim copies, 5 near-copies
+  // (one token changed out of ~40), 5 fresh docs
+  private def words(seed: String, n: Int): String =
+    (1 to n).map(i => s"w${seed}_$i").mkString(" ")
+  private lazy val corpus = (1 to 30).map(i => (i.toLong, words(s"c$i", 40)))
+    .toDF("doc_id", "text").cache()
+  private lazy val batch = (
+    (101 to 105).map(i => (i.toLong, words(s"c${i - 100}", 40))) ++
+    (111 to 115).map { i =>
+      val base = words(s"c${i - 110}", 40).split(" ")
+      (i.toLong, (base.take(20) :+ "CHANGED").++(base.drop(21)).mkString(" "))
+    } ++
+    (121 to 125).map(i => (i.toLong, words(s"fresh$i", 40)))
+  ).toDF("doc_id", "text").cache()
+
+  private lazy val indexPath = {
+    val dir = Files.createTempDirectory("mh_index").toString
+    MinHashIndex.save(corpus, "doc_id", "text", dir)
+    dir
+  }
+
+  test("probe finds verbatim and near-copies, not fresh docs") {
+    val hits = MinHashIndex.probe(batch, "doc_id", "text", indexPath,
+        minEstJac = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val byBatch = hits.groupBy(_._1)
+    // every verbatim copy hits its source with estimate 1.0
+    for (i <- 101 to 105) {
+      val h = byBatch.get(i.toLong).map(_.filter(_._2 == (i - 100).toLong))
+      assert(h.exists(_.nonEmpty), s"verbatim copy $i missed")
+      assert(h.get.head._3 === 1.0, s"verbatim copy $i estimate")
+    }
+    // every near-copy (one token of ~40 changed → true J ≈ 0.85) hits
+    for (i <- 111 to 115) {
+      assert(byBatch.get(i.toLong).exists(_.exists(_._2 == (i - 110).toLong)),
+        s"near-copy $i missed")
+    }
+    // fresh docs match nothing
+    for (i <- 121 to 125) assert(!byBatch.contains(i.toLong), s"fresh $i matched")
+  }
+
+  test("probe candidates equal the in-memory banding on the union (cross pairs)") {
+    val union = corpus.unionByName(batch)
+    val inMem = Dedup.minhashSignatures(union, "doc_id", "text")
+    val all = Dedup.minhashCandidatePairs(inMem, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val cross = all.collect {
+      case (a, b) if a <= 30 && b > 100 => (b, a)
+      case (a, b) if b <= 30 && a > 100 => (a, b)
+    }
+    val probed = MinHashIndex.probe(batch, "doc_id", "text", indexPath,
+        minEstJac = 0.0)
+      .select($"doc_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(probed === cross,
+      "persisted-index candidates must equal the in-memory LSH banding")
+  }
+
+  test("estimates track exact Jaccard within the k=64 error band") {
+    val union = corpus.unionByName(batch)
+    val exact = Dedup.minhashNearDupPairs(union, "doc_id", "text", minJac = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (math.max(p._1, p._2), math.min(p._1, p._2)) -> p._3).toMap
+    val hits = MinHashIndex.probe(batch, "doc_id", "text", indexPath,
+        minEstJac = 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(hits.nonEmpty)
+    hits.foreach { case (b, c, est) =>
+      exact.get((b, c)).foreach { j =>
+        assert(math.abs(est - j) <= 0.25, s"pair ($b,$c): est $est vs exact $j")
+      }
+    }
+  }
+
+  test("dropSeenNearDups removes copies and near-copies, keeps fresh docs") {
+    val kept = MinHashIndex.dropSeenNearDups(batch, "doc_id", "text",
+        indexPath, minEstJac = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === (121 to 125).map(_.toLong).toSet)
+  }
+
+  test("no signature array or text in any exchange key") {
+    val plan = MinHashIndex.probe(batch, "doc_id", "text", indexPath,
+      minEstJac = 0.5).queryExecution.executedPlan.toString
+    "hashpartitioning\\([^)]*\\)".r.findAllIn(plan).foreach { p =>
+      assert(!p.contains("sig#") && !p.contains("__sa#") &&
+        !p.contains("__sb#") && !p.contains("text#"),
+        s"payload column used as a partitioning key: $p")
+    }
+  }
+}
