@@ -38,26 +38,26 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
     "es" -> Seq("el", "la", "y", "los", "de", "es", "una"))
 
-  // The three ratios guard their zero denominators explicitly (→ 0.0):
-  // empty documents exist in any wild corpus (and the span-dedup rewrite
-  // can empty one), and under ANSI mode an unguarded x/0 kills the job.
-
-  /** Stopword-hit ratio against the English list (quality signal). */
+  /** Stopword-hit ratio against the English list (quality signal).
+    * tokenCount is >= 1 for any non-null text (split("") = [""]), so the
+    * division is total; null text propagates null, as everywhere. */
   def stopwordRatio(text: Column): Column =
-    when(tokenCount(text) === 0, lit(0.0))
-      .otherwise(tokenHits(text, stopwords("en")).cast("double") / tokenCount(text))
+    tokenHits(text, stopwords("en")).cast("double") / tokenCount(text)
 
-  /** Punctuation-character ratio (quality signal). */
+  /** Punctuation-character ratio (quality signal). The length guard is
+    * live: empty documents exist in any wild corpus (and the span-dedup
+    * rewrite can empty one), and under ANSI mode an unguarded x/0 kills
+    * the job. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0))
       .otherwise(
         (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
           length(text))
 
-  /** Mean token length in characters (quality signal). */
+  /** Mean token length in characters (quality signal); total like
+    * [[stopwordRatio]]. */
   def meanTokenLen(text: Column): Column =
-    when(tokenCount(text) === 0, lit(0.0))
-      .otherwise(length(regexp_replace(text, " ", "")).cast("double") / tokenCount(text))
+    length(regexp_replace(text, " ", "")).cast("double") / tokenCount(text)
 
   /** Composite document quality score in [0, ~1]: rewards function-word
     * density and typical word lengths, penalizes punctuation noise.

@@ -339,7 +339,11 @@ object Dedup {
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
     require(sep.nonEmpty, "separator must be non-empty")
     val n = knownCount.getOrElse(docs.count())
-    val segCol = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    // null text reads as empty (the SpanDedup/chunking convention): both
+    // branches below then agree — text "" and a real n_removed count,
+    // instead of a NULL-poisoned n_removed in the hot branch only
+    val segCol =
+      split(coalesce(col(textCol), lit("")), java.util.regex.Pattern.quote(sep))
     // array_distinct: frequency counts DOCUMENTS containing the segment,
     // not occurrences — a footer repeated inside one page is not corpus
     // boilerplate
@@ -354,8 +358,12 @@ object Dedup {
     require(hot.length <= maxHotSegments,
       s"hot-segment set exceeds maxHotSegments=$maxHotSegments — raise the " +
         "cap or maxDfFrac; refusing to silently truncate the boilerplate set")
-    if (hot.isEmpty) docs.withColumn("n_removed", lit(0L))
+    if (hot.isEmpty)
+      docs.withColumn(textCol, coalesce(col(textCol), lit("")))
+        .withColumn("n_removed", lit(0L))
     else {
+      // sorted for a deterministic literal (stable plan text across runs —
+      // array_contains scans linearly either way)
       val hotLit = typedLit(hot.sorted.toSeq)
       val kept = filter(segCol, s => !array_contains(hotLit, xxhash64(s)))
       docs.withColumn("__kept", kept)

@@ -205,16 +205,20 @@ object IvfIndex {
     * planning time (no scan, no shuffle, of unprobed lists). */
   def probeIndexed(queries: DataFrame, lists: DataFrame, idCol: String,
       vecCol: String, k: Int, model: IvfModel, nProbe: Int = 4): DataFrame = {
-    // cache: the probe subplan (query window over the centroid literal) is
-    // consumed twice — collected below for the static pruning filter, then
-    // again as scoreProbes' broadcast side. Without the cache it runs twice.
-    val probes = probeSet(queries, idCol, vecCol, model, nProbe).cache()
-    val probedLists = probes.select(col("list_id")).distinct()
-      .collect().map(_.getInt(0)).sorted // <= nLists values, never data
+    // the probe subplan (query window over the centroid literal) is needed
+    // twice: for the static pruning filter and as scoreProbes' broadcast
+    // side. Collect it ONCE — it is the side we broadcast anyway, bounded
+    // by |queries| * nProbe — and rebuild the broadcast frame from the
+    // collected rows: the subplan runs once and nothing stays cached.
+    val probes = probeSet(queries, idCol, vecCol, model, nProbe)
+    val probeRows = probes.collect()
+    val probedLists = probeRows.map(_.getAs[Int]("list_id")).distinct.sorted
+    val probesDf = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probes.schema)
     val indexed = lists
       .filter(col("list_id").isin(probedLists.toSeq.map(Integer.valueOf): _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("list_id"))
-    scoreProbes(indexed, probes, k)
+    scoreProbes(indexed, probesDf, k)
   }
 
   /** One-shot convenience: [[fit]] then [[probe]]. Long-lived callers

@@ -76,8 +76,12 @@ object MinHashIndex {
       path: String, minEstJac: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
     val (n, k, bands, seed) = meta(spark, path)
+    // cache: the signature subplan (shingle transform + k hashes per doc)
+    // feeds both the banded candidate join and the __sa rejoin — same
+    // contract as Dedup's multi-pass operators (callers clear with
+    // spark.catalog.clearCache between batches)
     val sigs = Dedup.minhashSignatures(newDocs, idCol, textCol, n, k, seed)
-      .select(col(idCol).as("__bid"), col("sig"))
+      .select(col(idCol).as("__bid"), col("sig")).cache()
     val cands = banded(sigs, "__bid", k, bands)
       .withColumnRenamed("id", "__bid")
       .join(spark.read.parquet(s"$path/bands"), Seq("band_idx", "band_hash"))

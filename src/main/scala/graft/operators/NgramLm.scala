@@ -46,12 +46,18 @@ object NgramLm {
   def fit(reference: DataFrame, textCol: String, addK: Double = 0.5): LmModel = {
     require(addK > 0.0, s"addK must be > 0, got $addK")
     val toks = TextFunctions.tokens(col(textCol))
+    // cache both model tables: V's count materializes the unigram agg, and
+    // score consumes each table again as a broadcast side — uncached, the
+    // raw reference would be scanned and re-aggregated per use (Dedup's
+    // cache contract: callers clear with spark.catalog.clearCache)
     val uni = reference
       .select(explode(gram_hashes(toks, 1)).as("w1h"))
       .groupBy("w1h").agg(count(lit(1)).as("c1"))
+      .cache()
     val bi = reference
       .select(explode(gram_hashes(toks, 2)).as("bh"))
       .groupBy("bh").agg(count(lit(1)).as("c2"))
+      .cache()
     val v = uni.count() // one count over the (bounded) vocabulary aggregate
     LmModel(uni, bi, v, addK)
   }

@@ -36,33 +36,47 @@ object QualityRules {
       stopwords: Seq[String] =
         Seq("the", "a", "and", "of", "to", "in", "be", "that", "have", "with"))
 
-  /** Adds n_words, sum_word_len, n_alpha_words, n_stopwords, gopher_pass.
-    * Filter survivors with `.filter(col("gopher_pass"))` or [[apply]]. */
-  def annotate(docs: DataFrame, textCol: String,
-      cfg: Config = Config()): DataFrame = {
+  private def counts(textCol: String, cfg: Config) = {
     val toks = TextFunctions.tokens(col(textCol))
     val nWords = size(toks).cast("long")
     val sumLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
     val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
     val stopLit = array(cfg.stopwords.map(lit): _*)
     val nStop = size(filter(toks, w => array_contains(stopLit, w))).cast("long")
-    val pass: Column =
-      nWords.between(cfg.minWords, cfg.maxWords) &&
-        (sumLen >= nWords * cfg.minMeanWordLen) &&
-        (sumLen <= nWords * cfg.maxMeanWordLen) &&
-        (nAlpha * 100 >= nWords * cfg.minAlphaPct) &&
-        (nStop >= cfg.minStopwords)
+    (nWords, sumLen, nAlpha, nStop)
+  }
+
+  /** The combined gate as a single Column over `textCol` — usable in any
+    * filter without touching the frame's schema. */
+  def passes(textCol: String, cfg: Config = Config()): Column = {
+    val (nWords, sumLen, nAlpha, nStop) = counts(textCol, cfg)
+    nWords.between(cfg.minWords, cfg.maxWords) &&
+      (sumLen >= nWords * cfg.minMeanWordLen) &&
+      (sumLen <= nWords * cfg.maxMeanWordLen) &&
+      (nAlpha * 100 >= nWords * cfg.minAlphaPct) &&
+      (nStop >= cfg.minStopwords)
+  }
+
+  /** Adds n_words, sum_word_len, n_alpha_words, n_stopwords, gopher_pass
+    * (REPLACING same-named columns if the frame already carries them —
+    * pass survivors-only via [[apply]] to keep a schema untouched).
+    * Filter survivors with `.filter(col("gopher_pass"))` or [[apply]]. */
+  def annotate(docs: DataFrame, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val (nWords, sumLen, nAlpha, nStop) = counts(textCol, cfg)
     docs
       .withColumn("n_words", nWords)
       .withColumn("sum_word_len", sumLen)
       .withColumn("n_alpha_words", nAlpha)
       .withColumn("n_stopwords", nStop)
-      .withColumn("gopher_pass", pass)
+      .withColumn("gopher_pass", passes(textCol, cfg))
   }
 
-  /** Survivors only, original schema. */
+  /** Survivors only, schema and column VALUES untouched — a pure filter
+    * on [[passes]], so a frame that already carries columns named like
+    * the annotations keeps its own values (annotate+select would
+    * silently recompute them). */
   def apply(docs: DataFrame, textCol: String,
       cfg: Config = Config()): DataFrame =
-    annotate(docs, textCol, cfg).filter(col("gopher_pass"))
-      .select(docs.columns.map(col): _*)
+    docs.filter(passes(textCol, cfg))
 }

@@ -71,10 +71,10 @@ object TrainingDataPipeline {
       col("quality") >= cfg.minQuality &&
         col("pred_lang").isin(cfg.allowedLangs.toSeq: _*) &&
         col("n_tokens") >= cfg.minTokens)
+    // pure-predicate form: filters without touching (or shadowing) the
+    // annotation columns the caller's frame may already carry
     val filtered = cfg.gopherRules.fold(softFiltered)(g =>
-      graft.operators.QualityRules.annotate(softFiltered, textCol, g)
-        .filter(col("gopher_pass"))
-        .select(softFiltered.columns.map(col): _*))
+      graft.operators.QualityRules.apply(softFiltered, textCol, g))
     // narrow variant: corpus ids are unique by contract here, so the dedup
     // exchanges move 24-byte digest+id rows, never the document text
     val exact = Dedup.exactDedupNarrow(filtered, idCol, textCol).cache()

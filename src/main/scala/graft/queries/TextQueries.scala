@@ -742,11 +742,14 @@ object TextQueries extends QueryModule {
       |ORDER BY doc_id""".stripMargin
 
   /** Fuzzy entity resolution (north star adjunct): every customer-name
-    * pair within edit distance 1 — the PassJoin segment-blocked join
-    * (FuzzyJoin) vs the oracle's quadratic cross-join definition. Two
-    * genuinely different algorithms: pigeonhole blocking + candidate
-    * verification on the engine side, full |n|^2 levenshtein in DuckDB
-    * (only possible at test scale — which is the point). */
+    * pair within edit distance 1 — FuzzyJoin's blocked join vs the
+    * oracle's quadratic cross-join definition. At maxDist = 1 the
+    * dispatcher takes the SymSpell deletion-neighborhood path (the
+    * PassJoin segment path is the t >= 3 branch, exercised by
+    * FuzzyJoinSpec's t = 3 fixtures). Two genuinely different
+    * algorithms: lossless blocking + candidate verification on the
+    * engine side, full |n|^2 levenshtein in DuckDB (only possible at
+    * test scale — which is the point). */
   private def q60FuzzyNames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val c = Tables.customer(spark, dir).select($"c_custkey", $"c_name")
@@ -891,7 +894,11 @@ object TextQueries extends QueryModule {
   private def q65IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val path = java.nio.file.Files.createTempDirectory("mh_idx_q65").toString
+    // fixed path + overwrite-on-save: repeated invocations (bench warmup +
+    // timed run, round after round) reuse one directory instead of
+    // accumulating index copies under /tmp
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_mh_idx_q65").toString
     graft.operators.MinHashIndex.save(
       docs.filter($"source" =!= "src0"), "doc_id", "text", path)
     graft.operators.MinHashIndex.dropSeenNearDups(
@@ -911,7 +918,7 @@ object TextQueries extends QueryModule {
     Q("q62_span_rewrite", q62SpanRewrite, Some(q62Sql),
       "corpus rewrite dropping repeated spans, with audit counts (north star)"),
     Q("q60_fuzzy_names", q60FuzzyNames, Some(q60Sql),
-      "edit-distance-1 name pairs: PassJoin segment blocking vs quadratic oracle"),
+      "edit-distance-1 name pairs: SymSpell deletion blocking vs quadratic oracle"),
     Q("q59_drop_seen", q59DropSeen, Some(q59Sql),
       "cross-corpus decontamination: distinct-digest anti-join vs NOT-IN oracle (north star)"),
     Q("q58_gopher_rules", q58GopherRules, Some(q58Sql),

@@ -54,4 +54,15 @@ class QualityRulesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(800))
   }
+  test("apply is a pure filter: pre-existing annotation columns keep their values") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, Seq.fill(20)("the quick brown foxes jump over lazy dogs").mkString(" "), 999L),
+      (2L, "zz", 999L)).toDF("doc_id", "text", "n_words")
+    val out = QualityRules.apply(docs, "text")
+    assert(out.columns.toSeq === docs.columns.toSeq)
+    assert(out.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    assert(out.select("n_words").as[Long].collect().toSeq === Seq(999L),
+      "caller's own n_words column must survive untouched")
+  }
 }
