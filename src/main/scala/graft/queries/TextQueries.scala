@@ -908,7 +908,71 @@ object TextQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Per-(source, lang) curation dashboard (north star): the rollup a
+    * corpus owner watches — volume, token mass, quality (order-independent
+    * decimal sum), Gopher pass counts (integer-exact), and exact-dup
+    * counts (corpus-wide digest df >= 2). One annotated scan + one digest
+    * aggregate + one group-by; every signal reuses an oracled operator. */
+  private def q66SourceReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val dupDigests = docs
+      .groupBy(md5($"text").as("digest")).agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2).select($"digest")
+    docs
+      .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount($"text"))
+      .withColumn("quality", graft.functions.TextFunctions.qualityScore($"text"))
+      .withColumn("gopher", graft.operators.QualityRules.passes("text",
+        graft.operators.QualityRules.Config(minWords = 30)))
+      .withColumn("digest", md5($"text"))
+      .join(dupDigests.withColumn("is_dup", lit(1L)), Seq("digest"), "left")
+      .groupBy($"source", $"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").cast("long").as("total_tokens"),
+        Exact.dsum($"quality", 18, 6).as("sum_quality"),
+        sum(when($"gopher", 1L).otherwise(0L)).as("n_gopher_pass"),
+        sum(coalesce($"is_dup", lit(0L))).as("n_dup_docs"))
+      .orderBy($"source", $"lang")
+  }
+
+  private val q66Sql = {
+    val stopList = "('the','a','and','of','to','in','be','that','have','with')"
+    s"""WITH ann AS (
+       |  SELECT source, lang, md5(text) AS digest,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    least(CAST(len(list_filter(string_split(text, ' '), w -> w IN $enList)) AS DOUBLE)
+       |        / len(string_split(text, ' ')) * 4.0, 1.0) * 0.4
+       |      + least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |        / len(string_split(text, ' ')) / 8.0, 1.0) * 0.4
+       |      + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+       |        / length(text) * 10.0, 1.0)) * 0.2 AS quality,
+       |    (len(string_split(text, ' ')) BETWEEN 30 AND 100000)
+       |      AND list_sum(list_transform(string_split(text, ' '), w -> length(w)))
+       |            >= 3 * len(string_split(text, ' '))
+       |      AND list_sum(list_transform(string_split(text, ' '), w -> length(w)))
+       |            <= 10 * len(string_split(text, ' '))
+       |      AND 100 * len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[A-Za-z]')))
+       |            >= 80 * len(string_split(text, ' '))
+       |      AND len(list_filter(string_split(text, ' '), w -> w IN $stopList)) >= 2
+       |      AS gopher
+       |  FROM documents),
+       |dup AS (SELECT md5(text) AS digest FROM documents
+       |        GROUP BY 1 HAVING COUNT(*) >= 2)
+       |SELECT source, lang,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_quality,
+       |  CAST(SUM(CASE WHEN gopher THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+       |  CAST(SUM(CASE WHEN ann.digest IN (SELECT digest FROM dup) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+       |FROM ann
+       |GROUP BY source, lang
+       |ORDER BY source, lang""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q66_source_report", q66SourceReport, Some(q66Sql),
+      "per-source curation dashboard: volume, quality, Gopher, dup counts (north star)"),
     Q("q65_incremental_dedup", q65IncrementalDedup, None,
       "batch-vs-corpus near-dup screening via persisted MinHash index (rows-only, spec-verified)"),
     Q("q64_chunking", q64Chunks, Some(q64Sql),
