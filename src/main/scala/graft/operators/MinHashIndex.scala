@@ -63,6 +63,25 @@ object MinHashIndex {
     } finally sigs.unpersist()
   }
 
+  /** Admit a new batch into an EXISTING index: append its signatures and
+    * bands (parquet append — partitionBy(band_idx) layouts merge
+    * file-wise, no rewrite of standing data). The continuous-ingest
+    * cycle is probe → drop hits → append survivors; see
+    * StreamingJobs/MinHashIndexSpec for the foreachBatch composition.
+    * Caller screens the batch FIRST if near-dups should not enter. */
+  def append(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val (n, k, bands, seed) = meta(spark, path)
+    val sigs = Dedup.minhashSignatures(newDocs, idCol, textCol, n, k, seed)
+      .select(col(idCol).as("id"), col("sig")).cache()
+    try {
+      sigs.write.mode("append").parquet(s"$path/sigs")
+      banded(sigs, "id", k, bands).write.mode("append")
+        .partitionBy("band_idx").parquet(s"$path/bands")
+    } finally sigs.unpersist()
+  }
+
   private def meta(spark: SparkSession, path: String): (Int, Int, Int, Long) = {
     val row = spark.read.parquet(s"$path/meta").head()
     (row.getAs[Int]("n"), row.getAs[Int]("k"), row.getAs[Int]("bands"),

@@ -98,4 +98,43 @@ class MinHashIndexSpec extends SparkSpec {
         s"payload column used as a partitioning key: $p")
     }
   }
+  test("continuous ingest: per-micro-batch screen -> drop -> append via foreachBatch") {
+    import org.apache.spark.sql.Dataset
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("mh_stream").toString
+    // seed the index with one known doc
+    MinHashIndex.save(Seq((1L, words("seed", 40))).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val source = MemoryStream[(Long, String)]
+    val q = source.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // the continuous-ingest cycle: screen against the standing index,
+        // drop near-dups, admit survivors into the index
+        val fresh = MinHashIndex.dropSeenNearDups(
+          batch.toDF(), "doc_id", "text", dir, minEstJac = 0.5)
+        val kept = fresh.select("doc_id").as[Long].collect()
+        if (kept.nonEmpty) MinHashIndex.append(fresh, "doc_id", "text", dir)
+        admitted.synchronized { admitted ++= kept }
+        spark.catalog.clearCache()
+        ()
+      }
+      .start()
+    try {
+      // batch 1: one dup of the seed + one fresh doc
+      source.addData((10L, words("seed", 40)), (11L, words("novel", 40)))
+      q.processAllAvailable()
+      // batch 2: a near-dup (one token changed) of batch-1's ADMITTED doc
+      // + one fresh doc — catches the index actually growing
+      val near11 = {
+        val b = words("novel", 40).split(" ")
+        (b.take(5) :+ "X").++(b.drop(6)).mkString(" ")
+      }
+      source.addData((20L, near11), (21L, words("another", 40)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(admitted.toSet === Set(11L, 21L),
+      s"dups of the seed AND of an earlier admitted batch must drop: $admitted")
+  }
 }
