@@ -56,4 +56,28 @@ class FuzzyJoinSpec extends SparkSpec {
       assert(blocked(tiny, tiny, t) === naive(tiny, tiny, t), s"t=$t")
     }
   }
+  test("unicode keys: multi-byte chars count as single edits (vs cross-join truth)") {
+    // levenshtein, substring and length are all codepoint-based in both the
+    // blocking and the verification; accented/CJK keys must agree with the
+    // quadratic definition
+    val uni = Seq((1L, "m\u00fcller"), (2L, "muller"), (3L, "m\u00fcllers"),
+      (4L, "\u6771\u4eac"), (5L, "\u6771\u4eac\u90fd"), (6L, "\u4eac\u90fd"),
+      (7L, "caf\u00e9"), (8L, "cafe"), (9L, "coffee"))
+      .toDF("id", "k")
+    for (t <- Seq(1, 2, 3)) {
+      assert(blocked(uni, uni, t) === naive(uni, uni, t), s"t=$t")
+    }
+    assert(naive(uni, uni, 1).exists(p => p._1 != p._2),
+      "fixture must contain nontrivial unicode close pairs")
+  }
+
+  test("asymmetric sides: small probe table against a larger right side") {
+    val right = spark.range(300).select($"id",
+      concat(lit("sku-"), md5($"id".cast("string")).substr(1, 10)).as("k"))
+    val left = spark.range(5).select(($"id" + 1000L).as("id"),
+      concat(lit("sku-"), lit("Z"), md5($"id".cast("string")).substr(2, 9)).as("k"))
+    for (t <- Seq(1, 2)) {
+      assert(blocked(left, right, t) === naive(left, right, t), s"t=$t")
+    }
+  }
 }
