@@ -207,18 +207,19 @@ object IvfIndex {
       vecCol: String, k: Int, model: IvfModel, nProbe: Int = 4): DataFrame = {
     // the probe subplan (query window over the centroid literal) is needed
     // twice: for the static pruning filter and as scoreProbes' broadcast
-    // side. Collect it ONCE — it is the side we broadcast anyway, bounded
-    // by |queries| * nProbe — and rebuild the broadcast frame from the
-    // collected rows: the subplan runs once and nothing stays cached.
+    // side. Only the DISTINCT LIST IDS — at most nLists integers, regardless
+    // of how large the query batch is — cross to the driver; the probe frame
+    // itself (which carries the query vectors) stays distributed for the
+    // broadcast join. The narrow probe subplan re-executes once for the
+    // pruning collect, which costs a window over |queries| × nLists rows —
+    // nothing next to scanning even one corpus list.
     val probes = probeSet(queries, idCol, vecCol, model, nProbe)
-    val probeRows = probes.collect()
-    val probedLists = probeRows.map(_.getAs[Int]("list_id")).distinct.sorted
-    val probesDf = queries.sparkSession.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*), probes.schema)
+    val probedLists = probes.select("list_id").distinct()
+      .collect().map(_.getAs[Int]("list_id")).sorted
     val indexed = lists
       .filter(col("list_id").isin(probedLists.toSeq.map(Integer.valueOf): _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("list_id"))
-    scoreProbes(indexed, probesDf, k)
+    scoreProbes(indexed, probes, k)
   }
 
   /** One-shot convenience: [[fit]] then [[probe]]. Long-lived callers

@@ -88,6 +88,28 @@ class IvfIndexSpec extends SparkSpec {
     assert(plan.contains("list_id"), "probe must prune list partitions")
   }
 
+  test("probeIndexed with the FULL corpus as query batch matches live probe " +
+      "(driver sees only distinct list ids, never the batch)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_batch").toString + "/index"
+    val model = IvfIndex.fit(emb, "vec_id", "embedding", nLists = 8, iters = 2)
+    IvfIndex.save(emb, "vec_id", "embedding", model, dir)
+    val (loaded, lists) = IvfIndex.load(spark, dir)
+    // every corpus vector as a query: the pruning collect stays <= nLists
+    // integers no matter the batch size; only this result hits the driver
+    val viaIndex = IvfIndex.probeIndexed(emb, lists, "vec_id", "embedding",
+      k = 3, loaded, nProbe = 2)
+    val live = IvfIndex.probe(emb, emb, "vec_id", "embedding",
+      k = 3, model, nProbe = 2)
+    assert(viaIndex.orderBy($"query_id", $"rank").collect().map(_.toString).toSeq ===
+      live.orderBy($"query_id", $"rank").collect().map(_.toString).toSeq)
+    // the probe side reaches scoreProbes as a PLAN (broadcast exchange),
+    // not as a driver-materialized local relation of collected rows
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(!plan.contains("LocalTableScan"),
+      "probe frame must stay distributed, not be collected and re-created")
+  }
+
   test("IVF top-k achieves >= 50% recall@5 vs brute force at 1/2 probe ratio") {
     val queries = emb.filter($"vec_id" < 20)
     val exact = Similarity.cosineTopK(queries, emb, "vec_id", "embedding", k = 5)
