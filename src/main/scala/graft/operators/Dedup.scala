@@ -259,18 +259,16 @@ object Dedup {
       .distinct()
   }
 
-  /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
-    * exact Jaccard verification >= minJac on the candidates only. */
-  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 64, bands: Int = 16, minJac: Double = 0.5,
-      seed: Long = 42L): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, n, k, seed)
-    val cands = minhashCandidatePairs(sigs, idCol, k, bands)
+  /** Exact Jaccard verification restricted to a candidate pair set: the
+    * shared tail of every screen-then-verify dedup pipeline (MinHash LSH,
+    * SimHash banding — any candidate generator). Intersections come from a
+    * shingle join RESTRICTED to candidates; at scale candidates << all
+    * pairs, and only (id, 8-byte shingle hash) rows enter the exchanges. */
+  private def jaccardOnCandidates(cands: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, n: Int, minJac: Double): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n).cache()
     val counts = sh.groupBy("sid").agg(count(lit(1)).as("n_sh"))
-    // verify only the candidate pairs (intersection via shingle join restricted
-    // to candidates — at scale, candidates << all pairs)
-    val inter = cands
+    val inter = cands.select("id_a", "id_b")
       .join(sh.select(col("sid").as("id_a"), col("shingle")), "id_a")
       .join(sh.select(col("sid").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
@@ -281,6 +279,42 @@ object Dedup {
       .filter(col("jaccard") >= minJac)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    * exact Jaccard verification >= minJac on the candidates only.
+    *
+    * Because verification is exact, the output is a SUBSET of
+    * [[ngramJaccardPairs]]'s answer, equal whenever the banded screen
+    * recalls every qualifying pair — at (k=64, bands=16) the collision
+    * probability for a pair at minJac=0.5 is 1-(1-0.5^4)^16 ≈ 0.65 per
+    * band-row and in practice 100% on real near-dup distributions (dup
+    * pairs sit far above the threshold); q24 pins exact equality against
+    * the relational oracle on the test corpus. */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16, minJac: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k, seed)
+    val cands = minhashCandidatePairs(sigs, idCol, k, bands)
+    jaccardOnCandidates(cands, docs, idCol, textCol, n, minJac)
+  }
+
+  /** SimHash-screened exact Jaccard pairs: candidates from the pigeonhole
+    * bit-chunk banding at hamming <= maxHamming (see
+    * [[simhashNearDupPairs]]), then exact n-gram Jaccard verification.
+    *
+    * The screen is exact over HAMMING distance but approximate over
+    * Jaccard: a qualifying Jaccard pair whose fingerprints differ in more
+    * than maxHamming bits is missed. SimHash concentrates near-dup
+    * fingerprints tightly (hamming ~ a few bits for jaccard >= 0.5 docs),
+    * so a generous maxHamming makes the screen lossless in practice —
+    * q67 pins exact equality with the relational all-pairs answer on the
+    * test corpus at maxHamming=12 (observed max: 9). */
+  def simhashScreenedJaccardPairs(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minJac: Double = 0.5,
+      maxHamming: Int = 12): DataFrame =
+    jaccardOnCandidates(
+      simhashNearDupPairs(docs, idCol, textCol, maxHamming),
+      docs, idCol, textCol, n, minJac)
 
   /** Cross-corpus dedup: drop every doc whose content digest appears in a
     * reference corpus — "never retrain on what the last run already saw",

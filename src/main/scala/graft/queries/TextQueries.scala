@@ -174,10 +174,13 @@ object TextQueries extends QueryModule {
       |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** MinHash+LSH near-dup pairs — approximate path; no closed-form SQL
-    * oracle (signature permutations aren't SQL-expressible), so the driver
-    * records a rows-only check. Recall vs q23's exact answer is asserted in
-    * DedupSpec instead. */
+  /** MinHash+LSH near-dup pairs. The banding itself isn't SQL-expressible,
+    * but the PIPELINE is exact-verified (LSH candidates → true Jaccard
+    * >= 0.5), so its output is a subset of q23's relational answer, equal
+    * exactly when the screen misses nothing — which is the quality claim.
+    * Oracled with q23's all-pairs SQL: a recall regression in the banding
+    * drops a row and fails the hash, turning the approximate path's
+    * "trust the spec" into a DuckDB-checked verdict. */
   private def q24Minhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Dedup.minhashNearDupPairs(Tables.documents(spark, dir), "doc_id", "text",
@@ -186,13 +189,83 @@ object TextQueries extends QueryModule {
   }
 
   /** SimHash near-dup pairs (hamming <= 3 over 64-bit fingerprints) —
-    * rows-only check, verified against known near-dups in DedupSpec. */
+    * rows-only check (the hamming column is engine-hash-specific);
+    * verified against known near-dups in DedupSpec, and the same banding
+    * machinery gets a full relational verdict in q67. */
   private def q25Simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Dedup.simhashNearDupPairs(Tables.documents(spark, dir), "doc_id", "text",
         maxHamming = 3)
       .orderBy($"id_a", $"id_b")
   }
+
+  /** Companion verdict for the SimHash machinery (q25): bit-chunk banding
+    * at a generous hamming radius as the SCREEN, exact n-gram Jaccard as
+    * the verdict. Equals q23's relational all-pairs answer whenever the
+    * screen is lossless (observed max hamming among true pairs: 9; radius
+    * 12 leaves margin), so the DuckDB hash check covers fingerprinting,
+    * banding, candidate generation, and verification end to end. */
+  private def q67SimhashScreen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.simhashScreenedJaccardPairs(Tables.documents(spark, dir),
+        "doc_id", "text", n = 3, minJac = 0.5, maxHamming = 12)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Companion verdict for the persisted MinHash index (q65): every src0
+    * batch doc with a TRUE near-duplicate (exact Jaccard >= 0.5) in the
+    * standing corpus must be caught by the index screen. The engine
+    * computes the true-partner set relationally and keeps only the docs
+    * the probe dropped; the oracle computes the true-partner set alone.
+    * Equality ⇔ the estimator screen recalled every real near-dup — a
+    * missed doc vanishes from the engine side and fails the hash. */
+  private def q71IndexScreenRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val path = q65IndexPath(dir)
+    graft.operators.MinHashIndex.save(
+      docs.filter($"source" =!= "src0"), "doc_id", "text", path)
+    val dropped = graft.operators.MinHashIndex.probe(
+        docs.filter($"source" === "src0"), "doc_id", "text", path,
+        minEstJac = 0.5)
+      .select($"doc_id").distinct()
+    val src = docs.select($"doc_id", $"source")
+    val truePartnered = Dedup.jaccardPairsAuto(docs, "doc_id", "text",
+        n = 3, minJac = 0.5)
+      .join(src.select($"doc_id".as("id_a"), $"source".as("sa")), "id_a")
+      .join(src.select($"doc_id".as("id_b"), $"source".as("sb")), "id_b")
+      .filter(($"sa" === "src0") =!= ($"sb" === "src0"))
+      .select(when($"sa" === "src0", $"id_a").otherwise($"id_b").as("doc_id"))
+      .distinct()
+    truePartnered.join(dropped, Seq("doc_id"), "left_semi")
+      .orderBy($"doc_id")
+  }
+
+  private val q71Sql =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w || ' ' || lead(w, 1) OVER o || ' ' || lead(w, 2) OVER o AS shingle
+      |  FROM words WINDOW o AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY shingle IS NOT NULL),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN cnt ca ON ca.doc_id = id_a
+      |  JOIN cnt cb ON cb.doc_id = id_b
+      |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5)
+      |SELECT DISTINCT CASE WHEN da.source = 'src0' THEN p.id_a ELSE p.id_b END AS doc_id
+      |FROM pairs p
+      |JOIN documents da ON da.doc_id = p.id_a
+      |JOIN documents db ON db.doc_id = p.id_b
+      |WHERE (da.source = 'src0') <> (db.source = 'src0')
+      |ORDER BY doc_id""".stripMargin
 
   /** Regex extraction + substring filter (F7/F8/P6) on the source column. */
   private def q26RegexExtract(spark: SparkSession, dir: String): DataFrame = {
@@ -891,14 +964,23 @@ object TextQueries extends QueryModule {
     * it — the continuous-ingest dedup workflow. Hash-based (rows-only);
     * MinHashIndexSpec proves probe ≡ in-memory banding, estimator error
     * bounds, and the drop/keep split. */
+  /** Index scratch path for q65/q71: keyed by data dir AND process id, so
+    * (a) repeated invocations in one process (bench warmup + timed run)
+    * reuse one directory instead of accumulating copies, and (b) two
+    * concurrent harness processes — whose saves are non-atomic (sigs,
+    * bands, meta written sequentially) — can never interleave writes into
+    * each other's index and produce silently wrong rows. */
+  private def q65IndexPath(dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_mh_idx_${key}_${ProcessHandle.current().pid()}").toString
+  }
+
   private def q65IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    // fixed path + overwrite-on-save: repeated invocations (bench warmup +
-    // timed run, round after round) reuse one directory instead of
-    // accumulating index copies under /tmp
-    val path = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_mh_idx_q65").toString
+    val path = q65IndexPath(dir)
     graft.operators.MinHashIndex.save(
       docs.filter($"source" =!= "src0"), "doc_id", "text", path)
     graft.operators.MinHashIndex.dropSeenNearDups(
@@ -1014,8 +1096,14 @@ object TextQueries extends QueryModule {
     Q("q21_exact_dedup", q21ExactDedup, Some(q21Sql), "exact dedup by digest (north star)"),
     Q("q22_fingerprint", q22Fingerprint, Some(q22Sql), "token-set fingerprint dedup (north star)"),
     Q("q23_ngram_jaccard", q23NgramJaccard, Some(q23Sql), "n-gram Jaccard similarity join (north star)"),
-    Q("q24_minhash_pairs", q24Minhash, None, "MinHash+LSH near-dup (rows-only, spec-verified)"),
-    Q("q25_simhash_pairs", q25Simhash, None, "SimHash near-dup (rows-only, spec-verified)"),
+    Q("q24_minhash_pairs", q24Minhash, Some(q23Sql),
+      "MinHash+LSH screen + exact verify, oracled against the relational all-pairs answer (north star)"),
+    Q("q25_simhash_pairs", q25Simhash, None,
+      "SimHash hamming pairs (rows-only: engine-hash-specific output; machinery oracled via q67)"),
+    Q("q67_simhash_screen", q67SimhashScreen, Some(q23Sql),
+      "SimHash-banded screen + exact verify, oracled against the relational all-pairs answer (north star)"),
+    Q("q71_index_screen_recall", q71IndexScreenRecall, Some(q71Sql),
+      "persisted MinHash index screen catches every true cross-source near-dup (north star)"),
     Q("q26_regex_extract", q26RegexExtract, Some(q26Sql), "regex extract + contains filter (F7/F8)"),
     Q("q27_cleanup", q27Cleanup, Some(q27Sql), "null-cleanup + casts (P3/P5/F13)"))
 }

@@ -57,6 +57,18 @@ class DedupSpec extends SparkSpec {
     assert((mh diff exactPairs).isEmpty, "verified pairs must be a subset of exact")
   }
 
+  test("simhash screen + exact verify equals the relational all-pairs answer") {
+    // the q67 companion claim: at a generous hamming radius the SimHash
+    // screen is lossless over true jaccard pairs (observed max hamming 9
+    // on the fixtures), so screen-then-verify == exact, value for value
+    val screened = Dedup.simhashScreenedJaccardPairs(docs, "doc_id", "text",
+        n = 3, minJac = 0.5, maxHamming = 12)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJac = 0.5)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(screened === exact)
+  }
+
   test("simhash banding is exact: finds every pair within maxHamming") {
     // The banded join must equal brute-force hamming filtering (pigeonhole).
     val fps = Dedup.simhash(docs, "doc_id", "text").cache()
