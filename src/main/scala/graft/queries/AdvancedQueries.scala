@@ -160,6 +160,52 @@ object AdvancedQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** Companion verdict for the q40 sketches: the sketch VALUES are
+    * engine-algorithm-specific (HLL++ register layout, GK/KLL quantile
+    * summaries), but their ACCURACY CLAIMS are relational. Per event_type,
+    * emit the exact stats plus two booleans — the HLL estimate lands
+    * within 5% of the exact distinct count (rsd 0.02 ⇒ 2.5σ), and the
+    * approximate p50 is a value whose exact rank sits inside the
+    * documented n/accuracy rank-error band around the true median. The
+    * oracle recomputes the exact stats and asserts both booleans TRUE, so
+    * a sketch drifting out of its contract flips a value and fails the
+    * driver's hash check. */
+  private def q72SketchBounds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"event_type", $"user_id", $"value")
+    val agg = ev.groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("exact_users"),
+        approx_count_distinct($"user_id", 0.02).as("approx_users"),
+        percentile_approx($"value", lit(0.5), lit(10000)).as("p50"),
+        count(lit(1)).as("n_events"))
+    val ranks = ev
+      .join(broadcast(agg.select($"event_type", $"p50")), "event_type")
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"value" < $"p50", 1L).otherwise(0L)).as("below"),
+        sum(when($"value" <= $"p50", 1L).otherwise(0L)).as("at_or_below"))
+    agg.join(ranks, "event_type")
+      .select(
+        $"event_type", $"exact_users", $"n_events",
+        (abs($"approx_users" - $"exact_users") <= $"exact_users" * 0.05)
+          .as("hll_within_5pct"),
+        ($"below" <= $"n_events" * 0.5 + $"n_events" / 10000.0 + 1 &&
+          $"at_or_below" >= $"n_events" * 0.5 - $"n_events" / 10000.0)
+          .as("p50_in_rank_bounds"))
+      .orderBy($"event_type")
+  }
+
+  private val q72Sql =
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  COUNT(*) AS n_events,
+      |  TRUE AS hll_within_5pct,
+      |  TRUE AS p50_in_rank_bounds
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** The exact half of the q40 statistics, split out so it can be oracled:
     * exact distinct counts and exact decimal sums are DuckDB-matchable even
     * though the HLL/percentile sketches next to them (q40) are not. */
@@ -239,7 +285,9 @@ object AdvancedQueries extends QueryModule {
     Q("q41_sliding_windows", q41SlidingWindows, Some(q41Sql),
       "sliding 1d/6h windows (T9) vs lateral-series oracle"),
     Q("q40_approx_stats", q40ApproxStats, None,
-      "HLL distinct + approx percentile (rows-only; error-bounded in spec)"),
+      "HLL distinct + approx percentile (rows-only sketch values; accuracy oracled via q72)"),
+    Q("q72_sketch_bounds", q72SketchBounds, Some(q72Sql),
+      "sketch accuracy contract as a relational verdict: HLL within 5%, p50 within rank bounds"),
     Q("q46_exact_stats", q46ExactStats, Some(q46Sql),
       "exact distinct counts + sums (the oracled half of q40)"),
     Q("q34_asof_join", q34AsOf, Some(q34Sql), "as-of join (union+window vs theta-join oracle)"),
