@@ -34,6 +34,11 @@ object SketchExpressions {
     * array<long> — the row-local kernel behind repetition scoring. */
   def multiplicity_stats(hashes: Column): Column =
     column(MultiplicityStats(expression(hashes)))
+
+  /** Fraction of equal positions of two equal-length array<long> MinHash
+    * signatures — the standard Jaccard estimator. */
+  def sig_agreement(a: Column, b: Column): Column =
+    column(SigAgreement(expression(a), expression(b)))
 }
 
 case class MinHashSig(child: Expression, k: Int, seed: Long)
@@ -167,6 +172,58 @@ case class MultiplicityStats(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash Jaccard estimator: the fraction of positions where two k-min
+  * signatures agree. The interpreted form — aggregate(zip_with(a, b, ...))
+  * — pays lambda dispatch per position per pair; this is one tight codegen
+  * loop, the same trade every other per-row×k kernel in this package makes.
+  * Unequal lengths (signatures from different k) are a caller bug: the
+  * estimator would silently be meaningless, so it throws. */
+case class SigAgreement(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "sig_agreement"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sig_agreement requires two array<long> signatures, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) throw new IllegalArgumentException(
+      s"sig_agreement: signature lengths differ ($n vs ${b.numElements()}) — " +
+        "the sides were minhashed with different k")
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sigAgreeExpr", this, classOf[SigAgreement].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): Expression =
+    copy(left = l, right = r)
 }
 
 case class LshBuckets(child: Expression, nTables: Int, nPlanes: Int)

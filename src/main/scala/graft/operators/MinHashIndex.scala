@@ -82,6 +82,49 @@ object MinHashIndex {
     } finally sigs.unpersist()
   }
 
+  /** Compact an index that has accreted small files through [[append]]:
+    * every ingest micro-batch adds one file set per band partition, so
+    * thousands of batches turn `bands/` into thousands of tiny files per
+    * band and probe cost becomes file-open-bound. Rewrites `bands/` to
+    * ~one file per band partition and `sigs/` to size-proportional file
+    * counts, preserving contents exactly (spec-pinned: probe results are
+    * identical pre/post).
+    *
+    * Single-writer contract (same as [[append]]): no concurrent probe or
+    * append may run during the swap — the rewrite stages into a sibling
+    * directory and swaps via two renames, so a crash can strand a stale
+    * `bands_old/` (harmless, cleaned next compact) but never mixes old
+    * and new files in one read. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val (_, _, bands, _) = meta(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def swap(sub: String)(write: String => Unit): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}_compact")
+      val old = new org.apache.hadoop.fs.Path(s"$path/${sub}_old")
+      val fs = live.getFileSystem(conf)
+      fs.delete(tmp, true); fs.delete(old, true)
+      write(tmp.toString)
+      if (!fs.rename(live, old) || !fs.rename(tmp, live))
+        throw new java.io.IOException(s"compact: directory swap failed for $live")
+      fs.delete(old, true)
+    }
+    swap("bands") { tmp =>
+      // repartition on band_idx: each task holds whole band partitions, so
+      // partitionBy emits ~one file per band directory
+      spark.read.parquet(s"$path/bands")
+        .repartition(bands, col("band_idx"))
+        .write.partitionBy("band_idx").parquet(tmp)
+    }
+    swap("sigs") { tmp =>
+      // ~128 MB-target file count from the on-disk byte size, min 1
+      val live = new org.apache.hadoop.fs.Path(s"$path/sigs")
+      val bytes = live.getFileSystem(conf).getContentSummary(live).getLength
+      val nFiles = math.max(1L, bytes / (128L << 20)).toInt
+      spark.read.parquet(s"$path/sigs").repartition(nFiles).write.parquet(tmp)
+    }
+  }
+
   private def meta(spark: SparkSession, path: String): (Int, Int, Int, Long) = {
     val row = spark.read.parquet(s"$path/meta").head()
     (row.getAs[Int]("n"), row.getAs[Int]("k"), row.getAs[Int]("bands"),
@@ -95,12 +138,15 @@ object MinHashIndex {
       path: String, minEstJac: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
     val (n, k, bands, seed) = meta(spark, path)
-    // cache: the signature subplan (shingle transform + k hashes per doc)
-    // feeds both the banded candidate join and the __sa rejoin — same
-    // contract as Dedup's multi-pass operators (callers clear with
-    // spark.catalog.clearCache between batches)
+    // NO cache: the signature subplan feeds both the banded candidate join
+    // and the __sa rejoin, but it is a row-local codegen map over the BATCH
+    // (the small side by contract) — recomputing it once costs microseconds
+    // per row, where a .cache() here would grow executor storage unboundedly
+    // in a long-running foreachBatch ingest loop unless every caller
+    // remembered to clear it. Leaving nothing cached makes probe safe to
+    // call forever.
     val sigs = Dedup.minhashSignatures(newDocs, idCol, textCol, n, k, seed)
-      .select(col(idCol).as("__bid"), col("sig")).cache()
+      .select(col(idCol).as("__bid"), col("sig"))
     val cands = banded(sigs, "__bid", k, bands)
       .withColumnRenamed("id", "__bid")
       .join(spark.read.parquet(s"$path/bands"), Seq("band_idx", "band_hash"))
@@ -110,9 +156,11 @@ object MinHashIndex {
       .join(sigs.select(col("__bid"), col("sig").as("__sa")), "__bid")
       .join(spark.read.parquet(s"$path/sigs")
         .select(col("id").as("corpus_id"), col("sig").as("__sb")), "corpus_id")
+      // codegen estimator kernel — the interpreted aggregate(zip_with(...))
+      // form pays lambda dispatch per signature position per candidate pair
       .withColumn("est_jaccard",
-        expr(s"""aggregate(zip_with(__sa, __sb, (a, b) -> if(a = b, 1, 0)),
-                |  0, (acc, x) -> acc + x) / cast($k as double)""".stripMargin))
+        graft.functions.expressions.SketchExpressions.sig_agreement(
+          col("__sa"), col("__sb")))
       .filter(col("est_jaccard") >= minEstJac)
       .select(col("__bid").as(idCol), col("corpus_id"),
         round(col("est_jaccard"), 6).as("est_jaccard"))

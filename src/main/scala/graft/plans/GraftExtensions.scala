@@ -96,6 +96,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 1, "multiplicity_stats takes 1 argument")
         MultiplicityStats(args.head)
+      }),
+    (FunctionIdentifier("sig_agreement"),
+      info("sig_agreement", "sig_agreement(sig_a, sig_b) - fraction of equal MinHash signature positions"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "sig_agreement takes (sig_a, sig_b)")
+        SigAgreement(args.head, args(1))
       }))
 
   /** Inject into an already-built session (tests, REPLs). */

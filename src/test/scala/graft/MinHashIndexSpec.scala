@@ -98,6 +98,67 @@ class MinHashIndexSpec extends SparkSpec {
         s"payload column used as a partitioning key: $p")
     }
   }
+  test("probe leaves nothing cached: safe for unbounded ingest loops") {
+    spark.catalog.clearCache()
+    MinHashIndex.probe(batch, "doc_id", "text", indexPath, minEstJac = 0.5)
+      .count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "probe must not grow executor storage across foreachBatch invocations")
+  }
+
+  test("sig_agreement codegen kernel equals the interpreted estimator bit-for-bit") {
+    val sigs = Dedup.minhashSignatures(corpus.unionByName(batch), "doc_id", "text")
+      .select($"doc_id".as("id"), $"sig")
+    val paired = sigs.as("x").join(sigs.as("y"), $"x.id" < $"y.id")
+      .select($"x.sig".as("sa"), $"y.sig".as("sb"))
+    val both = paired.select(
+        graft.functions.expressions.SketchExpressions
+          .sig_agreement($"sa", $"sb").as("native"),
+        expr("""aggregate(zip_with(sa, sb, (a, b) -> if(a = b, 1, 0)),
+               |  0, (acc, x) -> acc + x) / cast(64 as double)""".stripMargin)
+          .as("interpreted"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1)) // exact, not approx
+    }
+    // and it is registered as a SQL function
+    graft.plans.GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT sig_agreement(array(1L, 2L, 3L, 4L), " +
+      "array(1L, 9L, 3L, 8L))").head().getDouble(0)
+    assert(viaSql === 0.5)
+  }
+
+  test("compact shrinks append-accreted files; probe results are identical") {
+    val dir = Files.createTempDirectory("mh_compact").toString
+    MinHashIndex.save(corpus, "doc_id", "text", dir)
+    // simulate continuous ingest: many tiny appends accrete files per band
+    for (i <- 0 until 5) {
+      val b = Seq((1000L + i, words(s"app$i", 40))).toDF("doc_id", "text")
+      MinHashIndex.append(b, "doc_id", "text", dir)
+    }
+    def parquetFiles(sub: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir, sub)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles("bands")
+    val hitsBefore = MinHashIndex.probe(batch, "doc_id", "text", dir, minEstJac = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    MinHashIndex.compact(spark, dir)
+    val after = parquetFiles("bands")
+    val hitsAfter = MinHashIndex.probe(batch, "doc_id", "text", dir, minEstJac = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(hitsAfter === hitsBefore, "compaction must preserve probe results exactly")
+    // 6 write batches × 16 bands before; ~1 file per band after
+    assert(before >= 6 * 16, s"expected accreted files, got $before")
+    assert(after <= 16 + 4, s"compaction should leave ~one file per band, got $after")
+    // a second compact is a no-op shape-wise (idempotent)
+    MinHashIndex.compact(spark, dir)
+    assert(MinHashIndex.probe(batch, "doc_id", "text", dir, minEstJac = 0.3)
+      .as[(Long, Long, Double)].collect().toSet === hitsBefore)
+  }
+
   test("continuous ingest: per-micro-batch screen -> drop -> append via foreachBatch") {
     import org.apache.spark.sql.Dataset
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
