@@ -235,28 +235,75 @@ object Dedup {
         minhash_sig(shingle_hashes(TextFunctions.tokens(col(textCol)), n), k, seed)
           .as("sig"))
 
+  /** The pair stage of [[minhashCandidatePairsCapped]]: LSH candidates
+    * plus the over-cap bucket audit. `pairs` never contains a pair whose
+    * ONLY collisions were in over-cap buckets; `overCapBuckets` is
+    * (band_idx, band_hash, bucket_size) for every bucket the cap skipped —
+    * route those documents to exact verification, or alert on them (a
+    * mega-bucket is usually boilerplate the corpus should not contain). */
+  case class CappedCandidates(pairs: DataFrame, overCapBuckets: DataFrame)
+
   /** LSH candidate pairs from minhash signatures: band the k mins into
     * `bands` slices of the signature array, hash each band, join on
     * (band_idx, band_hash). Shuffle volume is O(docs * bands) — no cross
     * join anywhere. */
   def minhashCandidatePairs(sigs: DataFrame, idCol: String,
-      k: Int = 64, bands: Int = 16): DataFrame = {
+      k: Int = 64, bands: Int = 16): DataFrame =
+    minhashCandidatePairsCapped(sigs, idCol, k, bands).pairs
+
+  /** [[minhashCandidatePairs]] with a hot-bucket guard: a bucket holding s
+    * docs emits s^2/2 candidates from one join group, and boilerplate-heavy
+    * corpora (site templates, licence pages) concentrate thousands of docs
+    * onto a few (band_idx, band_hash) keys — the same skew failure mode the
+    * PPJoin ascending-df prefix solves for raw shingles. Buckets larger
+    * than `maxBucketSize` are excluded from the candidate join (bounding
+    * any bucket's contribution) and REPORTED in the audit frame instead of
+    * being silently processed or silently dropped.
+    *
+    * Recall: a true pair is lost only if EVERY band that collides it is
+    * over-cap — mega-buckets are near-identical doc crowds, so their pairs
+    * keep colliding in their other bands unless those are mega too; the
+    * audit exists precisely to surface that case. The default cap
+    * (MaxValue) keeps the operator exact and skips the bucket-size pass
+    * entirely. */
+  def minhashCandidatePairsCapped(sigs: DataFrame, idCol: String,
+      k: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = Int.MaxValue): CappedCandidates = {
     // bands must tile the signature exactly: a non-divisor silently ignores
     // the signature tail, and bands > k gives empty slices whose common hash
     // degenerates the band join into a full cross product
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"bands ($bands) must divide the signature length k ($k)")
+    require(maxBucketSize >= 2,
+      s"maxBucketSize ($maxBucketSize) < 2 would drop every colliding bucket")
     val r = k / bands
     val bandCols = (0 until bands).map(b => xxhash64(slice(col("sig"), b * r + 1, r)))
     // cache: the self-join would otherwise recompute the signature subplan
     // (shingle transform + k hashes per doc) on both sides
-    val banded = sigs.select(col(idCol).as("sid"),
+    val allBanded = sigs.select(col(idCol).as("sid"),
         posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
       .cache()
-    banded.as("x").join(banded.as("y"), Seq("band_idx", "band_hash"))
+    val (banded, audit) =
+      if (maxBucketSize == Int.MaxValue)
+        (allBanded, allBanded.sparkSession.emptyDataFrame
+          .select(lit(0).as("band_idx"), lit(0L).as("band_hash"),
+            lit(0L).as("bucket_size"))
+          .limit(0))
+      else {
+        // the hot set is tiny by construction (each over-cap bucket holds
+        // > maxBucketSize docs, so there are < n*bands/maxBucketSize of
+        // them) — broadcast the keys, keep the corpus side unshuffled
+        val hot = allBanded.groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("bucket_size"))
+          .filter(col("bucket_size") > maxBucketSize)
+        (allBanded.join(broadcast(hot.select("band_idx", "band_hash")),
+          Seq("band_idx", "band_hash"), "left_anti"), hot)
+      }
+    val pairs = banded.as("x").join(banded.as("y"), Seq("band_idx", "band_hash"))
       .filter(col("x.sid") < col("y.sid"))
       .select(col("x.sid").as("id_a"), col("y.sid").as("id_b"))
       .distinct()
+    CappedCandidates(pairs, audit)
   }
 
   /** Exact Jaccard verification restricted to a candidate pair set: the
@@ -292,10 +339,10 @@ object Dedup {
     * the relational oracle on the test corpus. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16, minJac: Double = 0.5,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, n, k, seed)
-    val cands = minhashCandidatePairs(sigs, idCol, k, bands)
-    jaccardOnCandidates(cands, docs, idCol, textCol, n, minJac)
+    val cands = minhashCandidatePairsCapped(sigs, idCol, k, bands, maxBucketSize)
+    jaccardOnCandidates(cands.pairs, docs, idCol, textCol, n, minJac)
   }
 
   /** SimHash-screened exact Jaccard pairs: candidates from the pigeonhole

@@ -232,6 +232,45 @@ class DedupSpec extends SparkSpec {
       === exactPairs)
   }
 
+  test("hot-bucket cap bounds a planted mega-bucket and audits it; cold pairs keep") {
+    import graft.operators.Dedup.CappedCandidates
+    def w(seed: String, n: Int): String = (1 to n).map(i => s"t${seed}_$i").mkString(" ")
+    // 60 IDENTICAL docs: one signature, so one bucket of 60 in EVERY band —
+    // uncapped that is 60*59/2 = 1770 pairs from each of 16 buckets.
+    // Plus one true near-dup pair and some distinct docs in cold buckets.
+    val nearA = w("pair", 40)
+    val nearB = { val t = nearA.split(" "); (t.take(30) :+ "CHANGED").++(t.drop(31)).mkString(" ") }
+    val mega = (1 to 60).map(i => (i.toLong, w("boiler", 40)))
+    val rest = Seq((101L, nearA), (102L, nearB)) ++
+      (111 to 120).map(i => (i.toLong, w(s"solo$i", 40)))
+    val docs2 = (mega ++ rest).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs2, "doc_id", "text")
+    val CappedCandidates(pairs, audit) =
+      Dedup.minhashCandidatePairsCapped(sigs, "doc_id", maxBucketSize = 10)
+    val got = pairs.as[(Long, Long)].collect().toSet
+    // the mega-bucket's 1770 pairs are gone; the cold near-dup pair survives
+    assert(got.contains((101L, 102L)), "cold-bucket true pair must survive the cap")
+    assert(!got.exists { case (a, b) => a <= 60 && b <= 60 },
+      s"mega-bucket candidates must be excluded, got ${got.size} pairs")
+    // audit reports the skipped buckets: one 60-doc bucket per band
+    val audited = audit.select($"band_idx", $"bucket_size").as[(Int, Long)].collect()
+    assert(audited.length === 16, s"one over-cap bucket per band: $audited")
+    assert(audited.forall(_._2 === 60L))
+    // uncapped default is unchanged: the mega pairs are all there
+    val uncapped = Dedup.minhashCandidatePairs(sigs, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.count { case (a, b) => a <= 60 && b <= 60 } === 60 * 59 / 2)
+    // and on the real fixture a permissive cap changes nothing
+    val fixtureSigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val capped = Dedup.minhashCandidatePairsCapped(fixtureSigs, "doc_id",
+      maxBucketSize = 50)
+    assert(capped.pairs.as[(Long, Long)].collect().toSet ===
+      Dedup.minhashCandidatePairs(fixtureSigs, "doc_id")
+        .as[(Long, Long)].collect().toSet,
+      "a cap above the fixture's max bucket size must not change recall")
+    assert(capped.overCapBuckets.count() === 0)
+  }
+
   test("minhash bands must tile the signature exactly") {
     val sigs = Dedup.minhashSignatures(docs.limit(5), "doc_id", "text")
     intercept[IllegalArgumentException] {
