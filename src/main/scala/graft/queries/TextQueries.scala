@@ -990,6 +990,76 @@ object TextQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** The COMPOSED curation pipeline end to end (north star): annotate →
+    * quality/language/length filter → exact dedup (min id per digest) →
+    * pairwise near-dup removal at Jaccard >= 0.8 — the default
+    * TrainingDataPipeline.curate flow, emitted per-doc so the driver hash
+    * pins the final corpus, not just its row count. Every stage is
+    * individually oracled (q18/q19/q20/q21/q24); this row pins their
+    * COMPOSITION, where stage-ordering or column-plumbing regressions
+    * live. The near-dup stage rides the MinHash screen whose losslessness
+    * q24 establishes; the oracle recomputes the pairs relationally. */
+  private def q68Pipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.pipelines.TrainingDataPipeline.curate(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .select($"doc_id", md5($"text").as("text_digest"), $"pred_lang",
+        $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
+  private val q68Sql = {
+    val langCase =
+      s"""CASE WHEN ${hits("en")} = best AND best > 0 THEN 'en'
+         |     WHEN ${hits("de")} = best AND best > 0 THEN 'de'
+         |     WHEN ${hits("fr")} = best AND best > 0 THEN 'fr'
+         |     WHEN ${hits("es")} = best AND best > 0 THEN 'es'
+         |     ELSE 'und' END""".stripMargin
+    s"""WITH q AS (
+       |  SELECT doc_id, text,
+       |    least(CAST(len(list_filter(string_split(text, ' '), w -> w IN $enList)) AS DOUBLE)
+       |        / len(string_split(text, ' ')) * 4.0, 1.0) * 0.4
+       |    + least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |        / len(string_split(text, ' ')) / 8.0, 1.0) * 0.4
+       |    + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+       |        / length(text) * 10.0, 1.0)) * 0.2 AS quality,
+       |    greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")}) AS best,
+       |    len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents),
+       |ann AS (
+       |  SELECT doc_id, text, md5(text) AS text_digest, n_tokens,
+       |    $langCase AS pred_lang
+       |  FROM q
+       |  WHERE quality >= 0.3 AND n_tokens >= 5),
+       |filt AS (
+       |  SELECT * FROM ann WHERE pred_lang IN ('en', 'de', 'fr', 'es')),
+       |ex AS (
+       |  SELECT *, row_number() OVER (PARTITION BY text_digest ORDER BY doc_id) AS rn
+       |  FROM filt QUALIFY rn = 1),
+       |words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM ex),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, w || ' ' || lead(w, 1) OVER o || ' ' || lead(w, 2) OVER o AS shingle
+       |  FROM words WINDOW o AS (PARTITION BY doc_id ORDER BY pos)
+       |  QUALIFY shingle IS NOT NULL),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |losers AS (
+       |  SELECT DISTINCT id_b FROM inter
+       |  JOIN cnt ca ON ca.doc_id = id_a
+       |  JOIN cnt cb ON cb.doc_id = id_b
+       |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8)
+       |SELECT doc_id, text_digest, pred_lang, CAST(n_tokens AS BIGINT) AS n_tokens
+       |FROM ex
+       |WHERE doc_id NOT IN (SELECT id_b FROM losers)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-(source, lang) curation dashboard (north star): the rollup a
     * corpus owner watches — volume, token mass, quality (order-independent
     * decimal sum), Gopher pass counts (integer-exact), and exact-dup
@@ -1055,6 +1125,8 @@ object TextQueries extends QueryModule {
   override def queries: Seq[Q] = Seq(
     Q("q66_source_report", q66SourceReport, Some(q66Sql),
       "per-source curation dashboard: volume, quality, Gopher, dup counts (north star)"),
+    Q("q68_pipeline", q68Pipeline, Some(q68Sql),
+      "TrainingDataPipeline.curate end to end: the composed curation flow per-doc (north star)"),
     Q("q65_incremental_dedup", q65IncrementalDedup, None,
       "batch-vs-corpus near-dup screening via persisted MinHash index (rows-only, spec-verified)"),
     Q("q64_chunking", q64Chunks, Some(q64Sql),
