@@ -18,8 +18,17 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class MediaMeta(doc_id: Long, n_bytes: Long, format: String)
+
+  /** `status` is the audit column every kernel carries:
+    *  - "decoded"     — a real in-environment codec produced the features;
+    *  - "unsupported" — no codec for this format exists here, features are
+    *                    the deterministic stand-in (a 100 TB run filters or
+    *                    re-routes on this value instead of silently
+    *                    training on fake features);
+    *  - "corrupt"     — the payload claimed a supported format but failed
+    *                    to decode; stub features, flagged for quarantine. */
   case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int, height: Int,
-      mean_intensity: Double)
+      mean_intensity: Double, status: String)
 
   /** Wrap a string column as a binary payload frame (fixture adapter — real
     * inputs would already be binary: spark.read.format("binaryFile"), or a
@@ -86,7 +95,7 @@ object Multimodal {
     if (isPng(bytes) || isJpeg(bytes)) {
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        if (img == null) decodeStub(id, bytes)
+        if (img == null) decodeStub(id, bytes, "corrupt")
         else {
           val w = img.getWidth; val h = img.getHeight
           var sum = 0.0
@@ -100,17 +109,20 @@ object Multimodal {
             }
             y += 1
           }
-          MediaFeatures(id, bytes.length.toLong, w, h, sum / (w.toLong * h) / 255.0)
+          MediaFeatures(id, bytes.length.toLong, w, h,
+            sum / (w.toLong * h) / 255.0, "decoded")
         }
       // NonFatal, not just IOException: ImageIO plugins throw runtime
       // exceptions (IllegalArgument, ArrayIndexOutOfBounds, CMMException)
       // on malformed payloads, and the fall-back-to-stub contract must hold
       // for those too — a corrupt blob must not kill a corpus-scale job
-      } catch { case scala.util.control.NonFatal(_) => decodeStub(id, bytes) }
-    } else decodeStub(id, bytes)
+      } catch { case scala.util.control.NonFatal(_) =>
+        decodeStub(id, bytes, "corrupt") }
+    } else decodeStub(id, bytes, "unsupported")
 
   case class AudioFeatures(doc_id: Long, n_bytes: Long, sample_rate: Double,
-      channels: Int, n_frames: Long, duration_ms: Double, rms: Double)
+      channels: Int, n_frames: Long, duration_ms: Double, rms: Double,
+      status: String)
 
   /** Audio feature extraction via mapPartitions. WAV payloads are decoded
     * for real (`javax.sound.sampled` — pure JDK: header parse + PCM frame
@@ -154,26 +166,30 @@ object Multimodal {
               if (n == 0) 0.0 else math.sqrt(sumSq / n)
             } else 0.0
           AudioFeatures(id, bytes.length.toLong, fmt.getSampleRate.toDouble,
-            fmt.getChannels, frames, durationMs, rms)
+            fmt.getChannels, frames, durationMs, rms, "decoded")
         } finally ais.close()
       } catch {
         case _: javax.sound.sampled.UnsupportedAudioFileException |
-             _: java.io.IOException => audioStub(id, bytes)
+             _: java.io.IOException => audioStub(id, bytes, "corrupt")
       }
-    } else audioStub(id, bytes)
+    } else audioStub(id, bytes, "unsupported")
 
   /** Deterministic stub for formats with no in-environment codec: assumes
     * 16 kHz mono 16-bit framing over the raw bytes. */
-  private def audioStub(id: Long, bytes: Array[Byte]): AudioFeatures = {
+  private def audioStub(id: Long, bytes: Array[Byte],
+      status: String): AudioFeatures = {
     val frames = bytes.length / 2L
     val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xFF))
     AudioFeatures(id, bytes.length.toLong, 16000.0, 1, frames,
       frames * 1000.0 / 16000.0,
-      if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length / 255.0)
+      if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length / 255.0,
+      status)
   }
 
-  case class ResizedMedia(doc_id: Long, width: Int, height: Int, payload: Array[Byte])
-  case class FrameSample(doc_id: Long, frame_idx: Int, ts_ms: Long, payload: Array[Byte])
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+      payload: Array[Byte], status: String)
+  case class FrameSample(doc_id: Long, frame_idx: Int, ts_ms: Long,
+      payload: Array[Byte], status: String)
 
   /** Resize plumbing: per-partition kernel with the real codec's signature
     * (bytes -> bytes at target dims). STUB: emits a deterministic
@@ -187,7 +203,10 @@ object Multimodal {
     import spark.implicits._
     typedPayloads(payloads)
       .mapPartitions(_.map { case (id, bytes) =>
-        ResizedMedia(id, targetW, targetH, resizeKernel(bytes, targetW, targetH))
+        // no real resampling codec in this environment: the payload is the
+        // deterministic grid-sample stand-in, and the status says so
+        ResizedMedia(id, targetW, targetH,
+          resizeKernel(bytes, targetW, targetH), "unsupported")
       })
   }
 
@@ -224,7 +243,7 @@ object Multimodal {
     typedPayloads(payloads)
       .mapPartitions(_.flatMap { case (id, bytes) =>
         if (isGif(bytes)) gifFrames(id, bytes, everyNth, fps)
-        else stubFrames(id, bytes, everyNth, frameCount, fps)
+        else stubFrames(id, bytes, everyNth, frameCount, fps, "unsupported")
       })
   }
 
@@ -245,7 +264,8 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(in)
-        if (!readers.hasNext) return stubFrames(id, bytes, everyNth, 16, fps)
+        if (!readers.hasNext)
+          return stubFrames(id, bytes, everyNth, 16, fps, "corrupt")
         val reader = readers.next()
         try {
           reader.setInput(in)
@@ -254,31 +274,33 @@ object Multimodal {
             val img = reader.read(f)
             val out = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(img, "png", out)
-            FrameSample(id, f, (f * 1000 / fps).toLong, out.toByteArray)
+            FrameSample(id, f, (f * 1000 / fps).toLong, out.toByteArray,
+              "decoded")
           }.toVector.iterator // materialize before the reader is disposed
         } finally reader.dispose()
       } finally in.close()
     } catch {
       case _: java.io.IOException | _: RuntimeException =>
-        stubFrames(id, bytes, everyNth, 16, fps)
+        stubFrames(id, bytes, everyNth, 16, fps, "corrupt")
     }
   }
 
   /** Deterministic chunking stand-in for formats with no demuxer. */
   private def stubFrames(id: Long, bytes: Array[Byte], everyNth: Int,
-      frameCount: Int, fps: Double): Iterator[FrameSample] =
+      frameCount: Int, fps: Double, status: String): Iterator[FrameSample] =
     (0 until frameCount by everyNth).iterator.map { f =>
       val start = (f.toLong * bytes.length / frameCount).toInt
       val end = ((f + 1).toLong * bytes.length / frameCount).toInt
       FrameSample(id, f, (f * 1000 / fps).toLong,
-        java.util.Arrays.copyOfRange(bytes, start, end))
+        java.util.Arrays.copyOfRange(bytes, start, end), status)
     }
 
   /** Deterministic fake decode for payloads with no in-environment codec
     * (audio/video, unknown formats): dimensions and intensity derived from
     * byte stats. Image payloads never reach this — [[decode]] handles
     * PNG/JPEG with the real `javax.imageio` path. */
-  private def decodeStub(id: Long, bytes: Array[Byte]): MediaFeatures = {
+  private def decodeStub(id: Long, bytes: Array[Byte],
+      status: String): MediaFeatures = {
     val n = bytes.length
     val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xFF))
     MediaFeatures(
@@ -286,6 +308,7 @@ object Multimodal {
       n_bytes = n.toLong,
       width = 16 + (math.abs(id) % 16).toInt,
       height = 16 + (n % 16),
-      mean_intensity = if (n == 0) 0.0 else sum.toDouble / n / 255.0)
+      mean_intensity = if (n == 0) 0.0 else sum.toDouble / n / 255.0,
+      status = status)
   }
 }

@@ -51,6 +51,8 @@ class PipelinesSpec extends SparkSpec {
     rows.foreach { f =>
       assert(f.mean_intensity >= 0.0 && f.mean_intensity <= 1.0)
       assert(f.width >= 16 && f.height >= 16)
+      assert(f.status === "unsupported",
+        "text payloads have no codec: stub features must be flagged")
     }
     // deterministic across runs
     val again = Multimodal.extractFeatures(payloads).collect()
@@ -71,14 +73,18 @@ class PipelinesSpec extends SparkSpec {
     // 8x5 uniform mid-gray JPEG: lossy, so assert dims exactly + intensity loosely
     val jpg = new BufferedImage(8, 5, BufferedImage.TYPE_INT_RGB)
     for (x <- 0 until 8; y <- 0 until 5) jpg.setRGB(x, y, 0x808080)
+    // PNG magic followed by garbage: claims a supported format, fails decode
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      "garbage bytes after the signature".getBytes("UTF-8")
     val payloads = Seq(
       (1L, encode(png, "png")),
       (2L, encode(jpg, "jpg")),
-      (3L, "not an image at all".getBytes("UTF-8")))
+      (3L, "not an image at all".getBytes("UTF-8")),
+      (4L, corrupt))
       .toDF("doc_id", "payload")
     val meta = Multimodal.payloadMeta(payloads).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
-    assert(meta === Map(1L -> "png", 2L -> "jpeg", 3L -> "bin"))
+    assert(meta === Map(1L -> "png", 2L -> "jpeg", 3L -> "bin", 4L -> "png"))
     val feats = Multimodal.extractFeatures(payloads).collect()
       .map(f => f.doc_id -> f).toMap
     assert(feats(1L).width === 3 && feats(1L).height === 2)
@@ -89,6 +95,11 @@ class PipelinesSpec extends SparkSpec {
       s"jpeg mean ${feats(2L).mean_intensity}")
     // non-image payloads keep the deterministic stub path
     assert(feats(3L).width >= 16 && feats(3L).height >= 16)
+    // the audit column separates the three outcomes
+    assert(feats(1L).status === "decoded" && feats(2L).status === "decoded")
+    assert(feats(3L).status === "unsupported")
+    assert(feats(4L).status === "corrupt",
+      "a payload claiming a supported format that fails decode is quarantinable")
   }
 
   test("multimodal: real WAV decode via javax.sound.sampled") {
@@ -125,6 +136,8 @@ class PipelinesSpec extends SparkSpec {
     assert(math.abs(wav.rms - 0.5 / math.sqrt(2)) < 0.01, s"rms ${wav.rms}")
     // non-audio payloads keep the deterministic stub framing
     assert(feats(2L).sample_rate === 16000.0)
+    assert(wav.status === "decoded")
+    assert(feats(2L).status === "unsupported")
   }
 
   test("multimodal: real GIF container demux samples every nth frame as PNG") {
@@ -150,6 +163,7 @@ class PipelinesSpec extends SparkSpec {
     val sampled = Multimodal.sampleFrames(payloads, everyNth = 2, fps = 10.0)
       .collect().sortBy(_.frame_idx)
     assert(sampled.map(_.frame_idx).toSeq === Seq(0, 2), "every 2nd of 4 frames")
+    assert(sampled.forall(_.status === "decoded"), "real GIF demux is decoded")
     assert(sampled.map(_.ts_ms).toSeq === Seq(0L, 200L), "ts from frame_idx/fps")
     sampled.zip(Seq(colors(0), colors(2))).foreach { case (fr, expected) =>
       val img = ImageIO.read(new java.io.ByteArrayInputStream(fr.payload))
@@ -166,6 +180,7 @@ class PipelinesSpec extends SparkSpec {
     resized.foreach { r =>
       assert(r.width === 8 && r.height === 4)
       assert(r.payload.length === 32, "payload bytes = target area")
+      assert(r.status === "unsupported", "stub resample must be flagged")
     }
     val again = Multimodal.resize(payloads, 8, 4).collect()
     assert(resized.sortBy(_.doc_id).map(_.payload.toSeq).toSeq ===
@@ -181,6 +196,8 @@ class PipelinesSpec extends SparkSpec {
     frames.groupBy(_.doc_id).values.foreach { fs =>
       assert(fs.map(_.frame_idx).sorted.toSeq === Seq(0, 4, 8, 12))
       assert(fs.forall(f => f.ts_ms === f.frame_idx * 40L), "25fps -> 40ms/frame")
+      assert(fs.forall(_.status === "unsupported"),
+        "no demuxer for text payloads: chunk stand-ins must be flagged")
     }
   }
 }
