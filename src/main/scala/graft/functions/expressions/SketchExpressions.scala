@@ -39,6 +39,47 @@ object SketchExpressions {
     * signatures — the standard Jaccard estimator. */
   def sig_agreement(a: Column, b: Column): Column =
     column(SigAgreement(expression(a), expression(b)))
+
+  /** Membership of a long in a SORTED plan-embedded literal set, via
+    * binary search — O(log n) per probe where array_contains scans the
+    * whole literal. The hot-set membership kernel for
+    * [[graft.operators.Dedup.dropCommonSegments]]-style literal filters,
+    * whose sets can legally reach 100k entries. */
+  def in_sorted_longs(v: Column, sorted: Array[Long]): Column =
+    column(InSortedLongs(expression(v), sorted))
+}
+
+/** Binary-search membership in a sorted long literal. The set rides the
+  * expression the way [[MinHashSig]]'s coefficients do: driver-built,
+  * serialized once per task, never a per-row allocation. Callers MUST
+  * pass a sorted array (require-checked) — silently wrong answers
+  * otherwise. */
+case class InSortedLongs(child: Expression, sorted: Array[Long])
+    extends UnaryExpression {
+  require(sorted.length <= 1 ||
+    sorted.sliding(2).forall(p => p(0) <= p(1)),
+    "in_sorted_longs requires a sorted set")
+  override def prettyName: String = "in_sorted_longs"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"in_sorted_longs requires a bigint probe, got ${other.simpleString}")
+  }
+
+  def compute(v: Long): Boolean =
+    java.util.Arrays.binarySearch(sorted, v) >= 0
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("inSortedExpr", this, classOf[InSortedLongs].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.compute($v)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class MinHashSig(child: Expression, k: Int, seed: Long)

@@ -443,10 +443,13 @@ object Dedup {
       docs.withColumn(textCol, coalesce(col(textCol), lit("")))
         .withColumn("n_removed", lit(0L))
     else {
-      // sorted for a deterministic literal (stable plan text across runs —
-      // array_contains scans linearly either way)
-      val hotLit = typedLit(hot.sorted.toSeq)
-      val kept = filter(segCol, s => !array_contains(hotLit, xxhash64(s)))
+      // membership probes the sorted set by binary search: O(log |hot|)
+      // per segment, where an array_contains literal scan made the rebuild
+      // O(n_segments * |hot|) once the hot set approached its 100k cap
+      val sortedHot = hot.sorted
+      val kept = filter(segCol, s =>
+        !graft.functions.expressions.SketchExpressions.in_sorted_longs(
+          xxhash64(s), sortedHot))
       docs.withColumn("__kept", kept)
         .withColumn("n_removed", (size(segCol) - size(col("__kept"))).cast("long"))
         .withColumn(textCol, concat_ws(sep, col("__kept")))

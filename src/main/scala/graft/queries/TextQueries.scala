@@ -59,8 +59,9 @@ object TextQueries extends QueryModule {
        |  SELECT doc_id,
        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN $enList)) AS DOUBLE)
        |      / len(string_split(text, ' ')) AS swr,
-       |    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
-       |      / length(text) AS pr,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+       |           / length(text) END AS pr,
        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
        |      / len(string_split(text, ' ')) AS mtl
        |  FROM documents)
@@ -1021,8 +1022,9 @@ object TextQueries extends QueryModule {
        |        / len(string_split(text, ' ')) * 4.0, 1.0) * 0.4
        |    + least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
        |        / len(string_split(text, ' ')) / 8.0, 1.0) * 0.4
-       |    + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
-       |        / length(text) * 10.0, 1.0)) * 0.2 AS quality,
+       |    + (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+       |          ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+       |            / length(text) END * 10.0, 1.0)) * 0.2 AS quality,
        |    greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")}) AS best,
        |    len(string_split(text, ' ')) AS n_tokens
        |  FROM documents),
@@ -1097,8 +1099,9 @@ object TextQueries extends QueryModule {
        |        / len(string_split(text, ' ')) * 4.0, 1.0) * 0.4
        |      + least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
        |        / len(string_split(text, ' ')) / 8.0, 1.0) * 0.4
-       |      + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
-       |        / length(text) * 10.0, 1.0)) * 0.2 AS quality,
+       |      + (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+       |          ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+       |            / length(text) END * 10.0, 1.0)) * 0.2 AS quality,
        |    (len(string_split(text, ' ')) BETWEEN 30 AND 100000)
        |      AND list_sum(list_transform(string_split(text, ' '), w -> length(w)))
        |            >= 3 * len(string_split(text, ' '))

@@ -191,6 +191,24 @@ class DedupSpec extends SparkSpec {
       (0 until 5).map(i => i.toLong -> s"only unique $i").toMap)
   }
 
+  test("in_sorted_longs equals linear membership over random sets") {
+    val rnd = new scala.util.Random(7)
+    val set = Array.fill(501)(rnd.nextLong() % 1000).distinct.sorted
+    val probes = (Array.fill(2000)(rnd.nextLong() % 1000) ++ set.take(50))
+      .toSeq.toDF("v")
+    val got = probes.select($"v",
+        graft.functions.expressions.SketchExpressions
+          .in_sorted_longs($"v", set).as("hit"))
+      .as[(Long, Boolean)].collect()
+    val ref = set.toSet
+    got.foreach { case (v, hit) => assert(hit === ref.contains(v), s"probe $v") }
+    // unsorted input is rejected rather than silently wrong
+    intercept[IllegalArgumentException] {
+      graft.functions.expressions.SketchExpressions
+        .in_sorted_longs($"v", Array(3L, 1L))
+    }
+  }
+
   test("dropCommonSegments is idempotent at a fixed threshold") {
     // removing hot segments leaves every surviving segment's df unchanged
     // (only whole segments go), so a second pass finds nothing new
