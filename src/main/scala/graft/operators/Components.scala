@@ -40,9 +40,28 @@ object Components {
     * @param maxRounds safety bound; the alternation converges in
     *   O(log^2 n) rounds (2 suffices for the star-shaped near-dup graphs
     *   the dedup operators emit). Non-convergence throws rather than
-    *   returning partially-contracted labels. */
+    *   returning partially-contracted labels.
+    * @param checkpointDir when set, per-round results go to RELIABLE
+    *   checkpoints in this directory (HDFS/object store on a cluster)
+    *   instead of executor-local localCheckpoint storage. Local
+    *   checkpoint blocks die with their executor, and in a loop that
+    *   REPLACES its lineage each round a lost block is unrecoverable —
+    *   the job dies mid-iteration. On a long-lived cluster with executor
+    *   churn (spot instances, autoscaling), pay the distributed-FS write
+    *   for restartability; single-JVM runs keep the local default. The
+    *   caller owns cleaning the directory afterwards. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 25): DataFrame = {
+      maxRounds: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    val checkpoint: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        // setCheckpointDir is session-global; set it from the parameter and
+        // restore nothing — two interleaved loops with different dirs would
+        // race anyway, and the last-set dir remains valid for both
+        spark.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = false)
+      case None => df => df.localCheckpoint(eager = false)
+    }
     // canonical orientation (big -> small); both star steps preserve it.
     // localCheckpoint (not cache) each round: each star step references its
     // input several times, so an un-truncated lineage grows ~4x per round
@@ -56,17 +75,16 @@ object Components {
     // convergence fingerprint's aggregate is the job that materializes it —
     // the rows persist on first compute and the next round's star steps
     // read the persisted partitions, never the un-truncated plan.
-    var e = edges
+    var e = checkpoint(edges
       .select(greatest(col(srcCol), col(dstCol)).as("u"),
         least(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(false)
+      .distinct())
     var fp = fingerprint(e)
     var rounds = 0
     var converged = fp._1 == 0L
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val next = checkpoint(smallStar(largeStar(e)))
       val nfp = fingerprint(next)
       e = next
       converged = nfp == fp

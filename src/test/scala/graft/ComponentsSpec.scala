@@ -33,6 +33,26 @@ class ComponentsSpec extends SparkSpec {
     assert(cc(Seq.empty) === Map.empty)
   }
 
+  test("reliable checkpoint dir: same labels, rounds persist to the dir") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    // multi-round shape: a long chain forces > 1 contraction round, so the
+    // loop actually cycles through reliable checkpoints, not just the seed
+    val chain = (1L until 40L).map(i => (i + 1, i))
+    val local = Components.connectedComponents(chain.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Components.connectedComponents(chain.toDF("a", "b"), "a", "b",
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === local)
+    assert(reliable === (1L to 40L).map(_ -> 1L).toMap)
+    // the rounds really went through the reliable path: checkpoint data on disk
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+    assert(files(new java.io.File(dir)).nonEmpty,
+      "reliable checkpoints must write to the provided directory")
+  }
+
   test("star contraction matches brute-force on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
