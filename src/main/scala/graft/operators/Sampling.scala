@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling and dataset splitting for
@@ -108,6 +109,111 @@ object Sampling {
     * shuffle, no state. Same salt ⇒ nested samples (a 0.25 sample of a
     * stratum is a subset of its 0.5 sample), same portability contract as
     * [[hashSample]]. */
+  /** Token-budget cap: per stratum, keep documents in deterministic
+    * hash-priority order until the cumulative weight (token count) reaches
+    * `budget` — the "at most N tokens per source/language" mixture op.
+    *
+    * Semantics (the contract the oracle and spec pin): order each
+    * stratum's rows by (hashBucket, id); a row is kept iff its INCLUSIVE
+    * running weight sum is <= budget. Deterministic, reproducible across
+    * engines, nested under resampling with the same salt.
+    *
+    * Scale shape — the naive form is a window cumsum partitioned by
+    * stratum, which plans as ONE partition per stratum: a 100 TB corpus
+    * with a billion-document stratum would sort a billion rows on one
+    * task. This implementation gets the identical answer with a two-pass
+    * prefix-histogram plan:
+    *
+    *   1. bucket rows by the first 4 hex chars of their hash (65 536
+    *      prefix cells); aggregate per-(stratum, prefix) weight sums — a
+    *      bounded-size frame (|strata| × 65 536 worst case) regardless of
+    *      corpus size;
+    *   2. window-cumsum THAT small frame to classify each prefix cell:
+    *      entirely under budget (keep all), entirely over (drop all), or
+    *      the single straddling cell per stratum;
+    *   3. rows in kept cells pass with no sort at all; only the straddling
+    *      cell's rows — ~1/65 536 of the stratum — go through the exact
+    *      per-row cumsum window.
+    *
+    * So the full-data passes are a narrow agg and a broadcast-joined
+    * filter; the only sort touches a 2^-16 sliver. `SamplingSpec` proves
+    * bit-identical output vs the naive window form on randomized inputs.
+    *
+    * Weights must be nonnegative (tokens counts are); a zero-weight row
+    * sitting exactly at the budget boundary is kept (cum == budget). */
+  def tokenBudgetSample(df: DataFrame, idCol: String, weightCol: String,
+      stratumCol: String, budget: Long, salt: String = "budget:"): DataFrame = {
+    require(budget >= 0, s"budget must be nonnegative, got $budget")
+    val outCols = df.columns.toSeq
+    val reserved = Set("__bucket", "__pfx", "__wsum", "__cum", "__cum_before", "__verdict")
+    require(outCols.forall(!reserved.contains(_)),
+      s"column names $reserved are reserved by tokenBudgetSample")
+
+    val rows = df.withColumn("__bucket", hashBucket(col(idCol), salt))
+      .withColumn("__pfx", substring(col("__bucket"), 1, 4))
+
+    // pass 1: bounded prefix histogram + its (small-frame) running sum
+    val wPfx = Window.partitionBy(col(stratumCol)).orderBy(col("__pfx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cells = rows.groupBy(col(stratumCol), col("__pfx"))
+      .agg(sum(col(weightCol).cast("long")).as("__wsum"))
+      .withColumn("__cum", sum(col("__wsum")).over(wPfx))
+      .withColumn("__cum_before", col("__cum") - col("__wsum"))
+      .withColumn("__verdict",
+        when(col("__cum") <= budget, "keep_all")
+          .when(col("__cum_before") > budget, "drop_all")
+          .otherwise("straddle"))
+      .select(col(stratumCol), col("__pfx"), col("__cum_before"), col("__verdict"))
+
+    // pass 2: broadcast the cell verdicts back onto the full data
+    val classified = rows.join(broadcast(cells), Seq(stratumCol, "__pfx"))
+    val keptWhole = classified.filter(col("__verdict") === "keep_all")
+
+    // exact per-row cut inside the (at most one per stratum) straddling cell
+    val wRow = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__bucket").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = classified.filter(col("__verdict") === "straddle")
+      .withColumn("__cum",
+        col("__cum_before") + sum(col(weightCol).cast("long")).over(wRow))
+      .filter(col("__cum") <= budget)
+
+    keptWhole.select(outCols.map(col): _*)
+      .unionByName(boundary.select(outCols.map(col): _*))
+  }
+
+  /** Deterministic corpus shuffle into training shards: adds `shard`
+    * (equal-width hash range, 0..nShards-1) and `pos` (the row's rank
+    * within its shard in hash order). Reading shards in order of
+    * (shard, pos) visits the corpus in a fixed pseudo-random permutation —
+    * the "globally shuffle 100 TB before training" op, with no global
+    * sort: ordering is established per shard, so the plan is one
+    * nShards-way hash exchange plus independent in-partition sorts. Pick
+    * nShards so a shard fits an executor (e.g. 100k shards at 100 TB →
+    * ~1 GB sorts); more shards = smaller sorts, perfect parallelism.
+    *
+    * Shard assignment is by RANGE over the hash value (bucket * nShards
+    * >> 32), not modulo — identical to comparing against the
+    * [[hexThreshold]] ladder, so the assignment is reproducible in any
+    * engine that can compare strings (the q75 oracle re-derives it in
+    * DuckDB as a CASE chain without parsing hex at all). */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "shuffle:"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val reserved = Set("__bucket", "shard", "pos")
+    require(df.columns.forall(!reserved.contains(_)),
+      s"column names $reserved are reserved by shuffleShards")
+    // bucket value v < 2^32 and nShards <= Int.MaxValue keep v * nShards
+    // inside a long; floor(v * n / 2^32) == the hexThreshold range index
+    val v = conv(col("__bucket"), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__bucket").asc, col(idCol).asc)
+    df.withColumn("__bucket", hashBucket(col(idCol), salt))
+      .withColumn("shard", shiftrightunsigned(v * nShards, 32).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("__bucket")
+  }
+
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
       fractions: Map[String, Double], defaultFraction: Double = 1.0,
       salt: String = "strat:"): DataFrame = {

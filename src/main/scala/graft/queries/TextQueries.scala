@@ -341,6 +341,73 @@ object TextQueries extends QueryModule {
       |FROM b GROUP BY 1, 2
       |ORDER BY lang, split""".stripMargin
 
+  /** Token-budget mixture cap: keep documents per source in deterministic
+    * hash-priority order until each source has contributed 500 tokens —
+    * the "at most N tokens per source" curation op. The engine runs
+    * [[graft.operators.Sampling.tokenBudgetSample]]'s two-pass
+    * prefix-histogram plan (no per-source global sort); the oracle states
+    * the semantics directly as a window cumsum. */
+  private def q74TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", tokenCount($"text").cast("long").as("n_tokens"))
+    graft.operators.Sampling.tokenBudgetSample(
+        docs, "doc_id", "n_tokens", "source", budget = 500L)
+      .orderBy($"doc_id")
+  }
+
+  private val q74Sql =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens
+      |FROM c WHERE cum <= 500
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic corpus shuffle into training shards: every document
+    * gets (shard, pos) such that reading shards in (shard, pos) order
+    * visits the corpus in a fixed pseudo-random permutation — the
+    * "globally shuffle before training" op with no global sort (the rank
+    * window runs per shard). The oracle re-derives the equal-width hash
+    * range assignment as a pure CASE chain — no hex parsing — proving the
+    * engine's conv()-based shard arithmetic against an independent
+    * formulation. */
+  private def q75ShuffleShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Sampling.shuffleShards(
+        Tables.documents(spark, dir), "doc_id", nShards = 8)
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
+  private val q75Sql =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, h,
+      |    CASE WHEN h < '20000000' THEN 0
+      |         WHEN h < '40000000' THEN 1
+      |         WHEN h < '60000000' THEN 2
+      |         WHEN h < '80000000' THEN 3
+      |         WHEN h < 'a0000000' THEN 4
+      |         WHEN h < 'c0000000' THEN 5
+      |         WHEN h < 'e0000000' THEN 6
+      |         ELSE 7 END AS shard
+      |  FROM b)
+      |SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
+      |FROM s
+      |ORDER BY shard, pos""".stripMargin
+
   /** Benchmark-contamination scan: treat every 10th doc as the "benchmark
     * set" and find corpus docs containing >= 80% of a benchmark doc's
     * 3-gram shingles. Containment, not Jaccard — a benchmark item pasted
@@ -1165,6 +1232,10 @@ object TextQueries extends QueryModule {
       "q44 via bloom prefilter: row-local codegen probe, exact after verification (north star)"),
     Q("q44_contamination", q44Contamination, Some(q44Sql), "benchmark n-gram containment scan (north star)"),
     Q("q43_split", q43Split, Some(q43Sql), "deterministic hash train/val/test split (north star)"),
+    Q("q74_token_budget", q74TokenBudget, Some(q74Sql),
+      "per-source token-budget cap, prefix-histogram plan vs window-cumsum oracle (north star)"),
+    Q("q75_shuffle_shards", q75ShuffleShards, Some(q75Sql),
+      "deterministic corpus shuffle into training shards (north star)"),
     Q("q18_text_stats", q18TextStats, Some(q18Sql), "token counting (north star)"),
     Q("q19_quality", q19Quality, Some(q19Sql), "document quality scoring (north star)"),
     Q("q20_langid", q20LangId, Some(q20Sql), "language-ID heuristic (north star)"),

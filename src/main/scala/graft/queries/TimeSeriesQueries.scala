@@ -218,8 +218,43 @@ object TimeSeriesQueries extends QueryModule {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
       |ORDER BY event_id""".stripMargin
 
+  /** Interval (range) join via time-binning: every view a user made in the
+    * six hours before each of their clicks — the event-correlation op.
+    * [[graft.operators.IntervalJoin]] turns the inequality predicate into
+    * an equi-join on (user, 6h-bin) with a 2× left fan-out, so compared
+    * pairs are bounded by events-per-window, not events-per-user; the
+    * oracle states the same join relationally (DuckDB's IEJoin handles the
+    * inequality natively — exactly the formulation that does NOT scale as
+    * a Spark residual-filter join on a hot key). */
+  private def q73IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val clicks = events.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("click_user"),
+        $"ts".as("click_ts"))
+    val views = events.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id".as("view_user"),
+        $"ts".as("view_ts"))
+    graft.operators.IntervalJoin.joinWithin(clicks, views,
+        "click_user", "view_user", "click_ts", "view_ts",
+        lowerSec = -21600L, upperSec = 0L)
+      .select($"click_id", $"view_id", $"click_user".as("user_id"))
+      .orderBy($"click_id", $"view_id")
+  }
+
+  private val q73Sql =
+    """SELECT a.event_id AS click_id, b.event_id AS view_id,
+      |  a.user_id AS user_id
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'click' AND b.event_type = 'view'
+      | AND b.ts >= a.ts - INTERVAL 6 HOUR AND b.ts < a.ts
+      |ORDER BY click_id, view_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q11_ohlcv", q11Ohlcv, Some(q11Sql), "daily OHLCV candles, deterministic open/close (A6)"),
+    Q("q73_interval_join", q73IntervalJoin, Some(q73Sql),
+      "binned interval join: views within 6h before each click vs IEJoin oracle"),
     Q("q33_lead_lag", q33LeadLag, Some(q33Sql), "offset window functions (lead/lag/delta)"),
     Q("q12_rolling_24h", q12Rolling24h, Some(q12Sql), "24h accumulated sums, event-time range frame (A4)"),
     Q("q13_rolling_extremes", q13RollingExtremes, Some(q13Sql), "rolling 7d high/low (A5)"),

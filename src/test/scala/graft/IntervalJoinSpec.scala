@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.IntervalJoin
+
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = Tables.events(spark, sfDir).cache()
+
+  private def clicks = events.filter($"event_type" === "click")
+    .select($"event_id".as("click_id"), $"user_id".as("cu"), $"ts".as("cts"))
+  private def views = events.filter($"event_type" === "view")
+    .select($"event_id".as("view_id"), $"user_id".as("vu"), $"ts".as("vts"))
+
+  /** Reference formulation: plain theta join (fine at spec scale). */
+  private def naive(lowerSec: Long, upperSec: Long) =
+    clicks.join(views, $"cu" === $"vu" &&
+        $"vts" >= timestamp_add("SECOND", lit(lowerSec), $"cts") &&
+        $"vts" < timestamp_add("SECOND", lit(upperSec), $"cts"))
+      .select($"click_id", $"view_id").as[(Long, Long)].collect().toSet
+
+  test("binned join == theta join across window shapes on the fixture") {
+    // past-only, straddling-zero, future-only, and a tiny window
+    for ((lo, hi) <- Seq((-21600L, 0L), (-3600L, 3600L), (0L, 7200L), (-61L, -1L))) {
+      val got = IntervalJoin.joinWithin(clicks, views, "cu", "vu", "cts", "vts", lo, hi)
+        .select($"click_id", $"view_id").as[(Long, Long)].collect().toSet
+      assert(got === naive(lo, hi), s"window [$lo, $hi)")
+    }
+  }
+
+  test("boundary semantics: lower inclusive, upper exclusive, sub-second exact") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val l = Seq((1L, 7L, ts("2024-01-01 12:00:00.5")))
+      .toDF("click_id", "cu", "cts")
+    val r = Seq(
+      (10L, 7L, ts("2024-01-01 11:00:00.5")),   // exactly lower bound: kept
+      (11L, 7L, ts("2024-01-01 11:00:00.499999")), // 1 us before lower: dropped
+      (12L, 7L, ts("2024-01-01 12:00:00.499999")), // 1 us before upper: kept
+      (13L, 7L, ts("2024-01-01 12:00:00.5")),   // exactly upper bound: dropped
+      (14L, 8L, ts("2024-01-01 11:30:00.0")))   // wrong key: dropped
+      .toDF("view_id", "vu", "vts")
+    val got = IntervalJoin.joinWithin(l, r, "cu", "vu", "cts", "vts", -3600L, 0L)
+      .select($"view_id").as[Long].collect().toSet
+    assert(got === Set(10L, 12L))
+  }
+
+  test("null timestamps on either side produce no pairs") {
+    val l = Seq((1L, 7L, Option(Timestamp.valueOf("2024-01-01 12:00:00"))),
+        (2L, 7L, Option.empty[Timestamp]))
+      .toDF("click_id", "cu", "cts")
+    val r = Seq((10L, 7L, Option(Timestamp.valueOf("2024-01-01 11:59:00"))),
+        (11L, 7L, Option.empty[Timestamp]))
+      .toDF("view_id", "vu", "vts")
+    val got = IntervalJoin.joinWithin(l, r, "cu", "vu", "cts", "vts", -3600L, 0L)
+    assert(got.select($"click_id", $"view_id").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L)))
+  }
+
+  test("plans as an equi-join on (key, bin) — never a nested-loop product") {
+    val plan = IntervalJoin.joinWithin(clicks, views, "cu", "vu", "cts", "vts",
+      -21600L, 0L).queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan.take(2000))
+  }
+
+  test("rejects empty windows and colliding column names") {
+    intercept[IllegalArgumentException] {
+      IntervalJoin.joinWithin(clicks, views, "cu", "vu", "cts", "vts", 5L, 5L)
+    }
+    intercept[IllegalArgumentException] {
+      IntervalJoin.joinWithin(clicks, clicks, "cu", "cu", "cts", "cts", -5L, 5L)
+    }
+  }
+}

@@ -99,10 +99,14 @@ class MinHashIndexSpec extends SparkSpec {
     }
   }
   test("probe leaves nothing cached: safe for unbounded ingest loops") {
-    spark.catalog.clearCache()
+    // diff, not emptiness: the SparkContext (and its cache registry) is
+    // shared by concurrently-running suites whose own .cache() calls are
+    // none of this test's business — only NEW entries convict the probe
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     MinHashIndex.probe(batch, "doc_id", "text", indexPath, minEstJac = 0.5)
       .count()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty,
       "probe must not grow executor storage across foreachBatch invocations")
   }
 

@@ -106,6 +106,64 @@ class SamplingSpec extends SparkSpec {
     assert(err.getMessage.contains("void"))
   }
 
+  test("tokenBudgetSample == naive window cumsum, bit for bit") {
+    import org.apache.spark.sql.expressions.Window
+    // weights derived from text length: varied, includes the real skew of
+    // the fixture; several budgets probe different cut points
+    val weighted = docs.select($"doc_id", $"source",
+      (length($"text") % 97).cast("long").as("w"))
+    val wNaive = Window.partitionBy($"source")
+      .orderBy(Sampling.hashBucket($"doc_id", "budget:").asc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for (budget <- Seq(0L, 1L, 137L, 1000L, 1000000L)) {
+      val naive = weighted.withColumn("cum", sum($"w").over(wNaive))
+        .filter($"cum" <= budget).select($"doc_id").as[Long].collect().sorted.toSeq
+      val fast = Sampling.tokenBudgetSample(weighted, "doc_id", "w", "source", budget)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(fast === naive, s"budget $budget")
+    }
+  }
+
+  test("tokenBudgetSample: huge budget is identity; zero-weight boundary row kept") {
+    val weighted = docs.select($"doc_id", $"source", lit(10L).as("w"))
+    assert(Sampling.tokenBudgetSample(weighted, "doc_id", "w", "source",
+      Long.MaxValue / 4).count() === docs.count())
+    // one stratum, weights 10; budget 10 keeps exactly the first row per
+    // stratum plus any zero-weight row sitting at cum == budget
+    val one = weighted.withColumn("w",
+      when($"doc_id" % 2 === 0, 0L).otherwise(10L))
+    val kept = Sampling.tokenBudgetSample(one, "doc_id", "w", "source", 10L)
+    // every kept row's inclusive cumsum really is <= 10
+    assert(kept.groupBy($"source").agg(sum($"w").as("tot"))
+      .filter($"tot" > 10).count() === 0)
+  }
+
+  test("shuffleShards: disjoint, dense ranks, deterministic, range-assigned") {
+    val n = 8
+    val sharded = Sampling.shuffleShards(docs, "doc_id", n).cache()
+    assert(sharded.count() === docs.count())
+    // shard ids in [0, n); pos is 1..count within each shard (dense total order)
+    assert(sharded.filter($"shard" < 0 || $"shard" >= n).count() === 0)
+    val perShard = sharded.groupBy($"shard")
+      .agg(count(lit(1)).as("cnt"), max($"pos").as("mx"), min($"pos").as("mn"),
+        countDistinct($"pos").as("dst"))
+    assert(perShard.filter($"mx" =!= $"cnt" || $"mn" =!= 1 || $"dst" =!= $"cnt")
+      .count() === 0, "pos must be a dense 1..count rank per shard")
+    // assignment == the hexThreshold range ladder (independent derivation)
+    val bucket = Sampling.hashBucket($"doc_id", "shuffle:")
+    val ladder = (1 until n).foldRight(lit(n - 1)) { (i, rest) =>
+      when(bucket < Sampling.hexThreshold(i.toDouble / n), i - 1).otherwise(rest)
+    }
+    assert(docs.withColumn("expect", ladder)
+      .join(sharded.select($"doc_id", $"shard"), "doc_id")
+      .filter($"expect" =!= $"shard").count() === 0)
+    // repartition-invariant (no RNG, no partition-order dependence)
+    val again = Sampling.shuffleShards(docs.repartition(7), "doc_id", n)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Int, Int)].collect().toSet
+    assert(again === sharded.select($"doc_id", $"shard", $"pos")
+      .as[(Long, Int, Int)].collect().toSet)
+  }
+
   test("split assignment is a narrow map: no exchange in the plan") {
     val plan = Sampling.deterministicSplit(docs, "doc_id", "s1", weights)
       .queryExecution.executedPlan.toString
