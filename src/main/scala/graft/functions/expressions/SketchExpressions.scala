@@ -47,6 +47,13 @@ object SketchExpressions {
     * whose sets can legally reach 100k entries. */
   def in_sorted_longs(v: Column, sorted: Array[Long]): Column =
     column(InSortedLongs(expression(v), sorted))
+
+  /** |a ∩ b| for two SORTED distinct long arrays (one linear merge, no
+    * allocation) — the row-local exact-Jaccard kernel for candidate-pair
+    * verification when per-doc shingle arrays travel by id instead of
+    * exploding through a shingle join. */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
 }
 
 /** Binary-search membership in a sorted long literal. The set rides the
@@ -258,6 +265,59 @@ case class SigAgreement(
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("sigAgreeExpr", this, classOf[SigAgreement].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Sorted-merge intersection count over two sorted distinct long arrays
+  * (e.g. [[ShingleHashesExpr]] output, which is sorted-distinct by
+  * construction). Sortedness is the CALLER's contract — a merge over
+  * unsorted input undercounts silently, so keep the inputs to expressions
+  * that guarantee order. One pass, no allocation, codegen-friendly. */
+case class SortedIntersectCount(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "sorted_intersect_count"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires two array<long> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedIsectExpr", this,
+      classOf[SortedIntersectCount].getName)
     defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
   }
 

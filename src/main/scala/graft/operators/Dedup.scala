@@ -315,13 +315,51 @@ object Dedup {
       idCol: String, textCol: String, n: Int, minJac: Double): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n).cache()
     val counts = sh.groupBy("sid").agg(count(lit(1)).as("n_sh"))
-    val inter = cands.select("id_a", "id_b")
+    // length prefilter (PPJoin's length bound, lossless): i <= min(na, nb)
+    // so jaccard <= min/max — any pair whose sizes differ by more than the
+    // threshold ratio dies on two integers before its shingles ever join
+    val sized = cands.select("id_a", "id_b")
+      .join(counts.select(col("sid").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(counts.select(col("sid").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(minJac) * greatest(col("na"), col("nb")))
+    val inter = sized
       .join(sh.select(col("sid").as("id_a"), col("shingle")), "id_a")
       .join(sh.select(col("sid").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+      .groupBy("id_a", "id_b", "na", "nb").agg(count(lit(1)).as("i"))
     inter
-      .join(counts.withColumnRenamed("sid", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
-      .join(counts.withColumnRenamed("sid", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= minJac)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Same relation as [[jaccardOnCandidates]], different physical shape for
+    * the candidate-heavy regime (|candidates| ≫ |docs|, e.g. a generous
+    * SimHash screen on a low-entropy corpus): each doc's sorted-distinct
+    * shingle-hash ARRAY travels by id to its candidate pairs and the
+    * intersection is one row-local sorted merge (`sorted_intersect_count`).
+    * Cost ∝ candidates × shingles-per-doc COMPARISONS inside codegen,
+    * versus candidates × shingles-per-doc ROWS through a shuffle join in
+    * the exploded form — no wide groupBy, and the array side is |docs|
+    * sized (broadcast when small). The exploded form stays the default:
+    * its exchanges carry only (id, 8-byte hash) rows, which is the safer
+    * shape when single documents can be pathologically long. */
+  private def jaccardOnCandidatesViaArrays(cands: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, n: Int, minJac: Double): DataFrame = {
+    val arrs = docs.select(col(idCol).as("sid"),
+        shingle_hashes(TextFunctions.tokens(col(textCol)), n).as("sh_arr"))
+      .withColumn("n_sh", size(col("sh_arr")))
+      .filter(col("n_sh") > 0)
+    cands.select("id_a", "id_b")
+      .join(arrs.select(col("sid").as("id_a"), col("sh_arr").as("arr_a"),
+        col("n_sh").as("na")), "id_a")
+      .join(arrs.select(col("sid").as("id_b"), col("sh_arr").as("arr_b"),
+        col("n_sh").as("nb")), "id_b")
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(minJac) * greatest(col("na"), col("nb")))
+      .withColumn("i", graft.functions.expressions.SketchExpressions
+        .sorted_intersect_count(col("arr_a"), col("arr_b")))
+      .filter(col("i") > 0) // exploded form never surfaces 0-overlap pairs
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= minJac)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -359,7 +397,11 @@ object Dedup {
   def simhashScreenedJaccardPairs(docs: DataFrame, idCol: String,
       textCol: String, n: Int = 3, minJac: Double = 0.5,
       maxHamming: Int = 12): DataFrame =
-    jaccardOnCandidates(
+    // array-form verification: a generous hamming radius on a low-entropy
+    // corpus passes MANY candidates per doc (SimHash fingerprints
+    // concentrate when every doc shares one vocabulary), which is exactly
+    // the regime where per-pair array fetch beats the exploded shingle join
+    jaccardOnCandidatesViaArrays(
       simhashNearDupPairs(docs, idCol, textCol, maxHamming),
       docs, idCol, textCol, n, minJac)
 
@@ -474,10 +516,17 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 15, "maxHamming must be in [0, 15]")
     val fps = simhash(docs, idCol, textCol).cache()
     val nChunks = maxHamming + 1
-    val width = (64 + nChunks - 1) / nChunks
+    // balanced widths (64%n chunks of ceil, the rest floor): the naive
+    // all-ceil split leaves the LAST chunk with the remainder, which for
+    // e.g. nChunks=10 is a 1-bit chunk — half the corpus lands in each of
+    // its two buckets and that one band degenerates to a near-cross-join
+    val baseW = 64 / nChunks
+    val nWide = 64 % nChunks
+    val widths = Seq.fill(nWide)(baseW + 1) ++ Seq.fill(nChunks - nWide)(baseW)
+    val offsets = widths.scanLeft(0)(_ + _)
     val chunks = (0 until nChunks).map { c =>
-      val lo = c * width
-      val w = math.min(width, 64 - lo)
+      val lo = offsets(c)
+      val w = widths(c)
       val mask = if (w >= 64) -1L else (1L << w) - 1
       struct(lit(c).as("chunk_idx"),
         shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask)).as("chunk"))
@@ -486,12 +535,17 @@ object Dedup {
       d.select(col(idCol).as(as), col("simhash").as(s"fp_$as"),
           explode(array(chunks: _*)).as("b"))
         .select(col(as), col(s"fp_$as"), col("b.chunk_idx"), col("b.chunk"))
-    val cands = banded(fps, "id_a").join(banded(fps, "id_b"), Seq("chunk_idx", "chunk"))
+    // hamming filter BEFORE the distinct: at generous radii the chunks are
+    // narrow (width 64/(r+1) bits), buckets are hot, and the banded join
+    // fans out to many candidate rows per true pair — filtering inside the
+    // join's codegen stage kills non-qualifying pairs where they are born,
+    // so the distinct only ever shuffles QUALIFYING pairs (bounded by the
+    // true near-dup count, not the bucket fan-out). hamming is a function
+    // of the pair, so distinct on (id_a, id_b, hamming) == distinct on ids.
+    banded(fps, "id_a").join(banded(fps, "id_b"), Seq("chunk_idx", "chunk"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "fp_id_a", "fp_id_b").distinct()
-    cands
       .withColumn("hamming", bit_count(col("fp_id_a").bitwiseXOR(col("fp_id_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select("id_a", "id_b", "hamming").distinct()
   }
 }

@@ -102,6 +102,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "sig_agreement takes (sig_a, sig_b)")
         SigAgreement(args.head, args(1))
+      }),
+    (FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count", "sorted_intersect_count(a, b) - |a ∩ b| of two sorted distinct array<long>"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "sorted_intersect_count takes (a, b)")
+        SortedIntersectCount(args.head, args(1))
       }))
 
   /** Inject into an already-built session (tests, REPLs). */

@@ -209,6 +209,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("sorted_intersect_count equals array_intersect size on real shingle arrays") {
+    import graft.functions.expressions.ShingleHashes.shingle_hashes
+    import graft.functions.expressions.SketchExpressions.sorted_intersect_count
+    // shingle_hashes output is sorted-distinct by construction — the
+    // kernel's input contract; compare against the built-in on every
+    // cross pair of a doc sample, plus the empty-array edges
+    val arrs = docs.limit(40).select($"doc_id",
+      shingle_hashes(graft.functions.TextFunctions.tokens($"text"), 3).as("arr"))
+    val pairs = arrs.as("x").join(arrs.as("y"), $"x.doc_id" <= $"y.doc_id")
+      .select(
+        sorted_intersect_count($"x.arr", $"y.arr").as("merge"),
+        size(array_intersect($"x.arr", $"y.arr")).as("builtin"))
+      .as[(Int, Int)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (m, b) => assert(m === b) }
+    val edges = Seq(
+      (Array.empty[Long], Array.empty[Long]),
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(1L, 5L, 9L), Array(5L, 9L, 11L))).toDF("a", "b")
+      .select(sorted_intersect_count($"a", $"b")).as[Int].collect().toSeq
+    assert(edges === Seq(0, 0, 2))
+  }
+
   test("dropCommonSegments is idempotent at a fixed threshold") {
     // removing hot segments leaves every surviving segment's df unchanged
     // (only whole segments go), so a second pass finds nothing new
