@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench sweep shares one JVM across 75 queries, and
+  // GC pressure from one heavy query's intermediates otherwise bleeds
+  // into the next query's measured time (observed: a 3 s query reading
+  // 25 s after a pre-optimization heavy ran before it)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -198,6 +198,49 @@ object IvfIndex {
     (model, spark.read.parquet(s"$dir/lists"))
   }
 
+  /** Append a batch of new vectors to a persisted index — the continuous-
+    * ingest path (mirrors [[MinHashIndex.append]]). New vectors are
+    * assigned against the SAVED centroids: the model is deliberately
+    * immutable per batch (standard IVF practice — centroids represent the
+    * corpus distribution and are refit periodically via [[save]], not
+    * nudged per micro-batch, which would silently invalidate earlier
+    * assignments). Each append adds small files to the probed list
+    * partitions; run [[compact]] on a maintenance cadence.
+    *
+    * Single-writer contract: one appender at a time, no concurrent
+    * [[compact]]. Readers may probe concurrently — parquet appends are
+    * add-only, so a concurrent probe sees a consistent prefix. */
+  def append(vectors: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val spark = vectors.sparkSession
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    assign(vectors, idCol, vecCol, centroids)
+      .write.partitionBy("list_id").mode("append").parquet(s"$dir/lists")
+  }
+
+  /** Rewrite append-accreted list partitions to ~one file per list (same
+    * staged-directory swap as [[MinHashIndex.compact]]: write to a
+    * sibling, two renames, never a mixed read; a crash strands a harmless
+    * `lists_old/` cleaned by the next compact). Single-writer contract:
+    * no concurrent append or probe during the swap. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val nLists = spark.read.parquet(s"$dir/centroids").count().toInt
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"$dir/lists")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/lists_compact")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/lists_old")
+    val fs = live.getFileSystem(conf)
+    fs.delete(tmp, true); fs.delete(old, true)
+    // repartition on list_id: each task holds whole list partitions, so
+    // partitionBy emits ~one file per list directory
+    spark.read.parquet(s"$dir/lists")
+      .repartition(nLists, col("list_id"))
+      .write.partitionBy("list_id").parquet(tmp.toString)
+    if (!fs.rename(live, old) || !fs.rename(tmp, live))
+      throw new java.io.IOException(s"compact: directory swap failed for $live")
+    fs.delete(old, true)
+  }
+
   /** Probe a PERSISTED index (a frame carrying a `list_id` partition
     * column, as written by [[save]]). The probed list ids are resolved
     * driver-side first — at most nLists integers — and applied as a static

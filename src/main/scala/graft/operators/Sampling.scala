@@ -165,8 +165,12 @@ object Sampling {
           .otherwise("straddle"))
       .select(col(stratumCol), col("__pfx"), col("__cum_before"), col("__verdict"))
 
-    // pass 2: broadcast the cell verdicts back onto the full data
-    val classified = rows.join(broadcast(cells), Seq(stratumCol, "__pfx"))
+    // pass 2: join the cell verdicts back onto the full data. No explicit
+    // broadcast hint: cells is |strata| x 65 536 worst case — tiny for the
+    // typical source/language strata (AQE broadcasts it), but a caller
+    // stratifying by a high-cardinality key (per-domain budgets) must not
+    // be forced into an oversized broadcast; the planner picks.
+    val classified = rows.join(cells, Seq(stratumCol, "__pfx"))
     val keptWhole = classified.filter(col("__verdict") === "keep_all")
 
     // exact per-row cut inside the (at most one per stratum) straddling cell

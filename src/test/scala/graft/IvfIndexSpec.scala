@@ -120,4 +120,46 @@ class IvfIndexSpec extends SparkSpec {
     val recall = (approx intersect exact).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall@5 = $recall")
   }
+
+  test("append ingests batches against the saved centroids; compact preserves " +
+      "probes and bounds files") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    val part1 = emb.filter($"vec_id" % 3 === 0)
+    val part2 = emb.filter($"vec_id" % 3 === 1)
+    val part3 = emb.filter($"vec_id" % 3 === 2)
+    val queries = emb.filter($"vec_id" < 10)
+    // fit on the first batch only (the "standing corpus"), then ingest
+    val model = IvfIndex.fit(part1, "vec_id", "embedding", nLists = 8, iters = 3)
+    IvfIndex.save(part1, "vec_id", "embedding", model, dir)
+    IvfIndex.append(part2, "vec_id", "embedding", dir)
+    IvfIndex.append(part3, "vec_id", "embedding", dir)
+    def probeRows() = {
+      val (m, lists) = IvfIndex.load(spark, dir)
+      IvfIndex.probeIndexed(queries, lists, "vec_id", "embedding",
+          k = 5, m, nProbe = 8)
+        .orderBy($"query_id", $"rank").collect().map(_.toString).toSeq
+    }
+    val appended = probeRows()
+    // appended index == one-shot save of the union under the SAME model
+    // (assignment only depends on the immutable centroids)
+    val refDir = java.nio.file.Files.createTempDirectory("ivf_ref").toString
+    IvfIndex.save(part1.unionByName(part2).unionByName(part3),
+      "vec_id", "embedding", model, refDir)
+    val (mRef, listsRef) = IvfIndex.load(spark, refDir)
+    val oneShot = IvfIndex.probeIndexed(queries, listsRef, "vec_id",
+        "embedding", k = 5, mRef, nProbe = 8)
+      .orderBy($"query_id", $"rank").collect().map(_.toString).toSeq
+    assert(appended === oneShot)
+    // compact: identical probe results, strictly fewer files
+    def countFiles(): Int =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "lists"))
+        .filter(p => p.toString.endsWith(".parquet")).count().toInt
+    val before = countFiles()
+    IvfIndex.compact(spark, dir)
+    assert(probeRows() === appended, "compact must not change probe results")
+    val after = countFiles()
+    assert(after < before, s"compact must shrink file count ($before -> $after)")
+    assert(after <= 8, s"~one file per list after compact, got $after")
+  }
 }
