@@ -26,15 +26,23 @@ object Bench {
       spark.catalog.clearCache() // operators cache intermediates; don't let
                                  // entries accumulate across query runs
     }
+    // Min of two timed runs per query: shared/virtualized hosts throttle in
+    // phases (observed: a narrow 0.2 s map reading 12 s inside a slow
+    // window), and the minimum is the standard transient-load-robust
+    // estimator once warmup has eliminated cold-start effects. Failures
+    // never retry: -1 marks them instead of masquerading as a fast run.
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      // -1 marks failure in the JSON instead of masquerading as a fast run
-      name -> (if (ok) dt else -1.0)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        if (ok) dt else -1.0
+      }
+      val first = once()
+      name -> (if (first < 0) first else math.min(first, once()))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

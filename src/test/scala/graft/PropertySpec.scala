@@ -131,4 +131,38 @@ class PropertySpec extends SparkSpec {
       assert(j >= 0.3 && j <= 1.0)
     }
   }
+
+  test("interval join windows compose: [lo,mid) ⊎ [mid,hi) == [lo,hi)") {
+    import spark.implicits._
+    import graft.operators.IntervalJoin
+    val events = graft.core.Tables.events(spark, sfDir)
+    val l = events.filter($"event_type" === "click")
+      .select($"event_id".as("lid"), $"user_id".as("lu"), $"ts".as("lts"))
+    val r = events.filter($"event_type" === "view")
+      .select($"event_id".as("rid"), $"user_id".as("ru"), $"ts".as("rts"))
+    def pairs(lo: Long, hi: Long) =
+      IntervalJoin.joinWithin(l, r, "lu", "ru", "lts", "rts", lo, hi)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    val (lo, mid, hi) = (-7200L, -600L, 3600L)
+    val left = pairs(lo, mid)
+    val right = pairs(mid, hi)
+    // half-open windows: the split point belongs to exactly one side
+    assert((left & right).isEmpty, "sub-windows must be disjoint")
+    assert((left | right) === pairs(lo, hi), "sub-windows must cover the whole")
+  }
+
+  test("tokenBudgetSample is monotone and nested in the budget") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", (length($"text") % 83).cast("long").as("w"))
+    val kept = Seq(100L, 400L, 1600L).map(b =>
+      Sampling.tokenBudgetSample(docs, "doc_id", "w", "source", b)
+        .select($"doc_id").as[Long].collect().toSet)
+    // a bigger budget keeps a SUPERSET (same deterministic priority order)
+    kept.sliding(2).foreach { case Seq(small, big) =>
+      assert(small.subsetOf(big), s"${small.size} ⊄ ${big.size}")
+    }
+    assert(kept.last.nonEmpty)
+  }
 }
