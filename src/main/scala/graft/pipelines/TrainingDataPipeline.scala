@@ -150,4 +150,23 @@ object TrainingDataPipeline {
       "after_exact_dedup" -> exact.count(),
       "after_near_dedup" -> dropNearDups(exact, idCol, textCol, cfg).count())
   }
+
+  /** The funnel as ONE declarative frame of (ord, stage, n) rows — the
+    * report a long-running curation job materializes per partition/day
+    * instead of issuing four driver-side counts: a union of count
+    * aggregates over the shared stage frames, so the whole funnel is one
+    * job whose only full-data pass is the annotated scan (the later
+    * stages reuse the cached exact frame). q76 pins it relationally. */
+  def funnelFrame(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", cfg: Config = Config()): DataFrame = {
+    val (filtered, exact) = stages(docs, idCol, textCol, cfg)
+    val kept = dropNearDups(exact, idCol, textCol, cfg)
+    def stage(ord: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n"))
+        .select(lit(ord).as("ord"), lit(name).as("stage"), col("n"))
+    stage(1, "input", docs)
+      .unionByName(stage(2, "after_filters", filtered))
+      .unionByName(stage(3, "after_exact_dedup", exact))
+      .unionByName(stage(4, "after_near_dedup", kept))
+  }
 }

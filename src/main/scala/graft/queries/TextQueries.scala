@@ -1067,6 +1067,36 @@ object TextQueries extends QueryModule {
     * COMPOSITION, where stage-ordering or column-plumbing regressions
     * live. The near-dup stage rides the MinHash screen whose losslessness
     * q24 establishes; the oracle recomputes the pairs relationally. */
+  /** The curation FUNNEL relationally (q68's companion): per-stage
+    * surviving row counts — input → quality/language/length filters →
+    * exact dedup → near-dup removal. q68 pins the final corpus content;
+    * this pins how many rows each stage removed, which is the number a
+    * 100 TB curation run actually watches (a filter suddenly eating 40%
+    * of a source shows up here before anyone reads documents). */
+  private def q76Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.pipelines.TrainingDataPipeline.funnelFrame(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy($"ord")
+  }
+
+  // lazy: derives from q68Sql, which is declared later in this object —
+  // an eager val here would read null at object-initialization time
+  private lazy val q76Sql = {
+    // the same stage CTEs as q68Sql, aggregated to counts per stage
+    val inner = q68Sql
+      .replaceAll("(?s)SELECT doc_id, text_digest, pred_lang.*$", "")
+      .stripSuffix("\n")
+    s"""$inner
+       |SELECT * FROM (
+       |  SELECT 1 AS ord, 'input' AS stage, COUNT(*) AS n FROM documents
+       |  UNION ALL SELECT 2, 'after_filters', COUNT(*) FROM filt
+       |  UNION ALL SELECT 3, 'after_exact_dedup', COUNT(*) FROM ex
+       |  UNION ALL SELECT 4, 'after_near_dedup', COUNT(*) FROM ex
+       |    WHERE doc_id NOT IN (SELECT id_b FROM losers))
+       |ORDER BY ord""".stripMargin
+  }
+
   private def q68Pipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.pipelines.TrainingDataPipeline.curate(
@@ -1232,6 +1262,8 @@ object TextQueries extends QueryModule {
       "q44 via bloom prefilter: row-local codegen probe, exact after verification (north star)"),
     Q("q44_contamination", q44Contamination, Some(q44Sql), "benchmark n-gram containment scan (north star)"),
     Q("q43_split", q43Split, Some(q43Sql), "deterministic hash train/val/test split (north star)"),
+    Q("q76_funnel", q76Funnel, Some(q76Sql),
+      "per-stage curation funnel counts, one declarative frame (north star)"),
     Q("q74_token_budget", q74TokenBudget, Some(q74Sql),
       "per-source token-budget cap, prefix-histogram plan vs window-cumsum oracle (north star)"),
     Q("q75_shuffle_shards", q75ShuffleShards, Some(q75Sql),

@@ -20,6 +20,14 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(f("after_near_dedup") > 0, s"funnel emptied the corpus: $f")
   }
 
+  test("funnelFrame equals the driver-side funnel map, stage-ordered") {
+    val m = TrainingDataPipeline.funnel(docs, cfg = cfg)
+    val f = TrainingDataPipeline.funnelFrame(docs, cfg = cfg)
+      .orderBy($"ord").as[(Int, String, Long)].collect().toSeq
+    assert(f.map(_._1) === Seq(1, 2, 3, 4), "stages in pipeline order")
+    assert(f.map(r => r._2 -> r._3).toMap === m)
+  }
+
   test("curated corpus has no near-duplicate pairs left at the threshold") {
     val curated = TrainingDataPipeline.curate(docs, cfg = cfg).cache()
     val remaining = Dedup.ngramJaccardPairs(curated, "doc_id", "text",
