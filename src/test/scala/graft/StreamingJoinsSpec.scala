@@ -51,6 +51,40 @@ class StreamingJoinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming range join == batch IntervalJoin on the same whole-second data") {
+    // cross-paradigm parity: StreamingJobs.streamStreamJoin bounds matches
+    // by rts in [lts, lts + w minutes] (inclusive upper); on whole-second
+    // timestamps that interval equals IntervalJoin's half-open
+    // [lts, lts + 60w + 1). Same data through both engines must agree.
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val lRows = (1 to 40).map(i => (s"u${rnd.nextInt(5)}",
+      ts(f"2024-01-01 ${9 + rnd.nextInt(3)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"), i.toLong))
+    val rRows = (1 to 60).map(i => (s"u${rnd.nextInt(5)}",
+      ts(f"2024-01-01 ${9 + rnd.nextInt(3)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"), i.toLong))
+    val lStream = MemoryStream[(String, Timestamp, Long)]
+    val rStream = MemoryStream[(String, Timestamp, Long)]
+    val joined = StreamingJobs.streamStreamJoin(
+      lStream.toDF().toDF("user", "l_ts", "l_id"),
+      rStream.toDF().toDF("user", "r_ts", "r_id"),
+      "user", "l_ts", "r_ts", withinMinutes = 10, watermark = "6 hours")
+    val q = joined.writeStream.format("memory").queryName("parity")
+      .outputMode("append").start()
+    try {
+      lStream.addData(lRows: _*)
+      rStream.addData(rRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("parity").select($"l_id", $"r_id")
+        .as[(Long, Long)].collect().toSet
+      val batch = graft.operators.IntervalJoin.joinWithin(
+          lRows.toDF("lu", "l_ts", "l_id"), rRows.toDF("ru", "r_ts", "r_id"),
+          "lu", "ru", "l_ts", "r_ts", lowerSec = 0L, upperSec = 601L)
+        .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty, "fixture must actually produce matches")
+    } finally q.stop()
+  }
+
   test("stream-stream join matches within the event-time range only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(String, Timestamp)]
