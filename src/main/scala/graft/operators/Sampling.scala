@@ -144,6 +144,15 @@ object Sampling {
   def tokenBudgetSample(df: DataFrame, idCol: String, weightCol: String,
       stratumCol: String, budget: Long, salt: String = "budget:"): DataFrame = {
     require(budget >= 0, s"budget must be nonnegative, got $budget")
+    // integral weights only: a double column would silently truncate in
+    // the long cast below and the "cumsum <= budget" contract would stop
+    // matching any engine that sums exactly (token counts are integers)
+    df.schema(weightCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"tokenBudgetSample needs an integral weight column, got $weightCol: ${other.simpleString}")
+    }
     val outCols = df.columns.toSeq
     val reserved = Set("__bucket", "__pfx", "__wsum", "__cum", "__cum_before", "__verdict")
     require(outCols.forall(!reserved.contains(_)),
@@ -200,7 +209,11 @@ object Sampling {
     * >> 32), not modulo — identical to comparing against the
     * [[hexThreshold]] ladder, so the assignment is reproducible in any
     * engine that can compare strings (the q75 oracle re-derives it in
-    * DuckDB as a CASE chain without parsing hex at all). */
+    * DuckDB as a CASE chain without parsing hex at all). The product
+    * stays inside a signed long: v < 2^32 and nShards < 2^31 give
+    * v * nShards < 2^63. Ids must be unique (the usual corpus contract):
+    * duplicate ids tie on (bucket, id) and draw an arbitrary relative
+    * rank. */
   def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
       salt: String = "shuffle:"): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")

@@ -136,6 +136,12 @@ class SamplingSpec extends SparkSpec {
     // every kept row's inclusive cumsum really is <= 10
     assert(kept.groupBy($"source").agg(sum($"w").as("tot"))
       .filter($"tot" > 10).count() === 0)
+    // fractional weights are rejected, not silently truncated
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSample(
+        docs.select($"doc_id", $"source", lit(1.5).as("w")),
+        "doc_id", "w", "source", 10L)
+    }
   }
 
   test("shuffleShards: disjoint, dense ranks, deterministic, range-assigned") {
