@@ -25,7 +25,8 @@ object Plans {
       "q55_contamination_bloom", "q56_lm_score", "q57_line_dedup",
       "q58_gopher_rules", "q59_drop_seen",
       "q60_fuzzy_names", "q61_dup_spans", "q63_semdedup", "q64_chunking",
-      "q73_interval_join", "q74_token_budget", "q75_shuffle_shards")
+      "q73_interval_join", "q74_token_budget", "q75_shuffle_shards",
+      "q76_funnel")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)
