@@ -231,6 +231,23 @@ object Sampling {
       .drop("__bucket")
   }
 
+  /** Materialize [[shuffleShards]] as the layout a training job reads:
+    * `partitionBy(shard)` parquet with ONE file per shard whose row order
+    * IS the shuffle order (repartition by shard, sort within partitions
+    * by (pos) before the write — parquet preserves in-file row order, so
+    * a reader streaming shard files in shard order visits the corpus in
+    * the fixed global permutation with zero read-time sorting).
+    *
+    * Scale shape: one nShards-way hash exchange + independent in-partition
+    * sorts — the same plan as shuffleShards itself; no global sort at
+    * write OR read. Pick nShards so one shard ≈ one comfortable task. */
+  def writeShards(df: DataFrame, idCol: String, nShards: Int, path: String,
+      salt: String = "shuffle:"): Unit =
+    shuffleShards(df, idCol, nShards, salt)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
       fractions: Map[String, Double], defaultFraction: Double = 1.0,
       salt: String = "strat:"): DataFrame = {

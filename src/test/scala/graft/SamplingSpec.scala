@@ -170,6 +170,25 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Int, Int)].collect().toSet)
   }
 
+  test("writeShards: one ordered file per shard; file order == shuffle order") {
+    val n = 4
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString + "/out"
+    Sampling.writeShards(docs.select($"doc_id", $"text"), "doc_id", n, dir)
+    val expected = Sampling.shuffleShards(docs.select($"doc_id", $"text"), "doc_id", n)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Int, Int)].collect()
+      .groupBy(_._2).view.mapValues(_.sortBy(_._3).map(_._1).toSeq).toMap
+    for (shard <- 0 until n if expected.contains(shard)) {
+      val files = java.nio.file.Files.list(
+          java.nio.file.Paths.get(dir, s"shard=$shard"))
+        .filter(p => p.toString.endsWith(".parquet")).count()
+      assert(files === 1, s"shard $shard must be one file, got $files")
+      // a single parquet file read back preserves row order = shuffle order
+      val got = spark.read.parquet(s"$dir/shard=$shard")
+        .select($"doc_id").as[Long].collect().toSeq
+      assert(got === expected(shard), s"shard $shard order")
+    }
+  }
+
   test("split assignment is a narrow map: no exchange in the plan") {
     val plan = Sampling.deterministicSplit(docs, "doc_id", "s1", weights)
       .queryExecution.executedPlan.toString
