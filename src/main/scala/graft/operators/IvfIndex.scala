@@ -218,27 +218,25 @@ object IvfIndex {
       .write.partitionBy("list_id").mode("append").parquet(s"$dir/lists")
   }
 
-  /** Rewrite append-accreted list partitions to ~one file per list (same
-    * staged-directory swap as [[MinHashIndex.compact]]: write to a
-    * sibling, two renames, never a mixed read; a crash strands a harmless
-    * `lists_old/` cleaned by the next compact). Single-writer contract:
-    * no concurrent append or probe during the swap. */
+  /** Rewrite append-accreted list partitions to ~one file per list via the
+    * crash-safe [[StagedSwap]] (write to a sibling, two renames, never a
+    * mixed read; a crash in the rename window is repaired by the next
+    * compact's recovery step, which restores `lists/` from the surviving
+    * copy before deleting anything). Single-writer contract: no concurrent
+    * append or probe during the swap. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val nLists = spark.read.parquet(s"$dir/centroids").count().toInt
     val conf = spark.sparkContext.hadoopConfiguration
     val live = new org.apache.hadoop.fs.Path(s"$dir/lists")
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/lists_compact")
     val old = new org.apache.hadoop.fs.Path(s"$dir/lists_old")
-    val fs = live.getFileSystem(conf)
-    fs.delete(tmp, true); fs.delete(old, true)
-    // repartition on list_id: each task holds whole list partitions, so
-    // partitionBy emits ~one file per list directory
-    spark.read.parquet(s"$dir/lists")
-      .repartition(nLists, col("list_id"))
-      .write.partitionBy("list_id").parquet(tmp.toString)
-    if (!fs.rename(live, old) || !fs.rename(tmp, live))
-      throw new java.io.IOException(s"compact: directory swap failed for $live")
-    fs.delete(old, true)
+    StagedSwap.swap(live.getFileSystem(conf), live, tmp, old) { tmpDir =>
+      // repartition on list_id: each task holds whole list partitions, so
+      // partitionBy emits ~one file per list directory
+      spark.read.parquet(s"$dir/lists")
+        .repartition(nLists, col("list_id"))
+        .write.partitionBy("list_id").parquet(tmpDir)
+    }
   }
 
   /** Probe a PERSISTED index (a frame carrying a `list_id` partition

@@ -92,9 +92,10 @@ object MinHashIndex {
     *
     * Single-writer contract (same as [[append]]): no concurrent probe or
     * append may run during the swap — the rewrite stages into a sibling
-    * directory and swaps via two renames, so a crash can strand a stale
-    * `bands_old/` (harmless, cleaned next compact) but never mixes old
-    * and new files in one read. */
+    * directory and swaps via the crash-safe [[StagedSwap]] (never a mixed
+    * read; a crash in the rename window is repaired by the next compact's
+    * recovery step, which restores the live directory from the surviving
+    * copy before deleting anything). */
   def compact(spark: SparkSession, path: String): Unit = {
     val (_, _, bands, _) = meta(spark, path)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -102,12 +103,7 @@ object MinHashIndex {
       val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
       val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}_compact")
       val old = new org.apache.hadoop.fs.Path(s"$path/${sub}_old")
-      val fs = live.getFileSystem(conf)
-      fs.delete(tmp, true); fs.delete(old, true)
-      write(tmp.toString)
-      if (!fs.rename(live, old) || !fs.rename(tmp, live))
-        throw new java.io.IOException(s"compact: directory swap failed for $live")
-      fs.delete(old, true)
+      StagedSwap.swap(live.getFileSystem(conf), live, tmp, old)(write)
     }
     swap("bands") { tmp =>
       // repartition on band_idx: each task holds whole band partitions, so

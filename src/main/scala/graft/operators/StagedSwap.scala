@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Crash-safe staged directory swap shared by [[IvfIndex.compact]] and
+  * [[MinHashIndex.compact]]: write the rewritten copy to `tmp`, stage the
+  * live directory aside as `old`, promote `tmp`, drop `old`.
+  *
+  * The dangerous window is between rename(live→old) and rename(tmp→live):
+  * a crash there leaves NO live directory, only `old` (the original) and
+  * `tmp` (the fully written new copy — `write(tmp)` completed before any
+  * rename started). A naive rerun that leads with delete(tmp)/delete(old)
+  * would destroy both surviving copies before its read of `live` failed —
+  * permanent index loss. So every swap begins with [[recover]]: if `live`
+  * is missing, restore it (preferring `tmp`, which is complete and newer,
+  * falling back to `old`) BEFORE any delete; leftovers are only deleted
+  * once `live` is confirmed present. A failed promote mid-swap likewise
+  * restores `old` before throwing, so `live` never stays missing after an
+  * exception either.
+  *
+  * Single-writer contract (same as the callers'): one compactor at a time.
+  */
+object StagedSwap {
+
+  /** If `live` is missing, restore it from a crashed prior swap's
+    * leftovers. Safe no-op when `live` exists. */
+  def recover(fs: FileSystem, live: Path, tmp: Path, old: Path): Unit = {
+    if (!fs.exists(live)) {
+      if (fs.exists(tmp)) {
+        // tmp is only ever renamed away AFTER live was staged aside, and is
+        // fully written before that — prefer the completed new copy
+        if (!fs.rename(tmp, live))
+          throw new java.io.IOException(s"swap recovery: cannot restore $tmp to $live")
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        if (!fs.rename(old, live))
+          throw new java.io.IOException(s"swap recovery: cannot restore $old to $live")
+      }
+      // neither leftover exists: nothing to recover; the caller's read of
+      // `live` fails loudly, which is correct for a genuinely absent index
+    }
+  }
+
+  /** Run one swap: recover a crashed predecessor, clear leftovers (only
+    * with `live` confirmed present), `write` the new copy to `tmp`, then
+    * two renames. */
+  def swap(fs: FileSystem, live: Path, tmp: Path, old: Path)(
+      write: String => Unit): Unit = {
+    recover(fs, live, tmp, old)
+    if (fs.exists(live)) { fs.delete(tmp, true); fs.delete(old, true) }
+    write(tmp.toString)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"compact: cannot stage $live aside")
+    if (!fs.rename(tmp, live)) {
+      // put the original back before failing — live must never stay missing
+      fs.rename(old, live)
+      throw new java.io.IOException(s"compact: cannot promote $tmp to $live")
+    }
+    fs.delete(old, true)
+  }
+}

@@ -162,4 +162,43 @@ class IvfIndexSpec extends SparkSpec {
     assert(after < before, s"compact must shrink file count ($before -> $after)")
     assert(after <= 8, s"~one file per list after compact, got $after")
   }
+
+  test("compact rerun after a crash in the rename window recovers the index " +
+      "instead of destroying both surviving copies") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val dir = java.nio.file.Files.createTempDirectory("ivf_crash").toString
+    val model = IvfIndex.fit(emb, "vec_id", "embedding", nLists = 8, iters = 2)
+    IvfIndex.save(emb, "vec_id", "embedding", model, dir)
+    IvfIndex.append(emb.filter($"vec_id" % 7 === 0)
+      .withColumn("vec_id", $"vec_id" + 100000L), "vec_id", "embedding", dir)
+    val queries = emb.filter($"vec_id" < 10)
+    def probeRows() = {
+      val (m, lists) = IvfIndex.load(spark, dir)
+      IvfIndex.probeIndexed(queries, lists, "vec_id", "embedding",
+          k = 5, m, nProbe = 8)
+        .orderBy($"query_id", $"rank").collect().map(_.toString).toSeq
+    }
+    val expected = probeRows()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new Path(s"$dir/lists")
+    val tmp = new Path(s"$dir/lists_compact")
+    val old = new Path(s"$dir/lists_old")
+    val fs = live.getFileSystem(conf)
+    // manufacture the crash state: tmp fully written (content-equal copy),
+    // live staged aside as old, promote never happened
+    assert(FileUtil.copy(fs, live, fs, tmp, false, conf))
+    assert(fs.rename(live, old))
+    assert(!fs.exists(live) && fs.exists(tmp) && fs.exists(old))
+    // a rerun must FIRST restore live, then complete normally
+    IvfIndex.compact(spark, dir)
+    assert(fs.exists(live), "live restored after crash recovery")
+    assert(!fs.exists(tmp) && !fs.exists(old), "leftovers cleared")
+    assert(probeRows() === expected, "recovered index probes identically")
+    // the other crash flavor: only old survives (crash before tmp existed,
+    // e.g. tmp was on a different volume) — recovery falls back to old
+    assert(fs.rename(live, old))
+    IvfIndex.compact(spark, dir)
+    assert(fs.exists(live) && !fs.exists(old))
+    assert(probeRows() === expected)
+  }
 }

@@ -163,6 +163,28 @@ class MinHashIndexSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet === hitsBefore)
   }
 
+  test("compact rerun after a crash in the rename window recovers the index") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val dir = Files.createTempDirectory("mh_crash").toString
+    MinHashIndex.save(corpus, "doc_id", "text", dir)
+    MinHashIndex.append(Seq((2000L, words("extra", 40))).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    def hits() = MinHashIndex.probe(batch, "doc_id", "text", dir, minEstJac = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = hits()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new Path(s"$dir/bands")
+    val tmp = new Path(s"$dir/bands_compact")
+    val old = new Path(s"$dir/bands_old")
+    val fs = live.getFileSystem(conf)
+    // the crash state: tmp fully written, live staged aside, never promoted
+    assert(FileUtil.copy(fs, live, fs, tmp, false, conf))
+    assert(fs.rename(live, old))
+    MinHashIndex.compact(spark, dir)
+    assert(fs.exists(live) && !fs.exists(tmp) && !fs.exists(old))
+    assert(hits() === expected, "recovered index probes identically")
+  }
+
   test("continuous ingest: per-micro-batch screen -> drop -> append via foreachBatch") {
     import org.apache.spark.sql.Dataset
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
