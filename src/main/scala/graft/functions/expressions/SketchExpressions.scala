@@ -245,15 +245,31 @@ case class SigAgreement(
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
     }
 
+  // getLong on a null element reads an undefined value — when the STATIC
+  // type admits null elements (e.g. any parquet-read array: the reader
+  // reinflates containsNull=true even for required elements), each read is
+  // null-checked and fails loudly instead of returning a garbage score.
+  // containsNull=false inputs skip the checks entirely.
+  @transient private lazy val mayHaveNulls: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => false
+    }
+  }
+
   def compute(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     if (b.numElements() != n) throw new IllegalArgumentException(
       s"sig_agreement: signature lengths differ ($n vs ${b.numElements()}) — " +
         "the sides were minhashed with different k")
     if (n == 0) return 0.0
+    val checkNulls = mayHaveNulls
     var eq = 0
     var i = 0
     while (i < n) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i)))
+        throw new IllegalArgumentException(
+          s"sig_agreement: null signature element at position $i")
       if (a.getLong(i) == b.getLong(i)) eq += 1
       i += 1
     }
@@ -296,13 +312,30 @@ case class SortedIntersectCount(
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
     }
 
+  // the merge reads elements with getLong: a null element would read an
+  // undefined value and return a garbage count SILENTLY. When the static
+  // type admits nulls (e.g. parquet-read arrays, whose reader reinflates
+  // containsNull=true), every read is null-checked and fails loudly;
+  // containsNull=false inputs (shingle_hashes et al.) skip the checks.
+  @transient private lazy val mayHaveNulls: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => false
+    }
+  }
+
   def compute(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
     val nb = b.numElements()
+    val checkNulls = mayHaveNulls
     var i = 0
     var j = 0
     var n = 0
     while (i < na && j < nb) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(j)))
+        throw new IllegalArgumentException(
+          "sorted_intersect_count: null array element — the sorted-distinct " +
+            "input contract excludes nulls; filter(x -> x IS NOT NULL) first")
       val x = a.getLong(i)
       val y = b.getLong(j)
       if (x == y) { n += 1; i += 1; j += 1 }

@@ -139,8 +139,15 @@ object Sampling {
     * filter; the only sort touches a 2^-16 sliver. `SamplingSpec` proves
     * bit-identical output vs the naive window form on randomized inputs.
     *
-    * Weights must be nonnegative (tokens counts are); a zero-weight row
-    * sitting exactly at the budget boundary is kept (cum == budget). */
+    * Weights must be nonnegative (token counts are): a negative weight
+    * would make the per-cell cumsum non-monotone and silently break the
+    * keep/drop/straddle classification, so the first negative weight
+    * encountered FAILS the job (a codegen'd raise_error guard — same
+    * fail-loud philosophy as the integral-type check). A zero-weight row
+    * sitting exactly at the budget boundary is kept (cum == budget).
+    * A null stratum is its own partition with its own budget, exactly as
+    * `Window.partitionBy(stratum)` groups it in the naive form (the cell
+    * join is null-safe). */
   def tokenBudgetSample(df: DataFrame, idCol: String, weightCol: String,
       stratumCol: String, budget: Long, salt: String = "budget:"): DataFrame = {
     require(budget >= 0, s"budget must be nonnegative, got $budget")
@@ -154,32 +161,48 @@ object Sampling {
         s"tokenBudgetSample needs an integral weight column, got $weightCol: ${other.simpleString}")
     }
     val outCols = df.columns.toSeq
-    val reserved = Set("__bucket", "__pfx", "__wsum", "__cum", "__cum_before", "__verdict")
+    val reserved = Set("__bucket", "__pfx", "__w", "__wsum", "__cum",
+      "__cum_before", "__verdict", "__cell_stratum", "__cell_pfx")
     require(outCols.forall(!reserved.contains(_)),
       s"column names $reserved are reserved by tokenBudgetSample")
 
+    // fail-loud negative-weight guard, evaluated distributively inside
+    // codegen: the first bad row aborts the job with the offending value
+    val guardedW = when(col(weightCol) < 0, raise_error(concat(
+        lit(s"tokenBudgetSample: negative weight in $weightCol: "),
+        col(weightCol).cast("string"))).cast("long"))
+      .otherwise(col(weightCol).cast("long"))
     val rows = df.withColumn("__bucket", hashBucket(col(idCol), salt))
       .withColumn("__pfx", substring(col("__bucket"), 1, 4))
+      .withColumn("__w", guardedW)
 
     // pass 1: bounded prefix histogram + its (small-frame) running sum
     val wPfx = Window.partitionBy(col(stratumCol)).orderBy(col("__pfx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cells = rows.groupBy(col(stratumCol), col("__pfx"))
-      .agg(sum(col(weightCol).cast("long")).as("__wsum"))
+      .agg(sum(col("__w")).as("__wsum"))
       .withColumn("__cum", sum(col("__wsum")).over(wPfx))
       .withColumn("__cum_before", col("__cum") - col("__wsum"))
       .withColumn("__verdict",
         when(col("__cum") <= budget, "keep_all")
           .when(col("__cum_before") > budget, "drop_all")
           .otherwise("straddle"))
-      .select(col(stratumCol), col("__pfx"), col("__cum_before"), col("__verdict"))
+      .select(col(stratumCol).as("__cell_stratum"), col("__pfx").as("__cell_pfx"),
+        col("__cum_before"), col("__verdict"))
 
-    // pass 2: join the cell verdicts back onto the full data. No explicit
-    // broadcast hint: cells is |strata| x 65 536 worst case — tiny for the
-    // typical source/language strata (AQE broadcasts it), but a caller
-    // stratifying by a high-cardinality key (per-domain budgets) must not
-    // be forced into an oversized broadcast; the planner picks.
-    val classified = rows.join(cells, Seq(stratumCol, "__pfx"))
+    // pass 2: join the cell verdicts back onto the full data. NULL-SAFE on
+    // the stratum (<=> is still a hash-join equality key): groupBy and
+    // Window.partitionBy both treat null as one ordinary group, so a plain
+    // equality join here would silently drop null-stratum rows instead of
+    // budgeting them as their own partition like the naive window form.
+    // No explicit broadcast hint: cells is |strata| x 65 536 worst case —
+    // tiny for the typical source/language strata (AQE broadcasts it), but
+    // a caller stratifying by a high-cardinality key (per-domain budgets)
+    // must not be forced into an oversized broadcast; the planner picks.
+    val classified = rows.join(cells,
+        col(stratumCol) <=> col("__cell_stratum") &&
+          col("__pfx") === col("__cell_pfx"))
+      .drop("__cell_stratum", "__cell_pfx")
     val keptWhole = classified.filter(col("__verdict") === "keep_all")
 
     // exact per-row cut inside the (at most one per stratum) straddling cell
@@ -188,7 +211,7 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val boundary = classified.filter(col("__verdict") === "straddle")
       .withColumn("__cum",
-        col("__cum_before") + sum(col(weightCol).cast("long")).over(wRow))
+        col("__cum_before") + sum(col("__w")).over(wRow))
       .filter(col("__cum") <= budget)
 
     keptWhole.select(outCols.map(col): _*)

@@ -230,6 +230,19 @@ class DedupSpec extends SparkSpec {
       (Array(1L, 5L, 9L), Array(5L, 9L, 11L))).toDF("a", "b")
       .select(sorted_intersect_count($"a", $"b")).as[Int].collect().toSeq
     assert(edges === Seq(0, 0, 2))
+    // a null ELEMENT fails loudly instead of reading an undefined value
+    // into a silently-garbage count (the check is static-type-gated, so
+    // containsNull=false producers like shingle_hashes pay nothing)
+    graft.plans.GraftExtensions.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT sorted_intersect_count(array(1L, CAST(NULL AS BIGINT)), " +
+        "array(1L, 2L))").collect()
+    }
+    assert(err.getMessage.contains("null array element"), err.getMessage)
+    // nullable-typed input WITHOUT actual nulls still computes correctly
+    val ok = spark.sql("SELECT sorted_intersect_count(" +
+      "array(1L, CAST(2L AS BIGINT)), array(2L, 3L))").head().getInt(0)
+    assert(ok === 1)
   }
 
   test("dropCommonSegments is idempotent at a fixed threshold") {

@@ -144,6 +144,41 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetSample fails loudly on a negative weight") {
+    // a negative weight breaks cumsum monotonicity and would silently
+    // corrupt the keep/drop/straddle classification — the guard must
+    // abort the job naming the value, not return a wrong sample
+    val bad = docs.select($"doc_id", $"source",
+      when($"doc_id" === 123L, -7L).otherwise(10L).as("w"))
+    val err = intercept[Exception] {
+      Sampling.tokenBudgetSample(bad, "doc_id", "w", "source", 1000L).count()
+    }
+    assert(err.getMessage.contains("negative weight"), err.getMessage)
+  }
+
+  test("tokenBudgetSample budgets a null stratum as its own partition") {
+    import org.apache.spark.sql.expressions.Window
+    // null source rows form one partition under the naive window form;
+    // the cell join must be null-safe or they silently vanish
+    val weighted = docs.select($"doc_id",
+      when($"doc_id" % 3 === 0, lit(null: String)).otherwise($"source")
+        .as("source"),
+      (length($"text") % 97).cast("long").as("w"))
+    val wNaive = Window.partitionBy($"source")
+      .orderBy(Sampling.hashBucket($"doc_id", "budget:").asc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for (budget <- Seq(137L, 1000L)) {
+      val naive = weighted.withColumn("cum", sum($"w").over(wNaive))
+        .filter($"cum" <= budget).select($"doc_id").as[Long].collect().sorted.toSeq
+      val fast = Sampling.tokenBudgetSample(weighted, "doc_id", "w", "source", budget)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(fast === naive, s"budget $budget")
+      // and the null stratum really is represented in the output
+      assert(Sampling.tokenBudgetSample(weighted, "doc_id", "w", "source", budget)
+        .filter($"source".isNull).count() > 0, s"budget $budget: null stratum dropped")
+    }
+  }
+
   test("shuffleShards: disjoint, dense ranks, deterministic, range-assigned") {
     val n = 8
     val sharded = Sampling.shuffleShards(docs, "doc_id", n).cache()
