@@ -1,6 +1,52 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: two interleaved timed passes over every SparkEntry
+  * query, ONE JSON line on stdout.
+  *
+  * The artifact is SELF-DIAGNOSING against host-throttle contamination
+  * (shared/virtualized build hosts throttle in minutes-long phases;
+  * observed: a 0.7 s aggregate reading 65 s inside one window, and a
+  * whole-sweep median 2.6x inflation with 0.48x-74x spread across
+  * code-untouched queries):
+  *  - every sample carries its start timestamp (`samples`), so a reader
+  *    can line contaminated measurements up against a throttle window;
+  *  - each pass's wall time is recorded (`pass_wall`) — a pass that took
+  *    10x the other is a throttled pass, not a code change;
+  *  - after the sweep, any query whose min-of-two still exceeds 3x its
+  *    durable isolated anchor (BASELINE.md round-5 table) is re-measured
+  *    once more, minutes after its pass-2 sample and behind a System.gc()
+  *    (shared-JVM sweeps also suffer cross-query GC contamination — a
+  *    heavy query inflates its successors). Both numbers are recorded
+  *    under `isolated`, and the headline `queries` value takes the min,
+  *    so one throttle phase can no longer fabricate a 74x regression.
+  */
 object Bench {
+
+  /** Durable isolated-measurement anchors (seconds at sf0.1, local[16/32],
+    * min-of-two protocol; the heavies table in BASELINE.md). A sweep
+    * measurement >3x its anchor is presumed contaminated and re-measured.
+    * Queries not listed use [[defaultAnchorSec]] — every other query
+    * measures well under a second clean, so 3 s+ is already suspicious. */
+  private val anchorSec: Map[String, Double] = Map(
+    "q67_simhash_screen" -> 7.0,
+    "q71_index_screen_recall" -> 4.5,
+    "q53_dup_clusters" -> 3.9,
+    "q60_fuzzy_names" -> 3.9,
+    "q68_pipeline" -> 3.2,
+    "q76_funnel" -> 2.8,
+    "q23_ngram_jaccard" -> 2.7,
+    "q65_incremental_dedup" -> 2.2,
+    "q61_dup_spans" -> 2.1,
+    "q63_semdedup" -> 1.7,
+    "q48_tfidf" -> 1.5,
+    "q55_contamination_bloom" -> 1.3,
+    "q70_ivf_full_probe" -> 1.2)
+  private val defaultAnchorSec = 1.0
+  // overridable for local testing of the rerun path (driver never sets it)
+  private val suspectFactor =
+    sys.env.get("SPARK_GRAFT_SUSPECT_FACTOR").map(_.toDouble).getOrElse(3.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,33 +72,64 @@ object Bench {
       spark.catalog.clearCache() // operators cache intermediates; don't let
                                  // entries accumulate across query runs
     }
-    // Two full timed passes, minimum per query: shared/virtualized hosts
-    // throttle in MINUTES-long phases (observed: a narrow 0.2 s map
-    // reading 12 s, a 0.7 s aggregate reading 65 s, inside one window —
-    // both normal again later). Back-to-back repeats of one query sit
-    // inside the same phase, so the passes are interleaved: each query's
-    // two samples land minutes apart and the min escapes any phase
-    // shorter than a full pass. Failures never retry: -1 marks them
-    // instead of masquerading as a fast run.
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Two full timed passes, minimum per query: back-to-back repeats of one
+    // query sit inside the same throttle phase, so the passes are
+    // interleaved — each query's two samples land minutes apart and the min
+    // escapes any phase shorter than a full pass. Failures never retry: -1
+    // marks them instead of masquerading as a fast run.
+    // (t0 = sample start, epoch millis; sec = duration, -1 on failure)
+    final case class Sample(t0: Long, sec: Double)
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Sample = {
+      val start = System.currentTimeMillis()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      if (ok) dt else -1.0
+      Sample(start, if (ok) dt else -1.0)
     }
+    val started = System.currentTimeMillis()
+    val p1Start = System.nanoTime()
     val pass1 = selected.map { case (name, fn) => name -> timeOnce(name, fn) }
+    val p1Wall = (System.nanoTime() - p1Start) / 1e9
+    val p2Start = System.nanoTime()
     val pass2 = selected.map { case (name, fn) => name -> timeOnce(name, fn) }
-    val results = pass1.map { case (name, t1) =>
-      val t2 = pass2(name)
-      name -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
+    val p2Wall = (System.nanoTime() - p2Start) / 1e9
+    val sweepMin = pass1.map { case (name, s1) =>
+      val s2 = pass2(name)
+      name -> (if (s1.sec < 0 || s2.sec < 0) -1.0 else math.min(s1.sec, s2.sec))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Post-sweep isolated re-measure of contaminated-looking outliers: by
+    // now the suspect's pass-2 sample is minutes old (a different throttle
+    // phase), and an explicit GC clears the previous queries' garbage out
+    // of the shared JVM before timing. Bounded: the suspect set is empty on
+    // a clean host.
+    val suspects = sweepMin.collect {
+      case (name, t) if t > suspectFactor * anchorSec.getOrElse(name, defaultAnchorSec) => name
+    }.toSeq.sorted
+    val isolated = suspects.map { name =>
+      System.gc()
+      name -> timeOnce(name, selected(name)).sec
+    }.toMap
+    val results = sweepMin.map { case (name, t) =>
+      val iso = isolated.getOrElse(name, -1.0)
+      name -> (if (t < 0) iso else if (iso < 0) t else math.min(t, iso))
+    }
+    def fmtMap(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = fmtMap(results.map { case (k, v) => k -> v.toString })
+    val samples = fmtMap(pass1.map { case (k, s1) =>
+      val s2 = pass2(k)
+      k -> s"""[{"t0":${s1.t0},"sec":${s1.sec}},{"t0":${s2.t0},"sec":${s2.sec}}]"""
+    })
+    val isoJson = fmtMap(suspects.map { name =>
+      name -> s"""{"sweep":${sweepMin(name)},"isolated":${isolated(name)}}"""
+    })
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""started":$started,"pass_wall":[$p1Wall,$p2Wall],""" +
+      s""""isolated":$isoJson,"samples":$samples,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
