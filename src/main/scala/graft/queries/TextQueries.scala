@@ -1080,14 +1080,10 @@ object TextQueries extends QueryModule {
       .orderBy($"ord")
   }
 
-  // lazy: derives from q68Sql, which is declared later in this object —
+  // lazy: composes curationCtes, which is declared later in this object —
   // an eager val here would read null at object-initialization time
-  private lazy val q76Sql = {
-    // the same stage CTEs as q68Sql, aggregated to counts per stage
-    val inner = q68Sql
-      .replaceAll("(?s)SELECT doc_id, text_digest, pred_lang.*$", "")
-      .stripSuffix("\n")
-    s"""$inner
+  private lazy val q76Sql =
+    s"""WITH $curationCtes
        |SELECT * FROM (
        |  SELECT 1 AS ord, 'input' AS stage, COUNT(*) AS n FROM documents
        |  UNION ALL SELECT 2, 'after_filters', COUNT(*) FROM filt
@@ -1095,7 +1091,108 @@ object TextQueries extends QueryModule {
        |  UNION ALL SELECT 4, 'after_near_dedup', COUNT(*) FROM ex
        |    WHERE doc_id NOT IN (SELECT id_b FROM losers))
        |ORDER BY ord""".stripMargin
+
+  /** The FULL training-data flow, end to end (north star): curate (q68's
+    * chain) → per-source token-budget cap (q74's op) → greedy sequence
+    * packing (q49's op) → deterministic shard shuffle (q75's op), reported
+    * as one row per training shard carrying an order-sensitive digest of
+    * its entire (pos → chunk → docs) content. Every stage is individually
+    * oracled; THIS row pins their composition — the handoff columns, the
+    * stage order, and the determinism of the whole chain — which is where
+    * end-to-end regressions live. The oracle replays all four stages
+    * relationally: the shared curation CTEs, a window cumsum for the
+    * budget, the recursive packing walk, the shard CASE ladder, and
+    * string_agg(... ORDER BY pos) for the digest.
+    *
+    * Scale shape: inherits each stage's own (one annotated scan + two
+    * bounded dedup shuffles; prefix-histogram budget, no per-stratum
+    * global sort; per-bucket packing; nShards-way exchange with
+    * per-shard sorts) — composing them adds NO new shuffle beyond the
+    * per-shard digest aggregation, whose groups are the nShards output
+    * rows. */
+  private def q77TrainingFlow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val curated = graft.pipelines.TrainingDataPipeline.curate(
+      Tables.documents(spark, dir), "doc_id", "text")
+    val budgeted = graft.operators.Sampling.tokenBudgetSample(
+      curated.select($"doc_id", $"source", $"n_tokens".cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", "source", budget = 2000L)
+    val packed = graft.operators.Packing.packGreedy(
+        budgeted, "doc_id", "n_tokens", maxTokens = 512, bucketHexChars = 1)
+      .toDF()
+      .select($"chunk_id", $"total_tokens",
+        concat_ws(",", transform(sort_array($"doc_ids"), _.cast("string")))
+          .as("doc_ids"))
+    val sharded = graft.operators.Sampling.shuffleShards(
+      packed, "chunk_id", nShards = 4)
+    sharded.groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum($"total_tokens").cast("long").as("shard_tokens"),
+        md5(concat_ws("|", transform(
+            array_sort(collect_list(struct($"pos", $"chunk_id", $"doc_ids"))),
+            s => concat_ws(":", s("pos").cast("string"), s("chunk_id"),
+              s("doc_ids")))))
+          .as("digest"))
+      .orderBy($"shard")
   }
+
+  // lazy: composes curationCtes (declared below)
+  private lazy val q77Sql =
+    s"""WITH RECURSIVE $curationCtes,
+       |kept AS (
+       |  -- ex carries no source (the curation CTEs project it away);
+       |  -- doc_id is unique in documents, so the join re-attaches it 1:1
+       |  SELECT e.doc_id, d.source, CAST(e.n_tokens AS BIGINT) AS n
+       |  FROM ex e JOIN documents d ON d.doc_id = e.doc_id
+       |  WHERE e.doc_id NOT IN (SELECT id_b FROM losers)),
+       |bud AS (
+       |  SELECT doc_id, n,
+       |    SUM(n) OVER (PARTITION BY source
+       |      ORDER BY substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM kept),
+       |surv AS (SELECT doc_id, n FROM bud WHERE cum <= 2000),
+       |ordered AS (
+       |  SELECT doc_id, n,
+       |    md5('pack:' || CAST(doc_id AS VARCHAR)) AS h,
+       |    substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+       |    row_number() OVER (PARTITION BY substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 1)
+       |                       ORDER BY md5('pack:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM surv),
+       |walk AS (
+       |  SELECT bucket, rn, doc_id, n, 0 AS ci, n AS toks FROM ordered WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.bucket, o.rn, o.doc_id, o.n,
+       |    CASE WHEN w.toks + o.n > 512 THEN w.ci + 1 ELSE w.ci END,
+       |    CASE WHEN w.toks + o.n > 512 THEN o.n ELSE w.toks + o.n END
+       |  FROM walk w JOIN ordered o ON o.bucket = w.bucket AND o.rn = w.rn + 1),
+       |chunks AS (
+       |  SELECT bucket || '-' || CAST(ci AS VARCHAR) AS chunk_id,
+       |    CAST(SUM(n) AS BIGINT) AS total_tokens,
+       |    array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+       |  FROM walk GROUP BY 1),
+       |chunk_h AS (
+       |  SELECT chunk_id, total_tokens, doc_ids,
+       |    substr(md5('shuffle:' || chunk_id), 1, 8) AS h
+       |  FROM chunks),
+       |sharded AS (
+       |  SELECT chunk_id, total_tokens, doc_ids,
+       |    CASE WHEN h < '40000000' THEN 0
+       |         WHEN h < '80000000' THEN 1
+       |         WHEN h < 'c0000000' THEN 2
+       |         ELSE 3 END AS shard, h
+       |  FROM chunk_h),
+       |ranked AS (
+       |  SELECT shard, chunk_id, total_tokens, doc_ids,
+       |    row_number() OVER (PARTITION BY shard ORDER BY h, chunk_id) AS pos
+       |  FROM sharded)
+       |SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_chunks,
+       |  CAST(SUM(total_tokens) AS BIGINT) AS shard_tokens,
+       |  md5(string_agg(CAST(pos AS VARCHAR) || ':' || chunk_id || ':' || doc_ids,
+       |                 '|' ORDER BY pos)) AS digest
+       |FROM ranked GROUP BY shard
+       |ORDER BY shard""".stripMargin
 
   private def q68Pipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1106,14 +1203,21 @@ object TextQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
-  private val q68Sql = {
+  /** The relational curation chain — a CTE list (no WITH keyword: q68/q76
+    * prepend `WITH`, q77 `WITH RECURSIVE` for its packing walk), shared
+    * verbatim by every oracle that replays TrainingDataPipeline.curate:
+    * quality/lang annotation (`ann`), language filter (`filt`), exact
+    * dedup (`ex`), near-dup losers at Jaccard >= 0.8 (`losers`). A single
+    * constant, composed — never regex-carved — so an edit here changes
+    * all dependent oracles together and stage drift is impossible. */
+  private val curationCtes = {
     val langCase =
       s"""CASE WHEN ${hits("en")} = best AND best > 0 THEN 'en'
          |     WHEN ${hits("de")} = best AND best > 0 THEN 'de'
          |     WHEN ${hits("fr")} = best AND best > 0 THEN 'fr'
          |     WHEN ${hits("es")} = best AND best > 0 THEN 'es'
          |     ELSE 'und' END""".stripMargin
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT doc_id, text,
        |    least(CAST(len(list_filter(string_split(text, ' '), w -> w IN $enList)) AS DOUBLE)
        |        / len(string_split(text, ' ')) * 4.0, 1.0) * 0.4
@@ -1152,12 +1256,15 @@ object TextQueries extends QueryModule {
        |  SELECT DISTINCT id_b FROM inter
        |  JOIN cnt ca ON ca.doc_id = id_a
        |  JOIN cnt cb ON cb.doc_id = id_b
-       |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8)
+       |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8)""".stripMargin
+  }
+
+  private val q68Sql =
+    s"""WITH $curationCtes
        |SELECT doc_id, text_digest, pred_lang, CAST(n_tokens AS BIGINT) AS n_tokens
        |FROM ex
        |WHERE doc_id NOT IN (SELECT id_b FROM losers)
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** Per-(source, lang) curation dashboard (north star): the rollup a
     * corpus owner watches — volume, token mass, quality (order-independent
@@ -1268,6 +1375,8 @@ object TextQueries extends QueryModule {
       "per-source token-budget cap, prefix-histogram plan vs window-cumsum oracle (north star)"),
     Q("q75_shuffle_shards", q75ShuffleShards, Some(q75Sql),
       "deterministic corpus shuffle into training shards (north star)"),
+    Q("q77_training_flow", q77TrainingFlow, Some(q77Sql),
+      "curate -> token budget -> pack -> shard end to end, per-shard digest (north star)"),
     Q("q18_text_stats", q18TextStats, Some(q18Sql), "token counting (north star)"),
     Q("q19_quality", q19Quality, Some(q19Sql), "document quality scoring (north star)"),
     Q("q20_langid", q20LangId, Some(q20Sql), "language-ID heuristic (north star)"),

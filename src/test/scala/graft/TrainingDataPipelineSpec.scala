@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.core.Tables
 import graft.operators.Dedup
 import graft.pipelines.TrainingDataPipeline
@@ -156,5 +158,36 @@ class TrainingDataPipelineSpec extends SparkSpec {
     val byDoc = chunks.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
     assert(byDoc.values.forall(_ >= 1L))
     assert(byDoc.keySet === texts.keySet, "every curated doc is chunked")
+  }
+
+  test("q77 training flow: per-shard digests are deterministic and partition-invariant") {
+    // the composed curate -> budget -> pack -> shard chain must produce
+    // bit-identical shard digests regardless of input partitioning — every
+    // ordering in the chain keys off md5 buckets, never partition order
+    def run(docs: org.apache.spark.sql.DataFrame) = {
+      val curated = TrainingDataPipeline.curate(docs, "doc_id", "text")
+      val budgeted = graft.operators.Sampling.tokenBudgetSample(
+        curated.select($"doc_id", $"source", $"n_tokens".cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", "source", budget = 2000L)
+      val packed = graft.operators.Packing.packGreedy(
+          budgeted, "doc_id", "n_tokens", maxTokens = 512, bucketHexChars = 1)
+        .toDF()
+        .select($"chunk_id", $"total_tokens",
+          concat_ws(",", transform(sort_array($"doc_ids"), _.cast("string")))
+            .as("doc_ids"))
+      graft.operators.Sampling.shuffleShards(packed, "chunk_id", nShards = 4)
+        .groupBy($"shard")
+        .agg(md5(concat_ws("|", transform(
+            array_sort(collect_list(struct($"pos", $"chunk_id", $"doc_ids"))),
+            s => concat_ws(":", s("pos").cast("string"), s("chunk_id"), s("doc_ids")))))
+          .as("digest"))
+        .orderBy($"shard")
+        .as[(Int, String)].collect().toSeq
+    }
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val a = run(docs)
+    val b = run(docs.repartition(13, $"source"))
+    assert(a.nonEmpty, "the chain must emit at least one shard")
+    assert(a === b, "shard digests must not depend on input partitioning")
   }
 }
