@@ -1037,12 +1037,46 @@ object TextQueries extends QueryModule {
     * reuse one directory instead of accumulating copies, and (b) two
     * concurrent harness processes — whose saves are non-atomic (sigs,
     * bands, meta written sequentially) — can never interleave writes into
-    * each other's index and produce silently wrong rows. */
+    * each other's index and produce silently wrong rows.
+    *
+    * Lifecycle: a JVM shutdown hook deletes THIS process's directories
+    * (registered once, on first use), and first use also reaps any
+    * leftover `graft_mh_idx_*_<pid>` whose owning pid is no longer alive
+    * (a kill -9 skips shutdown hooks; the next harness run sweeps the
+    * orphan). Live pids are never touched — the pid keying that prevents
+    * write interleaving also makes the reap safe. */
+  private val scratchPrefix = "graft_mh_idx_"
+  private lazy val scratchCleanupOnce: Unit = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    def deleteRecursively(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+      f.delete(); ()
+    }
+    val self = ProcessHandle.current().pid()
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val name = f.getName
+      if (f.isDirectory && name.startsWith(scratchPrefix)) {
+        val pid = name.substring(name.lastIndexOf('_') + 1)
+        val dead = pid.forall(_.isDigit) && pid.nonEmpty && pid.toLong != self &&
+          !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false)
+        if (dead) deleteRecursively(f)
+      }
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.isDirectory && f.getName.startsWith(scratchPrefix) &&
+            f.getName.endsWith(s"_$self"))
+          deleteRecursively(f)
+      }))
+    ()
+  }
+
   private def q65IndexPath(dir: String): String = {
+    scratchCleanupOnce
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_mh_idx_${key}_${ProcessHandle.current().pid()}").toString
+      s"$scratchPrefix${key}_${ProcessHandle.current().pid()}").toString
   }
 
   private def q65IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
