@@ -66,6 +66,53 @@ class IntervalJoinSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan.take(2000))
   }
 
+  test("a bot user's hot (key, bin) bucket is AQE skew-split, results exact") {
+    // the Scaladoc claims skewed (key, bin) buckets are ordinary join skew
+    // handled by AQE splitting — prove it: plant one user whose events all
+    // land in ONE bin (a bot hammering inside a single window span) and
+    // assert the adaptive plan split the skewed partition AND the result
+    // still equals the theta join.
+    //
+    // newSession(): same SparkContext, PRIVATE SQLConf — the aggressive
+    // skew thresholds must not leak into concurrently-running suites.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    import s.implicits._
+    val base = Timestamp.valueOf("2024-03-01 06:30:00")
+    def at(sec: Long) = new Timestamp(base.getTime + sec * 1000)
+    // bot: 20k right events inside one hour (w = 3600 -> one bin);
+    // 40 normal users with 20 events each spread over a week
+    val bot = (0 until 20000).map(i => (100000L + i, 1L, at(i % 3600)))
+    val normal = for (u <- 2 to 41; i <- 0 until 20)
+      yield (200000L + u * 100 + i, u.toLong, at(i * 86400L / 20 + u))
+    val rights = (bot ++ normal).toDF("view_id", "vu", "vts")
+    // left probes: 30 bot clicks in the same hour + 5 per normal user
+    val lefts = ((0 until 30).map(i => (300000L + i, 1L, at(i * 120))) ++
+      (for (u <- 2 to 41; i <- 0 until 5)
+        yield (400000L + u * 10 + i, u.toLong, at(i * 86400L / 5)))
+      ).toDF("click_id", "cu", "cts")
+    val joined = IntervalJoin.joinWithin(lefts, rights, "cu", "vu", "cts", "vts",
+        -3600L, 0L)
+      .select($"click_id", $"view_id").as[(Long, Long)]
+    val got = joined.collect()
+    val expected = lefts.join(rights, $"cu" === $"vu" &&
+        $"vts" >= timestamp_add("SECOND", lit(-3600L), $"cts") &&
+        $"vts" < $"cts")
+      .select($"click_id", $"view_id").as[(Long, Long)].collect().toSet
+    assert(got.toSet === expected, "skew-split must not change the result")
+    assert(got.length === got.toSet.size, "skew-split must not duplicate pairs")
+    // the executed adaptive plan really did split the hot bucket
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      "expected AQE to mark the skewed (key, bin) join split:\n" + plan.take(3000))
+  }
+
   test("rejects empty windows and colliding column names") {
     intercept[IllegalArgumentException] {
       IntervalJoin.joinWithin(clicks, views, "cu", "vu", "cts", "vts", 5L, 5L)
