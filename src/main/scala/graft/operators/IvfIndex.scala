@@ -181,8 +181,30 @@ object IvfIndex {
     scoreProbes(indexed, probeSet(queries, idCol, vecCol, model, nProbe), k)
   }
 
+  /** Cosine distance (1 - cos) from each vector to its ASSIGNED centroid —
+    * the quantity whose distribution drifts when the corpus outgrows the
+    * fitted centroids. Narrow codegen (argmax kernel + one cosine against
+    * the inlined centroid literal). */
+  private def assignedDist(vec: Column, cents: Centroids): Column = {
+    val idx = graft.functions.expressions.VectorExpressions.nearest_centroid(
+      vec, cents.map(_._2))
+    lit(1.0) - cosine_sim(vec, element_at(typedLit(cents.map(_._2)), idx + 1))
+  }
+
+  /** One-row assigned-distance profile (n, p50, p90) of `vectors` under
+    * `model` — approximate percentiles (a drift audit needs a yardstick,
+    * not exactness) from one narrow aggregate. */
+  private def distProfile(vectors: DataFrame, vecCol: String,
+      model: IvfModel): DataFrame =
+    vectors.select(assignedDist(col(vecCol), model.centroids).as("__d"))
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("__d"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("__d"), lit(0.9), lit(10000)).as("p90"))
+
   /** Persist a fitted index under `dir`: centroids parquet + the assigned
-    * corpus written `partitionBy(list_id)` so probes prune whole list files.
+    * corpus written `partitionBy(list_id)` so probes prune whole list
+    * files + the fit-time assigned-distance profile (`stats`) that
+    * [[staleness]] measures ingest batches against.
     * Build once, probe many — across jobs, not just within one. */
   def save(vectors: DataFrame, idCol: String, vecCol: String,
       model: IvfModel, dir: String): Unit = {
@@ -190,6 +212,80 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$dir/centroids")
     assign(vectors, idCol, vecCol, model.toDF(vectors.sparkSession))
       .write.partitionBy("list_id").mode("overwrite").parquet(s"$dir/lists")
+    distProfile(vectors, vecCol, model)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Staleness audit for a batch against a persisted index: how does the
+    * batch's distance-to-assigned-centroid distribution compare to the
+    * fit-time profile? [[append]] deliberately assigns against immutable
+    * centroids; THIS is the signal that says when that stops being a good
+    * idea. One row:
+    *  - `n`, `batch_p50`: batch size and its median assigned distance;
+    *  - `frac_beyond_fit_p90`: fraction of the batch farther from its
+    *    centroid than the fit-time 90th percentile (~0.1 for a batch drawn
+    *    from the indexed distribution, →1.0 for a new region);
+    *  - `fit_p50` / `fit_p90`: the persisted yardstick;
+    *  - `drifted`: frac_beyond_fit_p90 >= 0.5 — half the batch sits in
+    *    territory the centroids barely cover; schedule a [[refit]].
+    * Cost: one narrow aggregate over the batch; the index is not read
+    * beyond its (tiny) centroids and stats. */
+  def staleness(batch: DataFrame, idCol: String, vecCol: String,
+      dir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val stats = spark.read.parquet(s"$dir/stats").head()
+    val fitP50 = stats.getAs[Double]("p50")
+    val fitP90 = stats.getAs[Double]("p90")
+    val model = IvfModel(collectCentroids(spark.read.parquet(s"$dir/centroids")))
+    batch.select(assignedDist(col(vecCol), model.centroids).as("__d"))
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("__d"), lit(0.5), lit(10000)).as("batch_p50"),
+        avg(when(col("__d") > fitP90, 1.0).otherwise(0.0))
+          .as("frac_beyond_fit_p90"))
+      .withColumn("fit_p50", lit(fitP50))
+      .withColumn("fit_p90", lit(fitP90))
+      .withColumn("drifted", col("frac_beyond_fit_p90") >= 0.5)
+  }
+
+  /** Re-fit a persisted index in place from its CURRENT contents (the
+    * standing corpus plus everything [[append]] ingested) and swap in the
+    * new centroids, reassigned lists, and fresh stats via the crash-safe
+    * [[StagedSwap]] — the maintenance response to a [[staleness]] flag.
+    * Keeps the existing nLists unless a new value is passed.
+    *
+    * Crash story: each subdirectory swap is individually crash-safe
+    * (restore-before-delete), but a crash BETWEEN swaps can leave new
+    * lists with old centroids (or new centroids with old stats) — a
+    * consistent-read but stale-pruning state, repaired by simply running
+    * refit again (it reads only `lists`, which every intermediate state
+    * preserves). Single-writer contract: no concurrent append/probe/
+    * compact during the swap, same as [[compact]]. */
+  def refit(spark: SparkSession, dir: String, idCol: String, vecCol: String,
+      nLists: Int = 0, iters: Int = 3, trainCap: Int = 4096): IvfModel = {
+    val k = if (nLists > 0) nLists
+      else spark.read.parquet(s"$dir/centroids").count().toInt
+    val current = spark.read.parquet(s"$dir/lists").drop("list_id")
+    val model = fit(current, idCol, vecCol, k, iters, trainCap)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def swapIn(sub: String)(write: String => Unit): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${sub}_compact")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/${sub}_old")
+      StagedSwap.swap(live.getFileSystem(conf), live, tmp, old)(write)
+    }
+    // lists first (its write READS the live lists dir); the later swaps
+    // re-read only the freshly swapped lists
+    swapIn("lists") { tmp =>
+      assign(current, idCol, vecCol, model.toDF(spark))
+        .repartition(k, col("list_id"))
+        .write.partitionBy("list_id").parquet(tmp)
+    }
+    swapIn("centroids")(tmp =>
+      model.toDF(spark).write.parquet(tmp))
+    swapIn("stats")(tmp =>
+      distProfile(spark.read.parquet(s"$dir/lists"), vecCol, model)
+        .coalesce(1).write.parquet(tmp))
+    model
   }
 
   /** Load a persisted index: the model plus the list-partitioned corpus. */

@@ -43,13 +43,14 @@ object StagedSwap {
 
   /** Run one swap: recover a crashed predecessor, clear leftovers (only
     * with `live` confirmed present), `write` the new copy to `tmp`, then
-    * two renames. */
+    * two renames. A legitimately absent `live` (first materialization of a
+    * new subdirectory) skips the stage-aside and promotes `tmp` directly. */
   def swap(fs: FileSystem, live: Path, tmp: Path, old: Path)(
       write: String => Unit): Unit = {
     recover(fs, live, tmp, old)
     if (fs.exists(live)) { fs.delete(tmp, true); fs.delete(old, true) }
     write(tmp.toString)
-    if (!fs.rename(live, old))
+    if (fs.exists(live) && !fs.rename(live, old))
       throw new java.io.IOException(s"compact: cannot stage $live aside")
     if (!fs.rename(tmp, live)) {
       // put the original back before failing — live must never stay missing

@@ -163,6 +163,69 @@ class IvfIndexSpec extends SparkSpec {
     assert(after <= 8, s"~one file per list after compact, got $after")
   }
 
+  test("staleness flags a drifted ingest batch; refit re-spreads lists, " +
+      "clears the flag, and restores recall") {
+    // synthetic clustered fixture (the real embeddings are quasi-random —
+    // every direction is equally "far", so no batch can drift): corpus =
+    // two tight axis-aligned clusters; the drifted batch is a third
+    // cluster on an axis orthogonal to both, hence cos ≈ 0 to every
+    // fitted centroid and assigned distance ≈ 1 >> the fit profile.
+    val dim = 8
+    def vec(axis: Int, i: Int): Seq[Double] = {
+      val noise = Seq.tabulate(dim)(d => ((i * 37 + d * 11) % 13 - 6) / 100.0)
+      val raw = Seq.tabulate(dim)(d => (if (d == axis) 1.0 else 0.0) + noise(d))
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / nrm)
+    }
+    val corpus = ((0 until 120).map(i => (i.toLong, vec(0, i))) ++
+      (120 until 240).map(i => (i.toLong, vec(1, i)))).toDF("vec_id", "embedding")
+    val drifted = (1000 until 1120).map(i => (i.toLong, vec(2, i)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_drift").toString + "/index"
+    val model = IvfIndex.fit(corpus, "vec_id", "embedding", nLists = 4, iters = 3)
+    IvfIndex.save(corpus, "vec_id", "embedding", model, dir)
+    // a batch drawn from the indexed distribution: NOT drifted
+    val same = ((240 until 270).map(i => (i.toLong, vec(0, i))) ++
+      (270 until 300).map(i => (i.toLong, vec(1, i)))).toDF("vec_id", "embedding")
+    val s1 = IvfIndex.staleness(same, "vec_id", "embedding", dir).head()
+    assert(!s1.getAs[Boolean]("drifted"), s"in-distribution batch flagged: $s1")
+    val s2 = IvfIndex.staleness(drifted, "vec_id", "embedding", dir).head()
+    assert(s2.getAs[Boolean]("drifted"), s"drifted batch not flagged: $s2")
+    assert(s2.getAs[Double]("frac_beyond_fit_p90") > 0.9,
+      s"a whole new region should sit almost entirely beyond fit p90: $s2")
+    // ingest the drifted region against the (now stale) centroids
+    IvfIndex.append(drifted, "vec_id", "embedding", dir)
+    def maxListShare(): Double = {
+      val counts = spark.read.parquet(s"$dir/lists").groupBy("list_id")
+        .count().select("count").as[Long].collect()
+      counts.max.toDouble / counts.sum
+    }
+    val before = maxListShare()
+    // refit from current contents: swaps centroids + reassigned lists + stats
+    val m2 = IvfIndex.refit(spark, dir, "vec_id", "embedding", iters = 3)
+    assert(m2.nLists === 4)
+    val (loaded, lists) = IvfIndex.load(spark, dir)
+    assert(loaded === m2, "refit swaps the centroids it returns")
+    // the same batch measured against the refit index is no longer drifted
+    val s3 = IvfIndex.staleness(drifted, "vec_id", "embedding", dir).head()
+    assert(!s3.getAs[Boolean]("drifted"), s"refit did not absorb the region: $s3")
+    // the stale index crammed the whole drifted cluster into one list; the
+    // refit centroids cover all three clusters, so the worst share drops
+    val after = maxListShare()
+    assert(after < before,
+      s"refit must re-spread list occupancy ($before -> $after)")
+    // and probing the refit index finds the drifted vectors' true neighbors
+    val queries = drifted.filter($"vec_id" % 10 === 0)
+    val union = corpus.unionByName(drifted)
+    val exact = Similarity.cosineTopK(queries, union, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = IvfIndex.probeIndexed(queries, lists, "vec_id", "embedding",
+        k = 5, loaded, nProbe = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"post-refit recall@5 = $recall")
+  }
+
   test("compact rerun after a crash in the rename window recovers the index " +
       "instead of destroying both surviving copies") {
     import org.apache.hadoop.fs.{FileUtil, Path}
