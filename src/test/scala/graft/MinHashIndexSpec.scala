@@ -185,6 +185,62 @@ class MinHashIndexSpec extends SparkSpec {
     assert(hits() === expected, "recovered index probes identically")
   }
 
+  test("ingest cycle survives restart: checkpointed resume skips committed " +
+      "batches, at-least-once redelivery self-dedups, compact mid-cadence") {
+    import org.apache.spark.sql.{DataFrame, Dataset, Row}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("mh_restart").toString
+    val ckpt = Files.createTempDirectory("mh_restart_ckpt").toString
+    MinHashIndex.save(Seq((1L, words("seed", 40))).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    // the foreachBatch cycle under test — identical for live stream and
+    // simulated redelivery
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    def cycle(batch: DataFrame): Unit = {
+      val fresh = MinHashIndex.dropSeenNearDups(
+        batch, "doc_id", "text", dir, minEstJac = 0.5)
+      val kept = fresh.select("doc_id").as[Long].collect()
+      if (kept.nonEmpty) MinHashIndex.append(fresh, "doc_id", "text", dir)
+      admitted.synchronized { admitted ++= kept }
+      spark.catalog.clearCache()
+      ()
+    }
+    val source = MemoryStream[(Long, String)]
+    def startQuery() = source.toDS().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", ckpt) // reliable checkpoint: survives stop
+      .foreachBatch((b: Dataset[Row], _: Long) => cycle(b.toDF()))
+      .start()
+    val q1 = startQuery()
+    source.addData((10L, words("novelA", 40)), (11L, words("seed", 40)))
+    q1.processAllAvailable()
+    q1.stop() // "kill" after the batch committed
+    assert(admitted.toSet === Set(10L), s"batch 1: $admitted")
+    // restart from the checkpoint: the committed batch must NOT replay
+    val q2 = startQuery()
+    source.addData((20L, words("novelA", 40)), (21L, words("novelB", 40)))
+    q2.processAllAvailable()
+    assert(admitted.sorted.toSeq === Seq(10L, 21L),
+      s"restart must not re-admit batch 1 and must drop dups of it: $admitted")
+    // maintenance compact between micro-batches (the single-writer window)
+    MinHashIndex.compact(spark, dir)
+    val batch3 = Seq((30L, words("novelB", 40)), (31L, words("novelC", 40)))
+    source.addData(batch3: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(admitted.sorted.toSeq === Seq(10L, 21L, 31L),
+      s"post-compact batch must screen against the compacted index: $admitted")
+    // the at-least-once window: a crash AFTER append but BEFORE the offset
+    // commit redelivers the batch. The cycle is idempotent by construction:
+    // every admitted doc now verbatim-matches itself in the index and drops.
+    val sigCount = spark.read.parquet(s"$dir/sigs").count()
+    cycle(batch3.toDF("doc_id", "text"))
+    assert(spark.read.parquet(s"$dir/sigs").count() === sigCount,
+      "redelivered batch must not append duplicate signatures")
+    assert(admitted.sorted.toSeq === Seq(10L, 21L, 31L),
+      s"redelivery must admit nothing: $admitted")
+  }
+
   test("continuous ingest: per-micro-batch screen -> drop -> append via foreachBatch") {
     import org.apache.spark.sql.Dataset
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
