@@ -60,6 +60,33 @@ object IntervalJoin {
     */
   def joinWithin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      lowerSec: Long, upperSec: Long): DataFrame =
+    binned(left, right, Some((leftKey, rightKey)), leftTs, rightTs,
+      lowerSec, upperSec)
+
+  /** The UNKEYED variant: every (left, right) pair with
+    * right(rightTs) in [left(leftTs) + lowerSec, left(leftTs) + upperSec),
+    * regardless of any key — global time-window correlation (all events
+    * near an incident, trades around any news item). The bin IS the whole
+    * equi-key, which [[joinWithin]] cannot express (its key columns are
+    * required).
+    *
+    * Scale shape: identical binning, so compared pairs are bounded by
+    * rows-per-BIN — i.e. by global event density inside one window span —
+    * never |left| × |right|. That bound is the honest cost of an unkeyed
+    * correlation: with w seconds of window over T seconds of history the
+    * join compares ~|L|·|R|·(2w/T) pairs; keep the window narrow relative
+    * to the data's span. Parallelism comes from the time axis (one hash
+    * partition per bin), so a year of data at a 5-minute window spreads
+    * over ~100k bins; a single-bin hot spot (everything in one flash
+    * window) is AQE skew-split like any hot equi-key. */
+  def joinWithinAll(left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String,
+      lowerSec: Long, upperSec: Long): DataFrame =
+    binned(left, right, None, leftTs, rightTs, lowerSec, upperSec)
+
+  private def binned(left: DataFrame, right: DataFrame,
+      keys: Option[(String, String)], leftTs: String, rightTs: String,
       lowerSec: Long, upperSec: Long): DataFrame = {
     require(upperSec > lowerSec,
       s"empty window: [$lowerSec, $upperSec) — upperSec must exceed lowerSec")
@@ -89,9 +116,10 @@ object IntervalJoin {
     val exact =
       col(rightTs) >= timestamp_add("SECOND", lit(lowerSec), col(leftTs)) &&
       col(rightTs) < timestamp_add("SECOND", lit(upperSec), col(leftTs))
-    taggedLeft.join(taggedRight,
-        taggedLeft(leftKey) === taggedRight(rightKey) &&
-          taggedLeft("__bin") === taggedRight("__bin") && exact)
-      .drop("__bin")
+    val binEq = taggedLeft("__bin") === taggedRight("__bin")
+    val cond = keys.fold(binEq) { case (lk, rk) =>
+      taggedLeft(lk) === taggedRight(rk) && binEq
+    }
+    taggedLeft.join(taggedRight, cond && exact).drop("__bin")
   }
 }

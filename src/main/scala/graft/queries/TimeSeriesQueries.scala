@@ -251,10 +251,40 @@ object TimeSeriesQueries extends QueryModule {
       | AND b.ts >= a.ts - INTERVAL 6 HOUR AND b.ts < a.ts
       |ORDER BY click_id, view_id""".stripMargin
 
+  /** UNKEYED interval join: every click (from ANY user) in the five
+    * minutes before each purchase — global time-window correlation, the
+    * range-join shape [[graft.operators.IntervalJoin.joinWithin]] cannot
+    * express (its equi-key is required). The bin IS the whole equi-key;
+    * compared pairs are bounded by global event density inside one window
+    * span. The oracle is DuckDB's native IEJoin over the same predicate. */
+  private def q78GlobalWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"ts".as("purchase_ts"))
+    val clicks = events.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("click_user"),
+        $"ts".as("click_ts"))
+    graft.operators.IntervalJoin.joinWithinAll(purchases, clicks,
+        "purchase_ts", "click_ts", lowerSec = -300L, upperSec = 0L)
+      .select($"purchase_id", $"click_id", $"click_user")
+      .orderBy($"purchase_id", $"click_id")
+  }
+
+  private val q78Sql =
+    """SELECT a.event_id AS purchase_id, b.event_id AS click_id,
+      |  b.user_id AS click_user
+      |FROM events a JOIN events b
+      |  ON a.event_type = 'purchase' AND b.event_type = 'click'
+      | AND b.ts >= a.ts - INTERVAL 5 MINUTE AND b.ts < a.ts
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q11_ohlcv", q11Ohlcv, Some(q11Sql), "daily OHLCV candles, deterministic open/close (A6)"),
     Q("q73_interval_join", q73IntervalJoin, Some(q73Sql),
       "binned interval join: views within 6h before each click vs IEJoin oracle"),
+    Q("q78_global_window", q78GlobalWindow, Some(q78Sql),
+      "UNKEYED interval join: any-user clicks within 5min before each purchase vs IEJoin oracle"),
     Q("q33_lead_lag", q33LeadLag, Some(q33Sql), "offset window functions (lead/lag/delta)"),
     Q("q12_rolling_24h", q12Rolling24h, Some(q12Sql), "24h accumulated sums, event-time range frame (A4)"),
     Q("q13_rolling_extremes", q13RollingExtremes, Some(q13Sql), "rolling 7d high/low (A5)"),

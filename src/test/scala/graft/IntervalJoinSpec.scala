@@ -60,6 +60,25 @@ class IntervalJoinSpec extends SparkSpec {
       Seq((1L, 10L)))
   }
 
+  test("unkeyed joinWithinAll == theta join; still an equi-join on the bin") {
+    def naiveAll(lo: Long, hi: Long) =
+      clicks.join(views,
+          $"vts" >= timestamp_add("SECOND", lit(lo), $"cts") &&
+          $"vts" < timestamp_add("SECOND", lit(hi), $"cts"))
+        .select($"click_id", $"view_id").as[(Long, Long)].collect().toSet
+    // narrow windows keep the unkeyed cross density testable
+    for ((lo, hi) <- Seq((-300L, 0L), (-60L, 60L), (0L, 120L))) {
+      val df = IntervalJoin.joinWithinAll(clicks, views, "cts", "vts", lo, hi)
+      val got = df.select($"click_id", $"view_id").as[(Long, Long)].collect()
+      assert(got.toSet === naiveAll(lo, hi), s"window [$lo, $hi)")
+      assert(got.length === got.toSet.size, s"window [$lo, $hi): duplicate pairs")
+    }
+    val plan = IntervalJoin.joinWithinAll(clicks, views, "cts", "vts", -300L, 0L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      plan.take(2000))
+  }
+
   test("plans as an equi-join on (key, bin) — never a nested-loop product") {
     val plan = IntervalJoin.joinWithin(clicks, views, "cu", "vu", "cts", "vts",
       -21600L, 0L).queryExecution.executedPlan.toString
