@@ -29,6 +29,7 @@ object Bench {
     * Queries not listed use [[defaultAnchorSec]] — every other query
     * measures well under a second clean, so 3 s+ is already suspicious. */
   private val anchorSec: Map[String, Double] = Map(
+    "q77_training_flow" -> 6.0,
     "q67_simhash_screen" -> 7.0,
     "q71_index_screen_recall" -> 4.5,
     "q53_dup_clusters" -> 3.9,
