@@ -226,6 +226,75 @@ class IvfIndexSpec extends SparkSpec {
     assert(recall >= 0.9, s"post-refit recall@5 = $recall")
   }
 
+  test("streaming vector ingest: staleness-gated append/refit cycle via foreachBatch") {
+    // the maintenance loop a continuous embedding-ingest job runs: per
+    // micro-batch, audit staleness -> append -> refit when the batch
+    // landed in territory the centroids don't cover. Mirrors the
+    // MinHashIndex ingest e2e; proves the new staleness/refit pieces
+    // compose under Structured Streaming.
+    import org.apache.spark.sql.{DataFrame, Dataset, Row}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = 8
+    def vec(axis: Int, i: Int): Seq[Double] = {
+      val noise = Seq.tabulate(dim)(d => ((i * 37 + d * 11) % 13 - 6) / 100.0)
+      val raw = Seq.tabulate(dim)(d => (if (d == axis) 1.0 else 0.0) + noise(d))
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / nrm)
+    }
+    val corpus = ((0 until 100).map(i => (i.toLong, vec(0, i))) ++
+      (100 until 200).map(i => (i.toLong, vec(1, i)))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stream").toString + "/index"
+    IvfIndex.save(corpus, "vec_id", "embedding",
+      IvfIndex.fit(corpus, "vec_id", "embedding", nLists = 4, iters = 3), dir)
+    val refits = scala.collection.mutable.ArrayBuffer[Long]()
+    val source = MemoryStream[(Long, Seq[Double])]
+    val q = source.toDS().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val b = batch.toDF()
+        if (!b.isEmpty) {
+          val drifted = IvfIndex.staleness(b, "vec_id", "embedding", dir)
+            .head().getAs[Boolean]("drifted")
+          IvfIndex.append(b, "vec_id", "embedding", dir)
+          if (drifted) {
+            IvfIndex.refit(spark, dir, "vec_id", "embedding", iters = 3)
+            refits.synchronized { refits += batchId }
+          }
+        }
+        ()
+      }
+      .start()
+    try {
+      // batch 0: in-distribution -> append only
+      source.addData((200 until 230).map(i => (i.toLong, vec(0, i))): _*)
+      q.processAllAvailable()
+      assert(refits.isEmpty, s"in-distribution batch must not refit: $refits")
+      // batch 1: a new cluster -> staleness flags, cycle refits
+      source.addData((1000 until 1100).map(i => (i.toLong, vec(2, i))): _*)
+      q.processAllAvailable()
+      assert(refits.size === 1, s"drifted batch must trigger exactly one refit: $refits")
+      // batch 2: more of the SAME new cluster -> the refit absorbed it
+      source.addData((1100 until 1130).map(i => (i.toLong, vec(2, i))): _*)
+      q.processAllAvailable()
+      assert(refits.size === 1, s"post-refit batches must not re-flag: $refits")
+    } finally q.stop()
+    // the maintained index answers drifted-region queries with high recall
+    val (model, lists) = IvfIndex.load(spark, dir)
+    val all = corpus.unionByName(
+      ((200 until 230).map(i => (i.toLong, vec(0, i))) ++
+       (1000 until 1130).map(i => (i.toLong, vec(2, i)))).toDF("vec_id", "embedding"))
+    val queries = (1000 until 1130 by 13).map(i => (i.toLong, vec(2, i)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(queries, all, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = IvfIndex.probeIndexed(queries, lists, "vec_id", "embedding",
+        k = 5, model, nProbe = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"maintained-index recall@5 = $recall")
+  }
+
   test("compact rerun after a crash in the rename window recovers the index " +
       "instead of destroying both surviving copies") {
     import org.apache.hadoop.fs.{FileUtil, Path}

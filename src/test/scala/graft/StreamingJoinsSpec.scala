@@ -85,6 +85,41 @@ class StreamingJoinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("UNKEYED interval join runs unchanged on streams: the bin equi-key " +
+      "makes the otherwise-unsupported no-equality stream-stream join expressible") {
+    // Spark refuses a stream-stream inner join with no equality predicate
+    // (StreamingSymmetricHashJoin needs a hash key). joinWithinAll's bin
+    // IS an equality key, so the same declarative operator runs on two
+    // watermarked streams as-is — and must agree with itself on batch.
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val lRows = (1 to 30).map(i =>
+      (ts(f"2024-01-01 ${9 + rnd.nextInt(2)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"), i.toLong))
+    val rRows = (1 to 50).map(i =>
+      (ts(f"2024-01-01 ${9 + rnd.nextInt(2)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"), i.toLong))
+    val lStream = MemoryStream[(Timestamp, Long)]
+    val rStream = MemoryStream[(Timestamp, Long)]
+    val joined = graft.operators.IntervalJoin.joinWithinAll(
+      lStream.toDF().toDF("l_ts", "l_id").withWatermark("l_ts", "6 hours"),
+      rStream.toDF().toDF("r_ts", "r_id").withWatermark("r_ts", "6 hours"),
+      "l_ts", "r_ts", lowerSec = -300L, upperSec = 300L)
+    val q = joined.writeStream.format("memory").queryName("unkeyed_parity")
+      .outputMode("append").start()
+    try {
+      lStream.addData(lRows: _*)
+      rStream.addData(rRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("unkeyed_parity").select($"l_id", $"r_id")
+        .as[(Long, Long)].collect().toSet
+      val batch = graft.operators.IntervalJoin.joinWithinAll(
+          lRows.toDF("l_ts", "l_id"), rRows.toDF("r_ts", "r_id"),
+          "l_ts", "r_ts", lowerSec = -300L, upperSec = 300L)
+        .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+      assert(batch.nonEmpty, "fixture must actually produce matches")
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("stream-stream join matches within the event-time range only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(String, Timestamp)]
