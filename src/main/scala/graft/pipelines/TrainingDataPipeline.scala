@@ -138,6 +138,45 @@ object TrainingDataPipeline {
     graft.operators.Packing.chunkTokens(
       curate(docs, idCol, textCol, cfg), idCol, textCol, chunkSize, stride)
 
+  /** The FULL training-data flow as one declarative chain: [[curate]] →
+    * per-stratum token-budget cap → greedy sequence packing → deterministic
+    * shard shuffle. Returns the sharded chunk manifest
+    * (chunk_id, total_tokens, doc_ids, shard, pos): reading chunks in
+    * (shard, pos) order visits the packed corpus in a fixed pseudo-random
+    * permutation; join doc_ids back to the curated frame to gather text,
+    * or hand the manifest to [[graft.operators.Sampling.writeShards]]-style
+    * materialization. q77 pins this exact composition (with a per-shard
+    * content digest) against a four-stage relational replay.
+    *
+    * Scale shape: inherits each stage's own (one annotated scan + two
+    * bounded dedup shuffles; prefix-histogram budget — no per-stratum
+    * global sort; per-bucket packing; nShards-way exchange with per-shard
+    * rank) — the composition adds NO new shuffle class.
+    *
+    * @param budgetPerStratum max token mass each `stratumCol` value
+    *                         contributes, in deterministic hash-priority
+    *                         order (None = keep everything)
+    * @param maxTokens        packed-chunk capacity
+    * @param nShards          training shards; size so one shard ≈ one task */
+  def shardTrainingSet(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", cfg: Config = Config(),
+      stratumCol: String = "source", budgetPerStratum: Option[Long] = None,
+      maxTokens: Int = 2048, nShards: Int = 64,
+      bucketHexChars: Int = 2): DataFrame = {
+    val curated = curate(docs, idCol, textCol, cfg)
+    val budgeted = budgetPerStratum.fold(curated)(b =>
+      graft.operators.Sampling.tokenBudgetSample(
+        curated, idCol, "n_tokens", stratumCol, b))
+    val packed = graft.operators.Packing.packGreedy(
+        budgeted.withColumn("n_tokens", col("n_tokens").cast("long")),
+        idCol, "n_tokens", maxTokens, bucketHexChars)
+      .toDF()
+      .select(col("chunk_id"), col("total_tokens"),
+        concat_ws(",", transform(sort_array(col("doc_ids")), _.cast("string")))
+          .as("doc_ids"))
+    graft.operators.Sampling.shuffleShards(packed, "chunk_id", nShards)
+  }
+
   /** Per-stage row accounting — the curation funnel report. Shares the
     * stage frames with [[curate]] (cached where fanned out), so one call
     * costs one annotated scan plus the two dedup shuffles. */

@@ -1146,19 +1146,10 @@ object TextQueries extends QueryModule {
     * rows. */
   private def q77TrainingFlow(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val curated = graft.pipelines.TrainingDataPipeline.curate(
-      Tables.documents(spark, dir), "doc_id", "text")
-    val budgeted = graft.operators.Sampling.tokenBudgetSample(
-      curated.select($"doc_id", $"source", $"n_tokens".cast("long").as("n_tokens")),
-      "doc_id", "n_tokens", "source", budget = 2000L)
-    val packed = graft.operators.Packing.packGreedy(
-        budgeted, "doc_id", "n_tokens", maxTokens = 512, bucketHexChars = 1)
-      .toDF()
-      .select($"chunk_id", $"total_tokens",
-        concat_ws(",", transform(sort_array($"doc_ids"), _.cast("string")))
-          .as("doc_ids"))
-    val sharded = graft.operators.Sampling.shuffleShards(
-      packed, "chunk_id", nShards = 4)
+    val sharded = graft.pipelines.TrainingDataPipeline.shardTrainingSet(
+      Tables.documents(spark, dir), "doc_id", "text",
+      budgetPerStratum = Some(2000L), maxTokens = 512, nShards = 4,
+      bucketHexChars = 1)
     sharded.groupBy($"shard")
       .agg(
         count(lit(1)).as("n_chunks"),

@@ -165,17 +165,9 @@ class TrainingDataPipelineSpec extends SparkSpec {
     // bit-identical shard digests regardless of input partitioning — every
     // ordering in the chain keys off md5 buckets, never partition order
     def run(docs: org.apache.spark.sql.DataFrame) = {
-      val curated = TrainingDataPipeline.curate(docs, "doc_id", "text")
-      val budgeted = graft.operators.Sampling.tokenBudgetSample(
-        curated.select($"doc_id", $"source", $"n_tokens".cast("long").as("n_tokens")),
-        "doc_id", "n_tokens", "source", budget = 2000L)
-      val packed = graft.operators.Packing.packGreedy(
-          budgeted, "doc_id", "n_tokens", maxTokens = 512, bucketHexChars = 1)
-        .toDF()
-        .select($"chunk_id", $"total_tokens",
-          concat_ws(",", transform(sort_array($"doc_ids"), _.cast("string")))
-            .as("doc_ids"))
-      graft.operators.Sampling.shuffleShards(packed, "chunk_id", nShards = 4)
+      TrainingDataPipeline.shardTrainingSet(docs, "doc_id", "text",
+          budgetPerStratum = Some(2000L), maxTokens = 512, nShards = 4,
+          bucketHexChars = 1)
         .groupBy($"shard")
         .agg(md5(concat_ws("|", transform(
             array_sort(collect_list(struct($"pos", $"chunk_id", $"doc_ids"))),
