@@ -101,6 +101,48 @@ object Components {
       .distinct()
   }
 
+  /** One keeper per component, chosen by HIGHEST priority (ties broken by
+    * lowest node id) — the curation form of [[connectedComponents]].
+    * Min-id keeper selection discards quality information: within a
+    * near-dup cluster the copies genuinely differ (truncation, appended
+    * boilerplate, OCR noise), and a training pipeline wants the BEST copy,
+    * not the lowest-numbered one — the "keep by quality signal, not
+    * arrival order" rule of modern curation recipes (FineWeb, RefinedWeb).
+    *
+    * Output: one row per node that appears in `edges` —
+    * (node, component, <priorityCol>, keeper, is_keeper). Anti-join the
+    * `is_keeper = false` rows against the corpus to drop the losers.
+    * Edge-free nodes never appear (they are trivially their own keepers);
+    * `priorities` must cover every node in `edges` (rows without a
+    * priority would drop from the verdict — score the same frame the
+    * pairs came from and this holds by construction).
+    *
+    * Scale shape: component labels from the star contraction (bounded-
+    * shuffle rounds), then ONE id-keyed join to attach priorities, ONE
+    * aggregate keyed on component ids — `max_by` partial-aggregates
+    * map-side, so a giant boilerplate cluster cannot hot-spot a sort the
+    * way a per-component `row_number` window would — and ONE
+    * component-keyed rejoin. Every exchange carries (long, long, double)
+    * rows, never document text.
+    *
+    * Determinism: max over (priority, -node) is a set property of the
+    * input — independent of partitioning, join order, and round count.
+    * NaN priorities would poison the max; scoring functions here emit
+    * finite doubles ([[graft.functions.TextFunctions.qualityScore]]). */
+  def keeperByPriority(edges: DataFrame, srcCol: String, dstCol: String,
+      priorities: DataFrame, idCol: String, priorityCol: String,
+      maxRounds: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
+    val comps = connectedComponents(edges, srcCol, dstCol, maxRounds, checkpointDir)
+    val labeled = comps.join(
+      priorities.select(col(idCol).as("node"), col(priorityCol).as("__pri")),
+      "node")
+    val keepers = labeled.groupBy(col("component"))
+      .agg(max_by(col("node"), struct(col("__pri"), -col("node"))).as("keeper"))
+    labeled.join(keepers, "component")
+      .select(col("node"), col("component"), col("__pri").as(priorityCol),
+        col("keeper"), (col("node") === col("keeper")).as("is_keeper"))
+  }
+
   /** Large-star: every node u relinks its LARGER neighbors to
     * m = min(N(u) + u). Each input edge is processed from its smaller
     * endpoint's side, so the output row count never exceeds the doubled

@@ -700,8 +700,12 @@ object TextQueries extends QueryModule {
       .orderBy($"component")
   }
 
-  private val q53Sql =
-    """WITH RECURSIVE words AS (
+  /** Shared CTE LIST (no WITH prefix — callers prepend WITH RECURSIVE):
+    * relational 3-gram Jaccard pairs at 0.5 and their transitive-closure
+    * components, composed by q53 (cluster rollup) and q79 (quality-aware
+    * keeper selection). */
+  private val closureCtes =
+    """words AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
       |         generate_subscripts(string_split(text, ' '), 1) AS pos
       |  FROM documents),
@@ -723,10 +727,61 @@ object TextQueries extends QueryModule {
       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
       |  UNION
       |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n),
-      |comp AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n)
+      |comp AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n)""".stripMargin
+
+  private val q53Sql =
+    s"""WITH RECURSIVE $closureCtes
       |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
       |  array_to_string(list_sort(list(node)), ',') AS members
       |FROM comp GROUP BY component ORDER BY component""".stripMargin
+
+  /** Quality-aware keeper selection (north star): within each near-dup
+    * cluster keep the HIGHEST-quality copy, not the lowest id — the
+    * "keep by quality signal, not arrival order" rule of modern curation
+    * recipes (FineWeb/RefinedWeb). Engine: star-contraction components +
+    * one id-keyed priority join + a map-side-combinable max_by aggregate
+    * (Components.keeperByPriority — no per-component sort anywhere);
+    * oracle: the same recursive-closure CTEs as q53 plus q19's quality
+    * formula and a row_number window — independent formulations on both
+    * the closure AND the argmax. */
+  private def q79BestKeeper(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.jaccardPairsAuto(docs,
+      "doc_id", "text", n = 3, minJac = 0.5, knownCount = Some(docs.count()))
+    val pri = docs.select($"doc_id", qualityScore($"text").as("quality"))
+    graft.operators.Components.keeperByPriority(
+        pairs, "id_a", "id_b", pri, "doc_id", "quality")
+      .select($"node".as("doc_id"), $"component", $"quality",
+        $"keeper".as("keeper_id"), $"is_keeper")
+      .orderBy($"doc_id")
+  }
+
+  private val q79Sql =
+    s"""WITH RECURSIVE $closureCtes,
+      |q AS (
+      |  SELECT doc_id,
+      |    least(swr * 4.0, 1.0) * 0.4 + least(mtl / 8.0, 1.0) * 0.4
+      |      + (1.0 - least(pr * 10.0, 1.0)) * 0.2 AS quality
+      |  FROM (
+      |    SELECT doc_id,
+      |      CAST(len(list_filter(string_split(text, ' '), w -> w IN $enList)) AS DOUBLE)
+      |        / len(string_split(text, ' ')) AS swr,
+      |      CASE WHEN length(text) = 0 THEN 0.0
+      |           ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+      |             / length(text) END AS pr,
+      |      CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |        / len(string_split(text, ' ')) AS mtl
+      |    FROM documents)),
+      |lab AS (SELECT c.node, c.component, q.quality FROM comp c JOIN q ON q.doc_id = c.node),
+      |k AS (
+      |  SELECT component, node AS keeper FROM (
+      |    SELECT component, node,
+      |      row_number() OVER (PARTITION BY component ORDER BY quality DESC, node ASC) AS rn
+      |    FROM lab) WHERE rn = 1)
+      |SELECT l.node AS doc_id, l.component, l.quality, k.keeper AS keeper_id,
+      |  l.node = k.keeper AS is_keeper
+      |FROM lab l JOIN k USING (component) ORDER BY doc_id""".stripMargin
 
   /** Corpus boilerplate line removal (north star): the CCNet/RefinedWeb
     * line-dedup stage. Both engines first build a multi-line corpus
@@ -1379,6 +1434,8 @@ object TextQueries extends QueryModule {
       "corpus boilerplate line removal: hashed-df hot set + narrow rebuild vs relational oracle (north star)"),
     Q("q53_dup_clusters", q53DupClusters, Some(q53Sql),
       "near-dup clusters: star-contraction components vs recursive-closure oracle (north star)"),
+    Q("q79_best_keeper", q79BestKeeper, Some(q79Sql),
+      "quality-aware keeper per near-dup cluster: max_by agg vs closure+window oracle (north star)"),
     Q("q52_scrub", q52Scrub, Some(q52Sql),
       "PII/identifier scrubbing with audit counts (north star)"),
     Q("q51_repetition", q51Repetition, Some(q51Sql),

@@ -80,4 +80,66 @@ class ComponentsSpec extends SparkSpec {
     assert(forward === backward)
     assert(forward.values.toSet === Set(1L))
   }
+
+  // ---- keeperByPriority ----
+
+  private def keepers(edges: Seq[(Long, Long)], pri: Seq[(Long, Double)])
+      : Map[Long, (Long, Boolean)] = {
+    import spark.implicits._
+    Components.keeperByPriority(edges.toDF("a", "b"), "a", "b",
+        pri.toDF("id", "p"), "id", "p")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4)))
+      .toMap
+  }
+
+  test("keeper is the max-priority member of each component") {
+    // chain 1~2~3: one component; 3 has the best score
+    val m = keepers(Seq((1L, 2L), (2L, 3L)),
+      Seq(1L -> 0.2, 2L -> 0.5, 3L -> 0.9))
+    assert(m === Map(
+      1L -> (3L, false), 2L -> (3L, false), 3L -> (3L, true)))
+  }
+
+  test("priority ties break to the LOWEST node id") {
+    val m = keepers(Seq((7L, 5L), (5L, 9L)),
+      Seq(5L -> 0.5, 7L -> 0.5, 9L -> 0.5))
+    assert(m.values.map(_._1).toSet === Set(5L))
+    assert(m(5L)._2 && !m(7L)._2 && !m(9L)._2)
+  }
+
+  test("components pick keepers independently; edge-free nodes absent") {
+    val m = keepers(Seq((1L, 2L), (10L, 11L)),
+      // 99 scores best of all but has no edges: it must not appear,
+      // and must not attract either component's keeper choice
+      Seq(1L -> 0.1, 2L -> 0.9, 10L -> 0.8, 11L -> 0.3, 99L -> 1.0))
+    assert(m === Map(
+      1L -> (2L, false), 2L -> (2L, true),
+      10L -> (10L, true), 11L -> (10L, false)))
+  }
+
+  test("keeperByPriority matches brute-force on a random graph") {
+    val rnd = new scala.util.Random(13)
+    val n = 120
+    val edges = Seq.fill(90)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    val pri = (0L until n).map(i => i -> rnd.nextDouble())
+    val priMap = pri.toMap
+    // ground truth: union-find components, then argmax (priority, -id)
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val best = nodes.groupBy(x => find(x.toInt))
+      .map { case (c, ns) =>
+        c -> ns.minBy(x => (-priMap(x), x))
+      }
+    val expected = nodes.map(x =>
+      x -> (best(find(x.toInt)), best(find(x.toInt)) == x)).toMap
+    assert(keepers(edges, pri) === expected)
+  }
 }
