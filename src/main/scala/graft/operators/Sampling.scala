@@ -99,6 +99,56 @@ object Sampling {
     }.reduce(_.unionByName(_))
   }
 
+  /** Deterministic epoch-based replication — the UPSAMPLING half of corpus
+    * mixing ([[mixture]] only downsamples). Training mixes routinely run a
+    * small high-quality corpus for more than one epoch per pretraining
+    * pass (the mixture-weight recipes of DoReMi / published LLM data
+    * cards): epochs e = 2.25 means every doc in that stratum appears
+    * twice and a deterministic 25% hash-chosen subset appears a third
+    * time. Values below 1 degrade to plain [[hashSample]] downsampling
+    * (0.25 → one copy for a 25% subset, zero for the rest), so one map
+    * expresses a whole mixing schedule in either direction.
+    *
+    * Output: input rows replicated with an `epoch` column (1-based copy
+    * index) so copies are distinct rows downstream — [[shuffleShards]]
+    * separates them across shards; dedup would re-merge them, so
+    * upsample AFTER curation.
+    *
+    * Scale shape: the epochs map compiles to a literal CASE chain (no
+    * join, the strata list is small by nature) and replication is a
+    * row-local `explode(sequence(...))` — zero shuffle, partition-
+    * invariant, reproducible on any engine (same md5 hex-bucket contract
+    * as [[hashSample]]). Output size is the caller's explicit intent,
+    * bounded by ceil(max epochs) × input.
+    *
+    * Nesting: with one salt the extra-copy subset at fraction f is a
+    * subset of the one at f' > f — ramping a mix weight up between runs
+    * reuses every previously selected copy. */
+  def epochMixture(df: DataFrame, idCol: String, stratumCol: String,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+      salt: String = "epoch:"): DataFrame = {
+    (epochs.values.toSeq :+ defaultEpochs).foreach(e =>
+      require(e >= 0.0 && !e.isNaN && !e.isInfinite,
+        s"epochs must be finite and >= 0, got $e"))
+    val bucket = hashBucket(col(idCol), salt)
+    def copies(e: Double): Column = {
+      val whole = math.floor(e).toLong
+      val frac = e - whole
+      // strict < against floor(frac * 2^32): integral e keeps exactly
+      // `whole` copies (threshold 00000000 never admits)
+      if (frac == 0.0) lit(whole)
+      else lit(whole) + when(bucket < hexThreshold(frac), 1L).otherwise(0L)
+    }
+    val nCopies = epochs.toSeq.sortBy(_._1).foldLeft(copies(defaultEpochs)) {
+      case (acc, (s, e)) => when(col(stratumCol) === s, copies(e)).otherwise(acc)
+    }
+    // sequence(1, 0) would step BACKWARDS ([1, 0]); zero-copy rows need an
+    // explicit empty array so explode drops them
+    df.withColumn("epoch", explode(
+      when(nCopies >= 1L, sequence(lit(1L), nCopies))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Per-stratum deterministic sampling — the corpus-balancing op (cap an
     * over-represented language at 10%, keep low-resource strata whole).
     * Each row keeps iff its hash bucket falls under ITS stratum's fraction;

@@ -608,6 +608,45 @@ object TextQueries extends QueryModule {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  /** Epoch-based mixture upsampling (north star): run zh for 2.5 epochs
+    * (every doc twice, a deterministic 25%-of-2.5 hash subset a third
+    * time), downsample de to 0.25, leave the rest at 1 — the DoReMi-style
+    * mixing schedule as ONE zero-shuffle row-local map. The oracle
+    * re-derives every copy count from the same md5 hex-bucket contract as
+    * q43/q50 (hexThreshold(0.5) = 80000000, 0.25 = 40000000) and
+    * replicates via generate_series — an independent replication
+    * mechanism. */
+  private def q80EpochMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Sampling.epochMixture(
+        Tables.documents(spark, dir), "doc_id", "lang",
+        Map("zh" -> 2.5, "de" -> 0.25), defaultEpochs = 1.0)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"doc_id").as("n_docs"),
+        max($"epoch").as("max_epoch"))
+      .orderBy($"lang")
+  }
+
+  private val q80Sql =
+    """WITH n AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN lang = 'zh' THEN
+      |           2 + CASE WHEN substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+      |               THEN 1 ELSE 0 END
+      |         WHEN lang = 'de' THEN
+      |           CASE WHEN substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+      |               THEN 1 ELSE 0 END
+      |         ELSE 1 END AS n_copies
+      |  FROM documents),
+      |rep AS (
+      |  SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS epoch
+      |  FROM n WHERE n_copies >= 1)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(MAX(epoch) AS BIGINT) AS max_epoch
+      |FROM rep GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Gopher-style repetition signals per document: total / distinct /
     * most-frequent 2-gram multiplicity and the top-gram fraction — the
     * standard duplicate-n-gram quality filters. Engine side is ONE narrow
@@ -1442,6 +1481,8 @@ object TextQueries extends QueryModule {
       "per-doc n-gram repetition signals via row-local count table (north star)"),
     Q("q50_stratified", q50Stratified, Some(q50Sql),
       "stratified corpus balancing by portable hash thresholds (north star)"),
+    Q("q80_epoch_mix", q80EpochMix, Some(q80Sql),
+      "epoch-based mixture upsampling: row-local replication vs generate_series oracle (north star)"),
     Q("q49_packing", q49Packing, Some(q49Sql),
       "greedy sequence packing vs recursive-CTE oracle (north star)"),
     Q("q48_tfidf", q48Tfidf, Some(q48Sql), "TF-IDF sparse vectors, flat form (north star)"),

@@ -229,4 +229,60 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(1000))
   }
+
+  test("epochMixture: integral epochs replicate exactly; fraction adds a hashSample subset") {
+    val m = Sampling.epochMixture(docs, "doc_id", "lang",
+      Map("zh" -> 2.25, "de" -> 2.0), defaultEpochs = 1.0)
+    val rows = m.select($"doc_id", $"lang", $"epoch").as[(Long, String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    val langOf = docs.select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    // de: exactly 2 copies each; others: exactly 1
+    langOf.foreach { case (id, lang) =>
+      lang match {
+        case "de" => assert(rows(id) === Seq(1L, 2L), s"doc $id")
+        case "zh" => assert(rows(id) === Seq(1L, 2L) || rows(id) === Seq(1L, 2L, 3L))
+        case _    => assert(rows(id) === Seq(1L), s"doc $id")
+      }
+    }
+    // the zh third copies are EXACTLY the 0.25 hashSample of zh docs
+    val third = rows.collect { case (id, es) if es.contains(3L) => id }.toSet
+    val expected = Sampling.hashSample(
+        docs.filter($"lang" === "zh"), "doc_id", 0.25, "epoch:")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(third === expected)
+  }
+
+  test("epochMixture: fractions below 1 downsample; zero drops the stratum") {
+    val m = Sampling.epochMixture(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.0), defaultEpochs = 1.0)
+    assert(m.filter($"lang" === "de").count() === 0L)
+    val kept = m.filter($"lang" === "en").select($"doc_id").as[Long].collect()
+    assert(kept.toSet === Sampling.hashSample(
+      docs.filter($"lang" === "en"), "doc_id", 0.5, "epoch:")
+      .select($"doc_id").as[Long].collect().toSet)
+    assert(kept.length === kept.toSet.size, "downsampled stratum has one copy per doc")
+    // extra-copy selections NEST: the 0.25 subset is inside the 0.5 subset
+    val at25 = Sampling.epochMixture(docs, "doc_id", "lang", Map("en" -> 1.25))
+      .filter($"lang" === "en" && $"epoch" === 2L).select($"doc_id").as[Long].collect().toSet
+    val at50 = Sampling.epochMixture(docs, "doc_id", "lang", Map("en" -> 1.5))
+      .filter($"lang" === "en" && $"epoch" === 2L).select($"doc_id").as[Long].collect().toSet
+    assert(at25.subsetOf(at50))
+  }
+
+  test("epochMixture is partition-invariant, zero-shuffle, and rejects bad epochs") {
+    val a = Sampling.epochMixture(docs, "doc_id", "lang", Map("zh" -> 2.5))
+      .select($"doc_id", $"epoch").as[(Long, Long)].collect().sorted.toSeq
+    val b = Sampling.epochMixture(docs.repartition(7), "doc_id", "lang", Map("zh" -> 2.5))
+      .select($"doc_id", $"epoch").as[(Long, Long)].collect().sorted.toSeq
+    assert(a === b)
+    val plan = Sampling.epochMixture(docs, "doc_id", "lang", Map("zh" -> 2.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1000))
+    intercept[IllegalArgumentException] {
+      Sampling.epochMixture(docs, "doc_id", "lang", Map("zh" -> -0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.epochMixture(docs, "doc_id", "lang", Map.empty, defaultEpochs = Double.NaN)
+    }
+  }
 }
