@@ -40,6 +40,15 @@ object VectorExpressions {
     * k-means inner loop stays a narrow, codegen'd map over the corpus. */
   def nearest_centroid(vec: Column, cents: Seq[Seq[Double]]): Column =
     column(NearestCentroid(expression(vec), cents.map(_.toArray).toArray))
+
+  /** Index of the nearest centroid by ROUND(squared-L2, 6) (ties → lowest
+    * index) — the oracle-portable Lloyd assignment ([[graft.operators
+    * .KMeans]]): rounding to 6 decimals before comparing means a
+    * sub-1e-6 float wobble between engines cannot flip the argmin, the
+    * same trick q69's rank ordering uses. Codegen'd for the same reason
+    * as [[nearest_centroid]] — the assignment is the k-means inner loop. */
+  def nearest_centroid_l2(vec: Column, cents: Seq[Seq[Double]]): Column =
+    column(NearestCentroidL2(expression(vec), cents.map(_.toArray).toArray))
 }
 
 /** Static kernels invoked from generated code (must stay public: codegen'd
@@ -99,6 +108,36 @@ object VecUtil {
     var fp = 0L; var i = 0
     while (i < 64) { if (counts(i) >= 0) fp |= (1L << i); i += 1 }
     fp
+  }
+
+  /** Argmin over centroids of round(squared-L2(v, c), 6); strict < keeps
+    * the lowest index on ties — same order as (d2 ASC, cid ASC). The
+    * rounding replicates Spark's `round(_, 6)` on doubles (BigDecimal of
+    * the SHORTEST decimal representation, HALF_UP) so this kernel is
+    * bit-equal to the composable zip_with/aggregate + round form the q81
+    * oracle was validated against. d2 accumulates left to right in index
+    * order — the same fold order as the HOF form and DuckDB's list_sum. */
+  def nearestL2(v: ArrayData, isFloat: Boolean, cents: Array[Array[Double]]): Long = {
+    var best = Double.PositiveInfinity; var bestId = 0L
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      val n = v.numElements()
+      if (n != cv.length) throw new IllegalArgumentException(
+        s"vector dimension mismatch: $n vs centroid ${cv.length}")
+      var d2 = 0.0
+      var i = 0
+      while (i < n) {
+        val d = get(v, i, isFloat) - cv(i)
+        d2 += d * d
+        i += 1
+      }
+      val r = new java.math.BigDecimal(java.lang.Double.toString(d2))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (r < best) { best = r; bestId = c }
+      c += 1
+    }
+    bestId
   }
 
   /** Argmax over centroids of cosine(v, c); strict > keeps the lowest
@@ -221,6 +260,38 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
     val ref = ctx.addReferenceObj("cents", cents, "double[][]")
     defineCodeGen(ctx, ev, v =>
       s"graft.functions.expressions.VecUtil.nearest($v, $isFloat, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** [[VecUtil.nearestL2]] as a codegen'd unary expression — the Lloyd
+  * assignment map of [[graft.operators.KMeans]]. LongType so the cluster
+  * id plugs straight into long-keyed aggregates and joins. */
+case class NearestCentroidL2(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+  override def prettyName: String = "nearest_centroid_l2"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid_l2 requires array<float>/array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VecUtil.nearestL2(v.asInstanceOf[ArrayData], isFloat, cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.expressions.VecUtil.nearestL2($v, $isFloat, $ref)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

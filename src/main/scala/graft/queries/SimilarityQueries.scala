@@ -221,6 +221,64 @@ object SimilarityQueries extends QueryModule {
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Distributed Lloyd k-means (north star): 2 rounds, k=8, deterministic
+    * lowest-id init — the cluster-then-dedup / cluster-balanced-sampling
+    * primitive, emitted as the flat (cluster_id, dim, centroid, n_members)
+    * model. Assignment argmins over round(squared-L2, 6) with cid
+    * tie-break and means come from DECIMAL(18,8) sums, so the DuckDB
+    * oracle — which replays BOTH Lloyd rounds relationally (cross join +
+    * window argmin + decimal mean, an independent formulation) — must
+    * match bit for bit. */
+  private def q81Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.KMeans.fit(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, iters = 2)
+      .orderBy($"cluster_id", $"dim")
+  }
+
+  private val q81Sql =
+    """WITH c0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+      |         embedding::DOUBLE[] AS c
+      |  FROM embeddings ORDER BY vec_id LIMIT 8),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c0.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c0.c),
+      |          p -> (p[1]-p[2])*(p[1]-p[2]))), 6), c0.cid) AS rn
+      |    FROM embeddings e CROSS JOIN c0)
+      |  WHERE rn = 1),
+      |m1 AS (
+      |  SELECT a1.cid, generate_subscripts(e.embedding, 1) - 1 AS dim,
+      |         CAST(unnest(e.embedding) AS DOUBLE) AS x
+      |  FROM embeddings e JOIN a1 USING (vec_id)),
+      |c1d AS (
+      |  SELECT cid, dim,
+      |    CAST(CAST(SUM(CAST(x AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+      |  FROM m1 GROUP BY cid, dim),
+      |c1 AS (SELECT cid, list(m ORDER BY dim) AS c FROM c1d GROUP BY cid),
+      |a2 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c1.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c1.c),
+      |          p -> (p[1]-p[2])*(p[1]-p[2]))), 6), c1.cid) AS rn
+      |    FROM embeddings e CROSS JOIN c1)
+      |  WHERE rn = 1),
+      |m2 AS (
+      |  SELECT a2.cid, generate_subscripts(e.embedding, 1) - 1 AS dim,
+      |         CAST(unnest(e.embedding) AS DOUBLE) AS x
+      |  FROM embeddings e JOIN a2 USING (vec_id)),
+      |c2d AS (
+      |  SELECT cid, dim,
+      |    CAST(CAST(SUM(CAST(x AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m,
+      |    COUNT(*) AS n
+      |  FROM m2 GROUP BY cid, dim)
+      |SELECT cid AS cluster_id, CAST(dim AS BIGINT) AS dim, m AS centroid,
+      |  CAST(n AS BIGINT) AS n_members
+      |FROM c2d ORDER BY cluster_id, dim""".stripMargin
+
   /** Embedding hygiene (north star): per-vector L2 norm + symmetric int8
     * quantization summary — row-local HOF arithmetic, zero shuffle (see
     * graft.operators.Quantize for the float→double determinism contract
@@ -264,5 +322,7 @@ object SimilarityQueries extends QueryModule {
     Q("q30_lsh_knn", q30LshKnn, None,
       "LSH-bucketed ANN top-k at sparse parameters (rows-only; machinery oracled via q69)"),
     Q("q31_label_centroids", q31LabelCentroids, Some(q31Sql), "per-label per-dim exact sums"),
+    Q("q81_kmeans", q81Kmeans, Some(q81Sql),
+      "distributed Lloyd k-means, both rounds replayed relationally (north star)"),
     Q("q32_binary_meta", q32BinaryMeta, Some(q32Sql), "binary payload metadata (multimodal plumbing)"))
 }
