@@ -26,7 +26,8 @@ object Plans {
       "q58_gopher_rules", "q59_drop_seen",
       "q60_fuzzy_names", "q61_dup_spans", "q63_semdedup", "q64_chunking",
       "q73_interval_join", "q74_token_budget", "q75_shuffle_shards",
-      "q76_funnel", "q77_training_flow", "q78_global_window")
+      "q76_funnel", "q77_training_flow", "q78_global_window",
+      "q79_best_keeper", "q80_epoch_mix", "q81_kmeans")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)
