@@ -57,8 +57,10 @@ object SimilarityQueries extends QueryModule {
   /** SemDeDup (Abbas et al., public): semantic dedup = cluster the
     * embedding space, prune cosine near-dups WITHIN each cluster, keep one
     * representative per duplicate group. Here the cluster assignment is the
-    * `label` column (a k-means assignment would be rows-only; the label
-    * block makes the whole workflow exactly oracle-able), the within-block
+    * `label` column (when this query was written a k-means assignment
+    * would have been rows-only; q82 has since closed that — the same
+    * workflow over REAL k-means cells, fully oracled via q81's portable
+    * Lloyd — and this variant stays as the given-partition form), the within-block
     * pair stage is q29's, the grouping is star-contraction components, and
     * the representative is the component's min id. Output: the PRUNED rows
     * (vec_id, kept_id) — what a curation pipeline would anti-join away.
@@ -236,8 +238,11 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"cluster_id", $"dim")
   }
 
-  private val q81Sql =
-    """WITH c0 AS (
+  /** Shared CTE LIST (no WITH prefix): relational replay of both Lloyd
+    * rounds ending at `a2`, the final per-vector cluster assignment —
+    * composed by q81 (the model) and q82 (cluster-scoped SemDeDup). */
+  private val kmeansCtes =
+    """c0 AS (
       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
       |         embedding::DOUBLE[] AS c
       |  FROM embeddings ORDER BY vec_id LIMIT 8),
@@ -265,7 +270,10 @@ object SimilarityQueries extends QueryModule {
       |        round(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c1.c),
       |          p -> (p[1]-p[2])*(p[1]-p[2]))), 6), c1.cid) AS rn
       |    FROM embeddings e CROSS JOIN c1)
-      |  WHERE rn = 1),
+      |  WHERE rn = 1)""".stripMargin
+
+  private val q81Sql =
+    s"""WITH $kmeansCtes,
       |m2 AS (
       |  SELECT a2.cid, generate_subscripts(e.embedding, 1) - 1 AS dim,
       |         CAST(unnest(e.embedding) AS DOUBLE) AS x
@@ -278,6 +286,65 @@ object SimilarityQueries extends QueryModule {
       |SELECT cid AS cluster_id, CAST(dim AS BIGINT) AS dim, m AS centroid,
       |  CAST(n AS BIGINT) AS n_members
       |FROM c2d ORDER BY cluster_id, dim""".stripMargin
+
+  /** Cluster-scoped SemDeDup (north star): q63's workflow with the block
+    * key upgraded from the given `label` column to a REAL k-means
+    * assignment — exactly the caveat q63's design note documents
+    * ("a k-means assignment would be rows-only"), closed by q81's
+    * oracle-portable Lloyd. This is the true 100 TB SemDeDup shape: the
+    * clustering bounds the near-quadratic pair stage per cell, and every
+    * stage (fit, assign, pairs, closure, representative) sits under ONE
+    * DuckDB hash. */
+  private def q82KmeansSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.operators.KMeans.fit(
+      emb, "vec_id", "embedding", k = 8, iters = 2)
+    val labeled = graft.operators.KMeans.assign(emb, "embedding", model)
+    val pairs = Similarity.nearDupPairs(labeled,
+      "vec_id", "embedding", blockCol = "cluster_id", minSim = 0.4)
+    graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+      .filter($"node" =!= $"component")
+      .select($"node".as("vec_id"), $"component".as("kept_id"))
+      .orderBy($"vec_id")
+  }
+
+  private val q82Sql =
+    s"""WITH RECURSIVE $kmeansCtes,
+      |m2 AS (
+      |  SELECT a2.cid, generate_subscripts(e.embedding, 1) - 1 AS dim,
+      |         CAST(unnest(e.embedding) AS DOUBLE) AS x
+      |  FROM embeddings e JOIN a2 USING (vec_id)),
+      |c2d AS (
+      |  SELECT cid, dim,
+      |    CAST(CAST(SUM(CAST(x AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+      |  FROM m2 GROUP BY cid, dim),
+      |c2 AS (SELECT cid, list(m ORDER BY dim) AS c FROM c2d GROUP BY cid),
+      |a3 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c2.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c2.c),
+      |          p -> (p[1]-p[2])*(p[1]-p[2]))), 6), c2.cid) AS rn
+      |    FROM embeddings e CROSS JOIN c2)
+      |  WHERE rn = 1),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM (SELECT e.*, a3.cid FROM embeddings e JOIN a3 USING (vec_id)) a
+      |  JOIN (SELECT e.*, a3.cid FROM embeddings e JOIN a3 USING (vec_id)) b
+      |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |    b.embedding::DOUBLE[]), 6) >= 0.4),
+      |sem_edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |              UNION SELECT id_b, id_a FROM pairs),
+      |sem_reach(n, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM sem_edges)
+      |  UNION
+      |  SELECT e.v, sem_reach.r FROM sem_reach JOIN sem_edges e ON e.u = sem_reach.n),
+      |sem_comp AS (SELECT n AS node, MIN(r) AS component FROM sem_reach GROUP BY n)
+      |SELECT node AS vec_id, component AS kept_id FROM sem_comp
+      |WHERE node <> component
+      |ORDER BY vec_id""".stripMargin
 
   /** Embedding hygiene (north star): per-vector L2 norm + symmetric int8
     * quantization summary — row-local HOF arithmetic, zero shuffle (see
@@ -324,5 +391,7 @@ object SimilarityQueries extends QueryModule {
     Q("q31_label_centroids", q31LabelCentroids, Some(q31Sql), "per-label per-dim exact sums"),
     Q("q81_kmeans", q81Kmeans, Some(q81Sql),
       "distributed Lloyd k-means, both rounds replayed relationally (north star)"),
+    Q("q82_kmeans_semdedup", q82KmeansSemdedup, Some(q82Sql),
+      "SemDeDup over REAL k-means cells: fit+assign+pairs+closure under one hash (north star)"),
     Q("q32_binary_meta", q32BinaryMeta, Some(q32Sql), "binary payload metadata (multimodal plumbing)"))
 }
