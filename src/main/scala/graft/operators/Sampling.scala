@@ -268,6 +268,104 @@ object Sampling {
       .unionByName(boundary.select(outCols.map(col): _*))
   }
 
+  /** Per-stratum top-fraction selection by score — "keep the best third
+    * of each language by LM quality", the CCNet head-selection /
+    * top-X%-by-quality curation op. Keeps, per stratum, the
+    * ceil(fraction × n) best rows by (score DESC, id ASC) — exactly the
+    * `row_number` window semantics, which is what the q83 oracle pins.
+    *
+    * Scale shape — the naive form is `row_number().over(partitionBy
+    * (stratum).orderBy(score))`: ONE partition per stratum, a
+    * billion-row sort on one task for a big language. This gets the
+    * identical answer with the [[tokenBudgetSample]] two-pass histogram
+    * plan, binned by score VALUE instead of hash prefix:
+    *
+    *   1. one narrow aggregate takes per-stratum (min, max, n) — k =
+    *      ceil(n × fraction) derives in the same small frame;
+    *   2. each row maps to one of `bins` equal-width score cells (the
+    *      stats frame broadcast-joins back); per-(stratum, cell) counts
+    *      window-cumsum in cell order — a bounded small frame;
+    *   3. cells entirely inside k keep whole with NO sort; only the one
+    *      straddling cell per stratum row-sorts (ties can't span cells:
+    *      equal scores share a cell by construction, so the cell cut is
+    *      exact).
+    *
+    * Degenerate case, documented: a stratum whose scores are all equal
+    * collapses to one cell and that cell's sort is the whole stratum —
+    * continuous quality/LM scores don't do this; a constant score column
+    * means the caller wanted [[hashSample]] anyway.
+    *
+    * Score hygiene: null/NaN scores fail loudly (codegen raise_error) —
+    * NaN would poison the min/max bin arithmetic and silently misplace
+    * rows, same philosophy as tokenBudgetSample's negative-weight guard.
+    * Descending only; pass `-score` for bottom-fraction. */
+  def topFractionByScore(df: DataFrame, idCol: String, scoreCol: String,
+      stratumCol: String, fraction: Double, bins: Int = 65536): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction $fraction outside [0, 1]")
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val outCols = df.columns.toSeq
+    val reserved = Set("__score", "__bin", "__n", "__k", "__min", "__max",
+      "__cnt", "__cum", "__cum_before", "__verdict", "__rn",
+      "__cell_stratum", "__cell_bin", "__stat_stratum")
+    require(outCols.forall(!reserved.contains(_)),
+      s"column names $reserved are reserved by topFractionByScore")
+
+    val guarded = when(col(scoreCol).isNull || isnan(col(scoreCol).cast("double")),
+        raise_error(concat(
+          lit(s"topFractionByScore: null/NaN score in $scoreCol at $idCol="),
+          col(idCol).cast("string"))).cast("double"))
+      .otherwise(col(scoreCol).cast("double"))
+    val rows = df.withColumn("__score", guarded)
+
+    // pass 1: per-stratum stats; k derives here (one small frame)
+    val stats = rows.groupBy(col(stratumCol))
+      .agg(min(col("__score")).as("__min"), max(col("__score")).as("__max"),
+        count(lit(1)).as("__n"))
+      .withColumn("__k", ceil(col("__n") * lit(fraction)).cast("long"))
+      .select(col(stratumCol).as("__stat_stratum"),
+        col("__min"), col("__max"), col("__k"))
+
+    // equal-width value cells, best score -> cell 0 (null-safe stratum
+    // join for the same reason as tokenBudgetSample's)
+    val binned = rows.join(stats, col(stratumCol) <=> col("__stat_stratum"))
+      .withColumn("__bin",
+        when(col("__max") === col("__min"), lit(0))
+          .otherwise(least(lit(bins - 1), greatest(lit(0),
+            floor((col("__max") - col("__score")) /
+              (col("__max") - col("__min")) * lit(bins - 1)).cast("int")))))
+      .drop("__stat_stratum", "__min", "__max")
+
+    // pass 2: per-cell counts + running sum, classified against k
+    val wBin = Window.partitionBy(col(stratumCol)).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cells = binned.groupBy(col(stratumCol), col("__bin"))
+      .agg(count(lit(1)).as("__cnt"), first(col("__k")).as("__kk"))
+      .withColumn("__cum", sum(col("__cnt")).over(wBin))
+      .withColumn("__cum_before", col("__cum") - col("__cnt"))
+      .withColumn("__verdict",
+        when(col("__cum") <= col("__kk"), "keep_all")
+          .when(col("__cum_before") >= col("__kk"), "drop_all")
+          .otherwise("straddle"))
+      .select(col(stratumCol).as("__cell_stratum"), col("__bin").as("__cell_bin"),
+        col("__cum_before"), col("__kk"), col("__verdict"))
+
+    val classified = binned.drop("__k").join(cells,
+        col(stratumCol) <=> col("__cell_stratum") &&
+          col("__bin") === col("__cell_bin"))
+    val keptWhole = classified.filter(col("__verdict") === "keep_all")
+
+    // exact cut inside the (at most one per stratum) straddling cell
+    val wRow = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__score").desc, col(idCol).asc)
+    val boundary = classified.filter(col("__verdict") === "straddle")
+      .withColumn("__rn", row_number().over(wRow))
+      .filter(col("__cum_before") + col("__rn") <= col("__kk"))
+
+    keptWhole.select(outCols.map(col): _*)
+      .unionByName(boundary.select(outCols.map(col): _*))
+  }
+
   /** Deterministic corpus shuffle into training shards: adds `shard`
     * (equal-width hash range, 0..nShards-1) and `pos` (the row's rank
     * within its shard in hash order). Reading shards in order of

@@ -647,6 +647,47 @@ object TextQueries extends QueryModule {
       |  CAST(MAX(epoch) AS BIGINT) AS max_epoch
       |FROM rep GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** CCNet-style head selection (north star): keep the best THIRD of each
+    * language by quality score — per-stratum top-fraction-by-score via
+    * the two-pass histogram plan (Sampling.topFractionByScore: no
+    * per-stratum global sort; only the straddling score cell row-sorts).
+    * The oracle is the naive window formulation — row_number over
+    * (lang, quality DESC, doc_id) against ceil(n/3) — the independent
+    * shape the operator's plan deliberately avoids. */
+  private def q83HeadSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", qualityScore($"text").as("quality"))
+    graft.operators.Sampling.topFractionByScore(
+        scored, "doc_id", "quality", "lang", fraction = 1.0 / 3.0)
+      .orderBy($"doc_id")
+  }
+
+  private val q83Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN $enList)) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS swr,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+       |           / length(text) END AS pr,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS mtl
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, lang,
+       |    least(swr * 4.0, 1.0) * 0.4 + least(mtl / 8.0, 1.0) * 0.4
+       |      + (1.0 - least(pr * 10.0, 1.0)) * 0.2 AS quality
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, lang, quality,
+       |    row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM q)
+       |SELECT doc_id, lang, quality FROM r
+       |WHERE rn <= CAST(ceil(n * ${1.0 / 3.0}) AS BIGINT)
+       |ORDER BY doc_id""".stripMargin
+
   /** Gopher-style repetition signals per document: total / distinct /
     * most-frequent 2-gram multiplicity and the top-gram fraction — the
     * standard duplicate-n-gram quality filters. Engine side is ONE narrow
@@ -1483,6 +1524,8 @@ object TextQueries extends QueryModule {
       "stratified corpus balancing by portable hash thresholds (north star)"),
     Q("q80_epoch_mix", q80EpochMix, Some(q80Sql),
       "epoch-based mixture upsampling: row-local replication vs generate_series oracle (north star)"),
+    Q("q83_head_sample", q83HeadSample, Some(q83Sql),
+      "per-language top-third by quality: histogram plan vs window oracle (north star)"),
     Q("q49_packing", q49Packing, Some(q49Sql),
       "greedy sequence packing vs recursive-CTE oracle (north star)"),
     Q("q48_tfidf", q48Tfidf, Some(q48Sql), "TF-IDF sparse vectors, flat form (north star)"),

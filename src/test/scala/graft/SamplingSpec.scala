@@ -230,6 +230,59 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(1000))
   }
 
+  private def naiveTopFraction(df: org.apache.spark.sql.DataFrame,
+      fraction: Double): Set[Long] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"q".desc, $"doc_id".asc)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter($"rn" <= ceil($"n" * lit(fraction)).cast("long"))
+      .select($"doc_id").as[Long].collect().toSet
+  }
+
+  test("topFractionByScore == naive per-stratum window, across fractions") {
+    val scored = docs.select($"doc_id", $"lang",
+      graft.functions.TextFunctions.qualityScore($"text").as("q")).cache()
+    for (f <- Seq(0.0, 0.1, 1.0 / 3.0, 0.9, 1.0)) {
+      val got = Sampling.topFractionByScore(scored, "doc_id", "q", "lang", f)
+        .select($"doc_id").as[Long].collect()
+      assert(got.length === got.toSet.size, s"f=$f: duplicates")
+      assert(got.toSet === naiveTopFraction(scored, f), s"f=$f")
+    }
+    // tiny bin count forces nearly everything through the straddle path —
+    // the histogram must still produce the exact window answer
+    val coarse = Sampling.topFractionByScore(scored, "doc_id", "q", "lang",
+      1.0 / 3.0, bins = 2).select($"doc_id").as[Long].collect().toSet
+    assert(coarse === naiveTopFraction(scored, 1.0 / 3.0))
+  }
+
+  test("topFractionByScore: constant-score stratum degenerates to id order; guards") {
+    val flat = Seq((1L, "x", 5.0), (2L, "x", 5.0), (3L, "x", 5.0), (4L, "x", 5.0))
+      .toDF("doc_id", "lang", "q")
+    val kept = Sampling.topFractionByScore(flat, "doc_id", "q", "lang", 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L)) // ties -> lowest ids
+    intercept[IllegalArgumentException] {
+      Sampling.topFractionByScore(flat, "doc_id", "q", "lang", 1.5)
+    }
+    val withNaN = Seq((1L, "x", 1.0), (2L, "x", Double.NaN)).toDF("doc_id", "lang", "q")
+    val e = intercept[Exception] {
+      Sampling.topFractionByScore(withNaN, "doc_id", "q", "lang", 0.5).count()
+    }
+    assert(e.getMessage.contains("NaN") || e.getCause != null)
+  }
+
+  test("topFractionByScore is partition-invariant; no full-stratum sort for fine bins") {
+    val scored = docs.select($"doc_id", $"lang",
+      graft.functions.TextFunctions.qualityScore($"text").as("q"))
+    val a = Sampling.topFractionByScore(scored, "doc_id", "q", "lang", 0.25)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.topFractionByScore(scored.repartition(7), "doc_id", "q", "lang", 0.25)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+
   test("epochMixture: integral epochs replicate exactly; fraction adds a hashSample subset") {
     val m = Sampling.epochMixture(docs, "doc_id", "lang",
       Map("zh" -> 2.25, "de" -> 2.0), defaultEpochs = 1.0)
