@@ -120,6 +120,20 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
+  /** Canonical text normalization for dedup/fingerprint pipelines: Unicode
+    * NFC (composed forms — "é" as one code point), lowercase, whitespace
+    * runs collapsed to single spaces, ends trimmed. Apply BEFORE hashing /
+    * shingling so encoding and casing variants of the same content
+    * collide. NFC rather than NFKC — see
+    * [[graft.functions.expressions.TextExpressions.nfc_normalize]].
+    * Engine-portable chain: DuckDB `nfc_normalize` + `lower` +
+    * `regexp_replace(..., 'g')` + `trim` mirror each step (`\s` is in the
+    * Java∩RE2 dialect the Scrub rules already rely on). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      lower(graft.functions.expressions.TextExpressions.nfc_normalize(text)),
+      "\\s+", " "))
+
   /** Word n-gram shingles as a distinct array — the unit for Jaccard/MinHash
     * dedup. Computed with a higher-order `transform` over an index sequence
     * (no explode/window shuffle; stays row-local). */

@@ -1,0 +1,58 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
+/** Unicode-level text kernels Spark has no builtin for. */
+object TextExpressions {
+
+  /** Unicode NFC (canonical composition) of a string column — the
+    * normalization a dedup/fingerprint pipeline applies before hashing so
+    * that "é" (one code point) and "e"+U+0301 (two) collide. NFC, not
+    * NFKC: compatibility folding (fullwidth → ASCII, ligature expansion)
+    * CHANGES content and is a corpus-policy decision; canonical
+    * composition is always content-preserving. Mirrors DuckDB's
+    * `nfc_normalize`, which keeps the whole normalization chain
+    * oracle-checkable. */
+  def nfc_normalize(text: Column): Column = column(NfcNormalize(expression(text)))
+}
+
+/** [[TextUtil.nfc]] as a codegen'd unary expression: normalization sits in
+  * front of per-document hashing in the dedup hot path, so it must not
+  * break the whole-stage-codegen span the hash kernels live in. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "nfc_normalize"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    TextUtil.nfc(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.expressions.TextUtil.nfc($v)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextUtil {
+  /** NFC-normalize; the already-normalized fast path (the overwhelmingly
+    * common case for real corpora) returns the INPUT UTF8String — no
+    * string conversion, no allocation. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}

@@ -647,6 +647,43 @@ object TextQueries extends QueryModule {
       |  CAST(MAX(epoch) AS BIGINT) AS max_epoch
       |FROM rep GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Canonical text normalization (north star): NFC + lowercase +
+    * whitespace collapse — what a dedup pipeline hashes INSTEAD of raw
+    * bytes so encoding/casing variants collide. Both engines first plant
+    * denormalized content deterministically on the real corpus (an NFD
+    * combining sequence, the U+212B angstrom singleton, tabs and run-on
+    * spaces, uppercase É — the q57 build-then-operate pattern), then
+    * normalize: engine = codegen NfcNormalize + lower + regexp_replace;
+    * oracle = DuckDB nfc_normalize + lower + regexp_replace(..., 'g') —
+    * independent Unicode implementations (ICU vs JDK) under one hash. */
+  private def q84Normalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val built = Tables.documents(spark, dir).select($"doc_id",
+      concat($"text", lit(" Café "),
+        when($"doc_id" % 2 === 0, lit("  MIXED   CaseÅ"))
+          .otherwise(lit("\ttabbedÉ "))).as("text"))
+    built.select($"doc_id", $"text", normalizeText($"text").as("norm"))
+      .select($"doc_id",
+        md5($"norm").as("norm_md5"),
+        ($"norm" =!= $"text").as("changed"),
+        (length($"text") - length($"norm")).cast("long").as("delta"))
+      .orderBy($"doc_id")
+  }
+
+  private val q84Sql =
+    """WITH built AS (
+      |  SELECT doc_id, text || ' Cafe' || chr(769) || ' ' ||
+      |    CASE WHEN doc_id % 2 = 0 THEN '  MIXED   Case' || chr(8491)
+      |         ELSE chr(9) || 'tabbed' || chr(201) || ' ' END AS text
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm
+      |  FROM built)
+      |SELECT doc_id, md5(norm) AS norm_md5, norm <> text AS changed,
+      |  CAST(length(text) - length(norm) AS BIGINT) AS delta
+      |FROM n ORDER BY doc_id""".stripMargin
+
   /** CCNet-style head selection (north star): keep the best THIRD of each
     * language by quality score — per-stratum top-fraction-by-score via
     * the two-pass histogram plan (Sampling.topFractionByScore: no
@@ -1526,6 +1563,8 @@ object TextQueries extends QueryModule {
       "epoch-based mixture upsampling: row-local replication vs generate_series oracle (north star)"),
     Q("q83_head_sample", q83HeadSample, Some(q83Sql),
       "per-language top-third by quality: histogram plan vs window oracle (north star)"),
+    Q("q84_normalize", q84Normalize, Some(q84Sql),
+      "NFC+casefold+whitespace normalization: JDK vs ICU implementations under one hash (north star)"),
     Q("q49_packing", q49Packing, Some(q49Sql),
       "greedy sequence packing vs recursive-CTE oracle (north star)"),
     Q("q48_tfidf", q48Tfidf, Some(q48Sql), "TF-IDF sparse vectors, flat form (north star)"),

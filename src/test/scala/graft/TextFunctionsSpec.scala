@@ -100,4 +100,26 @@ class TextFunctionsSpec extends SparkSpec {
     }.toList
     assert(viaKernel.toList === brute)
   }
+
+  test("normalizeText: NFC composes, singletons map, case folds, whitespace collapses") {
+    import graft.functions.TextFunctions.normalizeText
+    val rows = Seq(
+      "Café",          // NFD e + combining acute -> café
+      "Å ANGSTROM",     // angstrom sign singleton -> å via NFC+lower
+      "  A\t\tB   C \n D ",  // runs of mixed whitespace
+      "café",           // already normalized: fixpoint
+      "")
+      .toDF("t").select(normalizeText($"t")).as[String].collect().toSeq
+    assert(rows === Seq("café", "å angstrom", "a b c d", "café", ""))
+    // idempotence: normalize twice == normalize once, across real docs
+    import graft.core.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val diff = docs.filter(
+      normalizeText(normalizeText($"text")) =!= normalizeText($"text")).count()
+    assert(diff === 0L)
+    // null passes through
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(normalizeText($"t")).collect().head
+    assert(n.isNullAt(0))
+  }
 }
