@@ -58,6 +58,12 @@ object GraftExtensions {
         require(args.size == 1, "simhash64 takes 1 argument")
         SimHash64(args.head)
       }),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical composition (matches DuckDB's)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "nfc_normalize takes 1 argument")
+        NfcNormalize(args.head)
+      }),
     (FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes", "shingle_hashes(tokens, n) - 64-bit hashes of word n-grams"),
       (args: Seq[Expression]) => {

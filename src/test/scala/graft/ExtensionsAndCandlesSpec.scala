@@ -40,6 +40,14 @@ class ExtensionsAndCandlesSpec extends SparkSpec {
     assert(r.getAs[Long]("k16") === 16)
   }
 
+  test("nfc_normalize is SQL-callable and matches the Column form") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT nfc_normalize('Café') n1, nfc_normalize('Å') n2").head()
+    assert(r.getString(0) === "Café")
+    assert(r.getString(1) === "Å") // U+212B -> U+00C5 under NFC
+  }
+
   test("shingle_hashes is SQL-callable and matches the Column form") {
     GraftExtensions.register(spark)
     val viaSql = spark.sql(
