@@ -54,6 +54,34 @@ object TextQueries extends QueryModule {
 
   // Mirror of TextFunctions.qualityScore / stopwordRatio / punctRatio.
   private val enList = "('the','a','of','and','to','is','in','that','it')"
+
+  /** Shared CTE LIST (no WITH prefix): the add-0.5 bigram model fit on the
+    * English slice and the per-doc decimal-exact log-prob sums — composed
+    * by q56 (per-doc scores) and q85 (CCNet tercile buckets). */
+  private val lmCtes =
+    """words AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, lang, w AS w1,
+      |         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |  FROM words QUALIFY w2 IS NOT NULL),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+      |c1 AS (SELECT w, COUNT(*) AS c FROM words WHERE lang = 'en' GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT w) AS v FROM words WHERE lang = 'en'),
+      |lp_scored AS (
+      |  SELECT b.doc_id,
+      |    ln((COALESCE(c2.c, 0) + 0.5) / (COALESCE(c1.c, 0) + 0.5 * v.v)) AS lp
+      |  FROM bg b
+      |  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      |  LEFT JOIN c1 ON b.w1 = c1.w
+      |  CROSS JOIN v),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+      |      AS sum_logprob
+      |  FROM lp_scored GROUP BY doc_id)""".stripMargin
   private val q19Sql =
     s"""WITH t AS (
        |  SELECT doc_id,
@@ -647,6 +675,65 @@ object TextQueries extends QueryModule {
       |  CAST(MAX(epoch) AS BIGINT) AS max_epoch
       |FROM rep GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** CCNet head/middle/tail buckets (north star): score every document by
+    * mean bigram log-prob under the English-slice LM (q56's machinery),
+    * then split each language into quality TERCILES — head = best third —
+    * the canonical CCNet corpus partition. The terciles come from TWO
+    * nested topFractionByScore calls (1/3 and 2/3: nesting is guaranteed
+    * because both use the same total order), so the whole composition
+    * keeps the no-per-stratum-sort plan; the oracle is the naive
+    * window-rank formulation over the same relational LM replay. Docs
+    * with zero bigrams have no score and are excluded by construction
+    * (none exist in this corpus). */
+  private def q85CcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    // cached: the LM-scoring chain fans out 3 ways below (head cut,
+    // top-2/3 cut, final labeling join) — same discipline as curate's
+    // `exact` frame
+    val scored = graft.operators.NgramLm.scoreAgainst(
+        docs, docs.filter($"lang" === "en"), "doc_id", "text", addK = 0.5)
+      .select($"doc_id", ($"sum_logprob" / $"n_bigrams").as("score"))
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .cache()
+    val head = graft.operators.Sampling.topFractionByScore(
+      scored, "doc_id", "score", "lang", 1.0 / 3.0)
+    val top2 = graft.operators.Sampling.topFractionByScore(
+      scored, "doc_id", "score", "lang", 2.0 / 3.0)
+    scored
+      .join(head.select($"doc_id", lit(1).as("__h")), Seq("doc_id"), "left")
+      .join(top2.select($"doc_id", lit(1).as("__hm")), Seq("doc_id"), "left")
+      .withColumn("bucket",
+        when($"__h" === 1, lit("head"))
+          .when($"__hm" === 1, lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        Exact.dsum($"score", 18, 6).as("score_sum"))
+      .orderBy($"lang", $"bucket")
+  }
+
+  private val q85Sql =
+    s"""WITH $lmCtes,
+      |sc AS (
+      |  SELECT p.doc_id, d.lang, p.sum_logprob / p.n_bigrams AS score
+      |  FROM perdoc p JOIN documents d USING (doc_id)),
+      |r AS (
+      |  SELECT doc_id, lang, score,
+      |    row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM sc),
+      |lab AS (
+      |  SELECT lang, score,
+      |    CASE WHEN rn <= CEIL(n * ${1.0 / 3.0}) THEN 'head'
+      |         WHEN rn <= CEIL(n * ${2.0 / 3.0}) THEN 'middle'
+      |         ELSE 'tail' END AS bucket
+      |  FROM r)
+      |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+      |    AS score_sum
+      |FROM lab GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+
   /** Canonical text normalization (north star): NFC + lowercase +
     * whitespace collapse — what a dedup pipeline hashes INSTEAD of raw
     * bytes so encoding/casing variants collide. Both engines first plant
@@ -972,29 +1059,11 @@ object TextQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+
   private val q56Sql =
-    """WITH words AS (
-      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w,
-      |         generate_subscripts(string_split(text, ' '), 1) AS pos
-      |  FROM documents),
-      |bg AS (
-      |  SELECT doc_id, lang, w AS w1,
-      |         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-      |  FROM words QUALIFY w2 IS NOT NULL),
-      |c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg WHERE lang = 'en' GROUP BY 1, 2),
-      |c1 AS (SELECT w, COUNT(*) AS c FROM words WHERE lang = 'en' GROUP BY 1),
-      |v AS (SELECT COUNT(DISTINCT w) AS v FROM words WHERE lang = 'en'),
-      |scored AS (
-      |  SELECT b.doc_id,
-      |    ln((COALESCE(c2.c, 0) + 0.5) / (COALESCE(c1.c, 0) + 0.5 * v.v)) AS lp
-      |  FROM bg b
-      |  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
-      |  LEFT JOIN c1 ON b.w1 = c1.w
-      |  CROSS JOIN v)
-      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-      |  CAST(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
-      |    AS sum_logprob
-      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"""WITH $lmCtes
+      |SELECT doc_id, n_bigrams, sum_logprob
+      |FROM perdoc ORDER BY doc_id""".stripMargin
 
   /** Gopher-style hard quality gates (north star): word-count bounds,
     * mean-word-length bounds, alphabetic fraction, stopword minimum. The
@@ -1565,6 +1634,8 @@ object TextQueries extends QueryModule {
       "per-language top-third by quality: histogram plan vs window oracle (north star)"),
     Q("q84_normalize", q84Normalize, Some(q84Sql),
       "NFC+casefold+whitespace normalization: JDK vs ICU implementations under one hash (north star)"),
+    Q("q85_ccnet_buckets", q85CcnetBuckets, Some(q85Sql),
+      "CCNet head/middle/tail terciles by LM score: nested histogram cuts vs window oracle (north star)"),
     Q("q49_packing", q49Packing, Some(q49Sql),
       "greedy sequence packing vs recursive-CTE oracle (north star)"),
     Q("q48_tfidf", q48Tfidf, Some(q48Sql), "TF-IDF sparse vectors, flat form (north star)"),
