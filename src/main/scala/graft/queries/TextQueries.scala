@@ -675,6 +675,49 @@ object TextQueries extends QueryModule {
       |  CAST(MAX(epoch) AS BIGINT) AS max_epoch
       |FROM rep GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Normalization-aware decontamination (north star): q59's cross-corpus
+    * anti-join with the digest upgraded to md5 OF NORMALIZED text — the
+    * variant an adversarially-reformatted (re-wrapped, re-indented) copy
+    * of an eval document requires. Both engines plant whitespace-mangled
+    * variants of every fifth current doc into the seen corpus (leading
+    * blanks, tripled inner spaces, trailing tab): a raw-md5 anti-join
+    * keeps them; the normalized digest must drop them. Pins the
+    * normalizeText × dropSeenDocs integration. */
+  private def q86NormalizedDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val current = docs.filter($"source" =!= "src0")
+    val variants = current.filter($"doc_id" % 5 === 0)
+      .select(concat(lit("  "),
+        regexp_replace($"text", " ", "   "), lit("\t")).as("text"))
+    val seen = docs.filter($"source" === "src0").select($"text")
+      .unionByName(variants)
+    graft.operators.Dedup.dropSeenDocs(current, seen, "text",
+        digest = c => md5(normalizeText(c)))
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  private val q86Sql =
+    """WITH cur AS (
+      |  SELECT doc_id, source, text FROM documents WHERE source <> 'src0'),
+      |seen AS (
+      |  SELECT text FROM documents WHERE source = 'src0'
+      |  UNION ALL
+      |  SELECT '  ' || replace(text, ' ', '   ') || chr(9) FROM cur
+      |  WHERE doc_id % 5 = 0),
+      |norm AS (
+      |  SELECT doc_id, source,
+      |    md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS d
+      |  FROM cur),
+      |seennorm AS (
+      |  SELECT DISTINCT
+      |    md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS d
+      |  FROM seen)
+      |SELECT doc_id, source FROM norm
+      |WHERE d NOT IN (SELECT d FROM seennorm)
+      |ORDER BY doc_id""".stripMargin
+
   /** CCNet head/middle/tail buckets (north star): score every document by
     * mean bigram log-prob under the English-slice LM (q56's machinery),
     * then split each language into quality TERCILES — head = best third —
@@ -1636,6 +1679,8 @@ object TextQueries extends QueryModule {
       "NFC+casefold+whitespace normalization: JDK vs ICU implementations under one hash (north star)"),
     Q("q85_ccnet_buckets", q85CcnetBuckets, Some(q85Sql),
       "CCNet head/middle/tail terciles by LM score: nested histogram cuts vs window oracle (north star)"),
+    Q("q86_norm_decontam", q86NormalizedDecontam, Some(q86Sql),
+      "normalization-aware cross-corpus decontamination: planted reformatted copies dropped (north star)"),
     Q("q49_packing", q49Packing, Some(q49Sql),
       "greedy sequence packing vs recursive-CTE oracle (north star)"),
     Q("q48_tfidf", q48Tfidf, Some(q48Sql), "TF-IDF sparse vectors, flat form (north star)"),
