@@ -143,6 +143,28 @@ object Components {
         col("keeper"), (col("node") === col("keeper")).as("is_keeper"))
   }
 
+  /** Per-node duplicate-cluster weights — the SOFT dedup verdict
+    * (Semdedup-adjacent "SoftDeDup": instead of dropping near-duplicates,
+    * downweight each copy by its cluster size so the cluster contributes
+    * ~one document of training mass; repetition hurts, but hard deletion
+    * loses the best copy's signal too). Output: (node, component,
+    * cluster_size, weight = 1/cluster_size) for every node in `edges`;
+    * edge-free docs are implicitly weight 1 (left-join + coalesce at the
+    * call site).
+    *
+    * Scale shape: the star contraction's bounded rounds plus ONE
+    * component-keyed count aggregate (map-side partials) and ONE
+    * component-keyed rejoin — (long, long) exchanges only. */
+  def clusterWeights(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
+    val comps = connectedComponents(edges, srcCol, dstCol, maxRounds, checkpointDir)
+    val sizes = comps.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comps.join(sizes, "component")
+      .select(col("node"), col("component"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size")).as("weight"))
+  }
+
   /** Large-star: every node u relinks its LARGER neighbors to
     * m = min(N(u) + u). Each input edge is processed from its smaller
     * endpoint's side, so the output row count never exceeds the doubled

@@ -82,6 +82,35 @@ object TextQueries extends QueryModule {
       |    CAST(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
       |      AS sum_logprob
       |  FROM lp_scored GROUP BY doc_id)""".stripMargin
+
+  /** Shared CTE LIST (no WITH prefix — callers prepend WITH RECURSIVE):
+    * relational 3-gram Jaccard pairs at 0.5 and their transitive-closure
+    * components, composed by q53 (cluster rollup) and q79 (quality-aware
+    * keeper selection). */
+  private val closureCtes =
+    """words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w || ' ' || lead(w, 1) OVER o || ' ' || lead(w, 2) OVER o AS shingle
+      |  FROM words WINDOW o AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY shingle IS NOT NULL),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+      |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach(n, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n),
+      |comp AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n)""".stripMargin
   private val q19Sql =
     s"""WITH t AS (
        |  SELECT doc_id,
@@ -675,6 +704,32 @@ object TextQueries extends QueryModule {
       |  CAST(MAX(epoch) AS BIGINT) AS max_epoch
       |FROM rep GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Soft dedup weights (north star): every near-dup cluster member kept
+    * but downweighted to 1/cluster_size, so each cluster contributes ~one
+    * document of training mass — the soft alternative to q53's hard
+    * one-keeper verdict, over the same pairs. Composes with epochMixture /
+    * tokenBudgetSample as a weight column. Engine: star contraction + one
+    * component-keyed count + rejoin; oracle: the shared recursive-closure
+    * CTEs + a relational count. */
+  private def q87SoftDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.jaccardPairsAuto(docs,
+      "doc_id", "text", n = 3, minJac = 0.5, knownCount = Some(docs.count()))
+    graft.operators.Components.clusterWeights(pairs, "id_a", "id_b")
+      .select($"node".as("doc_id"), $"component", $"cluster_size", $"weight")
+      .orderBy($"doc_id")
+  }
+
+  private val q87Sql =
+    s"""WITH RECURSIVE $closureCtes,
+      |sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      |       FROM comp GROUP BY component)
+      |SELECT c.node AS doc_id, c.component, sz.cluster_size,
+      |  CAST(1.0 AS DOUBLE) / sz.cluster_size AS weight
+      |FROM comp c JOIN sz USING (component)
+      |ORDER BY doc_id""".stripMargin
+
   /** Normalization-aware decontamination (north star): q59's cross-corpus
     * anti-join with the digest upgraded to md5 OF NORMALIZED text — the
     * variant an adversarially-reformatted (re-wrapped, re-indented) copy
@@ -947,34 +1002,6 @@ object TextQueries extends QueryModule {
       .orderBy($"component")
   }
 
-  /** Shared CTE LIST (no WITH prefix — callers prepend WITH RECURSIVE):
-    * relational 3-gram Jaccard pairs at 0.5 and their transitive-closure
-    * components, composed by q53 (cluster rollup) and q79 (quality-aware
-    * keeper selection). */
-  private val closureCtes =
-    """words AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-      |         generate_subscripts(string_split(text, ' '), 1) AS pos
-      |  FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, w || ' ' || lead(w, 1) OVER o || ' ' || lead(w, 2) OVER o AS shingle
-      |  FROM words WINDOW o AS (PARTITION BY doc_id ORDER BY pos)
-      |  QUALIFY shingle IS NOT NULL),
-      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-      |inter AS (
-      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
-      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-      |  GROUP BY 1, 2),
-      |pairs AS (
-      |  SELECT id_a, id_b FROM inter
-      |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
-      |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
-      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
-      |reach(n, r) AS (
-      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-      |  UNION
-      |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n),
-      |comp AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n)""".stripMargin
 
   private val q53Sql =
     s"""WITH RECURSIVE $closureCtes
@@ -1681,6 +1708,8 @@ object TextQueries extends QueryModule {
       "CCNet head/middle/tail terciles by LM score: nested histogram cuts vs window oracle (north star)"),
     Q("q86_norm_decontam", q86NormalizedDecontam, Some(q86Sql),
       "normalization-aware cross-corpus decontamination: planted reformatted copies dropped (north star)"),
+    Q("q87_soft_dedup", q87SoftDedup, Some(q87Sql),
+      "soft dedup: 1/cluster_size weights instead of deletion, same closure oracle (north star)"),
     Q("q49_packing", q49Packing, Some(q49Sql),
       "greedy sequence packing vs recursive-CTE oracle (north star)"),
     Q("q48_tfidf", q48Tfidf, Some(q48Sql), "TF-IDF sparse vectors, flat form (north star)"),

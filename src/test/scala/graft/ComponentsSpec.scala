@@ -118,6 +118,19 @@ class ComponentsSpec extends SparkSpec {
       10L -> (10L, true), 11L -> (10L, false)))
   }
 
+  test("clusterWeights: 1/size per member, cluster mass sums to one each") {
+    import spark.implicits._
+    // {1,2,3} and {10,11}: weights 1/3 and 1/2; 99 edge-free -> absent
+    val w = Components.clusterWeights(
+        Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(w === Map(
+      1L -> (3L, 1.0 / 3), 2L -> (3L, 1.0 / 3), 3L -> (3L, 1.0 / 3),
+      10L -> (2L, 0.5), 11L -> (2L, 0.5)))
+    assert(math.abs(w.values.map(_._2).sum - 2.0) < 1e-12,
+      "total mass == number of clusters")
+  }
+
   test("keeperByPriority matches brute-force on a random graph") {
     val rnd = new scala.util.Random(13)
     val n = 120
