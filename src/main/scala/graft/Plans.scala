@@ -27,7 +27,9 @@ object Plans {
       "q60_fuzzy_names", "q61_dup_spans", "q63_semdedup", "q64_chunking",
       "q73_interval_join", "q74_token_budget", "q75_shuffle_shards",
       "q76_funnel", "q77_training_flow", "q78_global_window",
-      "q79_best_keeper", "q80_epoch_mix", "q81_kmeans")
+      "q79_best_keeper", "q80_epoch_mix", "q81_kmeans",
+      "q82_kmeans_semdedup", "q83_head_sample", "q84_normalize",
+      "q85_ccnet_buckets", "q86_norm_decontam", "q87_soft_dedup")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)

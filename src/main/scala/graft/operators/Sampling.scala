@@ -327,8 +327,15 @@ object Sampling {
         col("__min"), col("__max"), col("__k"))
 
     // equal-width value cells, best score -> cell 0 (null-safe stratum
-    // join for the same reason as tokenBudgetSample's)
-    val binned = rows.join(stats, col(stratumCol) <=> col("__stat_stratum"))
+    // join for the same reason as tokenBudgetSample's). stats is ONE ROW
+    // PER STRATUM by construction — always broadcast it: left to the
+    // planner this join can become a SortMergeJoin keyed on the stratum
+    // alone, i.e. a full-data exchange into |strata| partitions (5
+    // languages -> 5 partitions of a 100 TB corpus). The cells join below
+    // stays planner-chosen like tokenBudgetSample's: its key fans out
+    // 65 536-wide, and |strata| x bins can be genuinely too big to force.
+    val binned = rows.join(broadcast(stats),
+        col(stratumCol) <=> col("__stat_stratum"))
       .withColumn("__bin",
         when(col("__max") === col("__min"), lit(0))
           .otherwise(least(lit(bins - 1), greatest(lit(0),
