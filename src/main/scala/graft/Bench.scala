@@ -42,7 +42,13 @@ object Bench {
     "q63_semdedup" -> 1.7,
     "q48_tfidf" -> 1.5,
     "q55_contamination_bloom" -> 1.3,
-    "q70_ivf_full_probe" -> 1.2)
+    "q70_ivf_full_probe" -> 1.2,
+    // round-5 late additions (clean r5 end-of-round sweep values)
+    "q85_ccnet_buckets" -> 2.8,
+    "q79_best_keeper" -> 2.9,
+    "q87_soft_dedup" -> 2.7,
+    "q82_kmeans_semdedup" -> 1.7,
+    "q81_kmeans" -> 1.0)
   private val defaultAnchorSec = 1.0
   // overridable for local testing of the rerun path (driver never sets it)
   private val suspectFactor =
