@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQueryListener, Trigger}
 import org.apache.spark.sql.Row
@@ -29,9 +29,15 @@ object StreamingJobs {
     * pages, replayed documents — same content under a fresh id, which
     * keyed dedup cannot catch). State per distinct digest is 16 bytes +
     * watermark bookkeeping, evicted at the horizon. */
+  /** `digest` is pluggable like Dedup.dropSeenDocs's: pass
+    * md5 ∘ TextFunctions.normalizeText for normalization-aware streaming
+    * dedup (re-wrapped/re-cased redeliveries of the same content
+    * collapse; the NFC kernel is a narrow codegen map, so the streaming
+    * plan shape is unchanged). */
   def dedupByContent(stream: DataFrame, contentCol: String, tsCol: String,
-      watermark: String = "10 minutes"): DataFrame =
-    stream.withColumn("__digest", md5(col(contentCol).cast("string")))
+      watermark: String = "10 minutes",
+      digest: Column => Column = c => md5(c.cast("string"))): DataFrame =
+    stream.withColumn("__digest", digest(col(contentCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")

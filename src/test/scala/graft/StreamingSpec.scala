@@ -100,6 +100,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("normalized content dedup collapses reformatted redeliveries in-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(String, Timestamp, String)]
+    val stream = source.toDF().toDF("uuid", "ts", "body")
+    val deduped = StreamingJobs.dedupByContent(stream, "body", "ts",
+      digest = c => md5(graft.functions.TextFunctions.normalizeText(c)))
+    val q = deduped.writeStream.format("memory").queryName("norm_dedup")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      source.addData(("a", t0, "same payload"), ("b", t0, "other payload"))
+      q.processAllAvailable()
+      // re-scrape delivers the SAME content re-wrapped and re-cased (plus
+      // an NFD-encoded accent): all must collapse onto 'a'; raw-md5 dedup
+      // would keep every one of them
+      source.addData(
+        ("c", t0, "  Same   payload "),
+        ("d", t0, "SAME\tPAYLOAD"),
+        ("e", t0, "same payload"),
+        ("f", t0, "fresh café")) // NFD: e + combining acute
+      q.processAllAvailable()
+      source.addData(("g", t0, "fresh café")) // NFC spelling of the same
+      q.processAllAvailable()
+      val kept = spark.table("norm_dedup").select("uuid").as[String].collect().sorted
+      assert(kept.toSeq === Seq("a", "b", "f"))
+    } finally q.stop()
+  }
+
   test("watermark dedup absorbs redelivery (T2 at-least-once -> once)") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(String, Timestamp, Double)]
