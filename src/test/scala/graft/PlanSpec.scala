@@ -175,6 +175,47 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("k-means L2 assignment is a narrow codegen map, no exchange") {
+    import graft.core.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = graft.operators.KMeans.fit(emb, "vec_id", "embedding",
+      k = 4, iters = 1)
+    val labeled = graft.operators.KMeans.assign(emb, "embedding", model)
+    val plan = labeled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(plan.contains("nearest_centroid_l2"), plan.take(2000))
+    assert(plan.contains("*("), "assignment stays inside whole-stage codegen")
+  }
+
+  test("text normalization is a pure map inside WSCG, no exchange") {
+    import graft.core.Tables
+    import org.apache.spark.sql.functions.col
+    val op = Tables.documents(spark, sfDir).select(col("doc_id"),
+      graft.functions.TextFunctions.normalizeText(col("text")).as("norm"))
+    val plan = op.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(plan.contains("nfc_normalize"), plan.take(2000))
+    assert(plan.contains("*("), "normalization stays inside whole-stage codegen")
+  }
+
+  test("topFractionByScore: the stats join broadcasts — the corpus never exchanges on the bare stratum") {
+    import graft.core.Tables
+    import org.apache.spark.sql.functions.col
+    val scored = Tables.documents(spark, sfDir).select(col("doc_id"),
+      col("lang"), col("n_chars").cast("double").as("score"))
+    val kept = graft.operators.Sampling.topFractionByScore(
+      scored, "doc_id", "score", "lang", 0.25)
+    val plan = planString(kept)
+    // the one-row-per-stratum stats frame must be on the broadcast side:
+    // a SortMergeJoin keyed on the stratum alone would exchange the full
+    // corpus into |strata| partitions
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    val smjKeyedOnStratumOnly =
+      """SortMergeJoin \[lang#\d+\]""".r.findFirstIn(plan)
+    assert(smjKeyedOnStratumOnly.isEmpty,
+      "no sort-merge join keyed on the bare stratum column")
+  }
+
   test("component rounds exchange id pairs only, never payload columns") {
     import spark.implicits._
     // edges carrying a fat payload column: the contraction must not drag it
