@@ -44,6 +44,32 @@ object Similarity {
     * engines and runs.
     *
     * Output: (query_id, rank, neighbor_id, sim). */
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * MOST similar candidates with a DIFFERENT label — the "looks alike,
+    * isn't" pairs an embedding/retrieval model trains against. Same plan
+    * as [[cosineTopK]] (broadcast query side, codegen cosine, per-query
+    * window over the rounded sim) with the label-mismatch predicate
+    * applied BEFORE ranking, so k true negatives always come out, not
+    * k-minus-however-many-positives-ranked-higher. At corpus scale swap
+    * the brute-force candidate side for [[lshCosineTopK]]'s bucketed
+    * candidates the same way q30 does for q28. */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("__ql"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("__cl"))
+    val paired = broadcast(q).join(c,
+        col("query_id") =!= col("neighbor_id") &&
+          !(col("__ql") <=> col("__cl")))
+      .withColumn("sim", round(cosine_sim(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    paired.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("__cl").as("neighbor_label"), col("sim"))
+  }
+
   def cosineTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))

@@ -346,6 +346,35 @@ object SimilarityQueries extends QueryModule {
       |WHERE node <> component
       |ORDER BY vec_id""".stripMargin
 
+  /** Hard-negative mining (north star): per query, the top-5 most-similar
+    * vectors with a DIFFERENT label — the contrastive-training pairs an
+    * embedding/retrieval model needs at corpus scale. q28's exact plan
+    * with the label-mismatch predicate pushed into the pair join; the
+    * oracle re-derives the same ranking relationally. */
+  private def q88HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.hardNegatives(
+        emb.filter($"vec_id" < 20), emb, "vec_id", "embedding", "label", k = 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  private val q88Sql =
+    """WITH sims AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    c.label AS neighbor_label,
+      |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+      |  FROM embeddings q JOIN embeddings c
+      |    ON q.vec_id != c.vec_id AND q.label != c.label
+      |  WHERE q.vec_id < 20),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM sims)
+      |SELECT query_id, rank, neighbor_id, neighbor_label, sim
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Embedding hygiene (north star): per-vector L2 norm + symmetric int8
     * quantization summary — row-local HOF arithmetic, zero shuffle (see
     * graft.operators.Quantize for the float→double determinism contract
@@ -383,6 +412,8 @@ object SimilarityQueries extends QueryModule {
     Q("q70_ivf_full_probe", q70IvfFullProbe, Some(q69Sql),
       "IVF at nProbe = nLists reduces to exact brute force (north star)"),
     Q("q28_knn_brute", q28KnnBrute, Some(q28Sql), "exact cosine top-k (north star)"),
+    Q("q88_hard_negatives", q88HardNegatives, Some(q88Sql),
+      "contrastive hard-negative mining: top-k different-label neighbors (north star)"),
     Q("q29_embedding_neardup", q29NearDup, Some(q29Sql), "blocked cosine near-dup pairs (north star)"),
     Q("q63_semdedup", q63SemDedup, Some(q63Sql),
       "SemDeDup within-cluster semantic pruning: components over cosine pairs vs recursive-closure oracle (north star)"),

@@ -84,4 +84,39 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.3)
     }
   }
+
+  test("hardNegatives: k ranked different-label neighbors, ≡ driver brute force") {
+    val subset = emb.filter($"vec_id" < 80).cache()
+    val queries = subset.filter($"vec_id" < 4)
+    val got = Similarity.hardNegatives(
+        subset.filter($"vec_id" < 4), subset, "vec_id", "embedding", "label", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    val all = subset.select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+    val labelOf = all.map(a => a._1 -> a._3).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      val raw = dot / (math.sqrt(na) * math.sqrt(nb))
+      new java.math.BigDecimal(java.lang.Double.toString(raw))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val expected = all.filter(_._1 < 4).flatMap { case (qid, qv, ql) =>
+      all.filter(c => c._1 != qid && c._3 != ql)
+        .map(c => (c._1, c._3, cos(qv, c._2)))
+        .sortBy { case (nid, _, s) => (-s, nid) }
+        .take(3).zipWithIndex
+        .map { case ((nid, nl, s), i) => (qid, (i + 1).toLong, nid, nl, s) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.sortBy(t => (t._1, t._2)).toSeq === expected.toSeq)
+    // every mined negative really has a different label than its query
+    got.foreach { case (qid, _, nid, nl, _) =>
+      assert(nl !== labelOf(qid))
+      assert(labelOf(nid) === nl)
+    }
+  }
 }
