@@ -791,7 +791,8 @@ object TextQueries extends QueryModule {
     // `exact` frame
     val scored = graft.operators.NgramLm.scoreAgainst(
         docs, docs.filter($"lang" === "en"), "doc_id", "text", addK = 0.5)
-      .select($"doc_id", ($"sum_logprob" / $"n_bigrams").as("score"))
+      .select($"doc_id", ($"sum_logprob" / $"n_bigrams").as("score"),
+        $"sum_logprob")
       .join(docs.select($"doc_id", $"lang"), "doc_id")
       .cache()
     val head = graft.operators.Sampling.topFractionByScore(
@@ -806,30 +807,37 @@ object TextQueries extends QueryModule {
           .when($"__hm" === 1, lit("middle"))
           .otherwise(lit("tail")))
       .groupBy($"lang", $"bucket")
+      // aggregate sum_logprob, NOT the score quotient: sum_logprob doubles
+      // are exact decimal(18,6) round-trips (grid points — re-casting
+      // recovers them exactly on any engine), while score = sum/n can land
+      // arbitrarily close to a decimal rounding boundary where DuckDB's
+      // two-step double->decimal cast legitimately flips the last digit
+      // (caught by the sf0.1 gate, the sqlDsum trap's mirror image)
       .agg(count(lit(1)).as("n_docs"),
-        Exact.dsum($"score", 18, 6).as("score_sum"))
+        Exact.dsum($"sum_logprob", 18, 6).as("lp_sum"))
       .orderBy($"lang", $"bucket")
   }
 
   private val q85Sql =
     s"""WITH $lmCtes,
       |sc AS (
-      |  SELECT p.doc_id, d.lang, p.sum_logprob / p.n_bigrams AS score
+      |  SELECT p.doc_id, d.lang, p.sum_logprob / p.n_bigrams AS score,
+      |    p.sum_logprob
       |  FROM perdoc p JOIN documents d USING (doc_id)),
       |r AS (
-      |  SELECT doc_id, lang, score,
+      |  SELECT doc_id, lang, score, sum_logprob,
       |    row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rn,
       |    COUNT(*) OVER (PARTITION BY lang) AS n
       |  FROM sc),
       |lab AS (
-      |  SELECT lang, score,
+      |  SELECT lang, sum_logprob,
       |    CASE WHEN rn <= CEIL(n * ${1.0 / 3.0}) THEN 'head'
       |         WHEN rn <= CEIL(n * ${2.0 / 3.0}) THEN 'middle'
       |         ELSE 'tail' END AS bucket
       |  FROM r)
       |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |  CAST(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
-      |    AS score_sum
+      |  CAST(CAST(SUM(CAST(sum_logprob AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+      |    AS lp_sum
       |FROM lab GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
 
   /** Canonical text normalization (north star): NFC + lowercase +
