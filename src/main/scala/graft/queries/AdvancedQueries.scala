@@ -209,6 +209,37 @@ object AdvancedQueries extends QueryModule {
   /** The exact half of the q40 statistics, split out so it can be oracled:
     * exact distinct counts and exact decimal sums are DuckDB-matchable even
     * though the HLL/percentile sketches next to them (q40) are not. */
+  /** Exact per-key quantiles (north star): p50/p90/p99 of `value` per
+    * event type — EXACT discrete order statistics, not a sketch, computed
+    * by the two-pass value-histogram plan (operators/OrderStats: only
+    * each quantile's straddling cell row-sorts; no per-stratum global
+    * sort — the shape approx_percentile exists to avoid, made exact).
+    * Oracle: the naive window-rank formulation; both engines compute the
+    * rank as ceil(p·n) in DOUBLE (an exact-decimal p·n differs from the
+    * IEEE product near integers). */
+  private def q89ExactQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.OrderStats.exactQuantiles(
+        Tables.events(spark, dir), "value", "event_type",
+        ps = Seq(0.5, 0.9, 0.99))
+      .orderBy($"event_type", $"p")
+  }
+
+  private val q89Sql =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |ps(p) AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE)),
+      |t AS (
+      |  SELECT event_type, p, n,
+      |    GREATEST(1, CAST(CEIL(p * n) AS BIGINT)) AS r0
+      |  FROM (SELECT DISTINCT event_type, n FROM r) CROSS JOIN ps)
+      |SELECT t.event_type, t.p, CAST(t.n AS BIGINT) AS n, r.value AS q
+      |FROM t JOIN r ON r.event_type = t.event_type AND r.rn = t.r0
+      |ORDER BY t.event_type, t.p""".stripMargin
+
   private def q46ExactStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
@@ -290,6 +321,8 @@ object AdvancedQueries extends QueryModule {
       "sketch accuracy contract as a relational verdict: HLL within 5%, p50 within rank bounds"),
     Q("q46_exact_stats", q46ExactStats, Some(q46Sql),
       "exact distinct counts + sums (the oracled half of q40)"),
+    Q("q89_exact_quantiles", q89ExactQuantiles, Some(q89Sql),
+      "exact per-key p50/p90/p99 via value-histogram plan, no per-key sort (north star)"),
     Q("q34_asof_join", q34AsOf, Some(q34Sql), "as-of join (union+window vs theta-join oracle)"),
     Q("q35_session_windows", q35Sessions, Some(q35Sql), "session windows vs gaps-and-islands oracle"),
     Q("q36_rollup", q36Rollup, Some(q36Sql), "rollup with grouping indicators"),
