@@ -29,7 +29,8 @@ object Plans {
       "q76_funnel", "q77_training_flow", "q78_global_window",
       "q79_best_keeper", "q80_epoch_mix", "q81_kmeans",
       "q82_kmeans_semdedup", "q83_head_sample", "q84_normalize",
-      "q85_ccnet_buckets", "q86_norm_decontam", "q87_soft_dedup")
+      "q85_ccnet_buckets", "q86_norm_decontam", "q87_soft_dedup",
+      "q88_hard_negatives", "q89_exact_quantiles")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)
