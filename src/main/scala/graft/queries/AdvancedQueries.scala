@@ -240,6 +240,48 @@ object AdvancedQueries extends QueryModule {
       |FROM t JOIN r ON r.event_type = t.event_type AND r.rn = t.r0
       |ORDER BY t.event_type, t.p""".stripMargin
 
+  /** Per-stratum length-outlier trim (north star): drop each language's
+    * longest decile — "winsorize the corpus at per-language p90 token
+    * length", the length-outlier curation rule a 100 TB cleaning run
+    * applies before packing. Composes [[graft.operators.OrderStats
+    * .exactQuantiles]] (q89's no-per-stratum-sort value-histogram plan)
+    * with a broadcast cut join; the trim itself is a narrow filter, so
+    * the whole rule adds zero wide stages beyond the quantile pass.
+    * Oracle: the naive window-rank quantile + join — the rank is
+    * ceil(0.9·n) with the product taken in DOUBLE on both engines
+    * (q89's rank contract). */
+  private def q90QuantileTrim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"lang",
+      graft.functions.TextFunctions.tokenCount($"text").cast("long").as("n_tokens"))
+    val cuts = graft.operators.OrderStats.exactQuantiles(
+        docs, "n_tokens", "lang", ps = Seq(0.9))
+      .select($"lang", $"q".as("cut"))
+    docs.join(broadcast(cuts), "lang")
+      .filter($"n_tokens" <= $"cut")
+      .select($"doc_id", $"lang", $"n_tokens", $"cut")
+      .orderBy($"doc_id")
+  }
+
+  private val q90Sql =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, n_tokens,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM d),
+      |cuts AS (
+      |  SELECT lang, CAST(n_tokens AS DOUBLE) AS cut
+      |  FROM r
+      |  WHERE rn = GREATEST(1, CAST(CEIL(CAST(0.9 AS DOUBLE) * n) AS BIGINT)))
+      |SELECT d.doc_id, d.lang, d.n_tokens, c.cut
+      |FROM d JOIN cuts c USING (lang)
+      |WHERE d.n_tokens <= c.cut
+      |ORDER BY d.doc_id""".stripMargin
+
   private def q46ExactStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
@@ -323,6 +365,8 @@ object AdvancedQueries extends QueryModule {
       "exact distinct counts + sums (the oracled half of q40)"),
     Q("q89_exact_quantiles", q89ExactQuantiles, Some(q89Sql),
       "exact per-key p50/p90/p99 via value-histogram plan, no per-key sort (north star)"),
+    Q("q90_quantile_trim", q90QuantileTrim, Some(q90Sql),
+      "per-language p90 length-outlier trim: exact-quantile cuts + broadcast filter (north star)"),
     Q("q34_asof_join", q34AsOf, Some(q34Sql), "as-of join (union+window vs theta-join oracle)"),
     Q("q35_session_windows", q35Sessions, Some(q35Sql), "session windows vs gaps-and-islands oracle"),
     Q("q36_rollup", q36Rollup, Some(q36Sql), "rollup with grouping indicators"),
