@@ -30,7 +30,8 @@ object Plans {
       "q79_best_keeper", "q80_epoch_mix", "q81_kmeans",
       "q82_kmeans_semdedup", "q83_head_sample", "q84_normalize",
       "q85_ccnet_buckets", "q86_norm_decontam", "q87_soft_dedup",
-      "q88_hard_negatives", "q89_exact_quantiles")
+      "q88_hard_negatives", "q89_exact_quantiles", "q90_quantile_trim",
+      "q91_cluster_sample", "q92_random_project", "q93_projected_ann")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -309,9 +309,13 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"vec_id")
   }
 
-  private val q82Sql =
-    s"""WITH RECURSIVE $kmeansCtes,
-      |m2 AS (
+  /** Shared CTE LIST (no WITH prefix) extending [[kmeansCtes]] to `a3`:
+    * the post-fit assignment pass — the final (round-2) centroids `c2`
+    * and each vector's cluster under them, i.e. the relational replay of
+    * `KMeans.assign(emb, model)`. Composed by q82 (cluster-scoped
+    * SemDeDup) and q91 (cluster-balanced sampling). */
+  private val assignCtes =
+    """m2 AS (
       |  SELECT a2.cid, generate_subscripts(e.embedding, 1) - 1 AS dim,
       |         CAST(unnest(e.embedding) AS DOUBLE) AS x
       |  FROM embeddings e JOIN a2 USING (vec_id)),
@@ -327,7 +331,11 @@ object SimilarityQueries extends QueryModule {
       |        round(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], c2.c),
       |          p -> (p[1]-p[2])*(p[1]-p[2]))), 6), c2.cid) AS rn
       |    FROM embeddings e CROSS JOIN c2)
-      |  WHERE rn = 1),
+      |  WHERE rn = 1)""".stripMargin
+
+  private val q82Sql =
+    s"""WITH RECURSIVE $kmeansCtes,
+      |$assignCtes,
       |pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
       |  FROM (SELECT e.*, a3.cid FROM embeddings e JOIN a3 USING (vec_id)) a
@@ -345,6 +353,121 @@ object SimilarityQueries extends QueryModule {
       |SELECT node AS vec_id, component AS kept_id FROM sem_comp
       |WHERE node <> component
       |ORDER BY vec_id""".stripMargin
+
+  /** Cluster-balanced sampling (north star): cap every k-means cell at
+    * the same row count — the embedding-diversity curation primitive
+    * (SemDeDup/DINOv2-style pipelines sample evenly across cluster cells
+    * so dense regions of embedding space can't dominate the training
+    * mix). fit + assign (q81/q82's oracle-portable Lloyd) + [[graft
+    * .operators.Sampling.tokenBudgetSample]] with UNIT weights, so the
+    * per-cell cut runs in deterministic hash-priority order under the
+    * q74 prefix-histogram plan — no per-cell sort, dense cells truncate
+    * at `cap`, sparse cells keep everything. Oracle: the shared Lloyd +
+    * assignment replay and a row_number window — with unit weights,
+    * running-sum <= budget ⇔ row rank <= cap, so the naive window form
+    * states the contract directly. */
+  private def q91ClusterSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.operators.KMeans.fit(
+      emb, "vec_id", "embedding", k = 8, iters = 2)
+    val labeled = graft.operators.KMeans.assign(emb, "embedding", model)
+      .select($"vec_id", $"cluster_id", lit(1L).as("w"))
+    graft.operators.Sampling.tokenBudgetSample(
+        labeled, "vec_id", "w", "cluster_id", budget = 60L, salt = "cellcap:")
+      .select($"vec_id", $"cluster_id")
+      .orderBy($"vec_id")
+  }
+
+  private val q91Sql =
+    s"""WITH $kmeansCtes,
+      |$assignCtes,
+      |h AS (
+      |  SELECT vec_id, cid,
+      |    substr(md5('cellcap:' || CAST(vec_id AS VARCHAR)), 1, 8) AS hb
+      |  FROM a3),
+      |r AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY cid ORDER BY hb, vec_id) AS rn
+      |  FROM h)
+      |SELECT vec_id, cid AS cluster_id
+      |FROM r WHERE rn <= 60
+      |ORDER BY vec_id""".stripMargin
+
+  /** Shared CTE LIST (no WITH prefix): the deterministic JL projection
+    * matrix (md5-derived, [[graft.operators.Projection]]'s portability
+    * contract) as per-output-dim coefficient lists `mk(k, m)` — composed
+    * by q92 (the projection itself) and q93 (ANN in projected space). */
+  private val rpMatrixCtes =
+    """rp_js AS (SELECT unnest(range(0, 64)) AS j),
+      |rp_ks AS (SELECT unnest(range(0, 16)) AS k),
+      |rp_m AS (
+      |  SELECT j, k,
+      |    ((CAST(('0x' || substr(md5('rp:' || j || ':' || k), 1, 8)) AS UBIGINT)
+      |      / 4294967296.0) * 2 - 1) / sqrt(16.0) AS r
+      |  FROM rp_js CROSS JOIN rp_ks),
+      |mk AS (SELECT k, list(r ORDER BY j) AS m FROM rp_m GROUP BY k)""".stripMargin
+
+  /** Deterministic random projection (north star): 64-dim embeddings →
+    * 16-dim through the md5-derived JL matrix — the dimensionality
+    * reduction that cuts every downstream ANN / clustering / dedup cost
+    * 4× while preserving neighbor structure. Pure row-local map, zero
+    * shuffle; the matrix never ships (each entry derives from
+    * md5("rp:j:k"), rebuilt identically by the oracle). Emitted flat
+    * (vec_id, k, y) so every coordinate sits under the driver hash. */
+  private def q92RandomProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Projection.randomProject(
+        Tables.embeddings(spark, dir), "embedding", inDim = 64, outDim = 16)
+      .select($"vec_id", posexplode($"projected").as(Seq("k", "y")))
+      .orderBy($"vec_id", $"k")
+  }
+
+  private val q92Sql =
+    s"""WITH $rpMatrixCtes
+      |SELECT e.vec_id, CAST(mk.k AS INT) AS k,
+      |  round(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], mk.m),
+      |    z -> z[1] * z[2])), 6) AS y
+      |FROM embeddings e CROSS JOIN mk
+      |ORDER BY vec_id, k""".stripMargin
+
+  /** ANN in projected space (north star): q28's exact cosine top-k run on
+    * the 16-dim q92 projection instead of the 64-dim originals — the
+    * classic JL recipe (project once, then every distance computation
+    * downstream is 4× cheaper). As a COMPUTATION this is exact, so the
+    * whole chain — matrix derivation, projection, cosine, ranking — sits
+    * under one DuckDB hash; how faithfully projected ranks track
+    * original-space ranks is the JL guarantee, bounded in ProjectionSpec
+    * on a geometry-controlled fixture. */
+  private def q93ProjectedAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val proj = graft.operators.Projection.randomProject(
+        Tables.embeddings(spark, dir), "embedding", inDim = 64, outDim = 16)
+      .select($"vec_id", $"projected")
+    Similarity.cosineTopK(
+        proj.filter($"vec_id" < 10), proj, "vec_id", "projected", k = 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  private val q93Sql =
+    s"""WITH $rpMatrixCtes,
+      |p AS (
+      |  SELECT e.vec_id,
+      |    list(round(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], mk.m),
+      |      z -> z[1] * z[2])), 6) ORDER BY mk.k) AS v
+      |  FROM embeddings e CROSS JOIN mk GROUP BY e.vec_id),
+      |sims AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(q.v, c.v), 6) AS sim
+      |  FROM p q JOIN p c ON q.vec_id != c.vec_id
+      |  WHERE q.vec_id < 10),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM sims)
+      |SELECT query_id, rank, neighbor_id, sim
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 
   /** Hard-negative mining (north star): per query, the top-5 most-similar
     * vectors with a DIFFERENT label — the contrastive-training pairs an
@@ -424,5 +547,11 @@ object SimilarityQueries extends QueryModule {
       "distributed Lloyd k-means, both rounds replayed relationally (north star)"),
     Q("q82_kmeans_semdedup", q82KmeansSemdedup, Some(q82Sql),
       "SemDeDup over REAL k-means cells: fit+assign+pairs+closure under one hash (north star)"),
+    Q("q91_cluster_sample", q91ClusterSample, Some(q91Sql),
+      "cluster-balanced sampling: per-k-means-cell row cap in hash order (north star)"),
+    Q("q92_random_project", q92RandomProject, Some(q92Sql),
+      "deterministic JL random projection 64->16, md5-derived matrix (north star)"),
+    Q("q93_projected_ann", q93ProjectedAnn, Some(q93Sql),
+      "exact cosine top-k in JL-projected space: the project-then-search recipe (north star)"),
     Q("q32_binary_meta", q32BinaryMeta, Some(q32Sql), "binary payload metadata (multimodal plumbing)"))
 }
