@@ -440,4 +440,49 @@ object Sampling {
       }
     df.filter(decision)
   }
+
+  /** Deterministic weighted sample WITHOUT replacement, k rows, inclusion
+    * probability proportional to weight — Efraimidis–Spirakis A-ES made
+    * RNG-free: each row's reservoir key is u^(1/w) with u an md5-derived
+    * uniform, and the sample is the k largest keys. The weighted
+    * counterpart to [[hashSample]] (unweighted) and [[tokenBudgetSample]]
+    * (budget-capped): "draw 100k documents, long documents proportionally
+    * more often" — importance-weighted corpus subsampling.
+    *
+    * Determinism contract (what the q94 oracle pins): u = (v + 0.5)/2^32
+    * with v the first 8 md5 hex chars of (salt ++ ":" ++ id) — the
+    * +0.5 keeps u strictly inside (0, 1) so u^(1/w) never collapses to
+    * 0/1; key = round(u^(1/w), 6) with ties broken by id ASC. The round-6
+    * absorbs last-ulp pow() differences across engines (the q28 cosine
+    * recipe); rounding ties are broken deterministically, so both engines
+    * select the identical row set. Same salt ⇒ same sample on any
+    * partitioning of the same data.
+    *
+    * Scale shape: one narrow map computes keys, then ONE TakeOrdered
+    * top-k (per-partition heaps + driver merge of k·nPartitions rows) —
+    * no global sort, no shuffle of the data itself. k rows land on the
+    * driver-side of the plan, so pick k like any limit: bounded by what
+    * the next stage can hold (for corpus-scale k, chain [[hashSample]]
+    * first or shard by stratum). Weights must be strictly positive:
+    * w <= 0 has no A-ES meaning (1/w diverges) and fails the job loudly,
+    * null weights likewise. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "ws"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val outCols = df.columns.toSeq
+    require(!outCols.contains("__ws_key"),
+      "column name __ws_key is reserved by weightedSample")
+    val guardedW = when(col(weightCol).isNull || col(weightCol) <= 0,
+        raise_error(concat(
+          lit(s"weightedSample: nonpositive weight in $weightCol: "),
+          coalesce(col(weightCol).cast("string"), lit("null")))).cast("double"))
+      .otherwise(col(weightCol).cast("double"))
+    val u = (conv(substring(md5(concat(lit(salt + ":"),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") + 0.5) /
+      4294967296.0
+    df.withColumn("__ws_key", round(pow(u, lit(1.0) / guardedW), 6))
+      .orderBy(col("__ws_key").desc, col(idCol).asc)
+      .limit(k)
+      .select(outCols.map(col): _*)
+  }
 }

@@ -428,6 +428,39 @@ object TextQueries extends QueryModule {
       |FROM c WHERE cum <= 500
       |ORDER BY doc_id""".stripMargin
 
+  /** Weighted sample without replacement (north star): 100 documents
+    * drawn with probability proportional to length — RNG-free
+    * Efraimidis–Spirakis A-ES ([[graft.operators.Sampling
+    * .weightedSample]]): reservoir key u^(1/w) from an md5-derived
+    * uniform, top-k by key via ONE TakeOrdered (no global sort). The
+    * oracle re-derives every key relationally and takes the same top-k
+    * as a window rank — round-6 keys + id tie-break make the selected
+    * set identical across engines (q28's pow/cosine portability
+    * recipe). */
+  private def q94WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars")
+    graft.operators.Sampling.weightedSample(docs, "doc_id", "n_chars", k = 100)
+      .orderBy($"doc_id")
+  }
+
+  private val q94Sql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    round(pow(
+      |      (CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |        AS UBIGINT) + 0.5) / 4294967296.0,
+      |      1.0 / CAST(n_chars AS DOUBLE)), 6) AS wkey
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    row_number() OVER (ORDER BY wkey DESC, doc_id) AS rn
+      |  FROM t)
+      |SELECT doc_id, lang, n_chars
+      |FROM r WHERE rn <= 100
+      |ORDER BY doc_id""".stripMargin
+
   /** Deterministic corpus shuffle into training shards: every document
     * gets (shard, pos) such that reading shards in (shard, pos) order
     * visits the corpus in a fixed pseudo-random permutation — the
@@ -1731,6 +1764,8 @@ object TextQueries extends QueryModule {
       "per-stage curation funnel counts, one declarative frame (north star)"),
     Q("q74_token_budget", q74TokenBudget, Some(q74Sql),
       "per-source token-budget cap, prefix-histogram plan vs window-cumsum oracle (north star)"),
+    Q("q94_weighted_sample", q94WeightedSample, Some(q94Sql),
+      "RNG-free A-ES weighted sample without replacement, one TakeOrdered (north star)"),
     Q("q75_shuffle_shards", q75ShuffleShards, Some(q75Sql),
       "deterministic corpus shuffle into training shards (north star)"),
     Q("q77_training_flow", q77TrainingFlow, Some(q77Sql),

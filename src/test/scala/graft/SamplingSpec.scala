@@ -322,6 +322,62 @@ class SamplingSpec extends SparkSpec {
     assert(at25.subsetOf(at50))
   }
 
+  test("weightedSample: heavy weights dominate; deterministic; k >= n is identity") {
+    // two planted weight classes: ids 0-99 at w=10000, ids 100-199 at w=1.
+    // A-ES inclusion is proportional to weight, so a k=50 sample should be
+    // drawn (near-)entirely from the heavy class.
+    val rows = (0L until 100L).map(i => (i, 10000)) ++
+      (100L until 200L).map(i => (i, 1))
+    val df = rows.toDF("id", "w")
+    val picked = Sampling.weightedSample(df, "id", "w", k = 50)
+      .select($"id").as[Long].collect().toSet
+    assert(picked.size === 50)
+    assert(picked.count(_ < 100L) >= 48, s"heavy class underdrawn: $picked")
+
+    // no RNG: identical under re-run and repartitioning
+    val again = Sampling.weightedSample(df.repartition(7), "id", "w", k = 50)
+      .select($"id").as[Long].collect().toSet
+    assert(again === picked)
+
+    // k >= n keeps everything
+    assert(Sampling.weightedSample(df, "id", "w", k = 500).count() === 200L)
+  }
+
+  test("weightedSample == naive window formulation; guards fire") {
+    // independent formulation: compute the same keys via expressions and
+    // rank with a window — must select the identical row set
+    val df = docs.select($"doc_id", $"n_chars")
+    val expected = df
+      .withColumn("u",
+        (conv(substring(md5(concat(lit("ws:"), $"doc_id".cast("string"))), 1, 8),
+          16, 10).cast("double") + 0.5) / 4294967296.0)
+      .withColumn("k", round(pow($"u", lit(1.0) / $"n_chars".cast("double")), 6))
+      .orderBy($"k".desc, $"doc_id".asc).limit(37)
+      .select($"doc_id").as[Long].collect().toSet
+    val got = Sampling.weightedSample(df, "doc_id", "n_chars", k = 37)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got === expected)
+
+    // nonpositive and null weights fail loudly
+    val bad = Seq((1L, 5), (2L, 0)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(bad, "id", "w", k = 1).collect()
+    }
+    assert(e.getMessage.contains("weightedSample") ||
+      e.getCause != null && e.getCause.getMessage.contains("weightedSample"))
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(bad, "id", "w", k = 0)
+    }
+  }
+
+  test("weightedSample plans as one TakeOrdered: no global sort exchange") {
+    val plan = Sampling.weightedSample(
+        docs.select($"doc_id", $"n_chars"), "doc_id", "n_chars", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(!plan.contains("Sort ["), s"unexpected full sort:\n$plan")
+  }
+
   test("epochMixture is partition-invariant, zero-shuffle, and rejects bad epochs") {
     val a = Sampling.epochMixture(docs, "doc_id", "lang", Map("zh" -> 2.5))
       .select($"doc_id", $"epoch").as[(Long, Long)].collect().sorted.toSeq
