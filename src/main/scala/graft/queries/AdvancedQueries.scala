@@ -282,6 +282,39 @@ object AdvancedQueries extends QueryModule {
       |WHERE d.n_tokens <= c.cut
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Z-order (Morton) key derivation (north star): the bit-interleave
+    * behind the multi-dimensional data-skipping layout
+    * ([[graft.sinks.ZOrder]]) — 10 bits of user lane + 10 bits of
+    * time lane, little-endian interleave, a pure row-local map. The
+    * oracle re-derives every key bit-by-bit relationally, so the curve
+    * arithmetic that file pruning depends on sits under the driver
+    * hash; the locality/pruning property itself is measured in
+    * ZOrderSpec against a linear-sort baseline. */
+  private def q95ZOrderKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id",
+        pmod($"user_id", lit(1024L)).as("zx"),
+        pmod(unix_timestamp($"ts"), lit(1024L)).as("zy"))
+    ev.withColumn("zkey",
+        graft.sinks.ZOrder.interleaveBits(Seq($"zx", $"zy"), bits = 10))
+      .orderBy($"event_id")
+  }
+
+  private val q95Sql =
+    """WITH t AS (
+      |  SELECT event_id,
+      |    user_id % 1024 AS zx,
+      |    CAST(floor(epoch(ts)) AS BIGINT) % 1024 AS zy
+      |  FROM events),
+      |b AS (SELECT unnest(range(0, 10)) AS j)
+      |SELECT t.event_id, t.zx, t.zy,
+      |  CAST(SUM((((t.zx >> b.j) & 1) << (2 * b.j)) +
+      |           (((t.zy >> b.j) & 1) << (2 * b.j + 1))) AS BIGINT) AS zkey
+      |FROM t CROSS JOIN b
+      |GROUP BY t.event_id, t.zx, t.zy
+      |ORDER BY event_id""".stripMargin
+
   private def q46ExactStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
@@ -367,6 +400,8 @@ object AdvancedQueries extends QueryModule {
       "exact per-key p50/p90/p99 via value-histogram plan, no per-key sort (north star)"),
     Q("q90_quantile_trim", q90QuantileTrim, Some(q90Sql),
       "per-language p90 length-outlier trim: exact-quantile cuts + broadcast filter (north star)"),
+    Q("q95_zorder_key", q95ZOrderKey, Some(q95Sql),
+      "Morton z-order key bit-interleave, re-derived bit-by-bit relationally"),
     Q("q34_asof_join", q34AsOf, Some(q34Sql), "as-of join (union+window vs theta-join oracle)"),
     Q("q35_session_windows", q35Sessions, Some(q35Sql), "session windows vs gaps-and-islands oracle"),
     Q("q36_rollup", q36Rollup, Some(q36Sql), "rollup with grouping indicators"),
