@@ -315,6 +315,40 @@ object AdvancedQueries extends QueryModule {
       |GROUP BY t.event_id, t.zx, t.zy
       |ORDER BY event_id""".stripMargin
 
+  /** SCD2 versioning (warehouse ETL): each user's event-type change log
+    * collapsed to validity intervals — no-op changes merged, half-open
+    * [valid_from, valid_to) tiling, null valid_to marks the current
+    * version. One shared window spec = one exchange + one sort
+    * (plan-pinned in Scd2Spec). Oracle: the same lag-filter-lead chain
+    * stated relationally. */
+  private def q96Scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"user_id", $"ts", $"event_type")
+    graft.operators.Scd2.versionize(ev, "user_id", "ts", Seq("event_type"))
+      .select($"user_id", $"event_type",
+        date_format($"valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+        date_format($"valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+        $"is_current")
+      .orderBy($"user_id", $"valid_from")
+  }
+
+  private val q96Sql =
+    """WITH c AS (
+      |  SELECT user_id, ts, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events),
+      |v AS (
+      |  SELECT user_id, ts, event_type,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to_ts
+      |  FROM c
+      |  WHERE prev IS NULL OR event_type <> prev)
+      |SELECT user_id, event_type,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+      |  strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+      |  valid_to_ts IS NULL AS is_current
+      |FROM v
+      |ORDER BY user_id, valid_from""".stripMargin
+
   private def q46ExactStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
@@ -402,6 +436,8 @@ object AdvancedQueries extends QueryModule {
       "per-language p90 length-outlier trim: exact-quantile cuts + broadcast filter (north star)"),
     Q("q95_zorder_key", q95ZOrderKey, Some(q95Sql),
       "Morton z-order key bit-interleave, re-derived bit-by-bit relationally"),
+    Q("q96_scd2", q96Scd2, Some(q96Sql),
+      "SCD2 versioning: change log to half-open validity intervals, no-ops merged"),
     Q("q34_asof_join", q34AsOf, Some(q34Sql), "as-of join (union+window vs theta-join oracle)"),
     Q("q35_session_windows", q35Sessions, Some(q35Sql), "session windows vs gaps-and-islands oracle"),
     Q("q36_rollup", q36Rollup, Some(q36Sql), "rollup with grouping indicators"),
