@@ -349,6 +349,41 @@ object AdvancedQueries extends QueryModule {
       |FROM v
       |ORDER BY user_id, valid_from""".stripMargin
 
+  /** One-pass column profile (exact configuration): per-column row/null/
+    * distinct counts and string-rendered min/max over the documents
+    * table — ONE aggregate job, reshaped to a tall frame row-locally.
+    * Oracle: one UNION ALL branch per column. The approx (HLL) profile
+    * is the 100 TB default; its expansion-free plan and error bounds are
+    * pinned in ProfileSpec. */
+  private def q97Profile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Profile.profile(
+        Tables.documents(spark, dir),
+        Seq("doc_id", "lang", "source", "n_chars"), exact = true)
+      .orderBy($"col_name")
+  }
+
+  private val q97Sql =
+    """SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+      |  COUNT(*) - COUNT(doc_id) AS n_nulls,
+      |  COUNT(DISTINCT doc_id) AS n_distinct,
+      |  CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+      |  CAST(MAX(doc_id) AS VARCHAR) AS max_value
+      |FROM documents
+      |UNION ALL
+      |SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+      |  CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+      |FROM documents
+      |UNION ALL
+      |SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+      |  CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+      |FROM documents
+      |UNION ALL
+      |SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+      |  CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+      |FROM documents
+      |ORDER BY col_name""".stripMargin
+
   private def q46ExactStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
@@ -438,6 +473,8 @@ object AdvancedQueries extends QueryModule {
       "Morton z-order key bit-interleave, re-derived bit-by-bit relationally"),
     Q("q96_scd2", q96Scd2, Some(q96Sql),
       "SCD2 versioning: change log to half-open validity intervals, no-ops merged"),
+    Q("q97_profile", q97Profile, Some(q97Sql),
+      "one-pass column profile: null/distinct/extremes per column (exact config)"),
     Q("q34_asof_join", q34AsOf, Some(q34Sql), "as-of join (union+window vs theta-join oracle)"),
     Q("q35_session_windows", q35Sessions, Some(q35Sql), "session windows vs gaps-and-islands oracle"),
     Q("q36_rollup", q36Rollup, Some(q36Sql), "rollup with grouping indicators"),
