@@ -384,6 +384,81 @@ object AdvancedQueries extends QueryModule {
       |FROM documents
       |ORDER BY col_name""".stripMargin
 
+  /** Funnel analysis (north star for the event domain): earliest
+    * view → first click strictly after it → first purchase strictly
+    * after that, per user — ONE groupBy shuffle + a row-local sorted
+    * fold (operators/Funnel), vs the naive one-self-join-per-stage
+    * plan. Oracle: exactly that naive plan — an independent per-stage
+    * min-join chain. */
+  private def q98Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Funnel.funnelTimes(
+        Tables.events(spark, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select($"user_id",
+        date_format($"t_1", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t_view"),
+        date_format($"t_2", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t_click"),
+        date_format($"t_3", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t_purchase"))
+      .orderBy($"user_id")
+  }
+
+  private val q98Sql =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+      |SELECT u.user_id,
+      |  strftime(s1.t1, '%Y-%m-%d %H:%M:%S.%f') AS t_view,
+      |  strftime(s2.t2, '%Y-%m-%d %H:%M:%S.%f') AS t_click,
+      |  strftime(s3.t3, '%Y-%m-%d %H:%M:%S.%f') AS t_purchase
+      |FROM u
+      |LEFT JOIN s1 USING (user_id)
+      |LEFT JOIN s2 USING (user_id)
+      |LEFT JOIN s3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  /** Weekly cohort retention: users bucketed by first-activity week,
+    * counted in each later active week — the classic retention matrix.
+    * Weeks are date_trunc Mondays in both engines, so weeks_since is
+    * exact integer arithmetic. */
+  private def q99Retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+    Tables.events(spark, dir)
+      .select($"user_id", date_trunc("week", $"ts").as("week"))
+      .withColumn("cohort", min($"week").over(w))
+      .select($"user_id", $"cohort", $"week").distinct()
+      .groupBy($"cohort",
+        (datediff($"week", $"cohort") / 7).cast("int").as("weeks_since"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .select(date_format($"cohort", "yyyy-MM-dd").as("cohort_week"),
+        $"weeks_since", $"n_users")
+      .orderBy($"cohort_week", $"weeks_since")
+  }
+
+  private val q99Sql =
+    """WITH w AS (
+      |  SELECT user_id, date_trunc('week', ts) AS week FROM events),
+      |c AS (
+      |  SELECT user_id, MIN(week) AS cohort FROM w GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT w.user_id, c.cohort, w.week
+      |  FROM w JOIN c USING (user_id))
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+      |  CAST(date_diff('day', cohort, week) / 7 AS INT) AS weeks_since,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM a
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, weeks_since""".stripMargin
+
   private def q46ExactStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
@@ -475,6 +550,10 @@ object AdvancedQueries extends QueryModule {
       "SCD2 versioning: change log to half-open validity intervals, no-ops merged"),
     Q("q97_profile", q97Profile, Some(q97Sql),
       "one-pass column profile: null/distinct/extremes per column (exact config)"),
+    Q("q98_funnel_analysis", q98Funnel, Some(q98Sql),
+      "ordered view->click->purchase funnel: one shuffle + sorted fold vs per-stage join oracle"),
+    Q("q99_retention", q99Retention, Some(q99Sql),
+      "weekly cohort retention matrix"),
     Q("q34_asof_join", q34AsOf, Some(q34Sql), "as-of join (union+window vs theta-join oracle)"),
     Q("q35_session_windows", q35Sessions, Some(q35Sql), "session windows vs gaps-and-islands oracle"),
     Q("q36_rollup", q36Rollup, Some(q36Sql), "rollup with grouping indicators"),
