@@ -60,4 +60,27 @@ object Scd2 {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__prev_ts", "__attrs", "__prev_attrs", tsCol)
   }
+
+  /** Point-in-time dimension lookup — the standard consumer of
+    * [[versionize]]: each fact row left-enriched with the dimension
+    * version valid at its timestamp (valid_from <= ts, and ts <
+    * valid_to unless open-ended). An EQUI-join on the key with the
+    * interval predicate as a residual filter — a plain hash join, never
+    * a nested loop: SCD2 intervals tile, so each fact matches at most
+    * one version and per-key version lists are short by construction
+    * (facts × versions fan-in is bounded by history length, not data
+    * volume). */
+  def temporalLookup(facts: DataFrame, dim: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    require(dim.columns.contains("valid_from") &&
+      dim.columns.contains("valid_to"),
+      "dim must be a versionize() output (valid_from/valid_to)")
+    val d = dim.withColumnRenamed(keyCol, "__dim_key")
+    facts.join(d,
+        facts(keyCol) === d("__dim_key") &&
+          d("valid_from") <= facts(tsCol) &&
+          (d("valid_to").isNull || facts(tsCol) < d("valid_to")),
+        "left")
+      .drop("__dim_key")
+  }
 }

@@ -459,6 +459,72 @@ object AdvancedQueries extends QueryModule {
       |GROUP BY 1, 2
       |ORDER BY cohort_week, weeks_since""".stripMargin
 
+  /** Incremental aggregate maintenance (north star for recurring ETL):
+    * the per-type rollup maintained as a mergeable state — two disjoint
+    * halves of the month aggregated independently, then MERGED — vs the
+    * oracle's single full recompute. Decimal sums make partial-then-
+    * merge bit-identical to full in any batching, so the merged state
+    * sits under the driver hash. */
+  private def q100IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+    val before = graft.operators.IncrementalAgg.state(
+      ev.filter($"ts" < cutoff), Seq("event_type"), "value")
+    val delta = graft.operators.IncrementalAgg.state(
+      ev.filter($"ts" >= cutoff), Seq("event_type"), "value")
+    graft.operators.IncrementalAgg.merge(Seq(before, delta))
+      .select($"event_type", $"n_rows",
+        $"sum_v".cast("double").as("sum_v"), $"min_v", $"max_v")
+      .orderBy($"event_type")
+  }
+
+  private val q100Sql =
+    s"""SELECT event_type, COUNT(*) AS n_rows,
+       |  ${Exact.sqlDsum("value")} AS sum_v,
+       |  MIN(value) AS min_v, MAX(value) AS max_v
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  /** Point-in-time enrichment — SCD2's standard consumer: each order
+    * left-joined to the version of its user's event-type dimension that
+    * was valid at order time. Equi-join + interval residual; at most
+    * one version matches (intervals tile). */
+  private def q101TemporalLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = graft.operators.Scd2.versionize(
+      Tables.events(spark, dir).select($"user_id", $"ts", $"event_type"),
+      "user_id", "ts", Seq("event_type"))
+    val facts = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey".as("user_id"), $"o_orderdate")
+    graft.operators.Scd2.temporalLookup(facts, dim, "user_id", "o_orderdate")
+      .select($"o_orderkey", $"user_id", $"event_type",
+        date_format($"valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+        $"is_current")
+      .orderBy($"o_orderkey")
+  }
+
+  private val q101Sql =
+    """WITH c AS (
+      |  SELECT user_id, ts, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events),
+      |v AS (
+      |  SELECT user_id, ts, event_type,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to_ts
+      |  FROM c
+      |  WHERE prev IS NULL OR event_type <> prev)
+      |SELECT o.o_orderkey, o.o_custkey AS user_id, v.event_type,
+      |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+      |  CASE WHEN v.user_id IS NULL THEN NULL
+      |       ELSE v.valid_to_ts IS NULL END AS is_current
+      |FROM orders o
+      |LEFT JOIN v ON v.user_id = o.o_custkey
+      |  AND v.ts <= o.o_orderdate
+      |  AND (v.valid_to_ts IS NULL OR o.o_orderdate < v.valid_to_ts)
+      |ORDER BY o_orderkey""".stripMargin
+
   private def q46ExactStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
@@ -554,6 +620,10 @@ object AdvancedQueries extends QueryModule {
       "ordered view->click->purchase funnel: one shuffle + sorted fold vs per-stage join oracle"),
     Q("q99_retention", q99Retention, Some(q99Sql),
       "weekly cohort retention matrix"),
+    Q("q100_incremental_agg", q100IncrementalAgg, Some(q100Sql),
+      "mergeable aggregate state: disjoint halves merged == full recompute (north star)"),
+    Q("q101_temporal_lookup", q101TemporalLookup, Some(q101Sql),
+      "point-in-time SCD2 dimension lookup via equi-join + interval residual"),
     Q("q34_asof_join", q34AsOf, Some(q34Sql), "as-of join (union+window vs theta-join oracle)"),
     Q("q35_session_windows", q35Sessions, Some(q35Sql), "session windows vs gaps-and-islands oracle"),
     Q("q36_rollup", q36Rollup, Some(q36Sql), "rollup with grouping indicators"),

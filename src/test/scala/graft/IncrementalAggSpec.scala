@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.IncrementalAgg
+
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ev = graft.core.Tables.events(spark, sfDir)
+    .select($"event_type", $"user_id", $"value").cache()
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.select($"event_type", $"n_rows", $"sum_v".cast("string"),
+        $"min_v", $"max_v")
+      .as[(String, Long, String, Double, Double)].collect().toSet
+
+  test("merge of random splits == full recompute, bit for bit") {
+    val full = canon(IncrementalAgg.state(ev, Seq("event_type"), "value"))
+    // 3-way split by user hash — disjoint, covers everything
+    val parts = (0 until 3).map(i =>
+      IncrementalAgg.state(ev.filter(pmod($"user_id", lit(3)) === i),
+        Seq("event_type"), "value"))
+    assert(canon(IncrementalAgg.merge(parts)) === full)
+    // merging in a different order/grouping changes nothing
+    val nested = IncrementalAgg.merge(Seq(
+      IncrementalAgg.merge(Seq(parts(2), parts(0))), parts(1)))
+    assert(canon(nested) === full)
+  }
+
+  test("state is idempotent under re-merge with an empty delta") {
+    val s = IncrementalAgg.state(ev, Seq("event_type"), "value")
+    val empty = IncrementalAgg.state(ev.filter(lit(false)),
+      Seq("event_type"), "value")
+    assert(canon(IncrementalAgg.merge(Seq(s, empty))) === canon(s))
+  }
+
+  test("a delta-only key appears; counts add across batches") {
+    val a = IncrementalAgg.state(
+      Seq(("x", 1.0), ("x", 2.0)).toDF("k", "v"), Seq("k"), "v")
+    val b = IncrementalAgg.state(
+      Seq(("x", 4.0), ("y", 7.5)).toDF("k", "v"), Seq("k"), "v")
+    val m = IncrementalAgg.merge(Seq(a, b))
+      .select($"k", $"n_rows", $"sum_v".cast("double"), $"min_v", $"max_v")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map { case (k, n, s, mn, mx) => k -> ((n, s, mn, mx)) }.toMap
+    assert(m("x") === ((3L, 7.0, 1.0, 4.0)))
+    assert(m("y") === ((1L, 7.5, 7.5, 7.5)))
+  }
+
+  test("mismatched state schemas and reserved key names are rejected") {
+    val good = IncrementalAgg.state(
+      Seq(("x", 1.0)).toDF("k", "v"), Seq("k"), "v")
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.merge(Seq(good, good.drop("max_v")))
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.state(Seq((1.0, 2.0)).toDF("sum_v", "v"),
+        Seq("sum_v"), "v")
+    }
+  }
+}

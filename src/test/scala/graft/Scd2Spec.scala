@@ -53,6 +53,35 @@ class Scd2Spec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("versionize"))
   }
 
+  test("temporalLookup: each fact matches the version valid at its time") {
+    val log = Seq(
+      ("a", t("2024-01-01 00:00:00"), "v1"),
+      ("a", t("2024-01-10 00:00:00"), "v2"),
+      ("b", t("2024-01-05 00:00:00"), "w1"))
+      .toDF("k", "ts", "status")
+    val dim = Scd2.versionize(log, "k", "ts", Seq("status"))
+    val facts = Seq(
+      (1L, "a", t("2024-01-01 00:00:00")),  // inclusive valid_from
+      (2L, "a", t("2024-01-09 23:59:59")),  // last instant of v1
+      (3L, "a", t("2024-01-10 00:00:00")),  // exclusive boundary -> v2
+      (4L, "a", t("2023-12-31 00:00:00")),  // before history -> null
+      (5L, "b", t("2024-06-01 00:00:00")),  // open-ended current
+      (6L, "c", t("2024-01-01 00:00:00")))  // unknown key -> null
+      .toDF("fid", "k", "fts")
+    val got = Scd2.temporalLookup(facts, dim, "k", "fts")
+      .select($"fid", $"status").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got === Map(1L -> Some("v1"), 2L -> Some("v1"), 3L -> Some("v2"),
+      4L -> None, 5L -> Some("w1"), 6L -> None))
+    // intervals tile: the join never duplicates a fact
+    assert(Scd2.temporalLookup(facts, dim, "k", "fts").count() === 6L)
+    // equi-join with residual, never a nested loop
+    val plan = Scd2.temporalLookup(facts, dim, "k", "fts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"plan:\n$plan")
+  }
+
   test("one shared window spec: a single exchange and a single sort") {
     val ev = graft.core.Tables.events(spark, sfDir)
       .select($"user_id", $"ts", $"event_type")
