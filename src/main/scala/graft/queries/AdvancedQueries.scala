@@ -525,6 +525,51 @@ object AdvancedQueries extends QueryModule {
       |  AND (v.valid_to_ts IS NULL OR o.o_orderdate < v.valid_to_ts)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Data-quality expectations (ETL gate): five declarative rules over
+    * the documents table — not-null, accepted values, numeric range, a
+    * cross-column consistency predicate, and key uniqueness — evaluated
+    * as ONE aggregate pass (+ one groupBy for uniqueness), emitting the
+    * |rules|-row verdict frame with deterministic sample offenders. */
+  private def q102Expectations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Expectations._
+    check(Tables.documents(spark, dir), "doc_id", Seq(
+        NotNull("lang"),
+        AcceptedIn("lang", Seq("en", "de", "es", "fr")),
+        InRange("n_chars", 1, 400),
+        Satisfies("text_len_consistent", length($"text") === $"n_chars"),
+        Unique("doc_id")))
+      .orderBy($"rule")
+  }
+
+  private val q102Sql =
+    """SELECT 'not_null:lang' AS rule,
+      |  COUNT(*) FILTER (lang IS NULL) AS n_violations,
+      |  CAST(MIN(doc_id) FILTER (lang IS NULL) AS VARCHAR) AS sample_id
+      |FROM documents
+      |UNION ALL
+      |SELECT 'accepted_in:lang',
+      |  COUNT(*) FILTER (NOT coalesce(lang IN ('en', 'de', 'es', 'fr'), FALSE)),
+      |  CAST(MIN(doc_id) FILTER (NOT coalesce(lang IN ('en', 'de', 'es', 'fr'), FALSE)) AS VARCHAR)
+      |FROM documents
+      |UNION ALL
+      |SELECT 'in_range:n_chars',
+      |  COUNT(*) FILTER (NOT coalesce(n_chars BETWEEN 1 AND 400, FALSE)),
+      |  CAST(MIN(doc_id) FILTER (NOT coalesce(n_chars BETWEEN 1 AND 400, FALSE)) AS VARCHAR)
+      |FROM documents
+      |UNION ALL
+      |SELECT 'satisfies:text_len_consistent',
+      |  COUNT(*) FILTER (NOT coalesce(len(text) = n_chars, FALSE)),
+      |  CAST(MIN(doc_id) FILTER (NOT coalesce(len(text) = n_chars, FALSE)) AS VARCHAR)
+      |FROM documents
+      |UNION ALL
+      |SELECT 'unique:doc_id',
+      |  CAST(coalesce(SUM(n), 0) AS BIGINT),
+      |  CAST(MIN(i) AS VARCHAR)
+      |FROM (SELECT doc_id, COUNT(*) AS n, MIN(doc_id) AS i
+      |      FROM documents GROUP BY doc_id HAVING COUNT(*) > 1)
+      |ORDER BY rule""".stripMargin
+
   private def q46ExactStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
@@ -624,6 +669,8 @@ object AdvancedQueries extends QueryModule {
       "mergeable aggregate state: disjoint halves merged == full recompute (north star)"),
     Q("q101_temporal_lookup", q101TemporalLookup, Some(q101Sql),
       "point-in-time SCD2 dimension lookup via equi-join + interval residual"),
+    Q("q102_expectations", q102Expectations, Some(q102Sql),
+      "declarative data-quality gate: 5 rules, one pass, deterministic samples"),
     Q("q34_asof_join", q34AsOf, Some(q34Sql), "as-of join (union+window vs theta-join oracle)"),
     Q("q35_session_windows", q35Sessions, Some(q35Sql), "session windows vs gaps-and-islands oracle"),
     Q("q36_rollup", q36Rollup, Some(q36Sql), "rollup with grouping indicators"),
