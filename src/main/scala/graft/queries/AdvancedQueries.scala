@@ -570,6 +570,52 @@ object AdvancedQueries extends QueryModule {
       |      FROM documents GROUP BY doc_id HAVING COUNT(*) > 1)
       |ORDER BY rule""".stripMargin
 
+  /** Snapshot CDC diff: yesterday's documents dump vs a deterministic
+    * "today" (drops every 10th doc, rewrites every 7th's lang, adds 20
+    * fresh ids) classified into inserted/deleted/updated — one
+    * full-outer join. Both engines derive the same synthetic second
+    * snapshot, so the whole classification sits under the hash. */
+  private def q103SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val oldSnap = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+    val newSnap = oldSnap
+      .filter($"doc_id" % 10 =!= 0)
+      .withColumn("lang",
+        when($"doc_id" % 7 === 0, lit("xx")).otherwise($"lang"))
+      .unionByName(oldSnap.filter($"doc_id" < 20)
+        .withColumn("doc_id", $"doc_id" + 100000L))
+    graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "doc_id")
+      .orderBy($"doc_id")
+  }
+
+  private val q103Sql =
+    """WITH old AS (
+      |  SELECT doc_id, lang, source, n_chars FROM documents),
+      |new AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+      |    source, n_chars
+      |  FROM documents WHERE doc_id % 10 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, lang, source, n_chars
+      |  FROM documents WHERE doc_id < 20),
+      |d AS (
+      |  SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+      |    CASE WHEN o.doc_id IS NULL THEN 'inserted'
+      |         WHEN n.doc_id IS NULL THEN 'deleted'
+      |         WHEN o.lang IS DISTINCT FROM n.lang
+      |           OR o.source IS DISTINCT FROM n.source
+      |           OR o.n_chars IS DISTINCT FROM n.n_chars THEN 'updated'
+      |         ELSE 'unchanged' END AS change,
+      |    coalesce(n.lang, o.lang) AS lang,
+      |    coalesce(n.source, o.source) AS source,
+      |    coalesce(n.n_chars, o.n_chars) AS n_chars
+      |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+      |SELECT doc_id, change, lang, source, n_chars
+      |FROM d WHERE change <> 'unchanged'
+      |ORDER BY doc_id""".stripMargin
+
   private def q46ExactStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
@@ -671,6 +717,8 @@ object AdvancedQueries extends QueryModule {
       "point-in-time SCD2 dimension lookup via equi-join + interval residual"),
     Q("q102_expectations", q102Expectations, Some(q102Sql),
       "declarative data-quality gate: 5 rules, one pass, deterministic samples"),
+    Q("q103_snapshot_diff", q103SnapshotDiff, Some(q103Sql),
+      "snapshot CDC: full-dump diff to inserted/deleted/updated via one full-outer join"),
     Q("q34_asof_join", q34AsOf, Some(q34Sql), "as-of join (union+window vs theta-join oracle)"),
     Q("q35_session_windows", q35Sessions, Some(q35Sql), "session windows vs gaps-and-islands oracle"),
     Q("q36_rollup", q36Rollup, Some(q36Sql), "rollup with grouping indicators"),
