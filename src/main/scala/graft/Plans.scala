@@ -31,7 +31,10 @@ object Plans {
       "q82_kmeans_semdedup", "q83_head_sample", "q84_normalize",
       "q85_ccnet_buckets", "q86_norm_decontam", "q87_soft_dedup",
       "q88_hard_negatives", "q89_exact_quantiles", "q90_quantile_trim",
-      "q91_cluster_sample", "q92_random_project", "q93_projected_ann")
+      "q91_cluster_sample", "q92_random_project", "q93_projected_ann",
+      "q94_weighted_sample", "q95_zorder_key", "q96_scd2", "q97_profile",
+      "q98_funnel_analysis", "q100_incremental_agg", "q101_temporal_lookup",
+      "q102_expectations", "q103_snapshot_diff")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)

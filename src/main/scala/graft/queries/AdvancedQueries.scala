@@ -616,6 +616,60 @@ object AdvancedQueries extends QueryModule {
       |FROM d WHERE change <> 'unchanged'
       |ORDER BY doc_id""".stripMargin
 
+  /** Graph centrality (north star): 2 PageRank power iterations over
+    * the undirected customer↔supplier co-purchase graph, in the
+    * fixed-point integer arithmetic that makes the whole iteration
+    * bit-identical across engines (operators/PageRank — the
+    * domain-authority prior a web-corpus curation run computes).
+    * Oracle: both iterations replayed relationally with DuckDB's `//`
+    * floor division. */
+  private def q104PageRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    val l = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
+    val pairs = o.join(l, $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("cust"), ($"l_suppkey" + 1000000L).as("supp"))
+    val edges = pairs.select($"cust".as("src"), $"supp".as("dst"))
+      .union(pairs.select($"supp".as("src"), $"cust".as("dst")))
+    graft.operators.PageRank.ranks(edges, "src", "dst", iters = 2)
+      .orderBy($"node")
+  }
+
+  private val q104Sql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000 AS supp
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |e AS (
+      |  SELECT cust AS src, supp AS dst FROM pairs
+      |  UNION
+      |  SELECT supp, cust FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+      |params AS (SELECT COUNT(*) AS n FROM nodes),
+      |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+      |r0 AS (
+      |  SELECT node, 1000000000000 // n AS rank_units
+      |  FROM nodes CROSS JOIN params),
+      |i1 AS (
+      |  SELECT e.dst, SUM(r0.rank_units // od.outdeg) AS in_sum
+      |  FROM e JOIN r0 ON r0.node = e.src JOIN od ON od.src = e.src
+      |  GROUP BY e.dst),
+      |r1 AS (
+      |  SELECT nodes.node,
+      |    (15 * 1000000000000) // (100 * params.n)
+      |      + (85 * coalesce(i1.in_sum, 0)) // 100 AS rank_units
+      |  FROM nodes CROSS JOIN params LEFT JOIN i1 ON i1.dst = nodes.node),
+      |i2 AS (
+      |  SELECT e.dst, SUM(r1.rank_units // od.outdeg) AS in_sum
+      |  FROM e JOIN r1 ON r1.node = e.src JOIN od ON od.src = e.src
+      |  GROUP BY e.dst),
+      |r2 AS (
+      |  SELECT nodes.node,
+      |    (15 * 1000000000000) // (100 * params.n)
+      |      + (85 * coalesce(i2.in_sum, 0)) // 100 AS rank_units
+      |  FROM nodes CROSS JOIN params LEFT JOIN i2 ON i2.dst = nodes.node)
+      |SELECT node, CAST(rank_units AS BIGINT) AS rank_units
+      |FROM r2 ORDER BY node""".stripMargin
+
   private def q46ExactStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
@@ -719,6 +773,8 @@ object AdvancedQueries extends QueryModule {
       "declarative data-quality gate: 5 rules, one pass, deterministic samples"),
     Q("q103_snapshot_diff", q103SnapshotDiff, Some(q103Sql),
       "snapshot CDC: full-dump diff to inserted/deleted/updated via one full-outer join"),
+    Q("q104_pagerank", q104PageRank, Some(q104Sql),
+      "fixed-point integer PageRank, both power iterations replayed relationally (north star)"),
     Q("q34_asof_join", q34AsOf, Some(q34Sql), "as-of join (union+window vs theta-join oracle)"),
     Q("q35_session_windows", q35Sessions, Some(q35Sql), "session windows vs gaps-and-islands oracle"),
     Q("q36_rollup", q36Rollup, Some(q36Sql), "rollup with grouping indicators"),
