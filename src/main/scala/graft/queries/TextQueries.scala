@@ -461,6 +461,25 @@ object TextQueries extends QueryModule {
       |FROM r WHERE rn <= 100
       |ORDER BY doc_id""".stripMargin
 
+  /** Misra–Gries heavy hitters at exact capacity (the q70-style oracle
+    * trick): with capacity ≥ the true distinct term count the decrement
+    * path never fires and the summary IS the exact count table, so
+    * insert/merge/finish sit under the DuckDB hash; the sparse-capacity
+    * sketch behavior (bounded memory, guaranteed heavies, undercount
+    * bound) is HeavyHittersSpec's territory. */
+  private def q105HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("term"))
+    graft.operators.HeavyHitters.summarize(terms, "term", capacity = 64)
+  }
+
+  private val q105Sql =
+    """SELECT w AS item, COUNT(*) AS est_count
+      |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |GROUP BY w
+      |ORDER BY est_count DESC, item""".stripMargin
+
   /** Deterministic corpus shuffle into training shards: every document
     * gets (shard, pos) such that reading shards in (shard, pos) order
     * visits the corpus in a fixed pseudo-random permutation — the
@@ -1766,6 +1785,8 @@ object TextQueries extends QueryModule {
       "per-source token-budget cap, prefix-histogram plan vs window-cumsum oracle (north star)"),
     Q("q94_weighted_sample", q94WeightedSample, Some(q94Sql),
       "RNG-free A-ES weighted sample without replacement, one TakeOrdered (north star)"),
+    Q("q105_heavy_hitters", q105HeavyHitters, Some(q105Sql),
+      "Misra-Gries summary at exact capacity == true count table (north star)"),
     Q("q75_shuffle_shards", q75ShuffleShards, Some(q75Sql),
       "deterministic corpus shuffle into training shards (north star)"),
     Q("q77_training_flow", q77TrainingFlow, Some(q77Sql),
