@@ -79,4 +79,35 @@ object TimeSeriesOps {
     incoming.join(broadcast(cursors), Seq(keyCol), "left")
       .filter(col("resume_from").isNull || col(tsCol) > col("resume_from"))
       .drop("resume_from")
+
+  /** Rolling z-score anomaly flags — each point vs its key's trailing
+    * window, decided in EXACT integer arithmetic: |x−μ| > z·σ is
+    * cross-multiplied to (n·x − S)² > z²·(n·Q − S²) with S = Σx,
+    * Q = Σx² over fixed-point units (value rounded to 4 dp × 10⁴, the
+    * Exact-discipline cast), so no quotient, square root, or float mean
+    * ever materializes — μ and σ as doubles would sit on rounding
+    * boundaries (the q85 lesson), the cross-multiplied form is
+    * bit-identical on any engine (the q104 fixed-point move applied to
+    * second moments). Wide integers ride DECIMAL(38,0) here / HUGEINT
+    * in the oracle: scale-0 products can't round, magnitudes are
+    * data-bounded (units⁴·n³ must fit 38 digits — values to ~10⁶ at
+    * day-scale windows are fine). Same single-shuffle range frame as
+    * [[rolling]]; an n = 1 window has x = μ, never anomalous. */
+  def rollingAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowSec: Long, z: Int = 3): DataFrame = {
+    require(z >= 1, s"z must be >= 1, got $z")
+    import org.apache.spark.sql.types.DecimalType
+    val frame = Window.partitionBy(col(keyCol)).orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowSec * 1000000L, 0)
+    val units = (col(valueCol).cast(DecimalType(18, 4)) * 10000)
+      .cast(DecimalType(38, 0))
+    val d = df.withColumn("__x", units)
+    val s = sum(col("__x")).over(frame)
+    val q = sum(col("__x") * col("__x")).over(frame)
+    val n = count(lit(1)).over(frame).cast(DecimalType(38, 0))
+    val lhs = n * col("__x") - s
+    d.withColumn("win_n", count(lit(1)).over(frame))
+      .withColumn("is_anomaly", lhs * lhs > lit(z.toLong * z) * (n * q - s * s))
+      .drop("__x")
+  }
 }

@@ -68,6 +68,38 @@ object TimeSeriesQueries extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** Rolling anomaly flags (monitoring): each event vs its user's
+    * trailing 24 h — the z-score test cross-multiplied into exact
+    * integer arithmetic (no float μ/σ; see TimeSeriesOps
+    * .rollingAnomalies). Oracle: the same moments in HUGEINT over
+    * q12's pinned range frame. */
+  private def q106Anomalies(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.TimeSeriesOps.rollingAnomalies(
+        Tables.events(spark, dir), "user_id", "ts", "value",
+        windowSec = 86400L, z = 3)
+      .select($"event_id", $"user_id", $"value", $"win_n", $"is_anomaly")
+      .orderBy($"event_id")
+  }
+
+  private val q106Sql =
+    """WITH t AS (
+      |  SELECT event_id, user_id, value, ts,
+      |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS x
+      |  FROM events),
+      |w AS (
+      |  SELECT event_id, user_id, value, x,
+      |    SUM(x) OVER win AS s,
+      |    SUM(x * x) OVER win AS q,
+      |    CAST(COUNT(*) OVER win AS HUGEINT) AS n
+      |  FROM t
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, value, CAST(n AS BIGINT) AS win_n,
+      |  (n * x - s) * (n * x - s) > 9 * (n * q - s * s) AS is_anomaly
+      |FROM w
+      |ORDER BY event_id""".stripMargin
+
   private val q12Sql =
     """SELECT event_id, user_id,
       |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE) AS acc_value_24h,
@@ -286,6 +318,8 @@ object TimeSeriesQueries extends QueryModule {
     Q("q78_global_window", q78GlobalWindow, Some(q78Sql),
       "UNKEYED interval join: any-user clicks within 5min before each purchase vs IEJoin oracle"),
     Q("q33_lead_lag", q33LeadLag, Some(q33Sql), "offset window functions (lead/lag/delta)"),
+    Q("q106_anomalies", q106Anomalies, Some(q106Sql),
+      "rolling z-score anomaly flags in exact cross-multiplied integer arithmetic"),
     Q("q12_rolling_24h", q12Rolling24h, Some(q12Sql), "24h accumulated sums, event-time range frame (A4)"),
     Q("q13_rolling_extremes", q13RollingExtremes, Some(q13Sql), "rolling 7d high/low (A5)"),
     Q("q14_daily_buckets", q14DailyBuckets, Some(q14Sql), "daily tumbling buckets (T4/W2)"),

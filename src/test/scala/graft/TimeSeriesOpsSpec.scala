@@ -90,6 +90,56 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(viaAgg === viaWindow)
   }
 
+  test("rollingAnomalies: a planted spike flags; steady traffic does not") {
+    // user 1: steady 10.0 every minute, one 500.0 spike, then steady again
+    val rows = (0 until 20).map { i =>
+      val v = if (i == 15) 500.0 else 10.0
+      (1L, ts(f"2024-01-01 10:${i}%02d:00"), v)
+    } :+ ((2L, ts("2024-01-01 10:00:00"), 999.0)) // n=1 window: never flags
+    val got = TimeSeriesOps.rollingAnomalies(
+        rows.toDF("user_id", "ts", "value"), "user_id", "ts", "value",
+        windowSec = 3600L, z = 3)
+      .select($"user_id", $"ts", $"is_anomaly")
+      .as[(Long, Timestamp, Boolean)].collect()
+      .map { case (u, t, f) => (u, t.toString) -> f }.toMap
+    assert(got((1L, "2024-01-01 10:15:00.0")), "spike must flag")
+    assert(!got((2L, "2024-01-01 10:00:00.0")), "n=1 window never flags")
+    val flagged = got.filter(_._2).keys.toSeq
+    assert(flagged === Seq((1L, "2024-01-01 10:15:00.0")),
+      s"only the spike flags, got $flagged")
+  }
+
+  test("rollingAnomalies matches the float z-score test away from boundaries") {
+    // driver-side reference on real data: flag iff |x - mean| > 3*sigma
+    // (population), computed per trailing window; tolerate only rows whose
+    // float margin is razor-thin (the exact form is the ground truth there)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val got = TimeSeriesOps.rollingAnomalies(
+        ev, "user_id", "ts", "value", windowSec = 86400L, z = 3)
+      .select($"event_id", $"is_anomaly").as[(Long, Boolean)].collect().toMap
+    val raw = ev.as[(Long, Long, Timestamp, Double)].collect()
+      .groupBy(_._2)
+    var checked = 0
+    raw.values.foreach { evs =>
+      val sorted = evs.sortBy(_._3.getTime)
+      sorted.foreach { case (id, _, t, x) =>
+        val win = sorted.filter(e => e._3.getTime <= t.getTime &&
+          e._3.getTime >= t.getTime - 86400000L).map(_._4)
+        val n = win.size
+        val mean = win.sum / n
+        val variance = win.map(v => (v - mean) * (v - mean)).sum / n
+        val margin = math.abs(math.abs(x - mean) - 3 * math.sqrt(variance))
+        if (margin > 1e-6) { // away from the decision boundary
+          assert(got(id) === (math.abs(x - mean) > 3 * math.sqrt(variance)),
+            s"event $id")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 100, s"checked only $checked rows")
+  }
+
   test("top-k aggregator handles groups smaller than k and score ties") {
     val ds = Seq((1L, 10L, 5.0), (1L, 11L, 5.0), (2L, 20L, 1.0))
       .toDS()
