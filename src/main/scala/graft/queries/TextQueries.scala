@@ -1278,6 +1278,73 @@ object TextQueries extends QueryModule {
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Entity-resolution survivorship (golden record): the full MDM chain —
+    * fuzzy name pairs (q60's SymSpell blocking) → connected components →
+    * per-cluster field-wise merge: member count, canonical (min) name,
+    * best account balance, and the market segment of the highest-balance member
+    * (tie → lowest id, q79's max_by tie discipline). Every stage under
+    * ONE DuckDB hash: the oracle recomputes pairs quadratically, closes
+    * them with a recursive CTE, and restates the argmax as a window —
+    * independent algorithms at each stage. */
+  private def q107Survivorship(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val allPairs = graft.operators.FuzzyJoin.editDistancePairs(
+        cust.select($"c_custkey", $"c_name"), cust.select($"c_custkey", $"c_name"),
+        "c_custkey", "c_name", "c_custkey", "c_name", maxDist = 1)
+      .filter($"id_a" < $"id_b")
+    // MDM blocking rule: only same-segment records are merge candidates
+    // (sequential synthetic names would otherwise chain the whole table
+    // into one cluster — and a real pipeline blocks on source/type too)
+    val segs = cust.select($"c_custkey", $"c_mktsegment")
+    val pairs = allPairs
+      .join(segs.select($"c_custkey".as("id_a"), $"c_mktsegment".as("seg_a")), "id_a")
+      .join(segs.select($"c_custkey".as("id_b"), $"c_mktsegment".as("seg_b")), "id_b")
+      .filter($"seg_a" === $"seg_b")
+      .select($"id_a", $"id_b")
+    val comps = graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+    val labeled = comps.join(
+      cust.select($"c_custkey".as("node"), $"c_name", $"c_acctbal", $"c_mktsegment"),
+      "node")
+    labeled.groupBy($"component")
+      .agg(
+        count(lit(1)).as("n_members"),
+        min($"c_name").as("canonical_name"),
+        max($"c_acctbal").as("best_acctbal"),
+        max_by($"c_mktsegment", struct($"c_acctbal", -$"node")).as("segment_of_best"))
+      .orderBy($"component")
+  }
+
+  private val q107Sql =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |    AND a.c_mktsegment = b.c_mktsegment
+      |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(n, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n),
+      |comp AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n),
+      |lab AS (
+      |  SELECT comp.node, comp.component, c.c_name, c.c_acctbal, c.c_mktsegment
+      |  FROM comp JOIN customer c ON c.c_custkey = comp.node),
+      |g AS (
+      |  SELECT component, COUNT(*) AS n_members, MIN(c_name) AS canonical_name,
+      |    MAX(c_acctbal) AS best_acctbal
+      |  FROM lab GROUP BY component),
+      |best AS (
+      |  SELECT component, c_mktsegment,
+      |    row_number() OVER (PARTITION BY component
+      |                       ORDER BY c_acctbal DESC, node) AS rn
+      |  FROM lab)
+      |SELECT g.component, g.n_members, g.canonical_name, g.best_acctbal,
+      |  b.c_mktsegment AS segment_of_best
+      |FROM g JOIN best b ON b.component = g.component AND b.rn = 1
+      |ORDER BY g.component""".stripMargin
+
   /** Repeated-substring spans (Lee et al. dedup, north star): maximal
     * merged runs of tokens covered by an 8-gram occurring >= 2 times
     * corpus-wide. Engine: hashed-shingle occurrence agg + back-join +
@@ -1740,6 +1807,8 @@ object TextQueries extends QueryModule {
       "corpus rewrite dropping repeated spans, with audit counts (north star)"),
     Q("q60_fuzzy_names", q60FuzzyNames, Some(q60Sql),
       "edit-distance-1 name pairs: SymSpell deletion blocking vs quadratic oracle"),
+    Q("q107_survivorship", q107Survivorship, Some(q107Sql),
+      "entity-resolution golden record: fuzzy pairs -> components -> field-wise merge (north star)"),
     Q("q59_drop_seen", q59DropSeen, Some(q59Sql),
       "cross-corpus decontamination: distinct-digest anti-join vs NOT-IN oracle (north star)"),
     Q("q58_gopher_rules", q58GopherRules, Some(q58Sql),
