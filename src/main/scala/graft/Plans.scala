@@ -34,7 +34,8 @@ object Plans {
       "q91_cluster_sample", "q92_random_project", "q93_projected_ann",
       "q94_weighted_sample", "q95_zorder_key", "q96_scd2", "q97_profile",
       "q98_funnel_analysis", "q100_incremental_agg", "q101_temporal_lookup",
-      "q102_expectations", "q103_snapshot_diff", "q104_pagerank")
+      "q102_expectations", "q103_snapshot_diff", "q104_pagerank",
+      "q105_heavy_hitters", "q106_anomalies", "q107_survivorship")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)

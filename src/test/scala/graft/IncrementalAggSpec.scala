@@ -47,6 +47,39 @@ class IncrementalAggSpec extends SparkSpec {
     assert(m("y") === ((1L, 7.5, 7.5, 7.5)))
   }
 
+  test("streaming maintenance: foreachBatch-merged state == batch recompute") {
+    // the streaming materialized view: each micro-batch folds into the
+    // state via merge(state, partial(batch)); after the stream drains,
+    // the maintained state must equal a full batch recompute bit-for-bit
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val source = MemoryStream[(String, Double)]
+    var stateDf = IncrementalAgg.state(
+      Seq.empty[(String, Double)].toDF("k", "v"), Seq("k"), "v")
+    val all = Seq(
+      Seq(("a", 1.5), ("b", 2.0)),
+      Seq(("a", -0.5), ("c", 10.0)),
+      Seq(("b", 4.25), ("a", 3.0)))
+    val q = source.toDS().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        stateDf = IncrementalAgg.merge(Seq(
+          stateDf, IncrementalAgg.state(batch, Seq("k"), "v")))
+          .localCheckpoint()
+        ()
+      }
+      .start()
+    all.foreach { rows => source.addData(rows: _*); q.processAllAvailable() }
+    q.stop()
+
+    val full = canon2(IncrementalAgg.state(
+      all.flatten.toDF("k", "v"), Seq("k"), "v"))
+    assert(canon2(stateDf) === full)
+  }
+
+  private def canon2(df: org.apache.spark.sql.DataFrame) =
+    df.select($"k", $"n_rows", $"sum_v".cast("string"), $"min_v", $"max_v")
+      .as[(String, Long, String, Double, Double)].collect().toSet
+
   test("mismatched state schemas and reserved key names are rejected") {
     val good = IncrementalAgg.state(
       Seq(("x", 1.0)).toDF("k", "v"), Seq("k"), "v")
