@@ -23,18 +23,29 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object StagedSwap {
 
   /** If `live` is missing, restore it from a crashed prior swap's
-    * leftovers. Safe no-op when `live` exists. */
+    * leftovers. Safe no-op when `live` exists.
+    *
+    * `tmp` is trusted ONLY when `old` also exists: that pairing is the
+    * unique signature of a crash inside the rename window, where `write
+    * (tmp)` had provably completed before rename(live→old) ran. A lone
+    * `tmp` with neither `live` nor `old` is the first-materialization
+    * path (swap() permits an absent `live`, e.g. a new `stats` subdir on
+    * an index saved by an older format) crashed mid-write — a PARTIAL
+    * parquet directory. Promoting it would surface a valid-but-truncated
+    * dataset, so it is deleted as an incomplete write instead. */
   def recover(fs: FileSystem, live: Path, tmp: Path, old: Path): Unit = {
     if (!fs.exists(live)) {
-      if (fs.exists(tmp)) {
-        // tmp is only ever renamed away AFTER live was staged aside, and is
-        // fully written before that — prefer the completed new copy
+      if (fs.exists(tmp) && fs.exists(old)) {
+        // crash between the two renames: tmp is the fully written new copy
         if (!fs.rename(tmp, live))
           throw new java.io.IOException(s"swap recovery: cannot restore $tmp to $live")
         fs.delete(old, true)
       } else if (fs.exists(old)) {
         if (!fs.rename(old, live))
           throw new java.io.IOException(s"swap recovery: cannot restore $old to $live")
+      } else if (fs.exists(tmp)) {
+        // first materialization crashed mid-write: tmp may be partial
+        fs.delete(tmp, true)
       }
       // neither leftover exists: nothing to recover; the caller's read of
       // `live` fails loudly, which is correct for a genuinely absent index
