@@ -30,27 +30,46 @@ object StagedSwap {
     * (tmp)` had provably completed before rename(live→old) ran. A lone
     * `tmp` with neither `live` nor `old` is the first-materialization
     * path (swap() permits an absent `live`, e.g. a new `stats` subdir on
-    * an index saved by an older format) crashed mid-write — a PARTIAL
-    * parquet directory. Promoting it would surface a valid-but-truncated
-    * dataset, so it is deleted as an incomplete write instead. */
+    * an index saved by an older format) crashed either mid-write or just
+    * after the write finished. The two are distinguishable: Spark's
+    * parquet committer creates the `_SUCCESS` marker only after every
+    * task file is committed, so a lone `tmp` WITH the marker is a
+    * complete dataset and is salvaged (promoted to `live`, saving the
+    * recompute); without it, the directory may be a valid-but-truncated
+    * parquet prefix, and promoting it would silently surface partial
+    * data — it is deleted as an incomplete write instead. */
   def recover(fs: FileSystem, live: Path, tmp: Path, old: Path): Unit = {
     if (!fs.exists(live)) {
       if (fs.exists(tmp) && fs.exists(old)) {
         // crash between the two renames: tmp is the fully written new copy
         if (!fs.rename(tmp, live))
           throw new java.io.IOException(s"swap recovery: cannot restore $tmp to $live")
-        fs.delete(old, true)
+        checkedDelete(fs, old)
       } else if (fs.exists(old)) {
         if (!fs.rename(old, live))
           throw new java.io.IOException(s"swap recovery: cannot restore $old to $live")
       } else if (fs.exists(tmp)) {
-        // first materialization crashed mid-write: tmp may be partial
-        fs.delete(tmp, true)
+        if (fs.exists(new Path(tmp, "_SUCCESS"))) {
+          // the write provably completed; only the promote was lost
+          if (!fs.rename(tmp, live))
+            throw new java.io.IOException(s"swap recovery: cannot promote completed $tmp to $live")
+        } else {
+          // first materialization crashed mid-write: tmp may be partial
+          checkedDelete(fs, tmp)
+        }
       }
       // neither leftover exists: nothing to recover; the caller's read of
       // `live` fails loudly, which is correct for a genuinely absent index
     }
   }
+
+  /** Delete that fails loudly: a `false` return with the path still
+    * present (permissions, open handles, an object-store hiccup) would
+    * otherwise leave a stale partial directory for every future recover
+    * to silently trip over. */
+  private def checkedDelete(fs: FileSystem, p: Path): Unit =
+    if (!fs.delete(p, true) && fs.exists(p))
+      throw new java.io.IOException(s"swap: cannot delete $p")
 
   /** Run one swap: recover a crashed predecessor, clear leftovers (only
     * with `live` confirmed present), `write` the new copy to `tmp`, then
@@ -59,7 +78,7 @@ object StagedSwap {
   def swap(fs: FileSystem, live: Path, tmp: Path, old: Path)(
       write: String => Unit): Unit = {
     recover(fs, live, tmp, old)
-    if (fs.exists(live)) { fs.delete(tmp, true); fs.delete(old, true) }
+    if (fs.exists(live)) { checkedDelete(fs, tmp); checkedDelete(fs, old) }
     write(tmp.toString)
     if (fs.exists(live) && !fs.rename(live, old))
       throw new java.io.IOException(s"compact: cannot stage $live aside")
@@ -68,6 +87,6 @@ object StagedSwap {
       fs.rename(old, live)
       throw new java.io.IOException(s"compact: cannot promote $tmp to $live")
     }
-    fs.delete(old, true)
+    checkedDelete(fs, old)
   }
 }
