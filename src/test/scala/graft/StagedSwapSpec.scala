@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.StagedSwap
+
+/** Direct unit coverage of the crash-recovery state machine shared by
+  * [[graft.operators.IvfIndex.compact]] and
+  * [[graft.operators.MinHashIndex.compact]]. The IvfIndexSpec e2e test
+  * covers the rename-window crash (tmp+old) and the old-only crash; this
+  * suite pins the remaining states, in particular the lone-tmp
+  * first-materialization branches where promoting a truncated write would
+  * silently surface partial data.
+  */
+class StagedSwapSpec extends AnyFunSuite {
+
+  private def fixture(): (FileSystem, Path, Path, Path) = {
+    val root = Files.createTempDirectory("staged_swap").toString
+    val live = new Path(s"$root/live")
+    val tmp = new Path(s"$root/live_tmp")
+    val old = new Path(s"$root/live_old")
+    (live.getFileSystem(new Configuration()), live, tmp, old)
+  }
+
+  private def writeDir(fs: FileSystem, dir: Path, files: (String, String)*): Unit = {
+    fs.mkdirs(dir)
+    files.foreach { case (name, body) =>
+      val out = fs.create(new Path(dir, name), true)
+      out.write(body.getBytes("UTF-8"))
+      out.close()
+    }
+  }
+
+  private def readFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  test("lone partial tmp (no _SUCCESS, no live, no old) is deleted, not promoted") {
+    val (fs, live, tmp, old) = fixture()
+    // first materialization crashed mid-write: task files exist, no marker
+    writeDir(fs, tmp, "part-00000" -> "truncated prefix")
+    StagedSwap.recover(fs, live, tmp, old)
+    assert(!fs.exists(live), "a possibly-truncated tmp must never become live")
+    assert(!fs.exists(tmp), "the incomplete write is cleared for the rerun")
+  }
+
+  test("lone tmp WITH _SUCCESS is a completed write and is promoted to live") {
+    val (fs, live, tmp, old) = fixture()
+    writeDir(fs, tmp, "part-00000" -> "full dataset", "_SUCCESS" -> "")
+    StagedSwap.recover(fs, live, tmp, old)
+    assert(fs.exists(live), "a committer-marked tmp is salvaged")
+    assert(!fs.exists(tmp))
+    assert(readFile(fs, new Path(live, "part-00000")) === "full dataset")
+  }
+
+  test("recover is a no-op when live exists, regardless of leftovers") {
+    val (fs, live, tmp, old) = fixture()
+    writeDir(fs, live, "part-00000" -> "current")
+    writeDir(fs, tmp, "part-00000" -> "newer", "_SUCCESS" -> "")
+    writeDir(fs, old, "part-00000" -> "older")
+    StagedSwap.recover(fs, live, tmp, old)
+    assert(readFile(fs, new Path(live, "part-00000")) === "current",
+      "an existing live is never replaced by recover; swap() owns that transition")
+    // swap() then clears the leftovers before writing
+    StagedSwap.swap(fs, live, tmp, old)(dir => writeDir(fs, new Path(dir), "part-00000" -> "v2"))
+    assert(readFile(fs, new Path(live, "part-00000")) === "v2")
+    assert(!fs.exists(tmp) && !fs.exists(old))
+  }
+
+  test("swap over a crashed lone partial tmp recomputes rather than promoting it") {
+    val (fs, live, tmp, old) = fixture()
+    writeDir(fs, tmp, "part-00000" -> "truncated prefix")
+    var wrote = false
+    StagedSwap.swap(fs, live, tmp, old) { dir =>
+      wrote = true
+      writeDir(fs, new Path(dir), "part-00000" -> "recomputed", "_SUCCESS" -> "")
+    }
+    assert(wrote, "the write closure must run: the partial tmp is not trusted")
+    assert(readFile(fs, new Path(live, "part-00000")) === "recomputed")
+  }
+
+  test("rename-window crash state (tmp+old, live absent) restores tmp as live") {
+    val (fs, live, tmp, old) = fixture()
+    writeDir(fs, tmp, "part-00000" -> "new copy", "_SUCCESS" -> "")
+    writeDir(fs, old, "part-00000" -> "original")
+    StagedSwap.recover(fs, live, tmp, old)
+    assert(readFile(fs, new Path(live, "part-00000")) === "new copy",
+      "tmp is complete and newer; it wins over old")
+    assert(!fs.exists(tmp) && !fs.exists(old))
+  }
+
+  test("old-only crash state restores old as live") {
+    val (fs, live, tmp, old) = fixture()
+    writeDir(fs, old, "part-00000" -> "original")
+    StagedSwap.recover(fs, live, tmp, old)
+    assert(readFile(fs, new Path(live, "part-00000")) === "original")
+    assert(!fs.exists(old))
+  }
+}
