@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Registry of the fixture tables (see /root/repo/TESTDATA.md).
   *
@@ -25,15 +25,22 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** `ts` is TIMESTAMP(NANOS) in the parquet; Spark reads it as nanos-long
-    * (see GraftSession's nanosAsLong). Truncate to microseconds — exactly
-    * what DuckDB's parquet reader does — so both engines see identical
-    * timestamps. `div` is integer division (values are all post-1970). */
+  /** Normalize `ts` to TimestampType whatever physical shape the fixture
+    * carries. Generations seen so far:
+    *   - TIMESTAMP(NANOS): Spark reads it as nanos-long (GraftSession's
+    *     nanosAsLong) — truncate to microseconds, exactly what DuckDB's
+    *     parquet reader does. `div` is integer division (post-1970 values).
+    *   - timestamp[us] without the UTC-adjusted flag: Spark reads it as
+    *     TIMESTAMP_NTZ — cast to TIMESTAMP, lossless because the session
+    *     timezone is pinned UTC (GraftSession), and DuckDB treats the
+    *     column as naive/UTC anyway. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

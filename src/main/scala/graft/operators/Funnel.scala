@@ -42,7 +42,7 @@ object Funnel {
     val init = array(Seq.fill(n)(lit(-1L)): _*)
     val folded = events
       .select(col(userCol).as("__u"),
-        unix_micros(col(tsCol)).as("__t"), col(typeCol).as("__e"))
+        TimeSeriesOps.eventMicros(col(tsCol)).as("__t"), col(typeCol).as("__e"))
       .groupBy(col("__u"))
       .agg(sort_array(collect_list(struct(col("__t"), col("__e")))).as("__evs"))
       .withColumn("__times",

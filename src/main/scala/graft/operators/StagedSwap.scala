@@ -25,31 +25,41 @@ object StagedSwap {
   /** If `live` is missing, restore it from a crashed prior swap's
     * leftovers. Safe no-op when `live` exists.
     *
-    * `tmp` is trusted ONLY when `old` also exists: that pairing is the
-    * unique signature of a crash inside the rename window, where `write
-    * (tmp)` had provably completed before rename(live→old) ran. A lone
+    * `tmp` is trusted ONLY when it carries the committer's `_SUCCESS`
+    * marker: Spark's parquet committer creates it only after every task
+    * file is committed, so a marked `tmp` is a complete dataset while an
+    * unmarked one may be a valid-but-truncated parquet prefix — promoting
+    * it would silently surface partial data. In the swap() flow a
+    * `tmp`+`old` pairing implies the write completed (rename(live→old)
+    * only runs after `write(tmp)` returns), so the marker check there is
+    * pure defence-in-depth against states the single-writer flow can't
+    * produce (manual copies, a non-atomic cross-volume move); it costs
+    * nothing because a completed write always has the marker. A lone
     * `tmp` with neither `live` nor `old` is the first-materialization
     * path (swap() permits an absent `live`, e.g. a new `stats` subdir on
-    * an index saved by an older format) crashed either mid-write or just
-    * after the write finished. The two are distinguishable: Spark's
-    * parquet committer creates the `_SUCCESS` marker only after every
-    * task file is committed, so a lone `tmp` WITH the marker is a
-    * complete dataset and is salvaged (promoted to `live`, saving the
-    * recompute); without it, the directory may be a valid-but-truncated
-    * parquet prefix, and promoting it would silently surface partial
-    * data — it is deleted as an incomplete write instead. */
+    * an index saved by an older format): with the marker it is salvaged
+    * (promoted to `live`, saving the recompute); without it, deleted as
+    * an incomplete write. */
   def recover(fs: FileSystem, live: Path, tmp: Path, old: Path): Unit = {
+    def tmpComplete = fs.exists(new Path(tmp, "_SUCCESS"))
     if (!fs.exists(live)) {
       if (fs.exists(tmp) && fs.exists(old)) {
-        // crash between the two renames: tmp is the fully written new copy
-        if (!fs.rename(tmp, live))
-          throw new java.io.IOException(s"swap recovery: cannot restore $tmp to $live")
-        checkedDelete(fs, old)
+        if (tmpComplete) {
+          // crash between the two renames: tmp is the fully written new copy
+          if (!fs.rename(tmp, live))
+            throw new java.io.IOException(s"swap recovery: cannot restore $tmp to $live")
+          checkedDelete(fs, old)
+        } else {
+          // not a state swap() can leave behind — distrust tmp, keep old
+          checkedDelete(fs, tmp)
+          if (!fs.rename(old, live))
+            throw new java.io.IOException(s"swap recovery: cannot restore $old to $live")
+        }
       } else if (fs.exists(old)) {
         if (!fs.rename(old, live))
           throw new java.io.IOException(s"swap recovery: cannot restore $old to $live")
       } else if (fs.exists(tmp)) {
-        if (fs.exists(new Path(tmp, "_SUCCESS"))) {
+        if (tmpComplete) {
           // the write provably completed; only the promote was lost
           if (!fs.rename(tmp, live))
             throw new java.io.IOException(s"swap recovery: cannot promote completed $tmp to $live")

@@ -11,6 +11,14 @@ import org.apache.spark.sql.expressions.Window
   * sorts stay within partitions, rolling state is bounded by the frame. */
 object TimeSeriesOps {
 
+  /** Event time in epoch-microseconds, tolerant of TIMESTAMP_NTZ columns
+    * (parquet `timestamp[us]` without the UTC-adjusted flag reads as NTZ;
+    * `unix_micros` rejects NTZ outright). The cast is an identity no-op on
+    * TimestampType and a lossless NTZ→instant conversion under the pinned
+    * UTC session timezone (GraftSession). */
+  def eventMicros(c: Column): Column =
+    unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+
   /** Per-key, per-bucket OHLCV candles with deterministic open/close
     * (row_number over (ts, tieCol) — never `first`/`last`, which are
     * order-nondeterministic in aggregates; SURVEY §7.4 risk 2). */
@@ -41,7 +49,7 @@ object TimeSeriesOps {
     * trailing range frame. */
   def rolling(df: DataFrame, keyCol: String, tsCol: String, windowSec: Long)(
       aggs: (String, Column)*): DataFrame = {
-    val frame = Window.partitionBy(col(keyCol)).orderBy(unix_micros(col(tsCol)))
+    val frame = Window.partitionBy(col(keyCol)).orderBy(eventMicros(col(tsCol)))
       .rangeBetween(-windowSec * 1000000L, 0)
     aggs.foldLeft(df) { case (d, (name, aggExpr)) =>
       d.withColumn(name, aggExpr.over(frame))
@@ -53,7 +61,7 @@ object TimeSeriesOps {
     * over the range frame. */
   def rollingExtremes(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, windowSec: Long): DataFrame = {
-    val us = unix_micros(col(tsCol))
+    val us = eventMicros(col(tsCol))
     val frame = Window.partitionBy(col(keyCol)).orderBy(us)
       .rangeBetween(-windowSec * 1000000L, 0)
     df.withColumn("__us", us)
@@ -97,7 +105,7 @@ object TimeSeriesOps {
       valueCol: String, windowSec: Long, z: Int = 3): DataFrame = {
     require(z >= 1, s"z must be >= 1, got $z")
     import org.apache.spark.sql.types.DecimalType
-    val frame = Window.partitionBy(col(keyCol)).orderBy(unix_micros(col(tsCol)))
+    val frame = Window.partitionBy(col(keyCol)).orderBy(eventMicros(col(tsCol)))
       .rangeBetween(-windowSec * 1000000L, 0)
     val units = (col(valueCol).cast(DecimalType(18, 4)) * 10000)
       .cast(DecimalType(38, 0))

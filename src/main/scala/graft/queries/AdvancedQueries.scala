@@ -384,6 +384,50 @@ object AdvancedQueries extends QueryModule {
       |FROM documents
       |ORDER BY col_name""".stripMargin
 
+  /** The q72 sketch-contract pattern applied to [[graft.operators.Profile]]'s
+    * HLL path (the 100 TB default profile): per events column, the EXACT
+    * profile row (oracle-matchable) plus a boolean verdict that the
+    * approx profile's HLL distinct landed inside the documented band
+    * (|approx − exact| ≤ max(1, 10% of exact) — 2σ of the default
+    * rsd 0.05, the same band ProfileSpec pins at toy scale). The oracle
+    * recomputes the exact columns and asserts the boolean TRUE, so an
+    * HLL drifting out of contract flips a hashed value. Both profiles
+    * are ONE aggregate job each; the approx side stays Expand-free. */
+  private def q108ProfileContract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val cols = Seq("event_id", "user_id", "event_type")
+    val exact = graft.operators.Profile.profile(ev, cols, exact = true)
+    val approx = graft.operators.Profile.profile(ev, cols, exact = false)
+      .select($"col_name", $"n_distinct".as("approx_nd"))
+    exact.join(broadcast(approx), "col_name")
+      .select($"col_name", $"n_rows", $"n_nulls", $"n_distinct",
+        $"min_value", $"max_value",
+        (abs($"approx_nd" - $"n_distinct") <=
+          greatest(lit(1L), ($"n_distinct" * 0.1).cast("long"))).as("hll_in_band"))
+      .orderBy($"col_name")
+  }
+
+  private val q108Sql =
+    """SELECT 'event_id' AS col_name, COUNT(*) AS n_rows,
+      |  COUNT(*) - COUNT(event_id) AS n_nulls,
+      |  COUNT(DISTINCT event_id) AS n_distinct,
+      |  CAST(MIN(event_id) AS VARCHAR) AS min_value,
+      |  CAST(MAX(event_id) AS VARCHAR) AS max_value,
+      |  TRUE AS hll_in_band
+      |FROM events
+      |UNION ALL
+      |SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+      |  COUNT(DISTINCT user_id),
+      |  CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR), TRUE
+      |FROM events
+      |UNION ALL
+      |SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+      |  COUNT(DISTINCT event_type),
+      |  CAST(MIN(event_type) AS VARCHAR), CAST(MAX(event_type) AS VARCHAR), TRUE
+      |FROM events
+      |ORDER BY col_name""".stripMargin
+
   /** Funnel analysis (north star for the event domain): earliest
     * view → first click strictly after it → first purchase strictly
     * after that, per user — ONE groupBy shuffle + a row-local sorted
@@ -761,6 +805,8 @@ object AdvancedQueries extends QueryModule {
       "SCD2 versioning: change log to half-open validity intervals, no-ops merged"),
     Q("q97_profile", q97Profile, Some(q97Sql),
       "one-pass column profile: null/distinct/extremes per column (exact config)"),
+    Q("q108_profile_contract", q108ProfileContract, Some(q108Sql),
+      "HLL profile accuracy contract on events: exact profile + in-band boolean verdict"),
     Q("q98_funnel_analysis", q98Funnel, Some(q98Sql),
       "ordered view->click->purchase funnel: one shuffle + sorted fold vs per-stage join oracle"),
     Q("q99_retention", q99Retention, Some(q99Sql),

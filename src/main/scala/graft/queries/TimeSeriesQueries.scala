@@ -116,7 +116,7 @@ object TimeSeriesQueries extends QueryModule {
     val weekUs = 7L * 24 * 3600 * 1000000
     val w = Window.partitionBy($"user_id").orderBy($"us").rangeBetween(-weekUs, 0)
     Tables.events(spark, dir)
-      .withColumn("us", unix_micros($"ts"))
+      .withColumn("us", graft.operators.TimeSeriesOps.eventMicros($"ts"))
       .withColumn("high_7d", max($"value").over(w))
       .withColumn("low_7d", min($"value").over(w))
       .select($"event_id", $"user_id", $"high_7d", $"low_7d")

@@ -43,6 +43,37 @@ object JdbcUpsert {
       pk: Seq[String]): UpsertStatement =
     UpsertStatement(upsertIgnoreSql(table, columns, pk), columns.indices)
 
+  /** MySQL/MariaDB dialect: `INSERT IGNORE` is the idiomatic
+    * conflict-skipping form and, like Postgres's ON CONFLICT, is atomic —
+    * safe under concurrent cross-partition writers. Caveat vs the other
+    * dialects: IGNORE suppresses EVERY ignorable error on the row (any
+    * unique key, not just the pk; type-coercion warnings), so the skip set
+    * can be wider than "pk already present". When only-the-pk semantics
+    * matter on MySQL, use [[mysqlUpsertKeepSql]] instead. */
+  def mysqlUpsertIgnore(table: String, columns: Seq[String],
+      pk: Seq[String]): UpsertStatement = {
+    checkPk(columns, pk)
+    val placeholders = Seq.fill(columns.size)("?").mkString(", ")
+    UpsertStatement(
+      s"INSERT IGNORE INTO $table (${columns.mkString(", ")}) VALUES ($placeholders)",
+      columns.indices)
+  }
+
+  /** MySQL's pk-only no-op alternative: `ON DUPLICATE KEY UPDATE pk = pk`
+    * (the classic keep-first idiom — the assignment is a no-op, so the
+    * stored row is untouched, matching DO NOTHING semantics without
+    * IGNORE's blanket error suppression). */
+  def mysqlUpsertKeepSql(table: String, columns: Seq[String],
+      pk: Seq[String]): UpsertStatement = {
+    checkPk(columns, pk)
+    val placeholders = Seq.fill(columns.size)("?").mkString(", ")
+    val keep = pk.map(c => s"$c = $table.$c").mkString(", ")
+    UpsertStatement(
+      s"INSERT INTO $table (${columns.mkString(", ")}) VALUES ($placeholders) " +
+        s"ON DUPLICATE KEY UPDATE $keep",
+      columns.indices)
+  }
+
   /** ANSI-ish dialect for databases without ON CONFLICT (Derby, DB2):
     * `INSERT ... SELECT ... WHERE NOT EXISTS (pk probe)`. Within one
     * transaction batch rows execute in order, so intra-batch duplicates

@@ -112,6 +112,54 @@ class ExtensionsAndCandlesSpec extends SparkSpec {
     assert(kept === Set((1, "a"), (2, "z")), "smallest payload wins the tie")
   }
 
+  test("streaming candles consume the events parquet fixture directly " +
+      "(NTZ ts survives the chain) and match the batch ohlcv oracle") {
+    import org.apache.spark.sql.streaming.Trigger
+    // the exact path a user takes: readStream over the driver's parquet,
+    // whatever timestamp flavor it carries this generation (r7's was NTZ),
+    // normalized once at the ingest edge like Tables.events does for batch
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // the fixture is a bare file; the file-stream source watches a
+    // directory, so stage the unmodified file into one
+    val streamDir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(raw.schema).parquet(streamDir.toString)
+      .select($"event_type".as("series"), $"ts".cast("timestamp").as("ts"),
+        $"event_id".as("seq"), $"value".as("price"))
+      .withWatermark("ts", "0 seconds").as[Tick]
+    val q = StreamingCandles.candles(spark, stream)
+      .writeStream.format("memory").queryName("fixture_candles")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally {
+      q.stop()
+      java.nio.file.Files.delete(streamDir.resolve("events.parquet"))
+      java.nio.file.Files.delete(streamDir)
+    }
+    val got = spark.table("fixture_candles").as[Candle].collect()
+      .map(c => (c.series, c.day) -> c).toMap
+    assert(got.nonEmpty, "the no-data batch after AvailableNow finalizes full days")
+    val events = graft.core.Tables.events(spark, sfDir)
+    val oracle = graft.operators.TimeSeriesOps
+      .ohlcv(events, "event_type", "ts", "value", "event_id")
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[String]("bucket")) ->
+        (r.getAs[Double]("open"), r.getAs[Double]("high"), r.getAs[Double]("low"),
+          r.getAs[Double]("close"), r.getAs[Double]("volume"), r.getAs[Long]("n"))).toMap
+    // every day whose end the watermark passed must have emitted, and match
+    val maxDay = oracle.keys.map(_._2).max
+    val expectedKeys = oracle.keys.filter(_._2 < maxDay).toSet
+    assert(got.keySet === expectedKeys,
+      s"all full days finalize exactly once (max fixture day $maxDay stays open)")
+    got.foreach { case (key, c) =>
+      val (o, h, l, cl, v, n) = oracle(key)
+      assert(c.open === o && c.high === h && c.low === l && c.close === cl && c.n === n,
+        s"candle $key diverged from batch ohlcv")
+      assert(math.abs(c.volume - v) <= 1e-9 * math.max(1.0, math.abs(v)),
+        s"volume $key: streaming fold vs batch sum beyond fp tolerance")
+    }
+  }
+
   test("streaming candles finalize per day with deterministic open/close") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = Timestamp.valueOf(s)

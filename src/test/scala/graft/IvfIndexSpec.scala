@@ -332,5 +332,17 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.compact(spark, dir)
     assert(fs.exists(live) && !fs.exists(old))
     assert(probeRows() === expected)
+    // the delete branch of StagedSwap.recover at the real layout: compact
+    // crashed MID-tmp-write (task files present, committer `_SUCCESS`
+    // absent) after staging live aside — the truncated tmp must be
+    // discarded, never promoted, and old restored as live
+    assert(FileUtil.copy(fs, live, fs, tmp, false, conf))
+    fs.delete(new Path(tmp, "_SUCCESS"), false)
+    assert(fs.rename(live, old))
+    assert(!fs.exists(live) && fs.exists(tmp) && fs.exists(old))
+    IvfIndex.compact(spark, dir)
+    assert(fs.exists(live) && !fs.exists(tmp) && !fs.exists(old))
+    assert(probeRows() === expected,
+      "old restored; the _SUCCESS-less tmp was deleted, not promoted")
   }
 }

@@ -23,6 +23,33 @@ class JdbcUpsertSpec extends SparkSpec {
     }
   }
 
+  test("dialect seam: generated SQL per dialect over the same (table, columns, pk)") {
+    val (t, cols, pk) = ("daily_candles",
+      Seq("market", "candle_date_time_kst", "trade_price"),
+      Seq("market", "candle_date_time_kst"))
+    val pg = JdbcUpsert.postgresUpsertIgnore(t, cols, pk)
+    assert(pg.sql.endsWith("ON CONFLICT (market, candle_date_time_kst) DO NOTHING"))
+    assert(pg.bindCols === Seq(0, 1, 2), "each column binds exactly once")
+    val my = JdbcUpsert.mysqlUpsertIgnore(t, cols, pk)
+    assert(my.sql === "INSERT IGNORE INTO daily_candles " +
+      "(market, candle_date_time_kst, trade_price) VALUES (?, ?, ?)")
+    assert(my.bindCols === Seq(0, 1, 2))
+    val myKeep = JdbcUpsert.mysqlUpsertKeepSql(t, cols, pk)
+    assert(myKeep.sql === "INSERT INTO daily_candles " +
+      "(market, candle_date_time_kst, trade_price) VALUES (?, ?, ?) " +
+      "ON DUPLICATE KEY UPDATE market = daily_candles.market, " +
+      "candle_date_time_kst = daily_candles.candle_date_time_kst")
+    assert(myKeep.bindCols === Seq(0, 1, 2))
+    val derby = JdbcUpsert.derbyUpsertIgnore(t, cols,
+      Seq("VARCHAR(16)", "TIMESTAMP", "DOUBLE"), pk)
+    assert(derby.sql.contains("WHERE NOT EXISTS"))
+    assert(derby.bindCols === Seq(0, 1, 2, 0, 1),
+      "NOT-EXISTS probe re-binds the pk columns after the value list")
+    // pk-not-in-columns rejected uniformly across dialects
+    intercept[IllegalArgumentException](JdbcUpsert.mysqlUpsertIgnore("t", Seq("a"), Seq("b")))
+    intercept[IllegalArgumentException](JdbcUpsert.mysqlUpsertKeepSql("t", Seq("a"), Seq("b")))
+  }
+
   /** Recording fake of Connection + PreparedStatement via dynamic proxy. */
   private class Recorder {
     val events = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -34,6 +34,20 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("HLL band holds at sf0.1 on events (the bench-scale contract, " +
+      "q108's band at the sweep's data scale)") {
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.1")
+    val cols = Seq("event_id", "user_id", "event_type")
+    val exact = Profile.profile(ev, cols, exact = true)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = Profile.profile(ev, cols)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    exact.foreach { case (c, n) =>
+      assert(math.abs(approx(c) - n) <= math.max(1L, (n * 0.1).toLong),
+        s"$c at sf0.1: approx ${approx(c)} vs exact $n")
+    }
+  }
+
   test("the approx plan is expansion-free; the exact plan pays Expand") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val approxPlan = Profile.profile(docs, Seq("doc_id", "lang", "source"))

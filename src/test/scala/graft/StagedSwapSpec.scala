@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.StagedSwap
@@ -16,14 +17,26 @@ import graft.operators.StagedSwap
   * first-materialization branches where promoting a truncated write would
   * silently surface partial data.
   */
-class StagedSwapSpec extends AnyFunSuite {
+class StagedSwapSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val roots = scala.collection.mutable.ListBuffer.empty[Path]
 
   private def fixture(): (FileSystem, Path, Path, Path) = {
     val root = Files.createTempDirectory("staged_swap").toString
     val live = new Path(s"$root/live")
     val tmp = new Path(s"$root/live_tmp")
     val old = new Path(s"$root/live_old")
-    (live.getFileSystem(new Configuration()), live, tmp, old)
+    val fs = live.getFileSystem(new Configuration())
+    roots.synchronized { roots += new Path(root) }
+    (fs, live, tmp, old)
+  }
+
+  override def afterAll(): Unit = {
+    roots.synchronized {
+      roots.foreach(r => r.getFileSystem(new Configuration()).delete(r, true))
+      roots.clear()
+    }
+    super.afterAll()
   }
 
   private def writeDir(fs: FileSystem, dir: Path, files: (String, String)*): Unit = {
@@ -91,6 +104,16 @@ class StagedSwapSpec extends AnyFunSuite {
     StagedSwap.recover(fs, live, tmp, old)
     assert(readFile(fs, new Path(live, "part-00000")) === "new copy",
       "tmp is complete and newer; it wins over old")
+    assert(!fs.exists(tmp) && !fs.exists(old))
+  }
+
+  test("unmarked tmp beside old (unreachable from swap) restores old, discards tmp") {
+    val (fs, live, tmp, old) = fixture()
+    writeDir(fs, tmp, "part-00000" -> "no success marker")
+    writeDir(fs, old, "part-00000" -> "original")
+    StagedSwap.recover(fs, live, tmp, old)
+    assert(readFile(fs, new Path(live, "part-00000")) === "original",
+      "a _SUCCESS-less tmp is never promoted, even beside old")
     assert(!fs.exists(tmp) && !fs.exists(old))
   }
 
