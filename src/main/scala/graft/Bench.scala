@@ -48,7 +48,12 @@ object Bench {
     "q79_best_keeper" -> 2.9,
     "q87_soft_dedup" -> 2.7,
     "q82_kmeans_semdedup" -> 1.7,
-    "q81_kmeans" -> 1.0)
+    "q81_kmeans" -> 1.0,
+    // round-6 additions, anchored from the clean r8 sweep (isolated
+    // re-measures matched — structurally heavy: q104 is two power
+    // iterations, q107 chains q60's fuzzy pairs + connected components)
+    "q104_pagerank" -> 3.5,
+    "q107_survivorship" -> 4.1)
   private val defaultAnchorSec = 1.0
   // overridable for local testing of the rerun path (driver never sets it)
   private val suspectFactor =
