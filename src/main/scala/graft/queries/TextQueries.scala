@@ -1195,6 +1195,47 @@ object TextQueries extends QueryModule {
       |SELECT doc_id, n_bigrams, sum_logprob
       |FROM perdoc ORDER BY doc_id""".stripMargin
 
+  /** DSIR importance weights (north star): unigram bag models over the
+    * English slice (target) and the whole corpus (raw), every document
+    * weighed by Σ ln p_T(w) − ln p_R(w) — the importance-resampling
+    * selection signal. Engine: hashed-token counts + broadcast joins +
+    * exact-decimal per-doc sum (operators/Dsir, no token string ever
+    * shuffles); oracle: string-keyed counts and the same differenced
+    * ln under the q56 decimal discipline — independent keying. */
+  private def q109DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    graft.operators.Dsir.weighAgainst(
+        docs, docs.filter($"lang" === "en"), "doc_id", "text", addK = 0.5)
+      .select($"doc_id", $"n_tokens", $"sum_logratio")
+      .orderBy($"doc_id")
+  }
+
+  private val q109Sql =
+    """WITH words AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |ct AS (SELECT w, COUNT(*) AS c FROM words WHERE lang = 'en' GROUP BY 1),
+      |cr AS (SELECT w, COUNT(*) AS c FROM words GROUP BY 1),
+      |nt AS (SELECT COUNT(*) AS n FROM words WHERE lang = 'en'),
+      |nr AS (SELECT COUNT(*) AS n FROM words),
+      |v AS (SELECT COUNT(DISTINCT w) AS v FROM words),
+      |lp_scored AS (
+      |  SELECT wo.doc_id,
+      |    ln((COALESCE(ct.c, 0) + 0.5) / (nt.n + 0.5 * v.v)) -
+      |    ln((COALESCE(cr.c, 0) + 0.5) / (nr.n + 0.5 * v.v)) AS lp
+      |  FROM words wo
+      |  LEFT JOIN ct ON wo.w = ct.w
+      |  LEFT JOIN cr ON wo.w = cr.w
+      |  CROSS JOIN nt CROSS JOIN nr CROSS JOIN v),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |    CAST(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+      |      AS sum_logratio
+      |  FROM lp_scored GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, sum_logratio
+      |FROM perdoc ORDER BY doc_id""".stripMargin
+
   /** Gopher-style hard quality gates (north star): word-count bounds,
     * mean-word-length bounds, alphabetic fraction, stopword minimum. The
     * engine evaluates every rule in INTEGER-exact cross-multiplied form
@@ -1815,6 +1856,8 @@ object TextQueries extends QueryModule {
       "Gopher hard quality gates in integer-exact rule arithmetic (north star)"),
     Q("q56_lm_score", q56LmScore, Some(q56Sql),
       "add-k bigram LM quality scoring: hashed-gram engine vs string-keyed oracle (north star)"),
+    Q("q109_dsir_weights", q109DsirWeights, Some(q109Sql),
+      "DSIR importance weights: target/raw unigram log-ratio per doc (north star)"),
     Q("q57_line_dedup", q57LineDedup, Some(q57Sql),
       "corpus boilerplate line removal: hashed-df hot set + narrow rebuild vs relational oracle (north star)"),
     Q("q53_dup_clusters", q53DupClusters, Some(q53Sql),
