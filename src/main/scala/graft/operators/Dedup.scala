@@ -532,9 +532,17 @@ object Dedup {
     * ≤ 1 error. The exact hamming filter sits in the same stage, so the
     * output is precisely the hamming ≤ maxHamming pair set. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhash(docs, idCol, textCol).cache(), idCol, "simhash", maxHamming)
+
+  /** The covering-code band join itself, over an arbitrary 64-bit
+    * fingerprint column: all (id_a < id_b) pairs within `maxHamming`
+    * bits, one row each. Exposed separately so the banding math is
+    * testable against brute force on synthetic fingerprints and reusable
+    * for non-SimHash 64-bit sketches. */
+  def hammingPairs(fps: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15, "maxHamming must be in [0, 15]")
-    val fps = simhash(docs, idCol, textCol).cache()
     val nChunks = maxHamming / 2 + 1
     // balanced widths (64%n chunks of ceil, the rest floor): an all-ceil
     // split would leave the last chunk with the remainder — a narrow
@@ -546,7 +554,7 @@ object Dedup {
     val offsets = widths.scanLeft(0)(_ + _)
     def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
     def chunkExpr(c: Int): Column =
-      shiftrightunsigned(col("simhash"), offsets(c)).bitwiseAND(lit(mask(widths(c))))
+      shiftrightunsigned(col(fpCol), offsets(c)).bitwiseAND(lit(mask(widths(c))))
     // probe side: exact chunk values only
     val exactChunks = (0 until nChunks).map(c =>
       struct(lit(c).as("chunk_idx"), chunkExpr(c).as("chunk")))
@@ -556,10 +564,10 @@ object Dedup {
       (base +: (0 until widths(c)).map(i => base.bitwiseXOR(lit(1L << i))))
         .map(v => struct(lit(c).as("chunk_idx"), v.as("chunk")))
     }
-    val probe = fps.select(col(idCol).as("id_a"), col("simhash").as("fp_a"),
+    val probe = fps.select(col(idCol).as("id_a"), col(fpCol).as("fp_a"),
         explode(array(exactChunks: _*)).as("b"))
       .select(col("id_a"), col("fp_a"), col("b.chunk_idx"), col("b.chunk"))
-    val build = fps.select(col(idCol).as("id_b"), col("simhash").as("fp_b"),
+    val build = fps.select(col(idCol).as("id_b"), col(fpCol).as("fp_b"),
         explode(array(variantStructs: _*)).as("b"))
       .select(col("id_b"), col("fp_b"), col("b.chunk_idx"), col("b.chunk"))
     val xorFp = col("fp_a").bitwiseXOR(col("fp_b"))

@@ -90,6 +90,59 @@ object StreamingJobs {
         graft.sinks.Sinks.upsertIgnoreParquet(batch, path, keys)
       }
 
+  /** Continuous-ingest NEAR-dup gate — the streaming face of the
+    * persisted MinHash index ([[graft.operators.MinHashIndex]]): per
+    * micro-batch, (1) drop every arriving doc that near-duplicates the
+    * standing corpus via the index probe, (2) resolve intra-batch
+    * near-dup clusters (two copies arriving in the SAME batch both pass
+    * the probe) with the exact screen-and-verify pair stage plus a
+    * min-id-per-component keeper, (3) emit the survivors idempotently,
+    * and (4) append them to the index so the NEXT batch probes against
+    * them. Watermark content dedup ([[dedupByContent]]) catches exact
+    * redelivery cheaply upstream; this gate catches the near-miss copies
+    * (re-crawls, boilerplate-trimmed rescrapes) those digests miss.
+    *
+    * Crash story (foreachBatch is at-least-once): the output write is an
+    * idempotent keyed upsert and runs BEFORE the index append — a batch
+    * replay after a crash between the two re-probes against an index
+    * that does NOT yet contain the batch (so nothing is wrongly "seen"),
+    * recomputes the same survivors, and the upsert absorbs the rewrite.
+    * The append can at worst duplicate signature rows, which never
+    * changes a probe verdict (candidates are distinct-ed) and is cleaned
+    * by [[graft.operators.MinHashIndex.compact]] on the maintenance
+    * cadence. Single-writer contract: one such stream per index path.
+    *
+    * Cache note: the dedup operators cache their signature subplans
+    * (the documented Dedup contract); a long-lived stream clears the
+    * session cache per batch so entries don't accumulate — the default
+    * assumes a dedicated streaming application owning its session, the
+    * standard deployment. Pass `clearCachePerBatch = false` when the
+    * session is shared (tests, notebooks) and accept the small leak. */
+  def dedupOnArrival(stream: DataFrame, idCol: String, textCol: String,
+      indexPath: String, outPath: String, checkpoint: String,
+      minJac: Double = 0.5, clearCachePerBatch: Boolean = true): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = graft.operators.MinHashIndex.dropSeenNearDups(
+          batch, idCol, textCol, indexPath, minJac).persist()
+        try {
+          val pairs = graft.operators.Dedup.minhashNearDupPairs(
+            fresh, idCol, textCol, minJac = minJac)
+          val losers = graft.operators.Components
+            .connectedComponents(pairs, "id_a", "id_b")
+            .filter(col("node") =!= col("component"))
+            .select(col("node").as(idCol))
+          val kept = fresh.join(losers, Seq(idCol), "left_anti")
+          graft.sinks.Sinks.upsertIgnoreParquet(kept, outPath, Seq(idCol))
+          graft.operators.MinHashIndex.append(kept, idCol, textCol, indexPath)
+        } finally {
+          fresh.unpersist()
+          if (clearCachePerBatch) spark.catalog.clearCache()
+        }
+      }
+
   /** Stream-static enrichment join: per micro-batch broadcast-hash join
     * against a (small) dimension table — no state store involved. */
   def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =

@@ -367,4 +367,29 @@ class DedupSpec extends SparkSpec {
     val s2 = Dedup.minhashSignatures(docs.limit(20), "doc_id", "text").collect()
     assert(s1.map(_.toSeq).toSet === s2.map(_.toSeq).toSet)
   }
+
+  test("hammingPairs == brute force at every radius on adversarial fingerprints") {
+    // clustered fingerprints: bases plus perturbations at controlled bit
+    // distances, so every radius has pairs just inside AND just outside
+    val rnd = new scala.util.Random(42)
+    val bases = Seq.fill(8)(rnd.nextLong())
+    val fps = bases.zipWithIndex.flatMap { case (b, bi) =>
+      (0 until 18).map { j =>
+        var v = b
+        val flips = rnd.nextInt(17) // 0..16 bit flips from the base
+        (0 until flips).foreach(_ => v ^= 1L << rnd.nextInt(64))
+        (bi * 100L + j, v)
+      }
+    } :+ (9999L, bases.head) // an exact duplicate of one base's first row
+    val df = fps.toDF("id", "fp")
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+    } yield (ia, ib, java.lang.Long.bitCount(fa ^ fb))).toSet
+    for (h <- Seq(0, 1, 3, 7, 12, 15)) {
+      val got = Dedup.hammingPairs(df, "id", "fp", h)
+        .as[(Long, Long, Int)].collect().toSet
+      val want = brute.filter(_._3 <= h)
+      assert(got === want, s"radius $h: got ${got.size}, want ${want.size}")
+    }
+  }
 }

@@ -30,6 +30,43 @@ class MinHashIndexSpec extends SparkSpec {
     dir
   }
 
+  test("dedupOnArrival: probe drop, intra-batch keeper, index learns each batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def nearCopy(seed: String): String = {
+      val base = words(seed, 40).split(" ")
+      (base.take(20) :+ "CHANGED").++(base.drop(21)).mkString(" ")
+    }
+    val dir = Files.createTempDirectory("mh_stream").toString
+    val (idx, out, ckpt) = (s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    MinHashIndex.save(corpus, "doc_id", "text", idx)
+    val source = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs.dedupOnArrival(
+        source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idx, out, ckpt, clearCachePerBatch = false)
+      .start()
+    try {
+      source.addData(
+        (201L, words("c1", 40)),       // verbatim copy of corpus doc 1
+        (202L, nearCopy("c2")),        // near-copy of corpus doc 2
+        (203L, words("freshA", 40)),   // genuinely new
+        (204L, nearCopy("freshA")),    // intra-batch near-dup of 203
+        (205L, words("freshB", 40)))   // genuinely new
+      q.processAllAvailable()
+      val out1 = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+      assert(out1 === Set(203L, 205L),
+        "corpus dups probe-dropped; intra-batch cluster keeps the min id")
+      // the next batch probes against an index that LEARNED batch 1
+      source.addData(
+        (301L, nearCopy("freshA")),    // near-dups doc 203, accepted last batch
+        (302L, words("freshC", 40)))   // genuinely new
+      q.processAllAvailable()
+      val out2 = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+      assert(out2 === Set(203L, 205L, 302L),
+        "the index absorbed batch 1's survivors before batch 2 probed")
+    } finally q.stop()
+  }
+
   test("probe finds verbatim and near-copies, not fresh docs") {
     val hits = MinHashIndex.probe(batch, "doc_id", "text", indexPath,
         minEstJac = 0.5)
