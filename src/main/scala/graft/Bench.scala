@@ -30,7 +30,8 @@ object Bench {
     * measures well under a second clean, so 3 s+ is already suspicious. */
   private val anchorSec: Map[String, Double] = Map(
     "q77_training_flow" -> 6.0,
-    "q67_simhash_screen" -> 7.0,
+    // r8: covering-code band join halved the screen; was 7.0
+    "q67_simhash_screen" -> 4.2,
     "q71_index_screen_recall" -> 4.5,
     "q53_dup_clusters" -> 3.9,
     "q60_fuzzy_names" -> 3.9,
@@ -53,7 +54,10 @@ object Bench {
     // re-measures matched — structurally heavy: q104 is two power
     // iterations, q107 chains q60's fuzzy pairs + connected components)
     "q104_pagerank" -> 3.5,
-    "q107_survivorship" -> 4.1)
+    "q107_survivorship" -> 4.1,
+    // round-8 additions (clean r8 min-of-two)
+    "q109_dsir_weights" -> 1.1,
+    "q110_dsir_select" -> 2.7)
   private val defaultAnchorSec = 1.0
   // overridable for local testing of the rerun path (driver never sets it)
   private val suspectFactor =

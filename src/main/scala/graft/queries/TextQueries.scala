@@ -1236,6 +1236,58 @@ object TextQueries extends QueryModule {
       |SELECT doc_id, n_tokens, sum_logratio
       |FROM perdoc ORDER BY doc_id""".stripMargin
 
+  /** DSIR selection composed end-to-end (north star): q109's importance
+    * weights ranked per language and cut at the top quarter by
+    * sum_logratio / n_tokens — the full select-like-the-target flow
+    * (weights → no-sort histogram selection) under ONE hash. The oracle
+    * replays the weights relationally (q109's CTEs) and restates the
+    * histogram selection as the naive window-rank formulation — the q83
+    * discipline applied to the DSIR signal. */
+  private def q110DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val weighted = graft.operators.Dsir.weighAgainst(
+        docs, docs.filter($"lang" === "en"), "doc_id", "text", addK = 0.5)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .withColumn("avg_logratio", $"sum_logratio" / $"n_tokens")
+    graft.operators.Sampling.topFractionByScore(
+        weighted, "doc_id", "avg_logratio", "lang", fraction = 0.25)
+      .select($"doc_id", $"lang", $"n_tokens", $"sum_logratio")
+      .orderBy($"doc_id")
+  }
+
+  private val q110Sql =
+    """WITH words AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |ct AS (SELECT w, COUNT(*) AS c FROM words WHERE lang = 'en' GROUP BY 1),
+      |cr AS (SELECT w, COUNT(*) AS c FROM words GROUP BY 1),
+      |nt AS (SELECT COUNT(*) AS n FROM words WHERE lang = 'en'),
+      |nr AS (SELECT COUNT(*) AS n FROM words),
+      |v AS (SELECT COUNT(DISTINCT w) AS v FROM words),
+      |lp_scored AS (
+      |  SELECT wo.doc_id,
+      |    ln((COALESCE(ct.c, 0) + 0.5) / (nt.n + 0.5 * v.v)) -
+      |    ln((COALESCE(cr.c, 0) + 0.5) / (nr.n + 0.5 * v.v)) AS lp
+      |  FROM words wo
+      |  LEFT JOIN ct ON wo.w = ct.w
+      |  LEFT JOIN cr ON wo.w = cr.w
+      |  CROSS JOIN nt CROSS JOIN nr CROSS JOIN v),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |    CAST(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+      |      AS sum_logratio
+      |  FROM lp_scored GROUP BY doc_id),
+      |r AS (
+      |  SELECT p.doc_id, d.lang, p.n_tokens, p.sum_logratio,
+      |    row_number() OVER (PARTITION BY d.lang
+      |      ORDER BY p.sum_logratio / p.n_tokens DESC, p.doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY d.lang) AS n
+      |  FROM perdoc p JOIN documents d USING (doc_id))
+      |SELECT doc_id, lang, n_tokens, sum_logratio FROM r
+      |WHERE rn <= CAST(ceil(n * 0.25) AS BIGINT)
+      |ORDER BY doc_id""".stripMargin
+
   /** Gopher-style hard quality gates (north star): word-count bounds,
     * mean-word-length bounds, alphabetic fraction, stopword minimum. The
     * engine evaluates every rule in INTEGER-exact cross-multiplied form
@@ -1858,6 +1910,8 @@ object TextQueries extends QueryModule {
       "add-k bigram LM quality scoring: hashed-gram engine vs string-keyed oracle (north star)"),
     Q("q109_dsir_weights", q109DsirWeights, Some(q109Sql),
       "DSIR importance weights: target/raw unigram log-ratio per doc (north star)"),
+    Q("q110_dsir_select", q110DsirSelect, Some(q110Sql),
+      "DSIR selection end to end: weights -> per-language top quarter, histogram plan vs window oracle (north star)"),
     Q("q57_line_dedup", q57LineDedup, Some(q57Sql),
       "corpus boilerplate line removal: hashed-df hot set + narrow rebuild vs relational oracle (north star)"),
     Q("q53_dup_clusters", q53DupClusters, Some(q53Sql),
