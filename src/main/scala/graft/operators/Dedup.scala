@@ -217,6 +217,72 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact shingle-containment pairs: C(A→B) = |A∩B| / |A| >= minContain
+    * with A ≠ B. Output: (id_a = the CONTAINED doc, id_b = the container,
+    * containment, na, nb), both directions evaluated independently.
+    *
+    * The asymmetric dedup semantic JACCARD structurally misses: a short
+    * article quoted whole inside a long page, a shard concatenated into a
+    * bundle, a boilerplate-wrapped rescrape — |A∩B|/|A∪B| is tiny when
+    * nb >> na even though A is a verbatim copy, so neither the Jaccard
+    * verifier nor the MinHash/SimHash screens (which target Jaccard-like
+    * similarity) can find it. Containment is the signal the
+    * dedup-the-quotes / drop-subsumed-documents pass needs.
+    *
+    * Scale shape — the [[ppjoinJaccardPairs]] prefix discipline made
+    * one-sided: under the ascending-document-frequency total order, a
+    * contained doc missing ALL of its first ⌊(1−t)·na⌋+1 prefix shingles
+    * from B has |A∩B| ≤ na − (⌊(1−t)·na⌋+1) < t·na — so candidates join
+    * A's PREFIX shingles (rarest first, hot near-stopword shingles never
+    * seed candidates) against the container side's full shingle set; no
+    * length filter exists for containment (the container may be any
+    * size, that's the point). Verification is the same candidate-
+    * restricted intersection count as the Jaccard path, over (id,
+    * 8-byte hash) exchanges only. Worst case remains proportional to the
+    * true answer: a corpus of near-identical docs has quadratically many
+    * qualifying pairs no matter the algorithm.
+    *
+    * The float slack errs LONGER on the prefix (floor(x + 1e-9) + 1), the
+    * lossless direction, mirroring the Jaccard prefix bound's slack. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minContain: Double = 0.8): DataFrame = {
+    require(minContain > 0.0 && minContain <= 1.0,
+      s"minContain must be in (0, 1], got $minContain")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sid")).orderBy(col("df").asc, col("shingle").asc)
+    val sh = shingles(docs, idCol, textCol, n).cache()
+    val counts = sh.groupBy("sid").agg(count(lit(1)).as("n_sh"))
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefixes = sh.join(df, "shingle")
+      .withColumn("pos", row_number().over(w))
+      .withColumn("n_sh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sid"))))
+      .filter(col("pos") <=
+        floor(lit(1.0 - minContain) * col("n_sh") + 1e-9) + 1)
+      .select(col("sid"), col("shingle"))
+    // one-directional length bound: |A∩B| <= min(na, nb), so a container
+    // smaller than t*na can never qualify — kills the big-A/small-B
+    // direction before its shingle sets are ever fetched (same float
+    // slack discipline: erring toward KEEPING the candidate)
+    val cands = prefixes.select(col("sid").as("id_a"), col("shingle"))
+      .join(sh.select(col("sid").as("id_b"), col("shingle")), "shingle")
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+      .join(counts.withColumnRenamed("sid", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+      .join(counts.withColumnRenamed("sid", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+      .filter(col("nb") >= lit(minContain) * col("na") - 1e-9)
+    val inter = cands
+      .join(sh.select(col("sid").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("sid").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b", "na", "nb").agg(count(lit(1)).as("i"))
+    inter
+      .filter(col("i").cast("double") / col("na") >= minContain)
+      .select(col("id_a"), col("id_b"),
+        round(col("i").cast("double") / col("na"), 6).as("containment"),
+        col("na"), col("nb"))
+  }
+
   /** MinHash signature: k permutation-mins h_i(s) = (a_i * x + b_i) mod p
     * over xxhash64 shingle hashes (p = 2^31-1 keeps the arithmetic within a
     * signed long). One codegen expression per row

@@ -1195,6 +1195,42 @@ object TextQueries extends QueryModule {
       |SELECT doc_id, n_bigrams, sum_logprob
       |FROM perdoc ORDER BY doc_id""".stripMargin
 
+  /** Shingle-containment pairs (north star): the asymmetric subsumed-
+    * document signal — |A∩B|/|A| per directed pair, the dedup semantic
+    * Jaccard misses when a short doc is quoted whole inside a long one.
+    * Engine: one-sided df-ascending prefix filter + candidate-restricted
+    * intersection (operators/Dedup.containmentPairs); oracle: the naive
+    * all-pairs shingle join with the same ratio. */
+  private def q111Containment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.containmentPairs(Tables.documents(spark, dir),
+        "doc_id", "text", n = 3, minContain = 0.7)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val q111Sql =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w || ' ' || lead(w, 1) OVER o || ' ' || lead(w, 2) OVER o AS shingle
+      |  FROM words WINDOW o AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY shingle IS NOT NULL),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(CAST(i AS DOUBLE) / ca.n, 6) AS containment,
+      |  ca.n AS na, cb.n AS nb
+      |FROM inter
+      |JOIN cnt ca ON ca.doc_id = id_a
+      |JOIN cnt cb ON cb.doc_id = id_b
+      |WHERE CAST(i AS DOUBLE) / ca.n >= 0.7
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** DSIR importance weights (north star): unigram bag models over the
     * English slice (target) and the whole corpus (raw), every document
     * weighed by Σ ln p_T(w) − ln p_R(w) — the importance-resampling
@@ -1912,6 +1948,8 @@ object TextQueries extends QueryModule {
       "DSIR importance weights: target/raw unigram log-ratio per doc (north star)"),
     Q("q110_dsir_select", q110DsirSelect, Some(q110Sql),
       "DSIR selection end to end: weights -> per-language top quarter, histogram plan vs window oracle (north star)"),
+    Q("q111_containment", q111Containment, Some(q111Sql),
+      "asymmetric shingle containment pairs: one-sided prefix filter vs all-pairs oracle (north star)"),
     Q("q57_line_dedup", q57LineDedup, Some(q57Sql),
       "corpus boilerplate line removal: hashed-df hot set + narrow rebuild vs relational oracle (north star)"),
     Q("q53_dup_clusters", q53DupClusters, Some(q53Sql),

@@ -368,6 +368,46 @@ class DedupSpec extends SparkSpec {
     assert(s1.map(_.toSeq).toSet === s2.map(_.toSeq).toSet)
   }
 
+  test("containmentPairs catches a quoted doc that Jaccard misses") {
+    val small = (1 to 10).map(i => s"s$i").mkString(" ")          // 8 trigrams
+    val big = ((1 to 10).map(i => s"s$i") ++ (1 to 60).map(i => s"b$i")).mkString(" ")
+    val corpus = Seq((1L, small), (2L, big),
+      (3L, (1 to 40).map(i => s"o$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(corpus, "doc_id", "text", minContain = 0.8)
+      .as[(Long, Long, Double, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)),
+      "only small-inside-big qualifies, and only in that direction")
+    assert(pairs.head._3 === 1.0, "the quote is verbatim: containment 1.0")
+    // the same pair under Jaccard: 8 shared / (8 + 68 - 8) ~= 0.12 — missed
+    val jac = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", minJac = 0.5)
+    assert(jac.count() === 0, "Jaccard at any sane threshold misses the quote")
+  }
+
+  test("containmentPairs == brute force over the generated corpus") {
+    val rnd = new scala.util.Random(7)
+    // 60 docs over a small vocab so partial overlaps are common
+    val corpus = (1 to 60).map { i =>
+      val len = 6 + rnd.nextInt(20)
+      (i.toLong, (0 until len).map(_ => s"w${rnd.nextInt(30)}").mkString(" "))
+    }.toDF("doc_id", "text").cache()
+    def bruteSets: Map[Long, Set[Seq[String]]] = corpus.as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.split(" ").toSeq.sliding(3).filter(_.size == 3).map(_.toSeq).toSet
+      }.toMap
+    val sets = bruteSets
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if ia != ib && sa.nonEmpty
+        i = (sa intersect sb).size
+        if i.toDouble / sa.size >= t
+      } yield (ia, ib)).toSet
+      val got = Dedup.containmentPairs(corpus, "doc_id", "text", minContain = t)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(got === want, s"threshold $t: got ${got.size}, want ${want.size}")
+    }
+  }
+
   test("hammingPairs == brute force at every radius on adversarial fingerprints") {
     // clustered fingerprints: bases plus perturbations at controlled bit
     // distances, so every radius has pairs just inside AND just outside
