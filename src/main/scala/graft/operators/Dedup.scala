@@ -9,7 +9,7 @@ import graft.functions.expressions.SketchExpressions.minhash_sig
 import graft.functions.expressions.ShingleHashes.shingle_hashes
 
 /** Document deduplication operators for training-data pipelines:
-  * exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash, containment.
   *
   * Scale design (the point of each variant):
   *  - exact:   one hash-groupBy shuffle on a 32-byte digest, never on the
@@ -20,9 +20,14 @@ import graft.functions.expressions.ShingleHashes.shingle_hashes
   *  - minhash: constant-size signature per doc (k mins), LSH banding turns
   *             all-pairs into groupBy(band) — linear shuffle volume, no
   *             cross join anywhere. The 100 TB path.
-  *  - simhash: single 64-bit fingerprint per doc; band the 64 bits into
-  *             16-bit chunks for candidate generation (hamming <= 3 ⇒ at
-  *             least one of 4 chunks equal, by pigeonhole).
+  *  - simhash: single 64-bit fingerprint per doc; covering-code band join
+  *             into ⌊maxHamming/2⌋+1 chunks, each tolerating one error via
+  *             1-bit flip expansion on the build side (see
+  *             [[hammingPairs]] for the pigeonhole argument) — exact over
+  *             hamming distance, wide buckets, no distinct.
+  *  - containment: asymmetric |A∩B|/|A| pairs via a one-sided
+  *             ascending-df prefix filter — the subsumed-document signal
+  *             Jaccard misses.
   *
   * Cache contract: the multi-pass operators (jaccard, minhash, simhash
   * pairs) cache intermediates that their own plan consumes more than once
@@ -162,6 +167,39 @@ object Dedup {
     else
       ppjoinJaccardPairs(docs, idCol, textCol, n, minJac)
 
+  /** Per-doc ascending-document-frequency prefix shingles — the shared
+    * candidate-seeding stage of [[ppjoinJaccardPairs]] and
+    * [[containmentPairs]]: each doc keeps its `prefixLen(n_sh)` rarest
+    * shingles under the global (df, shingle) total order, so hot
+    * near-stopword shingles never seed candidates. `prefixLen` owns the
+    * lossless-bound arithmetic INCLUDING its float slack (the slack
+    * direction differs per similarity: err LONGER). Output:
+    * (sid, shingle, n_sh). */
+  private def dfAscendingPrefix(sh: DataFrame,
+      prefixLen: Column => Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sid")).orderBy(col("df").asc, col("shingle").asc)
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(df, "shingle")
+      .withColumn("pos", row_number().over(w))
+      .withColumn("n_sh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sid"))))
+      .filter(col("pos") <= prefixLen(col("n_sh")))
+      .select(col("sid"), col("shingle"), col("n_sh"))
+  }
+
+  /** Candidate-restricted intersection counts — the shared verify stage:
+    * |shingles(A) ∩ shingles(B)| per candidate (id_a, id_b) pair, with
+    * `carry` columns riding through the aggregate. Only (id, 8-byte
+    * hash) rows enter the exchanges. */
+  private def intersectionCounts(cands: DataFrame, sh: DataFrame,
+      carry: Seq[String] = Seq.empty): DataFrame =
+    cands
+      .join(sh.select(col("sid").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("sid").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(("id_a" +: "id_b" +: carry).map(col): _*)
+      .agg(count(lit(1)).as("i"))
+
   /** Exact pairwise Jaccard via PPJoin-style prefix filtering — same
     * result as [[ngramJaccardPairs]], different scale shape.
     *
@@ -182,36 +220,22 @@ object Dedup {
     * group's pair explosion. */
   def ppjoinJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJac: Double = 0.5): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("sid")).orderBy(col("df").asc, col("shingle").asc)
     val sh = shingles(docs, idCol, textCol, n).cache()
-    val counts = sh.groupBy("sid").agg(count(lit(1)).as("n_sh"))
-    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val prefixes = sh.join(df, "shingle")
-      .withColumn("pos", row_number().over(w))
-      .withColumn("n_sh", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("sid"))))
-      // the 1e-9 slack keeps float error in t*n from rounding the ceil UP
-      // past the exact integer value, which would shorten the prefix and
-      // silently drop qualifying pairs (longer prefix = safe direction)
-      .filter(col("pos") <=
-        col("n_sh") - ceil(lit(minJac) * col("n_sh") - 1e-9) + 1)
-      .select(col("sid"), col("shingle"), col("n_sh"))
+    // the 1e-9 slack keeps float error in t*n from rounding the ceil UP
+    // past the exact integer value, which would shorten the prefix and
+    // silently drop qualifying pairs (longer prefix = safe direction)
+    val prefixes = dfAscendingPrefix(sh,
+      nSh => nSh - ceil(lit(minJac) * nSh - 1e-9) + 1)
     val cands = prefixes.as("x").join(prefixes.as("y"), "shingle")
       .filter(col("x.sid") < col("y.sid"))
       // length filter: J >= t forces min(na,nb) >= t * max(na,nb);
       // same float slack, erring toward keeping the candidate
       .filter(greatest(col("x.n_sh"), col("y.n_sh")) * minJac - 1e-9 <=
         least(col("x.n_sh"), col("y.n_sh")))
-      .select(col("x.sid").as("id_a"), col("y.sid").as("id_b"))
+      .select(col("x.sid").as("id_a"), col("x.n_sh").as("na"),
+        col("y.sid").as("id_b"), col("y.n_sh").as("nb"))
       .distinct()
-    val inter = cands
-      .join(sh.select(col("sid").as("id_a"), col("shingle")), "id_a")
-      .join(sh.select(col("sid").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
-    inter
-      .join(counts.withColumnRenamed("sid", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
-      .join(counts.withColumnRenamed("sid", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+    intersectionCounts(cands, sh, carry = Seq("na", "nb"))
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= minJac)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -248,18 +272,12 @@ object Dedup {
       n: Int = 3, minContain: Double = 0.8): DataFrame = {
     require(minContain > 0.0 && minContain <= 1.0,
       s"minContain must be in (0, 1], got $minContain")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("sid")).orderBy(col("df").asc, col("shingle").asc)
     val sh = shingles(docs, idCol, textCol, n).cache()
     val counts = sh.groupBy("sid").agg(count(lit(1)).as("n_sh"))
-    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val prefixes = sh.join(df, "shingle")
-      .withColumn("pos", row_number().over(w))
-      .withColumn("n_sh", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("sid"))))
-      .filter(col("pos") <=
-        floor(lit(1.0 - minContain) * col("n_sh") + 1e-9) + 1)
-      .select(col("sid"), col("shingle"))
+    // slack errs LONGER on the prefix (floor(x + 1e-9) + 1), the lossless
+    // direction, mirroring the Jaccard prefix bound's slack
+    val prefixes = dfAscendingPrefix(sh,
+      nSh => floor(lit(1.0 - minContain) * nSh + 1e-9) + 1)
     // one-directional length bound: |A∩B| <= min(na, nb), so a container
     // smaller than t*na can never qualify — kills the big-A/small-B
     // direction before its shingle sets are ever fetched (same float
@@ -272,11 +290,7 @@ object Dedup {
       .join(counts.withColumnRenamed("sid", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
       .join(counts.withColumnRenamed("sid", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
       .filter(col("nb") >= lit(minContain) * col("na") - 1e-9)
-    val inter = cands
-      .join(sh.select(col("sid").as("id_a"), col("shingle")), "id_a")
-      .join(sh.select(col("sid").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b", "na", "nb").agg(count(lit(1)).as("i"))
-    inter
+    intersectionCounts(cands, sh, carry = Seq("na", "nb"))
       .filter(col("i").cast("double") / col("na") >= minContain)
       .select(col("id_a"), col("id_b"),
         round(col("i").cast("double") / col("na"), 6).as("containment"),
@@ -389,11 +403,7 @@ object Dedup {
       .join(counts.select(col("sid").as("id_b"), col("n_sh").as("nb")), "id_b")
       .filter(least(col("na"), col("nb")).cast("double") >=
         lit(minJac) * greatest(col("na"), col("nb")))
-    val inter = sized
-      .join(sh.select(col("sid").as("id_a"), col("shingle")), "id_a")
-      .join(sh.select(col("sid").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b", "na", "nb").agg(count(lit(1)).as("i"))
-    inter
+    intersectionCounts(sized, sh, carry = Seq("na", "nb"))
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= minJac)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))

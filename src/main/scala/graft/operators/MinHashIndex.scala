@@ -127,6 +127,12 @@ object MinHashIndex {
       row.getAs[Long]("seed"))
   }
 
+  /** The index's persisted hash parameters (n, k, bands, seed) — for
+    * callers that must run OTHER minhash machinery consistently with
+    * this index (e.g. the streaming gate's intra-batch pair stage). */
+  def params(spark: SparkSession, path: String): (Int, Int, Int, Long) =
+    meta(spark, path)
+
   /** Probe a batch against the index: every (batch id, corpus id) pair
     * whose estimated Jaccard >= minEstJac, as (idCol, corpus_id,
     * est_jaccard). Hash parameters come from the index's meta. */

@@ -1282,10 +1282,14 @@ object TextQueries extends QueryModule {
   private def q110DsirSelect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
+    // cache at the fan-out: topFractionByScore references its input ~3
+    // times (stats, cells, verdict join) — the q85 discipline, without
+    // which the corpus-wide token explode + model joins run thrice
     val weighted = graft.operators.Dsir.weighAgainst(
         docs, docs.filter($"lang" === "en"), "doc_id", "text", addK = 0.5)
       .join(docs.select($"doc_id", $"lang"), "doc_id")
       .withColumn("avg_logratio", $"sum_logratio" / $"n_tokens")
+      .cache()
     graft.operators.Sampling.topFractionByScore(
         weighted, "doc_id", "avg_logratio", "lang", fraction = 0.25)
       .select($"doc_id", $"lang", $"n_tokens", $"sum_logratio")

@@ -103,13 +103,14 @@ object StreamingJobs {
     * (re-crawls, boilerplate-trimmed rescrapes) those digests miss.
     *
     * Crash story (foreachBatch is at-least-once): the output write is an
-    * idempotent keyed upsert and runs BEFORE the index append — a batch
-    * replay after a crash between the two re-probes against an index
-    * that does NOT yet contain the batch (so nothing is wrongly "seen"),
-    * recomputes the same survivors, and the upsert absorbs the rewrite.
-    * The append can at worst duplicate signature rows, which never
-    * changes a probe verdict (candidates are distinct-ed) and is cleaned
-    * by [[graft.operators.MinHashIndex.compact]] on the maintenance
+    * idempotent keyed upsert and runs BEFORE the index append, and the
+    * probe ignores hits against a doc's OWN id — so a replay after a
+    * crash anywhere (including mid-append, which can leave a PARTIAL
+    * band entry for a batch doc) re-admits the doc, re-upserts the same
+    * output row, and re-appends its full band set. The append can at
+    * worst duplicate signature rows, which never changes a probe verdict
+    * (candidates are distinct-ed) and is cleaned by
+    * [[graft.operators.MinHashIndex.compact]] on the maintenance
     * cadence. Single-writer contract: one such stream per index path.
     *
     * Cache note: the dedup operators cache their signature subplans
@@ -125,11 +126,27 @@ object StreamingJobs {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val fresh = graft.operators.MinHashIndex.dropSeenNearDups(
-          batch, idCol, textCol, indexPath, minJac).persist()
+        // the intra-batch stage must judge near-dups by the SAME hash
+        // parameters the index was built with, or same-batch and
+        // cross-batch copies get two different similarity measures
+        val (n, k, bands, seed) =
+          graft.operators.MinHashIndex.params(spark, indexPath)
+        // replay-safe probe: a crashed prior attempt may have appended
+        // PART of this very batch's band rows before dying — a hit
+        // against a doc's own id is that artifact, not evidence the
+        // standing corpus held the content, and treating it as "seen"
+        // would drop the doc while leaving its index entry partial
+        // (under-indexed forever). Ids identify documents stably across
+        // redelivery — the same contract the output upsert keys on.
+        val hits = graft.operators.MinHashIndex.probe(
+            batch, idCol, textCol, indexPath, minJac)
+          .filter(col("corpus_id") =!= col(idCol))
+          .select(col(idCol)).distinct()
+        val fresh = batch.join(hits, Seq(idCol), "left_anti").persist()
         try {
           val pairs = graft.operators.Dedup.minhashNearDupPairs(
-            fresh, idCol, textCol, minJac = minJac)
+            fresh, idCol, textCol, n = n, k = k, bands = bands,
+            minJac = minJac, seed = seed)
           val losers = graft.operators.Components
             .connectedComponents(pairs, "id_a", "id_b")
             .filter(col("node") =!= col("component"))

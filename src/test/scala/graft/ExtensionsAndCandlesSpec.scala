@@ -116,9 +116,16 @@ class ExtensionsAndCandlesSpec extends SparkSpec {
       "(NTZ ts survives the chain) and match the batch ohlcv oracle") {
     import org.apache.spark.sql.streaming.Trigger
     // the exact path a user takes: readStream over the driver's parquet,
-    // whatever timestamp flavor it carries this generation (r7's was NTZ),
-    // normalized once at the ingest edge like Tables.events does for batch
+    // whatever timestamp flavor it carries this generation, normalized
+    // once at the ingest edge with the SAME per-flavor logic as
+    // Tables.events (a bare cast would mis-decode the nanos-long flavor
+    // as epoch seconds if a regeneration flips back to TIMESTAMP(NANOS))
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val tsExpr = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => $"ts".cast("timestamp")
+    }
     // the fixture is a bare file; the file-stream source watches a
     // directory, so stage the unmodified file into one
     val streamDir = java.nio.file.Files.createTempDirectory("events_stream")
@@ -126,7 +133,7 @@ class ExtensionsAndCandlesSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       streamDir.resolve("events.parquet"))
     val stream = spark.readStream.schema(raw.schema).parquet(streamDir.toString)
-      .select($"event_type".as("series"), $"ts".cast("timestamp").as("ts"),
+      .select($"event_type".as("series"), tsExpr.as("ts"),
         $"event_id".as("seq"), $"value".as("price"))
       .withWatermark("ts", "0 seconds").as[Tick]
     val q = StreamingCandles.candles(spark, stream)
