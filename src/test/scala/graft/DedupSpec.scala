@@ -408,6 +408,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs: no document text in any exchange key") {
+    val corpus = (1 to 30).map(i => (i.toLong, (1 to 20).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val plan = Dedup.containmentPairs(corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    "hashpartitioning\\([^)]*\\)".r.findAllIn(plan).foreach { p =>
+      assert(!p.contains("text#"), s"document text used as a partitioning key: $p")
+    }
+  }
+
   test("hammingPairs == brute force at every radius on adversarial fingerprints") {
     // clustered fingerprints: bases plus perturbations at controlled bit
     // distances, so every radius has pairs just inside AND just outside

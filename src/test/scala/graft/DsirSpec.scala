@@ -51,6 +51,17 @@ class DsirSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("weigh: no document text in any exchange key (hashed tokens only)") {
+    val m = Dsir.fit(target, raw, "text")
+    try {
+      val plan = Dsir.weigh(raw, "doc_id", "text", m)
+        .queryExecution.executedPlan.toString
+      "hashpartitioning\\([^)]*\\)".r.findAllIn(plan).foreach { p =>
+        assert(!p.contains("text#"), s"document text used as a partitioning key: $p")
+      }
+    } finally spark.catalog.clearCache()
+  }
+
   test("weights are invariant to partitioning (exact-decimal sum)") {
     val big = (0 until 200).map(i =>
       (i.toLong, if (i % 3 == 0) "alpha beta gamma" else "zeta eta theta alpha"))
