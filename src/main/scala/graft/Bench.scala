@@ -58,7 +58,8 @@ object Bench {
     // round-8 additions (clean r8 min-of-two)
     "q109_dsir_weights" -> 1.1,
     "q110_dsir_select" -> 2.7,
-    "q111_containment" -> 3.2)
+    "q111_containment" -> 3.2,
+    "q112_char_entropy" -> 1.8)
   private val defaultAnchorSec = 1.0
   // overridable for local testing of the rerun path (driver never sets it)
   private val suspectFactor =

@@ -20,6 +20,15 @@ object TextExpressions {
     * `nfc_normalize`, which keeps the whole normalization chain
     * oracle-checkable. */
   def nfc_normalize(text: Column): Column = column(NfcNormalize(expression(text)))
+
+  /** Per-codepoint occurrence counts of a string, sorted by codepoint —
+    * the row-local half of character-entropy quality signals (gibberish,
+    * base64 blobs, and single-char runs have extreme char distributions;
+    * the classic cheap filter next to the Gopher word-level gates). One
+    * pass, one small map, no explode of the text itself — downstream
+    * aggregation explodes ~distinct-chars rows per doc (≈ alphabet size,
+    * bounded), never per-character rows. */
+  def char_counts(text: Column): Column = column(CharCounts(expression(text)))
 }
 
 /** [[TextUtil.nfc]] as a codegen'd unary expression: normalization sits in
@@ -45,6 +54,29 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** [[TextUtil.charCounts]] as a codegen'd unary expression: one pass over
+  * the string's codepoints into a sorted count array, evaluated inside
+  * whole-stage codegen next to the other per-doc quality kernels. */
+case class CharCounts(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "char_counts"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_counts requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    TextUtil.charCounts(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.expressions.TextUtil.charCounts($v)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextUtil {
   /** NFC-normalize; the already-normalized fast path (the overwhelmingly
     * common case for real corpora) returns the INPUT UTF8String — no
@@ -54,5 +86,25 @@ object TextUtil {
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  /** One pass over the string's CODEPOINTS (surrogate pairs count once,
+    * matching DuckDB's character semantics) into per-codepoint counts,
+    * emitted sorted by codepoint for a deterministic array. */
+  def charCounts(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val m = new java.util.TreeMap[Integer, Array[Long]]()
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val slot = m.get(cp)
+      if (slot == null) m.put(cp, Array(1L)) else slot(0) += 1L
+      i += Character.charCount(cp)
+    }
+    val out = new Array[Long](m.size)
+    val it = m.values().iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next()(0); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

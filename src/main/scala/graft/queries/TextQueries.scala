@@ -1195,6 +1195,40 @@ object TextQueries extends QueryModule {
       |SELECT doc_id, n_bigrams, sum_logprob
       |FROM perdoc ORDER BY doc_id""".stripMargin
 
+  /** Character-entropy quality signal (north star): per-doc codepoint
+    * count n and Σ c·ln(c) over the per-codepoint counts — the exactly-
+    * reproducible halves of Shannon entropy H = ln(n) − Σc·ln(c)/n, the
+    * classic cheap gibberish/base64/run detector beside the word-level
+    * Gopher gates. Engine: the one-pass char_counts codegen kernel +
+    * explode of ~alphabet-size count rows + exact-decimal term sum (the
+    * q56 discipline — never hash the divided entropy, it sits on round
+    * boundaries); oracle: per-character relational counts via substring
+    * explode — independent counting. */
+  private def q112CharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        explode(graft.functions.expressions.TextExpressions.char_counts($"text")).as("c"))
+      .withColumn("term", $"c".cast("double") * log($"c".cast("double")))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_chars"), Exact.dsum($"term", 18, 6).as("sum_clogc"))
+      .orderBy($"doc_id")
+  }
+
+  private val q112Sql =
+    """WITH chars AS (
+      |  SELECT doc_id, substring(text, i, 1) AS ch
+      |  FROM documents, LATERAL (
+      |    SELECT unnest(generate_series(1, length(text))) AS i)),
+      |cnt AS (
+      |  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_chars,
+      |  CAST(CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+      |    AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_clogc
+      |FROM cnt GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Shingle-containment pairs (north star): the asymmetric subsumed-
     * document signal — |A∩B|/|A| per directed pair, the dedup semantic
     * Jaccard misses when a short doc is quoted whole inside a long one.
@@ -1954,6 +1988,8 @@ object TextQueries extends QueryModule {
       "DSIR selection end to end: weights -> per-language top quarter, histogram plan vs window oracle (north star)"),
     Q("q111_containment", q111Containment, Some(q111Sql),
       "asymmetric shingle containment pairs: one-sided prefix filter vs all-pairs oracle (north star)"),
+    Q("q112_char_entropy", q112CharEntropy, Some(q112Sql),
+      "character-entropy quality signal: one-pass codepoint-count kernel vs substring-explode oracle (north star)"),
     Q("q57_line_dedup", q57LineDedup, Some(q57Sql),
       "corpus boilerplate line removal: hashed-df hot set + narrow rebuild vs relational oracle (north star)"),
     Q("q53_dup_clusters", q53DupClusters, Some(q53Sql),

@@ -122,4 +122,30 @@ class TextFunctionsSpec extends SparkSpec {
       .select(normalizeText($"t")).collect().head
     assert(n.isNullAt(0))
   }
+
+  test("char_counts: one-pass codepoint counts, sorted, surrogate-aware") {
+    import graft.functions.expressions.TextExpressions.char_counts
+    def counts(s: String): Seq[Long] = Seq(Tuple1(s)).toDF("t")
+      .select(char_counts($"t")).head().getSeq[Long](0)
+    // "aabbbc": a=2 b=3 c=1, sorted by codepoint -> a, b, c
+    assert(counts("aabbbc") === Seq(2L, 3L, 1L))
+    assert(counts("") === Seq.empty)
+    // an astral codepoint (surrogate pair in UTF-16) counts ONCE
+    val astral = new String(Character.toChars(0x1F600)) // emoji
+    assert(counts(astral + "a" + astral) === Seq(1L, 2L))
+    // entropy identity: k distinct uniform chars -> sum c*ln(c) = k*(1*ln 1) = 0
+    val uniform = counts("abcdef")
+    assert(uniform === Seq.fill(6)(1L))
+    // null text -> null array (nullIntolerant kernel)
+    val nul = Seq[Option[String]](None).toDF("t")
+      .select(char_counts($"t")).head()
+    assert(nul.isNullAt(0))
+    // total matches character count on real docs (codepoints, not UTF-16 units)
+    import graft.core.Tables
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val bad = docs.filter(
+      aggregate(char_counts($"text"), lit(0L), (acc, c) => acc + c) =!=
+        length($"text")).count()
+    assert(bad === 0L, "sum of counts == length() for every doc")
+  }
 }
