@@ -29,6 +29,17 @@ object TextExpressions {
     * aggregation explodes ~distinct-chars rows per doc (≈ alphabet size,
     * bounded), never per-character rows. */
   def char_counts(text: Column): Column = column(CharCounts(expression(text)))
+
+  /** DEFLATE compression ratio (compressed bytes / raw UTF-8 bytes) of a
+    * string — the other classic cheap gibberish detector: highly
+    * repetitive text compresses far below ~0.4, random/base64 text sits
+    * near 1.0 (CCNet/RefinedWeb-adjacent pipelines gate on both tails).
+    * Deterministic within a JVM (fixed level, no dictionary) but the
+    * byte stream is implementation-specific, so there is NO cross-engine
+    * oracle for the value — [[char_counts]]'s entropy (q112) is the
+    * oracled companion; this one is spec-bounded. Empty string → 1.0 by
+    * convention (nothing to compress, nothing saved). */
+  def deflate_ratio(text: Column): Column = column(DeflateRatio(expression(text)))
 }
 
 /** [[TextUtil.nfc]] as a codegen'd unary expression: normalization sits in
@@ -77,6 +88,29 @@ case class CharCounts(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** [[TextUtil.deflateRatio]] as a codegen'd unary expression — a real
+  * per-row byte kernel (one Deflater pass), the same tier as the
+  * image/audio decode kernels. */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "deflate_ratio"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"deflate_ratio requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    TextUtil.deflateRatio(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.expressions.TextUtil.deflateRatio($v)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextUtil {
   /** NFC-normalize; the already-normalized fast path (the overwhelmingly
     * common case for real corpora) returns the INPUT UTF8String — no
@@ -106,5 +140,23 @@ object TextUtil {
     var j = 0
     while (it.hasNext) { out(j) = it.next()(0); j += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** One DEFLATE pass (level 6, no dictionary) over the string's UTF-8
+    * bytes; compressed/raw size ratio. A fresh Deflater per call — the
+    * object is cheap relative to the compression work, and codegen call
+    * sites are static (no per-task state to manage or leak). */
+  def deflateRatio(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var compressed = 0L
+      while (!d.finished()) compressed += d.deflate(buf)
+      compressed.toDouble / raw.length
+    } finally d.end()
   }
 }

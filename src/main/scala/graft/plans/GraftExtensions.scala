@@ -114,6 +114,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "sorted_intersect_count takes (a, b)")
         SortedIntersectCount(args.head, args(1))
+      }),
+    (FunctionIdentifier("char_counts"),
+      info("char_counts", "char_counts(s) - per-codepoint occurrence counts, sorted by codepoint"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "char_counts takes 1 argument")
+        CharCounts(args.head)
       }))
 
   /** Inject into an already-built session (tests, REPLs). */

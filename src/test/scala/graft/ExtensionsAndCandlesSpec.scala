@@ -40,6 +40,15 @@ class ExtensionsAndCandlesSpec extends SparkSpec {
     assert(r.getAs[Long]("k16") === 16)
   }
 
+  test("char_counts is SQL-callable and matches the Column form") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT char_counts('aabbbc') AS c").head().getSeq[Long](0)
+    val viaCol = Seq(Tuple1("aabbbc")).toDF("t")
+      .select(graft.functions.expressions.TextExpressions.char_counts($"t"))
+      .head().getSeq[Long](0)
+    assert(viaSql === viaCol && viaSql === Seq(2L, 3L, 1L))
+  }
+
   test("nfc_normalize is SQL-callable and matches the Column form") {
     GraftExtensions.register(spark)
     val r = spark.sql(

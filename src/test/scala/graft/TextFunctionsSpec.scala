@@ -148,4 +148,26 @@ class TextFunctionsSpec extends SparkSpec {
         length($"text")).count()
     assert(bad === 0L, "sum of counts == length() for every doc")
   }
+
+  test("deflate_ratio separates repetitive from high-entropy text, deterministically") {
+    import graft.functions.expressions.TextExpressions.deflate_ratio
+    def ratio(s: String): Double = Seq(Tuple1(s)).toDF("t")
+      .select(deflate_ratio($"t")).head().getDouble(0)
+    val repetitive = "spam " * 400
+    val rnd = new scala.util.Random(11)
+    val noisy = (1 to 2000).map(_ => (33 + rnd.nextInt(90)).toChar).mkString
+    assert(ratio(repetitive) < 0.1, s"runs compress hard: ${ratio(repetitive)}")
+    assert(ratio(noisy) > 0.7, s"near-random stays near 1: ${ratio(noisy)}")
+    assert(ratio(repetitive) === ratio(repetitive), "deterministic per JVM")
+    assert(ratio("") === 1.0, "empty-string convention")
+    val nul = Seq[Option[String]](None).toDF("t")
+      .select(deflate_ratio($"t")).head()
+    assert(nul.isNullAt(0))
+    // both tails of the real corpus sit strictly between the synthetic extremes
+    val docs = graft.core.Tables.documents(spark, sfDir).limit(100)
+      .select(deflate_ratio($"text").as("r"))
+    val (lo, hi) = docs.agg(min($"r"), max($"r"))
+      .as[(Double, Double)].head()
+    assert(lo > 0.05 && hi < 1.2, s"corpus ratios sane: [$lo, $hi]")
+  }
 }
