@@ -35,7 +35,9 @@ object Plans {
       "q94_weighted_sample", "q95_zorder_key", "q96_scd2", "q97_profile",
       "q98_funnel_analysis", "q100_incremental_agg", "q101_temporal_lookup",
       "q102_expectations", "q103_snapshot_diff", "q104_pagerank",
-      "q105_heavy_hitters", "q106_anomalies", "q107_survivorship")
+      "q105_heavy_hitters", "q106_anomalies", "q107_survivorship",
+      "q108_profile_contract", "q109_dsir_weights", "q110_dsir_select",
+      "q111_containment", "q112_char_entropy", "q67_simhash_screen")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)
