@@ -67,6 +67,38 @@ class MinHashIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupOnArrival survives a query restart on the same checkpoint") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def nearCopy(seed: String): String = {
+      val base = words(seed, 40).split(" ")
+      (base.take(20) :+ "CHANGED").++(base.drop(21)).mkString(" ")
+    }
+    val dir = Files.createTempDirectory("mh_restart").toString
+    val (idx, out, ckpt) = (s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    MinHashIndex.save(corpus, "doc_id", "text", idx)
+    val source = MemoryStream[(Long, String)]
+    def start() = graft.streaming.StreamingJobs.dedupOnArrival(
+        source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idx, out, ckpt, clearCachePerBatch = false)
+      .start()
+    val q1 = start()
+    try {
+      source.addData((401L, words("rsA", 40)), (402L, words("rsB", 40)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // a NEW query on the same checkpoint: offsets resume, the index and
+    // output state carry over — batch 2's near-dup of a batch-1 doc drops
+    val q2 = start()
+    try {
+      source.addData((501L, nearCopy("rsA")), (502L, words("rsC", 40)))
+      q2.processAllAvailable()
+      val outIds = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+      assert(outIds === Set(401L, 402L, 502L),
+        "restart resumed cleanly: batch-1 survivors intact, near-dup of 401 dropped")
+    } finally q2.stop()
+  }
+
   test("probe finds verbatim and near-copies, not fresh docs") {
     val hits = MinHashIndex.probe(batch, "doc_id", "text", indexPath,
         minEstJac = 0.5)
