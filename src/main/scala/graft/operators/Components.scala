@@ -37,6 +37,19 @@ object Components {
     * node. Nodes with no edges are the caller's concern (left-join the
     * entity table and coalesce to the node's own id — see q53).
     *
+    * Size-gated plan choice (the [[Dedup.jaccardPairsAuto]] discipline —
+    * the gate statistic is the distinct-edge COUNT, already computed for
+    * the convergence fingerprint, so it costs nothing): at or below
+    * `smallGraphEdges` distinct long-keyed edges, the closure runs as a
+    * driver-side union-find over the collected pairs — 16 bytes/edge,
+    * ≤ 8 MB at the default gate, parameter-bounded in the
+    * collected-centroids sense — because a near-dup graph is TINY
+    * relative to its corpus (pairs survive screen+verify) and the star
+    * loop's per-round scheduling latency dominates it. Above the gate,
+    * or for non-integral node types, the bounded-round star contraction
+    * runs unchanged — the 100 TB path. Both produce the identical
+    * min-id labeling (a set property), pinned by ComponentsSpec.
+    *
     * @param maxRounds safety bound; the alternation converges in
     *   O(log^2 n) rounds (2 suffices for the star-shaped near-dup graphs
     *   the dedup operators emit). Non-convergence throws rather than
@@ -49,9 +62,11 @@ object Components {
     *   the job dies mid-iteration. On a long-lived cluster with executor
     *   churn (spot instances, autoscaling), pay the distributed-FS write
     *   for restartability; single-JVM runs keep the local default. The
-    *   caller owns cleaning the directory afterwards. */
+    *   caller owns cleaning the directory afterwards.
+    * @param smallGraphEdges driver union-find gate; 0 disables it. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
+      maxRounds: Int = 25, checkpointDir: Option[String] = None,
+      smallGraphEdges: Long = 500000L): DataFrame = {
     val spark = edges.sparkSession
     val checkpoint: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
@@ -81,6 +96,13 @@ object Components {
       .filter(col("u") =!= col("v"))
       .distinct())
     var fp = fingerprint(e)
+    // LongType only: the driver path must return the same (node,
+    // component) schema the star path would, so narrower id types fall
+    // through rather than silently widening
+    val longKeyed = Seq(srcCol, dstCol).forall(c =>
+      edges.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    if (longKeyed && fp._1 > 0L && fp._1 <= smallGraphEdges)
+      return driverUnionFind(e)
     var rounds = 0
     var converged = fp._1 == 0L
     while (!converged && rounds < maxRounds) {
@@ -99,6 +121,39 @@ object Components {
     e.select(col("u").as("node"), col("v").as("component"))
       .unionByName(e.select(col("v").as("node"), col("v").as("component")))
       .distinct()
+  }
+
+  /** Driver union-find over a gate-bounded canonical edge frame (long
+    * ids; caller guarantees the size bound). Path-halving find; labels
+    * are the component's minimum node id — identical to the star
+    * contraction's fixpoint. */
+  private def driverUnionFind(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val pairs = e.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    pairs.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) {
+        // union by MIN root so the final root IS the component min id
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val labels = pairs.iterator.flatMap { case (u, v) => Iterator(u, v) }
+      .toArray.distinct.map(n => (n, find(n)))
+    spark.createDataset(labels.toSeq).toDF("node", "component")
   }
 
   /** One keeper per component, chosen by HIGHEST priority (ties broken by

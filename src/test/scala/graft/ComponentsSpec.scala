@@ -131,6 +131,34 @@ class ComponentsSpec extends SparkSpec {
       "total mass == number of clusters")
   }
 
+  test("driver union-find path == star contraction path on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val n = 150
+      val edges = Seq.fill(100 + trial * 30)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).toDF("a", "b")
+      val viaDriver = Components.connectedComponents(edges, "a", "b")
+        .as[(Long, Long)].collect().toSet
+      val viaStars = Components.connectedComponents(edges, "a", "b",
+          smallGraphEdges = 0L) // gate disabled -> star contraction
+        .as[(Long, Long)].collect().toSet
+      assert(viaDriver === viaStars, s"trial $trial: plan paths disagree")
+    }
+  }
+
+  test("non-long node ids always take the star path (schema stability)") {
+    import spark.implicits._
+    val intEdges = Seq((1, 2), (2, 3), (5, 6)).toDF("a", "b")
+    val labels = Components.connectedComponents(intEdges, "a", "b")
+    assert(labels.schema("node").dataType ===
+      org.apache.spark.sql.types.IntegerType,
+      "int ids keep their type — the driver path must not have widened them")
+    assert(labels.as[(Int, Int)].collect().toSet ===
+      Set((1, 1), (2, 1), (3, 1), (5, 5), (6, 5)))
+  }
+
   test("keeperByPriority matches brute-force on a random graph") {
     val rnd = new scala.util.Random(13)
     val n = 120
