@@ -34,11 +34,21 @@ object TfIdf {
     * benign at <= V rows but emits WindowExec's single-partition warning,
     * and a load-bearing-benign warning would mask a real one. */
   def fitVocab(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame =
+    fitVocabFromTerms(
+      docs.select(col(idCol).as("__id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term")),
+      docs.count(), vocabSize)
+
+  /** [[fitVocab]] over pre-derived (`__id`, `term`) occurrence rows — the
+    * seam that lets callers vectorize over ANY term definition (shingles,
+    * normalized tokens, hashed grams) while keeping the df/idf/index
+    * contract identical. `nDocs` is the corpus size for the smooth idf —
+    * passed explicitly because term derivations may drop short docs. */
+  def fitVocabFromTerms(termRows: DataFrame, nDocs: Long,
       vocabSize: Int): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
-    val nDocs = docs.count()
-    val top = docs
-      .select(col(idCol).as("__id"), explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val top = termRows
       .groupBy("term")
       .agg(countDistinct(col("__id")).as("df"))
       // top-V cut via TakeOrdered: only V rows ever reach the driver
@@ -51,7 +61,7 @@ object TfIdf {
       // vocabulary fit on the driver hashes identically to the window form
       (r.getString(0), i, df, StrictMath.log((nDocs + 1.0) / (df + 1.0)) + 1.0)
     }.toSeq
-    docs.sparkSession.createDataFrame(rows)
+    termRows.sparkSession.createDataFrame(rows)
       .toDF("term", "idx", "df", "idf")
   }
 

@@ -525,7 +525,69 @@ object SimilarityQueries extends QueryModule {
       |  CAST(len(list_filter(list_transform(embedding::DOUBLE[], x -> floor(x*sc + 0.5)), v -> v = 0)) AS BIGINT) AS q_zeros
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** Sparse tf-idf cosine all-pairs (SparseSim): the weighted-overlap
+    * complement to the Jaccard/containment dedup family, prefix-filtered
+    * Bayardo-style. Terms are word 3-gram SHINGLES, not unigrams — the
+    * fixture's unigram vocabulary is ~31 words, so unigram vectors are
+    * dense and force true all-pairs work on ANY algorithm (measured:
+    * 12.5M candidates at sf0.1); the 27k-shingle space is genuinely
+    * sparse, the prefix filter bites, and the result is the weighted
+    * near-dup screen (it recovers exactly the planted near-dup pairs the
+    * MinHash/Jaccard family finds, by an independent signal). The engine
+    * runs the lossless one-sided prefix plan; the oracle re-derives the
+    * NAIVE shared-dim join over the same quantized integer weights —
+    * equality IS the losslessness proof, replayed per round at sf0.01.
+    * Output columns are the exact integer decision witnesses (dot, na2,
+    * nb2), no float ever crosses engines. */
+  private def q113SparseCosine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val ws = graft.functions.TextFunctions.tokens($"text")
+    val shingleTerms = when(size(ws) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(ws) - 3),
+        i => array_join(slice(ws, i + 1, lit(3)), " ")))
+    val terms = docs.select($"doc_id".as("sid"), explode(shingleTerms).as("term"))
+    val vocab = graft.operators.TfIdf
+      .fitVocabFromTerms(terms.withColumnRenamed("sid", "__id"),
+        docs.count(), vocabSize = 2000)
+    graft.operators.SparseSim
+      .cosinePairsFromTerms(terms, vocab, minCosCenti = 85)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val q113Sql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |occ AS (
+      |  SELECT doc_id, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS pos, ts
+      |  FROM toks),
+      |shing AS (
+      |  SELECT doc_id, array_to_string(list_slice(ts, pos, pos + 2), ' ') AS term
+      |  FROM occ),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM shing GROUP BY 1),
+      |vocab AS (
+      |  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS idx,
+      |    ln(((SELECT COUNT(*) FROM documents) + 1.0) / (df + 1.0)) + 1.0 AS idf
+      |  FROM df ORDER BY df DESC, term ASC LIMIT 2000),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM shing GROUP BY 1, 2),
+      |w AS (
+      |  SELECT t.doc_id, v.idx, CAST(floor(t.tf * v.idf * 100) AS HUGEINT) AS wq
+      |  FROM tf t JOIN vocab v USING (term)),
+      |norms AS (SELECT doc_id, SUM(wq * wq) AS n2 FROM w GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.wq * b.wq) AS dot
+      |  FROM w a JOIN w b ON a.idx = b.idx AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT p.id_a, p.id_b, CAST(p.dot AS BIGINT) AS dot,
+      |  CAST(x.n2 AS BIGINT) AS na2, CAST(y.n2 AS BIGINT) AS nb2
+      |FROM pairs p
+      |JOIN norms x ON x.doc_id = p.id_a
+      |JOIN norms y ON y.doc_id = p.id_b
+      |WHERE 10000 * p.dot * p.dot >= 7225 * x.n2 * y.n2
+      |ORDER BY id_a, id_b""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q113_sparse_cosine", q113SparseCosine, Some(q113Sql),
+      "exact sparse tf-idf cosine pairs, Bayardo prefix filter vs naive oracle (north star)"),
     Q("q54_embed_quant", q54EmbedQuant, Some(q54Sql),
       "L2 norms + int8 quantization summary (north star)"),
     Q("q39_ivf_knn", q39IvfKnn, None,
