@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Generic graph primitives over edge DataFrames — the shared substrate
+  * beside [[PageRank]] (influence) and [[Components]] (connectivity):
+  * triangle counting (local clustering / community signal) and bounded
+  * multi-source BFS (reachability / hop distance). Both are exact,
+  * deterministic, and integer-only — the cross-engine discipline of the
+  * rest of the graph family.
+  *
+  * Scale shapes:
+  *  - [[triangleCounts]] is the degree-ordered orientation algorithm
+  *    (compact-forward): orient every edge toward its higher-(degree, id)
+  *    endpoint, enumerate wedges only at each edge pair's common SOURCE,
+  *    and close them against the oriented edge list. Out-degree under
+  *    this orientation is O(√m) on any graph, so the wedge stage is
+  *    bounded by Σ d_out² ≤ m^1.5 — the hub node that makes naive wedge
+  *    enumeration quadratic (a celebrity with 10⁶ neighbors yields 10¹²
+  *    naive wedges) generates NO wedges at all: its edges all point
+  *    toward it. Exchanges carry (long, long) edge rows only.
+  *  - [[bfsDistances]] is frontier-at-a-time iteration: each round is one
+  *    join frontier⋈edges plus one anti-join against the visited set, all
+  *    keyed on 8-byte node ids; `maxDepth` bounds the rounds, the
+  *    frontier is cached and counted per round (the empty-frontier early
+  *    exit), and no per-node state ever reaches the driver.
+  */
+object GraphOps {
+
+  /** Per-node triangle participation counts over the UNDIRECTED graph
+    * spanned by `edges` (orientation and duplicate edges are normalized
+    * away; self-loops dropped). Output: (node, triangles) for nodes in at
+    * least one triangle — each triangle credits all three corners. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("node"))
+      .union(canon.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // total order (deg, id): orient u -> v iff ord(u) < ord(v); carry the
+    // endpoint ranks so the wedge stage can order its two spokes the same
+    // way the closing edge is oriented
+    val oriented = canon
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(struct(col("du").as("d"), col("u").as("n")) <
+             struct(col("dv").as("d"), col("v").as("n")),
+          col("u")).otherwise(col("v")).as("src"),
+        when(struct(col("du").as("d"), col("u").as("n")) <
+             struct(col("dv").as("d"), col("v").as("n")),
+          struct(col("dv").as("d"), col("v").as("n")))
+          .otherwise(struct(col("du").as("d"), col("u").as("n")))
+          .as("dst_ord"))
+      .select(col("src"), col("dst_ord.n").as("dst"), col("dst_ord"))
+    // wedges at the common source, spokes ordered by the global total
+    // order; the closing edge — if present — is oriented spoke1 -> spoke2
+    val wedges = oriented.select(col("src"), col("dst").as("w1"), col("dst_ord").as("o1"))
+      .join(oriented.select(col("src"), col("dst").as("w2"), col("dst_ord").as("o2")), "src")
+      .filter(col("o1") < col("o2"))
+      .select(col("src").as("a"), col("w1").as("b"), col("w2").as("c"))
+    val triangles = wedges.join(
+      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Hop distances from `sources` (a single-column frame of node ids)
+    * over the DIRECTED edge frame, bounded at `maxDepth` rounds — callers
+    * symmetrize the edge list for undirected semantics. Output: (node,
+    * dist) for every node reached within the bound; a node's dist is the
+    * round that first reached it (= the true shortest hop count). */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    // cached once: every round probes the same deduped edge frame — without
+    // the cache each round re-scans and re-dedups the source
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().cache()
+    val start = sources.toDF("node").distinct()
+      .withColumn("dist", lit(0)).cache()
+    var visited = start
+    var frontier = start
+    // one count() per round serves both the lineage-bounding
+    // materialization and the next round's empty-frontier exit — no
+    // separate isEmpty job
+    var frontierCount = start.count()
+    var d = 0
+    while (d < maxDepth && frontierCount > 0) {
+      val next = frontier.select(col("node").as("src"))
+        .join(e, "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(d + 1))
+        .cache()
+      frontierCount = next.count()
+      visited = visited.union(next)
+      frontier = next
+      d += 1
+    }
+    e.unpersist(blocking = false)
+    visited
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphOps
+
+/** GraphOps: degree-ordered triangle counting ≡ brute force, and bounded
+  * BFS ≡ a driver-side reference search. */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgesDf(es: Seq[(Long, Long)]) = es.toDF("src", "dst")
+
+  private def triMap(es: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.triangleCounts(edgesDf(es), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("K4: four triangles, every corner in three") {
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    assert(triMap(k4) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("paths and stars have no triangles; one rim edge closes exactly one") {
+    assert(triMap(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === Map.empty)
+    val star = (2L to 8L).map(i => (1L, i))
+    assert(triMap(star) === Map.empty)
+    assert(triMap(star :+ (2L, 3L)) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("duplicate, reversed, and self-loop edges normalize away") {
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (1L, 3L), (3L, 3L))
+    assert(triMap(noisy) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("degree-ordered counts == naive triple join on a generated graph") {
+    // deterministic pseudo-random graph: 60 nodes, md5-derived edges
+    val es = (for (i <- 0 until 600) yield {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"edge:$i".getBytes("UTF-8"))
+      val a = ((h(0) & 0x7f).toLong * 256 + (h(1) & 0xff)) % 60
+      val b = ((h(2) & 0x7f).toLong * 256 + (h(3) & 0xff)) % 60
+      (a, b)
+    }).filter { case (a, b) => a != b }
+    val got = triMap(es)
+    // naive: canonical a<b edge set, count (a,b,c) with all three present
+    val canon = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = canon.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val naive = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      a <- nodes; b <- nodes if a < b && canon((a, b))
+      c <- nodes if b < c && canon((b, c)) && canon((a, c))
+    } { naive(a) += 1; naive(b) += 1; naive(c) += 1 }
+    assert(got === naive.toMap)
+    assert(got.nonEmpty, "generated graph must actually contain triangles")
+  }
+
+  test("bfs on a chain: hop counts, depth bound, unreachable absent") {
+    val chain = edgesDf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
+    val got = GraphOps.bfsDistances(chain, "src", "dst",
+        Seq(1L).toDF("node"), maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("bfs maxDepth 0 returns only the sources") {
+    val got = GraphOps.bfsDistances(edgesDf(Seq((1L, 2L))), "src", "dst",
+        Seq(1L, 5L).toDF("node"), maxDepth = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 5L -> 0))
+  }
+
+  test("multi-source bfs takes the minimum hop count") {
+    // 1 -> 2 -> 3 -> 4 and 9 -> 4: node 4 is 1 hop from source 9
+    val es = edgesDf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 4L)))
+    val got = GraphOps.bfsDistances(es, "src", "dst",
+        Seq(1L, 9L).toDF("node"), maxDepth = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 9L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
+
+  test("bfs == driver-side reference on a generated directed graph") {
+    val es = (for (i <- 0 until 400) yield {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bfs:$i".getBytes("UTF-8"))
+      val a = ((h(0) & 0x7f).toLong * 256 + (h(1) & 0xff)) % 40
+      val b = ((h(2) & 0x7f).toLong * 256 + (h(3) & 0xff)) % 40
+      (a, b)
+    }).filter { case (a, b) => a != b }
+    val depth = 3
+    val got = GraphOps.bfsDistances(edgesDf(es), "src", "dst",
+        Seq(0L).toDF("node"), maxDepth = depth)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val ref = scala.collection.mutable.Map(0L -> 0)
+    var frontier = Seq(0L)
+    for (d <- 1 to depth) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Seq.empty))
+        .distinct.filterNot(ref.contains)
+      frontier.foreach(n => ref(n) = d)
+    }
+    assert(got === ref.toMap)
+  }
+
+  test("bfs early-exits on an exhausted frontier") {
+    // component of size 2, huge depth bound: must terminate quickly and
+    // return just the component
+    val got = GraphOps.bfsDistances(edgesDf(Seq((1L, 2L), (2L, 1L), (5L, 6L))),
+        "src", "dst", Seq(1L).toDF("node"), maxDepth = 50)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1))
+  }
+}
