@@ -660,6 +660,114 @@ object AdvancedQueries extends QueryModule {
       |FROM d WHERE change <> 'unchanged'
       |ORDER BY doc_id""".stripMargin
 
+  /** Market-basket association rules (north star): frequent co-purchase
+    * part pairs (Apriori-pruned before the pair join) and the directed
+    * confidence rules over them, every quantity an exact COUNT and the
+    * confidence threshold decided by integer cross-multiplication
+    * (operators/AssocRules). Oracle: the same counting stated
+    * relationally — the prune is lossless by the Apriori bound, so the
+    * unpruned-equivalent DuckDB formulation matches bit-for-bit. */
+  private def q116AssocRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.AssocRules.rules(Tables.lineitem(spark, dir),
+        "l_orderkey", "l_partkey", minPairCount = 3, minConfCenti = 10)
+      .orderBy($"antecedent", $"consequent")
+  }
+
+  private val q116Sql =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+      |ic AS (SELECT item, COUNT(*) AS n_item FROM b GROUP BY 1),
+      |fi AS (SELECT item FROM ic WHERE n_item >= 3),
+      |p AS (SELECT b.basket, b.item FROM b JOIN fi USING (item)),
+      |pairs AS (
+      |  SELECT a.item AS ia, c.item AS ib, COUNT(*) AS n_ab
+      |  FROM p a JOIN p c ON a.basket = c.basket AND a.item < c.item
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |d AS (
+      |  SELECT ia AS antecedent, ib AS consequent, n_ab FROM pairs
+      |  UNION ALL
+      |  SELECT ib, ia, n_ab FROM pairs)
+      |SELECT d.antecedent, d.consequent, d.n_ab,
+      |  x.n_item AS n_ant, y.n_item AS n_cons,
+      |  (SELECT COUNT(*) FROM (SELECT DISTINCT basket FROM b)) AS n_baskets
+      |FROM d
+      |JOIN ic x ON x.item = d.antecedent
+      |JOIN ic y ON y.item = d.consequent
+      |WHERE 100 * d.n_ab >= 10 * x.n_item
+      |ORDER BY antecedent, consequent""".stripMargin
+
+  /** RFM customer segmentation (north star): recency/frequency/monetary
+    * per customer, each dimension scored 1–5 by its exact quintile cuts —
+    * the classic CRM rollup, composed from OrderStats.exactQuantiles
+    * (q89's histogram plan: ONE quantile pass over the tall (dim, value)
+    * frame, no per-dimension sort) with the 12 cut values — a
+    * parameter-bounded driver collect, the TfIdf-vocab pattern — folded
+    * into a narrow CASE ladder. Monetary is integer CENTS
+    * (floor(price·100 + 0.5), IEEE-deterministic) so sums are exact;
+    * scores compare doubles that are exact integer round-trips. */
+  private def q117RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val cust = o.groupBy($"o_custkey")
+      .agg(
+        max(datediff(to_date($"o_orderdate"), lit("1970-01-01").cast("date")))
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("cents"))
+      .cache()
+    val tall = cust.select(explode(array(
+        struct(lit("r").as("dim"), $"recency_days".cast("double").as("v")),
+        struct(lit("f").as("dim"), $"frequency".cast("double").as("v")),
+        struct(lit("m").as("dim"), $"cents".cast("double").as("v")))).as("x"))
+      .select($"x.dim".as("dim"), $"x.v".as("v"))
+    val cuts = graft.operators.OrderStats
+      .exactQuantiles(tall, "v", "dim", Seq(0.2, 0.4, 0.6, 0.8))
+      .collect().map(r => r.getString(0) -> r.getDouble(3))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted.toSeq }
+    def score(dim: String, v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      cuts(dim).foldLeft(lit(1)) { (acc, c) =>
+        acc + when(v > lit(c), 1).otherwise(0) }
+    cust.select($"o_custkey", $"recency_days", $"frequency", $"cents",
+        score("r", $"recency_days".cast("double")).as("r_score"),
+        score("f", $"frequency".cast("double")).as("f_score"),
+        score("m", $"cents".cast("double")).as("m_score"))
+      .withColumn("segment", $"r_score" * 100 + $"f_score" * 10 + $"m_score")
+      .orderBy($"o_custkey")
+  }
+
+  private val q117Sql =
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |    CAST(MAX(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS INT) AS recency_days,
+      |    COUNT(*) AS frequency,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |tall AS (
+      |  SELECT o_custkey, 'r' AS dim, CAST(recency_days AS DOUBLE) AS v FROM cust
+      |  UNION ALL SELECT o_custkey, 'f', CAST(frequency AS DOUBLE) FROM cust
+      |  UNION ALL SELECT o_custkey, 'm', CAST(cents AS DOUBLE) FROM cust),
+      |r AS (
+      |  SELECT dim, v, row_number() OVER (PARTITION BY dim ORDER BY v, o_custkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY dim) AS n
+      |  FROM tall),
+      |ps(p) AS (SELECT CAST(unnest([0.2, 0.4, 0.6, 0.8]) AS DOUBLE)),
+      |t AS (
+      |  SELECT dim, p, GREATEST(1, CAST(CEIL(p * n) AS BIGINT)) AS r0
+      |  FROM (SELECT DISTINCT dim, n FROM r) CROSS JOIN ps),
+      |cuts AS (SELECT t.dim, r.v AS q FROM t JOIN r ON r.dim = t.dim AND r.rn = t.r0),
+      |scored AS (
+      |  SELECT c.o_custkey, c.recency_days, c.frequency, c.cents,
+      |    1 + (SELECT COUNT(*) FROM cuts WHERE dim = 'r' AND CAST(c.recency_days AS DOUBLE) > q) AS r_score,
+      |    1 + (SELECT COUNT(*) FROM cuts WHERE dim = 'f' AND CAST(c.frequency AS DOUBLE) > q) AS f_score,
+      |    1 + (SELECT COUNT(*) FROM cuts WHERE dim = 'm' AND CAST(c.cents AS DOUBLE) > q) AS m_score
+      |  FROM cust c)
+      |SELECT o_custkey, recency_days, frequency, cents,
+      |  CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+      |  CAST(m_score AS INT) AS m_score,
+      |  CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment
+      |FROM scored
+      |ORDER BY o_custkey""".stripMargin
+
   /** Graph centrality (north star): 2 PageRank power iterations over
     * the undirected customer↔supplier co-purchase graph, in the
     * fixed-point integer arithmetic that makes the whole iteration
@@ -667,6 +775,78 @@ object AdvancedQueries extends QueryModule {
     * domain-authority prior a web-corpus curation run computes).
     * Oracle: both iterations replayed relationally with DuckDB's `//`
     * floor division. */
+  /** Triangle participation counts (north star): the degree-ordered
+    * orientation algorithm (GraphOps.triangleCounts) over the part
+    * co-occurrence graph — parts bought together in one order share an
+    * edge; triangles are the tight co-purchase cliques a
+    * recommendation/community pass keys on. The oracle enumerates the
+    * SAME triangle set by the naive id-ordered triple self-join —
+    * equality proves the orientation rewrite loses and invents nothing. */
+  private def q114Triangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
+    val edges = l.as("a").join(l.as("b"), col("a.l_orderkey") === col("b.l_orderkey")
+        && col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    graft.operators.GraphOps.triangleCounts(edges, "src", "dst")
+      .orderBy($"node")
+  }
+
+  private val q114Sql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM pairs e1
+      |  JOIN pairs e2 ON e2.u = e1.v
+      |  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT node, COUNT(*) AS triangles
+      |FROM (SELECT a AS node FROM tri
+      |      UNION ALL SELECT b FROM tri
+      |      UNION ALL SELECT c FROM tri)
+      |GROUP BY node
+      |ORDER BY node""".stripMargin
+
+  /** Bounded BFS hop distances (north star): frontier-at-a-time search
+    * (GraphOps.bfsDistances) from the lowest customer node over the
+    * undirected co-purchase graph, 4 hops — the "how far does influence
+    * propagate" / neighborhood-expansion primitive. Oracle: a recursive
+    * CTE with UNION (distinct) state dedup, MIN(d) per node — an
+    * entirely different search formulation reaching the same frontier. */
+  private def q115BfsHops(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    val l = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
+    val pairs = o.join(l, $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("cust"), ($"l_suppkey" + 1000000L).as("supp"))
+    val edges = pairs.select($"cust".as("src"), $"supp".as("dst"))
+      .union(pairs.select($"supp".as("src"), $"cust".as("dst")))
+    val sources = pairs.agg(min($"cust").as("node"))
+    graft.operators.GraphOps.bfsDistances(edges, "src", "dst", sources, maxDepth = 4)
+      .orderBy($"node")
+  }
+
+  private val q115Sql =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000 AS supp
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |e AS (
+      |  SELECT cust AS src, supp AS dst FROM pairs
+      |  UNION
+      |  SELECT supp, cust FROM pairs),
+      |walk(node, d) AS (
+      |  SELECT (SELECT MIN(cust) FROM pairs) AS node, 0 AS d
+      |  UNION
+      |  SELECT e.dst, w.d + 1
+      |  FROM walk w JOIN e ON e.src = w.node
+      |  WHERE w.d < 4)
+      |SELECT node, CAST(MIN(d) AS INT) AS dist
+      |FROM walk
+      |GROUP BY node
+      |ORDER BY node""".stripMargin
+
   private def q104PageRank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
@@ -786,6 +966,14 @@ object AdvancedQueries extends QueryModule {
       |ORDER BY o_custkey""".stripMargin
 
   override def queries: Seq[Q] = Seq(
+    Q("q116_assoc_rules", q116AssocRules, Some(q116Sql),
+      "Apriori-pruned co-purchase pairs + integer-exact confidence rules (north star)"),
+    Q("q117_rfm_segments", q117RfmSegments, Some(q117Sql),
+      "RFM quintile segmentation via the exact-quantile histogram plan (north star)"),
+    Q("q114_triangles", q114Triangles, Some(q114Sql),
+      "degree-ordered triangle counts over the co-purchase graph vs naive triple-join oracle (north star)"),
+    Q("q115_bfs_hops", q115BfsHops, Some(q115Sql),
+      "bounded BFS hop distances vs recursive-CTE oracle (north star)"),
     Q("q42_collect_list", q42CollectList, Some(q42Sql), "grouped gather to sorted list (F16/F17)"),
     Q("q41_sliding_windows", q41SlidingWindows, Some(q41Sql),
       "sliding 1d/6h windows (T9) vs lateral-series oracle"),
