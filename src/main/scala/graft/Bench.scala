@@ -59,7 +59,15 @@ object Bench {
     "q109_dsir_weights" -> 1.1,
     "q110_dsir_select" -> 2.7,
     "q111_containment" -> 3.2,
-    "q112_char_entropy" -> 1.8)
+    "q112_char_entropy" -> 1.8,
+    // round-8 late wave (clean min-of-two, isolated re-measures agreed;
+    // q114's part graph is DENSE at sf0.1 — 1.2M edges / 20k nodes — so
+    // its ~70M-wedge stage is intrinsic, not contamination)
+    "q113_sparse_cosine" -> 6.0,
+    "q114_triangles" -> 11.0,
+    "q115_bfs_hops" -> 6.0,
+    "q116_assoc_rules" -> 3.5,
+    "q117_rfm_segments" -> 1.8)
   private val defaultAnchorSec = 1.0
   // overridable for local testing of the rerun path (driver never sets it)
   private val suspectFactor =

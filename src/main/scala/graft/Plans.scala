@@ -37,7 +37,9 @@ object Plans {
       "q102_expectations", "q103_snapshot_diff", "q104_pagerank",
       "q105_heavy_hitters", "q106_anomalies", "q107_survivorship",
       "q108_profile_contract", "q109_dsir_weights", "q110_dsir_select",
-      "q111_containment", "q112_char_entropy", "q67_simhash_screen")
+      "q111_containment", "q112_char_entropy", "q67_simhash_screen",
+      "q113_sparse_cosine", "q114_triangles", "q115_bfs_hops",
+      "q116_assoc_rules", "q117_rfm_segments")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)
