@@ -118,4 +118,52 @@ object TimeSeriesOps {
       .withColumn("is_anomaly", lhs * lhs > lit(z.toLong * z) * (n * q - s * s))
       .drop("__x")
   }
+
+  /** Fixed-point exponentially-weighted moving average per key — the
+    * classic stream-smoothing recurrence made engine-portable: values
+    * quantize to integer units (`floor(v·units + 0.5)`,
+    * IEEE-deterministic), α = 1/den, and each step is
+    * `s' = ((den−1)·s + v) floordiv den` — pure integer arithmetic, so
+    * the whole series is bit-identical on any engine (a float EWMA
+    * accumulates rounding differently per multiply order; the floor
+    * recurrence has exactly one representation). Seed: s₁ = v₁.
+    *
+    * Scale shape — the [[Funnel.funnelTimes]] sorted-fold discipline:
+    * ONE groupBy(key) shuffle, each key's events gather into a sorted
+    * array and a single left-to-right HOF fold runs the recurrence
+    * row-locally (the recurrence is inherently sequential — there is no
+    * associative reformulation of floor division, so a window frame
+    * can't express it). Per-key history is the partition unit; the fold
+    * appends to its output array, so per-key cost is O(n²) array copy —
+    * fine at per-entity event counts (thousands), the same bound the
+    * funnel documents. Output: (key, rn, vu, ewma), rn 1-based in
+    * (ts, tie) order. */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, valueUnits: Int = 1000, den: Int = 8): DataFrame = {
+    require(den >= 2, s"den must be >= 2, got $den")
+    require(valueUnits >= 1, s"valueUnits must be >= 1, got $valueUnits")
+    def floorDiv(x: Column, w: Int): Column =
+      ((x - pmod(x, lit(w.toLong))) / w).cast("long")
+    val evs = events
+      .select(col(keyCol).as("__k"),
+        struct(eventMicros(col(tsCol)).as("t"), col(tieCol).as("tie"),
+          floor(col(valueCol) * valueUnits + lit(0.5)).cast("long").as("vu"))
+          .as("__ev"))
+      .groupBy("__k")
+      .agg(sort_array(collect_list(col("__ev"))).as("__evs"))
+    val init = struct(lit(0L).as("s"),
+      array().cast("array<struct<vu:bigint,ewma:bigint>>").as("out"))
+    val folded = evs.withColumn("__acc",
+      aggregate(col("__evs"), init, (st, ev) => {
+        val s2 = when(size(st.getField("out")) === 0, ev.getField("vu"))
+          .otherwise(floorDiv(st.getField("s") * (den - 1) + ev.getField("vu"), den))
+        struct(s2.as("s"),
+          concat(st.getField("out"),
+            array(struct(ev.getField("vu").as("vu"), s2.as("ewma")))).as("out"))
+      }))
+    folded
+      .select(col("__k"), posexplode(col("__acc").getField("out")).as(Seq("pos", "e")))
+      .select(col("__k").as(keyCol), (col("pos") + 1).cast("long").as("rn"),
+        col("e.vu").as("vu"), col("e.ewma").as("ewma"))
+  }
 }

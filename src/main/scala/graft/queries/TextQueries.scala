@@ -656,6 +656,39 @@ object TextQueries extends QueryModule {
       |FROM tf t JOIN vocab v USING (term)
       |ORDER BY doc_id, idx""".stripMargin
 
+  /** BM25 ranked retrieval (north star): top-20 documents for the query
+    * `spark merge join` (operators/Bm25 — row-local tf kernels, one
+    * aggregate job for the corpus statistics, TakeOrdered top-k). The
+    * oracle restates the exact expression tree relationally; ranking
+    * keys on the ROUNDED score + id (the q28 discipline), so the hash
+    * pins scores AND order. */
+  private def q119Bm25Search(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bm25.search(Tables.documents(spark, dir),
+      "doc_id", "text", Seq("spark", "merge", "join"), k = 20)
+
+  private val q119Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |base AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+      |    CAST(len(list_filter(ws, x -> x = 'spark')) AS BIGINT) AS tf0,
+      |    CAST(len(list_filter(ws, x -> x = 'merge')) AS BIGINT) AS tf1,
+      |    CAST(len(list_filter(ws, x -> x = 'join')) AS BIGINT) AS tf2
+      |  FROM d),
+      |stats AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+      |    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+      |    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      |  FROM base)
+      |SELECT b.doc_id, b.tf0 AS tf_spark, b.tf1 AS tf_merge, b.tf2 AS tf_join,
+      |  round(
+      |    ln((s.n - s.df0 + 0.5) / (s.df0 + 0.5) + 1) * (b.tf0 * 2.2) / (b.tf0 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+      |  + ln((s.n - s.df1 + 0.5) / (s.df1 + 0.5) + 1) * (b.tf1 * 2.2) / (b.tf1 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+      |  + ln((s.n - s.df2 + 0.5) / (s.df2 + 0.5) + 1) * (b.tf2 * 2.2) / (b.tf2 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl)), 6) AS score
+      |FROM base b CROSS JOIN stats s
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   /** Greedy sequence packing, cross-validated by an INDEPENDENT algorithm:
     * the engine streams first-fit chunks per md5 bucket; the oracle
     * re-derives the identical assignment in DuckDB with a recursive CTE
@@ -2017,6 +2050,8 @@ object TextQueries extends QueryModule {
     Q("q49_packing", q49Packing, Some(q49Sql),
       "greedy sequence packing vs recursive-CTE oracle (north star)"),
     Q("q48_tfidf", q48Tfidf, Some(q48Sql), "TF-IDF sparse vectors, flat form (north star)"),
+    Q("q119_bm25_search", q119Bm25Search, Some(q119Sql),
+      "BM25 top-k keyword retrieval, pinned expression tree vs relational oracle (north star)"),
     Q("q47_term_stats", q47TermStats, Some(q47Sql), "vocabulary tf/df statistics (north star)"),
     Q("q45_langid_script", q45LangIdScript, Some(q45Sql), "two-signal language ID (script + stopwords)"),
     Q("q55_contamination_bloom", q55ContaminationBloom, Some(q44Sql),

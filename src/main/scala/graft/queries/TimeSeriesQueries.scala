@@ -311,7 +311,78 @@ object TimeSeriesQueries extends QueryModule {
       | AND b.ts >= a.ts - INTERVAL 5 MINUTE AND b.ts < a.ts
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** Fixed-point EWMA smoothing (north star): each user's value series
+    * smoothed with α = 1/8 in pure integer arithmetic
+    * (TimeSeriesOps.ewma — one groupBy shuffle + a row-local sorted
+    * fold; a float EWMA would drift per multiply order, the floor
+    * recurrence is bit-identical everywhere). Oracle: the recurrence
+    * replayed as a recursive-CTE walk per user with DuckDB's `//`
+    * floor division — an entirely different evaluation strategy
+    * reaching the same integers. */
+  private def q118Ewma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.TimeSeriesOps.ewma(Tables.events(spark, dir),
+        "user_id", "ts", "event_id", "value")
+      .orderBy($"user_id", $"rn")
+  }
+
+  private val q118Sql =
+    """WITH RECURSIVE ord AS (
+      |  SELECT user_id,
+      |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vu,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |walk AS (
+      |  SELECT user_id, rn, vu, vu AS s FROM ord WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.user_id, o.rn, o.vu, (7 * w.s + o.vu) // 8
+      |  FROM walk w JOIN ord o ON o.user_id = w.user_id AND o.rn = w.rn + 1)
+      |SELECT user_id, rn, vu, s AS ewma
+      |FROM walk
+      |ORDER BY user_id, rn""".stripMargin
+
+  /** Clickstream path mining (north star): the most common 3-step
+    * event-type sequences across users — ONE window pass (two leads over
+    * the shared (user, ts, id) sort) + one aggregate; the top-20 cut has
+    * a path tiebreak so boundary ties are deterministic in both
+    * engines. The sequence-analytics sibling of q33's lead/lag and
+    * q98's funnel. */
+  private def q120PathTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("e2", lead($"event_type", 1).over(w))
+      .withColumn("e3", lead($"event_type", 2).over(w))
+      .filter($"e2".isNotNull && $"e3".isNotNull)
+      .select($"user_id", concat_ws(">", $"event_type", $"e2", $"e3").as("path"))
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+      .orderBy($"n".desc, $"path")
+      .limit(20)
+  }
+
+  private val q120Sql =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+      |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      |FROM s
+      |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY n DESC, path
+      |LIMIT 20""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q118_ewma", q118Ewma, Some(q118Sql),
+      "fixed-point EWMA per user vs recursive-CTE oracle (north star)"),
+    Q("q120_path_trigrams", q120PathTrigrams, Some(q120Sql),
+      "top event-type 3-step paths: one window pass + aggregate (north star)"),
     Q("q11_ohlcv", q11Ohlcv, Some(q11Sql), "daily OHLCV candles, deterministic open/close (A6)"),
     Q("q73_interval_join", q73IntervalJoin, Some(q73Sql),
       "binned interval join: views within 6h before each click vs IEJoin oracle"),
