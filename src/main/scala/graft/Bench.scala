@@ -67,7 +67,9 @@ object Bench {
     "q114_triangles" -> 11.0,
     "q115_bfs_hops" -> 6.0,
     "q116_assoc_rules" -> 3.5,
-    "q117_rfm_segments" -> 1.8)
+    "q117_rfm_segments" -> 1.8,
+    // index build (save) dominates; probe alone is milliseconds
+    "q121_indexed_bm25" -> 2.8)
   private val defaultAnchorSec = 1.0
   // overridable for local testing of the rerun path (driver never sets it)
   private val suspectFactor =

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Persisted inverted index for BM25 retrieval — the third member of the
+  * persisted-index family beside [[IvfIndex]] (vectors) and
+  * [[MinHashIndex]] (near-dup signatures): build the postings once over
+  * the standing corpus, then serve keyword queries without ever scanning
+  * corpus text again. [[Bm25.search]] is the scan-per-query form (right
+  * for one-off batch scoring); this is the many-queries form — per-query
+  * cost is proportional to the QUERY TERMS' postings, not the corpus.
+  *
+  * On-disk layout under `path`:
+  *  - `postings/` (term, doc_id, tf, dl) parquet, partitionBy(bucket)
+  *    with bucket = pmod(xxhash64(term), nBuckets). The doc length is
+  *    DENORMALIZED into each posting so probing needs no doc-table join
+  *    — a probe touches only its query terms' bucket files (file-level
+  *    partition pruning, the IvfIndex list-file discipline).
+  *  - `meta/` one row (n_docs, sum_dl, n_buckets) — the corpus-level
+  *    BM25 statistics, so scoring never recounts the corpus.
+  *
+  * Probe scale shape: the bucket scan reads |query| partitions; per-term
+  * df comes from ONE aggregate over those pruned postings; per-doc tf
+  * maps gather through ONE (doc_id)-keyed aggregate whose values are
+  * ≤ |query| entries; the top-k is orderBy+limit (TakeOrdered). Scores
+  * replicate [[Bm25.search]]'s pinned expression tree bit-for-bit, so
+  * `probe(save(corpus), q) == search(corpus, q)` whenever at least k
+  * documents match a query term (an inverted index never surfaces
+  * zero-match documents; the scan form ranks them at score 0).
+  *
+  * [[append]] admits a new batch: postings append file-wise into the
+  * bucket layout, then meta rewrites with the merged statistics. A crash
+  * between the two writes leaves fresh postings under stale corpus
+  * stats — structurally sound (probes keep working, scores shift
+  * slightly) and repaired by re-running the meta rewrite; the same
+  * consistent-read/stale-stats contract as IvfIndex.append. */
+object TextIndex {
+
+  private def postingsOf(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
+    val ws = TextFunctions.tokens(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"), ws.as("__ws"))
+      .select(col("doc_id"), size(col("__ws")).cast("long").as("dl"),
+        explode(col("__ws")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+  }
+
+  /** Corpus statistics of a document frame: (n_docs, sum_dl). */
+  private def corpusStats(docs: DataFrame, textCol: String): (Long, Long) = {
+    val r = docs.agg(count(lit(1)),
+      coalesce(sum(size(TextFunctions.tokens(col(textCol))).cast("long")), lit(0L)))
+      .collect().head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Build and persist the index over `docs`. Overwrites `path`. */
+  def save(docs: DataFrame, idCol: String, textCol: String, path: String,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    postingsOf(docs, idCol, textCol, nBuckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    val (n, sdl) = corpusStats(docs, textCol)
+    Seq((n, sdl, nBuckets)).toDF("n_docs", "sum_dl", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Admit a new batch into an EXISTING index: postings append into the
+    * bucket layout, then meta rewrites with merged statistics. */
+  def append(batch: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val nBuckets = meta.getInt(2)
+    postingsOf(batch, idCol, textCol, nBuckets)
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    val (bn, bsdl) = corpusStats(batch, textCol)
+    Seq((meta.getLong(0) + bn, meta.getLong(1) + bsdl, nBuckets))
+      .toDF("n_docs", "sum_dl", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Top-k BM25 over the persisted index — same output contract as
+    * [[Bm25.search]] restricted to documents matching ≥ 1 query term. */
+  def probe(spark: SparkSession, path: String, queryTerms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "at least one query term required")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"query terms must be distinct, got $queryTerms")
+    require(k >= 1, s"k must be >= 1, got $k")
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val (n, sdl, nBuckets) = (meta.getLong(0), meta.getLong(1), meta.getInt(2))
+    val avgdl = sdl.toDouble / n
+    // bucket ids via the SAME hash the writer used (a one-row Spark job,
+    // not a driver reimplementation that could drift from xxhash64)
+    val buckets = queryTerms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(queryTerms: _*))
+      .cache()
+    val dfs = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idfs = queryTerms.map { t =>
+      val df = dfs.getOrElse(t, 0L).toDouble
+      StrictMath.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    }
+    val perDoc = post.groupBy("doc_id")
+      .agg(max(col("dl")).as("__dl"),
+        map_from_entries(collect_list(struct(col("term"), col("tf")))).as("__tfs"))
+    val score = queryTerms.indices.map { i =>
+      val tf = coalesce(element_at(col("__tfs"), queryTerms(i)), lit(0L))
+        .cast("double")
+      lit(idfs(i)) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl)))
+    }.reduce(_ + _)
+    val named = queryTerms.map { t =>
+      coalesce(element_at(col("__tfs"), t), lit(0L)).as(s"tf_$t") }
+    perDoc.select((col("doc_id") +: named) :+ round(score, 6).as("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

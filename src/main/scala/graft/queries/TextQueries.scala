@@ -689,6 +689,29 @@ object TextQueries extends QueryModule {
       |ORDER BY score DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  /** Indexed BM25 retrieval (north star): the same query as q119 served
+    * from the PERSISTED inverted index (operators/TextIndex — postings
+    * partitionBy(term-hash bucket), doc length denormalized into each
+    * posting, meta carries the corpus stats; the probe reads only the
+    * query terms' bucket files). Oracle: q119's relational scan SQL —
+    * index-vs-scan equality is the whole correctness claim, the q70
+    * full-probe pattern applied to text retrieval. */
+  private def q121IndexedBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val path = q121IndexPath(dir)
+    graft.operators.TextIndex.save(docs, "doc_id", "text", path)
+    graft.operators.TextIndex.probe(spark, path,
+      Seq("spark", "merge", "join"), k = 20)
+  }
+
+  private def q121IndexPath(dir: String): String = {
+    scratchCleanupOnce
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"$scratchPrefix${key}bm25_${ProcessHandle.current().pid()}").toString
+  }
+
   /** Greedy sequence packing, cross-validated by an INDEPENDENT algorithm:
     * the engine streams first-fit chunks per md5 bucket; the oracle
     * re-derives the identical assignment in DuckDB with a recursive CTE
@@ -2052,6 +2075,8 @@ object TextQueries extends QueryModule {
     Q("q48_tfidf", q48Tfidf, Some(q48Sql), "TF-IDF sparse vectors, flat form (north star)"),
     Q("q119_bm25_search", q119Bm25Search, Some(q119Sql),
       "BM25 top-k keyword retrieval, pinned expression tree vs relational oracle (north star)"),
+    Q("q121_indexed_bm25", q121IndexedBm25, Some(q119Sql),
+      "persisted inverted-index BM25 probe == q119 scan (north star)"),
     Q("q47_term_stats", q47TermStats, Some(q47Sql), "vocabulary tf/df statistics (north star)"),
     Q("q45_langid_script", q45LangIdScript, Some(q45Sql), "two-signal language ID (script + stopwords)"),
     Q("q55_contamination_bloom", q55ContaminationBloom, Some(q44Sql),
