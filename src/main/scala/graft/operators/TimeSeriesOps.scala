@@ -166,4 +166,49 @@ object TimeSeriesOps {
       .select(col("__k").as(keyCol), (col("pos") + 1).cast("long").as("rn"),
         col("e.vu").as("vu"), col("e.ewma").as("ewma"))
   }
+
+  /** Two-sided CUSUM changepoint detection per key — Page's cumulative-sum
+    * control chart in pure integer arithmetic: with values in integer
+    * units, `sp' = max(0, sp + vu − ref)` accumulates upward drift,
+    * `sn' = max(0, sn + ref − vu)` downward; a side exceeding `h` raises
+    * an alarm and RESETS to zero (the restart form, so repeated shifts
+    * keep alarming). Like [[ewma]], the recurrence is sequential by
+    * construction (max-with-zero kills associativity), so it runs as the
+    * same single-shuffle sorted fold; every quantity is an exact integer
+    * and the alarm decision is a comparison — bit-identical on any
+    * engine. Output: (key, rn, vu, cpos, cneg, alarm), rn 1-based in
+    * (ts, tie) order, cpos/cneg the POST-reset accumulators. */
+  def cusum(events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, refUnits: Long, hUnits: Long,
+      valueUnits: Int = 1000): DataFrame = {
+    require(hUnits > 0, s"hUnits must be > 0, got $hUnits")
+    require(valueUnits >= 1, s"valueUnits must be >= 1, got $valueUnits")
+    val evs = events
+      .select(col(keyCol).as("__k"),
+        struct(eventMicros(col(tsCol)).as("t"), col(tieCol).as("tie"),
+          floor(col(valueCol) * valueUnits + lit(0.5)).cast("long").as("vu"))
+          .as("__ev"))
+      .groupBy("__k")
+      .agg(sort_array(collect_list(col("__ev"))).as("__evs"))
+    val init = struct(lit(0L).as("sp"), lit(0L).as("sn"),
+      array().cast("array<struct<vu:bigint,cpos:bigint,cneg:bigint,alarm:boolean>>")
+        .as("out"))
+    val folded = evs.withColumn("__acc",
+      aggregate(col("__evs"), init, (st, ev) => {
+        val spRaw = greatest(lit(0L), st.getField("sp") + ev.getField("vu") - refUnits)
+        val snRaw = greatest(lit(0L), st.getField("sn") + lit(refUnits) - ev.getField("vu"))
+        val alarm = spRaw > hUnits || snRaw > hUnits
+        val sp2 = when(spRaw > hUnits, lit(0L)).otherwise(spRaw)
+        val sn2 = when(snRaw > hUnits, lit(0L)).otherwise(snRaw)
+        struct(sp2.as("sp"), sn2.as("sn"),
+          concat(st.getField("out"),
+            array(struct(ev.getField("vu").as("vu"), sp2.as("cpos"),
+              sn2.as("cneg"), alarm.as("alarm")))).as("out"))
+      }))
+    folded
+      .select(col("__k"), posexplode(col("__acc").getField("out")).as(Seq("pos", "e")))
+      .select(col("__k").as(keyCol), (col("pos") + 1).cast("long").as("rn"),
+        col("e.vu").as("vu"), col("e.cpos").as("cpos"),
+        col("e.cneg").as("cneg"), col("e.alarm").as("alarm"))
+  }
 }

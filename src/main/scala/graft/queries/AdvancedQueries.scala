@@ -660,6 +660,39 @@ object AdvancedQueries extends QueryModule {
       |FROM d WHERE change <> 'unchanged'
       |ORDER BY doc_id""".stripMargin
 
+  /** Count-Min contract (north star): the q72/q108 sketch-contract
+    * pattern applied to CountMin — for the top-20 users by exact event
+    * count, the oracle-recomputable exact counts ride beside two
+    * booleans the DuckDB side asserts TRUE: the one-sided guarantee
+    * (est ≥ exact, always) and the 2n/width error band (deterministic
+    * here because the CM merge is elementwise addition — any estimate
+    * drift flips a hashed value). The 20 (user, est) pairs compute
+    * driver-side from the collected sketch — parameter-bounded. */
+  private def q123CmContract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val sk = graft.operators.CountMin.sketch(ev, "user_id", rows = 4, width = 1024)
+    val band = 2L * sk.n / 1024
+    val top = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"user_id").limit(20).collect()
+    val out = top.map { r =>
+      val est = sk.estimate(r.getLong(0).toString)
+      (r.getLong(0), r.getLong(1),
+        est >= r.getLong(1), est <= r.getLong(1) + band)
+    }.toSeq
+    spark.createDataFrame(out)
+      .toDF("user_id", "exact_n", "overestimates", "within_band")
+      .orderBy($"user_id")
+  }
+
+  private val q123Sql =
+    """WITH t AS (
+      |  SELECT user_id, COUNT(*) AS exact_n
+      |  FROM events GROUP BY 1
+      |  ORDER BY exact_n DESC, user_id LIMIT 20)
+      |SELECT user_id, exact_n, TRUE AS overestimates, TRUE AS within_band
+      |FROM t ORDER BY user_id""".stripMargin
+
   /** Market-basket association rules (north star): frequent co-purchase
     * part pairs (Apriori-pruned before the pair join) and the directed
     * confidence rules over them, every quantity an exact COUNT and the
@@ -966,6 +999,8 @@ object AdvancedQueries extends QueryModule {
       |ORDER BY o_custkey""".stripMargin
 
   override def queries: Seq[Q] = Seq(
+    Q("q123_cm_contract", q123CmContract, Some(q123Sql),
+      "Count-Min one-sided + error-band contract booleans vs exact counts (north star)"),
     Q("q116_assoc_rules", q116AssocRules, Some(q116Sql),
       "Apriori-pruned co-purchase pairs + integer-exact confidence rules (north star)"),
     Q("q117_rfm_segments", q117RfmSegments, Some(q117Sql),

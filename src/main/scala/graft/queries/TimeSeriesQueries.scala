@@ -341,6 +341,48 @@ object TimeSeriesQueries extends QueryModule {
       |FROM walk
       |ORDER BY user_id, rn""".stripMargin
 
+  /** CUSUM changepoint monitoring (north star): Page's two-sided
+    * cumulative-sum chart over each user's value stream in pure integer
+    * arithmetic (TimeSeriesOps.cusum — the q118 sorted-fold shape with
+    * restart-on-alarm state). Oracle: the same recurrence as a
+    * recursive-CTE walk; accumulators AND alarm booleans under the
+    * hash. */
+  private def q122Cusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.TimeSeriesOps.cusum(Tables.events(spark, dir),
+        "user_id", "ts", "event_id", "value",
+        refUnits = 60000L, hUnits = 300000L)
+      .orderBy($"user_id", $"rn")
+  }
+
+  private val q122Sql =
+    """WITH RECURSIVE ord AS (
+      |  SELECT user_id,
+      |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vu,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |walk AS (
+      |  SELECT user_id, rn, vu,
+      |    CASE WHEN greatest(0, vu - 60000) > 300000 THEN 0
+      |         ELSE greatest(0, vu - 60000) END AS cpos,
+      |    CASE WHEN greatest(0, 60000 - vu) > 300000 THEN 0
+      |         ELSE greatest(0, 60000 - vu) END AS cneg,
+      |    (greatest(0, vu - 60000) > 300000
+      |      OR greatest(0, 60000 - vu) > 300000) AS alarm
+      |  FROM ord WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.user_id, o.rn, o.vu,
+      |    CASE WHEN greatest(0, w.cpos + o.vu - 60000) > 300000 THEN 0
+      |         ELSE greatest(0, w.cpos + o.vu - 60000) END,
+      |    CASE WHEN greatest(0, w.cneg + 60000 - o.vu) > 300000 THEN 0
+      |         ELSE greatest(0, w.cneg + 60000 - o.vu) END,
+      |    (greatest(0, w.cpos + o.vu - 60000) > 300000
+      |      OR greatest(0, w.cneg + 60000 - o.vu) > 300000)
+      |  FROM walk w JOIN ord o ON o.user_id = w.user_id AND o.rn = w.rn + 1)
+      |SELECT user_id, rn, vu, cpos, cneg, alarm
+      |FROM walk
+      |ORDER BY user_id, rn""".stripMargin
+
   /** Clickstream path mining (north star): the most common 3-step
     * event-type sequences across users — ONE window pass (two leads over
     * the shared (user, ts, id) sort) + one aggregate; the top-20 cut has
@@ -383,6 +425,8 @@ object TimeSeriesQueries extends QueryModule {
       "fixed-point EWMA per user vs recursive-CTE oracle (north star)"),
     Q("q120_path_trigrams", q120PathTrigrams, Some(q120Sql),
       "top event-type 3-step paths: one window pass + aggregate (north star)"),
+    Q("q122_cusum", q122Cusum, Some(q122Sql),
+      "two-sided integer CUSUM changepoint chart vs recursive-CTE oracle (north star)"),
     Q("q11_ohlcv", q11Ohlcv, Some(q11Sql), "daily OHLCV candles, deterministic open/close (A6)"),
     Q("q73_interval_join", q73IntervalJoin, Some(q73Sql),
       "binned interval join: views within 6h before each click vs IEJoin oracle"),

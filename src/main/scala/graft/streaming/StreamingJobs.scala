@@ -160,6 +160,49 @@ object StreamingJobs {
         }
       }
 
+  /** Continuous search-index maintenance — [[dedupOnArrival]]'s
+    * continuous-ingest discipline applied to the persisted BM25 inverted
+    * index ([[graft.operators.TextIndex]]): each micro-batch appends
+    * ONLY documents the index has never seen, so at-least-once
+    * redelivery cannot double a document's postings (doubled tf/df
+    * would silently corrupt every future score — worse than the
+    * MinHash case, where duplicate band rows are harmless).
+    *
+    * Replay safety: ids identify documents stably across redelivery
+    * (the dedupOnArrival contract); the anti-join against the index's
+    * distinct doc_ids makes a replayed batch a no-op. Residual window:
+    * a crash BETWEEN the postings job commit and the meta rewrite
+    * leaves fresh postings under stale stats — structurally sound and
+    * self-healing on the next append (TextIndex.append's documented
+    * contract). Cold start: the first batch creates the index. */
+  def indexOnArrival(stream: DataFrame, idCol: String, textCol: String,
+      indexPath: String, checkpoint: String,
+      clearCachePerBatch: Boolean = true): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val docs = batch.dropDuplicates(idCol).persist()
+        try {
+          val indexed =
+            try Some(spark.read.parquet(s"$indexPath/postings")
+              .select(col("doc_id")).distinct())
+            catch { case _: org.apache.spark.sql.AnalysisException => None }
+          indexed match {
+            case None =>
+              graft.operators.TextIndex.save(docs, idCol, textCol, indexPath)
+            case Some(seen) =>
+              val fresh = docs.join(
+                seen.withColumnRenamed("doc_id", "__seen_id"),
+                docs(idCol) === col("__seen_id"), "left_anti")
+              graft.operators.TextIndex.append(fresh, idCol, textCol, indexPath)
+          }
+        } finally {
+          docs.unpersist()
+          if (clearCachePerBatch) spark.catalog.clearCache()
+        }
+      }
+
   /** Stream-static enrichment join: per micro-batch broadcast-hash join
     * against a (small) dimension table — no state store involved. */
   def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =

@@ -54,6 +54,42 @@ class TextIndexSpec extends SparkSpec {
     all.unpersist()
   }
 
+  test("indexOnArrival: continuous ingest builds the index batch-wise, " +
+      "redelivered ids never double postings") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ti_stream").toString
+    val (idx, ckpt) = (s"$dir/index", s"$dir/ckpt")
+    val source = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs.indexOnArrival(
+        source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idx, ckpt, clearCachePerBatch = false)
+      .start()
+    try {
+      // batch 1 creates the index (cold start)
+      source.addData(
+        (1L, "spark merge join scan"),
+        (2L, "spark spark window"),
+        (2L, "spark spark window")) // intra-batch duplicate id
+      q.processAllAvailable()
+      // batch 2: one redelivered id (must be a no-op) + one new doc
+      source.addData(
+        (2L, "spark spark window"),
+        (3L, "merge merge join"))
+      q.processAllAvailable()
+      val viaIndex = TextIndex.probe(spark, idx, Seq("spark", "merge"), k = 10)
+        .collect().toSeq
+      val allDocs = Seq(
+        (1L, "spark merge join scan"),
+        (2L, "spark spark window"),
+        (3L, "merge merge join")).toDF("doc_id", "text")
+      val viaScan = Bm25.search(allDocs, "doc_id", "text", Seq("spark", "merge"), k = 10)
+        .collect().toSeq
+      assert(viaIndex === viaScan,
+        "streamed index must equal a batch build over the distinct documents")
+    } finally q.stop()
+  }
+
   test("zero-match query returns empty; validation errors") {
     val path = s"$root/ix4"
     TextIndex.save(fixtureDocs, "doc_id", "text", path)
