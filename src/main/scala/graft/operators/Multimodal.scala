@@ -311,4 +311,87 @@ object Multimodal {
       mean_intensity = if (n == 0) 0.0 else sum.toDouble / n / 255.0,
       status = status)
   }
+
+  // ---------------------------------------------------------------- dHash
+
+  case class ImageHash(doc_id: Long, dhash: Long, status: String)
+
+  /** 64-bit difference hash per image — the perceptual fingerprint for
+    * IMAGE near-dup dedup (re-encoded, re-compressed, or lightly edited
+    * copies of one picture land within a few bits; unrelated pictures
+    * land ~32 bits apart). Decode is the REAL `javax.imageio` PNG/JPEG
+    * path; the downsample to the 9×8 grid is exact integer area
+    * averaging (per-block luminance sums in 299/587/114 fixed-point
+    * weights), and each of the 64 bits compares adjacent block means by
+    * CROSS-MULTIPLICATION (`sumL·cntR < sumR·cntL`) — no float ever
+    * enters, so the hash is bit-stable under partitioning and across
+    * JVMs for lossless formats. Undecodable payloads keep a typed
+    * status row (the [[extractFeatures]] audit contract) and are
+    * excluded from pairing by the caller. */
+  def imageDHash(payloads: DataFrame): Dataset[ImageHash] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    typedPayloads(payloads).mapPartitions(_.map { case (id, bytes) =>
+      if (!(isPng(bytes) || isJpeg(bytes))) ImageHash(id, 0L, "unsupported")
+      else try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) ImageHash(id, 0L, "corrupt")
+        else ImageHash(id, dhash64(img), "decoded")
+      } catch { case scala.util.control.NonFatal(_) =>
+        ImageHash(id, 0L, "corrupt") }
+    })
+  }
+
+  private def dhash64(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    // 9 columns x 8 rows of exact block luminance sums + pixel counts
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      val y0 = (gy.toLong * h / 8).toInt
+      val y1 = math.max(y0 + 1, ((gy + 1).toLong * h / 8).toInt) min h
+      var gx = 0
+      while (gx < 9) {
+        val x0 = (gx.toLong * w / 9).toInt
+        val x1 = math.max(x0 + 1, ((gx + 1).toLong * w / 9).toInt) min w
+        var s = 0L; var c = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L +
+              (rgb & 0xFF) * 114L
+            c += 1; x += 1
+          }
+          y += 1
+        }
+        sums(gy)(gx) = s; cnts(gy)(gx) = math.max(c, 1L)
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      val (gy, gx) = (i / 8, i % 8)
+      // left mean < right mean, cross-multiplied: exact
+      if (sums(gy)(gx) * cnts(gy)(gx + 1) < sums(gy)(gx + 1) * cnts(gy)(gx))
+        bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Near-duplicate image pairs: dHash + the covering-code hamming band
+    * join ([[Dedup.hammingPairs]] — the same machinery q67 oracles for
+    * SimHash). Only decoded payloads pair; output (id_a, id_b, hamming). */
+  def imageNearDupPairs(payloads: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val fps = imageDHash(payloads).filter(col("status") === "decoded")
+      .toDF().select(col("doc_id"), col("dhash")).cache()
+    Dedup.hammingPairs(fps, "doc_id", "dhash", maxHamming)
+  }
 }
