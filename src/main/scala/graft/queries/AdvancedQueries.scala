@@ -98,6 +98,28 @@ object AdvancedQueries extends QueryModule {
        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** CUBE: the full 2^k grouping-set lattice over (returnflag,
+    * linestatus) — q36's rollup sibling, completing the grouping-sets
+    * surface (Spark plans both through one Expand + aggregate, no
+    * per-grouping rescan). */
+  private def q124Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy($"gid", $"l_returnflag", $"l_linestatus")
+  }
+
+  private val q124Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  COUNT(*) AS n,
+       |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   /** Pivot: event counts per user by type, one column per type. */
   private def q37Pivot(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -999,6 +1021,8 @@ object AdvancedQueries extends QueryModule {
       |ORDER BY o_custkey""".stripMargin
 
   override def queries: Seq[Q] = Seq(
+    Q("q124_cube", q124Cube, Some(q124Sql),
+      "CUBE grouping lattice with grouping_id (rollup's sibling)"),
     Q("q123_cm_contract", q123CmContract, Some(q123Sql),
       "Count-Min one-sided + error-band contract booleans vs exact counts (north star)"),
     Q("q116_assoc_rules", q116AssocRules, Some(q116Sql),
