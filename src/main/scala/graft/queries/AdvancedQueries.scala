@@ -98,6 +98,54 @@ object AdvancedQueries extends QueryModule {
        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** TPC-H Q5-shape six-way join (north star): local-supplier revenue
+    * per (region, order year) — lineitem⨝orders⨝customer⨝supplier with
+    * the same-nation residual, nation/region as broadcast dims. The
+    * classic join-ordering showcase: the two fact tables shuffle on
+    * their keys once each, every dimension hop is a broadcast, and the
+    * revenue Σ price·(1−discount) is computed in exact integer units
+    * (cents × per-mille) so the group sums are engine-portable without
+    * the decimal-cast boundary risk a double product would carry. */
+  private def q125LocalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey",
+      floor($"l_extendedprice" * 100 + 0.5).cast("long").as("__cents"),
+      floor($"l_discount" * 1000 + 0.5).cast("long").as("__dm"))
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey",
+        year(to_date($"o_orderdate")).cast("int").as("o_year"))
+    val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    val supp = Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
+    val nat = Tables.nation(spark, dir).select($"n_nationkey", $"n_name", $"n_regionkey")
+    val reg = Tables.region(spark, dir).select($"r_regionkey", $"r_name")
+    li
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey")
+      .filter($"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"o_year")
+      .agg(sum($"__cents" * (lit(1000L) - $"__dm")).as("revenue_mc"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"r_name", $"o_year")
+  }
+
+  private val q125Sql =
+    """SELECT r.r_name, CAST(EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS INT) AS o_year,
+      |  CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+      |    * (1000 - CAST(floor(l.l_discount * 1000 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_mc,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem l
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |JOIN region r ON r.r_regionkey = n.n_regionkey
+      |WHERE c.c_nationkey = s.s_nationkey
+      |GROUP BY 1, 2
+      |ORDER BY r_name, o_year""".stripMargin
+
   /** CUBE: the full 2^k grouping-set lattice over (returnflag,
     * linestatus) — q36's rollup sibling, completing the grouping-sets
     * surface (Spark plans both through one Expand + aggregate, no
@@ -1021,6 +1069,8 @@ object AdvancedQueries extends QueryModule {
       |ORDER BY o_custkey""".stripMargin
 
   override def queries: Seq[Q] = Seq(
+    Q("q125_local_revenue", q125LocalRevenue, Some(q125Sql),
+      "TPC-H Q5-shape 6-way join: local-supplier revenue per region x year (north star)"),
     Q("q124_cube", q124Cube, Some(q124Sql),
       "CUBE grouping lattice with grouping_id (rollup's sibling)"),
     Q("q123_cm_contract", q123CmContract, Some(q123Sql),

@@ -208,6 +208,52 @@ object StreamingJobs {
   def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  case class CusumEvent(key: Long, ts: java.sql.Timestamp, tie: Long, v: Double)
+  case class CusumAlarm(key: Long, rn: Long, vu: Long, cpos: Long,
+      cneg: Long, alarm: Boolean)
+  case class CusumState(sp: Long, sn: Long, n: Long)
+
+  /** Streaming CUSUM monitoring — [[graft.operators.TimeSeriesOps.cusum]]
+    * maintained continuously: `mapGroupsWithState`-style keyed state
+    * carries each key's (sp, sn, count) across micro-batches, each
+    * batch's events fold in (ts, tie) order, and the emitted rows are
+    * the SAME exact integers the batch operator produces over the
+    * concatenated prefix (CusumSpec pins the equivalence). State is
+    * three longs per key — the cheapest stateful operator in the file.
+    * Ordering contract: in-order WITHIN a batch is handled here
+    * (sorted fold); cross-batch order is the caller's watermark
+    * discipline, the same contract the batch form's (ts, tie) sort
+    * assumes of its input. */
+  def cusumOnArrival(events: org.apache.spark.sql.Dataset[CusumEvent],
+      refUnits: Long, hUnits: Long, valueUnits: Int = 1000)
+      : org.apache.spark.sql.Dataset[CusumAlarm] = {
+    require(hUnits > 0, s"hUnits must be > 0, got $hUnits")
+    require(valueUnits >= 1, s"valueUnits must be >= 1, got $valueUnits")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, evs, state) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L))
+          val out = evs.toSeq.sortBy(e => (e.ts.getTime, e.tie)).map { e =>
+            val vu = math.floor(e.v * valueUnits + 0.5).toLong
+            val spRaw = math.max(0L, st.sp + vu - refUnits)
+            val snRaw = math.max(0L, st.sn + refUnits - vu)
+            val alarm = spRaw > hUnits || snRaw > hUnits
+            st = CusumState(
+              if (spRaw > hUnits) 0L else spRaw,
+              if (snRaw > hUnits) 0L else snRaw,
+              st.n + 1)
+            CusumAlarm(key, st.n, vu, st.sp, st.sn, alarm)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Stream-stream inner join with event-time range: both sides watermarked
     * so the state store evicts rows once the other side can no longer
     * match (the condition bounds the buffering window). */

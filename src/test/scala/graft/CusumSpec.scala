@@ -66,6 +66,38 @@ class CusumSpec extends SparkSpec {
     assert(want.values.exists(_._4), "generated series must contain alarms")
   }
 
+  test("streaming cusumOnArrival == batch cusum over the concatenated prefix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingJobs
+    import graft.streaming.StreamingJobs.CusumEvent
+    implicit val sqlCtx = spark.sqlContext
+    val all = (0 until 80).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"scusum:$i".getBytes("UTF-8"))
+      CusumEvent(h(0) & 0x01L, toTs(i * 10L), i.toLong, (h(1) & 0xff) / 10.0) }
+    val (ref, hU) = (12000L, 30000L)
+    val source = MemoryStream[CusumEvent]
+    val q = StreamingJobs.cusumOnArrival(source.toDS(), ref, hU)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("append").start()
+    try {
+      // two batches, event-time ordered across the split
+      source.addData(all.take(50): _*)
+      q.processAllAvailable()
+      source.addData(all.drop(50): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cusum_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+      val batch = graft.operators.TimeSeriesOps.cusum(
+          all.toDF(), "key", "ts", "tie", "v", ref, hU)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+      assert(streamed === batch)
+      assert(batch.values.exists(_._4), "series must contain alarms")
+    } finally q.stop()
+  }
+
   test("parameter validation") {
     val df = Seq((1L, toTs(1), 1L, 1.0)).toDF("k", "ts", "id", "v")
     intercept[IllegalArgumentException] {
