@@ -233,7 +233,112 @@ object RelationalQueries extends QueryModule {
       |WHERE rk <= 3
       |ORDER BY o_custkey, rk""".stripMargin
 
+  /** Equi-width histogram of order totals (20 bins over the global
+    * [min, max]): the profiling/distribution shape `width_bucket` serves.
+    * The global extremes come from ONE tiny aggregate broadcast against
+    * the scan (no second full pass through a window); the bin expression
+    * is the SAME IEEE double arithmetic in both engines — identical
+    * inputs, identical op order → identical bins, no boundary drift. */
+  private def q130Histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val mm = orders.agg(
+      min($"o_totalprice").as("mn"), max($"o_totalprice").as("mx"))
+    orders.join(broadcast(mm))
+      .withColumn("bin",
+        least(floor((($"o_totalprice" - $"mn") * lit(20.0)) / ($"mx" - $"mn")),
+          lit(19L)))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("mass"))
+      .orderBy($"bin")
+  }
+
+  private val q130Sql =
+    s"""WITH mm AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders)
+       |SELECT
+       |  LEAST(CAST(FLOOR(((o_totalprice - mn) * 20.0) / (mx - mn)) AS BIGINT), 19) AS bin,
+       |  COUNT(*) AS n,
+       |  ${sqlDsum("o_totalprice")} AS mass
+       |FROM orders, mm
+       |GROUP BY 1
+       |ORDER BY bin""".stripMargin
+
+  /** Pearson correlation between event value and the JSON `k` prop per
+    * event type, computed from EXACT decimal moment sums (n, Σx, Σy, Σxy,
+    * Σx², Σy²) — the distributed-correlation shape: one map-side-combined
+    * aggregate carries five mergeable sums, and only the FINAL scalar
+    * formula touches floats (identical IEEE ops both engines). `corr()`
+    * built-ins stream in engine-specific order and can't cross-engine
+    * hash; moments can. */
+  private def q131CorrMoments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .filter($"k".isNotNull)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum($"value").as("sx"),
+        dsum($"k").as("sy"),
+        dsumProduct($"value", $"k").as("sxy"),
+        dsumProduct($"value", $"value").as("sxx"),
+        dsumProduct($"k", $"k").as("syy"))
+      .withColumn("corr_vk",
+        ($"n" * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy")))
+      .select($"event_type", $"n", $"corr_vk")
+      .orderBy($"event_type")
+  }
+
+  private val q131Sql =
+    """WITH e AS (
+      |  SELECT event_type, value,
+      |    CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |  FROM events
+      |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(k AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(k AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sxy,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(k AS DECIMAL(18,4)) * CAST(k AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS syy
+      |  FROM e GROUP BY event_type)
+      |SELECT event_type, n,
+      |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_vk
+      |FROM m
+      |ORDER BY event_type""".stripMargin
+
+  /** First-significant-digit distribution of order totals (the Benford
+    * audit shape fraud/data-quality screens run): the digit comes from the
+    * INTEGER part via floor→bigint→string, never from float formatting —
+    * double-to-string renderings differ across engines, integer ones
+    * can't. */
+  private def q132Benford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_totalprice" >= 1.0)
+      .withColumn("digit", substring(floor($"o_totalprice").cast("string"), 1, 1))
+      .groupBy($"digit")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"digit")
+  }
+
+  private val q132Sql =
+    """SELECT SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+      |  COUNT(*) AS n
+      |FROM orders
+      |WHERE o_totalprice >= 1.0
+      |GROUP BY 1
+      |ORDER BY digit""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q130_histogram", q130Histogram, Some(q130Sql),
+      "equi-width histogram of order totals (global-extremes broadcast)"),
+    Q("q131_corr_moments", q131CorrMoments, Some(q131Sql),
+      "Pearson correlation from exact decimal moment sums per event type"),
+    Q("q132_benford", q132Benford, Some(q132Sql),
+      "first-significant-digit (Benford) audit over order totals"),
     Q("q1_agg", q1Agg, Some(q1Sql), "TPC-H Q1-style pricing summary (A1-A3)"),
     Q("q2_filter_project", q2FilterProject, Some(q2Sql), "pushdown filter + projection (P1/P2)"),
     Q("q3_join_agg", q3JoinAgg, Some(q3Sql), "broadcast star join + agg (J1)"),

@@ -420,7 +420,180 @@ object TimeSeriesQueries extends QueryModule {
       |ORDER BY n DESC, path
       |LIMIT 20""".stripMargin
 
+  /** Hourly gap-filled resample per user, last-observation-carried-forward
+    * (operators/Resample — the InfluxDB `GROUP BY time(1h) fill(previous)` /
+    * TimescaleDB `time_bucket_gapfill + locf` surface). The oracle replays
+    * the whole pipeline relationally: deterministic last-wins in-cell
+    * reduction, per-key generate_series grid, LEFT JOIN, IGNORE-NULLS
+    * running fill. Values pass through untouched (no float arithmetic), so
+    * the driver hash pins fill placement exactly. */
+  private def q126ResampleLocf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Resample.resample(Tables.events(spark, dir),
+        keyCol = "user_id", tsCol = "ts", valueCol = "value",
+        tieCol = "event_id", stepUs = 3600000000L, fill = "locf")
+      .select($"user_id", $"bucket",
+        date_format($"bucket_ts", "yyyy-MM-dd HH:mm:ss").as("bucket_ts"),
+        $"value", $"n_obs", $"observed")
+      .orderBy($"user_id", $"bucket")
+  }
+
+  private val q126Sql =
+    """WITH b AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS bucket, value,
+      |    row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000
+      |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events),
+      |pc AS (
+      |  SELECT user_id, bucket,
+      |    MAX(CASE WHEN rn = 1 THEN value END) AS cell_value,
+      |    COUNT(*) AS n_obs
+      |  FROM b GROUP BY 1, 2),
+      |span AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM pc GROUP BY 1),
+      |grid AS (SELECT user_id, UNNEST(generate_series(b0, b1)) AS bucket FROM span),
+      |j AS (
+      |  SELECT g.user_id, g.bucket, pc.cell_value, COALESCE(pc.n_obs, 0) AS n_obs
+      |  FROM grid g LEFT JOIN pc ON pc.user_id = g.user_id AND pc.bucket = g.bucket)
+      |SELECT user_id, bucket,
+      |  strftime(make_timestamp(bucket * 3600000000), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+      |  last_value(cell_value IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+      |  n_obs, cell_value IS NOT NULL AS observed
+      |FROM j
+      |ORDER BY user_id, bucket""".stripMargin
+
+  /** Linear-interpolation variant of q126 (TimescaleDB `interpolate()`):
+    * gap cells take pv + (nv−pv)·(Δb/span) between the straddling observed
+    * cells; trailing gaps fall back to LOCF (no right bound). The lerp is
+    * the SAME IEEE double expression in both engines over identical
+    * inputs, so even the interpolated values hash-match exactly. */
+  private def q127ResampleLerp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Resample.resample(Tables.events(spark, dir),
+        keyCol = "user_id", tsCol = "ts", valueCol = "value",
+        tieCol = "event_id", stepUs = 3600000000L, fill = "linear")
+      .select($"user_id", $"bucket", $"value", $"n_obs", $"observed")
+      .orderBy($"user_id", $"bucket")
+  }
+
+  private val q127Sql =
+    """WITH b AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS bucket, value,
+      |    row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000
+      |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events),
+      |pc AS (
+      |  SELECT user_id, bucket,
+      |    MAX(CASE WHEN rn = 1 THEN value END) AS cell_value,
+      |    COUNT(*) AS n_obs
+      |  FROM b GROUP BY 1, 2),
+      |span AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM pc GROUP BY 1),
+      |grid AS (SELECT user_id, UNNEST(generate_series(b0, b1)) AS bucket FROM span),
+      |j AS (
+      |  SELECT g.user_id, g.bucket, pc.cell_value, COALESCE(pc.n_obs, 0) AS n_obs
+      |  FROM grid g LEFT JOIN pc ON pc.user_id = g.user_id AND pc.bucket = g.bucket),
+      |w AS (
+      |  SELECT user_id, bucket, cell_value, n_obs,
+      |    last_value(CASE WHEN cell_value IS NOT NULL THEN bucket END IGNORE NULLS)
+      |      OVER pw AS pb,
+      |    last_value(cell_value IGNORE NULLS) OVER pw AS pv,
+      |    first_value(CASE WHEN cell_value IS NOT NULL THEN bucket END IGNORE NULLS)
+      |      OVER nw AS nb,
+      |    first_value(cell_value IGNORE NULLS) OVER nw AS nv
+      |  FROM j
+      |  WINDOW
+      |    pw AS (PARTITION BY user_id ORDER BY bucket
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    nw AS (PARTITION BY user_id ORDER BY bucket
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, bucket,
+      |  CASE WHEN cell_value IS NOT NULL THEN cell_value
+      |       WHEN nb IS NULL THEN pv
+      |       ELSE pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+      |  END AS value,
+      |  n_obs, cell_value IS NOT NULL AS observed
+      |FROM w
+      |ORDER BY user_id, bucket""".stripMargin
+
+  /** Daily volume-weighted average value per event type — the VWAP shape
+    * (price=value, volume=the JSON `k` prop): exact decimal sums for both
+    * numerator and denominator, ONE hash aggregate, then a single double
+    * division that is bit-identical across engines. */
+  private def q128Vwap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .filter($"k".isNotNull)
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type")
+      .agg(
+        dsumProduct($"value", $"k").as("pv_sum"),
+        dsum($"k").as("volume"),
+        count(lit(1)).as("n"))
+      .withColumn("vwap", $"pv_sum" / $"volume")
+      .select($"day", $"event_type", $"vwap", $"volume", $"n")
+      .orderBy($"day", $"event_type")
+  }
+
+  private val q128Sql =
+    """WITH e AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, value,
+      |    CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |  FROM events
+      |  WHERE json_extract_string(props, '$.k') IS NOT NULL)
+      |SELECT day, event_type,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(k AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(SUM(CAST(k AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS vwap,
+      |  CAST(CAST(SUM(CAST(k AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS volume,
+      |  COUNT(*) AS n
+      |FROM e
+      |GROUP BY day, event_type
+      |ORDER BY day, event_type""".stripMargin
+
+  /** Interarrival gap detection per user (monitoring: "this stream went
+    * quiet") — one lag window over the (user, ts, id) sort, exact
+    * microsecond arithmetic; gaps longer than 2 days emitted with both
+    * endpoints. The data-integrity sibling of q106's anomaly flags. */
+  private def q129Gaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 2L * 86400 * 1000000
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("us", graft.operators.TimeSeriesOps.eventMicros($"ts"))
+      .withColumn("prev_us", lag($"us", 1).over(w))
+      .filter($"prev_us".isNotNull && $"us" - $"prev_us" > gapUs)
+      .select($"user_id",
+        date_format(timestamp_micros($"prev_us"), "yyyy-MM-dd HH:mm:ss").as("gap_start"),
+        date_format(timestamp_micros($"us"), "yyyy-MM-dd HH:mm:ss").as("gap_end"),
+        ($"us" - $"prev_us").as("gap_us"),
+        $"event_id".as("end_event_id"))
+      .orderBy($"user_id", $"end_event_id")
+  }
+
+  private val q129Sql =
+    """WITH s AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                            ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events)
+      |SELECT user_id,
+      |  strftime(make_timestamp(prev_us), '%Y-%m-%d %H:%M:%S') AS gap_start,
+      |  strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S') AS gap_end,
+      |  us - prev_us AS gap_us,
+      |  event_id AS end_event_id
+      |FROM s
+      |WHERE prev_us IS NOT NULL AND us - prev_us > 172800000000
+      |ORDER BY user_id, end_event_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q126_resample_locf", q126ResampleLocf, Some(q126Sql),
+      "hourly gap-filled resample, last-observation-carried-forward (Resample op)"),
+    Q("q127_resample_lerp", q127ResampleLerp, Some(q127Sql),
+      "hourly resample with linear interpolation between observed cells"),
+    Q("q128_vwap", q128Vwap, Some(q128Sql),
+      "daily volume-weighted average value per event type (exact decimal sums)"),
+    Q("q129_gaps", q129Gaps, Some(q129Sql),
+      "interarrival gap detection per user (stream-went-quiet monitoring)"),
     Q("q118_ewma", q118Ewma, Some(q118Sql),
       "fixed-point EWMA per user vs recursive-CTE oracle (north star)"),
     Q("q120_path_trigrams", q120PathTrigrams, Some(q120Sql),
