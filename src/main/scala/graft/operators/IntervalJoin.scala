@@ -122,4 +122,57 @@ object IntervalJoin {
     }
     taggedLeft.join(taggedRight, cond && exact).drop("__bin")
   }
+
+  /** Interval-OVERLAP join: all (left, right) pairs whose closed intervals
+    * [ls, le] and [rs, re] intersect (ls ≤ re AND rs ≤ le) under matching
+    * keys — the interval×interval sibling of [[joinWithin]]'s
+    * point-in-interval shape (session overlap, maintenance-window
+    * conflicts, reservation double-booking).
+    *
+    * Bounds are plain LONGs in any shared unit (epoch-micros for time,
+    * but any numeric domain bins the same way) — callers convert
+    * timestamps once with [[TimeSeriesOps.eventMicros]].
+    *
+    * Scale shape: each interval explodes into the `binWidth`-wide bins it
+    * covers (⌈len/binWidth⌉+1 rows — pick binWidth near the typical
+    * interval length so the fan-out stays ~2×), candidates come from a
+    * plain equi-join on (key, bin), and compared pairs are bounded by
+    * intervals-alive-per-bin, never per-key². A pair overlapping across
+    * MANY shared bins is emitted ONCE without any distinct pass: the join
+    * keeps only the anchor bin floorDiv(max(ls, rs)) — the bin holding the
+    * overlap's start, which lies in both sides' covered ranges exactly
+    * when the intervals intersect (max(ls,rs) ∈ [ls,le] ∧ ∈ [rs,re]), so
+    * each qualifying pair survives in exactly one bin. No dedup shuffle,
+    * no pair ever counted twice.
+    *
+    * Degenerate guard: rows with null bounds or end < start are dropped
+    * (an inverted interval is an upstream bug; overlap against it is
+    * undefined). */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      lsCol: String, leCol: String, rsCol: String, reCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val overlapCols = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlapCols.isEmpty,
+      s"column names $overlapCols appear on both sides; alias before joining")
+    val reserved = Set("__bin")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"column names $reserved are reserved by overlapJoin")
+
+    def tag(df: DataFrame, s: String, e: String) = df
+      .filter(col(s).isNotNull && col(e).isNotNull && col(e) >= col(s))
+      .withColumn("__bin",
+        explode(sequence(floorDiv(col(s), binWidth), floorDiv(col(e), binWidth))))
+
+    val l = tag(left, lsCol, leCol)
+    val r = tag(right, rsCol, reCol)
+    val anchor = floorDiv(greatest(l(lsCol), r(rsCol)), binWidth)
+    val cond =
+      l(leftKey) === r(rightKey) &&
+      l("__bin") === r("__bin") &&
+      l("__bin") === anchor &&
+      l(lsCol) <= r(reCol) && r(rsCol) <= l(leCol)
+    l.join(r, cond).drop("__bin")
+  }
 }

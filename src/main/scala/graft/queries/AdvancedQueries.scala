@@ -730,6 +730,95 @@ object AdvancedQueries extends QueryModule {
       |FROM d WHERE change <> 'unchanged'
       |ORDER BY doc_id""".stripMargin
 
+  /** MERGE INTO (q103's forward direction): a deterministic CDC changeset
+    * — upsert every 5th doc's lang at seq 1, delete every 7th at seq 2,
+    * insert fresh ids for every 11th at seq 1 — compacted (last op per
+    * key) and applied to the documents snapshot in ONE outer join
+    * (operators/MergeInto). Ids divisible by 35 take an update then a
+    * delete, so the hash also pins the compaction ORDER. */
+  private def q133MergeApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+    val updates = base.filter($"doc_id" % 5 === 0)
+      .select($"doc_id", lit("U").as("op"), lit(1L).as("seq"),
+        lit("xx").as("lang"), $"source", $"n_chars")
+    val deletes = base.filter($"doc_id" % 7 === 0)
+      .select($"doc_id", lit("D").as("op"), lit(2L).as("seq"),
+        lit(null).cast("string").as("lang"), lit(null).cast("string").as("source"),
+        lit(null).cast("long").as("n_chars"))
+    val inserts = base.filter($"doc_id" % 11 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), lit("I").as("op"),
+        lit(1L).as("seq"), lit("en").as("lang"), lit("cdc").as("source"),
+        lit(42L).as("n_chars"))
+    graft.operators.MergeInto.applyChanges(
+        base, updates.unionByName(deletes).unionByName(inserts), "doc_id")
+      .orderBy($"doc_id")
+  }
+
+  private val q133Sql =
+    """WITH base AS (
+      |  SELECT doc_id, lang, source, n_chars FROM documents),
+      |ch AS (
+      |  SELECT doc_id, 'U' AS op, 1 AS seq, 'xx' AS lang, source, n_chars
+      |  FROM base WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 'D', 2, NULL, NULL, NULL FROM base WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'I', 1, 'en', 'cdc', 42
+      |  FROM base WHERE doc_id % 11 = 0),
+      |comp AS (
+      |  SELECT * FROM (
+      |    SELECT ch.*, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+      |    FROM ch) WHERE rn = 1),
+      |m AS (
+      |  SELECT coalesce(c.doc_id, b.doc_id) AS doc_id, c.op,
+      |    CASE WHEN c.op IS NULL THEN b.lang ELSE c.lang END AS lang,
+      |    CASE WHEN c.op IS NULL THEN b.source ELSE c.source END AS source,
+      |    CASE WHEN c.op IS NULL THEN b.n_chars ELSE c.n_chars END AS n_chars
+      |  FROM base b FULL OUTER JOIN comp c ON b.doc_id = c.doc_id)
+      |SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM m WHERE op IS NULL OR op <> 'D'
+      |ORDER BY doc_id""".stripMargin
+
+  /** Interval-OVERLAP join (q73's interval×interval sibling): per user,
+    * click-anchored 2 h intervals against view-anchored 1 h intervals,
+    * every intersecting pair with its exact overlap length in µs. The
+    * engine bins both interval sets and emits each pair once via the
+    * anchor-bin trick (no distinct pass); the oracle is the naive theta
+    * join — equality proves both the candidate cover and the
+    * single-emission property. */
+  private def q134OverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val us = graft.operators.TimeSeriesOps.eventMicros($"ts")
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("l_user"), $"event_id".as("l_id"),
+        us.as("ls"), (us + 7200000000L).as("le"))
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id".as("r_user"), $"event_id".as("r_id"),
+        us.as("rs"), (us + 3600000000L).as("re"))
+    graft.operators.IntervalJoin.overlapJoin(clicks, views,
+        "l_user", "r_user", "ls", "le", "rs", "re", binWidth = 7200000000L)
+      .select($"l_user".as("user_id"), $"l_id", $"r_id",
+        (least($"le", $"re") - greatest($"ls", $"rs")).as("overlap_us"))
+      .orderBy($"user_id", $"l_id", $"r_id")
+  }
+
+  private val q134Sql =
+    """WITH l AS (
+      |  SELECT user_id, event_id AS l_id, epoch_us(ts) AS ls,
+      |    epoch_us(ts) + 7200000000 AS le
+      |  FROM events WHERE event_type = 'click'),
+      |r AS (
+      |  SELECT user_id, event_id AS r_id, epoch_us(ts) AS rs,
+      |    epoch_us(ts) + 3600000000 AS re
+      |  FROM events WHERE event_type = 'view')
+      |SELECT l.user_id AS user_id, l_id, r_id,
+      |  least(le, re) - greatest(ls, rs) AS overlap_us
+      |FROM l JOIN r ON l.user_id = r.user_id AND ls <= re AND rs <= le
+      |ORDER BY l.user_id, l_id, r_id""".stripMargin
+
   /** Count-Min contract (north star): the q72/q108 sketch-contract
     * pattern applied to CountMin — for the top-20 users by exact event
     * count, the oracle-recomputable exact counts ride beside two
@@ -1118,6 +1207,10 @@ object AdvancedQueries extends QueryModule {
       "snapshot CDC: full-dump diff to inserted/deleted/updated via one full-outer join"),
     Q("q104_pagerank", q104PageRank, Some(q104Sql),
       "fixed-point integer PageRank, both power iterations replayed relationally (north star)"),
+    Q("q133_merge_apply", q133MergeApply, Some(q133Sql),
+      "MERGE INTO: compacted CDC changeset applied to a snapshot via one outer join"),
+    Q("q134_overlap_join", q134OverlapJoin, Some(q134Sql),
+      "interval-overlap join: binned equi-join with single-emission anchor vs theta oracle"),
     Q("q34_asof_join", q34AsOf, Some(q34Sql), "as-of join (union+window vs theta-join oracle)"),
     Q("q35_session_windows", q35Sessions, Some(q35Sql), "session windows vs gaps-and-islands oracle"),
     Q("q36_rollup", q36Rollup, Some(q36Sql), "rollup with grouping indicators"),
