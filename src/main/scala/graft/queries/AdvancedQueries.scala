@@ -819,6 +819,78 @@ object AdvancedQueries extends QueryModule {
       |FROM l JOIN r ON l.user_id = r.user_id AND ls <= re AND rs <= le
       |ORDER BY l.user_id, l_id, r_id""".stripMargin
 
+  /** 2D skyline (north star): the Pareto frontier of purchase events on
+    * (value, k) — operators/Skyline's sort-scan rewrite (one aggregate +
+    * one window over distinct-x rows) against the textbook NOT EXISTS
+    * O(n²) oracle. Equality proves the rewrite drops exactly the
+    * dominated rows, including all tie cases. */
+  private def q135Skyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .filter($"k".isNotNull)
+      .select($"event_id", $"value", $"k")
+    graft.operators.Skyline.frontier2D(pts, "value", "k")
+      .orderBy($"event_id")
+  }
+
+  private val q135Sql =
+    """WITH p AS (
+      |  SELECT event_id, value,
+      |    CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |  FROM events
+      |  WHERE event_type = 'purchase'
+      |    AND json_extract_string(props, '$.k') IS NOT NULL)
+      |SELECT event_id, value, k FROM p q
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p o
+      |  WHERE o.value >= q.value AND o.k >= q.k
+      |    AND (o.value > q.value OR o.k > q.k))
+      |ORDER BY event_id""".stripMargin
+
+  /** Key-skew diagnosis: exact Gini coefficient + concentration stats
+    * over the per-user event-count distribution — the "is this join key
+    * safe to shuffle on" report a 100 TB planner wants BEFORE picking a
+    * partitioning. All moments are integer-exact (rank·count sums);
+    * only the final ratios are (identical-op) float divisions. Rank ties
+    * can't perturb the sum: equal counts contribute the same product
+    * under any rank permutation. */
+  private def q137SkewGini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val ranked = counts.withColumn("i",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy($"n", $"user_id")))
+    ranked
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum($"n").as("total"),
+        max($"n").as("max_n"),
+        sum($"i" * $"n").as("iwsum"))
+      .select($"n_keys", $"total", $"max_n",
+        (($"iwsum" * 2 - ($"n_keys" + 1) * $"total").cast("double") /
+          ($"n_keys" * $"total").cast("double")).as("gini"),
+        ($"max_n".cast("double") / $"total".cast("double")).as("top1_share"))
+  }
+
+  private val q137Sql =
+    """WITH c AS (
+      |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+      |r AS (
+      |  SELECT n, row_number() OVER (ORDER BY n, user_id) AS i FROM c),
+      |m AS (
+      |  SELECT COUNT(*) AS n_keys, SUM(n) AS total, MAX(n) AS max_n,
+      |    SUM(i * n) AS iwsum
+      |  FROM r)
+      |SELECT n_keys, CAST(total AS BIGINT) AS total,
+      |  CAST(max_n AS BIGINT) AS max_n,
+      |  CAST(iwsum * 2 - (n_keys + 1) * total AS DOUBLE)
+      |    / CAST(n_keys * total AS DOUBLE) AS gini,
+      |  CAST(max_n AS DOUBLE) / CAST(total AS DOUBLE) AS top1_share
+      |FROM m""".stripMargin
+
   /** Count-Min contract (north star): the q72/q108 sketch-contract
     * pattern applied to CountMin — for the top-20 users by exact event
     * count, the oracle-recomputable exact counts ride beside two
@@ -1207,6 +1279,10 @@ object AdvancedQueries extends QueryModule {
       "snapshot CDC: full-dump diff to inserted/deleted/updated via one full-outer join"),
     Q("q104_pagerank", q104PageRank, Some(q104Sql),
       "fixed-point integer PageRank, both power iterations replayed relationally (north star)"),
+    Q("q135_skyline", q135Skyline, Some(q135Sql),
+      "2D Pareto frontier via sort-scan rewrite vs NOT-EXISTS oracle (north star)"),
+    Q("q137_skew_gini", q137SkewGini, Some(q137Sql),
+      "exact Gini + concentration skew report over the event key distribution"),
     Q("q133_merge_apply", q133MergeApply, Some(q133Sql),
       "MERGE INTO: compacted CDC changeset applied to a snapshot via one outer join"),
     Q("q134_overlap_join", q134OverlapJoin, Some(q134Sql),

@@ -585,7 +585,40 @@ object TimeSeriesQueries extends QueryModule {
       |WHERE prev_us IS NOT NULL AND us - prev_us > 172800000000
       |ORDER BY user_id, end_event_id""".stripMargin
 
+  /** Rolling 7-day distinct active users per day (rolling WAU) — EXACT
+    * windowed distinct counting, the metric `approx_count_distinct` over
+    * sliding windows usually approximates. The bounded-fan-out rewrite:
+    * distinct (day, user) pairs first (the only full-data pass), then
+    * each pair contributes to the 7 report days it covers (a row-local
+    * 7× explode of the ALREADY-distinct pairs), then one exact distinct
+    * count per report day. Shuffle volume is pairs×7, independent of raw
+    * event multiplicity — never a per-day self-join chain. */
+  private def q136RollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(to_date($"ts").as("d"), $"user_id").distinct()
+      .withColumn("i", explode(sequence(lit(0), lit(6))))
+      .select(date_format(date_add($"d", $"i"), "yyyy-MM-dd").as("day"), $"user_id")
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("active_7d"))
+      .orderBy($"day")
+  }
+
+  private val q136Sql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+      |x AS (
+      |  SELECT d + CAST(i AS INTEGER) AS day, user_id
+      |  FROM pairs, range(7) t(i))
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  COUNT(DISTINCT user_id) AS active_7d
+      |FROM x
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q136_rolling_distinct", q136RollingDistinct, Some(q136Sql),
+      "exact rolling 7-day distinct actives via bounded pair fan-out"),
     Q("q126_resample_locf", q126ResampleLocf, Some(q126Sql),
       "hourly gap-filled resample, last-observation-carried-forward (Resample op)"),
     Q("q127_resample_lerp", q127ResampleLerp, Some(q127Sql),
