@@ -891,6 +891,71 @@ object AdvancedQueries extends QueryModule {
       |  CAST(max_n AS DOUBLE) / CAST(total AS DOUBLE) AS top1_share
       |FROM m""".stripMargin
 
+  /** A/B experiment readout with EXACT significance decisions (north
+    * star): users split into arms by id parity, "conversion" = ≥ 15
+    * events of the type; per metric the two-proportion z-test at α=0.05
+    * is decided by pure integer cross-multiplication —
+    * 625·N·(x0·n1 − x1·n0)² > 2401·X·(N−X)·n0·n1 is literally
+    * (p̂0−p̂1)² > z²·p̂(1−p̂)(1/n0+1/n1) with z² = 1.96² = 2401/625 —
+    * so the boolean can't drift between engines no matter how close the
+    * boundary. DECIMAL(38,0)/HUGEINT keeps the products exact to ~10⁷
+    * users per arm; beyond that, reduce counts by a common factor first.
+    * Rates are identical-op float divisions beside the exact counts. */
+  private def q138AbTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val ev = Tables.events(spark, dir)
+    val ns = ev.select($"user_id").distinct()
+      .agg(
+        sum(when(pmod($"user_id", lit(2)) === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(pmod($"user_id", lit(2)) === 1, 1L).otherwise(0L)).as("n1"))
+    val conv = ev.groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 15)
+      .groupBy($"event_type")
+      .agg(
+        sum(when(pmod($"user_id", lit(2)) === 0, 1L).otherwise(0L)).as("x0"),
+        sum(when(pmod($"user_id", lit(2)) === 1, 1L).otherwise(0L)).as("x1"))
+    val d = $"x0".cast(dec) * $"n1".cast(dec) - $"x1".cast(dec) * $"n0".cast(dec)
+    val bigN = ($"n0" + $"n1").cast(dec)
+    val bigX = ($"x0" + $"x1").cast(dec)
+    conv.join(broadcast(ns))
+      .select($"event_type", $"n0", $"n1", $"x0", $"x1",
+        ($"x0".cast("double") / $"n0".cast("double")).as("rate0"),
+        ($"x1".cast("double") / $"n1".cast("double")).as("rate1"),
+        (lit(625).cast(dec) * bigN * d * d >
+          lit(2401).cast(dec) * bigX * (bigN - bigX) *
+            $"n0".cast(dec) * $"n1".cast(dec)).as("significant"))
+      .orderBy($"event_type")
+  }
+
+  private val q138Sql =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |ns AS (
+      |  SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      |  FROM u),
+      |c AS (
+      |  SELECT event_type, user_id FROM events
+      |  GROUP BY event_type, user_id HAVING COUNT(*) >= 15),
+      |x AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS x0,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x1
+      |  FROM c GROUP BY event_type)
+      |SELECT event_type, n0, n1, x0, x1,
+      |  CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate0,
+      |  CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate1,
+      |  625 * CAST(n0 + n1 AS HUGEINT)
+      |      * (CAST(x0 AS HUGEINT) * n1 - CAST(x1 AS HUGEINT) * n0)
+      |      * (CAST(x0 AS HUGEINT) * n1 - CAST(x1 AS HUGEINT) * n0)
+      |    > 2401 * CAST(x0 + x1 AS HUGEINT)
+      |      * (CAST(n0 + n1 AS HUGEINT) - (x0 + x1))
+      |      * CAST(n0 AS HUGEINT) * CAST(n1 AS HUGEINT) AS significant
+      |FROM x, ns
+      |ORDER BY event_type""".stripMargin
+
   /** Count-Min contract (north star): the q72/q108 sketch-contract
     * pattern applied to CountMin — for the top-20 users by exact event
     * count, the oracle-recomputable exact counts ride beside two
@@ -1279,6 +1344,8 @@ object AdvancedQueries extends QueryModule {
       "snapshot CDC: full-dump diff to inserted/deleted/updated via one full-outer join"),
     Q("q104_pagerank", q104PageRank, Some(q104Sql),
       "fixed-point integer PageRank, both power iterations replayed relationally (north star)"),
+    Q("q138_ab_test", q138AbTest, Some(q138Sql),
+      "A/B readout: integer cross-multiplied z-test significance, exact booleans (north star)"),
     Q("q135_skyline", q135Skyline, Some(q135Sql),
       "2D Pareto frontier via sort-scan rewrite vs NOT-EXISTS oracle (north star)"),
     Q("q137_skew_gini", q137SkewGini, Some(q137Sql),

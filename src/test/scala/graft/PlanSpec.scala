@@ -228,4 +228,39 @@ class PlanSpec extends SparkSpec {
     assert(labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ===
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("overlap join is an equi-join on (key, bin), never a nested loop") {
+    val plan = planString(run("q134_overlap_join"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "interval overlap must bin to an equi-join:\n" + plan.take(2000))
+  }
+
+  test("merge apply is exactly one join; compaction windows the delta only") {
+    val plan = planString(run("q133_merge_apply"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+    // one outer join of base vs compacted delta — a second join would mean
+    // the changeset is being re-derived against base per branch
+    val joins = "MergeJoin|HashJoin".r.findAllIn(plan).size
+    assert(joins === 1, s"expected exactly 1 join, saw $joins:\n" + plan.take(3000))
+  }
+
+  test("skyline joins the tiny frontier back via broadcast, no quadratic join") {
+    val plan = planString(run("q135_skyline"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "skyline must never plan the NOT-EXISTS quadratic shape")
+  }
+
+  test("resample reduces cells BEFORE the grid explode: aggregate precedes generate") {
+    val plan = planString(run("q126_resample_locf"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "gap fill must not cross-join a calendar:\n" + plan.take(2000))
+    assert(plan.contains("Generate"), "per-key sequence explode expected")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "in-cell reduction must be a partial+final aggregate")
+  }
 }
