@@ -39,7 +39,12 @@ object Plans {
       "q108_profile_contract", "q109_dsir_weights", "q110_dsir_select",
       "q111_containment", "q112_char_entropy", "q67_simhash_screen",
       "q113_sparse_cosine", "q114_triangles", "q115_bfs_hops",
-      "q116_assoc_rules", "q117_rfm_segments")
+      "q116_assoc_rules", "q117_rfm_segments",
+      "q118_ewma", "q120_path_trigrams", "q122_cusum", "q124_cube",
+      "q125_local_revenue", "q126_resample_locf", "q128_vwap",
+      "q130_histogram", "q131_corr_moments", "q133_merge_apply",
+      "q134_overlap_join", "q135_skyline", "q136_rolling_distinct",
+      "q137_skew_gini", "q138_ab_test")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)
