@@ -146,6 +146,91 @@ object AdvancedQueries extends QueryModule {
       |GROUP BY 1, 2
       |ORDER BY r_name, o_year""".stripMargin
 
+  /** TPC-H Q7-shape bilateral trade volume (north star): revenue between
+    * DISTINCT (supplier nation → customer nation) pairs per ship year —
+    * the dual-role dimension showcase: the nation table joins TWICE under
+    * different roles (both broadcast), the inequality residual keeps only
+    * cross-nation trade, and the two fact tables still shuffle exactly
+    * once each on their join keys. Revenue in the q125 integer
+    * cents×per-mille units, so the group sums are engine-portable. */
+  private def q139TradeVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey",
+      year(to_date($"l_shipdate")).cast("int").as("l_year"),
+      floor($"l_extendedprice" * 100 + 0.5).cast("long").as("__cents"),
+      floor($"l_discount" * 1000 + 0.5).cast("long").as("__dm"))
+    val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    val supp = Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
+    val suppNat = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    val custNat = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+    li
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey")
+      .filter($"s_nationkey" =!= $"c_nationkey")
+      .join(broadcast(suppNat), $"s_nationkey" === $"sn_key")
+      .join(broadcast(custNat), $"c_nationkey" === $"cn_key")
+      .groupBy($"supp_nation", $"cust_nation", $"l_year")
+      .agg(sum($"__cents" * (lit(1000L) - $"__dm")).as("revenue_mc"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  private val q139Sql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(EXTRACT(YEAR FROM CAST(l.l_shipdate AS DATE)) AS INT) AS l_year,
+      |  CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+      |    * (1000 - CAST(floor(l.l_discount * 1000 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_mc,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem l
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      |WHERE s.s_nationkey <> c.c_nationkey
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** Decorrelated subquery shape: parts priced ≥ 5% above their brand's
+    * average retail price — the correlated `WHERE price > (SELECT avg …
+    * WHERE brand = outer.brand)` stated as ONE aggregate + broadcast
+    * join (what a decorrelation rewrite produces; Spark never executes a
+    * per-row subquery). The comparison is integer cross-multiplied
+    * (20·price_cents·n > 21·sum_cents) so the 1.05× threshold never
+    * touches a float average. */
+  private def q140AboveBrandAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, dir).select($"p_partkey", $"p_name",
+      $"p_brand", floor($"p_retailprice" * 100 + 0.5).cast("long").as("__cents"))
+    val brandStats = parts.groupBy($"p_brand".as("__b"))
+      .agg(sum($"__cents").as("__sum"), count(lit(1)).as("__n"))
+    parts.join(broadcast(brandStats), $"p_brand" === $"__b")
+      .filter($"__cents" * $"__n" * 20 > $"__sum" * 21)
+      .select($"p_partkey", $"p_name", $"p_brand",
+        ($"__cents".cast("double") / 100.0).as("price"),
+        ($"__sum".cast("double") / ($"__n" * 100L).cast("double")).as("brand_avg"))
+      .orderBy($"p_partkey")
+  }
+
+  private val q140Sql =
+    """WITH p AS (
+      |  SELECT p_partkey, p_name, p_brand,
+      |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM part),
+      |b AS (
+      |  SELECT p_brand AS brand, SUM(cents) AS s, COUNT(*) AS n
+      |  FROM p GROUP BY 1)
+      |SELECT p_partkey, p_name, p_brand,
+      |  CAST(cents AS DOUBLE) / 100.0 AS price,
+      |  CAST(s AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS brand_avg
+      |FROM p JOIN b ON p.p_brand = b.brand
+      |WHERE cents * n * 20 > s * 21
+      |ORDER BY p_partkey""".stripMargin
+
   /** CUBE: the full 2^k grouping-set lattice over (returnflag,
     * linestatus) — q36's rollup sibling, completing the grouping-sets
     * surface (Spark plans both through one Expand + aggregate, no
@@ -1344,6 +1429,10 @@ object AdvancedQueries extends QueryModule {
       "snapshot CDC: full-dump diff to inserted/deleted/updated via one full-outer join"),
     Q("q104_pagerank", q104PageRank, Some(q104Sql),
       "fixed-point integer PageRank, both power iterations replayed relationally (north star)"),
+    Q("q139_trade_volume", q139TradeVolume, Some(q139Sql),
+      "TPC-H Q7-shape bilateral trade: dual-role nation dims, integer revenue units"),
+    Q("q140_above_brand_avg", q140AboveBrandAvg, Some(q140Sql),
+      "decorrelated subquery: above-brand-average parts via cross-multiplied threshold"),
     Q("q138_ab_test", q138AbTest, Some(q138Sql),
       "A/B readout: integer cross-multiplied z-test significance, exact booleans (north star)"),
     Q("q135_skyline", q135Skyline, Some(q135Sql),
