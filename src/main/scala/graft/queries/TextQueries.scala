@@ -2015,7 +2015,71 @@ object TextQueries extends QueryModule {
        |ORDER BY source, lang""".stripMargin
   }
 
+  /** HTML extraction (S13 — the crawl-extraction semantics of
+    * get_coopang_best_item_id / get_best_item_review, engine-side): pages
+    * are synthesized deterministically from `documents` (title, a
+    * /products/<id> anchor, a class-marked review div, a script block
+    * that must NOT leak into visible text), then sources/HtmlExtract
+    * pulls the product id, review text, link count, and tag-stripped
+    * body length — all row-local codegen regex, no UDF. The oracle runs
+    * the SAME RE2-compatible patterns in DuckDB over the same
+    * synthesized pages, so every extraction sits under the hash. */
+  private def q141HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.HtmlExtract
+    val pages = Tables.documents(spark, dir).select(
+      $"doc_id",
+      concat(
+        lit("<html><head><title>Item "), $"doc_id",
+        lit("</title><script>var hidden = 1;</script></head><body>"),
+        lit("<a href=\"https://shop.example/vp/products/"), $"doc_id" * 7,
+        lit("?src=best\">item</a>"),
+        lit("<a href=\"https://shop.example/help\">help</a>"),
+        lit("<div class=\"review-text\">"), substring($"text", 1, 80),
+        lit("</div><p>"), substring($"text", 81, 40),
+        lit("</p></body></html>")).as("html"))
+    pages.select(
+      $"doc_id",
+      HtmlExtract.title($"html").as("title"),
+      element_at(HtmlExtract.productIds($"html"), 1).cast("long").as("product_id"),
+      size(HtmlExtract.links($"html")).as("n_links"),
+      element_at(HtmlExtract.classTexts($"html", "review-text"), 1).as("review"),
+      length(HtmlExtract.visibleText($"html")).as("body_len"))
+      .orderBy($"doc_id")
+  }
+
+  private val q141Sql =
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Item ' || doc_id ||
+      |    '</title><script>var hidden = 1;</script></head><body>' ||
+      |    '<a href="https://shop.example/vp/products/' || (doc_id * 7) ||
+      |    '?src=best">item</a>' ||
+      |    '<a href="https://shop.example/help">help</a>' ||
+      |    '<div class="review-text">' || substr(text, 1, 80) ||
+      |    '</div><p>' || substr(text, 81, 40) ||
+      |    '</p></body></html>' AS html
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+      |  CAST(regexp_extract(html, 'href="[^"]*/products/([0-9]+)[^"]*"', 1) AS BIGINT) AS product_id,
+      |  CAST(len(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS INT) AS n_links,
+      |  regexp_extract(html, '<[a-z]+ class="[^"]*review-text[^"]*">([^<]*)</[a-z]+>', 1) AS review,
+      |  CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(regexp_replace(html,
+      |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+      |      '<[^>]*>', ' ', 'g'),
+      |      '&amp;', '&', 'g'),
+      |      '&lt;', '<', 'g'),
+      |      '&gt;', '>', 'g'),
+      |      '\s+', ' ', 'g'))) AS INT) AS body_len
+      |FROM pages
+      |ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q141_html_extract", q141HtmlExtract, Some(q141Sql),
+      "S13 crawl extraction: product ids, reviews, visible text via codegen regex"),
     Q("q66_source_report", q66SourceReport, Some(q66Sql),
       "per-source curation dashboard: volume, quality, Gopher, dup counts (north star)"),
     Q("q68_pipeline", q68Pipeline, Some(q68Sql),

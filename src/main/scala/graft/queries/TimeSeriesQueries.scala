@@ -616,7 +616,92 @@ object TimeSeriesQueries extends QueryModule {
       |GROUP BY 1
       |ORDER BY day""".stripMargin
 
+  /** Maximum drawdown per user (the quant risk metric: deepest
+    * peak-to-trough fall of the value stream) in q118's fixed-point
+    * thousandth units — running peak and drawdown are integer window
+    * maxima over the (ts, event_id) total order, so the result is exact
+    * and engine-portable. One shuffle on the series key; running state
+    * is a single max. */
+  private def q142Drawdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .withColumn("us", graft.operators.TimeSeriesOps.eventMicros($"ts"))
+      .withColumn("vu", floor($"value" * 1000 + 0.5).cast("long"))
+      .withColumn("peak", max($"vu").over(w))
+      .groupBy($"user_id")
+      .agg(
+        max($"peak" - $"vu").as("max_drawdown_units"),
+        max($"peak").as("peak_units"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  private val q142Sql =
+    """WITH s AS (
+      |  SELECT user_id,
+      |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vu,
+      |    MAX(CAST(floor(value * 1000 + 0.5) AS BIGINT)) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM events)
+      |SELECT user_id,
+      |  MAX(peak - vu) AS max_drawdown_units,
+      |  MAX(peak) AS peak_units,
+      |  COUNT(*) AS n_events
+      |FROM s
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Longest consecutive-day activity streak per user (gaps-and-islands
+    * on the date axis — the engagement metric): distinct active days,
+    * island key = day − row_number (constant exactly across a
+    * consecutive run), longest island wins with earliest-start
+    * tie-break. Everything is date arithmetic — exact in both
+    * engines. */
+  private def q143Streaks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byDay = Window.partitionBy($"user_id").orderBy($"d")
+    val best = Window.partitionBy($"user_id").orderBy($"len".desc, $"start")
+    Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+      .withColumn("grp", date_sub($"d", row_number().over(byDay)))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len"), min($"d").as("start"), max($"d").as("end"))
+      .withColumn("r", row_number().over(best))
+      .filter($"r" === 1)
+      .select($"user_id", $"len".as("streak_days"),
+        date_format($"start", "yyyy-MM-dd").as("streak_start"),
+        date_format($"end", "yyyy-MM-dd").as("streak_end"))
+      .orderBy($"user_id")
+  }
+
+  private val q143Sql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |isl AS (
+      |  SELECT user_id, d,
+      |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, grp, COUNT(*) AS len, MIN(d) AS start, MAX(d) AS "end"
+      |  FROM isl GROUP BY user_id, grp),
+      |best AS (
+      |  SELECT user_id, len, start, "end",
+      |    row_number() OVER (PARTITION BY user_id ORDER BY len DESC, start) AS r
+      |  FROM runs)
+      |SELECT user_id, len AS streak_days,
+      |  strftime(start, '%Y-%m-%d') AS streak_start,
+      |  strftime("end", '%Y-%m-%d') AS streak_end
+      |FROM best WHERE r = 1
+      |ORDER BY user_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q142_drawdown", q142Drawdown, Some(q142Sql),
+      "max drawdown per user in fixed-point units (running integer peak)"),
+    Q("q143_streaks", q143Streaks, Some(q143Sql),
+      "longest consecutive-day activity streak via gaps-and-islands"),
     Q("q136_rolling_distinct", q136RollingDistinct, Some(q136Sql),
       "exact rolling 7-day distinct actives via bounded pair fan-out"),
     Q("q126_resample_locf", q126ResampleLocf, Some(q126Sql),
