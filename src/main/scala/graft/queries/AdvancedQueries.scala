@@ -1041,6 +1041,65 @@ object AdvancedQueries extends QueryModule {
       |FROM x, ns
       |ORDER BY event_type""".stripMargin
 
+  /** Item-item collaborative similarity ("customers also bought"):
+    * cosine over order-basket co-occurrence — c_ij / √(c_i·c_j) from
+    * EXACT integer co-occurrence counts, support-pruned (c_ij ≥ 2, the
+    * Apriori cut that keeps the pair space sparse), mirrored to both
+    * directions and top-3-per-item by (similarity, neighbor). q116's
+    * rules rank by confidence (directional); this is the normalized
+    * symmetric form recommenders consume. The float cosine orders
+    * identically in both engines because its inputs are identical
+    * integers under identical ops; ties break on neighbor id. */
+  private def q145ItemSim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val oi = Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val cnt = oi.groupBy($"p").agg(count(lit(1)).as("c"))
+    val pairs = oi.as("a").join(oi.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .groupBy($"a.p".as("i"), $"b.p".as("j"))
+      .agg(count(lit(1)).as("cij"))
+      .filter($"cij" >= 2)
+    val sym = pairs.select($"i", $"j", $"cij")
+      .unionByName(pairs.select($"j".as("i"), $"i".as("j"), $"cij"))
+    val scored = sym
+      .join(broadcast(cnt.select($"p".as("i"), $"c".as("ci"))), Seq("i"))
+      .join(broadcast(cnt.select($"p".as("j"), $"c".as("cj"))), Seq("j"))
+      .withColumn("sim",
+        $"cij".cast("double") / sqrt($"ci".cast("double") * $"cj".cast("double")))
+    val top = org.apache.spark.sql.expressions.Window
+      .partitionBy($"i").orderBy($"sim".desc, $"j")
+    scored.withColumn("r", row_number().over(top))
+      .filter($"r" <= 3)
+      .select($"i".as("part"), $"j".as("neighbor"), $"cij", $"sim", $"r".as("rank"))
+      .orderBy($"part", $"rank")
+  }
+
+  private val q145Sql =
+    """WITH oi AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |cnt AS (SELECT p, COUNT(*) AS c FROM oi GROUP BY p),
+      |pairs AS (
+      |  SELECT a.p AS i, b.p AS j, COUNT(*) AS cij
+      |  FROM oi a JOIN oi b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |sym AS (
+      |  SELECT i, j, cij FROM pairs
+      |  UNION ALL
+      |  SELECT j AS i, i AS j, cij FROM pairs),
+      |scored AS (
+      |  SELECT s.i, s.j, s.cij,
+      |    CAST(s.cij AS DOUBLE) / sqrt(CAST(ci.c AS DOUBLE) * CAST(cj.c AS DOUBLE)) AS sim
+      |  FROM sym s
+      |  JOIN cnt ci ON ci.p = s.i
+      |  JOIN cnt cj ON cj.p = s.j),
+      |ranked AS (
+      |  SELECT i, j, cij, sim,
+      |    row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS r
+      |  FROM scored)
+      |SELECT i AS part, j AS neighbor, cij, sim, r AS rank
+      |FROM ranked WHERE r <= 3
+      |ORDER BY part, rank""".stripMargin
+
   /** Count-Min contract (north star): the q72/q108 sketch-contract
     * pattern applied to CountMin — for the top-20 users by exact event
     * count, the oracle-recomputable exact counts ride beside two
@@ -1429,6 +1488,8 @@ object AdvancedQueries extends QueryModule {
       "snapshot CDC: full-dump diff to inserted/deleted/updated via one full-outer join"),
     Q("q104_pagerank", q104PageRank, Some(q104Sql),
       "fixed-point integer PageRank, both power iterations replayed relationally (north star)"),
+    Q("q145_item_sim", q145ItemSim, Some(q145Sql),
+      "item-item basket cosine top-3: exact co-occurrence counts, Apriori-pruned"),
     Q("q139_trade_volume", q139TradeVolume, Some(q139Sql),
       "TPC-H Q7-shape bilateral trade: dual-role nation dims, integer revenue units"),
     Q("q140_above_brand_avg", q140AboveBrandAvg, Some(q140Sql),

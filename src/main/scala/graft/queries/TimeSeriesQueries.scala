@@ -697,7 +697,62 @@ object TimeSeriesQueries extends QueryModule {
       |FROM best WHERE r = 1
       |ORDER BY user_id""".stripMargin
 
+  /** Daily time-weighted average value per user (TWAP — q128's VWAP
+    * sibling weighted by holding time instead of volume): each
+    * observation holds until the next one in the same (user, day), the
+    * weighted sum Σ vu·Δt runs in fixed-point×µs integer terms summed
+    * under DECIMAL(38,0)/HUGEINT (terms reach ~10¹⁶ — a long sum could
+    * overflow, a double sum would round), and only the final
+    * correctly-rounded division touches floats. Single-observation days
+    * fall back to the observation itself. */
+  private def q144Twap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy($"user_id", $"day").orderBy($"us", $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("us", graft.operators.TimeSeriesOps.eventMicros($"ts"))
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+      .withColumn("vu", floor($"value" * 1000 + 0.5).cast("long"))
+      .withColumn("seg", lead($"us", 1).over(w) - $"us")
+      .groupBy($"user_id", $"day")
+      .agg(
+        sum(($"vu" * $"seg").cast(dec)).as("num"),
+        sum($"seg").as("den"),
+        max($"vu").as("only_vu"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id", $"day",
+        when($"den" > 0, $"num".cast("double") / $"den".cast("double"))
+          .otherwise($"only_vu".cast("double")).as("twap_units"),
+        $"n_events")
+      .orderBy($"user_id", $"day")
+  }
+
+  private val q144Sql =
+    """WITH s AS (
+      |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_id,
+      |    epoch_us(ts) AS us,
+      |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vu,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+      |                             ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS seg
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, day,
+      |    SUM(CAST(vu AS HUGEINT) * seg) AS num,
+      |    SUM(seg) AS den,
+      |    MAX(vu) AS only_vu,
+      |    COUNT(*) AS n_events
+      |  FROM s GROUP BY user_id, day)
+      |SELECT user_id, day,
+      |  CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+      |       ELSE CAST(only_vu AS DOUBLE) END AS twap_units,
+      |  n_events
+      |FROM g
+      |ORDER BY user_id, day""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q144_twap", q144Twap, Some(q144Sql),
+      "daily time-weighted average per user: integer-exact Σ value·Δt / Σ Δt"),
     Q("q142_drawdown", q142Drawdown, Some(q142Sql),
       "max drawdown per user in fixed-point units (running integer peak)"),
     Q("q143_streaks", q143Streaks, Some(q143Sql),
