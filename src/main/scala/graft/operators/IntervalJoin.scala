@@ -43,8 +43,10 @@ object IntervalJoin {
 
   /** Integer floorDiv as a Column expression: pmod yields the nonnegative
     * remainder, so (x - pmod(x, w)) / w is exact floor division even for
-    * negative x (epoch + negative lower can cross zero in principle). */
-  private def floorDiv(x: Column, w: Long): Column =
+    * negative x (epoch + negative lower can cross zero in principle).
+    * Shared with [[Resample]] — Spark's `div` truncates toward zero and
+    * would misalign pre-1970 cells. */
+  private[operators] def floorDiv(x: Column, w: Long): Column =
     ((x - pmod(x, lit(w))) / w).cast("long")
 
   /** All (left, right) pairs with left(leftKey) == right(rightKey) and

@@ -47,16 +47,18 @@ object MergeInto {
 
     // compact: last op per key by seq; duplicate winning seqs and unknown
     // ops fail loudly. Both guards ride ON the surviving op column so the
-    // optimizer cannot prune them away.
-    val byKeySeq = Window.partitionBy(col(keyCol), col(seqCol))
+    // optimizer cannot prune them away. row_number and the duplicate probe
+    // (lead over the SAME desc sort: the runner-up carrying the winner's
+    // seq = an ambiguous winner) share one window spec, so the whole
+    // compaction is a single delta-sized shuffle + sort.
     val byKey = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
     val compacted = changes
-      .withColumn("__cnt", count(lit(1)).over(byKeySeq))
       .withColumn("__rn", row_number().over(byKey))
+      .withColumn("__nextSeq", lead(col(seqCol), 1).over(byKey))
       .filter(col("__rn") === 1)
       .withColumn("__op",
         when(
-          assert_true(col("__cnt") === 1,
+          assert_true(col("__nextSeq").isNull || col("__nextSeq") =!= col(seqCol),
             concat(lit("MergeInto: duplicate (key, seq) at winning sequence, key="),
               col(keyCol).cast("string"))).isNull &&
           assert_true(upper(col(opCol)).isin("I", "U", "D"),

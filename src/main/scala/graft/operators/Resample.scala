@@ -70,15 +70,17 @@ object Resample {
 
     // ---- in-cell reduction: one shuffle on (key, bucket), exchanges carry
     // (key, bucket, us, tie, value) — the raw event row never moves again.
-    // Bucket via integer `div`, never double division: at epoch-micros
-    // magnitude a float quotient sits within an ulp of cell boundaries.
+    // Bucket via FLOOR division (IntervalJoin.floorDiv): double division
+    // sits within an ulp of cell boundaries at epoch-micros magnitude, and
+    // Spark's `div` truncates toward zero, misaligning pre-1970 cells
+    // (DuckDB's `//` floors, so the oracle would disagree too).
     val bucketed = df
       .select(
         key,
         TimeSeriesOps.eventMicros(col(tsCol)).as("__us"),
         col(tieCol).as("__tie"),
         col(valueCol).as("__v"))
-      .withColumn("bucket", expr(s"__us div ${stepUs}L"))
+      .withColumn("bucket", IntervalJoin.floorDiv(col("__us"), stepUs))
     val lastWins = Window.partitionBy(key, col("bucket"))
       .orderBy(col("__us").desc, col("__tie").desc)
     val perCell = bucketed

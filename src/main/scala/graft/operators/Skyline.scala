@@ -39,7 +39,7 @@ import org.apache.spark.sql.expressions.Window
 object Skyline {
 
   def frontier2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val reserved = Set("__maxy", "__dom")
+    val reserved = Set("__x", "__maxy", "__dom")
     require(!df.columns.exists(reserved.contains),
       s"column names $reserved are reserved by frontier2D")
     val clean = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)

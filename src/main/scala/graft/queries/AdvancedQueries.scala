@@ -832,8 +832,14 @@ object AdvancedQueries extends QueryModule {
       .select($"doc_id", lit("D").as("op"), lit(2L).as("seq"),
         lit(null).cast("string").as("lang"), lit(null).cast("string").as("source"),
         lit(null).cast("long").as("n_chars"))
+    // fresh ids start past max(doc_id), so an insert key can never
+    // collide with a base key (or another changeset row) at ANY corpus
+    // size — a fixed offset would alias back into the key space once
+    // doc_ids outgrow it
+    val maxId = base.agg(max($"doc_id").as("__max"))
     val inserts = base.filter($"doc_id" % 11 === 0)
-      .select(($"doc_id" + 1000000L).as("doc_id"), lit("I").as("op"),
+      .join(broadcast(maxId))
+      .select(($"__max" + $"doc_id" + 1L).as("doc_id"), lit("I").as("op"),
         lit(1L).as("seq"), lit("en").as("lang"), lit("cdc").as("source"),
         lit(42L).as("n_chars"))
     graft.operators.MergeInto.applyChanges(
@@ -850,8 +856,9 @@ object AdvancedQueries extends QueryModule {
       |  UNION ALL
       |  SELECT doc_id, 'D', 2, NULL, NULL, NULL FROM base WHERE doc_id % 7 = 0
       |  UNION ALL
-      |  SELECT doc_id + 1000000, 'I', 1, 'en', 'cdc', 42
-      |  FROM base WHERE doc_id % 11 = 0),
+      |  SELECT m.mx + doc_id + 1, 'I', 1, 'en', 'cdc', 42
+      |  FROM base, (SELECT MAX(doc_id) AS mx FROM base) m
+      |  WHERE doc_id % 11 = 0),
       |comp AS (
       |  SELECT * FROM (
       |    SELECT ch.*, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn

@@ -595,9 +595,16 @@ object TimeSeriesQueries extends QueryModule {
     * event multiplicity — never a per-day self-join chain. */
   private def q136RollingDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, dir)
+    val pairs = Tables.events(spark, dir)
       .select(to_date($"ts").as("d"), $"user_id").distinct()
+    // clamp to the last ACTIVE day: without it the 7× fan-out emits six
+    // phantom report days past the data's end, whose shrinking counts
+    // read as an end-of-period engagement crash
+    val lastDay = pairs.agg(max($"d").as("__last"))
+    pairs
       .withColumn("i", explode(sequence(lit(0), lit(6))))
+      .join(broadcast(lastDay))
+      .filter(date_add($"d", $"i") <= $"__last")
       .select(date_format(date_add($"d", $"i"), "yyyy-MM-dd").as("day"), $"user_id")
       .groupBy($"day")
       .agg(countDistinct($"user_id").as("active_7d"))
@@ -609,7 +616,8 @@ object TimeSeriesQueries extends QueryModule {
       |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
       |x AS (
       |  SELECT d + CAST(i AS INTEGER) AS day, user_id
-      |  FROM pairs, range(7) t(i))
+      |  FROM pairs, range(7) t(i)
+      |  WHERE d + CAST(i AS INTEGER) <= (SELECT MAX(d) FROM pairs))
       |SELECT strftime(day, '%Y-%m-%d') AS day,
       |  COUNT(DISTINCT user_id) AS active_7d
       |FROM x

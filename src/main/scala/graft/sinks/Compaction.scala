@@ -45,14 +45,30 @@ object Compaction {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(
       spark.sparkContext.hadoopConfiguration: Configuration)
-    val parts = fs.listStatus(rootPath).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
-        !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
-      .sortBy(_.getPath.getName)
+    val tmpRoot = new Path(rootPath, ".compact_tmp")
+    val oldRoot = new Path(rootPath, ".compact_old")
 
-    parts.map { st =>
-      val dir = st.getPath
-      val name = dir.getName
+    def childNames(p: Path): Seq[String] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    def isPartitionName(n: String): Boolean =
+      n.contains("=") && !n.startsWith(".") && !n.startsWith("_")
+
+    // Enumerate from live dirs AND staging leftovers: a swap that crashed
+    // between its two renames leaves NO live dir — only tmp/old copies —
+    // and a live-only listing would skip its recovery forever, leaving the
+    // partition invisible to readers. recover() restores `live` before
+    // anything else touches the table.
+    val names = (childNames(rootPath) ++ childNames(tmpRoot) ++ childNames(oldRoot))
+      .filter(isPartitionName).distinct.sorted
+    names.foreach { n =>
+      val live = new Path(rootPath, n)
+      if (!fs.exists(live))
+        StagedSwap.recover(fs, live, new Path(tmpRoot, n), new Path(oldRoot, n))
+    }
+
+    names.filter(n => fs.exists(new Path(rootPath, n))).map { name =>
+      val dir = new Path(rootPath, name)
       def dataFiles = fs.listStatus(dir).toSeq.filter { f =>
         val n = f.getPath.getName
         f.isFile && !n.startsWith("_") && !n.startsWith(".")
@@ -63,9 +79,13 @@ object Compaction {
         PartitionReport(name, before.size, before.size, bytes, compacted = false)
       } else {
         val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-        val tmp = new Path(new Path(rootPath, ".compact_tmp"), name)
-        val old = new Path(new Path(rootPath, ".compact_old"), name)
+        val tmp = new Path(tmpRoot, name)
+        val old = new Path(oldRoot, name)
+        // both staging parents must pre-exist: rename() into a missing
+        // parent returns false on strict-rename filesystems (HDFS/object
+        // stores), which would abort the swap after the rewrite work
         fs.mkdirs(tmp.getParent)
+        fs.mkdirs(old.getParent)
         StagedSwap.swap(fs, dir, tmp, old) { tmpDir =>
           spark.read.parquet(dir.toString)
             .coalesce(nOut)

@@ -67,6 +67,32 @@ class CompactionSpec extends SparkSpec with BeforeAndAfterAll {
       reports.head.filesBefore === 1)
   }
 
+  test("a swap that crashed between renames is recovered on the next run") {
+    val path = s"$root/t4"
+    writeFragmented(path)
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val part = fs.listStatus(new Path(path)).map(_.getPath.getName)
+      .filter(_.startsWith("event_date=")).sorted.head
+    val live = new Path(s"$path/$part")
+    val tmp = new Path(s"$path/.compact_tmp/$part")
+    val old = new Path(s"$path/.compact_old/$part")
+    val expected = spark.read.parquet(live.toString)
+      .orderBy(col("event_id")).collect().toSeq
+    // manufacture the dangerous window: live renamed aside, completed tmp
+    // (with _SUCCESS) not yet promoted — the partition has VANISHED from
+    // a live-only listing
+    fs.mkdirs(tmp.getParent); fs.mkdirs(old.getParent)
+    assert(org.apache.hadoop.fs.FileUtil.copy(fs, live, fs, tmp, false, new Configuration()))
+    assert(fs.rename(live, old))
+    assert(!fs.exists(live))
+    val reports = Compaction.compactDatePartitions(spark, path, maxFiles = 3)
+    assert(fs.exists(live), "crashed partition restored to live")
+    assert(reports.exists(_.partition == part), "recovered partition compacted in the same run")
+    assert(spark.read.parquet(live.toString)
+      .orderBy(col("event_id")).collect().toSeq === expected)
+    assert(!fs.exists(tmp) && !fs.exists(old), "staging leftovers cleared")
+  }
+
   override def afterAll(): Unit = {
     try {
       val p = new Path(root)

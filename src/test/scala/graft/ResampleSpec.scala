@@ -80,6 +80,20 @@ class ResampleSpec extends SparkSpec {
     assert(run(ev) === run(ev.repartition(13, $"event_type")))
   }
 
+  test("pre-1970 timestamps bucket by floor division, not truncation") {
+    // 1969-12-31 23:30 UTC and 1970-01-01 00:30 UTC must land in DIFFERENT
+    // hourly cells (truncating `div` would fold both into bucket 0)
+    val pts = Seq(
+      ("e", new Timestamp(-1800000000L / 1000), 1L, 1.0),
+      ("e", new Timestamp(1800000000L / 1000), 2L, 2.0)
+    ).toDF("k", "t", "tie", "v")
+    val out = Resample.resample(pts, "k", "t", "v", "tie", HourUs, "locf")
+      .orderBy($"bucket").select($"bucket", $"value", $"observed").collect()
+    assert(out.length === 2, out.mkString(","))
+    assert(out(0).getLong(0) === -1L && out(1).getLong(0) === 0L)
+    assert(out(0).getDouble(1) === 1.0 && out(1).getDouble(1) === 2.0)
+  }
+
   test("span guard fails loudly instead of exploding a runaway grid") {
     val wide = Seq(
       ("w", ts("2024-01-01 00:00:00"), 1L, 1.0),
