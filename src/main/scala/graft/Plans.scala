@@ -44,7 +44,9 @@ object Plans {
       "q125_local_revenue", "q126_resample_locf", "q128_vwap",
       "q130_histogram", "q131_corr_moments", "q133_merge_apply",
       "q134_overlap_join", "q135_skyline", "q136_rolling_distinct",
-      "q137_skew_gini", "q138_ab_test")
+      "q137_skew_gini", "q138_ab_test", "q139_trade_volume",
+      "q140_above_brand_avg", "q141_html_extract", "q142_drawdown",
+      "q143_streaks", "q144_twap", "q145_item_sim")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)
