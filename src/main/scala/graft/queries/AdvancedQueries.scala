@@ -832,14 +832,13 @@ object AdvancedQueries extends QueryModule {
       .select($"doc_id", lit("D").as("op"), lit(2L).as("seq"),
         lit(null).cast("string").as("lang"), lit(null).cast("string").as("source"),
         lit(null).cast("long").as("n_chars"))
-    // fresh ids start past max(doc_id), so an insert key can never
-    // collide with a base key (or another changeset row) at ANY corpus
-    // size — a fixed offset would alias back into the key space once
-    // doc_ids outgrow it
-    val maxId = base.agg(max($"doc_id").as("__max"))
+    // fresh ids mirror into the negative range (-doc_id - 1): disjoint
+    // from the non-negative base key space at ANY corpus size, and — unlike
+    // a max(doc_id)-derived offset — a pure projection, so the changeset
+    // build stays scan-only (no scalar-attach nested-loop join; PlanSpec
+    // pins the whole q133 plan to exactly one join)
     val inserts = base.filter($"doc_id" % 11 === 0)
-      .join(broadcast(maxId))
-      .select(($"__max" + $"doc_id" + 1L).as("doc_id"), lit("I").as("op"),
+      .select((-$"doc_id" - 1L).as("doc_id"), lit("I").as("op"),
         lit(1L).as("seq"), lit("en").as("lang"), lit("cdc").as("source"),
         lit(42L).as("n_chars"))
     graft.operators.MergeInto.applyChanges(
@@ -856,9 +855,8 @@ object AdvancedQueries extends QueryModule {
       |  UNION ALL
       |  SELECT doc_id, 'D', 2, NULL, NULL, NULL FROM base WHERE doc_id % 7 = 0
       |  UNION ALL
-      |  SELECT m.mx + doc_id + 1, 'I', 1, 'en', 'cdc', 42
-      |  FROM base, (SELECT MAX(doc_id) AS mx FROM base) m
-      |  WHERE doc_id % 11 = 0),
+      |  SELECT -doc_id - 1, 'I', 1, 'en', 'cdc', 42
+      |  FROM base WHERE doc_id % 11 = 0),
       |comp AS (
       |  SELECT * FROM (
       |    SELECT ch.*, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
