@@ -69,7 +69,15 @@ object Bench {
     "q116_assoc_rules" -> 3.5,
     "q117_rfm_segments" -> 1.8,
     // index build (save) dominates; probe alone is milliseconds
-    "q121_indexed_bm25" -> 2.8)
+    "q121_indexed_bm25" -> 2.8,
+    // round-8 wave (clean min-of-two at sf0.1): q149 runs exactQuantiles
+    // twice (median, then MAD) plus the outlier join; q146 is the
+    // two-level pareto prefix; q152 is three aggregation shuffles
+    "q149_mad_outliers" -> 3.0,
+    "q146_abc_parts" -> 2.3,
+    "q152_dominant_suppliers" -> 2.0,
+    "q151_part_share" -> 1.2,
+    "q147_transitions" -> 1.2)
   private val defaultAnchorSec = 1.0
   // overridable for local testing of the rerun path (driver never sets it)
   private val suspectFactor =

@@ -16,7 +16,8 @@ object SparkEntry {
     TimeSeriesQueries,
     TextQueries,
     SimilarityQueries,
-    AdvancedQueries)
+    AdvancedQueries,
+    MiningQueries)
 
   val allQueries: Seq[Q] = modules.flatMap(_.queries)
 

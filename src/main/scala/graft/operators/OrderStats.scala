@@ -97,4 +97,90 @@ object OrderStats {
       .select(col("__stratum").as(stratumCol), col("p"),
         col("__n").as("n"), col("__v").as("q"))
   }
+
+  /** Exact weighted cumulative share with Pareto/ABC classification — the
+    * "which 20% of keys carry 80% of the mass" inventory primitive. The
+    * naive form is a running SUM over the GLOBAL (units DESC, key ASC)
+    * order: one task sorts and scans every key. This computes the same
+    * exact prefix with a two-level plan that never materializes a global
+    * sort of the data:
+    *
+    *   1. equal-width value cells over [min, max] (bin is a monotone
+    *      function of units, so cells tile the global order);
+    *   2. in-cell prefix sums via a window PARTITIONED BY cell — every
+    *      sort is cell-sized and cells run in parallel;
+    *   3. cell totals (≤ `bins` rows) take one bounded-size cumulative
+    *      pass, and each row's global prefix = units in strictly-higher
+    *      cells + its in-cell prefix.
+    *
+    * All accumulation is DECIMAL(38,0) over the caller's integer units and
+    * the class cut `100·cum_before < pct·total` is cross-multiplied — no
+    * float share ever materializes, so the result is bit-identical across
+    * engines and partitionings. A key is 'A' while the cumulative mass
+    * BEFORE it is under `aPct`% of the total (so the heaviest key is
+    * always 'A'), 'B' under `bPct`%, else 'C'.
+    *
+    * Output: (keyCol, unitsCol, cum_units BIGINT, abc) — cum_units is the
+    * inclusive prefix under (units DESC, key ASC).
+    *
+    * Degenerate case: a single distinct unit value collapses to one cell
+    * (one cell-sized sort); classification is meaningless there anyway.
+    * Null or negative units fail loudly — they have no place on a
+    * cumulative-share curve. */
+  def paretoClass(df: DataFrame, keyCol: String, unitsCol: String,
+      aPct: Int = 80, bPct: Int = 95, bins: Int = 65536): DataFrame = {
+    require(aPct > 0 && aPct <= bPct && bPct <= 100,
+      s"need 0 < aPct <= bPct <= 100, got ($aPct, $bPct)")
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
+    val guarded = when(col(unitsCol).isNull || col(unitsCol) < 0,
+        raise_error(concat(lit(s"paretoClass: null/negative units in $unitsCol")))
+          .cast("long"))
+      .otherwise(col(unitsCol).cast("long"))
+    val rows = df.select(col(keyCol).as("__key"), guarded.as("__w"))
+
+    // one row: global extremes for binning + the total mass for the cuts —
+    // parameter-bounded driver collect (the KMeans.fit / TfIdf.fitVocab
+    // pattern), which keeps the corpus pass below join-free
+    val s = rows.agg(min(col("__w")).as("mn"), max(col("__w")).as("mx"),
+      sum(col("__w").cast(dec38)).as("tot")).head()
+    if (s.isNullAt(0))
+      return rows.limit(0).select(col("__key").as(keyCol),
+        col("__w").as(unitsCol), col("__w").as("cum_units"),
+        lit("A").as("abc"))
+    val (mn, mx) = (s.getLong(0), s.getLong(1))
+    val total = lit(s.getDecimal(2)).cast(dec38)
+
+    val binned = rows.withColumn("__bin",
+      if (mx == mn) lit(0)
+      else least(lit(bins - 1), greatest(lit(0),
+        floor((col("__w") - mn).cast("double") /
+          lit((mx - mn).toDouble) * (bins - 1)).cast("int"))))
+
+    val wIn = Window.partitionBy(col("__bin"))
+      .orderBy(col("__w").desc, col("__key").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPrefix = binned
+      .withColumn("__cum_in", sum(col("__w").cast(dec38)).over(wIn))
+
+    // cell totals: ≤ bins rows, so the unpartitioned cumulative window is
+    // parameter-bounded (never the full-corpus single-task sort)
+    val wCells = Window.orderBy(col("__bin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cellsCum = binned.groupBy(col("__bin"))
+      .agg(sum(col("__w").cast(dec38)).as("__cell"))
+      .withColumn("__above",
+        coalesce(sum(col("__cell")).over(wCells), lit(0).cast(dec38)))
+      .select(col("__bin").as("__c_bin"), col("__above"))
+
+    withPrefix.join(broadcast(cellsCum), col("__bin") === col("__c_bin"))
+      .withColumn("__cum", col("__above") + col("__cum_in"))
+      .withColumn("__before", col("__cum") - col("__w").cast(dec38))
+      .select(col("__key").as(keyCol), col("__w").as(unitsCol),
+        col("__cum").cast("long").as("cum_units"),
+        when(col("__before") * 100 < total * aPct, "A")
+          .when(col("__before") * 100 < total * bPct, "B")
+          .otherwise("C").as("abc"))
+  }
 }

@@ -65,4 +65,62 @@ class OrderStatsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("NaN") || e.getCause != null)
   }
+
+  // ---- paretoClass -------------------------------------------------------
+
+  /** Naive reference: global (units DESC, key ASC) running sum + class. */
+  private def naivePareto(rows: Seq[(Long, Long)], aPct: Int = 80,
+      bPct: Int = 95): Map[Long, (Long, String)] = {
+    val total = rows.map(r => BigInt(r._2)).sum
+    var cum = BigInt(0)
+    rows.sortBy { case (k, w) => (-w, k) }.map { case (k, w) =>
+      val before = cum
+      cum += w
+      val cls = if (before * 100 < total * aPct) "A"
+        else if (before * 100 < total * bPct) "B" else "C"
+      k -> (cum.toLong, cls)
+    }.toMap
+  }
+
+  private def runPareto(rows: Seq[(Long, Long)], bins: Int = 64,
+      parts: Int = 1): Map[Long, (Long, String)] =
+    OrderStats.paretoClass(
+        rows.toDF("key", "units").repartition(parts), "key", "units",
+        bins = bins)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+
+  test("paretoClass == naive global running sum on a seeded random frame") {
+    val rnd = new scala.util.Random(42)
+    // heavy tail + duplicate weights + zero weights — every tie shape
+    val rows = (1L to 500L).map(k =>
+      k -> (if (k % 50 == 0) 0L else math.abs(rnd.nextLong() % 1000) *
+        (if (k % 7 == 0) 1000L else 1L)))
+    for (bins <- Seq(2, 16, 64))
+      assert(runPareto(rows, bins) === naivePareto(rows), s"bins=$bins")
+  }
+
+  test("paretoClass: heaviest key is always A; boundary classes exact") {
+    val rows = Seq(1L -> 790L, 2L -> 100L, 3L -> 60L, 4L -> 30L, 5L -> 20L)
+    val got = runPareto(rows)
+    assert(got(1L)._2 === "A") // before = 0
+    assert(got(2L)._2 === "A") // before = 790: 79000 < 80000
+    assert(got(3L)._2 === "B") // before = 890: 80000 <= 89000 < 95000
+    assert(got(4L)._2 === "C") // before = 950: exactly 95% — strict cut
+    assert(got(5L)._2 === "C")
+    assert(got(1L)._1 === 790L && got(3L)._1 === 950L)
+    assert(got === naivePareto(rows))
+  }
+
+  test("paretoClass: partition-invariant, uniform-weight degenerate, empty") {
+    val rows = (1L to 200L).map(k => k -> (k % 13) * 10L)
+    assert(runPareto(rows, parts = 1) === runPareto(rows, parts = 11))
+    val uniform = (1L to 50L).map(_ -> 5L)
+    assert(runPareto(uniform) === naivePareto(uniform))
+    assert(runPareto(Seq.empty[(Long, Long)]) === Map.empty)
+    val neg = Seq(1L -> 5L, 2L -> -1L).toDF("key", "units")
+    val e = intercept[Exception] {
+      OrderStats.paretoClass(neg, "key", "units").count()
+    }
+    assert(e.getMessage.contains("negative") || e.getCause != null)
+  }
 }

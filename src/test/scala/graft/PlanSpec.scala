@@ -254,6 +254,20 @@ class PlanSpec extends SparkSpec {
       "skyline must never plan the NOT-EXISTS quadratic shape")
   }
 
+  test("paretoClass: full-data windows are cell-partitioned, never one global sort") {
+    val plan = planString(run("q146_abc_parts"))
+    // the corpus-wide prefix sum must ride a window PARTITIONED BY the
+    // value cell — a windowspec with no partition over the data would be
+    // the one-task global sort the operator exists to avoid
+    assert(plan.contains("windowspecdefinition(__bin"),
+      "expected the in-cell prefix window keyed on __bin:\n" + plan.take(2000))
+    // the only single-partition stage allowed is the <=bins cell-totals
+    // cumulative (parameter-bounded), fed from an aggregate
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(singles <= 1, s"expected at most the bounded cells pass, saw $singles:\n" +
+      plan.take(3000))
+  }
+
   test("resample reduces cells BEFORE the grid explode: aggregate precedes generate") {
     val plan = planString(run("q126_resample_locf"))
     assert(!plan.contains("CartesianProduct") &&
