@@ -77,7 +77,13 @@ object Bench {
     "q146_abc_parts" -> 2.3,
     "q152_dominant_suppliers" -> 2.0,
     "q151_part_share" -> 1.2,
-    "q147_transitions" -> 1.2)
+    "q147_transitions" -> 1.2,
+    // funnel fold + quantile histogram; returned-revenue fact-fact join
+    "q155_conversion_latency" -> 1.7,
+    "q158_returned_revenue" -> 1.1,
+    // per-order distinct-supplier aggregate over the fact-fact join
+    "q162_lone_late_supplier" -> 2.8,
+    "q161_doc_keywords" -> 1.7)
   private val defaultAnchorSec = 1.0
   // overridable for local testing of the rerun path (driver never sets it)
   private val suspectFactor =
@@ -152,6 +158,28 @@ object Bench {
       val iso = isolated.getOrElse(name, -1.0)
       name -> (if (t < 0) iso else if (iso < 0) t else math.min(t, iso))
     }
+    // Sketch-contract assertions AT THE BENCH SCALE: the error-band
+    // booleans (HLL rsd, approx-percentile rank error, Count-Min width
+    // bound) are oracle-checked at sf0.01 — here the same frames are
+    // evaluated at the sweep's SF so a sketch drifting only at volume
+    // shows up in the bench artifact, not just in toy-scale specs.
+    val contractNames = Seq("q108_profile_contract", "q72_sketch_bounds",
+      "q123_cm_contract").filter(selected.contains)
+    val contracts = contractNames.map { name =>
+      val ok = try {
+        import org.apache.spark.sql.functions.{coalesce, col, lit, min}
+        val df = selected(name)(spark, sfDir)
+        val boolCols = df.schema.fields
+          .filter(_.dataType == org.apache.spark.sql.types.BooleanType).map(_.name)
+        boolCols.isEmpty ||
+          df.select(boolCols.toSeq.map(c =>
+              min(coalesce(col(c).cast("int"), lit(0))).as(c)): _*)
+            .head().toSeq.forall(_ == 1)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] contract $name FAILED: ${e.getMessage}"); false }
+      spark.catalog.clearCache()
+      name -> ok
+    }
     def fmtMap(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = fmtMap(results.map { case (k, v) => k -> v.toString })
@@ -162,10 +190,12 @@ object Bench {
     val isoJson = fmtMap(suspects.map { name =>
       name -> s"""{"sweep":${sweepMin(name)},"isolated":${isolated(name)}}"""
     })
+    val contractsJson = fmtMap(contracts.map { case (k, v) => k -> v.toString })
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""started":$started,"pass_wall":[$p1Wall,$p2Wall],""" +
-      s""""isolated":$isoJson,"samples":$samples,"sf":"$sfDir"}""")
+      s""""isolated":$isoJson,"contracts":$contractsJson,""" +
+      s""""samples":$samples,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -46,7 +46,13 @@ object Plans {
       "q134_overlap_join", "q135_skyline", "q136_rolling_distinct",
       "q137_skew_gini", "q138_ab_test", "q139_trade_volume",
       "q140_above_brand_avg", "q141_html_extract", "q142_drawdown",
-      "q143_streaks", "q144_twap", "q145_item_sim")
+      "q143_streaks", "q144_twap", "q145_item_sim",
+      "q146_abc_parts", "q148_pmi_bigrams", "q149_mad_outliers",
+      "q152_dominant_suppliers", "q154_attribution",
+      "q155_conversion_latency", "q156_source_overlap",
+      "q157_late_orders", "q158_returned_revenue",
+      "q159_label_affinity", "q160_idle_rich", "q161_doc_keywords",
+      "q162_lone_late_supplier")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)

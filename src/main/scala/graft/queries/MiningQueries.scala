@@ -255,19 +255,21 @@ object MiningQueries extends QueryModule {
       |WHERE r.revenue_units = (SELECT MAX(revenue_units) FROM r)
       |ORDER BY s.s_suppkey""".stripMargin
 
-  /** TPC-H Q11 shape: parts whose lifetime revenue exceeds 1/2000 of the
-    * corpus total — the global-share HAVING. The global total is a 1-row
-    * re-aggregate of the per-part frame (never a second lineitem scan)
-    * and the share cut is cross-multiplied in DECIMAL(38,0) — no float
-    * share. */
+  /** TPC-H Q11 shape: parts whose lifetime revenue exceeds 1.3× the
+    * average part's share — the global-share HAVING, stated relative to
+    * the part population so it discriminates at ANY scale factor (a
+    * fixed 1/K share cut silently empties once part count outgrows K).
+    * The global total and part count are ONE 1-row re-aggregate of the
+    * per-part frame (never a second lineitem scan) and the cut is
+    * cross-multiplied in DECIMAL(38,0) — no float share. */
   private def q151PartShare(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val byPart = Tables.lineitem(spark, dir)
       .groupBy($"l_partkey")
       .agg(sum(revenueUnits.cast(dec38)).as("__u"))
-    val total = byPart.agg(sum($"__u").as("__t"))
+    val total = byPart.agg(sum($"__u").as("__t"), count(lit(1)).as("__n"))
     byPart.join(broadcast(total))
-      .filter($"__u" * 2000 > $"__t")
+      .filter($"__u" * $"__n" * 10 > $"__t" * 13)
       .select($"l_partkey".as("p_partkey"), $"__u".cast("long").as("value_units"))
       .orderBy($"value_units".desc, $"p_partkey")
   }
@@ -275,10 +277,11 @@ object MiningQueries extends QueryModule {
   private val q151Sql =
     s"""WITH r AS (
       |  SELECT l_partkey AS p_partkey, SUM($revenueUnitsSql) AS u
-      |  FROM lineitem GROUP BY 1)
+      |  FROM lineitem GROUP BY 1),
+      |m AS (SELECT SUM(u) AS t, COUNT(*) AS n FROM r)
       |SELECT p_partkey, CAST(u AS BIGINT) AS value_units
-      |FROM r
-      |WHERE u * 2000 > (SELECT SUM(u) FROM r)
+      |FROM r, m
+      |WHERE u * m.n * 10 > m.t * 13
       |ORDER BY value_units DESC, p_partkey""".stripMargin
 
   /** TPC-H Q20 shape: suppliers that dominate some part — shipped more
@@ -392,6 +395,413 @@ object MiningQueries extends QueryModule {
       |GROUP BY domain
       |ORDER BY domain""".stripMargin
 
+  /** Last-touch marketing attribution: every purchase picks up the most
+    * recent at-or-before click by the same user via the as-of join (ONE
+    * shuffle + in-partition sort — [[graft.operators.AsOfJoin]]), then
+    * buckets as 'click' when the touch landed within a 7-day window,
+    * 'organic' otherwise. Value mass and touch-to-purchase lag both stay
+    * exact integers (1e-3 value units / µs); nothing divides. The oracle
+    * is the naive theta-join + top-1 formulation (the q34 pattern), so
+    * the hash pins the as-of semantics inside a composition. */
+  private def q154Attribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val us = graft.operators.TimeSeriesOps.eventMicros($"ts")
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", us.as("us"),
+        floor($"value" * 1000 + 0.5).cast("long").as("vu"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+        us.as("click_us"))
+    val weekUs = 7L * 24 * 3600 * 1000000
+    graft.operators.AsOfJoin.asOf(purchases, clicks,
+        "user_id", "c_user", "us", "click_us", "click_id",
+        Seq("click_id", "click_us"))
+      .withColumn("bucket",
+        when($"click_us".isNotNull && $"us" - $"click_us" <= weekUs, "click")
+          .otherwise("organic"))
+      .groupBy(date_format(timestamp_micros($"us"), "yyyy-MM").as("month"),
+        $"bucket")
+      .agg(count(lit(1)).as("n"),
+        sum($"vu".cast(dec38)).cast("long").as("value_units"),
+        sum(when($"bucket" === "click", $"us" - $"click_us").otherwise(0L)
+          .cast(dec38)).cast("long").as("lag_us_sum"))
+      .orderBy($"month", $"bucket")
+  }
+
+  private val q154Sql =
+    """WITH p AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CAST(floor(value*1000 + 0.5) AS BIGINT) AS vu
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+      |  FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT p.event_id, p.us, p.vu, c.click_us,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |                       ORDER BY c.click_us DESC, c.click_id DESC) AS rn
+      |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.click_us <= p.us),
+      |a AS (
+      |  SELECT strftime(make_timestamp(us), '%Y-%m') AS month,
+      |    CASE WHEN click_us IS NOT NULL
+      |              AND us - click_us <= 604800000000 THEN 'click'
+      |         ELSE 'organic' END AS bucket,
+      |    vu,
+      |    CASE WHEN click_us IS NOT NULL
+      |              AND us - click_us <= 604800000000 THEN us - click_us
+      |         ELSE 0 END AS lag_us
+      |  FROM j WHERE rn = 1)
+      |SELECT month, bucket, COUNT(*) AS n,
+      |  CAST(SUM(vu) AS BIGINT) AS value_units,
+      |  CAST(SUM(lag_us) AS BIGINT) AS lag_us_sum
+      |FROM a GROUP BY 1, 2
+      |ORDER BY month, bucket""".stripMargin
+
+  /** Conversion-latency percentiles: the funnel state machine
+    * ([[graft.operators.Funnel.funnelTimes]]) feeds
+    * [[graft.operators.OrderStats.exactQuantiles]] — exact p50/p90/p99
+    * view→purchase latency for converted users, two scale-safe operators
+    * composed. The oracle replays the per-stage min-join funnel chain
+    * (q98's formulation) and the window-rank quantile (q89's rank
+    * contract), so the whole composition sits under one hash. */
+  private def q155ConversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ft = graft.operators.Funnel.funnelTimes(Tables.events(spark, dir),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+    val lat = ft.filter($"t_3".isNotNull)
+      .select(lit("all").as("scope"),
+        (unix_micros($"t_3") - unix_micros($"t_1")).cast("double").as("lat_us"))
+    graft.operators.OrderStats
+      .exactQuantiles(lat, "lat_us", "scope", Seq(0.5, 0.9, 0.99))
+      .orderBy($"p")
+  }
+
+  private val q155Sql =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+      |l AS (
+      |  SELECT epoch_us(s3.t3) - epoch_us(s1.t1) AS lat
+      |  FROM s3 JOIN s1 USING (user_id)),
+      |r AS (
+      |  SELECT lat, row_number() OVER (ORDER BY lat) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM l)
+      |SELECT 'all' AS scope, CAST(p AS DOUBLE) AS p, CAST(n AS BIGINT) AS n,
+      |  CAST(lat AS DOUBLE) AS q
+      |FROM r, (VALUES (0.5), (0.9), (0.99)) ps(p)
+      |WHERE rn = GREATEST(1, CAST(CEIL(CAST(p AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT))
+      |ORDER BY p""".stripMargin
+
+  /** Cross-source vocabulary overlap — the corpus-composition diagnostic
+    * ("which sources speak the same language?"). Top-50 terms per source
+    * under the (count DESC, term ASC) total order, then pairwise overlap
+    * counts via one self-join on the term key; Jaccard over fixed-size
+    * sets is n/(100−n) — a single division of exact integers. The window
+    * ranks the per-(source, term) COUNT frame, already aggregated far
+    * below corpus size. Zero-overlap pairs don't surface (inner join) —
+    * same convention in the oracle. */
+  private def q156SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select($"source", explode(tokens($"text")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"source").orderBy($"cnt".desc, $"term")
+    val top = counts.withColumn("r", row_number().over(w))
+      .filter($"r" <= 50).select($"source", $"term")
+    top.as("a").join(top.as("b"),
+        $"a.term" === $"b.term" && $"a.source" < $"b.source")
+      .select($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard",
+        $"n_common".cast("double") / (lit(100) - $"n_common").cast("double"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  private val q156Sql =
+    """WITH c AS (
+      |  SELECT source, w AS term, COUNT(*) AS cnt
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT source, term FROM (
+      |    SELECT source, term,
+      |      row_number() OVER (PARTITION BY source
+      |                         ORDER BY cnt DESC, term) AS r
+      |    FROM c) WHERE r <= 50)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  COUNT(*) AS n_common,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(100 - COUNT(*) AS DOUBLE) AS jaccard
+      |FROM top a JOIN top b ON a.term = b.term AND a.source < b.source
+      |GROUP BY 1, 2
+      |ORDER BY source_a, source_b""".stripMargin
+
+  /** TPC-H Q4 shape: orders placed in 1996H1 with at least one lineitem
+    * shipped more than 90 days after the order date, counted per
+    * priority. The EXISTS decorrelates into one LEFT SEMI join whose
+    * residual compares the two date columns — no per-order subquery, one
+    * shuffle pair on the order key. */
+  private def q157LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-07-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_shipdate")
+    orders.join(li,
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAY"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_late"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q157Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n_late
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q10 shape: top-20 customers by revenue from returned
+    * lineitems. The fact-fact join shuffles on the order key once, the
+    * customer dim attaches by broadcast, and the global top-20 plans as
+    * TakeOrderedAndProject — never a full sort. Revenue in the exact
+    * integer units shared with q146. */
+  private def q158ReturnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val returned = Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", revenueUnits.as("__ru"))
+    returned
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum($"__ru".cast(dec38)).cast("long").as("revenue_units"))
+      .join(broadcast(Tables.customer(spark, dir)
+          .select($"c_custkey", $"c_name", $"c_mktsegment")),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"c_mktsegment", $"revenue_units")
+      .orderBy($"revenue_units".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  private val q158Sql =
+    s"""WITH r AS (
+      |  SELECT o.o_custkey,
+      |    CAST(SUM($revenueUnitsSql) AS BIGINT) AS revenue_units
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  WHERE l.l_returnflag = 'R'
+      |  GROUP BY 1)
+      |SELECT c.c_custkey, c.c_name, c.c_mktsegment, r.revenue_units
+      |FROM r JOIN customer c ON c.c_custkey = r.o_custkey
+      |ORDER BY revenue_units DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** Label-affinity matrix: pairwise cosine similarity between per-label
+    * embedding centroids. The mean vectors never materialize — for
+    * centroids a = S_a/n_a the n factors cancel out of the cosine, so the
+    * whole computation runs on EXACT per-dim component sums in 1e-8
+    * units (q31's decimal cast): T_ab = Σ_d S_a·S_b and N_a = Σ_d S_a²
+    * stay DECIMAL(38,0)/HUGEINT integers, and the final score is the
+    * single identical-op float expression T/√(N_a·N_b). The pair join
+    * runs over the |labels|×dims sum frame — corpus-size-independent. */
+  private def q159LabelAffinity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sums = Tables.embeddings(spark, dir)
+      .select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"label", $"dim")
+      .agg((sum($"x".cast("double").cast(DecimalType(18, 8))) * 100000000L)
+        .cast(dec38).as("s"))
+    val norms = sums.groupBy($"label").agg(sum($"s" * $"s").as("nn"))
+    val pairs = sums.as("a").join(sums.as("b"),
+        $"a.dim" === $"b.dim" && $"a.label" < $"b.label")
+      .select($"a.label".as("label_a"), $"b.label".as("label_b"),
+        ($"a.s" * $"b.s").as("p"))
+      .groupBy($"label_a", $"label_b").agg(sum($"p").as("t"))
+    pairs
+      .join(broadcast(norms.select($"label".as("label_a"), $"nn".as("__na"))),
+        "label_a")
+      .join(broadcast(norms.select($"label".as("label_b"), $"nn".as("__nb"))),
+        "label_b")
+      .select($"label_a", $"label_b",
+        ($"t".cast("double") /
+          sqrt($"__na".cast("double") * $"__nb".cast("double"))).as("cos_sim"))
+      .orderBy($"label_a", $"label_b")
+  }
+
+  private val q159Sql =
+    """WITH s AS (
+      |  SELECT label, dim, CAST(SUM(CAST(x AS DECIMAL(18,8))) * 100000000 AS HUGEINT) AS s
+      |  FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+      |               CAST(unnest(embedding) AS DOUBLE) AS x
+      |        FROM embeddings)
+      |  GROUP BY 1, 2),
+      |n AS (SELECT label, SUM(s*s) AS nn FROM s GROUP BY 1),
+      |p AS (
+      |  SELECT a.label AS label_a, b.label AS label_b, SUM(a.s*b.s) AS t
+      |  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+      |  GROUP BY 1, 2)
+      |SELECT p.label_a, p.label_b,
+      |  CAST(CAST(p.t AS VARCHAR) AS DOUBLE) /
+      |    sqrt(CAST(CAST(na.nn AS VARCHAR) AS DOUBLE)
+      |       * CAST(CAST(nb.nn AS VARCHAR) AS DOUBLE)) AS cos_sim
+      |FROM p
+      |JOIN n na ON na.label = p.label_a
+      |JOIN n nb ON nb.label = p.label_b
+      |ORDER BY label_a, label_b""".stripMargin
+
+  /** TPC-H Q22 shape: customers richer than the positive-balance average
+    * with no orders SINCE 2000 (every fixture customer has some order, so
+    * the lapse window is what makes the anti-join discriminate), rolled
+    * up per nation. The global mean never divides — the cut is
+    * abu·n_pos > total (broadcast 1-row aggregate) — and the lapse test
+    * is one LEFT ANTI join against the date-filtered order keys (the
+    * filter pushes to the orders scan). */
+  private def q160IdleRich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .withColumn("abu", ($"c_acctbal".cast(d4) * 10000).cast("long"))
+    val pos = cust.filter($"abu" > 0)
+      .agg(sum($"abu".cast(dec38)).as("__tot"), count(lit(1)).as("__npos"))
+    cust.join(broadcast(pos))
+      .filter($"abu".cast(dec38) * $"__npos" > $"__tot")
+      .join(Tables.orders(spark, dir)
+          .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+          .select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"abu".cast(dec38)).cast("long").as("acctbal_units"))
+      .orderBy($"c_nationkey")
+  }
+
+  private val q160Sql =
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,4))*10000 AS BIGINT) AS abu
+      |  FROM customer),
+      |m AS (
+      |  SELECT CAST(SUM(abu) AS HUGEINT) AS tot, COUNT(*) AS npos
+      |  FROM c WHERE abu > 0)
+      |SELECT c.c_nationkey, COUNT(*) AS n_customers,
+      |  CAST(SUM(c.abu) AS BIGINT) AS acctbal_units
+      |FROM c, m
+      |WHERE CAST(c.abu AS HUGEINT) * m.npos > m.tot
+      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY 1
+      |ORDER BY c_nationkey""".stripMargin
+
+  /** Per-document keyword extraction: top-3 tf-idf terms per doc over the
+    * q48 vocabulary (top-200 by df, smooth idf). Ranking keys on the
+    * ROUNDED weight + idx — the already-hash-pinned q48 quantities — so
+    * order is deterministic in both engines; the window partitions by
+    * doc over the ≤|vocab| weighted rows per doc. */
+  private def q161DocKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val vocab = graft.operators.TfIdf.fitVocab(docs, "doc_id", "text", 200)
+    val weighted = docs
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .join(broadcast(vocab.select($"term", $"idx", $"idf")), "term")
+      .select($"doc_id", $"term", $"idx",
+        round($"tf" * $"idf", 6).as("w"))
+    val wnd = Window.partitionBy($"doc_id").orderBy($"w".desc, $"idx")
+    weighted.withColumn("rank", row_number().over(wnd))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"idx", $"term", $"w")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  private val q161Sql =
+    """WITH tokens AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+      |vocab AS (
+      |  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS idx,
+      |    ln(((SELECT COUNT(*) FROM documents) + 1.0) / (df + 1.0)) + 1.0 AS idf
+      |  FROM df ORDER BY df DESC, term ASC LIMIT 200),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+      |w AS (
+      |  SELECT t.doc_id, t.term, CAST(v.idx AS INT) AS idx,
+      |    round(t.tf * v.idf, 6) AS w
+      |  FROM tf t JOIN vocab v USING (term)),
+      |r AS (
+      |  SELECT doc_id, term, idx, w,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, idx) AS rank
+      |  FROM w)
+      |SELECT doc_id, CAST(rank AS INT) AS rank, idx, term, w
+      |FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
+  /** TPC-H Q21 shape: the lone late supplier — for multi-supplier orders
+    * where EXACTLY ONE supplier shipped >90 days after the order date,
+    * count such orders per supplier, top 10. The double-EXISTS
+    * formulation collapses into ONE per-order aggregate (distinct
+    * suppliers, distinct late suppliers, and the max-of-when trick to
+    * recover the unique late supplier) — a single shuffle on the order
+    * key instead of two correlated probes per lineitem. */
+  private def q162LoneLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAY")).as("late"))
+    li.groupBy($"l_orderkey")
+      .agg(countDistinct($"l_suppkey").as("__ns"),
+        countDistinct(when($"late", $"l_suppkey")).as("__nls"),
+        max(when($"late", $"l_suppkey")).as("__lone"))
+      .filter($"__ns" >= 2 && $"__nls" === 1)
+      .groupBy($"__lone")
+      .agg(count(lit(1)).as("n_orders"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select($"s_suppkey", $"s_name")),
+        $"__lone" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"n_orders")
+      .orderBy($"n_orders".desc, $"s_suppkey")
+      .limit(10)
+  }
+
+  private val q162Sql =
+    """WITH l1 AS (
+      |  SELECT l.l_orderkey, l.l_suppkey,
+      |    l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l1),
+      |late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l1 WHERE late),
+      |multi AS (SELECT l_orderkey FROM su GROUP BY 1 HAVING COUNT(*) >= 2),
+      |lone AS (
+      |  SELECT a.l_orderkey, a.l_suppkey
+      |  FROM late a JOIN multi USING (l_orderkey)
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM late b
+      |    WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey))
+      |SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_orders
+      |FROM lone JOIN supplier s ON s.s_suppkey = lone.l_suppkey
+      |GROUP BY 1, 2
+      |ORDER BY n_orders DESC, s_suppkey
+      |LIMIT 10""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q146_abc_parts", q146AbcParts, Some(q146Sql),
       "Pareto/ABC revenue classification via the two-level exact prefix-sum plan"),
@@ -408,5 +818,23 @@ object MiningQueries extends QueryModule {
     Q("q152_dominant_suppliers", q152DominantSuppliers, Some(q152Sql),
       "TPC-H Q20 shape: decorrelated dominance aggregates + semi join"),
     Q("q153_url_domains", q153UrlDomains, Some(q153Sql),
-      "URL canonicalization + registered-domain rollup (web-corpus curation)"))
+      "URL canonicalization + registered-domain rollup (web-corpus curation)"),
+    Q("q154_attribution", q154Attribution, Some(q154Sql),
+      "last-touch attribution via as-of join, 7-day window, exact integer mass"),
+    Q("q155_conversion_latency", q155ConversionLatency, Some(q155Sql),
+      "funnel -> exactQuantiles composition: p50/p90/p99 view->purchase latency"),
+    Q("q156_source_overlap", q156SourceOverlap, Some(q156Sql),
+      "pairwise top-50 vocabulary Jaccard between sources"),
+    Q("q157_late_orders", q157LateOrders, Some(q157Sql),
+      "TPC-H Q4 shape: EXISTS-decorrelated late-lineitem semi join"),
+    Q("q158_returned_revenue", q158ReturnedRevenue, Some(q158Sql),
+      "TPC-H Q10 shape: returned-revenue top-20 customers, TakeOrdered"),
+    Q("q159_label_affinity", q159LabelAffinity, Some(q159Sql),
+      "pairwise label-centroid cosine from exact component sums (n factors cancel)"),
+    Q("q160_idle_rich", q160IdleRich, Some(q160Sql),
+      "TPC-H Q22 shape: above-average balances with no orders, anti join"),
+    Q("q161_doc_keywords", q161DocKeywords, Some(q161Sql),
+      "per-doc top-3 tf-idf keywords over the q48 vocabulary"),
+    Q("q162_lone_late_supplier", q162LoneLateSupplier, Some(q162Sql),
+      "TPC-H Q21 shape: lone late supplier via one per-order aggregate"))
 }

@@ -268,6 +268,20 @@ class PlanSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("late-orders EXISTS decorrelates to one semi join, never a nested loop") {
+    val plan = planString(run("q157_late_orders"))
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "the date residual must ride the equi-join, not force a nested loop")
+  }
+
+  test("returned-revenue top-20 plans TakeOrdered with a broadcast customer dim") {
+    val plan = planString(run("q158_returned_revenue"))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), "customer dim must broadcast")
+  }
+
   test("resample reduces cells BEFORE the grid explode: aggregate precedes generate") {
     val plan = planString(run("q126_resample_locf"))
     assert(!plan.contains("CartesianProduct") &&
