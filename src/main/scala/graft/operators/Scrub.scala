@@ -54,4 +54,28 @@ object Scrub {
       rules: Seq[Rule] = defaultRules): DataFrame =
     df.withColumn(s"${textCol}_redactions", redactionCount(col(textCol), rules))
       .withColumn(textCol, scrubbed(col(textCol), rules))
+
+  /** Luhn checksum over a digits-only string — the validator that
+    * separates real payment-card numbers from arbitrary 13-19 digit runs
+    * (a plain length regex redacts order ids and ISBNs as "cards"; the
+    * checksum cuts the false-positive mass ~10×). Pure integer HOF fold
+    * over the characters — row-local, no UDF — and replayable in any
+    * engine with list transforms, so card-audit counts stay
+    * oracle-checkable. Returns false for empty/short strings (< 13
+    * digits) and null input; any non-digit character fails loudly via the
+    * int cast (null → false), never silently validates. */
+  def luhnValid(digits: Column): Column = {
+    // Spark's split keeps a trailing empty element (Java split limit -1);
+    // drop empties so chars[i] is exactly the i-th digit from the right
+    val chars = reverse(filter(split(digits, ""), c => c =!= ""))
+    val indexed = zip_with(chars,
+      sequence(lit(0), greatest(length(digits), lit(1)) - 1),
+      (ch, i) => struct(ch.as("c"), i.as("i")))
+    val total = aggregate(indexed, lit(0), (acc, s) => {
+      val d = s.getField("c").cast("int")
+      val dd = when(s.getField("i") % 2 === 1, d * 2).otherwise(d)
+      acc + when(dd > 9, dd - 9).otherwise(dd)
+    })
+    coalesce(length(digits) >= 13 && total % 10 === 0, lit(false))
+  }
 }

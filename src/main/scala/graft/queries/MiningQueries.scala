@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 import graft.functions.TextFunctions.tokens
 import graft.functions.UrlFunctions
+import graft.operators.Scrub
 
 /** Round-8 distribution-mining wave: Pareto/ABC mass classification,
   * Markov transition matrices, PMI collocations, robust MAD outliers, the
@@ -802,6 +803,152 @@ object MiningQueries extends QueryModule {
       |ORDER BY n_orders DESC, s_suppkey
       |LIMIT 10""".stripMargin
 
+  /** PII audit over a deterministically synthesized corpus (the q141/q153
+    * synthesis pattern: planted emails, IPv4s, and payment-card numbers —
+    * half Luhn-valid, half checksum-broken). Per source: match counts per
+    * detector plus the Luhn-validated card count — the audit a curation
+    * run uses to size its scrubbing pass and to separate real card leaks
+    * from arbitrary long digit runs ([[graft.operators.Scrub.luhnValid]];
+    * the checksum is an integer HOF fold, replayed in the oracle as a
+    * list transform). Everything row-local until the per-source
+    * aggregation. */
+  private def q163PiiAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = Tables.documents(spark, dir).select($"doc_id", $"source",
+      concat(
+        lit("ref "), ($"doc_id" % 1000).cast("string"), lit(" "),
+        when($"doc_id" % 3 === 0,
+          concat(lit("user"), ($"doc_id" % 100).cast("string"),
+            lit("@mail"), ($"doc_id" % 7).cast("string"), lit(".example.com ")))
+          .otherwise(lit("")),
+        when($"doc_id" % 5 === 0,
+          concat(lit("10.0."), ($"doc_id" % 256).cast("string"), lit("."),
+            ($"doc_id" % 100).cast("string"), lit(" ")))
+          .otherwise(lit("")),
+        when($"doc_id" % 8 === 0, lit("card 4539148803436467 "))
+          .when($"doc_id" % 8 === 4, lit("card 4539148803436468 "))
+          .otherwise(lit("")),
+        lit("end")).as("text"))
+    val cardPat = "[0-9]{13,19}"
+    planted
+      .withColumn("card", regexp_extract($"text", s"($cardPat)", 1))
+      .groupBy($"source")
+      .agg(
+        sum(regexp_count($"text", lit(Scrub.email.pattern))).as("n_emails"),
+        sum(regexp_count($"text", lit(Scrub.ipv4.pattern))).as("n_ips"),
+        sum(regexp_count($"text", lit(cardPat))).as("n_card_candidates"),
+        sum(when(length($"card") >= 13 && Scrub.luhnValid($"card"), 1L)
+          .otherwise(0L)).as("n_cards_luhn"),
+        sum(Scrub.redactionCount($"text")).as("n_redactions"))
+      .orderBy($"source")
+  }
+
+  private val q163Sql = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    s"""WITH planted AS (
+      |  SELECT doc_id, source,
+      |    'ref ' || CAST(doc_id % 1000 AS VARCHAR) || ' '
+      |    || (CASE WHEN doc_id % 3 = 0
+      |             THEN 'user' || CAST(doc_id % 100 AS VARCHAR)
+      |                  || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+      |                  || '.example.com '
+      |             ELSE '' END)
+      |    || (CASE WHEN doc_id % 5 = 0
+      |             THEN '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+      |                  || CAST(doc_id % 100 AS VARCHAR) || ' '
+      |             ELSE '' END)
+      |    || (CASE WHEN doc_id % 8 = 0 THEN 'card 4539148803436467 '
+      |             WHEN doc_id % 8 = 4 THEN 'card 4539148803436468 '
+      |             ELSE '' END)
+      |    || 'end' AS text
+      |  FROM documents),
+      |x AS (
+      |  SELECT source, text,
+      |    regexp_extract(text, '([0-9]{13,19})', 1) AS card,
+      |    len(regexp_extract_all(text, '$email')) AS ne,
+      |    len(regexp_extract_all(text, '$ipv4')) AS ni,
+      |    len(regexp_extract_all(text, '[0-9]{13,19}')) AS nc
+      |  FROM planted),
+      |l AS (
+      |  SELECT source, ne, ni, nc, text,
+      |    CASE WHEN length(card) >= 13 AND
+      |      (list_sum(list_transform(generate_series(1, length(card)),
+      |        i -> CASE WHEN i % 2 = 0
+      |             THEN CASE WHEN CAST(card[-i] AS INT)*2 > 9
+      |                  THEN CAST(card[-i] AS INT)*2 - 9
+      |                  ELSE CAST(card[-i] AS INT)*2 END
+      |             ELSE CAST(card[-i] AS INT) END)) % 10) = 0
+      |    THEN 1 ELSE 0 END AS luhn_ok,
+      |    len(regexp_extract_all(text, '$email'))
+      |      + len(regexp_extract_all(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$ipv4'))
+      |      + len(regexp_extract_all(
+      |          regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+      |                         '$ipv4', '<IP>', 'g'), '[0-9]+')) AS nred
+      |  FROM x)
+      |SELECT source,
+      |  CAST(SUM(ne) AS BIGINT) AS n_emails,
+      |  CAST(SUM(ni) AS BIGINT) AS n_ips,
+      |  CAST(SUM(nc) AS BIGINT) AS n_card_candidates,
+      |  CAST(SUM(luhn_ok) AS BIGINT) AS n_cards_luhn,
+      |  CAST(SUM(nred) AS BIGINT) AS n_redactions
+      |FROM l
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+  }
+
+  /** Session path analysis: 30-minute-gap sessionization (the q35
+    * gaps-and-islands machinery) → each session's first three event
+    * types as a path string → the top-20 most common paths. The path
+    * assembles from a deterministic (ts, event_id) sort inside ONE
+    * per-session aggregate; the top-20 is TakeOrdered over the tiny path
+    * frame. */
+  private def q164SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000000
+    val us = graft.operators.TimeSeriesOps.eventMicros($"ts")
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val wc = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("us", us)
+      .withColumn("new_s",
+        when(lag($"us", 1).over(w).isNull ||
+          $"us" - lag($"us", 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum($"new_s").over(wc))
+      .groupBy($"user_id", $"sid")
+      .agg(array_join(
+        slice(transform(
+          array_sort(collect_list(struct($"us", $"event_id", $"event_type"))),
+          x => x.getField("event_type")), 1, 3), ">").as("path"))
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(20)
+  }
+
+  private val q164Sql =
+    """WITH s AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |s2 AS (
+      |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM s),
+      |p AS (
+      |  SELECT user_id, sid,
+      |    array_to_string(list_slice(
+      |      list(event_type ORDER BY us, event_id), 1, 3), '>') AS path
+      |  FROM s2 GROUP BY user_id, sid)
+      |SELECT path, COUNT(*) AS n
+      |FROM p GROUP BY path
+      |ORDER BY n DESC, path
+      |LIMIT 20""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q146_abc_parts", q146AbcParts, Some(q146Sql),
       "Pareto/ABC revenue classification via the two-level exact prefix-sum plan"),
@@ -836,5 +983,9 @@ object MiningQueries extends QueryModule {
     Q("q161_doc_keywords", q161DocKeywords, Some(q161Sql),
       "per-doc top-3 tf-idf keywords over the q48 vocabulary"),
     Q("q162_lone_late_supplier", q162LoneLateSupplier, Some(q162Sql),
-      "TPC-H Q21 shape: lone late supplier via one per-order aggregate"))
+      "TPC-H Q21 shape: lone late supplier via one per-order aggregate"),
+    Q("q163_pii_audit", q163PiiAudit, Some(q163Sql),
+      "per-source PII detector counts incl. Luhn-validated cards"),
+    Q("q164_session_paths", q164SessionPaths, Some(q164Sql),
+      "top-20 first-3-event session paths, 30-min gap sessionization"))
 }

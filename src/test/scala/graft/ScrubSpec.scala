@@ -41,4 +41,38 @@ class ScrubSpec extends SparkSpec {
     val r = Scrub.scrub(Seq((1L, null: String)).toDF("id", "t"), "t").head()
     assert(r.getAs[String]("t") == null)
   }
+
+  test("luhnValid: known-good cards pass, off-by-one checksums fail") {
+    import spark.implicits._
+    def luhn(s: String): Boolean =
+      Seq(Tuple1(s)).toDF("d")
+        .select(Scrub.luhnValid(org.apache.spark.sql.functions.col("d")))
+        .as[Boolean].head()
+    // standard test numbers: Visa 16, Amex 15, Mastercard 16
+    assert(luhn("4539148803436467"))
+    assert(luhn("378282246310005"))
+    assert(luhn("5555555555554444"))
+    assert(!luhn("4539148803436468")) // last digit off
+    assert(!luhn("4539148803436457")) // transposition
+    // reference implementation agreement on every 16-digit variant of a base
+    def ref(s: String): Boolean = s.reverse.zipWithIndex.map { case (c, i) =>
+      val d = c - '0'
+      val dd = if (i % 2 == 1) d * 2 else d
+      if (dd > 9) dd - 9 else dd
+    }.sum % 10 == 0
+    (0 to 9).foreach { last =>
+      val s = "453914880343646" + last
+      assert(luhn(s) === ref(s), s)
+    }
+  }
+
+  test("luhnValid: short, empty, and null inputs are false, never errors") {
+    import spark.implicits._
+    val got = Seq("4222222222222", "422222222222", "", null)
+      .map(Tuple1(_)).toDF("d")
+      .select(Scrub.luhnValid(org.apache.spark.sql.functions.col("d")).as("ok"))
+      .as[Boolean].collect().toSeq
+    // 13-digit Visa test number valid; 12 digits below the floor; empty/null false
+    assert(got === Seq(true, false, false, false))
+  }
 }
