@@ -949,6 +949,49 @@ object MiningQueries extends QueryModule {
       |ORDER BY n DESC, path
       |LIMIT 20""".stripMargin
 
+  /** Incremental distinct maintenance contract (the q72/q108 sketch
+    * pattern): three disjoint event deltas build per-type HLL sketch
+    * states ([[graft.operators.IncrementalDistinct]] — bounded mergeable
+    * state, the shape COUNT(DISTINCT) can't provide), and BOTH the
+    * merged-state estimate and the single-pass estimate must sit inside
+    * the documented HLL error band of the exact count the oracle
+    * recomputes. The band — not register equality — is the honest
+    * mergeability contract: a union that lost keys or double-counted
+    * under batching would leave the band, while DataSketches legitimately
+    * varies a percent between the HIP estimator (sequential build) and
+    * the composite estimator (union path). */
+  private def q165IncrementalDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", $"user_id", $"event_id")
+    val deltas = (0 to 2).map(i => ev.filter($"event_id" % 3 === i))
+    val merged = graft.operators.IncrementalDistinct.merge(
+      deltas.map(d => graft.operators.IncrementalDistinct
+        .state(d, Seq("event_type"), "user_id")))
+    val full = graft.operators.IncrementalDistinct
+      .state(ev, Seq("event_type"), "user_id")
+    val estM = graft.operators.IncrementalDistinct.estimate(merged)
+      .withColumnRenamed("n_distinct_est", "__em")
+    val estF = graft.operators.IncrementalDistinct.estimate(full)
+      .withColumnRenamed("n_distinct_est", "__ef")
+    def inBand(est: org.apache.spark.sql.Column) =
+      abs(est - $"n_exact") <= greatest(lit(1L), ($"n_exact" * 0.05).cast("long"))
+    ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_exact"))
+      .join(broadcast(estM), "event_type")
+      .join(broadcast(estF), "event_type")
+      .select($"event_type", $"n_exact",
+        inBand($"__em").as("merged_in_band"),
+        inBand($"__ef").as("full_in_band"))
+      .orderBy($"event_type")
+  }
+
+  private val q165Sql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+      |  TRUE AS merged_in_band, TRUE AS full_in_band
+      |FROM events GROUP BY 1
+      |ORDER BY event_type""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q146_abc_parts", q146AbcParts, Some(q146Sql),
       "Pareto/ABC revenue classification via the two-level exact prefix-sum plan"),
@@ -987,5 +1030,7 @@ object MiningQueries extends QueryModule {
     Q("q163_pii_audit", q163PiiAudit, Some(q163Sql),
       "per-source PII detector counts incl. Luhn-validated cards"),
     Q("q164_session_paths", q164SessionPaths, Some(q164Sql),
-      "top-20 first-3-event session paths, 30-min gap sessionization"))
+      "top-20 first-3-event session paths, 30-min gap sessionization"),
+    Q("q165_incremental_distinct", q165IncrementalDistinct, Some(q165Sql),
+      "HLL-state incremental distinct maintenance: merge==full + error band"))
 }

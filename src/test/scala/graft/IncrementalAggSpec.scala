@@ -91,4 +91,47 @@ class IncrementalAggSpec extends SparkSpec {
         Seq("sum_v"), "v")
     }
   }
+
+  // ---- IncrementalDistinct (HLL sketch states) ---------------------------
+
+  private lazy val distinctRows = {
+    val rnd = new scala.util.Random(7)
+    (1 to 3000).map(_ => (s"k${rnd.nextInt(3)}", rnd.nextInt(400).toLong))
+  }
+
+  test("distinct sketch: merged deltas stay in band under any batching") {
+    val df = distinctRows.toDF("k", "v")
+    val exact = df.groupBy($"k").agg(countDistinct($"v").as("nd"))
+      .as[(String, Long)].collect().toMap
+    for (nSplits <- Seq(2, 5)) {
+      // overlapping-key deltas: the same k (and often the same v) lands in
+      // several splits — exactly the case naive count merging double-counts
+      val states = (0 until nSplits).map(i =>
+        graft.operators.IncrementalDistinct.state(
+          df.filter(pmod(hash($"v"), lit(nSplits)) === i), Seq("k"), "v"))
+      val merged = graft.operators.IncrementalDistinct
+        .estimate(graft.operators.IncrementalDistinct.merge(states))
+        .as[(String, Long)].collect().toMap
+      exact.foreach { case (k, nd) =>
+        assert(math.abs(merged(k) - nd) <= math.max(1L, (nd * 0.05).toLong),
+          s"splits=$nSplits $k merged=${merged(k)} exact=$nd")
+      }
+    }
+  }
+
+  test("distinct sketch: estimate within the lgK=12 band of exact; state bounded") {
+    val df = distinctRows.toDF("k", "v")
+    val exact = df.groupBy($"k").agg(countDistinct($"v").as("nd"))
+      .as[(String, Long)].collect().toMap
+    val est = graft.operators.IncrementalDistinct
+      .estimate(graft.operators.IncrementalDistinct.state(df, Seq("k"), "v"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, nd) =>
+      assert(math.abs(est(k) - nd) <= math.max(1L, (nd * 0.05).toLong),
+        s"$k est=${est(k)} exact=$nd")
+    }
+    val sizes = graft.operators.IncrementalDistinct.state(df, Seq("k"), "v")
+      .select(length($"nd_sketch")).as[Int].collect()
+    assert(sizes.forall(_ <= 64 * 1024), "sketch state must stay KB-sized")
+  }
 }
