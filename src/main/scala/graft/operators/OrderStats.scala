@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   * of ONLY each quantile's straddling cell (~n/bins of the stratum).
   */
 object OrderStats {
+
+  /** The shared clamp-and-floor of the equal-width binning contract:
+    * `frac` is the caller's position ratio inside [min, max] (ascending
+    * or descending — direction is the caller's), the result is a bin
+    * index in [0, bins-1]. One definition keeps the three histogram
+    * operators (exactQuantiles, paretoClass, Sampling.topFractionByScore)
+    * in lockstep — the clamp and the *(bins-1) scaling are load-bearing
+    * for their cell-cover proofs. Callers handle the max==min degenerate
+    * before calling (frac would divide by zero). */
+  private[operators] def clampedBin(frac: Column, bins: Int): Column =
+    least(lit(bins - 1), greatest(lit(0),
+      floor(frac * lit(bins - 1)).cast("int")))
 
   /** For each stratum and each p in `ps`: the value at 1-based rank
     * max(1, ceil(p·n)) in ascending value order — the discrete (lower)
@@ -65,9 +77,8 @@ object OrderStats {
         col("__stratum") <=> col("__s_stratum"))
       .withColumn("__bin",
         when(col("__max") === col("__min"), lit(0))
-          .otherwise(least(lit(bins - 1), greatest(lit(0),
-            floor((col("__v") - col("__min")) /
-              (col("__max") - col("__min")) * lit(bins - 1)).cast("int")))))
+          .otherwise(clampedBin((col("__v") - col("__min")) /
+            (col("__max") - col("__min")), bins)))
       .drop("__s_stratum", "__min", "__max")
 
     val wBin = Window.partitionBy(col("__stratum")).orderBy(col("__bin"))
@@ -154,9 +165,8 @@ object OrderStats {
 
     val binned = rows.withColumn("__bin",
       if (mx == mn) lit(0)
-      else least(lit(bins - 1), greatest(lit(0),
-        floor((col("__w") - mn).cast("double") /
-          lit((mx - mn).toDouble) * (bins - 1)).cast("int"))))
+      else clampedBin((col("__w") - mn).cast("double") /
+        lit((mx - mn).toDouble), bins))
 
     val wIn = Window.partitionBy(col("__bin"))
       .orderBy(col("__w").desc, col("__key").asc)

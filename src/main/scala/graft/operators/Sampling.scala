@@ -338,9 +338,9 @@ object Sampling {
         col(stratumCol) <=> col("__stat_stratum"))
       .withColumn("__bin",
         when(col("__max") === col("__min"), lit(0))
-          .otherwise(least(lit(bins - 1), greatest(lit(0),
-            floor((col("__max") - col("__score")) /
-              (col("__max") - col("__min")) * lit(bins - 1)).cast("int")))))
+          // descending ratio: top-fraction fills best-score-first
+          .otherwise(OrderStats.clampedBin((col("__max") - col("__score")) /
+            (col("__max") - col("__min")), bins)))
       .drop("__stat_stratum", "__min", "__max")
 
     // pass 2: per-cell counts + running sum, classified against k

@@ -157,8 +157,8 @@ object MiningQueries extends QueryModule {
       |cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY 1, 2),
       |nb AS (SELECT CAST(SUM(c12) AS HUGEINT) AS N FROM cb)
       |SELECT cb.w1, cb.w2, CAST(cb.c12 AS BIGINT) AS c12,
-      |  CAST(CAST(cb.c12 AS HUGEINT) * tot.U * tot.U AS DOUBLE) /
-      |  CAST(nb.N * u1.cu * u2.cu AS DOUBLE) AS pmi
+      |  CAST(CAST(CAST(cb.c12 AS HUGEINT) * tot.U * tot.U AS VARCHAR) AS DOUBLE) /
+      |  CAST(CAST(nb.N * u1.cu * u2.cu AS VARCHAR) AS DOUBLE) AS pmi
       |FROM cb
       |CROSS JOIN tot CROSS JOIN nb
       |JOIN uni u1 ON u1.tk = cb.w1
@@ -506,11 +506,13 @@ object MiningQueries extends QueryModule {
   /** Cross-source vocabulary overlap — the corpus-composition diagnostic
     * ("which sources speak the same language?"). Top-50 terms per source
     * under the (count DESC, term ASC) total order, then pairwise overlap
-    * counts via one self-join on the term key; Jaccard over fixed-size
-    * sets is n/(100−n) — a single division of exact integers. The window
-    * ranks the per-(source, term) COUNT frame, already aggregated far
-    * below corpus size. Zero-overlap pairs don't surface (inner join) —
-    * same convention in the oracle. */
+    * counts via one self-join on the term key; Jaccard uses each
+    * source's ACTUAL top-set size (n/(na+nb−n)) so a source with fewer
+    * than 50 distinct terms still reports the true set similarity — a
+    * single division of exact integers either way. The window ranks the
+    * per-(source, term) COUNT frame, already aggregated far below corpus
+    * size. Zero-overlap pairs don't surface (inner join) — same
+    * convention in the oracle. */
   private def q156SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val counts = Tables.documents(spark, dir)
@@ -519,13 +521,19 @@ object MiningQueries extends QueryModule {
     val w = Window.partitionBy($"source").orderBy($"cnt".desc, $"term")
     val top = counts.withColumn("r", row_number().over(w))
       .filter($"r" <= 50).select($"source", $"term")
+    val sizes = top.groupBy($"source").agg(count(lit(1)).as("sz"))
     top.as("a").join(top.as("b"),
         $"a.term" === $"b.term" && $"a.source" < $"b.source")
       .select($"a.source".as("source_a"), $"b.source".as("source_b"))
       .groupBy($"source_a", $"source_b")
       .agg(count(lit(1)).as("n_common"))
-      .withColumn("jaccard",
-        $"n_common".cast("double") / (lit(100) - $"n_common").cast("double"))
+      .join(broadcast(sizes.select($"source".as("source_a"), $"sz".as("__sa"))),
+        "source_a")
+      .join(broadcast(sizes.select($"source".as("source_b"), $"sz".as("__sb"))),
+        "source_b")
+      .select($"source_a", $"source_b", $"n_common",
+        ($"n_common".cast("double") /
+          ($"__sa" + $"__sb" - $"n_common").cast("double")).as("jaccard"))
       .orderBy($"source_a", $"source_b")
   }
 
@@ -539,12 +547,18 @@ object MiningQueries extends QueryModule {
       |    SELECT source, term,
       |      row_number() OVER (PARTITION BY source
       |                         ORDER BY cnt DESC, term) AS r
-      |    FROM c) WHERE r <= 50)
-      |SELECT a.source AS source_a, b.source AS source_b,
-      |  COUNT(*) AS n_common,
-      |  CAST(COUNT(*) AS DOUBLE) / CAST(100 - COUNT(*) AS DOUBLE) AS jaccard
-      |FROM top a JOIN top b ON a.term = b.term AND a.source < b.source
-      |GROUP BY 1, 2
+      |    FROM c) WHERE r <= 50),
+      |sz AS (SELECT source, COUNT(*) AS sz FROM top GROUP BY 1),
+      |o AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+      |  FROM top a JOIN top b ON a.term = b.term AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT o.source_a, o.source_b, o.n_common,
+      |  CAST(o.n_common AS DOUBLE)
+      |    / CAST(sa.sz + sb.sz - o.n_common AS DOUBLE) AS jaccard
+      |FROM o
+      |JOIN sz sa ON sa.source = o.source_a
+      |JOIN sz sb ON sb.source = o.source_b
       |ORDER BY source_a, source_b""".stripMargin
 
   /** TPC-H Q4 shape: orders placed in 1996H1 with at least one lineitem
@@ -825,20 +839,24 @@ object MiningQueries extends QueryModule {
           concat(lit("10.0."), ($"doc_id" % 256).cast("string"), lit("."),
             ($"doc_id" % 100).cast("string"), lit(" ")))
           .otherwise(lit("")),
-        when($"doc_id" % 8 === 0, lit("card 4539148803436467 "))
+        // %8==0 plants a VALID and a checksum-broken card in ONE doc —
+        // the multi-candidate case where validating only the first
+        // extract would undercount
+        when($"doc_id" % 8 === 0,
+          lit("card 4539148803436467 then 4539148803436468 "))
           .when($"doc_id" % 8 === 4, lit("card 4539148803436468 "))
           .otherwise(lit("")),
         lit("end")).as("text"))
     val cardPat = "[0-9]{13,19}"
     planted
-      .withColumn("card", regexp_extract($"text", s"($cardPat)", 1))
       .groupBy($"source")
       .agg(
         sum(regexp_count($"text", lit(Scrub.email.pattern))).as("n_emails"),
         sum(regexp_count($"text", lit(Scrub.ipv4.pattern))).as("n_ips"),
         sum(regexp_count($"text", lit(cardPat))).as("n_card_candidates"),
-        sum(when(length($"card") >= 13 && Scrub.luhnValid($"card"), 1L)
-          .otherwise(0L)).as("n_cards_luhn"),
+        // every candidate runs the checksum, not just the first extract
+        sum(size(filter(regexp_extract_all($"text", lit(cardPat), lit(0)),
+          c => Scrub.luhnValid(c))).cast("long")).as("n_cards_luhn"),
         sum(Scrub.redactionCount($"text")).as("n_redactions"))
       .orderBy($"source")
   }
@@ -858,28 +876,28 @@ object MiningQueries extends QueryModule {
       |             THEN '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
       |                  || CAST(doc_id % 100 AS VARCHAR) || ' '
       |             ELSE '' END)
-      |    || (CASE WHEN doc_id % 8 = 0 THEN 'card 4539148803436467 '
+      |    || (CASE WHEN doc_id % 8 = 0
+      |             THEN 'card 4539148803436467 then 4539148803436468 '
       |             WHEN doc_id % 8 = 4 THEN 'card 4539148803436468 '
       |             ELSE '' END)
       |    || 'end' AS text
       |  FROM documents),
       |x AS (
       |  SELECT source, text,
-      |    regexp_extract(text, '([0-9]{13,19})', 1) AS card,
       |    len(regexp_extract_all(text, '$email')) AS ne,
       |    len(regexp_extract_all(text, '$ipv4')) AS ni,
       |    len(regexp_extract_all(text, '[0-9]{13,19}')) AS nc
       |  FROM planted),
       |l AS (
       |  SELECT source, ne, ni, nc, text,
-      |    CASE WHEN length(card) >= 13 AND
-      |      (list_sum(list_transform(generate_series(1, length(card)),
-      |        i -> CASE WHEN i % 2 = 0
-      |             THEN CASE WHEN CAST(card[-i] AS INT)*2 > 9
-      |                  THEN CAST(card[-i] AS INT)*2 - 9
-      |                  ELSE CAST(card[-i] AS INT)*2 END
-      |             ELSE CAST(card[-i] AS INT) END)) % 10) = 0
-      |    THEN 1 ELSE 0 END AS luhn_ok,
+      |    len(list_filter(regexp_extract_all(text, '[0-9]{13,19}'),
+      |      card -> length(card) >= 13 AND
+      |        (list_sum(list_transform(generate_series(1, length(card)),
+      |          i -> CASE WHEN i % 2 = 0
+      |               THEN CASE WHEN CAST(card[-i] AS INT)*2 > 9
+      |                    THEN CAST(card[-i] AS INT)*2 - 9
+      |                    ELSE CAST(card[-i] AS INT)*2 END
+      |               ELSE CAST(card[-i] AS INT) END)) % 10) = 0)) AS luhn_ok,
       |    len(regexp_extract_all(text, '$email'))
       |      + len(regexp_extract_all(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$ipv4'))
       |      + len(regexp_extract_all(
