@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQueryListener, Trigger}
 import org.apache.spark.sql.Row
@@ -207,6 +207,48 @@ object StreamingJobs {
     * against a (small) dimension table — no state store involved. */
   def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Streaming incremental distinct maintenance —
+    * [[graft.operators.IncrementalDistinct]] folded continuously: per
+    * micro-batch, state' = union(state, sketch(batch)), promoted with the
+    * [[graft.operators.StagedSwap]] crash discipline (the merged plan
+    * reads the live state lazily; swap() writes the new copy fully
+    * before any rename touches live).
+    *
+    * Crash story: foreachBatch is at-least-once, and the HLL union is a
+    * register-wise MAX — folding the same batch in twice moves no
+    * register — so a replayed batch leaves the state bit-meaningfully
+    * identical with NO output-side dedup at all. That idempotence is
+    * exactly what count-based distinct state can never offer (a replayed
+    * count merge double-counts; StreamingDistinctSpec pins both facts).
+    * Single-writer contract: one such stream per statePath. */
+  def distinctOnArrival(stream: DataFrame, keys: Seq[String],
+      valueCol: String, statePath: String, checkpoint: String,
+      lgK: Int = 12): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = graft.operators.IncrementalDistinct
+          .state(batch, keys, valueCol, lgK)
+        val fs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val live = new org.apache.hadoop.fs.Path(statePath, "state")
+        val tmp = new org.apache.hadoop.fs.Path(statePath, ".state_tmp")
+        val old = new org.apache.hadoop.fs.Path(statePath, ".state_old")
+        val merged =
+          if (fs.exists(live))
+            graft.operators.IncrementalDistinct.merge(
+              Seq(spark.read.parquet(live.toString), fresh))
+          else fresh
+        graft.operators.StagedSwap.swap(fs, live, tmp, old)(dir =>
+          merged.write.parquet(dir))
+      }
+
+  /** Read the current estimates off a [[distinctOnArrival]] state path. */
+  def distinctEstimates(spark: SparkSession, statePath: String): DataFrame =
+    graft.operators.IncrementalDistinct.estimate(
+      spark.read.parquet(new org.apache.hadoop.fs.Path(statePath, "state").toString))
 
   case class CusumEvent(key: Long, ts: java.sql.Timestamp, tie: Long, v: Double)
   case class CusumAlarm(key: Long, rn: Long, vu: Long, cpos: Long,
