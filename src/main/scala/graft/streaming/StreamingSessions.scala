@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Event-time sessionization on the state API v2 (`transformWithState`,
+  * the arbitrary-state successor to flatMapGroupsWithState): per-user
+  * gap-bounded sessions whose SUMMARY — bounds, event count, exact value
+  * mass — is emitted either when a later event opens the next session or
+  * when the watermark passes the session's close horizon (event-time
+  * timer). State per key is ONE fixed-size aggregate row + one timer —
+  * the bytes-per-key floor for sessionization; the raw events are never
+  * buffered (contrast `session_window` aggregation, which holds the
+  * window state inside the aggregation operator — this form hands the
+  * policy to user code, which is what the v2 API exists for).
+  *
+  * Ordering contract (same as [[StreamingJobs.cusumOnArrival]]): events
+  * within a batch fold in event-time order here; an event older than the
+  * current session start would belong to an already-emitted session and
+  * fails loudly rather than silently mis-attributing — the caller's
+  * watermark delay is the instrument that keeps such stragglers out.
+  *
+  * Timer discipline: one timer per key re-registered on every update; a
+  * stale timer (the session got extended after it was set) re-checks the
+  * live state's true horizon and emits nothing. Requires the RocksDB
+  * state store provider (a transformWithState constraint).
+  */
+object StreamingSessions {
+
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp, vu: Long)
+  final case class SessAgg(startMs: Long, endMs: Long, n: Long, vuSum: Long)
+  final case class SessionSummary(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long, value_units: Long)
+
+  private[streaming] class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, SessEvent, SessionSummary] {
+
+    @transient private var sess: ValueState[SessAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessAgg]("sess",
+        Encoders.product[SessAgg], TTLConfig.NONE)
+
+    private def summary(key: Long, a: SessAgg): SessionSummary =
+      SessionSummary(key, a.startMs, a.endMs, a.n, a.vuSum)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessEvent],
+        timerValues: TimerValues): Iterator[SessionSummary] = {
+      val sorted = rows.map(e => (e.ts.getTime, e.vu)).toSeq.sortBy(_._1)
+      var out = List.empty[SessionSummary]
+      var cur = if (sess.exists()) Option(sess.get()) else None
+      sorted.foreach { case (ms, vu) =>
+        cur = cur match {
+          case Some(a) if ms >= a.startMs && ms - a.endMs <= gapMs =>
+            Some(SessAgg(a.startMs, math.max(a.endMs, ms), a.n + 1, a.vuSum + vu))
+          case Some(a) if ms > a.endMs =>
+            out ::= summary(key, a)
+            Some(SessAgg(ms, ms, 1L, vu))
+          case Some(a) =>
+            throw new IllegalStateException(
+              s"event at $ms ms precedes the open session [${a.startMs}, " +
+                s"${a.endMs}] for key $key — increase the watermark delay")
+          case None => Some(SessAgg(ms, ms, 1L, vu))
+        }
+      }
+      cur.foreach { a =>
+        sess.update(a)
+        getHandle.registerTimer(a.endMs + gapMs)
+      }
+      out.reverse.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionSummary] = {
+      if (sess.exists()) {
+        val a = sess.get()
+        // a stale timer from before an extension fires early: the live
+        // horizon decides, not the timer that happened to trigger
+        if (timerValues.getCurrentWatermarkInMs() >= a.endMs + gapMs) {
+          sess.clear()
+          Iterator.single(summary(key, a))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** Session summaries for `events` (caller supplies the watermark delay
+    * that bounds disorder): Append-mode stream of closed sessions. */
+  def sessionSummaries(events: Dataset[SessEvent], gapMs: Long,
+      delay: String): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append(),
+        Encoders.product[SessionSummary])
+  }
+}

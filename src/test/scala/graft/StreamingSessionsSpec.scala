@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamingSessions
+import graft.streaming.StreamingSessions.{SessEvent, SessionSummary}
+
+/** transformWithState sessionization e2e: MemoryStream batches drive the
+  * v2 state API (RocksDB provider, session-scoped), sessions close both
+  * ways — next-event break and watermark timer — and the summaries match
+  * a hand-derived gaps-and-islands reference. */
+class StreamingSessionsSpec extends SparkSpec {
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("sessions close on gap break and on watermark timer; summaries exact") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+
+    val source = MemoryStream[SessEvent]
+    val out = StreamingSessions.sessionSummaries(
+      source.toDS(), gapMs = 30 * 60000L, delay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // minute 1, not 0: a first-batch event AT the initial watermark (0)
+      // is filtered as late by the event-time mode — off-by-the-epoch trap
+      // user 1: two events 10 min apart (one session), then a 40-min gap
+      // opens a second session — the FIRST closes via the in-batch break
+      source.addData(
+        SessEvent(1L, ts(1), 5L), SessEvent(1L, ts(11), 7L),
+        SessEvent(2L, ts(6), 1L))
+      q.processAllAvailable()
+      source.addData(SessEvent(1L, ts(51), 11L))
+      q.processAllAvailable()
+      // user 1's first session closes via the in-batch break; user 2's via
+      // its timer — timer expiry uses the batch's UPDATED watermark
+      // (ts(51) → 51 min), which already passed user 2's 36-min horizon.
+      // User 1's STALE timer (set before the ts(51) extension) fires in
+      // the same batch and must emit nothing — the live horizon decides.
+      val afterBreak = s.sql("SELECT * FROM sess_out")
+        .as[SessionSummary].collect().toSet
+      assert(afterBreak === Set(
+        SessionSummary(1L, 60000L, 11 * 60000L, 2L, 12L),
+        SessionSummary(2L, 6 * 60000L, 6 * 60000L, 1L, 1L)))
+
+      // advancing the watermark past the last horizon fires user 1's
+      // second-session timer
+      source.addData(SessEvent(3L, ts(200), 0L))
+      q.processAllAvailable()
+      source.addData(SessEvent(3L, ts(201), 0L))
+      q.processAllAvailable()
+      val closed = s.sql("SELECT * FROM sess_out")
+        .as[SessionSummary].collect().toSet
+      assert(closed === Set(
+        SessionSummary(1L, 60000L, 11 * 60000L, 2L, 12L),
+        SessionSummary(1L, 51 * 60000L, 51 * 60000L, 1L, 11L),
+        SessionSummary(2L, 6 * 60000L, 6 * 60000L, 1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("random stream across batches == batch gaps-and-islands reference") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+
+    val gapMs = 10 * 60000L
+    val rnd = new scala.util.Random(23)
+    var t = 60000L
+    val events = (1 to 200).map { _ =>
+      t += rnd.nextInt(8) * 60000L + 1000L // 1s..7min steps: mixed gaps
+      SessEvent(rnd.nextInt(3).toLong, new Timestamp(t), rnd.nextInt(10).toLong)
+    }
+    // reference: per-user gaps-and-islands over the full ordered series
+    val expected = events.groupBy(_.user_id).flatMap { case (u, es) =>
+      val sorted = es.map(e => (e.ts.getTime, e.vu)).sortBy(_._1)
+      sorted.foldLeft(List.empty[SessionSummary]) {
+        case (acc, (ms, vu)) => acc match {
+          case h :: rest if ms - h.end_ms <= gapMs =>
+            SessionSummary(u, h.start_ms, ms, h.n_events + 1, h.value_units + vu) :: rest
+          case _ => SessionSummary(u, ms, ms, 1L, vu) :: acc
+        }
+      }
+    }.toSet
+
+    val source = MemoryStream[SessEvent]
+    val out = StreamingSessions.sessionSummaries(
+      source.toDS(), gapMs = gapMs, delay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_rnd")
+      .outputMode("append").start()
+    try {
+      // time-ordered chunks (the watermark contract); a far-future closer
+      // event per user flushes every open session through its timer
+      events.grouped(70).foreach { chunk =>
+        source.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val far = new Timestamp(t + 100 * 60000L)
+      (0L to 2L).foreach(u => source.addData(SessEvent(u, far, 0L)))
+      q.processAllAvailable()
+      source.addData(SessEvent(9L, new Timestamp(far.getTime + 3600000L), 0L))
+      q.processAllAvailable()
+      val got = s.sql("SELECT * FROM sess_rnd").as[SessionSummary]
+        .collect().toSet
+      // drop the closer sessions themselves from the comparison
+      val gotCore = got.filterNot(x => x.start_ms >= far.getTime)
+      assert(gotCore === expected)
+    } finally q.stop()
+  }
+}
