@@ -83,7 +83,8 @@ object Bench {
     "q158_returned_revenue" -> 1.1,
     // per-order distinct-supplier aggregate over the fact-fact join
     "q162_lone_late_supplier" -> 2.8,
-    "q161_doc_keywords" -> 1.7)
+    "q161_doc_keywords" -> 1.7,
+    "q166_spatial_pairs" -> 0.9)
   private val defaultAnchorSec = 1.0
   // overridable for local testing of the rerun path (driver never sets it)
   private val suspectFactor =

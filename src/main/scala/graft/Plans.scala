@@ -52,7 +52,8 @@ object Plans {
       "q155_conversion_latency", "q156_source_overlap",
       "q157_late_orders", "q158_returned_revenue",
       "q159_label_affinity", "q160_idle_rich", "q161_doc_keywords",
-      "q162_lone_late_supplier", "q163_pii_audit", "q164_session_paths")
+      "q162_lone_late_supplier", "q163_pii_audit", "q164_session_paths",
+      "q166_spatial_pairs")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)

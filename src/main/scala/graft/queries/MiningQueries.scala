@@ -1010,6 +1010,43 @@ object MiningQueries extends QueryModule {
       |FROM events GROUP BY 1
       |ORDER BY event_type""".stripMargin
 
+  /** Spatial proximity join over a deterministic point cloud (md5-derived
+    * coordinates on a 300k×300k integer grid — the RNG-free q43/q75 hash
+    * pattern; a multiplicative id scramble was tried first and produced a
+    * LATTICE whose minimum pair distance exceeded the radius at small
+    * scale factors): all pairs within radius 5000 via
+    * [[graft.operators.SpatialJoin.proximityPairs]]'s grid-blocked plan —
+    * 3×3 cell-neighborhood equi-join, exact integer dx²+dy² predicate,
+    * single-emission by the anchor-cell argument. The oracle is the naive
+    * quadratic theta join (hex parsed digit-wise — DuckDB has no conv) —
+    * equality proves the 9-cell cover AND the no-duplicate emission. */
+  private def q166SpatialPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def coord(prefix: String) =
+      (conv(substring(md5(concat(lit(prefix), $"doc_id".cast("string"))), 1, 6),
+        16, 10).cast("long") % 300000L).as(if (prefix == "px:") "x" else "y")
+    val pts = Tables.documents(spark, dir)
+      .select($"doc_id".as("id"), coord("px:"), coord("py:"))
+    graft.operators.SpatialJoin.proximityPairs(pts, "id", "x", "y", 5000L)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val q166Sql = {
+    def hex2int(h: String) = (1 to 6).map(i =>
+      s"(strpos('0123456789abcdef', $h[$i]) - 1) * ${math.pow(16, 6 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH p AS (
+      |  SELECT doc_id AS id,
+      |    (${hex2int("substr(md5('px:' || CAST(doc_id AS VARCHAR)), 1, 6)")}) % 300000 AS x,
+      |    (${hex2int("substr(md5('py:' || CAST(doc_id AS VARCHAR)), 1, 6)")}) % 300000 AS y
+      |  FROM documents)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
+      |FROM p a JOIN p b ON a.id < b.id
+      |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 25000000
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q146_abc_parts", q146AbcParts, Some(q146Sql),
       "Pareto/ABC revenue classification via the two-level exact prefix-sum plan"),
@@ -1050,5 +1087,7 @@ object MiningQueries extends QueryModule {
     Q("q164_session_paths", q164SessionPaths, Some(q164Sql),
       "top-20 first-3-event session paths, 30-min gap sessionization"),
     Q("q165_incremental_distinct", q165IncrementalDistinct, Some(q165Sql),
-      "HLL-state incremental distinct maintenance: merge==full + error band"))
+      "HLL-state incremental distinct maintenance: merge==full + error band"),
+    Q("q166_spatial_pairs", q166SpatialPairs, Some(q166Sql),
+      "grid-blocked spatial proximity join vs quadratic theta oracle"))
 }
