@@ -84,7 +84,8 @@ object Bench {
     // per-order distinct-supplier aggregate over the fact-fact join
     "q162_lone_late_supplier" -> 2.8,
     "q161_doc_keywords" -> 1.7,
-    "q166_spatial_pairs" -> 0.9)
+    "q166_spatial_pairs" -> 0.9,
+    "q167_spatial_clusters" -> 1.3)
   private val defaultAnchorSec = 1.0
   // overridable for local testing of the rerun path (driver never sets it)
   private val suspectFactor =

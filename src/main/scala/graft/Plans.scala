@@ -53,7 +53,7 @@ object Plans {
       "q157_late_orders", "q158_returned_revenue",
       "q159_label_affinity", "q160_idle_rich", "q161_doc_keywords",
       "q162_lone_late_supplier", "q163_pii_audit", "q164_session_paths",
-      "q166_spatial_pairs")
+      "q166_spatial_pairs", "q167_spatial_clusters")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)

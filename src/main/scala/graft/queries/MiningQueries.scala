@@ -1020,32 +1020,87 @@ object MiningQueries extends QueryModule {
     * single-emission by the anchor-cell argument. The oracle is the naive
     * quadratic theta join (hex parsed digit-wise — DuckDB has no conv) —
     * equality proves the 9-cell cover AND the no-duplicate emission. */
-  private def q166SpatialPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared md5 point cloud: one point per document on the 300k
+    * square. */
+  private def hashPoints(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def coord(prefix: String) =
+    def coord(prefix: String, name: String) =
       (conv(substring(md5(concat(lit(prefix), $"doc_id".cast("string"))), 1, 6),
-        16, 10).cast("long") % 300000L).as(if (prefix == "px:") "x" else "y")
-    val pts = Tables.documents(spark, dir)
-      .select($"doc_id".as("id"), coord("px:"), coord("py:"))
-    graft.operators.SpatialJoin.proximityPairs(pts, "id", "x", "y", 5000L)
-      .orderBy($"id_a", $"id_b")
+        16, 10).cast("long") % 300000L).as(name)
+    Tables.documents(spark, dir)
+      .select($"doc_id".as("id"), coord("px:", "x"), coord("py:", "y"))
   }
 
-  private val q166Sql = {
+  /** The oracle's replay of [[hashPoints]] as a CTE body (hex parsed
+    * digit-wise — DuckDB has no conv). */
+  private val hashPointsCte = {
     def hex2int(h: String) = (1 to 6).map(i =>
       s"(strpos('0123456789abcdef', $h[$i]) - 1) * ${math.pow(16, 6 - i).toLong}")
       .mkString(" + ")
-    s"""WITH p AS (
+    s"""p AS (
       |  SELECT doc_id AS id,
       |    (${hex2int("substr(md5('px:' || CAST(doc_id AS VARCHAR)), 1, 6)")}) % 300000 AS x,
       |    (${hex2int("substr(md5('py:' || CAST(doc_id AS VARCHAR)), 1, 6)")}) % 300000 AS y
-      |  FROM documents)
+      |  FROM documents)""".stripMargin
+  }
+
+  private def q166SpatialPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.SpatialJoin.proximityPairs(
+        hashPoints(spark, dir), "id", "x", "y", 5000L)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val q166Sql =
+    s"""WITH $hashPointsCte
       |SELECT a.id AS id_a, b.id AS id_b,
       |  CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
       |FROM p a JOIN p b ON a.id < b.id
       |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 25000000
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Spatial clustering — DBSCAN's density-connectivity core as a
+    * composition: the q166 proximity graph feeds
+    * [[graft.operators.Components.connectedComponents]] (star
+    * contraction), and each cluster reports its min-id label, size, and
+    * bounding box. Isolated points (no neighbor within the radius) are
+    * not clusters — same convention in the oracle's recursive-CTE
+    * closure, which replays the quadratic pair set; equality pins the
+    * blocked pair stage AND the contraction under one hash. */
+  private def q167SpatialClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = hashPoints(spark, dir).cache()
+    val pairs = graft.operators.SpatialJoin.proximityPairs(
+      pts, "id", "x", "y", 5000L)
+    val comp = graft.operators.Components.connectedComponents(
+      pairs.select($"id_a", $"id_b"), "id_a", "id_b")
+    comp.join(pts, $"node" === $"id")
+      .groupBy($"component".as("cluster_id"))
+      .agg(count(lit(1)).as("n_points"),
+        min($"x").as("x_min"), max($"x").as("x_max"),
+        min($"y").as("y_min"), max($"y").as("y_max"))
+      .orderBy($"cluster_id")
   }
+
+  private val q167Sql =
+    s"""WITH RECURSIVE $hashPointsCte,
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM p a JOIN p b ON a.id < b.id
+      |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 25000000),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(n, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n),
+      |comp AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n)
+      |SELECT c.component AS cluster_id, COUNT(*) AS n_points,
+      |  MIN(p.x) AS x_min, MAX(p.x) AS x_max,
+      |  MIN(p.y) AS y_min, MAX(p.y) AS y_max
+      |FROM comp c JOIN p ON p.id = c.node
+      |GROUP BY 1
+      |ORDER BY cluster_id""".stripMargin
 
   val queries: Seq[Q] = Seq(
     Q("q146_abc_parts", q146AbcParts, Some(q146Sql),
@@ -1089,5 +1144,7 @@ object MiningQueries extends QueryModule {
     Q("q165_incremental_distinct", q165IncrementalDistinct, Some(q165Sql),
       "HLL-state incremental distinct maintenance: merge==full + error band"),
     Q("q166_spatial_pairs", q166SpatialPairs, Some(q166Sql),
-      "grid-blocked spatial proximity join vs quadratic theta oracle"))
+      "grid-blocked spatial proximity join vs quadratic theta oracle"),
+    Q("q167_spatial_clusters", q167SpatialClusters, Some(q167Sql),
+      "DBSCAN-core spatial clustering: proximity graph -> star contraction"))
 }
