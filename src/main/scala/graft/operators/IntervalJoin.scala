@@ -44,10 +44,14 @@ object IntervalJoin {
   /** Integer floorDiv as a Column expression: pmod yields the nonnegative
     * remainder, so (x - pmod(x, w)) / w is exact floor division even for
     * negative x (epoch + negative lower can cross zero in principle).
-    * Shared with [[Resample]] — Spark's `div` truncates toward zero and
-    * would misalign pre-1970 cells. */
+    * Shared with [[Resample]], [[SpatialJoin]], and
+    * [[TimeSeriesOps.ewma]] — Spark's `div` truncates toward zero and
+    * would misalign pre-1970 cells. The division runs in DECIMAL: the
+    * dividend is exactly divisible, and Spark's plain `/` on longs is a
+    * DOUBLE division that could round a >2^53 input. */
   private[operators] def floorDiv(x: Column, w: Long): Column =
-    ((x - pmod(x, lit(w))) / w).cast("long")
+    ((x - pmod(x, lit(w)))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0)) / w).cast("long")
 
   /** All (left, right) pairs with left(leftKey) == right(rightKey) and
     * right(rightTs) in [left(leftTs) + lowerSec, left(leftTs) + upperSec).

@@ -29,26 +29,24 @@ import org.apache.spark.sql.functions._
   */
 object SpatialJoin {
 
-  /** Exact floor division: x − pmod(x, d) is exactly divisible, and the
-    * division runs in DECIMAL so a >2^53 coordinate can't round the way
-    * Spark's double `/` on longs would. */
-  private def floorDiv(x: Column, d: Long): Column =
-    ((x - pmod(x, lit(d))).cast(org.apache.spark.sql.types.DecimalType(38, 0))
-      / lit(d)).cast("long")
-
   /** All pairs (id_a < id_b) with squared L2 distance ≤ radius², plus
     * the exact `dist2`. Nulls in coordinates fail loudly — a null point
-    * is not "far away", it is a data bug. */
+    * is not "far away", it is a data bug. `radius` is capped at 3·10⁹ so
+    * the emitted BIGINT `dist2` (≤ r²) cannot overflow; the candidate
+    * distances themselves (up to 8r² inside the 3×3 neighborhood) are
+    * compared in DECIMAL before any long cast. */
   def proximityPairs(points: DataFrame, idCol: String, xCol: String,
       yCol: String, radius: Long): DataFrame = {
     require(radius > 0, s"radius must be > 0, got $radius")
+    require(radius <= 3000000000L,
+      s"radius $radius would overflow the BIGINT dist2 contract (r^2 > 2^63)")
     val guard = (c: String) => when(col(c).isNull,
-      raise_error(concat(lit(s"proximityPairs: null $c"))).cast("long"))
+      raise_error(lit(s"proximityPairs: null $c")).cast("long"))
       .otherwise(col(c).cast("long"))
     val pts = points.select(col(idCol).as("__id"),
       guard(xCol).as("__x"), guard(yCol).as("__y"))
-      .withColumn("__cx", floorDiv(col("__x"), radius).cast("long"))
-      .withColumn("__cy", floorDiv(col("__y"), radius).cast("long"))
+      .withColumn("__cx", IntervalJoin.floorDiv(col("__x"), radius))
+      .withColumn("__cy", IntervalJoin.floorDiv(col("__y"), radius))
 
     val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
       struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)
@@ -64,10 +62,13 @@ object SpatialJoin {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val dx = (col("xa") - col("xb")).cast(d38)
     val dy = (col("ya") - col("yb")).cast(d38)
+    // filter in DECIMAL first: a far candidate's dx²+dy² may exceed a
+    // long even when every EMITTED dist2 (≤ r²) fits; the r² bound is
+    // likewise built column-side so Scala's long multiply can't wrap
     probes.join(build, Seq("__jx", "__jy"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dist2", (dx * dx + dy * dy).cast("long"))
-      .filter(col("dist2") <= radius * radius)
-      .select(col("id_a"), col("id_b"), col("dist2"))
+      .withColumn("__d2", dx * dx + dy * dy)
+      .filter(col("__d2") <= lit(radius).cast(d38) * lit(radius).cast(d38))
+      .select(col("id_a"), col("id_b"), col("__d2").cast("long").as("dist2"))
   }
 }

@@ -142,8 +142,7 @@ object TimeSeriesOps {
       valueCol: String, valueUnits: Int = 1000, den: Int = 8): DataFrame = {
     require(den >= 2, s"den must be >= 2, got $den")
     require(valueUnits >= 1, s"valueUnits must be >= 1, got $valueUnits")
-    def floorDiv(x: Column, w: Int): Column =
-      ((x - pmod(x, lit(w.toLong))) / w).cast("long")
+    def floorDiv(x: Column, w: Int): Column = IntervalJoin.floorDiv(x, w.toLong)
     val evs = events
       .select(col(keyCol).as("__k"),
         struct(eventMicros(col(tsCol)).as("t"), col(tieCol).as("tie"),

@@ -236,6 +236,12 @@ object StreamingJobs {
         val live = new org.apache.hadoop.fs.Path(statePath, "state")
         val tmp = new org.apache.hadoop.fs.Path(statePath, ".state_tmp")
         val old = new org.apache.hadoop.fs.Path(statePath, ".state_old")
+        // recover a crashed predecessor BEFORE deciding merge-vs-fresh: a
+        // crash in swap's rename window leaves `live` absent with the full
+        // state sitting in tmp/old — reading exists(live) first would
+        // silently restart the distinct history from this batch alone
+        // (swap() recovers too, but by then the merge input is chosen)
+        graft.operators.StagedSwap.recover(fs, live, tmp, old)
         val merged =
           if (fs.exists(live))
             graft.operators.IncrementalDistinct.merge(

@@ -15,16 +15,25 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
   * window state inside the aggregation operator — this form hands the
   * policy to user code, which is what the v2 API exists for).
   *
-  * Ordering contract (same as [[StreamingJobs.cusumOnArrival]]): events
-  * within a batch fold in event-time order here; an event older than the
-  * current session start would belong to an already-emitted session and
-  * fails loudly rather than silently mis-attributing — the caller's
-  * watermark delay is the instrument that keeps such stragglers out.
+  * Disorder contract: events within a batch fold in event-time order;
+  * an admitted out-of-order event OLDER than the open session's start
+  * (the watermark bounds lateness against the global max event time,
+  * not against per-key session starts, so this happens under ordinary
+  * disorder) merges BACKWARD when it sits within the gap of the start —
+  * the open session simply began earlier than first observed. A
+  * gap-isolated straggler older still is emitted immediately as its own
+  * single-event session record: its close horizon has logically passed,
+  * and append-mode streaming cannot revise the already-emitted session
+  * it might have bridged — the same inherent limit `session_window`
+  * aggregation has once results are emitted. Nothing throws on late
+  * data; a poison-pill event would otherwise crash-loop the query
+  * through checkpoint replay.
   *
-  * Timer discipline: one timer per key re-registered on every update; a
-  * stale timer (the session got extended after it was set) re-checks the
-  * live state's true horizon and emits nothing. Requires the RocksDB
-  * state store provider (a transformWithState constraint).
+  * Timer discipline: exactly one pending timer per key — the previous
+  * horizon's timer is deleted whenever an update moves the horizon; a
+  * stale timer that still fires re-checks the live state's true horizon
+  * and emits nothing. Requires the RocksDB state store provider (a
+  * transformWithState constraint).
   */
 object StreamingSessions {
 
@@ -49,7 +58,8 @@ object StreamingSessions {
         timerValues: TimerValues): Iterator[SessionSummary] = {
       val sorted = rows.map(e => (e.ts.getTime, e.vu)).toSeq.sortBy(_._1)
       var out = List.empty[SessionSummary]
-      var cur = if (sess.exists()) Option(sess.get()) else None
+      val prior = if (sess.exists()) Option(sess.get()) else None
+      var cur = prior
       sorted.foreach { case (ms, vu) =>
         cur = cur match {
           case Some(a) if ms >= a.startMs && ms - a.endMs <= gapMs =>
@@ -57,16 +67,24 @@ object StreamingSessions {
           case Some(a) if ms > a.endMs =>
             out ::= summary(key, a)
             Some(SessAgg(ms, ms, 1L, vu))
+          case Some(a) if a.startMs - ms <= gapMs =>
+            // admitted disorder inside the gap: the open session started
+            // earlier than first observed — extend backward
+            Some(SessAgg(ms, a.endMs, a.n + 1, a.vuSum + vu))
           case Some(a) =>
-            throw new IllegalStateException(
-              s"event at $ms ms precedes the open session [${a.startMs}, " +
-                s"${a.endMs}] for key $key — increase the watermark delay")
+            // gap-isolated straggler: its session would already be closed;
+            // emit it as a late singleton record, keep the open session
+            out ::= SessionSummary(key, ms, ms, 1L, vu)
+            Some(a)
           case None => Some(SessAgg(ms, ms, 1L, vu))
         }
       }
       cur.foreach { a =>
         sess.update(a)
-        getHandle.registerTimer(a.endMs + gapMs)
+        val horizon = a.endMs + gapMs
+        prior.map(_.endMs + gapMs).filter(_ != horizon)
+          .foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(horizon)
       }
       out.reverse.iterator
     }

@@ -42,6 +42,16 @@ class SpatialJoinSpec extends SparkSpec {
       SpatialJoin.proximityPairs(Seq((1L, 1L, 1L)).toDF("id", "x", "y"),
         "id", "x", "y", 0L)
     }
+    // r^2 past the BIGINT dist2 contract is rejected, not wrapped
+    intercept[IllegalArgumentException] {
+      SpatialJoin.proximityPairs(Seq((1L, 1L, 1L)).toDF("id", "x", "y"),
+        "id", "x", "y", 1L << 32)
+    }
+    // far-apart >2^53-domain coordinates: candidate distances overflow a
+    // long but the decimal-side compare still answers exactly
+    val big = 1L << 60
+    assert(run(Seq((1L, big, big), (2L, big + 3L, big + 4L),
+      (3L, -big, -big)), 5L) === Set((1L, 2L, 25L)))
     val withNull = Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(1L),
       null.asInstanceOf[java.lang.Long])).toDF("id", "x", "y")
     val e = intercept[Exception] {

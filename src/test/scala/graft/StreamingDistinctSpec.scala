@@ -46,4 +46,39 @@ class StreamingDistinctSpec extends SparkSpec {
       assert(replayed === est, "replayed batch must not move any estimate")
     } finally q.stop()
   }
+
+  test("a crash in the swap's rename window does not lose the distinct history") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("sdist_crash").toString
+    val source = MemoryStream[(String, Long)]
+    val q = StreamingJobs.distinctOnArrival(
+      source.toDF().toDF("k", "v"), Seq("k"), "v",
+      s"$dir/state", s"$dir/ckpt").start()
+    try {
+      source.addData((1L to 300L).map(v => ("k0", v)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // simulate the crash between swap's two renames: live is gone, the
+    // complete new copy (with its _SUCCESS marker) sits in tmp
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/state", "state")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/state", ".state_tmp")
+    assert(fs.rename(live, tmp), "fixture: stage live aside as tmp")
+    // next batch (fresh query, same state path) must recover BEFORE
+    // deciding merge-vs-fresh — otherwise the history restarts from this
+    // batch alone
+    val source2 = MemoryStream[(String, Long)]
+    val q2 = StreamingJobs.distinctOnArrival(
+      source2.toDF().toDF("k", "v"), Seq("k"), "v",
+      s"$dir/state", s"$dir/ckpt2").start()
+    try {
+      source2.addData((301L to 320L).map(v => ("k0", v)): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val est = StreamingJobs.distinctEstimates(spark, s"$dir/state")
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(est("k0") - 320L) <= 16L,
+      s"history lost: est=${est("k0")}, expected ~320")
+  }
 }

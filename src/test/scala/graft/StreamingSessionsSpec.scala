@@ -64,6 +64,45 @@ class StreamingSessionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("admitted disorder: backward merge within the gap, orphan singleton past it") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+
+    // delay (60 min) > gap (30 min): the watermark admits events that
+    // precede the open session's start — the disorder the processor must
+    // absorb without throwing
+    val source = MemoryStream[SessEvent]
+    val out = StreamingSessions.sessionSummaries(
+      source.toDS(), gapMs = 30 * 60000L, delay = "60 minutes")
+    val q = out.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      source.addData(SessEvent(1L, ts(100), 5L))
+      q.processAllAvailable() // watermark -> min 40
+      // min 45: admitted (>= 40) but 55 min before the open start — a
+      // gap-isolated straggler, emitted as a late singleton;
+      // min 80: admitted, within the gap of start 100 — backward merge
+      source.addData(SessEvent(1L, ts(45), 3L), SessEvent(1L, ts(80), 7L))
+      q.processAllAvailable()
+      val mid = s.sql("SELECT * FROM sess_late")
+        .as[SessionSummary].collect().toSet
+      assert(mid === Set(SessionSummary(1L, 45 * 60000L, 45 * 60000L, 1L, 3L)))
+      // close the (backward-extended) open session via the timer
+      source.addData(SessEvent(2L, ts(500), 0L))
+      q.processAllAvailable()
+      source.addData(SessEvent(2L, ts(501), 0L))
+      q.processAllAvailable()
+      val closed = s.sql("SELECT * FROM sess_late")
+        .as[SessionSummary].collect().toSet
+      assert(closed === Set(
+        SessionSummary(1L, 45 * 60000L, 45 * 60000L, 1L, 3L),
+        SessionSummary(1L, 80 * 60000L, 100 * 60000L, 2L, 12L)))
+    } finally q.stop()
+  }
+
   test("random stream across batches == batch gaps-and-islands reference") {
     val s = spark.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
