@@ -33,9 +33,14 @@ object UrlFunctions {
   }
 
   /** Host part of an already-normalized URL (everything before the first
-    * `/`, `:` port suffix stripped). */
+    * `/`, `:` port suffix stripped). A trailing root-label dot (FQDN form,
+    * `example.com.`) is stripped too — otherwise the anchored
+    * [[registeredDomain]] regex can't match and FQDN rows would silently
+    * group under an empty domain key. */
   def urlHost(normalized: Column): Column =
-    regexp_replace(regexp_extract(normalized, "^([^/]*)", 1), ":[0-9]+$", "")
+    regexp_replace(
+      regexp_replace(regexp_extract(normalized, "^([^/]*)", 1), ":[0-9]+$", ""),
+      "\\.+$", "")
 
   /** Registered-domain heuristic: the last two dot-labels of the host
     * (`a.b.site7.example.com` → `example.com`). Public-suffix-list
@@ -43,11 +48,15 @@ object UrlFunctions {
     * scope; the two-label tail is the deterministic approximation both
     * engines can replay. Hosts without a dot (localhost) return the host
     * itself; bare-IPv4 hosts degrade to their last two octets — callers
-    * grouping IP-hosted crawls should branch on a digit test first. */
-  def registeredDomain(host: Column): Column =
-    when(host.contains("."),
-      regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
-      .otherwise(host)
+    * grouping IP-hosted crawls should branch on a digit test first.
+    * Defensive fallback: if the anchored extract yields an empty string on
+    * a dotted host (degenerate forms like `.` or `a.` that survive a
+    * caller skipping [[urlHost]]), the host itself is returned rather than
+    * an empty group key. */
+  def registeredDomain(host: Column): Column = {
+    val tail = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    when(host.contains(".") && length(tail) > 0, tail).otherwise(host)
+  }
 
   /** Path part of an already-normalized URL (empty string when absent). */
   def urlPath(normalized: Column): Column =

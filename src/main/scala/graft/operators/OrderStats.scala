@@ -137,7 +137,15 @@ object OrderStats {
     * Degenerate case: a single distinct unit value collapses to one cell
     * (one cell-sized sort); classification is meaningless there anyway.
     * Null or negative units fail loudly — they have no place on a
-    * cumulative-share curve. */
+    * cumulative-share curve.
+    *
+    * Precondition: `keyCol` values must be UNIQUE (i.e. `df` is already
+    * grouped, one row per key — what every ABC analysis feeds in). The
+    * (units DESC, key ASC) order is only total under that assumption;
+    * with duplicate (key, units) rows the in-cell prefix order over the
+    * duplicates is underdetermined and `cum_units` could differ between
+    * runs/engines. Callers holding raw event rows must aggregate to
+    * per-key units first (as q146 does). */
   def paretoClass(df: DataFrame, keyCol: String, unitsCol: String,
       aPct: Int = 80, bPct: Int = 95, bins: Int = 65536): DataFrame = {
     require(aPct > 0 && aPct <= bPct && bPct <= 100,

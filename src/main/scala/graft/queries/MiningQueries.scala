@@ -380,11 +380,14 @@ object MiningQueries extends QueryModule {
       |  FROM raw),
       |h AS (
       |  SELECT norm,
-      |    regexp_replace(regexp_extract(norm, '^([^/]*)', 1), ':[0-9]+$', '') AS host
+      |    regexp_replace(regexp_replace(
+      |      regexp_extract(norm, '^([^/]*)', 1), ':[0-9]+$', ''),
+      |      '\.+$', '') AS host
       |  FROM n),
       |d AS (
       |  SELECT norm, host,
       |    CASE WHEN contains(host, '.')
+      |          AND length(regexp_extract(host, '([^.]+\.[^.]+)$', 1)) > 0
       |         THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
       |         ELSE host END AS domain
       |  FROM h)

@@ -251,10 +251,22 @@ object StreamingJobs {
           merged.write.parquet(dir))
       }
 
-  /** Read the current estimates off a [[distinctOnArrival]] state path. */
-  def distinctEstimates(spark: SparkSession, statePath: String): DataFrame =
+  /** Read the current estimates off a [[distinctOnArrival]] state path.
+    * Runs [[graft.operators.StagedSwap.recover]] first: a writer crash in
+    * swap's rename window leaves `state` absent with the complete copy in
+    * `.state_tmp`/`.state_old`, and a reader must see that state, not an
+    * ENOENT. Recovery is idempotent and a cheap exists() no-op on the
+    * healthy path, so reads never depend on the writer restarting first. */
+  def distinctEstimates(spark: SparkSession, statePath: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(statePath, "state")
+    graft.operators.StagedSwap.recover(fs, live,
+      new org.apache.hadoop.fs.Path(statePath, ".state_tmp"),
+      new org.apache.hadoop.fs.Path(statePath, ".state_old"))
     graft.operators.IncrementalDistinct.estimate(
-      spark.read.parquet(new org.apache.hadoop.fs.Path(statePath, "state").toString))
+      spark.read.parquet(live.toString))
+  }
 
   case class CusumEvent(key: Long, ts: java.sql.Timestamp, tie: Long, v: Double)
   case class CusumAlarm(key: Long, rn: Long, vu: Long, cpos: Long,

@@ -81,4 +81,29 @@ class StreamingDistinctSpec extends SparkSpec {
     assert(math.abs(est("k0") - 320L) <= 16L,
       s"history lost: est=${est("k0")}, expected ~320")
   }
+
+  test("a read issued inside the rename window recovers the state itself") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("sdist_read").toString
+    val source = MemoryStream[(String, Long)]
+    val q = StreamingJobs.distinctOnArrival(
+      source.toDF().toDF("k", "v"), Seq("k"), "v",
+      s"$dir/state", s"$dir/ckpt").start()
+    try {
+      source.addData((1L to 250L).map(v => ("k0", v)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/state", "state")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/state", ".state_tmp")
+    assert(fs.rename(live, tmp), "fixture: stage live aside as tmp")
+    // a reader with NO writer running must not see ENOENT: the complete
+    // state sits in tmp and distinctEstimates recovers it before reading
+    val est = StreamingJobs.distinctEstimates(spark, s"$dir/state")
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(est("k0") - 250L) <= 13L,
+      s"read-side recover failed: est=${est.get("k0")}, expected ~250")
+    assert(fs.exists(live) && !fs.exists(tmp), "recover must promote tmp to live")
+  }
 }

@@ -49,4 +49,16 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(hostDomPath("https://example.org") === ("example.org", "example.org", ""))
     assert(hostDomPath("https://10.1.2.3/x") === ("10.1.2.3", "2.3", "/x"))
   }
+
+  test("FQDN trailing dot never produces an empty domain key") {
+    // example.com. (root-label form) — the trailing dot used to make the
+    // anchored domain regex fail, silently grouping under ""
+    assert(hostDomPath("https://example.com./p") === ("example.com", "example.com", "/p"))
+    assert(hostDomPath("https://a.b.Example.COM.:443/p") ===
+      ("a.b.example.com", "example.com", "/p"))
+    // degenerate dotted hosts fall back to the host, never ""
+    val d = Seq(".", "a.").toDF("h").select(registeredDomain($"h"))
+      .as[String].collect().toSeq
+    assert(d === Seq(".", "a."))
+  }
 }
