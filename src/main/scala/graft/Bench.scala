@@ -184,20 +184,44 @@ object Bench {
     }
     def fmtMap(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = fmtMap(results.map { case (k, v) => k -> v.toString })
+    // 3-decimal (ms) rounding for the stdout line: keeps the whole line a
+    // few KB so a truncated-tail artifact keeper still captures it whole
+    def ms(v: Double): String =
+      if (v < 0) "-1.0"
+      else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = fmtMap(results.map { case (k, v) => k -> ms(v) })
     val samples = fmtMap(pass1.map { case (k, s1) =>
       val s2 = pass2(k)
       k -> s"""[{"t0":${s1.t0},"sec":${s1.sec}},{"t0":${s2.t0},"sec":${s2.sec}}]"""
     })
     val isoJson = fmtMap(suspects.map { name =>
-      name -> s"""{"sweep":${sweepMin(name)},"isolated":${isolated(name)}}"""
+      name -> s"""{"sweep":${ms(sweepMin(name))},"isolated":${ms(isolated(name))}}"""
     })
     val contractsJson = fmtMap(contracts.map { case (k, v) => k -> v.toString })
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val nFail = results.values.count(_ < 0)
+    // Full diagnostic artifact (per-sample timestamps, pass walls) goes to
+    // a FILE: BENCH_r07/r08 landed "parsed": null because the driver keeps
+    // only a truncated stdout tail and the samples map blew the line past
+    // the cut. Stdout gets a compact line the tail always fits.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""started":$started,"pass_wall":[$p1Wall,$p2Wall],""" +
       s""""isolated":$isoJson,"contracts":$contractsJson,""" +
-      s""""samples":$samples,"sf":"$sfDir"}""")
+      s""""samples":$samples,"sf":"$sfDir"}"""
+    try {
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("bench_full.json"),
+        full.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
+    }
     spark.stop()
+    // The driver-parsed line is printed LAST, after spark.stop(), so no
+    // late executor/console output can land below it in the stdout tail.
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"n_failed":$nFail,""" +
+      s""""queries":$qs,"contracts":$contractsJson,""" +
+      s""""isolated":$isoJson,"sf":"$sfDir","full":"target/bench_full.json"}""")
   }
 }
