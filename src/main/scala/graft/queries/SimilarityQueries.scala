@@ -156,6 +156,58 @@ object SimilarityQueries extends QueryModule {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Oracle companion for the covering-code hamming band join — the exact
+    * machinery behind both the SimHash screen (q67) and the image dHash
+    * near-dup chain ([[graft.operators.Multimodal]] dhashNearDupPairs,
+    * until now spec-only: DuckDB can't replay a PNG decode). Fingerprints
+    * are synthesized from doc_id arithmetic both engines replay exactly:
+    * 16-doc clusters share a 63-bit multiplicative-mixed base and each
+    * member XORs in up to three single-bit flips, so true within-cluster
+    * distances span 0..6 across the radius-4 cut while cross-cluster
+    * distances sit near 31. The engine side runs [[Dedup.hammingPairs]]
+    * (banded, flip-expanded, exactly-once emission); the oracle
+    * brute-forces all O(n²) pairs. Equality proves the ≤1-error cover
+    * misses nothing, the first-tolerant-chunk rule never double-emits,
+    * and the hamming arithmetic agrees — the q67 verdict, re-issued for
+    * arbitrary non-SimHash fingerprints at a different radius (4 vs 12,
+    * i.e. 3 chunks vs 7). */
+  private def q168HammingPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = expr("doc_id DIV 16")
+    val m = $"doc_id" % 16
+    val p1 = (g * lit(2654435761L)) % lit(4294967296L)
+    val p2 = (g * lit(1597334677L) + lit(12345L)) % lit(4294967296L)
+    // 63-bit base: high 31 bits from p1, low 32 from p2 — stays positive
+    // so the DuckDB replay never hits a signed-overflow error
+    val base = (p1 % lit(2147483648L)) * lit(4294967296L) + p2
+    val fp = (0 until 3).foldLeft(base) { (acc, j) =>
+      acc.bitwiseXOR(
+        when(lit(j) < m % 4,
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(((doc_id % 16) * 7 + $j * 13) % 63 AS INT))"))
+          .otherwise(lit(0L)))
+    }
+    val fps = Tables.documents(spark, dir).select($"doc_id", fp.as("fp"))
+    graft.operators.Dedup.hammingPairs(fps, "doc_id", "fp", maxHamming = 4)
+      .select($"id_a", $"id_b", $"hamming".cast("long").as("hamming"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val q168Sql =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    xor(xor(xor(
+      |      ((((doc_id // 16) * 2654435761) % 4294967296) % 2147483648) * 4294967296
+      |        + (((doc_id // 16) * 1597334677 + 12345) % 4294967296),
+      |      CASE WHEN 0 < (doc_id % 16) % 4 THEN (CAST(1 AS BIGINT) << CAST(((doc_id % 16) * 7 + 0) % 63 AS INTEGER)) ELSE 0 END),
+      |      CASE WHEN 1 < (doc_id % 16) % 4 THEN (CAST(1 AS BIGINT) << CAST(((doc_id % 16) * 7 + 13) % 63 AS INTEGER)) ELSE 0 END),
+      |      CASE WHEN 2 < (doc_id % 16) % 4 THEN (CAST(1 AS BIGINT) << CAST(((doc_id % 16) * 7 + 26) % 63 AS INTEGER)) ELSE 0 END) AS fp
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.fp, b.fp)) <= 4
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** IVF-clustered ANN — the second scale path besides LSH. Build and
     * probe are explicitly split: `fit` trains the centroid model once (one
     * bounded sample-collection job, local Lloyd), `probe` scans only the
@@ -615,5 +667,7 @@ object SimilarityQueries extends QueryModule {
       "deterministic JL random projection 64->16, md5-derived matrix (north star)"),
     Q("q93_projected_ann", q93ProjectedAnn, Some(q93Sql),
       "exact cosine top-k in JL-projected space: the project-then-search recipe (north star)"),
-    Q("q32_binary_meta", q32BinaryMeta, Some(q32Sql), "binary payload metadata (multimodal plumbing)"))
+    Q("q32_binary_meta", q32BinaryMeta, Some(q32Sql), "binary payload metadata (multimodal plumbing)"),
+    Q("q168_hamming_pairs", q168HammingPairs, Some(q168Sql),
+      "covering-code hamming band join vs brute-force oracle on synthesized fingerprints (north star)"))
 }
