@@ -1034,12 +1034,13 @@ object MiningQueries extends QueryModule {
       .select($"doc_id".as("id"), coord("px:", "x"), coord("py:", "y"))
   }
 
-  /** The oracle's replay of [[hashPoints]] as a CTE body (hex parsed
-    * digit-wise — DuckDB has no conv). */
+  /** Digit-wise hex→int parse for oracle CTEs (DuckDB has no conv). */
+  private def hex2int(h: String) = (1 to 6).map(i =>
+    s"(strpos('0123456789abcdef', $h[$i]) - 1) * ${math.pow(16, 6 - i).toLong}")
+    .mkString(" + ")
+
+  /** The oracle's replay of [[hashPoints]] as a CTE body. */
   private val hashPointsCte = {
-    def hex2int(h: String) = (1 to 6).map(i =>
-      s"(strpos('0123456789abcdef', $h[$i]) - 1) * ${math.pow(16, 6 - i).toLong}")
-      .mkString(" + ")
     s"""p AS (
       |  SELECT doc_id AS id,
       |    (${hex2int("substr(md5('px:' || CAST(doc_id AS VARCHAR)), 1, 6)")}) % 300000 AS x,
@@ -1105,6 +1106,54 @@ object MiningQueries extends QueryModule {
       |GROUP BY 1
       |ORDER BY cluster_id""".stripMargin
 
+  /** Geographic proximity join — [[q166SpatialPairs]]'s verdict re-issued
+    * over REAL-WORLD-shaped input: deterministic md5-derived lat/lon in a
+    * 0.2°×0.2° box around (37.5°, 127.1°), projected to local integer
+    * meters by [[graft.operators.SpatialJoin.latLonToLocalMeters]]
+    * (equirectangular, both scale factors plan-time Double constants),
+    * then radius-250 m pairs through the same grid-blocked plan. The
+    * oracle replays the synthesis, the projection (from the two embedded
+    * double literals — one IEEE multiply + round per coordinate) and the
+    * quadratic pair set, so the projection helper sits under the hash
+    * check end to end, not just the integer-unit join. */
+  private def q169GeoPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def milli(prefix: String, name: String) =
+      (conv(substring(md5(concat(lit(prefix), $"doc_id".cast("string"))), 1, 6),
+        16, 10).cast("long") % 200000L).as(name)
+    val geo = Tables.documents(spark, dir)
+      .select($"doc_id".as("id"), milli("lat:", "klat"), milli("lon:", "klon"))
+      .select($"id",
+        (lit(37.4) + $"klat" * lit(1e-6)).as("lat"),
+        (lit(127.0) + $"klon" * lit(1e-6)).as("lon"))
+    val (x, y) = graft.operators.SpatialJoin.latLonToLocalMeters(
+      $"lat", $"lon", refLatDeg = 37.5)
+    val pts = geo.select($"id", x.as("x"), y.as("y"))
+    graft.operators.SpatialJoin.proximityPairs(pts, "id", "x", "y", 250L)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val q169Sql = {
+    // exact same plan-time constants the helper embeds; VARCHAR-routed so
+    // DuckDB parses a correctly-rounded DOUBLE, not a DECIMAL literal
+    val mLat = s"CAST('${graft.operators.SpatialJoin.metersPerDegLat}' AS DOUBLE)"
+    val mLon = s"CAST('${graft.operators.SpatialJoin.metersPerDegLon(37.5)}' AS DOUBLE)"
+    s"""WITH g AS (
+      |  SELECT doc_id AS id,
+      |    CAST(37.4 AS DOUBLE) + ((${hex2int("substr(md5('lat:' || CAST(doc_id AS VARCHAR)), 1, 6)")}) % 200000) * 1e-6 AS lat,
+      |    CAST(127.0 AS DOUBLE) + ((${hex2int("substr(md5('lon:' || CAST(doc_id AS VARCHAR)), 1, 6)")}) % 200000) * 1e-6 AS lon
+      |  FROM documents),
+      |p AS (
+      |  SELECT id, CAST(round(lon * $mLon) AS BIGINT) AS x,
+      |         CAST(round(lat * $mLat) AS BIGINT) AS y
+      |  FROM g)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
+      |FROM p a JOIN p b ON a.id < b.id
+      |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 62500
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     Q("q146_abc_parts", q146AbcParts, Some(q146Sql),
       "Pareto/ABC revenue classification via the two-level exact prefix-sum plan"),
@@ -1146,6 +1195,8 @@ object MiningQueries extends QueryModule {
       "top-20 first-3-event session paths, 30-min gap sessionization"),
     Q("q165_incremental_distinct", q165IncrementalDistinct, Some(q165Sql),
       "HLL-state incremental distinct maintenance: merge==full + error band"),
+    Q("q169_geo_pairs", q169GeoPairs, Some(q169Sql),
+      "lat/lon -> local-meters projection + grid-blocked proximity join vs quadratic oracle"),
     Q("q166_spatial_pairs", q166SpatialPairs, Some(q166Sql),
       "grid-blocked spatial proximity join vs quadratic theta oracle"),
     Q("q167_spatial_clusters", q167SpatialClusters, Some(q167Sql),

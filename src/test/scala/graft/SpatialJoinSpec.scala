@@ -76,4 +76,24 @@ class SpatialJoinSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       "the proximity join must stay an equi-join on the cell key")
   }
+
+  test("latLonToLocalMeters: scale factors, cos shrink, signed rounding") {
+    def proj(lat: Double, lon: Double, ref: Double): (Long, Long) = {
+      val (x, y) = SpatialJoin.latLonToLocalMeters(col("lat"), col("lon"), ref)
+      Seq((lat, lon)).toDF("lat", "lon").select(x, y).as[(Long, Long)].head()
+    }
+    // one degree of latitude is R*pi/180 meters regardless of reference
+    assert(proj(1.0, 0.0, 37.5)._2 === math.round(SpatialJoin.metersPerDegLat))
+    assert(proj(-1.0, 0.0, 60.0)._2 === -math.round(SpatialJoin.metersPerDegLat))
+    // the longitude circle shrinks by cos(refLat): half scale at 60 deg
+    val x60 = proj(0.0, 1.0, 60.0)._1
+    val x0 = proj(0.0, 1.0, 0.0)._1
+    assert(math.abs(x60 * 2.0 - x0) <= 1.0, s"cos(60)=0.5 shrink: $x60 vs $x0")
+    // meter-scale deltas survive the rounding: 0.001 deg lat ~ 111 m
+    assert(proj(0.001, 0.0, 37.5)._2 === 111L)
+    // poles are rejected (cos -> 0 collapses every longitude)
+    intercept[IllegalArgumentException] {
+      SpatialJoin.latLonToLocalMeters(col("lat"), col("lon"), 90.0)
+    }
+  }
 }
