@@ -120,7 +120,36 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 1, "char_counts takes 1 argument")
         CharCounts(args.head)
-      }))
+      }),
+    (FunctionIdentifier("luhn_valid"),
+      info("luhn_valid", "luhn_valid(digits) - Luhn checksum over a digit string (payment-card validation)"),
+      columnFn("luhn_valid", 1, as => graft.operators.Scrub.luhnValid(as.head))),
+    (FunctionIdentifier("hamming64"),
+      info("hamming64", "hamming64(a, b) - hamming distance between two 64-bit fingerprints (simhash64/dHash)"),
+      columnFn("hamming64", 2, as =>
+        org.apache.spark.sql.functions.bit_count(as.head.bitwiseXOR(as(1))))),
+    (FunctionIdentifier("normalize_url"),
+      info("normalize_url", "normalize_url(url) - canonical dedup key (lowercase, strip scheme/www/query/fragment/trailing slash)"),
+      columnFn("normalize_url", 1, as => graft.functions.UrlFunctions.normalizeUrl(as.head))),
+    (FunctionIdentifier("url_host"),
+      info("url_host", "url_host(normalized) - host of a normalize_url output, port and FQDN dot stripped"),
+      columnFn("url_host", 1, as => graft.functions.UrlFunctions.urlHost(as.head))),
+    (FunctionIdentifier("registered_domain"),
+      info("registered_domain", "registered_domain(host) - two-label registered-domain heuristic"),
+      columnFn("registered_domain", 1, as => graft.functions.UrlFunctions.registeredDomain(as.head))))
+
+  /** Bridge a Column-composed kernel (built from org.apache.spark.sql
+    * .functions trees — codegen'd, no UDF) into a SQL function builder.
+    * The classic Column/Expression converters keep this zero-copy: the
+    * argument Expressions wrap as Columns, the composed tree unwraps
+    * back into the function registry's Expression. */
+  private def columnFn(fn: String, arity: Int,
+      build: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)
+      : Seq[Expression] => Expression = { args =>
+    require(args.size == arity, s"$fn takes $arity argument(s)")
+    org.apache.spark.sql.graft.ColumnBridge.convert(
+      build(args.map(org.apache.spark.sql.graft.ColumnBridge.column)))
+  }
 
   /** Inject into an already-built session (tests, REPLs). */
   def register(spark: SparkSession): Unit =

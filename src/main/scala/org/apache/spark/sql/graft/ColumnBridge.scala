@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER Column→Expression conversion. [[expression]] wraps the node
+    * lazily (ColumnNodeExpression), which is fine inside Dataset API
+    * trees where the analyzer unwraps it — but a SQL function builder's
+    * return value must be a plain catalyst tree (UnresolvedFunction
+    * children get resolved in place; a lazy wrapper reaches codegen
+    * unconverted and dies with INTERNAL_ERROR). */
+  def convert(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -57,6 +57,24 @@ class ExtensionsAndCandlesSpec extends SparkSpec {
     assert(r.getString(1) === "Å") // U+212B -> U+00C5 under NFC
   }
 
+  test("luhn_valid, hamming64, and the URL trio are SQL-callable") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT luhn_valid('4111111111111111') ok,
+        |  luhn_valid('4111111111111112') bad,
+        |  hamming64(CAST(11 AS BIGINT), CAST(5 AS BIGINT)) h,
+        |  registered_domain(url_host(normalize_url(
+        |    'HTTPS://WWW.a.Example.COM.:443/p?utm=1#f'))) dom""".stripMargin).head()
+    assert(r.getAs[Boolean]("ok") && !r.getAs[Boolean]("bad"))
+    assert(r.getAs[Int]("h") === 3) // 1011 xor 0101 = 1110
+    assert(r.getAs[String]("dom") === "example.com")
+    // the bridged kernels stay codegen Column trees, never UDFs
+    val plan = spark.sql("SELECT luhn_valid('49927398716') v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"luhn_valid must compile to built-in expressions, got:\n$plan")
+  }
+
   test("shingle_hashes is SQL-callable and matches the Column form") {
     GraftExtensions.register(spark)
     val viaSql = spark.sql(
