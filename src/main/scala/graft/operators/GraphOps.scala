@@ -32,7 +32,24 @@ object GraphOps {
     * spanned by `edges` (orientation and duplicate edges are normalized
     * away; self-loops dropped). Output: (node, triangles) for nodes in at
     * least one triangle — each triangle credits all three corners. */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    closedTriangles(edges, srcCol, dstCol)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+
+  /** Global triangle COUNT — one row (n_triangles BIGINT). Same oriented
+    * wedge pipeline as [[triangleCounts]], but when only the total is
+    * needed the final per-corner explode (3× the triangle set) and its
+    * node-keyed exchange are pure waste: this aggregates the closed-wedge
+    * join output directly into a single partial-count scalar — no
+    * post-join shuffle rows at all. */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    closedTriangles(edges, srcCol, dstCol)
+      .agg(count(lit(1)).as("n_triangles"))
+
+  /** The shared enumeration: one row (a, b, c) per triangle, each listed
+    * exactly once at its degree-orientation apex. */
+  private def closedTriangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
@@ -63,11 +80,9 @@ object GraphOps {
       .join(oriented.select(col("src"), col("dst").as("w2"), col("dst_ord").as("o2")), "src")
       .filter(col("o1") < col("o2"))
       .select(col("src").as("a"), col("w1").as("b"), col("w2").as("c"))
-    val triangles = wedges.join(
+    wedges.join(
       oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
-    triangles
-      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("triangles"))
+      .select(col("a"), col("b"), col("c"))
   }
 
   /** Hop distances from `sources` (a single-column frame of node ids)

@@ -1287,6 +1287,30 @@ object AdvancedQueries extends QueryModule {
       |GROUP BY node
       |ORDER BY node""".stripMargin
 
+  /** Global triangle total (north star): [[q114Triangles]]'s graph through
+    * [[graft.operators.GraphOps.triangleCount]] — the count-only variant
+    * that skips the per-corner explode and its node-keyed exchange when
+    * only the scalar is wanted (the common "how clustered is this graph"
+    * probe). The oracle replays the naive triple self-join and counts. */
+  private def q170TriangleTotal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
+    val edges = l.as("a").join(l.as("b"), col("a.l_orderkey") === col("b.l_orderkey")
+        && col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    graft.operators.GraphOps.triangleCount(edges, "src", "dst")
+  }
+
+  private val q170Sql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+      |SELECT COUNT(*) AS n_triangles
+      |FROM pairs e1
+      |JOIN pairs e2 ON e2.u = e1.v
+      |JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin
+
   /** Bounded BFS hop distances (north star): frontier-at-a-time search
     * (GraphOps.bfsDistances) from the lowest customer node over the
     * undirected co-purchase graph, 4 hops — the "how far does influence
@@ -1456,6 +1480,8 @@ object AdvancedQueries extends QueryModule {
       "RFM quintile segmentation via the exact-quantile histogram plan (north star)"),
     Q("q114_triangles", q114Triangles, Some(q114Sql),
       "degree-ordered triangle counts over the co-purchase graph vs naive triple-join oracle (north star)"),
+    Q("q170_triangle_total", q170TriangleTotal, Some(q170Sql),
+      "count-only triangle variant: no per-corner explode, scalar agg off the wedge join (north star)"),
     Q("q115_bfs_hops", q115BfsHops, Some(q115Sql),
       "bounded BFS hop distances vs recursive-CTE oracle (north star)"),
     Q("q42_collect_list", q42CollectList, Some(q42Sql), "grouped gather to sorted list (F16/F17)"),

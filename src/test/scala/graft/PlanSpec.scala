@@ -282,6 +282,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "customer dim must broadcast")
   }
 
+  test("triangle wedge stage exchanges on ids only; count variant skips the explode") {
+    import org.apache.spark.sql.functions.col
+    val l = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = l.as("a").join(l.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    val counts = graft.operators.GraphOps.triangleCounts(edges, "src", "dst")
+    val parts = hashPartitionings(planString(counts))
+    assert(parts.nonEmpty, "expected shuffles for degree/wedge stages")
+    // the (long,long)-only exchange claim: no shuffle keys on the carried
+    // (deg, id) ordering struct — ids and degree longs only
+    parts.foreach(p => assert(!p.contains("dst_ord#") && !p.contains("o1#")
+      && !p.contains("o2#"), s"ordering struct used as a partitioning key: $p"))
+    // the count-only variant must NOT generate the per-corner explode
+    val total = graft.operators.GraphOps.triangleCount(edges, "src", "dst")
+    val totalPlan = planString(total)
+    assert(!totalPlan.contains("Generate"),
+      "triangleCount must skip the per-corner explode:\n" + totalPlan.take(2000))
+    assert(planString(counts).contains("Generate"),
+      "triangleCounts keeps the per-corner explode by design")
+    // and the two variants must agree on the global total
+    import spark.implicits._
+    val viaCorners = counts.agg(
+      org.apache.spark.sql.functions.sum($"triangles")).as[Long].head() / 3
+    assert(total.as[Long].head() === viaCorners)
+  }
+
   test("resample reduces cells BEFORE the grid explode: aggregate precedes generate") {
     val plan = planString(run("q126_resample_locf"))
     assert(!plan.contains("CartesianProduct") &&
