@@ -103,6 +103,58 @@ class StreamingSessionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint restart mid-open-session: state and timer survive, one merged summary") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+
+    val ckpt = java.nio.file.Files.createTempDirectory("sess_ckpt").toString
+    val source = MemoryStream[SessEvent]
+    // the memory sink refuses checkpoint recovery; foreachBatch is the
+    // fault-tolerant collector a restartable test needs
+    val emitted = scala.collection.mutable.ArrayBuffer[SessionSummary]()
+    def startQuery() = StreamingSessions.sessionSummaries(
+        source.toDS(), gapMs = 30 * 60000L, delay = "0 seconds")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[SessionSummary], _: Long) =>
+        val rows = b.collect()
+        emitted.synchronized { emitted ++= rows }
+        ()
+      }
+      .outputMode("append").start()
+
+    // run 1: open a session (two events, 10 min apart) and stop with the
+    // session STILL OPEN — its aggregate and its minute-50 timer live only
+    // in the RocksDB checkpoint now
+    val q1 = startQuery()
+    try {
+      source.addData(SessEvent(1L, ts(10), 5L), SessEvent(1L, ts(20), 7L))
+      q1.processAllAvailable()
+      assert(emitted.isEmpty, "session must still be open at stop time")
+    } finally q1.stop()
+
+    // run 2, same checkpoint: the committed batch must not replay, the
+    // open session must resume, and an in-gap event must extend it —
+    // continuous-consumer resume semantics
+    val q2 = startQuery()
+    try {
+      source.addData(SessEvent(1L, ts(25), 1L))
+      q2.processAllAvailable()
+      // close via the watermark: the merged summary spans BOTH runs
+      source.addData(SessEvent(2L, ts(200), 0L))
+      q2.processAllAvailable()
+      val u1 = emitted.synchronized { emitted.filter(_.user_id == 1L).toSeq }
+      assert(u1 === Seq(SessionSummary(1L, 10 * 60000L, 25 * 60000L, 3L, 13L)),
+        s"resumed session must merge pre- and post-restart events once: $emitted")
+      // exactly one summary for the key: the pre-restart minute-50 timer
+      // (stale after the ts(25) extension) must not have double-emitted
+      assert(u1.size === 1)
+    } finally q2.stop()
+  }
+
   test("random stream across batches == batch gaps-and-islands reference") {
     val s = spark.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
