@@ -65,6 +65,8 @@ object Bench {
     // its ~70M-wedge stage is intrinsic, not contamination)
     "q113_sparse_cosine" -> 6.0,
     "q114_triangles" -> 11.0,
+    // shares q114's intrinsic wedge stage; only the final explode differs
+    "q170_triangle_total" -> 11.0,
     "q115_bfs_hops" -> 6.0,
     "q116_assoc_rules" -> 3.5,
     "q117_rfm_segments" -> 1.8,

@@ -1154,6 +1154,363 @@ object MiningQueries extends QueryModule {
       |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // TPC-H shape wave 2 (q171-q180): the classic decision-support plans
+  // the round-8 wave didn't cover — Q3/Q6/Q8/Q9/Q12/Q13/Q14/Q17/Q18/Q19
+  // shapes, each adapted to the fixture's columns (no partsupp table, no
+  // l_shipmode/commit/receipt dates) while keeping the plan shape that
+  // makes the original interesting. All money/quantity arithmetic is in
+  // the exact integer units of q146 so both engines agree bit-for-bit.
+  // ------------------------------------------------------------------
+
+  /** l_quantity as exact integer 1e-4 units. */
+  private def qtyUnits = (col("l_quantity").cast(d4) * 10000).cast("long")
+  private val qtyUnitsSql = "CAST(CAST(l_quantity AS DECIMAL(18,4))*10000 AS BIGINT)"
+  /** l_extendedprice as exact integer 1e-4 dollars. */
+  private def priceUnits = (col("l_extendedprice").cast(d4) * 10000).cast("long")
+  private val priceUnitsSql = "CAST(CAST(l_extendedprice AS DECIMAL(18,4))*10000 AS BIGINT)"
+  /** l_discount as exact integer 1e-4 units (integer-compare filters). */
+  private def discUnits = (col("l_discount").cast(d4) * 10000).cast("long")
+  private val discUnitsSql = "CAST(CAST(l_discount AS DECIMAL(18,4))*10000 AS BIGINT)"
+
+  /** TPC-H Q3 shape (shipping priority): top-10 not-yet-shipped orders of
+    * one market segment by open revenue. Customer dim broadcasts, the one
+    * shuffle pair is the fact-fact order-key join, and the global top-10
+    * is TakeOrderedAndProject (revenue DESC, order key ASC tiebreak —
+    * total order, never a full sort). */
+  private def q171ShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit("1998-07-01").cast("timestamp")
+    val cust = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < cutoff)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" > cutoff)
+      .select($"l_orderkey", revenueUnits.as("__ru"))
+    ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(sum($"__ru".cast(dec38)).cast("long").as("revenue_units"))
+      .orderBy($"revenue_units".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  private val q171Sql =
+    s"""SELECT o_orderkey, o_orderdate,
+      |  CAST(SUM($revenueUnitsSql) AS BIGINT) AS revenue_units
+      |FROM orders
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-07-01'
+      |  AND l_shipdate  > TIMESTAMP '1998-07-01'
+      |GROUP BY 1, 2
+      |ORDER BY revenue_units DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q6 shape (forecast revenue delta): one pure scan-aggregate —
+    * every predicate (date range, discount band, quantity cap) pushes to
+    * the parquet scan, and the discount band compares INTEGER units, not
+    * raw doubles, so the boundary rows are engine-independent. */
+  private def q172ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+        discUnits.between(500L, 700L) && qtyUnits < 240000L)
+      .agg(count(lit(1)).as("n_lines"),
+        sum((priceUnits * discUnits).cast(dec38)).cast("long").as("discount_units"))
+  }
+
+  private val q172Sql =
+    s"""SELECT COUNT(*) AS n_lines,
+      |  CAST(SUM($priceUnitsSql * $discUnitsSql) AS BIGINT) AS discount_units
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+      |  AND $discUnitsSql BETWEEN 500 AND 700
+      |  AND $qtyUnitsSql < 240000""".stripMargin
+
+  /** TPC-H Q8 shape (national market share): within the ASIA-region
+    * ECONOMY-part market, per order year, the revenue carried by
+    * suppliers of one nation vs the whole market. Every dim hop
+    * (customer-nation-region, part, supplier-nation) broadcasts; the only
+    * shuffles are the two fact joins. The share itself ships as its exact
+    * integer numerator/denominator — a quotient would round. */
+  private def q173MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nation = Tables.nation(spark, dir)
+    val custAsia = Tables.customer(spark, dir)
+      .join(broadcast(nation.filter($"n_regionkey" === 2)),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(custAsia), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", year($"o_orderdate").cast("long").as("o_year"))
+    val econParts = Tables.part(spark, dir)
+      .filter($"p_type" === "ECONOMY").select($"p_partkey")
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(nation.select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(econParts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_year")
+      .agg(
+        sum(when($"supp_nation" === "NATION_7", revenueUnits).otherwise(0L)
+          .cast(dec38)).cast("long").as("nation_units"),
+        sum(revenueUnits.cast(dec38)).cast("long").as("total_units"))
+      .orderBy($"o_year")
+  }
+
+  private val q173Sql =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CASE WHEN ns.n_name = 'NATION_7'
+      |                THEN $revenueUnitsSql ELSE 0 END) AS BIGINT) AS nation_units,
+      |  CAST(SUM($revenueUnitsSql) AS BIGINT) AS total_units
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ns ON ns.n_nationkey = s_nationkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation nc ON nc.n_nationkey = c_nationkey AND nc.n_regionkey = 2
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY 1
+      |ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q9 shape (product-line profit by nation and year), adapted to
+    * the fixture: no partsupp, so cost is retail-price × quantity. Profit
+    * stays exact: revenue and cost in the same 1e-8-dollar integer units,
+    * subtracted before the aggregate. Part and supplier-nation broadcast;
+    * the order-date year arrives through the one fact-fact shuffle. */
+  private def q174ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stdParts = Tables.part(spark, dir)
+      .filter($"p_type" === "STANDARD")
+      .select($"p_partkey",
+        ($"p_retailprice".cast(d4) * 10000).cast("long").as("__cpu"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("nation"))
+    val ordYear = Tables.orders(spark, dir)
+      .select($"o_orderkey", year($"o_orderdate").cast("long").as("o_year"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(stdParts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      .join(ordYear, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"nation", $"o_year")
+      .agg(sum((revenueUnits - $"__cpu" * qtyUnits).cast(dec38))
+        .cast("long").as("profit_units"))
+      .orderBy($"nation", $"o_year")
+  }
+
+  private val q174Sql =
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM($revenueUnitsSql
+      |    - CAST(CAST(p_retailprice AS DECIMAL(18,4))*10000 AS BIGINT)
+      |      * $qtyUnitsSql) AS BIGINT) AS profit_units
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey AND p_type = 'STANDARD'
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year""".stripMargin
+
+  /** TPC-H Q12 shape (late-shipment pivot), adapted: the fixture has no
+    * ship mode or commit/receipt dates, so the pivot keys on order
+    * priority and "late" means shipped more than 60 days after the order
+    * date. CASE-sum pivot over one fact-fact equi-join with the date
+    * residual riding the join — the q157 discipline. */
+  private def q175LatePivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_shipdate")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        sum(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAY"), 1L)
+          .otherwise(0L)).as("n_late"),
+        sum(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAY"), 0L)
+          .otherwise(1L)).as("n_ontime"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q175Sql =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS n_ontime
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |GROUP BY 1
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+    * customer→qualifying orders so zero-order customers keep their bucket,
+    * then the two-level aggregate (per-customer count → distribution).
+    * The filter (pending orders excluded) sits in the JOIN CONDITION, not
+    * a WHERE — the Q13 trap: a WHERE would silently turn the outer join
+    * inner and drop the zero bucket. */
+  private def q176OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderstatus" =!= "P")
+      .select($"o_custkey")
+    val perCust = Tables.customer(spark, dir).select($"c_custkey")
+      .join(ord, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_custkey").as("n_orders"))
+    perCust.groupBy($"n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"n_customers".desc, $"n_orders".desc)
+  }
+
+  private val q176Sql =
+    """WITH per_cust AS (
+      |  SELECT c_custkey, COUNT(o_custkey) AS n_orders
+      |  FROM customer LEFT JOIN orders
+      |    ON o_custkey = c_custkey AND o_orderstatus <> 'P'
+      |  GROUP BY 1)
+      |SELECT n_orders, COUNT(*) AS n_customers
+      |FROM per_cust
+      |GROUP BY 1
+      |ORDER BY n_customers DESC, n_orders DESC""".stripMargin
+
+  /** TPC-H Q14 shape (promo revenue share) per ship month of 1997: PROMO
+    * parts' revenue vs total. Part dim broadcasts; the share ships as its
+    * exact integer numerator/denominator pair. */
+  private def q177PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val partType = Tables.part(spark, dir).select($"p_partkey", $"p_type")
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(partType), $"l_partkey" === $"p_partkey")
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+      .agg(
+        sum(when($"p_type" === "PROMO", revenueUnits).otherwise(0L)
+          .cast(dec38)).cast("long").as("promo_units"),
+        sum(revenueUnits.cast(dec38)).cast("long").as("total_units"))
+      .orderBy($"ship_month")
+  }
+
+  private val q177Sql =
+    s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |                THEN $revenueUnitsSql ELSE 0 END) AS BIGINT) AS promo_units,
+      |  CAST(SUM($revenueUnitsSql) AS BIGINT) AS total_units
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY 1
+      |ORDER BY ship_month""".stripMargin
+
+  /** TPC-H Q17 shape (small-quantity revenue): lineitems whose quantity
+    * sits under 20% of their part's average quantity. The correlated
+    * scalar subquery decorrelates into ONE per-part aggregate joined back
+    * to the fact, and the 0.2·avg cut is the cross-multiplied integer
+    * compare 5·qty·n < Σqty — no division ever happens, so no rounding
+    * boundary exists. */
+  private def q178SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_partkey", qtyUnits.as("__qu"), priceUnits.as("__pu"))
+    val stats = li.groupBy($"l_partkey".as("__pk"))
+      .agg(count(lit(1)).as("__n"), sum($"__qu".cast(dec38)).cast("long").as("__sq"))
+    li.join(stats, $"l_partkey" === $"__pk")
+      .filter($"__qu" * 5L * $"__n" < $"__sq")
+      .agg(count(lit(1)).as("n_small"),
+        sum($"__pu".cast(dec38)).cast("long").as("revenue_units"))
+  }
+
+  private val q178Sql =
+    s"""WITH stats AS (
+      |  SELECT l_partkey AS pk, COUNT(*) AS n,
+      |    CAST(SUM($qtyUnitsSql) AS BIGINT) AS sq
+      |  FROM lineitem GROUP BY 1)
+      |SELECT COUNT(*) AS n_small,
+      |  CAST(SUM($priceUnitsSql) AS BIGINT) AS revenue_units
+      |FROM lineitem JOIN stats ON pk = l_partkey
+      |WHERE $qtyUnitsSql * 5 * n < sq""".stripMargin
+
+  /** TPC-H Q18 shape (large-volume orders): orders whose total quantity
+    * exceeds 300 — the HAVING sits on the per-order aggregate BEFORE any
+    * dim attaches (the survivors are few, so the customer join touches
+    * almost nothing), and the final listing is TakeOrdered on (quantity
+    * DESC, order key ASC). */
+  private def q179BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum(qtyUnits.cast(dec38)).cast("long").as("qty_units"))
+      .filter($"qty_units" > 3000000L)
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+    val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_name")
+    big.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"o_orderkey", $"o_orderdate", $"qty_units")
+      .orderBy($"qty_units".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  private val q179Sql =
+    s"""WITH big AS (
+      |  SELECT l_orderkey, CAST(SUM($qtyUnitsSql) AS BIGINT) AS qty_units
+      |  FROM lineitem GROUP BY 1
+      |  HAVING CAST(SUM($qtyUnitsSql) AS BIGINT) > 3000000)
+      |SELECT c_name, o_orderkey, o_orderdate, qty_units
+      |FROM big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY qty_units DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q19 shape (disjunctive predicate revenue): three brand/size/
+    * quantity disjuncts over the part⨝lineitem join. The equi key
+    * (partkey) is common to every disjunct, so the OR rides the hash join
+    * as a residual — the plan never degenerates to a nested loop (the
+    * classic Q19 optimizer test). Quantity bounds compare integer units. */
+  private def q180DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, dir).select($"p_partkey", $"p_brand", $"p_size")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_partkey", qtyUnits.as("__qu"), revenueUnits.as("__ru"))
+    val qualifies =
+      ($"p_brand" === "Brand#1" && $"p_size".between(1, 10) &&
+        $"__qu".between(10000L, 110000L)) ||
+      ($"p_brand" === "Brand#7" && $"p_size".between(1, 15) &&
+        $"__qu".between(100000L, 200000L)) ||
+      ($"p_brand" === "Brand#20" && $"p_size".between(1, 25) &&
+        $"__qu".between(200000L, 300000L))
+    li.join(broadcast(p), $"l_partkey" === $"p_partkey" && qualifies)
+      .agg(count(lit(1)).as("n_lines"),
+        sum($"__ru".cast(dec38)).cast("long").as("revenue_units"))
+  }
+
+  private val q180Sql =
+    s"""SELECT COUNT(*) AS n_lines,
+      |  CAST(SUM($revenueUnitsSql) AS BIGINT) AS revenue_units
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+      |       AND $qtyUnitsSql BETWEEN 10000 AND 110000)
+      |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 15
+      |       AND $qtyUnitsSql BETWEEN 100000 AND 200000)
+      |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 25
+      |       AND $qtyUnitsSql BETWEEN 200000 AND 300000)""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q("q146_abc_parts", q146AbcParts, Some(q146Sql),
       "Pareto/ABC revenue classification via the two-level exact prefix-sum plan"),
@@ -1195,6 +1552,26 @@ object MiningQueries extends QueryModule {
       "top-20 first-3-event session paths, 30-min gap sessionization"),
     Q("q165_incremental_distinct", q165IncrementalDistinct, Some(q165Sql),
       "HLL-state incremental distinct maintenance: merge==full + error band"),
+    Q("q171_ship_priority", q171ShipPriority, Some(q171Sql),
+      "TPC-H Q3 shape: broadcast segment dim + one fact-fact shuffle + TakeOrdered top-10"),
+    Q("q172_forecast_revenue", q172ForecastRevenue, Some(q172Sql),
+      "TPC-H Q6 shape: pure pushed-down scan-aggregate, integer-unit discount band"),
+    Q("q173_market_share", q173MarketShare, Some(q173Sql),
+      "TPC-H Q8 shape: national market share per year, all dims broadcast, exact num/den"),
+    Q("q174_profit_by_nation", q174ProfitByNation, Some(q174Sql),
+      "TPC-H Q9 shape: profit by supplier nation and year in exact integer units"),
+    Q("q175_late_pivot", q175LatePivot, Some(q175Sql),
+      "TPC-H Q12 shape: CASE-sum late/ontime pivot over the order-key join"),
+    Q("q176_order_distribution", q176OrderDistribution, Some(q176Sql),
+      "TPC-H Q13 shape: LEFT JOIN with filter in the join condition, two-level aggregate"),
+    Q("q177_promo_share", q177PromoShare, Some(q177Sql),
+      "TPC-H Q14 shape: promo revenue share per month, broadcast part dim"),
+    Q("q178_small_qty_revenue", q178SmallQtyRevenue, Some(q178Sql),
+      "TPC-H Q17 shape: decorrelated per-part average, cross-multiplied 0.2-avg cut"),
+    Q("q179_big_orders", q179BigOrders, Some(q179Sql),
+      "TPC-H Q18 shape: HAVING on the per-order aggregate before dims, TakeOrdered listing"),
+    Q("q180_disjunctive_revenue", q180DisjunctiveRevenue, Some(q180Sql),
+      "TPC-H Q19 shape: three-disjunct residual rides the partkey hash join"),
     Q("q169_geo_pairs", q169GeoPairs, Some(q169Sql),
       "lat/lon -> local-meters projection + grid-blocked proximity join vs quadratic oracle"),
     Q("q166_spatial_pairs", q166SpatialPairs, Some(q166Sql),

@@ -311,6 +311,30 @@ class PlanSpec extends SparkSpec {
     assert(total.as[Long].head() === viaCorners)
   }
 
+  test("Q3 shape: broadcast segment dim + TakeOrdered top-10, no full sort") {
+    val plan = planString(run("q171_ship_priority"))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), "customer dim must broadcast")
+  }
+
+  test("Q19 shape: the disjunctive residual rides the hash join, no nested loop") {
+    val plan = planString(run("q180_disjunctive_revenue"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "the OR-of-disjuncts must stay a residual on the partkey equi-join:\n" +
+        plan.take(2000))
+  }
+
+  test("Q6 shape: every predicate reaches the lineitem scan") {
+    val plan = run("q172_forecast_revenue").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan.take(2000))
+    // the date range pushes too (Spark truncates the PushedFilters field
+    // mid-token, so match the truncation-safe prefix)
+    assert(plan.contains("GreaterThanOrEqual(l_shipda"), plan.take(2000))
+    assert(plan.contains("IsNotNull(l_discount") &&
+      plan.contains("IsNotNull(l_quantity"), plan.take(2000))
+  }
+
   test("resample reduces cells BEFORE the grid explode: aggregate precedes generate") {
     val plan = planString(run("q126_resample_locf"))
     assert(!plan.contains("CartesianProduct") &&
