@@ -53,7 +53,12 @@ object Plans {
       "q157_late_orders", "q158_returned_revenue",
       "q159_label_affinity", "q160_idle_rich", "q161_doc_keywords",
       "q162_lone_late_supplier", "q163_pii_audit", "q164_session_paths",
-      "q166_spatial_pairs", "q167_spatial_clusters")
+      "q166_spatial_pairs", "q167_spatial_clusters",
+      "q168_hamming_pairs", "q169_geo_pairs", "q170_triangle_total",
+      "q171_ship_priority", "q172_forecast_revenue", "q173_market_share",
+      "q174_profit_by_nation", "q175_late_pivot", "q176_order_distribution",
+      "q177_promo_share", "q178_small_qty_revenue", "q179_big_orders",
+      "q180_disjunctive_revenue")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)
