@@ -33,33 +33,46 @@ object HeavyHitters {
 
   final case class Summary(counts: Map[String, Long])
 
+  /** One weighted MG insert — the batched step (Agarwal et al.'s
+    * mergeable-summaries form). Object-level so both the distributed
+    * Aggregator and the streaming driver-side state fold
+    * ([[graft.streaming.StreamingJobs.heavyHittersOnArrival]]) run the
+    * SAME arithmetic. */
+  private[graft] def addCount(m: Map[String, Long], item: String, by: Long,
+      capacity: Int): Map[String, Long] =
+    m.get(item) match {
+      case Some(c) => m.updated(item, c + by)
+      case None if m.size < capacity => m.updated(item, by)
+      case None =>
+        // decrement-all by the smallest of (by, min counter)
+        val dec = math.min(by, m.values.min)
+        val kept = m.flatMap { case (k, c) =>
+          val c2 = c - dec; if (c2 > 0) Some(k -> c2) else None
+        }
+        val rest = by - dec
+        if (rest > 0) kept.updated(item, rest) else kept
+    }
+
+  /** Merge two summaries at `capacity` (≤ 2·capacity driver-side entries —
+    * parameter-bounded). Keeps the mergeable-summaries error bound: total
+    * undercount ≤ n/(capacity+1) over the union of inputs. */
+  private[graft] def mergeCounts(a: Map[String, Long], b: Map[String, Long],
+      capacity: Int): Map[String, Long] =
+    b.foldLeft(a) { case (m, (k, c)) => addCount(m, k, c, capacity) }
+
   final class MisraGries(capacity: Int)
       extends Aggregator[String, Summary, Map[String, Long]] {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
 
     override def zero: Summary = Summary(Map.empty)
 
-    private def add(s: Summary, item: String, by: Long): Summary = {
-      val m = s.counts
-      m.get(item) match {
-        case Some(c) => Summary(m.updated(item, c + by))
-        case None if m.size < capacity => Summary(m.updated(item, by))
-        case None =>
-          // decrement-all by the smallest of (by, min counter): the
-          // batched MG step (Agarwal et al.'s mergeable-summaries form)
-          val dec = math.min(by, m.values.min)
-          val kept = m.flatMap { case (k, c) =>
-            val c2 = c - dec; if (c2 > 0) Some(k -> c2) else None
-          }
-          val rest = by - dec
-          if (rest > 0) Summary(kept.updated(item, rest)) else Summary(kept)
-      }
-    }
+    private def add(s: Summary, item: String, by: Long): Summary =
+      Summary(addCount(s.counts, item, by, capacity))
 
     override def reduce(s: Summary, item: String): Summary = add(s, item, 1L)
 
     override def merge(a: Summary, b: Summary): Summary =
-      b.counts.foldLeft(a) { case (s, (k, c)) => add(s, k, c) }
+      Summary(mergeCounts(a.counts, b.counts, capacity))
 
     override def finish(s: Summary): Map[String, Long] = s.counts
     override def bufferEncoder: Encoder[Summary] = Encoders.product[Summary]

@@ -268,6 +268,86 @@ object StreamingJobs {
       spark.read.parquet(live.toString))
   }
 
+  /** Streaming frequent-items maintenance — [[graft.operators.HeavyHitters]]'
+    * Misra–Gries summary folded continuously: per micro-batch, the batch's
+    * distributed MG summary (one two-phase aggregate, ≤ capacity entries
+    * cross the wire per partial) merges into the persisted summary under
+    * the [[graft.operators.StagedSwap]] crash discipline.
+    *
+    * Crash story — the OPPOSITE corner from [[distinctOnArrival]]: an HLL
+    * union is a register max, so a replayed batch is naturally a no-op;
+    * an MG merge ADDS counts, so at-least-once redelivery would inflate
+    * every estimate. The state therefore carries the last folded batchId
+    * and a redelivered batch (batchId ≤ committed) is skipped — the
+    * classic transactional-foreachBatch fence, state and fence promoted
+    * in ONE atomic swap so they can never disagree. Together the two ops
+    * document both exactly-once disciplines: idempotent-by-algebra and
+    * fenced-by-version. Single-writer contract: one stream per statePath.
+    *
+    * Error contract (mergeable-summaries): across everything folded, any
+    * item with true count > n/(capacity+1) is present, and every estimate
+    * undercounts by at most n/(capacity+1). Driver-side work per batch is
+    * ≤ 2·capacity map entries — parameter-bounded, corpus-independent. */
+  def heavyHittersOnArrival(stream: DataFrame, itemCol: String,
+      capacity: Int, statePath: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldHeavyHitters(batch, batchId, itemCol, capacity, statePath)
+      }
+
+  /** One micro-batch fold — exposed for redelivery tests: calling it
+    * twice with the same batchId must leave the state bit-identical. */
+  private[graft] def foldHeavyHitters(batch: DataFrame, batchId: Long,
+      itemCol: String, capacity: Int, statePath: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(statePath, "state")
+    val tmp = new org.apache.hadoop.fs.Path(statePath, ".state_tmp")
+    val old = new org.apache.hadoop.fs.Path(statePath, ".state_old")
+    // recover BEFORE reading the fence: a crash in the rename window must
+    // not look like "no state yet" (the distinctOnArrival lesson)
+    graft.operators.StagedSwap.recover(fs, live, tmp, old)
+    val prior: Option[(Long, Map[String, Long])] =
+      if (fs.exists(live)) {
+        val df = spark.read.parquet(live.toString)
+          .select($"item", $"est_count", $"batch_id")
+          .as[(String, Long, Long)].collect()
+        Some((df.headOption.map(_._3).getOrElse(-1L),
+          df.iterator.map(r => r._1 -> r._2).toMap))
+      } else None
+    val committed = prior.map(_._1).getOrElse(-1L)
+    if (batchId <= committed) return // redelivered batch: fenced out
+    val batchCounts = graft.operators.HeavyHitters
+      .summarize(batch, itemCol, capacity)
+      .as[(String, Long)].collect().toMap
+    val merged = graft.operators.HeavyHitters.mergeCounts(
+      prior.map(_._2).getOrElse(Map.empty), batchCounts, capacity)
+    val outRows = merged.toSeq.map { case (k, c) => (k, c, batchId) }
+    graft.operators.StagedSwap.swap(fs, live, tmp, old)(dir =>
+      outRows.toDF("item", "est_count", "batch_id")
+        .coalesce(1).write.parquet(dir))
+  }
+
+  /** Current estimates off a [[heavyHittersOnArrival]] state path,
+    * heaviest first; recovers a crashed writer's rename window first. */
+  def heavyHitterEstimates(spark: SparkSession, statePath: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(statePath, "state")
+    graft.operators.StagedSwap.recover(fs, live,
+      new org.apache.hadoop.fs.Path(statePath, ".state_tmp"),
+      new org.apache.hadoop.fs.Path(statePath, ".state_old"))
+    spark.read.parquet(live.toString)
+      .select(org.apache.spark.sql.functions.col("item"),
+        org.apache.spark.sql.functions.col("est_count"))
+      .orderBy(org.apache.spark.sql.functions.col("est_count").desc,
+        org.apache.spark.sql.functions.col("item"))
+  }
+
   case class CusumEvent(key: Long, ts: java.sql.Timestamp, tie: Long, v: Double)
   case class CusumAlarm(key: Long, rn: Long, vu: Long, cpos: Long,
       cneg: Long, alarm: Boolean)
