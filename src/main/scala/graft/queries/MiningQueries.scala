@@ -1511,7 +1511,96 @@ object MiningQueries extends QueryModule {
       |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 25
       |       AND $qtyUnitsSql BETWEEN 200000 AND 300000)""".stripMargin
 
+  /** Window-function catalogue over one partitioned sort: rank,
+    * dense_rank, ntile, percent_rank, cume_dist, lag/lead deltas — the
+    * analytics surface a SQL user expects, all sharing ONE window
+    * (single exchange + sort per key). percent_rank/cume_dist are
+    * quotients of exact integers ((rank−1)/(n−1), peers/n) — IEEE
+    * division of exact ints is correctly rounded in any engine, so the
+    * doubles hash-match without decimal routing. Total order inside each
+    * customer: (o_orderdate, o_orderkey). */
+  private def q181WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val tpu = ($"o_totalprice".cast(d4) * 10000).cast("long")
+    Tables.orders(spark, dir)
+      .filter($"o_custkey" < 50)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", tpu.as("price_units"))
+      .select($"o_custkey", $"o_orderkey",
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        ($"price_units" - lag($"price_units", 1, 0L).over(w)).as("delta_prev"),
+        coalesce(lead($"o_orderkey", 1).over(w), lit(-1L)).as("next_order"))
+      .orderBy($"o_custkey", $"rnk", $"o_orderkey")
+  }
+
+  private val q181Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,4))*10000 AS BIGINT)
+      |    - lag(CAST(CAST(o_totalprice AS DECIMAL(18,4))*10000 AS BIGINT), 1, 0)
+      |      OVER w AS delta_prev,
+      |  COALESCE(lead(o_orderkey, 1) OVER w, -1) AS next_order
+      |FROM orders
+      |WHERE o_custkey < 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin
+
+  /** The engine's SQL surface end to end: the query text itself runs
+    * through `spark.sql` against a temp view, using the REGISTERED graft
+    * kernels (luhn_valid, hamming64 — [[graft.plans.GraftExtensions]]),
+    * not the DataFrame API. Pins that a SQL-only user of the library gets
+    * the same codegen kernels and the same answers the Column API gives —
+    * the q168 fingerprint synthesis reused so DuckDB can replay both
+    * functions relationally (Luhn as the q163 list_transform fold,
+    * hamming as bit_count∘xor). */
+  private def q182SqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark) // idempotent re-register
+    Tables.documents(spark, dir).createOrReplaceTempView("docs_sql_surface")
+    spark.sql(
+      """SELECT doc_id,
+        |  luhn_valid(CAST(4000000000000000 + doc_id % 1000 AS STRING)) AS luhn_ok,
+        |  hamming64(doc_id * 2654435761, (doc_id + 1) * 2654435761) AS fp_dist
+        |FROM docs_sql_surface
+        |WHERE doc_id < 200
+        |ORDER BY doc_id""".stripMargin)
+  }
+
+  private val q182Sql = {
+    // DuckDB Luhn replay: negative string indexing walks digits from the
+    // right; doubled digits fold via the >9 ? −9 branch (the q163 oracle)
+    val luhn =
+      """(length(d) >= 13 AND list_sum(list_transform(range(1, length(d) + 1),
+        |  i -> CASE WHEN i % 2 = 0
+        |       THEN CASE WHEN CAST(d[-i] AS INT) * 2 > 9
+        |            THEN CAST(d[-i] AS INT) * 2 - 9
+        |            ELSE CAST(d[-i] AS INT) * 2 END
+        |       ELSE CAST(d[-i] AS INT) END)) % 10 = 0)""".stripMargin
+    s"""WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(4000000000000000 + doc_id % 1000 AS VARCHAR) AS d
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT doc_id,
+      |  $luhn AS luhn_ok,
+      |  CAST(bit_count(xor(doc_id * 2654435761, (doc_id + 1) * 2654435761)) AS INT) AS fp_dist
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
+    Q("q181_window_suite", q181WindowSuite, Some(q181Sql),
+      "rank/ntile/percent_rank/cume_dist/lag/lead catalogue over one window"),
+    Q("q182_sql_surface", q182SqlSurface, Some(q182Sql),
+      "spark.sql end-to-end with registered graft kernels (luhn_valid, hamming64)"),
     Q("q146_abc_parts", q146AbcParts, Some(q146Sql),
       "Pareto/ABC revenue classification via the two-level exact prefix-sum plan"),
     Q("q147_transitions", q147Transitions, Some(q147Sql),
