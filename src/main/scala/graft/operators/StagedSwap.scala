@@ -73,6 +73,26 @@ object StagedSwap {
     }
   }
 
+  /** Resolve which directory a READER should load, without mutating
+    * anything. [[recover]] renames tmp→live / old→live, which is correct
+    * for the single WRITER restarting after its own crash — but a reader
+    * that runs those renames while a live writer is inside swap()'s
+    * rename window (between rename(live→old) and rename(tmp→live))
+    * steals the promote: the writer's rename(tmp→live) then fails, its
+    * fallback rename(old→live) also fails (old already deleted), and the
+    * stream crashes. Readers therefore only LOOK: prefer `live`; if a
+    * crashed (or in-flight) swap left it absent, read the complete newer
+    * copy in `tmp` (trusted only with its `_SUCCESS` marker, same rule as
+    * recover), else fall back to `old`. The crashed writer's own restart
+    * still runs recover() and repairs the directory; until then every
+    * reader sees the surviving state with zero writes. Returns None when
+    * no readable copy exists (genuinely absent state). */
+  def readable(fs: FileSystem, live: Path, tmp: Path, old: Path): Option[Path] =
+    if (fs.exists(live)) Some(live)
+    else if (fs.exists(tmp) && fs.exists(new Path(tmp, "_SUCCESS"))) Some(tmp)
+    else if (fs.exists(old)) Some(old)
+    else None
+
   /** Delete that fails loudly: a `false` return with the path still
     * present (permissions, open handles, an object-store hiccup) would
     * otherwise leave a stale partial directory for every future recover

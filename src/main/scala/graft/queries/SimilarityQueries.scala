@@ -646,6 +646,8 @@ object SimilarityQueries extends QueryModule {
       "IVF-clustered ANN top-k at approximate nProbe (rows-only; machinery oracled via q70)"),
     Q("q69_lsh_ann_exact", q69LshAnnExact, Some(q69Sql),
       "LSH-ANN at saturating table count reproduces exact top-k (north star)"),
+    // q70 deliberately SHARES q69Sql: both queries' claim is "≡ exact
+    // top-k", so one oracle gates two queries — edit q69Sql with care.
     Q("q70_ivf_full_probe", q70IvfFullProbe, Some(q69Sql),
       "IVF at nProbe = nLists reduces to exact brute force (north star)"),
     Q("q28_knn_brute", q28KnnBrute, Some(q28Sql), "exact cosine top-k (north star)"),

@@ -252,21 +252,39 @@ object StreamingJobs {
       }
 
   /** Read the current estimates off a [[distinctOnArrival]] state path.
-    * Runs [[graft.operators.StagedSwap.recover]] first: a writer crash in
-    * swap's rename window leaves `state` absent with the complete copy in
+    * Resolves the directory with the NON-MUTATING
+    * [[graft.operators.StagedSwap.readable]]: a writer crash in swap's
+    * rename window leaves `state` absent with the complete copy in
     * `.state_tmp`/`.state_old`, and a reader must see that state, not an
-    * ENOENT. Recovery is idempotent and a cheap exists() no-op on the
-    * healthy path, so reads never depend on the writer restarting first. */
+    * ENOENT — but it must not run recover()'s renames, because a reader
+    * racing a LIVE writer inside that same window would steal the
+    * promote and crash the stream (repair belongs to the single writer's
+    * own restart). Fails loudly when no copy exists at all. */
   def distinctEstimates(spark: SparkSession, statePath: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(statePath, "state")
-    graft.operators.StagedSwap.recover(fs, live,
+    val src = graft.operators.StagedSwap.readable(fs,
+      new org.apache.hadoop.fs.Path(statePath, "state"),
       new org.apache.hadoop.fs.Path(statePath, ".state_tmp"),
       new org.apache.hadoop.fs.Path(statePath, ".state_old"))
-    graft.operators.IncrementalDistinct.estimate(
-      spark.read.parquet(live.toString))
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no distinct state under $statePath"))
+    graft.operators.IncrementalDistinct.estimate(readState(spark, fs, src))
   }
+
+  /** Read a resolved state directory. A crashed swap's surviving copy may
+    * sit in a dot-prefixed staging directory (`.state_tmp`/`.state_old`),
+    * which Spark's hidden-path filter rejects as a root path — so list the
+    * part files and pass them explicitly (the filter checks only leaf
+    * names, and `part-*.parquet` is visible). */
+  private def readState(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path): DataFrame =
+    if (src.getName.startsWith(".")) {
+      val parts = fs.listStatus(src).map(_.getPath.toString)
+        .filter(_.split('/').last.startsWith("part-"))
+      spark.read.parquet(parts.toIndexedSeq: _*)
+    } else spark.read.parquet(src.toString)
 
   /** Streaming frequent-items maintenance — [[graft.operators.HeavyHitters]]'
     * Misra–Gries summary folded continuously: per micro-batch, the batch's
@@ -311,13 +329,22 @@ object StreamingJobs {
     // recover BEFORE reading the fence: a crash in the rename window must
     // not look like "no state yet" (the distinctOnArrival lesson)
     graft.operators.StagedSwap.recover(fs, live, tmp, old)
+    // The fence must survive an EMPTY summary: an empty first micro-batch,
+    // or a capacity-full decrement step that zeroes every counter (which
+    // MG's algebra permits), yields zero data rows — if the fence lived
+    // only in data rows, the next read would derive committed = -1 and a
+    // redelivered batch would re-merge and inflate counts. So every write
+    // includes a SENTINEL row (item = null — null can never collide with a
+    // real item because summarize() groups non-null values) carrying the
+    // committed batchId; data rows carry it too, redundantly. committed is
+    // read as max over all rows, so either form of the state is fenced.
     val prior: Option[(Long, Map[String, Long])] =
       if (fs.exists(live)) {
-        val df = spark.read.parquet(live.toString)
+        val rows = spark.read.parquet(live.toString)
           .select($"item", $"est_count", $"batch_id")
-          .as[(String, Long, Long)].collect()
-        Some((df.headOption.map(_._3).getOrElse(-1L),
-          df.iterator.map(r => r._1 -> r._2).toMap))
+          .as[(Option[String], Long, Long)].collect()
+        Some((rows.iterator.map(_._3).foldLeft(-1L)(math.max),
+          rows.iterator.collect { case (Some(k), c, _) => k -> c }.toMap))
       } else None
     val committed = prior.map(_._1).getOrElse(-1L)
     if (batchId <= committed) return // redelivered batch: fenced out
@@ -326,22 +353,28 @@ object StreamingJobs {
       .as[(String, Long)].collect().toMap
     val merged = graft.operators.HeavyHitters.mergeCounts(
       prior.map(_._2).getOrElse(Map.empty), batchCounts, capacity)
-    val outRows = merged.toSeq.map { case (k, c) => (k, c, batchId) }
+    val outRows = (None: Option[String], 0L, batchId) +:
+      merged.toSeq.map { case (k, c) => (Option(k), c, batchId) }
     graft.operators.StagedSwap.swap(fs, live, tmp, old)(dir =>
       outRows.toDF("item", "est_count", "batch_id")
         .coalesce(1).write.parquet(dir))
   }
 
   /** Current estimates off a [[heavyHittersOnArrival]] state path,
-    * heaviest first; recovers a crashed writer's rename window first. */
+    * heaviest first. Non-mutating crash-window tolerance via
+    * [[graft.operators.StagedSwap.readable]] — same race rationale as
+    * [[distinctEstimates]]. Filters out the fence sentinel row. */
   def heavyHitterEstimates(spark: SparkSession, statePath: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(statePath, "state")
-    graft.operators.StagedSwap.recover(fs, live,
+    val src = graft.operators.StagedSwap.readable(fs,
+      new org.apache.hadoop.fs.Path(statePath, "state"),
       new org.apache.hadoop.fs.Path(statePath, ".state_tmp"),
       new org.apache.hadoop.fs.Path(statePath, ".state_old"))
-    spark.read.parquet(live.toString)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no heavy-hitters state under $statePath"))
+    readState(spark, fs, src)
+      .filter(org.apache.spark.sql.functions.col("item").isNotNull)
       .select(org.apache.spark.sql.functions.col("item"),
         org.apache.spark.sql.functions.col("est_count"))
       .orderBy(org.apache.spark.sql.functions.col("est_count").desc,

@@ -82,7 +82,7 @@ class StreamingDistinctSpec extends SparkSpec {
       s"history lost: est=${est("k0")}, expected ~320")
   }
 
-  test("a read issued inside the rename window recovers the state itself") {
+  test("a read inside the rename window sees the state WITHOUT mutating it") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("sdist_read").toString
     val source = MemoryStream[(String, Long)]
@@ -98,12 +98,15 @@ class StreamingDistinctSpec extends SparkSpec {
     val live = new org.apache.hadoop.fs.Path(s"$dir/state", "state")
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/state", ".state_tmp")
     assert(fs.rename(live, tmp), "fixture: stage live aside as tmp")
-    // a reader with NO writer running must not see ENOENT: the complete
-    // state sits in tmp and distinctEstimates recovers it before reading
+    // a reader must not see ENOENT — the complete state sits in tmp —
+    // but it must also NOT run recover()'s renames: a reader racing a
+    // LIVE writer inside this exact window would steal the promote and
+    // crash the stream. Repair belongs to the single writer's restart.
     val est = StreamingJobs.distinctEstimates(spark, s"$dir/state")
       .as[(String, Long)].collect().toMap
     assert(math.abs(est("k0") - 250L) <= 13L,
-      s"read-side recover failed: est=${est.get("k0")}, expected ~250")
-    assert(fs.exists(live) && !fs.exists(tmp), "recover must promote tmp to live")
+      s"read-side tolerance failed: est=${est.get("k0")}, expected ~250")
+    assert(!fs.exists(live) && fs.exists(tmp),
+      "reader must leave the crashed directory untouched")
   }
 }

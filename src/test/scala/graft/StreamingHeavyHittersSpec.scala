@@ -88,7 +88,7 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     }
   }
 
-  test("a read inside the swap's rename window recovers the state itself") {
+  test("a read inside the swap's rename window sees the state without mutating it") {
     val dir = Files.createTempDirectory("shh_crash").toString
     StreamingJobs.foldHeavyHitters(Seq.fill(9)("z").toDF("item"), 0L,
       "item", 8, s"$dir/state")
@@ -100,11 +100,40 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     val est = StreamingJobs.heavyHitterEstimates(spark, s"$dir/state")
       .as[(String, Long)].collect().toSeq
     assert(est === Seq(("z", 9L)))
-    assert(fs.exists(live) && !fs.exists(tmp))
-    // and the next fold resumes from the recovered fence, not from scratch
+    // the reader must NOT repair the directory — a reader racing a live
+    // writer inside this window would otherwise steal the promote and
+    // crash the stream; repair belongs to the writer's own restart
+    assert(!fs.exists(live) && fs.exists(tmp),
+      "reader must leave the crashed directory untouched")
+    // the next FOLD (the writer) recovers, and resumes from the restored
+    // fence, not from scratch
     StreamingJobs.foldHeavyHitters(Seq.fill(2)("z").toDF("item"), 1L,
       "item", 8, s"$dir/state")
+    assert(fs.exists(live) && !fs.exists(tmp), "writer recover must repair")
     assert(StreamingJobs.heavyHitterEstimates(spark, s"$dir/state")
       .as[(String, Long)].collect().toSeq === Seq(("z", 11L)))
+  }
+
+  test("the fence survives an empty merged summary via the sentinel row") {
+    val dir = Files.createTempDirectory("shh_empty").toString
+    // batch 0 is EMPTY: zero data rows, but the sentinel must still pin
+    // committed = 0 so a redelivery of batch 0 stays fenced out
+    StreamingJobs.foldHeavyHitters(
+      Seq.empty[String].toDF("item"), 0L, "item", 8, s"$dir/state")
+    assert(StreamingJobs.heavyHitterEstimates(spark, s"$dir/state")
+      .as[(String, Long)].collect().isEmpty)
+    // redeliver batch 0 with DIFFERENT (poisoned) content — at-least-once
+    // redelivery replays the same batchId; the fence must drop it even
+    // though the state holds no data rows
+    StreamingJobs.foldHeavyHitters(
+      Seq.fill(5)("poison").toDF("item"), 0L, "item", 8, s"$dir/state")
+    assert(StreamingJobs.heavyHitterEstimates(spark, s"$dir/state")
+      .as[(String, Long)].collect().isEmpty,
+      "empty-state fence lost: redelivered batch was re-merged")
+    // a genuinely new batch still folds in
+    StreamingJobs.foldHeavyHitters(
+      Seq.fill(3)("a").toDF("item"), 1L, "item", 8, s"$dir/state")
+    assert(StreamingJobs.heavyHitterEstimates(spark, s"$dir/state")
+      .as[(String, Long)].collect().toSeq === Seq(("a", 3L)))
   }
 }
