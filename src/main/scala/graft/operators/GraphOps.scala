@@ -47,6 +47,47 @@ object GraphOps {
     closedTriangles(edges, srcCol, dstCol)
       .agg(count(lit(1)).as("n_triangles"))
 
+  /** Degree-capped triangle count — the skew-emergency variant of
+    * [[triangleCount]]: every node whose (deduplicated, undirected)
+    * degree exceeds `maxDegree` is REMOVED, with all its edges, before
+    * counting, and the count on the truncated graph is exact.
+    *
+    * Bias contract (deterministic, one-sided): the result counts exactly
+    * the triangles whose three corners ALL have degree ≤ `maxDegree` in
+    * the ORIGINAL graph — never more, never fewer — so it is a lower
+    * bound on the true total, and the gap is precisely the triangles
+    * touching a capped hub. No sampling, no variance: reruns agree
+    * bit-for-bit, and `maxDegree` ≥ the true max degree reproduces
+    * [[triangleCount]] exactly.
+    *
+    * When to reach for it: the exact algorithm's wedge stage is bounded
+    * by m^1.5 — intrinsic, but on a 100 TB graph whose top hubs are
+    * pathological (a null key, a bot account with 10⁸ edges) even that
+    * bound is an emergency. Capping first makes the wedge stage
+    * O(m·maxDegree) with a bias statement the analyst can reason about,
+    * which is the standard production escape hatch. The degree pass is
+    * one aggregation over the edge list; the filter is two broadcast-able
+    * (or shuffle) semi-joins on 8-byte node ids. */
+  def triangleCountCapped(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Int): DataFrame = {
+    require(maxDegree >= 1, s"maxDegree must be >= 1, got $maxDegree")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val keep = canon.select(col("u").as("node"))
+      .union(canon.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxDegree)
+      .select(col("node"))
+    val capped = canon
+      .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+      .select(col("u").as("src"), col("v").as("dst"))
+    triangleCount(capped, "src", "dst")
+  }
+
   /** The shared enumeration: one row (a, b, c) per triangle, each listed
     * exactly once at its degree-orientation apex. */
   private def closedTriangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {

@@ -1311,6 +1311,42 @@ object AdvancedQueries extends QueryModule {
       |JOIN pairs e2 ON e2.u = e1.v
       |JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin
 
+  /** Degree-capped triangle total — [[q170TriangleTotal]]'s skew escape
+    * hatch ([[graft.operators.GraphOps.triangleCountCapped]]): nodes
+    * with degree > 40 are removed with their edges before the exact
+    * count, turning the wedge stage's m^1.5 into O(m·cap) with a
+    * one-sided deterministic bias (counts exactly the triangles whose
+    * corners all have degree ≤ 40 — the documented lower bound). Unlike
+    * sampling estimators this is replayable, so the oracle recomputes the
+    * SAME truncated graph relationally and the count hash-matches;
+    * q170 remains the uncapped exact companion. */
+  private def q187TriangleCapped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
+    val edges = l.as("a").join(l.as("b"), col("a.l_orderkey") === col("b.l_orderkey")
+        && col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    graft.operators.GraphOps.triangleCountCapped(edges, "src", "dst", 40)
+  }
+
+  private val q187Sql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS d
+      |  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+      |  GROUP BY node),
+      |keep AS (SELECT node FROM deg WHERE d <= 40),
+      |capped AS (
+      |  SELECT u, v FROM pairs
+      |  WHERE u IN (SELECT node FROM keep) AND v IN (SELECT node FROM keep))
+      |SELECT COUNT(*) AS n_triangles
+      |FROM capped e1
+      |JOIN capped e2 ON e2.u = e1.v
+      |JOIN capped e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin
+
   /** Bounded BFS hop distances (north star): frontier-at-a-time search
     * (GraphOps.bfsDistances) from the lowest customer node over the
     * undirected co-purchase graph, 4 hops — the "how far does influence
@@ -1482,6 +1518,8 @@ object AdvancedQueries extends QueryModule {
       "degree-ordered triangle counts over the co-purchase graph vs naive triple-join oracle (north star)"),
     Q("q170_triangle_total", q170TriangleTotal, Some(q170Sql),
       "count-only triangle variant: no per-corner explode, scalar agg off the wedge join (north star)"),
+    Q("q187_triangle_capped", q187TriangleCapped, Some(q187Sql),
+      "degree-capped triangle total: deterministic lower bound, O(m*cap) wedge stage (north star)"),
     Q("q115_bfs_hops", q115BfsHops, Some(q115Sql),
       "bounded BFS hop distances vs recursive-CTE oracle (north star)"),
     Q("q42_collect_list", q42CollectList, Some(q42Sql), "grouped gather to sorted list (F16/F17)"),

@@ -1596,7 +1596,207 @@ object MiningQueries extends QueryModule {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** Window FRAME-clause catalogue — the companion to q181's function
+    * catalogue: running totals (`rows unbounded preceding`), a trailing
+    * 3-row moving sum/avg (`rows between 2 preceding and current row`),
+    * the peers-inclusive `range unbounded preceding` running total, a
+    * trailing-30-day `range` frame over epoch-microsecond order (q12's
+    * rolling machinery surfaced as plain SQL frames), and
+    * first/last/nth_value with explicit frames. Two window specs share
+    * ONE user_id exchange; the moving average is a single IEEE division
+    * of exact integers (never summed — the q85 quotient trap). */
+  private def q183WindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wRows = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val run = wRows.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val trail3 = wRows.rowsBetween(-2, 0)
+    val tail = wRows.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val full = wRows.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRange = Window.partitionBy($"o_custkey").orderBy($"us")
+    val peers = wRange.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val trail30d = wRange.rangeBetween(-30L * 86400L * 1000000L, 0L)
+    Tables.orders(spark, dir)
+      .filter($"o_custkey" < 50)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        graft.operators.TimeSeriesOps.eventMicros($"o_orderdate").as("us"),
+        ($"o_totalprice".cast(d4) * 10000).cast("long").as("pu"))
+      .select($"o_custkey", $"o_orderkey",
+        sum($"pu").over(run).as("run_units"),
+        sum($"pu").over(trail3).as("trail3_units"),
+        (sum($"pu").over(trail3).cast("double") /
+          count(lit(1)).over(trail3)).as("avg3"),
+        sum($"pu").over(peers).as("runpeer_units"),
+        sum($"pu").over(trail30d).as("trail30d_units"),
+        first($"pu").over(run).as("first_units"),
+        last($"pu").over(tail).as("last_units"),
+        coalesce(nth_value($"pu", 2).over(full), lit(-1L)).as("second_units"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  private val q183Sql =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    epoch_us(o_orderdate) AS us,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,4))*10000 AS BIGINT) AS pu
+      |  FROM orders WHERE o_custkey < 50)
+      |SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(pu) OVER (wr ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_units,
+      |  CAST(SUM(pu) OVER (wr ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail3_units,
+      |  CAST(SUM(pu) OVER (wr ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / COUNT(*) OVER (wr ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg3,
+      |  CAST(SUM(pu) OVER (wu RANGE UNBOUNDED PRECEDING) AS BIGINT) AS runpeer_units,
+      |  CAST(SUM(pu) OVER (wu RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail30d_units,
+      |  first_value(pu) OVER (wr ROWS UNBOUNDED PRECEDING) AS first_units,
+      |  last_value(pu) OVER (wr ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_units,
+      |  COALESCE(nth_value(pu, 2) OVER
+      |    (wr ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), -1) AS second_units
+      |FROM o
+      |WINDOW wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |       wu AS (PARTITION BY o_custkey ORDER BY us)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** The streaming-sessionizer oracle bridge:
+    * [[graft.streaming.StreamingSessions.batchSessionSummaries]] — the
+    * exact gaps-and-islands fold StreamingSessionsSpec uses as the
+    * transformWithState processor's reference — run over the events
+    * fixture at the same 30-minute gap and hash-checked against DuckDB.
+    * Closes the loop: the streaming contract (spec ≡ this fold) now
+    * inherits a driver-visible oracle. Break is diff > gap (the
+    * processor's merge test), deliberately distinct from q35's
+    * session_window exclusive close. */
+  private def q184SessionsBridge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"ts",
+        ($"value".cast(d4) * 10000).cast("long").as("vu"))
+      .as[graft.streaming.StreamingSessions.SessEvent]
+    graft.streaming.StreamingSessions.batchSessionSummaries(ev, 30L * 60000L)
+      .orderBy($"user_id", $"start_ms")
+  }
+
+  private val q184Sql =
+    """WITH marked AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms,
+      |    CAST(CAST(value AS DECIMAL(18,4))*10000 AS BIGINT) AS vu,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT user_id, ms, vu,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+      |                   ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM marked)
+      |SELECT user_id, MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+      |  COUNT(*) AS n_events, CAST(SUM(vu) AS BIGINT) AS value_units
+      |FROM sessions
+      |GROUP BY user_id, sess
+      |ORDER BY user_id, start_ms""".stripMargin
+
+  /** TPC-H Q1's FULL pricing summary — all eight aggregate columns
+    * (q1_agg carries the shape; this is fixture parity for the complete
+    * column list). sum_charge is the triple product
+    * extendedprice·(1−discount)·(1+tax): each factor on the d4 grid
+    * scales to integer units, the per-row product (≤ ~1.2e17) stays
+    * inside a long, the SUM rides DECIMAL(38,0), and the final dollars
+    * value is the correctly-rounded double of that exact integer divided
+    * by 1e12 — the same two roundings in both engines. One pushed-down
+    * scan, one two-phase aggregate over a 4-group key: the canonical
+    * map-side-combine plan at any scale. */
+  private def q185PricingFull(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val epu = ($"l_extendedprice".cast(d4) * 10000).cast("long")
+    val du = ($"l_discount".cast(d4) * 10000).cast("long")
+    val tu = ($"l_tax".cast(d4) * 10000).cast("long")
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .select($"l_returnflag", $"l_linestatus", $"l_quantity",
+        $"l_extendedprice", $"l_discount",
+        (epu * (lit(10000L) - du)).as("__dpu"),
+        (epu * (lit(10000L) - du) * (lit(10000L) + tu)).as("__cu"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        Exact.dsum($"l_quantity").as("sum_qty"),
+        Exact.dsum($"l_extendedprice").as("sum_base_price"),
+        (sum($"__dpu".cast(dec38)).cast("double") / 1e8).as("sum_disc_price"),
+        (sum($"__cu".cast(dec38)).cast("double") / 1e12).as("sum_charge"),
+        Exact.davg($"l_quantity").as("avg_qty"),
+        Exact.davg($"l_extendedprice").as("avg_price"),
+        Exact.davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  private val q185Sql = {
+    val epu = "CAST(CAST(l_extendedprice AS DECIMAL(18,4))*10000 AS BIGINT)"
+    val du = "CAST(CAST(l_discount AS DECIMAL(18,4))*10000 AS BIGINT)"
+    val tu = "CAST(CAST(l_tax AS DECIMAL(18,4))*10000 AS BIGINT)"
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Exact.sqlDsum("l_quantity")} AS sum_qty,
+       |  ${Exact.sqlDsum("l_extendedprice")} AS sum_base_price,
+       |  CAST(CAST(SUM($epu * (10000 - $du)) AS VARCHAR) AS DOUBLE) / 1e8 AS sum_disc_price,
+       |  CAST(CAST(SUM($epu * (10000 - $du) * (10000 + $tu)) AS VARCHAR) AS DOUBLE) / 1e12 AS sum_charge,
+       |  ${Exact.sqlDavg("l_quantity")} AS avg_qty,
+       |  ${Exact.sqlDavg("l_extendedprice")} AS avg_price,
+       |  ${Exact.sqlDavg("l_discount")} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  }
+
+  /** TPC-H Q16 shape — distinct-supplier counts by part attributes. No
+    * partsupp table in the fixture, so the part↔supplier relation is the
+    * DISTINCT (l_partkey, l_suppkey) pairs from lineitem; the
+    * "complaints" supplier exclusion becomes the negative-balance
+    * suppliers, removed by broadcast ANTI join BEFORE aggregation. The
+    * plan: part dim broadcast onto the fact pairs, then the single
+    * count(DISTINCT) — Spark's two-level aggregate (partial on
+    * group+suppkey, final on group), no Expand needed for one distinct
+    * column. Total order: supplier_cnt DESC then the unique
+    * (brand, type, size). */
+  private def q186SupplierParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey")
+    val badSupp = Tables.supplier(spark, dir)
+      .filter($"s_acctbal" < 0).select($"s_suppkey")
+    val parts = Tables.part(spark, dir)
+      .filter($"p_brand" =!= "Brand#5" && $"p_type" =!= "PROMO" &&
+        $"p_size".isin(1, 4, 9, 14, 19, 23, 36, 45))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    pairs
+      .join(broadcast(badSupp), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  private val q186Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q183_window_frames", q183WindowFrames, Some(q183Sql),
+      "window frame-clause catalogue: rows/range frames, moving sums, first/last/nth_value"),
+    Q("q184_sessions_bridge", q184SessionsBridge, Some(q184Sql),
+      "batch gaps-and-islands fold = the streaming sessionizer's spec reference, oracled"),
+    Q("q185_pricing_full", q185PricingFull, Some(q185Sql),
+      "TPC-H Q1 full eight-aggregate pricing summary incl. exact sum_charge"),
+    Q("q186_supplier_parts", q186SupplierParts, Some(q186Sql),
+      "TPC-H Q16 shape: distinct-supplier counts by part attributes, anti-joined exclusions"),
     Q("q181_window_suite", q181WindowSuite, Some(q181Sql),
       "rank/ntile/percent_rank/cume_dist/lag/lead catalogue over one window"),
     Q("q182_sql_surface", q182SqlSurface, Some(q182Sql),

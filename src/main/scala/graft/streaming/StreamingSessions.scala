@@ -103,6 +103,40 @@ object StreamingSessions {
     }
   }
 
+  /** The BATCH form of the same sessionization — classic gaps-and-islands
+    * over the full event set, emitting the identical [[SessionSummary]]
+    * shape. This is the streaming processor's ground truth: on in-order
+    * data every session the stream ever emits (by break or by timer) is a
+    * row of this frame, and q184 puts THIS function under the DuckDB
+    * oracle, so the streaming contract inherits a hash-checked reference.
+    *
+    * Semantics note: the break condition is `diff > gap` (an event
+    * exactly `gap` after the last one still MERGES), mirroring the
+    * processor's `ms - endMs <= gapMs` merge test — deliberately distinct
+    * from `session_window`'s exclusive close (diff >= gap breaks), which
+    * q35 oracles separately.
+    *
+    * Scale shape: one hash exchange on user_id + one sort per partition
+    * (the two window functions and the final aggregate all share it);
+    * equal-timestamp ties are safe because a 0 diff merges regardless of
+    * the tie order and min/max/count/sum are order-invariant. */
+  def batchSessionSummaries(events: Dataset[SessEvent], gapMs: Long): org.apache.spark.sql.DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy($"user_id").orderBy($"ms")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select($"user_id", unix_millis($"ts").as("ms"), $"vu")
+      .withColumn("brk",
+        when(lag($"ms", 1).over(w).isNull ||
+          $"ms" - lag($"ms", 1).over(w) > gapMs, 1).otherwise(0))
+      .withColumn("sess", sum($"brk").over(run))
+      .groupBy($"user_id", $"sess")
+      .agg(min($"ms").as("start_ms"), max($"ms").as("end_ms"),
+        count(lit(1)).as("n_events"), sum($"vu").as("value_units"))
+      .select($"user_id", $"start_ms", $"end_ms", $"n_events", $"value_units")
+  }
+
   /** Session summaries for `events` (caller supplies the watermark delay
     * that bounds disorder): Append-mode stream of closed sessions. */
   def sessionSummaries(events: Dataset[SessEvent], gapMs: Long,

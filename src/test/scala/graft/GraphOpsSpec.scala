@@ -54,6 +54,57 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.nonEmpty, "generated graph must actually contain triangles")
   }
 
+  private def cappedTotal(es: Seq[(Long, Long)], cap: Int): Long =
+    GraphOps.triangleCountCapped(edgesDf(es), "src", "dst", cap)
+      .collect().head.getLong(0)
+
+  test("capped triangle count: one-sided bias, exact when cap covers max degree") {
+    // K4 (nodes 1-4) + a hub (9) wired to 1..6: exact total = 4 K4
+    // triangles + 6 hub triangles (one per K4 edge... hub closes with
+    // each adjacent pair among 1-4 => C(4,2)=6). Degrees: hub 6,
+    // nodes 1-4 each 4, nodes 5-6 each 1.
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val hub = (1L to 6L).map(i => (9L, i))
+    val es = k4 ++ hub
+    val exact = GraphOps.triangleCount(edgesDf(es), "src", "dst")
+      .collect().head.getLong(0)
+    assert(exact === 10L)
+    // cap 4 removes ONLY the hub (degree 6): exactly the K4 triangles
+    // remain — the documented "all three corners <= cap" lower bound
+    assert(cappedTotal(es, 4) === 4L)
+    // cap 3 also removes nodes 1-4 (original degree 4, hub edges count):
+    // nothing left
+    assert(cappedTotal(es, 3) === 0L)
+    // cap >= true max degree reproduces the exact count bit-for-bit
+    assert(cappedTotal(es, 6) === exact)
+  }
+
+  test("capped count == naive count on the degree-filtered generated graph") {
+    val es = (for (i <- 0 until 600) yield {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"edge:$i".getBytes("UTF-8"))
+      val a = ((h(0) & 0x7f).toLong * 256 + (h(1) & 0xff)) % 60
+      val b = ((h(2) & 0x7f).toLong * 256 + (h(3) & 0xff)) % 60
+      (a, b)
+    }).filter { case (a, b) => a != b }
+    val canon = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val deg = canon.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size }
+    val cap = 12
+    val kept = canon.filter { case (a, b) => deg(a) <= cap && deg(b) <= cap }
+    val nodes = kept.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    var naive = 0L
+    for {
+      a <- nodes; b <- nodes if a < b && kept((a, b))
+      c <- nodes if b < c && kept((b, c)) && kept((a, c))
+    } naive += 1
+    val got = cappedTotal(es, cap)
+    assert(got === naive)
+    val exact = GraphOps.triangleCount(edgesDf(es), "src", "dst")
+      .collect().head.getLong(0)
+    assert(got < exact, "cap must actually bite on this graph")
+  }
+
   test("bfs on a chain: hop counts, depth bound, unreachable absent") {
     val chain = edgesDf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
     val got = GraphOps.bfsDistances(chain, "src", "dst",

@@ -344,4 +344,16 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       "in-cell reduction must be a partial+final aggregate")
   }
+
+  test("Q16 shape: single-column distinct agg plans two-level, dims broadcast, no Expand") {
+    val plan = planString(run("q186_supplier_parts"))
+    // one distinct column needs no Expand (the multi-distinct rewrite's
+    // row multiplier); the partial level keys on (group cols, suppkey)
+    assert(!plan.contains("Expand"),
+      "single count(DISTINCT) must not plan an Expand:\n" + plan.take(2000))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "distinct agg must be the two-level partial+final plan")
+    assert(plan.contains("BroadcastHashJoin"), "part dim + supplier anti must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "no shuffle join on the fact side")
+  }
 }

@@ -73,4 +73,54 @@ class SkewAndBucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_li_agg")
     }
   }
+
+  test("planted hot fact key: OptimizeSkewedJoin splits it, results == unskewed plan") {
+    // SURVEY §4.2 leans on AQE skew splitting as the 100x answer for
+    // ORDINARY equi-join skew (IntervalJoinSpec pins only the (key, bin)
+    // shape) — prove the plain-join path too: plant one fact key carrying
+    // ~100x the median partition's rows and assert (a) the adaptive plan
+    // marked the sort-merge join skew-split, (b) the result is
+    // bit-identical to the same join with AQE off.
+    //
+    // Shared data, built once; each session materializes its own frame
+    // (DataFrames are session-bound).
+    val factRows = (0 until 20000).map(i => (1L, i.toLong)) ++
+      (for (k <- 2 to 41; i <- 0 until 200) yield (k.toLong, i.toLong))
+    val dimRows = (1 to 41).flatMap(k => (0 until 3).map(j => (k.toLong, j.toLong)))
+
+    // newSession(): private SQLConf — aggressive skew thresholds must not
+    // leak into concurrently-running suites
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val skewed = {
+      import s.implicits._
+      s.createDataset(factRows).toDF("k", "i")
+        .join(s.createDataset(dimRows).toDF("dk", "j"), $"k" === $"dk")
+        .select($"k", $"i", $"j")
+    }
+    val got = skewed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val plan = skewed.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      "expected OptimizeSkewedJoin to split the hot fact key:\n" + plan.take(3000))
+
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val expected = {
+      import s2.implicits._
+      s2.createDataset(factRows).toDF("k", "i")
+        .join(s2.createDataset(dimRows).toDF("dk", "j"), $"k" === $"dk")
+        .select($"k", $"i", $"j")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    assert(got.length === expected.length, "skew split must not drop or duplicate rows")
+    assert(got.toSet === expected.toSet, "skew split must not change the result")
+  }
 }

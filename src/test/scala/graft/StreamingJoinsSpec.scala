@@ -141,4 +141,52 @@ class StreamingJoinsSpec extends SparkSpec {
       assert(users === Seq("u1"))
     } finally q.stop()
   }
+
+  test("stream-stream join checkpoint restart: buffered unmatched row survives, " +
+      "match delivered exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("ssj_ckpt").toString
+    val clicks = MemoryStream[(String, Timestamp)]
+    val buys = MemoryStream[(String, Timestamp)]
+    // the memory sink refuses checkpoint recovery; foreachBatch is the
+    // fault-tolerant collector a restartable test needs (the
+    // StreamingSessionsSpec restart pattern)
+    val emitted = scala.collection.mutable.ArrayBuffer[(String, Timestamp, Timestamp)]()
+    def startQuery() = StreamingJobs.streamStreamJoin(
+        clicks.toDF().toDF("user", "click_ts"),
+        buys.toDF().toDF("user", "buy_ts"),
+        "user", "click_ts", "buy_ts", withinMinutes = 30)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select("user", "click_ts", "buy_ts").collect()
+          .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
+        emitted.synchronized { emitted ++= rows }
+        ()
+      }.outputMode("append").start()
+
+    // run 1: u2's click matches immediately; u1's click stays BUFFERED
+    // unmatched inside the join's watermark-bounded state — after stop it
+    // lives only in the checkpoint
+    val q1 = startQuery()
+    try {
+      clicks.addData(("u1", ts("2024-01-01 10:00:00")),
+        ("u2", ts("2024-01-01 10:00:00")))
+      buys.addData(("u2", ts("2024-01-01 10:05:00")))
+      q1.processAllAvailable()
+      assert(emitted.synchronized(emitted.map(_._1).toSeq) === Seq("u2"),
+        "u1 must still be unmatched at stop time")
+    } finally q1.stop()
+
+    // run 2, same checkpoint: the restored state must deliver u1's match
+    // when its buy arrives — and must NOT replay u2's already-emitted row
+    val q2 = startQuery()
+    try {
+      buys.addData(("u1", ts("2024-01-01 10:10:00")))
+      q2.processAllAvailable()
+      val all = emitted.synchronized(emitted.toList)
+      assert(all.map(_._1).sorted === List("u1", "u2"),
+        s"exactly one match per user across the restart, got $all")
+      assert(all.find(_._1 == "u1").map(_._3.toString).contains("2024-01-01 10:10:00.0"))
+    } finally q2.stop()
+  }
 }

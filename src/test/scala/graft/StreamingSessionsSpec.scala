@@ -169,17 +169,12 @@ class StreamingSessionsSpec extends SparkSpec {
       t += rnd.nextInt(8) * 60000L + 1000L // 1s..7min steps: mixed gaps
       SessEvent(rnd.nextInt(3).toLong, new Timestamp(t), rnd.nextInt(10).toLong)
     }
-    // reference: per-user gaps-and-islands over the full ordered series
-    val expected = events.groupBy(_.user_id).flatMap { case (u, es) =>
-      val sorted = es.map(e => (e.ts.getTime, e.vu)).sortBy(_._1)
-      sorted.foldLeft(List.empty[SessionSummary]) {
-        case (acc, (ms, vu)) => acc match {
-          case h :: rest if ms - h.end_ms <= gapMs =>
-            SessionSummary(u, h.start_ms, ms, h.n_events + 1, h.value_units + vu) :: rest
-          case _ => SessionSummary(u, ms, ms, 1L, vu) :: acc
-        }
-      }
-    }.toSet
+    // reference: the BATCH gaps-and-islands fold — the same function q184
+    // runs over the events fixture under the DuckDB oracle, so this
+    // streaming contract inherits a driver-visible hash-checked reference
+    val expected = StreamingSessions
+      .batchSessionSummaries(events.toDS(), gapMs)
+      .as[SessionSummary].collect().toSet
 
     val source = MemoryStream[SessEvent]
     val out = StreamingSessions.sessionSummaries(
