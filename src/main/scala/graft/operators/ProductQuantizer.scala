@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the compressed-vector leg of the ANN
+  * family beside [[IvfIndex]] (partitioning) and Similarity's LSH
+  * (bucketing): split each D-dim vector into `m` contiguous subspaces of
+  * D/m dims, k-means each subspace independently, and store a vector as
+  * its `m` nearest-subcentroid POSITIONS (one small int per subspace —
+  * a 64-dim float vector becomes 8 bytes at k ≤ 256). Queries scan the
+  * codes with the asymmetric distance computation (ADC): per query, a
+  * per-subspace table of squared L2 distances to every subcentroid is
+  * computed ONCE (m·k·(D/m) work), and each corpus row then costs m
+  * table lookups instead of D multiplies.
+  *
+  * Scale story: the corpus-side artifact is (id, m small ints) — a
+  * 32-64x compression of the raw vectors — and the scan is a narrow
+  * map over it with the query tables riding a broadcast, so the 100 TB
+  * shape is "codes live in parquet, queries stream against them";
+  * composition INSIDE IVF lists (IVFADC) multiplies the two prunings.
+  * Training runs m bounded k-means jobs; at corpus scale PQ codebooks
+  * are fitted on a [[Sampling.hashSample]] (the standard practice — the
+  * codebook needs distribution coverage, not every row).
+  *
+  * Approximation contract (spec'd, PqSpec): ADC(q, x) equals EXACTLY
+  * Σ_s ‖q_s − c_{s,code_s(x)}‖² — the distance to x's reconstruction —
+  * so it is deterministic given the (deterministically seeded) model;
+  * ranking quality degrades gracefully with k and m, and the recall
+  * floor against exact brute force is asserted on clustered data.
+  *
+  * Reference family: Jégou, Douze, Schmid, "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011 (public).
+  */
+object ProductQuantizer {
+
+  /** Fit the per-subspace codebooks: `m` independent [[KMeans.fit]] runs
+    * over the vector slices. Output, one row per (subspace, cluster,
+    * dim): (subspace, cluster_id, dim, centroid, n_members), with `dim`
+    * LOCAL to the subspace (0 until D/m). Deterministic: KMeans seeds on
+    * the k lowest-id rows of each slice. */
+  def fit(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
+      iters: Int): DataFrame = {
+    val d = vectorDim(df, vecCol)
+    require(m >= 1 && d % m == 0,
+      s"subspace count $m must divide the vector dim $d")
+    val subDim = d / m
+    val v = col(vecCol).cast("array<double>")
+    (0 until m).map { s =>
+      val sub = df.select(col(idCol),
+        slice(v, s * subDim + 1, subDim).as("__sub"))
+      KMeans.fit(sub, idCol, "__sub", k, iters)
+        .withColumn("subspace", lit(s))
+        .select(col("subspace"), col("cluster_id"), col("dim"),
+          col("centroid"), col("n_members"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** The codebook as nested driver arrays: codebook(s)(j) is subspace
+    * s's j-th centroid (position order = ascending cluster_id; k-means
+    * clusters can vanish, so positions are dense even when cids gap).
+    * Parameter-bounded: m·k·(D/m) = k·D scalars. */
+  private[graft] def collectCodebook(model: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = model.select(col("subspace").cast("int"), col("cluster_id"),
+      col("dim"), col("centroid")).collect()
+    rows.groupBy(_.getInt(0)).toArray.sortBy(_._1).map { case (_, rs) =>
+      rs.groupBy(_.getLong(1)).toArray.sortBy(_._1).map { case (_, cs) =>
+        cs.sortBy(_.getLong(2)).map(_.getDouble(3))
+      }
+    }
+  }
+
+  /** Encode every vector as its `m` nearest-subcentroid positions —
+    * (idCol, codes Array[Int]). One codegen nearest-centroid kernel call
+    * per subspace per row, codebook inlined as plan literals: a narrow
+    * map, zero shuffle, zero join. */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+      model: DataFrame): DataFrame = {
+    val cb = collectCodebook(model)
+    val subDim = cb(0)(0).length
+    val v = col(vecCol).cast("array<double>")
+    val codes = cb.zipWithIndex.map { case (cents, s) =>
+      graft.functions.expressions.VectorExpressions.nearest_centroid_l2(
+        slice(v, s * subDim + 1, subDim), cents.map(_.toSeq).toSeq)
+    }
+    df.select(col(idCol), array(codes.map(_.cast("int")): _*).as("codes"))
+  }
+
+  /** ADC top-k: for each query row, the k nearest corpus codes by
+    * asymmetric distance, ties broken by id. The per-query distance
+    * tables are built as a COLUMN on the (small, broadcast) query side —
+    * m·k·(D/m) work once per query — and each (query, code) pair then
+    * costs m array lookups. Output: (query_id, rank, id, approx_dist).
+    *
+    * The query side is the bounded probe set (the q28 brute-force
+    * contract); the corpus side never shuffles — the only exchange is
+    * the final per-query top-k. */
+  def adcTopK(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      encoded: DataFrame, idCol: String, model: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = collectCodebook(model)
+    val subDim = cb(0)(0).length
+    val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val qTab = queries
+      .select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).cast("array<double>").as("__qv"))
+      .withColumn("__cb", cbLit)
+      .withColumn("__tab", expr(
+        s"""transform(__cb, (subcents, s) ->
+           |  transform(subcents, c ->
+           |    aggregate(sequence(0, ${subDim - 1}), cast(0.0 as double),
+           |      (acc, d) -> acc + pow(__qv[s * $subDim + d] - c[d], 2))))"""
+          .stripMargin))
+      .drop("__cb", "__qv")
+    val scored = encoded
+      .select(col(idCol).as("id"), col("codes").as("__codes"))
+      .crossJoin(broadcast(qTab))
+      .withColumn("approx_dist", expr(
+        s"""aggregate(sequence(0, ${cb.length - 1}), cast(0.0 as double),
+           |  (acc, s) -> acc + __tab[s][__codes[s]])""".stripMargin))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist").asc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("approx_dist"))
+  }
+
+  private def vectorDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+}

@@ -213,6 +213,26 @@ object SimilarityQueries extends QueryModule {
     * bounded sample-collection job, local Lloyd), `probe` scans only the
     * probed lists. No SQL oracle (iterative k-means); recall vs q28
     * asserted in IvfIndexSpec. */
+  /** Product-quantization ADC shortlist over the embeddings fixture
+    * ([[graft.operators.ProductQuantizer]]): 64-dim vectors → 8
+    * subspaces × 16 centroids → 8-code rows, asymmetric-distance top-5
+    * for the probe queries. Approximate by design → rows-only here; the
+    * ADC identity (distance ≡ distance-to-reconstruction), code-range,
+    * and shortlist-recall contracts are spec'd in PqSpec, and q28 is the
+    * hash-checked exact companion. */
+  private def q191PqTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.operators.ProductQuantizer.fit(
+      emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val codes = graft.operators.ProductQuantizer.encode(
+      emb, "vec_id", "embedding", model)
+    graft.operators.ProductQuantizer.adcTopK(
+        emb.filter($"vec_id" < 10), "vec_id", "embedding",
+        codes, "vec_id", model, k = 5)
+      .orderBy($"query_id", $"rank")
+  }
+
   private def q39IvfKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -644,6 +664,8 @@ object SimilarityQueries extends QueryModule {
       "L2 norms + int8 quantization summary (north star)"),
     Q("q39_ivf_knn", q39IvfKnn, None,
       "IVF-clustered ANN top-k at approximate nProbe (rows-only; machinery oracled via q70)"),
+    Q("q191_pq_topk", q191PqTopk, None,
+      "product-quantization ADC top-k shortlist (rows-only; ADC identity + shortlist recall in PqSpec, exact companion q28)"),
     Q("q69_lsh_ann_exact", q69LshAnnExact, Some(q69Sql),
       "LSH-ANN at saturating table count reproduces exact top-k (north star)"),
     // q70 deliberately SHARES q69Sql: both queries' claim is "≡ exact

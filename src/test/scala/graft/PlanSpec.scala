@@ -345,6 +345,16 @@ class PlanSpec extends SparkSpec {
       "in-cell reduction must be a partial+final aggregate")
   }
 
+  test("PQ ADC scan: query tables ride a broadcast; the only hash exchange keys on query_id") {
+    val plan = planString(run("q191_pq_topk"))
+    // the bounded query side broadcasts (an intentional nested-loop over
+    // the tiny probe set); the corpus codes must never sort-merge
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), "codes side must not shuffle for the join")
+    // the per-query top-k window is the single hash exchange
+    assert(plan.contains("hashpartitioning(query_id"), plan.take(2000))
+  }
+
   test("Q16 shape: single-column distinct agg plans two-level, dims broadcast, no Expand") {
     val plan = planString(run("q186_supplier_parts"))
     // one distinct column needs no Expand (the multi-distinct rewrite's

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ProductQuantizer
+
+/** Product quantization: codebook shape, the exact ADC identity
+  * (ADC(q,x) == distance to x's reconstruction), lossless encoding of
+  * vectors that ARE codebook concatenations, and the recall floor on
+  * clustered data. All fixtures are deterministic (hash-derived noise,
+  * seeded k-means), so every assertion is replayable. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic unit noise in [-amp, amp] from (tag, i, d). */
+  private def noise(tag: String, i: Int, d: Int, amp: Double): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$tag:$i:$d".getBytes("UTF-8"))
+    (((h(0) & 0xff) * 256 + (h(1) & 0xff)).toDouble / 65535.0 * 2 - 1) * amp
+  }
+
+  // 8 well-separated cluster centers in 16 dims; 200 corpus vectors
+  private val dim = 16
+  private def center(c: Int, d: Int): Double =
+    if (d % 8 == c % 8) 10.0 + c else 0.0
+  private def corpusVec(i: Int): Array[Double] = {
+    val c = i % 8
+    Array.tabulate(dim)(d => center(c, d) + noise("corpus", i, d, 0.05))
+  }
+  private lazy val corpus = (0 until 200)
+    .map(i => (i.toLong, corpusVec(i).toSeq)).toDF("vec_id", "embedding")
+  private lazy val model =
+    ProductQuantizer.fit(corpus, "vec_id", "embedding", m = 4, k = 8, iters = 3)
+
+  test("fit rejects a subspace count that does not divide the dim") {
+    intercept[IllegalArgumentException] {
+      ProductQuantizer.fit(corpus, "vec_id", "embedding", m = 5, k = 4, iters = 1)
+    }
+  }
+
+  test("codebook is m subspaces of k centroids of D/m dims; codes in range") {
+    val cb = ProductQuantizer.collectCodebook(model)
+    assert(cb.length === 4)
+    assert(cb.forall(_.length === 8), "every subspace keeps all 8 clusters")
+    assert(cb.forall(_.forall(_.length === 4)))
+    val codes = ProductQuantizer.encode(corpus, "vec_id", "embedding", model)
+      .select($"codes").as[Seq[Int]].collect()
+    assert(codes.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 8)))
+  }
+
+  test("ADC distance == exact distance to the reconstruction, and is exact " +
+      "for vectors that are codebook concatenations") {
+    val cb = ProductQuantizer.collectCodebook(model)
+    val subDim = dim / 4
+    val encoded = ProductQuantizer.encode(corpus, "vec_id", "embedding", model)
+    val queries = corpus.filter($"vec_id" < 3)
+    val got = ProductQuantizer.adcTopK(queries, "vec_id", "embedding",
+        encoded, "vec_id", model, k = 200)
+      .select($"query_id", $"id", $"approx_dist")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, i, dd) => (q, i) -> dd }.toMap
+    val codeMap = encoded.select($"vec_id", $"codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    val vecMap = (0 until 200).map(i => i.toLong -> corpusVec(i)).toMap
+    // the identity: ADC(q, x) == sum_s ||q_s - c_{s, code_s(x)}||^2
+    for (q <- 0L until 3L; x <- Seq(0L, 7L, 13L, 199L)) {
+      val expect = (0 until 4).map { s =>
+        val c = cb(s)(codeMap(x)(s))
+        (0 until subDim).map { d =>
+          val diff = vecMap(q)(s * subDim + d) - c(d); diff * diff
+        }.sum
+      }.sum
+      assert(math.abs(got((q, x)) - expect) < 1e-9,
+        s"ADC identity broken for query $q corpus $x")
+    }
+    // a query that IS its own reconstruction has ADC self-distance 0
+    val recon = (0 until 4).flatMap(s => cb(s)(codeMap(5L)(s))).toArray
+    val rq = Seq((999L, recon.toSeq)).toDF("vec_id", "embedding")
+    val self = ProductQuantizer.adcTopK(rq, "vec_id", "embedding",
+        encoded, "vec_id", model, k = 1)
+      .select($"id", $"approx_dist").as[(Long, Double)].head()
+    assert(self._2 < 1e-12, "reconstruction must be at ADC distance zero")
+  }
+
+  test("shortlist recall: exact top-10 is inside the ADC top-30 candidates") {
+    // the production PQ contract is shortlist-then-rerank: ADC cannot
+    // rank near-ties WITHIN a cluster (same-cluster members share codes,
+    // by design — the noise is exactly what quantization discards), but
+    // the shortlist it returns must contain the true neighbors for the
+    // exact rerank to find. 3x over-fetch, >= 0.9 shortlist recall.
+    val encoded = ProductQuantizer.encode(corpus, "vec_id", "embedding", model)
+    val queries = (0 until 5).map { i =>
+      val c = i % 8
+      (1000L + i, Array.tabulate(dim)(d => center(c, d) + noise("q", i, d, 0.05)).toSeq)
+    }
+    val got = ProductQuantizer.adcTopK(
+        queries.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        encoded, "vec_id", model, k = 30)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val vecMap = (0 until 200).map(i => i.toLong -> corpusVec(i)).toMap
+    val recalls = queries.map { case (qid, qv) =>
+      val exact = vecMap.toSeq.map { case (i, x) =>
+        i -> x.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sortBy { case (i, dd) => (dd, i) }.take(10).map(_._1).toSet
+      exact.intersect(got(qid)).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"mean shortlist recall $mean below 0.9 ($recalls)")
+  }
+}
