@@ -441,6 +441,28 @@ object StreamingJobs {
       .drop(r(key)) // keep one unambiguous copy of the join key
   }
 
+  /** LEFT OUTER stream-stream join — [[streamStreamJoin]]'s
+    * did-not-convert variant: every left row is emitted exactly once,
+    * WITH its match when one arrives inside the event-time window, or
+    * with nulls once the watermark proves no match can still arrive
+    * (left_ts + window + watermark delay all passed). The null rows are
+    * therefore emitted LATE by construction — they surface in the batch
+    * where state eviction runs, which is the correctness price of
+    * "unmatched" being a negative over an unbounded stream. State stays
+    * watermark-bounded on both sides, same as the inner form; the classic
+    * consumer is funnel abandonment (clicked, never bought). */
+  def streamStreamJoinOuter(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, withinMinutes: Int,
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $withinMinutes MINUTES"),
+      "left_outer")
+      .drop(r(key))
+  }
+
   /** T7/K10: query-lifecycle alerting — the DAG failure-callback as a
     * StreamingQueryListener. */
   final class AlertListener(hook: AlertHook, channel: String = "#alerts")

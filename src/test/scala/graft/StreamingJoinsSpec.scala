@@ -142,6 +142,42 @@ class StreamingJoinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LEFT OUTER stream-stream join: null row for the unmatched click at watermark expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(String, Timestamp)]
+    val buys = MemoryStream[(String, Timestamp)]
+    val joined = StreamingJobs.streamStreamJoinOuter(
+      clicks.toDF().toDF("user", "click_ts"),
+      buys.toDF().toDF("user", "buy_ts"),
+      "user", "click_ts", "buy_ts", withinMinutes = 30, watermark = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("abandoned")
+      .outputMode("append").start()
+    try {
+      clicks.addData(("u1", ts("2024-01-01 10:00:00")),
+        ("u2", ts("2024-01-01 10:00:00")))
+      buys.addData(("u1", ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      def rows() = spark.table("abandoned")
+        .select($"user", $"buy_ts".isNull.as("abandoned"))
+        .as[(String, Boolean)].collect().toSet
+      // u1 matched; u2 must NOT be emitted yet — a buy could still arrive
+      assert(rows() === Set(("u1", false)),
+        "unmatched row must not surface before its window provably closed")
+      // advance BOTH watermarks (global watermark = min of the inputs)
+      // past 10:30 + 1 min: u2's window is provably empty
+      clicks.addData(("w1", ts("2024-01-01 12:00:00")))
+      buys.addData(("w2", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // eviction may land one batch later — drive one more batch
+      clicks.addData(("w3", ts("2024-01-01 12:01:00")))
+      q.processAllAvailable()
+      val got = rows()
+      assert(got(("u2", true)), s"abandoned click must emit with nulls: $got")
+      assert(!got(("u1", true)), "the matched user must never get a null row")
+      assert(got.count(_._1 == "u2") === 1, "exactly one outer row")
+    } finally q.stop()
+  }
+
   test("stream-stream join checkpoint restart: buffered unmatched row survives, " +
       "match delivered exactly once") {
     implicit val sqlCtx = spark.sqlContext
