@@ -1788,101 +1788,6 @@ object MiningQueries extends QueryModule {
       |GROUP BY p_brand, p_type, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
-  /** TPC-H Q5 shape — local-supplier volume: revenue per nation in one
-    * region/year where the CUSTOMER's nation equals the SUPPLIER's
-    * nation. The locality test c_nationkey = s_nationkey is a residual
-    * on the fact-fact orderkey join, not an extra exchange: customers
-    * (with their nation key) broadcast onto orders, region-filtered
-    * suppliers broadcast onto lineitem, and the single shuffle is
-    * l_orderkey ⋈ o_orderkey. At 100 TB customer outgrows broadcast and
-    * becomes a custkey shuffle join — the plan shape otherwise holds. */
-  private def q188LocalVolume(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val asiaN = Tables.nation(spark, dir)
-      .filter($"n_regionkey" === 2).select($"n_nationkey", $"n_name")
-    val cust = Tables.customer(spark, dir)
-      .join(broadcast(asiaN.select($"n_nationkey")),
-        $"c_nationkey" === $"n_nationkey")
-      .select($"c_custkey", $"c_nationkey")
-    val ord = Tables.orders(spark, dir)
-      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
-        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
-      .select($"o_orderkey", $"c_nationkey")
-    val suppN = Tables.supplier(spark, dir)
-      .join(broadcast(asiaN), $"s_nationkey" === $"n_nationkey")
-      .select($"s_suppkey", $"s_nationkey", $"n_name")
-    Tables.lineitem(spark, dir)
-      .join(broadcast(suppN), $"l_suppkey" === $"s_suppkey")
-      .join(ord, $"l_orderkey" === $"o_orderkey")
-      .filter($"c_nationkey" === $"s_nationkey")
-      .groupBy($"n_name")
-      .agg(sum(revenueUnits.cast(dec38)).cast("long").as("revenue_units"))
-      .orderBy($"revenue_units".desc, $"n_name")
-  }
-
-  private val q188Sql =
-    s"""SELECT n_name,
-       |  CAST(SUM($revenueUnitsSql) AS BIGINT) AS revenue_units
-       |FROM customer
-       |JOIN orders ON c_custkey = o_custkey
-       |JOIN lineitem ON l_orderkey = o_orderkey
-       |JOIN supplier ON l_suppkey = s_suppkey
-       |JOIN nation ON s_nationkey = n_nationkey
-       |WHERE c_nationkey = s_nationkey
-       |  AND n_regionkey = 2
-       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
-       |  AND o_orderdate < TIMESTAMP '1997-01-01'
-       |GROUP BY n_name
-       |ORDER BY revenue_units DESC, n_name""".stripMargin
-
-  /** TPC-H Q7 shape — volume shipping between two nations, both
-    * directions, by ship year. Both nation dims broadcast; the
-    * direction disjunction is a residual after the orderkey join. */
-  private def q189NationVolume(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val twoN = Tables.nation(spark, dir)
-      .filter($"n_name".isin("NATION_2", "NATION_7"))
-      .select($"n_nationkey", $"n_name")
-    val cust = Tables.customer(spark, dir)
-      .join(broadcast(twoN), $"c_nationkey" === $"n_nationkey")
-      .select($"c_custkey", $"n_name".as("cust_nation"))
-    val ord = Tables.orders(spark, dir)
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
-      .select($"o_orderkey", $"cust_nation")
-    val supp = Tables.supplier(spark, dir)
-      .join(broadcast(twoN), $"s_nationkey" === $"n_nationkey")
-      .select($"s_suppkey", $"n_name".as("supp_nation"))
-    Tables.lineitem(spark, dir)
-      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
-        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
-      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
-      .join(ord, $"l_orderkey" === $"o_orderkey")
-      .filter(($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_7") ||
-        ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_2"))
-      .groupBy($"supp_nation", $"cust_nation",
-        year($"l_shipdate").cast("long").as("l_year"))
-      .agg(sum(revenueUnits.cast(dec38)).cast("long").as("revenue_units"))
-      .orderBy($"supp_nation", $"cust_nation", $"l_year")
-  }
-
-  private val q189Sql =
-    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-       |  year(l_shipdate) AS l_year,
-       |  CAST(SUM($revenueUnitsSql) AS BIGINT) AS revenue_units
-       |FROM lineitem
-       |JOIN orders ON l_orderkey = o_orderkey
-       |JOIN customer ON o_custkey = c_custkey
-       |JOIN supplier ON l_suppkey = s_suppkey
-       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
-       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-       |WHERE ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
-       |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2'))
-       |  AND l_shipdate >= TIMESTAMP '1996-01-01'
-       |  AND l_shipdate < TIMESTAMP '1998-01-01'
-       |GROUP BY 1, 2, 3
-       |ORDER BY 1, 2, 3""".stripMargin
-
   /** TPC-H Q2 shape — minimum-cost supplier per part in a region. No
     * partsupp table in the fixture, so the (part, supplier) supply cost
     * is the MIN observed line price in integer units over lineitem — a
@@ -1949,10 +1854,6 @@ object MiningQueries extends QueryModule {
       |LIMIT 100""".stripMargin
 
   val queries: Seq[Q] = Seq(
-    Q("q188_local_volume", q188LocalVolume, Some(q188Sql),
-      "TPC-H Q5 shape: same-nation customer/supplier revenue, locality residual on the fact join"),
-    Q("q189_nation_volume", q189NationVolume, Some(q189Sql),
-      "TPC-H Q7 shape: two-nation shipping volume by year, direction disjunction residual"),
     Q("q190_min_cost_supplier", q190MinCostSupplier, Some(q190Sql),
       "TPC-H Q2 shape: decorrelated per-part min-cost supplier, ties kept, TakeOrdered listing"),
     Q("q183_window_frames", q183WindowFrames, Some(q183Sql),
