@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two snapshots of the same
+  * feature — the aggregate-level companion to [[SnapshotDiff]] (row
+  * level) and [[Expectations]] (rule level): "did this column's SHAPE
+  * move since the baseline?", the gate a training-data pipeline runs
+  * before each refresh and a model-serving stack runs on its inputs.
+  *
+  * Design for exactness and scale:
+  *  - fixed equal-width bins over a CALLER-SUPPLIED [lo, hi) range —
+  *    deterministic bucketing with no rank pass (quantile bins would
+  *    cost a sort and make the baseline a moving target); out-of-range
+  *    rows land in the two open edge bins, so mass never silently
+  *    disappears;
+  *  - one partial+final count aggregate per side (map-side combined),
+  *    then a bounded nBins-row join — corpus-scale work is two scans,
+  *    driver/exchange work is parameter-bounded;
+  *  - per-bin statistics stay in EXACT integers (counts) plus
+  *    quotient doubles computed by the same correctly-rounded IEEE
+  *    operation sequence in any engine (divisions and comparisons only —
+  *    never a float sum, the cross-engine discipline of the oracle
+  *    suite). The chi-square-style contribution
+  *    (p_cur − p_base)² / (p_base + ε) is transcendental-free, so a
+  *    DuckDB oracle replays it bit for bit; PSI (which needs ln) is
+  *    deliberately NOT emitted here — rank/alert on the rational
+  *    statistic instead.
+  */
+object Drift {
+
+  /** Per-bin drift frame between `base` and `cur` on numeric `valueCol`:
+    * (bin, lo_edge, hi_edge, n_base, n_cur, p_base, p_cur, contrib,
+    * drifted). All `nBins` bins are present (empty ones with zero
+    * counts); bin 0 additionally absorbs values < lo and bin nBins-1
+    * values >= hi. `contrib` is (p_cur − p_base)²/(p_base + eps);
+    * `drifted` flags contrib > threshold. */
+  def binnedDrift(base: DataFrame, cur: DataFrame, valueCol: String,
+      nBins: Int, lo: Double, hi: Double,
+      threshold: Double = 0.01, eps: Double = 1e-9): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val spark = base.sparkSession
+    val width = (hi - lo) / nBins
+    def binOf(c: Column): Column =
+      least(greatest(floor((c - lo) / width).cast("long"), lit(0L)),
+        lit(nBins - 1L))
+    def sideCounts(df: DataFrame, out: String): DataFrame = df
+      .select(binOf(col(valueCol).cast("double")).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(out))
+    val bins = spark.range(0, nBins).select(col("id").as("bin"))
+    val joined = bins
+      .join(sideCounts(base, "n_base"), Seq("bin"), "left")
+      .join(sideCounts(cur, "n_cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        (lit(lo) + col("bin") * width).as("lo_edge"),
+        (lit(lo) + (col("bin") + 1) * width).as("hi_edge"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    // totals ride a scalar cross-join of ONE row (computed once, never a
+    // per-row recount); quotient math follows in a single projection
+    val totals = joined.agg(sum(col("n_base")).as("tot_base"),
+      sum(col("n_cur")).as("tot_cur"))
+    val pBase = col("n_base").cast("double") / col("tot_base").cast("double")
+    val pCur = col("n_cur").cast("double") / col("tot_cur").cast("double")
+    joined.crossJoin(broadcast(totals))
+      .withColumn("p_base", pBase)
+      .withColumn("p_cur", pCur)
+      .withColumn("contrib",
+        (col("p_cur") - col("p_base")) * (col("p_cur") - col("p_base")) /
+          (col("p_base") + lit(eps)))
+      .withColumn("drifted", col("contrib") > threshold)
+      .select("bin", "lo_edge", "hi_edge", "n_base", "n_cur",
+        "p_base", "p_cur", "contrib", "drifted")
+  }
+}

@@ -769,6 +769,49 @@ object AdvancedQueries extends QueryModule {
       |      FROM documents GROUP BY doc_id HAVING COUNT(*) > 1)
       |ORDER BY rule""".stripMargin
 
+  /** Distribution-drift gate ([[graft.operators.Drift.binnedDrift]]):
+    * order-value shape, pre-1998 baseline vs the 1998+ current window —
+    * the aggregate-level monitoring companion to q103's row-level diff.
+    * Exact integer bin counts; proportions, the chi-square-style
+    * contribution, and the drift flag are pure rational IEEE chains
+    * (divisions + comparisons, never a float sum, never a log), so
+    * DuckDB replays every double bit for bit. */
+  private def q192Drift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val cut = lit("1998-01-01").cast("timestamp")
+    graft.operators.Drift.binnedDrift(
+        orders.filter($"o_orderdate" < cut),
+        orders.filter($"o_orderdate" >= cut),
+        "o_totalprice", nBins = 20, lo = 0.0, hi = 500000.0)
+      .orderBy($"bin")
+  }
+
+  private val q192Sql = {
+    val pb = "CAST(n_base AS DOUBLE)/tb"
+    val pc = "CAST(n_cur AS DOUBLE)/tc"
+    s"""WITH b AS (
+       |  SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0)/25000.0) AS BIGINT), 0), 19) AS bin
+       |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+       |c AS (
+       |  SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0)/25000.0) AS BIGINT), 0), 19) AS bin
+       |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+       |bc AS (SELECT bin, COUNT(*) AS n_base FROM b GROUP BY bin),
+       |cc AS (SELECT bin, COUNT(*) AS n_cur FROM c GROUP BY bin),
+       |bins AS (SELECT range AS bin FROM range(0, 20)),
+       |j AS (
+       |  SELECT bins.bin, COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+       |  FROM bins LEFT JOIN bc ON bins.bin = bc.bin LEFT JOIN cc ON bins.bin = cc.bin),
+       |t AS (SELECT CAST(SUM(n_base) AS DOUBLE) AS tb, CAST(SUM(n_cur) AS DOUBLE) AS tc FROM j)
+       |SELECT bin, 0.0 + bin*25000.0 AS lo_edge, 0.0 + (bin+1)*25000.0 AS hi_edge,
+       |  n_base, n_cur,
+       |  $pb AS p_base, $pc AS p_cur,
+       |  ($pc - $pb)*($pc - $pb)/($pb + 1e-9) AS contrib,
+       |  ($pc - $pb)*($pc - $pb)/($pb + 1e-9) > 0.01 AS drifted
+       |FROM j CROSS JOIN t
+       |ORDER BY bin""".stripMargin
+  }
+
   /** Snapshot CDC diff: yesterday's documents dump vs a deterministic
     * "today" (drops every 10th doc, rewrites every 7th's lang, adds 20
     * fresh ids) classified into inserted/deleted/updated — one
@@ -1553,6 +1596,8 @@ object AdvancedQueries extends QueryModule {
       "point-in-time SCD2 dimension lookup via equi-join + interval residual"),
     Q("q102_expectations", q102Expectations, Some(q102Sql),
       "declarative data-quality gate: 5 rules, one pass, deterministic samples"),
+    Q("q192_drift_gate", q192Drift, Some(q192Sql),
+      "binned distribution-drift gate: exact counts, rational chi-square contributions"),
     Q("q103_snapshot_diff", q103SnapshotDiff, Some(q103Sql),
       "snapshot CDC: full-dump diff to inserted/deleted/updated via one full-outer join"),
     Q("q104_pagerank", q104PageRank, Some(q104Sql),

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Drift
+
+/** Drift.binnedDrift: exact bin accounting (incl. open edge bins and
+  * empty bins), the no-drift fixed point, a planted shift flagged in the
+  * right bins, and validation. */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(xs: Seq[Double]) = xs.toDF("v")
+
+  test("identical distributions: zero contribution, no flags, all bins present") {
+    val xs = (0 until 400).map(i => (i % 100).toDouble)
+    val out = Drift.binnedDrift(df(xs), df(xs), "v", nBins = 10, lo = 0.0, hi = 100.0)
+      .orderBy($"bin")
+      .select($"bin", $"n_base", $"n_cur", $"contrib", $"drifted")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(out.length === 10)
+    assert(out.forall { case (_, nb, nc, c, d) => nb == nc && nb == 40 && c == 0.0 && !d })
+  }
+
+  test("mass never disappears: out-of-range values land in the edge bins; empty bins emit zeros") {
+    val base = df(Seq(-5.0, 0.0, 55.0, 99.0, 250.0))
+    val cur = df(Seq(55.0))
+    val out = Drift.binnedDrift(base, cur, "v", nBins = 10, lo = 0.0, hi = 100.0)
+      .orderBy($"bin").select($"bin", $"n_base", $"n_cur")
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._2).sum === 5, "every base row binned, incl. -5 and 250")
+    assert(out.head === ((0L, 2L, 0L)), "-5 clamps into bin 0")
+    assert(out.last === ((9L, 2L, 0L)), "99 and 250 land in the top bin")
+    assert(out(5) === ((5L, 1L, 1L)))
+    assert(out(3) === ((3L, 0L, 0L)), "empty bins present with zero counts")
+  }
+
+  test("a planted shift flags the bins that gained or lost mass") {
+    val base = df((0 until 1000).map(i => (i % 50).toDouble))          // uniform [0,50)
+    val cur = df((0 until 1000).map(i => 50.0 + (i % 50).toDouble))    // uniform [50,100)
+    val out = Drift.binnedDrift(base, cur, "v", nBins = 4, lo = 0.0, hi = 100.0)
+      .orderBy($"bin").select($"bin", $"drifted").as[(Long, Boolean)].collect()
+    // bins 0-1 lost all mass (p_cur 0 vs 0.5 -> contrib ~0.5), bins 2-3
+    // gained everything (p_base ~ 0 -> contrib explodes past any threshold)
+    assert(out.forall(_._2), s"every quarter moved: $out")
+  }
+
+  test("per-bin probabilities sum to one on each side") {
+    val base = df((0 until 300).map(i => (i % 97).toDouble))
+    val cur = df((0 until 200).map(i => ((i * 7) % 89).toDouble))
+    val out = Drift.binnedDrift(base, cur, "v", nBins = 7, lo = 0.0, hi = 100.0)
+      .select($"p_base", $"p_cur").as[(Double, Double)].collect()
+    assert(math.abs(out.map(_._1).sum - 1.0) < 1e-12)
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-12)
+  }
+
+  test("validation: degenerate bins or range rejected") {
+    intercept[IllegalArgumentException] {
+      Drift.binnedDrift(df(Seq(1.0)), df(Seq(1.0)), "v", 1, 0.0, 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Drift.binnedDrift(df(Seq(1.0)), df(Seq(1.0)), "v", 4, 5.0, 5.0)
+    }
+  }
+}
