@@ -128,4 +128,70 @@ object ProductQuantizer {
 
   private def vectorDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
+
+  /** IVF-PQ composition: the ADC scan restricted to each query's
+    * `nProbe` nearest coarse cells, multiplying the two prunings — the
+    * coarse layer skips (nLists − nProbe)/nLists of the corpus, PQ
+    * compresses what remains 32-64×. The coarse quantizer is a
+    * [[KMeans]] model (SAME squared-L2 metric as ADC — partitioning and
+    * scoring agree, no cosine/L2 mismatch), assignment via
+    * [[KMeans.assign]]'s codegen kernel, probe ranking via one
+    * posexplode over the centroid literal. Codes quantize the RAW
+    * vectors (one codebook serves every cell), which buys the exact
+    * limit identity `nProbe = nLists ⇒ ≡ adcTopK` that PqSpec pins;
+    * classical residual encoding (PQ on x − centroid, one codebook per
+    * cell's residual space) is the documented refinement — it trades
+    * that identity for tighter cells.
+    *
+    * `indexed` is the corpus artifact: (idCol, codes, list_id) from
+    * [[encode]] + [[KMeans.assign]] — both narrow maps, built once,
+    * stored columnar. */
+  def ivfAdcTopK(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      indexed: DataFrame, idCol: String, model: DataFrame,
+      coarse: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val cb = collectCodebook(model)
+    val subDim = cb(0)(0).length
+    val d = cb.length * subDim
+    val cents = coarse.select(col("cluster_id"), col("dim"), col("centroid"))
+      .collect()
+      .groupBy(_.getLong(0)).toSeq.map { case (cid, rs) =>
+        (cid, rs.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq)
+      }.sortBy(_._1)
+    val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cd").asc, col("list_id").asc)
+    val probes = queries
+      .select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).cast("array<double>").as("__qv"))
+      .withColumn("__cb", cbLit)
+      .withColumn("__tab", expr(
+        s"""transform(__cb, (subcents, s) ->
+           |  transform(subcents, c ->
+           |    aggregate(sequence(0, ${subDim - 1}), cast(0.0 as double),
+           |      (acc, d) -> acc + pow(__qv[s * $subDim + d] - c[d], 2))))"""
+          .stripMargin))
+      .select(col("query_id"), col("__qv"), col("__tab"),
+        posexplode(typedlit(cents.map(_._2))).as(Seq("pos", "__c")))
+      .withColumn("list_id",
+        element_at(typedlit(cents.map(_._1)), col("pos") + 1))
+      .withColumn("__cd", expr(
+        s"""aggregate(sequence(0, ${d - 1}), cast(0.0 as double),
+           |  (acc, i) -> acc + pow(__qv[i] - __c[i], 2))""".stripMargin))
+      .withColumn("__rk", row_number().over(wq))
+      .filter(col("__rk") <= nProbe)
+      .select(col("query_id"), col("__tab"), col("list_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist").asc, col("id").asc)
+    indexed
+      .select(col(idCol).as("id"), col("codes").as("__codes"), col("list_id"))
+      .join(broadcast(probes), "list_id")
+      .withColumn("approx_dist", expr(
+        s"""aggregate(sequence(0, ${cb.length - 1}), cast(0.0 as double),
+           |  (acc, s) -> acc + __tab[s][__codes[s]])""".stripMargin))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("approx_dist"))
+  }
 }

@@ -233,6 +233,31 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"query_id", $"rank")
   }
 
+  /** IVF-PQ (IVFADC) over the embeddings fixture: coarse KMeans cells ×
+    * PQ codes — the two prunings multiplied, the 100 TB ANN shape
+    * (probe a fraction of cells, scan 8-byte codes). Approximate →
+    * rows-only; PqSpec pins the nProbe = nLists ⇒ ≡ plain-ADC limit
+    * identity and the sparse-probe shortlist floor; q28 is the exact
+    * companion. */
+  private def q193IvfAdcTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val pq = graft.operators.ProductQuantizer.fit(
+      emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val coarse = graft.operators.KMeans.fit(
+      emb, "vec_id", "embedding", k = 8, iters = 2)
+    val indexed = graft.operators.KMeans
+      .assign(graft.operators.ProductQuantizer
+        .encode(emb, "vec_id", "embedding", pq)
+        .join(emb, "vec_id"), "embedding", coarse)
+      .withColumnRenamed("cluster_id", "list_id")
+      .select($"vec_id", $"codes", $"list_id")
+    graft.operators.ProductQuantizer.ivfAdcTopK(
+        emb.filter($"vec_id" < 10), "vec_id", "embedding",
+        indexed, "vec_id", pq, coarse, k = 5, nProbe = 3)
+      .orderBy($"query_id", $"rank")
+  }
+
   private def q39IvfKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -666,6 +691,8 @@ object SimilarityQueries extends QueryModule {
       "IVF-clustered ANN top-k at approximate nProbe (rows-only; machinery oracled via q70)"),
     Q("q191_pq_topk", q191PqTopk, None,
       "product-quantization ADC top-k shortlist (rows-only; ADC identity + shortlist recall in PqSpec, exact companion q28)"),
+    Q("q193_ivfadc_topk", q193IvfAdcTopk, None,
+      "IVF-PQ composed pruning (rows-only; full-probe ≡ ADC limit identity in PqSpec, exact companion q28)"),
     Q("q69_lsh_ann_exact", q69LshAnnExact, Some(q69Sql),
       "LSH-ANN at saturating table count reproduces exact top-k (north star)"),
     // q70 deliberately SHARES q69Sql: both queries' claim is "≡ exact

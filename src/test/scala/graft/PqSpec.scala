@@ -82,6 +82,39 @@ class PqSpec extends SparkSpec {
     assert(self._2 < 1e-12, "reconstruction must be at ADC distance zero")
   }
 
+  test("IVFADC limit identity: nProbe = nLists reproduces plain ADC bit for bit") {
+    val coarse = graft.operators.KMeans.fit(corpus, "vec_id", "embedding",
+      k = 8, iters = 3)
+    val indexed = graft.operators.KMeans
+      .assign(ProductQuantizer.encode(corpus, "vec_id", "embedding", model)
+        .join(corpus, "vec_id"), "embedding", coarse)
+      .withColumnRenamed("cluster_id", "list_id")
+      .select($"vec_id", $"codes", $"list_id")
+    val queries = corpus.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"rank", $"id", $"approx_dist")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val full = rows(ProductQuantizer.adcTopK(
+      queries, "vec_id", "embedding", indexed, "vec_id", model, k = 7))
+    val ivfFull = rows(ProductQuantizer.ivfAdcTopK(
+      queries, "vec_id", "embedding", indexed, "vec_id", model, coarse,
+      k = 7, nProbe = 8))
+    assert(ivfFull === full,
+      "probing every cell must reduce IVFADC to the exact ADC scan")
+    // sparse probe on clustered data: the query's own cell is probed
+    // first, so the shortlist still contains the true neighbors
+    val sparse = rows(ProductQuantizer.ivfAdcTopK(
+      queries, "vec_id", "embedding", indexed, "vec_id", model, coarse,
+      k = 7, nProbe = 2))
+    val sparseSets = sparse.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val fullSets = full.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val overlap = fullSets.map { case (q, ids) =>
+      sparseSets(q).intersect(ids).size.toDouble / ids.size
+    }
+    assert(overlap.sum / overlap.size >= 0.8,
+      s"sparse-probe shortlist lost the clustered neighbors: $overlap")
+  }
+
   test("shortlist recall: exact top-10 is inside the ADC top-30 candidates") {
     // the production PQ contract is shortlist-then-rerank: ADC cannot
     // rank near-ties WITHIN a cluster (same-cluster members share codes,
