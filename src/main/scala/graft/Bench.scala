@@ -58,6 +58,13 @@ object Bench {
     // round-8 additions (clean r8 min-of-two)
     "q109_dsir_weights" -> 1.1,
     "q110_dsir_select" -> 2.7,
+    // round-10 additions, measured solo during a ~2x throttle phase
+    // (q1 canary read 0.43 vs ~0.2 clean) — likely tightenable. The PQ
+    // pair is driver-latency-bound (8 subspace k-means fits = 16 small
+    // jobs), not data-bound.
+    "q187_triangle_capped" -> 4.0,
+    "q191_pq_topk" -> 5.0,
+    "q193_ivfadc_topk" -> 5.5,
     "q111_containment" -> 3.2,
     "q112_char_entropy" -> 1.8,
     // round-8 late wave (clean min-of-two, isolated re-measures agreed;
