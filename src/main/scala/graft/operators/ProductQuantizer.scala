@@ -46,14 +46,23 @@ object ProductQuantizer {
       s"subspace count $m must divide the vector dim $d")
     val subDim = d / m
     val v = col(vecCol).cast("array<double>")
-    (0 until m).map { s =>
+    // the m subspace fits are INDEPENDENT small-job chains (each Lloyd
+    // round is one aggregate + a bounded collect); submitted
+    // sequentially they serialize m·iters driver round-trips, so run
+    // them as concurrent Spark jobs — results are deterministic either
+    // way, the scheduler just overlaps the round-trips
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fits = Future.traverse((0 until m).toList) { s => Future {
       val sub = df.select(col(idCol),
         slice(v, s * subDim + 1, subDim).as("__sub"))
       KMeans.fit(sub, idCol, "__sub", k, iters)
         .withColumn("subspace", lit(s))
         .select(col("subspace"), col("cluster_id"), col("dim"),
           col("centroid"), col("n_members"))
-    }.reduce(_.unionAll(_))
+    }}
+    Await.result(fits, Duration.Inf).reduce(_.unionAll(_))
   }
 
   /** The codebook as nested driver arrays: codebook(s)(j) is subspace
