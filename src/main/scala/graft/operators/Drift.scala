@@ -36,23 +36,46 @@ object Drift {
     * counts); bin 0 additionally absorbs values < lo and bin nBins-1
     * values >= hi. `contrib` is (p_cur − p_base)²/(p_base + eps);
     * `drifted` flags contrib > threshold. */
+  /** The clamped equal-width bin of `c` over [lo, hi) split `nBins`
+    * ways — the shared bucketing of the batch gate and the streaming
+    * histogram fold (they MUST agree, or streamed counts drift against
+    * the batch oracle). */
+  def binOf(c: Column, nBins: Int, lo: Double, hi: Double): Column = {
+    val width = (hi - lo) / nBins
+    least(greatest(floor((c - lo) / width).cast("long"), lit(0L)),
+      lit(nBins - 1L))
+  }
+
+  /** Per-bin exact counts of `valueCol` — one map-side-combined
+    * aggregate; bins with no rows are absent (callers densify). */
+  def binCounts(df: DataFrame, valueCol: String, nBins: Int, lo: Double,
+      hi: Double): DataFrame = df
+    .select(binOf(col(valueCol).cast("double"), nBins, lo, hi).as("bin"))
+    .groupBy("bin").agg(count(lit(1)).as("n"))
+
   def binnedDrift(base: DataFrame, cur: DataFrame, valueCol: String,
       nBins: Int, lo: Double, hi: Double,
       threshold: Double = 0.01, eps: Double = 1e-9): DataFrame = {
-    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     require(lo < hi, s"need lo < hi, got [$lo, $hi)")
-    val spark = base.sparkSession
+    driftFromCounts(
+      binCounts(base, valueCol, nBins, lo, hi).withColumnRenamed("n", "n_base"),
+      binCounts(cur, valueCol, nBins, lo, hi).withColumnRenamed("n", "n_cur"),
+      nBins, lo, hi, threshold, eps)
+  }
+
+  /** The drift frame from pre-aggregated per-bin counts — the join
+    * point for the streaming fold, whose state IS a (bin, n_cur) frame.
+    * Absent bins are treated as zero. */
+  def driftFromCounts(baseCounts: DataFrame, curCounts: DataFrame,
+      nBins: Int, lo: Double, hi: Double,
+      threshold: Double = 0.01, eps: Double = 1e-9): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val spark = baseCounts.sparkSession
     val width = (hi - lo) / nBins
-    def binOf(c: Column): Column =
-      least(greatest(floor((c - lo) / width).cast("long"), lit(0L)),
-        lit(nBins - 1L))
-    def sideCounts(df: DataFrame, out: String): DataFrame = df
-      .select(binOf(col(valueCol).cast("double")).as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as(out))
     val bins = spark.range(0, nBins).select(col("id").as("bin"))
     val joined = bins
-      .join(sideCounts(base, "n_base"), Seq("bin"), "left")
-      .join(sideCounts(cur, "n_cur"), Seq("bin"), "left")
+      .join(baseCounts.select(col("bin"), col("n_base")), Seq("bin"), "left")
+      .join(curCounts.select(col("bin"), col("n_cur")), Seq("bin"), "left")
       .select(col("bin"),
         (lit(lo) + col("bin") * width).as("lo_edge"),
         (lit(lo) + (col("bin") + 1) * width).as("hi_edge"),

@@ -381,6 +381,88 @@ object StreamingJobs {
         org.apache.spark.sql.functions.col("item"))
   }
 
+  /** Streaming histogram maintenance for the drift gate
+    * ([[graft.operators.Drift]]): per micro-batch, the batch's exact
+    * per-bin counts fold into the persisted cumulative histogram under
+    * the [[graft.operators.StagedSwap]] discipline. Counts ADD — the
+    * same exactly-once corner as [[heavyHittersOnArrival]]'s MG merge,
+    * the opposite of HLL's free replay — so the state carries the last
+    * folded batchId in an always-written sentinel row (bin = −1) and a
+    * redelivered batch is fenced out even when the state holds zero
+    * data rows. The bucketing is [[graft.operators.Drift.binOf]], the
+    * SAME expression the batch gate uses, so streamed counts are
+    * bit-identical to a batch recount of the union of all batches.
+    * Single-writer contract: one stream per statePath. */
+  def histogramOnArrival(stream: DataFrame, valueCol: String, nBins: Int,
+      lo: Double, hi: Double, statePath: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldHistogram(batch, batchId, valueCol, nBins, lo, hi, statePath)
+      }
+
+  /** One micro-batch fold — exposed for redelivery tests: calling it
+    * twice with the same batchId must leave the state bit-identical. */
+  private[graft] def foldHistogram(batch: DataFrame, batchId: Long,
+      valueCol: String, nBins: Int, lo: Double, hi: Double,
+      statePath: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(statePath, "state")
+    val tmp = new org.apache.hadoop.fs.Path(statePath, ".state_tmp")
+    val old = new org.apache.hadoop.fs.Path(statePath, ".state_old")
+    graft.operators.StagedSwap.recover(fs, live, tmp, old)
+    val prior: Option[(Long, Map[Long, Long])] =
+      if (fs.exists(live)) {
+        val rows = spark.read.parquet(live.toString)
+          .select($"bin", $"n", $"batch_id")
+          .as[(Long, Long, Long)].collect()
+        Some((rows.iterator.map(_._3).foldLeft(-1L)(math.max),
+          rows.iterator.collect { case (b, n, _) if b >= 0 => b -> n }.toMap))
+      } else None
+    if (batchId <= prior.map(_._1).getOrElse(-1L)) return // fenced out
+    val batchCounts = graft.operators.Drift
+      .binCounts(batch, valueCol, nBins, lo, hi)
+      .as[(Long, Long)].collect().toMap // ≤ nBins entries — param-bounded
+    val merged = (prior.map(_._2).getOrElse(Map.empty).keySet ++ batchCounts.keySet)
+      .toSeq.sorted.map { b =>
+        (b, prior.map(_._2).getOrElse(Map.empty).getOrElse(b, 0L) +
+          batchCounts.getOrElse(b, 0L), batchId)
+      }
+    val outRows = (-1L, 0L, batchId) +: merged
+    graft.operators.StagedSwap.swap(fs, live, tmp, old)(dir =>
+      outRows.toDF("bin", "n", "batch_id")
+        .coalesce(1).write.parquet(dir))
+  }
+
+  /** The drift frame of a [[histogramOnArrival]] state against a static
+    * baseline — [[graft.operators.Drift.driftFromCounts]] over the
+    * persisted cumulative counts. Non-mutating crash-window tolerance,
+    * same as the other estimate readers. */
+  def histogramDrift(spark: SparkSession, statePath: String,
+      baseline: DataFrame, valueCol: String, nBins: Int, lo: Double,
+      hi: Double, threshold: Double = 0.01, eps: Double = 1e-9): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = graft.operators.StagedSwap.readable(fs,
+      new org.apache.hadoop.fs.Path(statePath, "state"),
+      new org.apache.hadoop.fs.Path(statePath, ".state_tmp"),
+      new org.apache.hadoop.fs.Path(statePath, ".state_old"))
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no histogram state under $statePath"))
+    val cur = readState(spark, fs, src)
+      .filter(org.apache.spark.sql.functions.col("bin") >= 0)
+      .select(org.apache.spark.sql.functions.col("bin"),
+        org.apache.spark.sql.functions.col("n").as("n_cur"))
+    graft.operators.Drift.driftFromCounts(
+      graft.operators.Drift.binCounts(baseline, valueCol, nBins, lo, hi)
+        .withColumnRenamed("n", "n_base"),
+      cur, nBins, lo, hi, threshold, eps)
+  }
+
   case class CusumEvent(key: Long, ts: java.sql.Timestamp, tie: Long, v: Double)
   case class CusumAlarm(key: Long, rn: Long, vu: Long, cpos: Long,
       cneg: Long, alarm: Boolean)

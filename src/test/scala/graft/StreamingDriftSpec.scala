@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamingJobs
+
+/** Streaming histogram maintenance + drift-vs-baseline read: streamed
+  * cumulative counts ≡ a batch recount of the union, redelivery is
+  * fenced (incl. the empty-batch sentinel corner), and the drift frame
+  * off the state equals Drift.binnedDrift over the raw frames. */
+class StreamingDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed cumulative histogram == batch recount; drift frame matches the batch gate") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("sdrift").toString
+    val source = MemoryStream[Double]
+    val q = StreamingJobs.histogramOnArrival(
+      source.toDF().toDF("v"), "v", nBins = 5, lo = 0.0, hi = 100.0,
+      s"$dir/state", s"$dir/ckpt").start()
+    val b1 = (0 until 60).map(i => (i % 100).toDouble)
+    val b2 = (0 until 40).map(i => 120.0 - i) // incl. out-of-range > 100
+    try {
+      source.addData(b1: _*); q.processAllAvailable()
+      source.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val baseline = (0 until 100).map(_.toDouble).toDF("v")
+    val got = StreamingJobs.histogramDrift(spark, s"$dir/state",
+        baseline, "v", nBins = 5, lo = 0.0, hi = 100.0)
+      .orderBy($"bin")
+      .select($"bin", $"n_base", $"n_cur", $"p_cur", $"contrib", $"drifted")
+      .collect()
+    val expected = graft.operators.Drift.binnedDrift(
+        baseline, (b1 ++ b2).toDF("v"), "v", nBins = 5, lo = 0.0, hi = 100.0)
+      .orderBy($"bin")
+      .select($"bin", $"n_base", $"n_cur", $"p_cur", $"contrib", $"drifted")
+      .collect()
+    assert(got.toSeq === expected.toSeq,
+      "state-backed drift must equal the batch gate on the same data")
+    assert(got.map(_.getLong(2)).sum === 100L, "no mass lost across batches")
+  }
+
+  test("a redelivered batch is fenced; the fence survives an empty first batch") {
+    val dir = Files.createTempDirectory("sdrift_fence").toString
+    // batch 0 EMPTY: only the sentinel pins committed = 0
+    StreamingJobs.foldHistogram(Seq.empty[Double].toDF("v"), 0L,
+      "v", 4, 0.0, 40.0, s"$dir/state")
+    // redelivered batch 0 with poisoned content must be dropped
+    StreamingJobs.foldHistogram(Seq(5.0, 15.0, 25.0).toDF("v"), 0L,
+      "v", 4, 0.0, 40.0, s"$dir/state")
+    // a real batch folds; its redelivery is idempotent
+    StreamingJobs.foldHistogram(Seq(5.0, 5.0, 35.0).toDF("v"), 1L,
+      "v", 4, 0.0, 40.0, s"$dir/state")
+    StreamingJobs.foldHistogram(Seq(5.0, 5.0, 35.0).toDF("v"), 1L,
+      "v", 4, 0.0, 40.0, s"$dir/state")
+    val counts = StreamingJobs.histogramDrift(spark, s"$dir/state",
+        Seq(1.0).toDF("v"), "v", 4, 0.0, 40.0)
+      .orderBy($"bin").select($"n_cur").as[Long].collect().toSeq
+    assert(counts === Seq(2L, 0L, 0L, 1L),
+      s"fence failed: $counts (poison re-merge or double fold)")
+  }
+}
