@@ -126,6 +126,65 @@ object GraphOps {
       .select(col("a"), col("b"), col("c"))
   }
 
+  /** The k-core of the undirected graph — the maximal node set in which
+    * every member keeps at least `k` neighbors INSIDE the set — via
+    * iterative peeling: drop every node whose within-set degree is < k,
+    * recompute, repeat to fixpoint. The classic curation filter for
+    * "the dense interaction core" (spam/bot accounts and drive-by nodes
+    * peel off even when their raw degree is inflated, because their
+    * neighborhoods don't survive with them).
+    *
+    * Output: (node, core_degree) — each surviving node with its degree
+    * within the core. Deterministic (peeling is confluent: the order of
+    * removals never changes the fixpoint).
+    *
+    * Scale shape: each round is one degree aggregation over the
+    * symmetrized edge list plus two semi-joins on 8-byte ids — no
+    * payload ever shuffles; the edge frame is cached once. Rounds are
+    * data-bounded (≤ the peeling depth, usually a handful; a chain of
+    * length L attached to the core costs L rounds — the documented
+    * worst case) and `maxRounds` bounds them defensively; each round's
+    * one count() both materializes the frame and detects the fixpoint
+    * (alive shrinks monotonically, so count equality IS set equality). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val und = canon.union(canon.select(col("v"), col("u")))
+      .toDF("src", "dst").cache()
+    def coreDegrees(alive: DataFrame): DataFrame = und
+      .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+      .select(col("src").as("node"), col("core_degree"))
+    var alive = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= k).select(col("src").as("node")).cache()
+    var aliveCount = alive.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = coreDegrees(alive).filter(col("core_degree") >= k)
+        .select(col("node")).cache()
+      val nextCount = next.count()
+      converged = nextCount == aliveCount
+      alive.unpersist()
+      alive = next
+      aliveCount = nextCount
+      rounds += 1
+    }
+    // materialize the result before releasing the caches it reads
+    val out = coreDegrees(alive).orderBy(col("node")).cache()
+    out.count()
+    alive.unpersist()
+    und.unpersist()
+    out
+  }
+
   /** Hop distances from `sources` (a single-column frame of node ids)
     * over the DIRECTED edge frame, bounded at `maxDepth` rounds — callers
     * symmetrize the edge list for undirected semantics. Output: (node,

@@ -1396,6 +1396,50 @@ object AdvancedQueries extends QueryModule {
     * propagate" / neighborhood-expansion primitive. Oracle: a recursive
     * CTE with UNION (distinct) state dedup, MIN(d) per node — an
     * entirely different search formulation reaching the same frontier. */
+  /** k-core of the customer↔supplier co-purchase graph
+    * ([[graft.operators.GraphOps.kCore]], k = 40): the dense-commerce
+    * core a curation pass keeps when drive-by participants should fall
+    * away — peeling drops every node whose WITHIN-SET degree is < 40
+    * and iterates to fixpoint. The oracle unrolls six peel rounds
+    * relationally (the fixture graph converges in one; extra rounds are
+    * identity in both engines — the spec exercises deep multi-round
+    * peeling on crafted chains where the fixture cannot). */
+  private def q194KCore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    val l = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
+    val pairs = o.join(l, $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("cust"), ($"l_suppkey" + 1000000L).as("supp"))
+    graft.operators.GraphOps.kCore(pairs, "cust", "supp", k = 40)
+  }
+
+  private val q194Sql = {
+    def round(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT n.src AS node FROM und n
+         |  JOIN $prev x ON n.src = x.node
+         |  JOIN $prev y ON n.dst = y.node
+         |  GROUP BY n.src HAVING COUNT(*) >= 40)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |und AS (SELECT u AS src, v AS dst FROM e
+       |        UNION ALL SELECT v, u FROM e),
+       |a0 AS (SELECT src AS node FROM und GROUP BY src HAVING COUNT(*) >= 40),
+       |${round("a0", "a1")},
+       |${round("a1", "a2")},
+       |${round("a2", "a3")},
+       |${round("a3", "a4")},
+       |${round("a4", "a5")},
+       |${round("a5", "a6")}
+       |SELECT n.src AS node, COUNT(*) AS core_degree
+       |FROM und n
+       |JOIN a6 x ON n.src = x.node
+       |JOIN a6 y ON n.dst = y.node
+       |GROUP BY n.src
+       |ORDER BY node""".stripMargin
+  }
+
   private def q115BfsHops(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
@@ -1565,6 +1609,8 @@ object AdvancedQueries extends QueryModule {
       "degree-capped triangle total: deterministic lower bound, O(m*cap) wedge stage (north star)"),
     Q("q115_bfs_hops", q115BfsHops, Some(q115Sql),
       "bounded BFS hop distances vs recursive-CTE oracle (north star)"),
+    Q("q194_kcore", q194KCore, Some(q194Sql),
+      "k-core peeling to fixpoint: dense-commerce core with within-core degrees (north star)"),
     Q("q42_collect_list", q42CollectList, Some(q42Sql), "grouped gather to sorted list (F16/F17)"),
     Q("q41_sliding_windows", q41SlidingWindows, Some(q41Sql),
       "sliding 1d/6h windows (T9) vs lateral-series oracle"),

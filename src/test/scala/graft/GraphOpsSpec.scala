@@ -105,6 +105,60 @@ class GraphOpsSpec extends SparkSpec {
     assert(got < exact, "cap must actually bite on this graph")
   }
 
+  private def coreMap(es: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    GraphOps.kCore(edgesDf(es), "src", "dst", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("k-core: a dangling chain peels over multiple rounds, the clique survives") {
+    // K5 on 1-5, chain 1-6-7-8-9 dangling off node 1: with k=2 the chain
+    // peels one node per round from the tail (4 rounds), never touching
+    // the clique
+    val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val chain = Seq((1L, 6L), (6L, 7L), (7L, 8L), (8L, 9L))
+    val es = k5 ++ chain
+    assert(coreMap(es, 2) === (1L to 5L).map(_ -> 4L).toMap)
+    // k=4: exactly the clique, every member at degree 4
+    assert(coreMap(es, 4) === (1L to 5L).map(_ -> 4L).toMap)
+    // k=5: nothing survives
+    assert(coreMap(es, 5) === Map.empty)
+  }
+
+  test("k-core: within-set degree decides, not raw degree") {
+    // a star center has raw degree 6 but its leaves die at k=2, taking
+    // the center with them — the spam-account shape kCore exists to drop
+    val star = (2L to 7L).map(i => (1L, i))
+    assert(coreMap(star, 2) === Map.empty)
+    // attach a triangle: only it survives, the high-degree center peels
+    val es = star ++ Seq((10L, 11L), (11L, 12L), (10L, 12L))
+    assert(coreMap(es, 2) === Map(10L -> 2L, 11L -> 2L, 12L -> 2L))
+  }
+
+  test("k-core == driver-side peeling on a generated graph; normalization holds") {
+    val es = (for (i <- 0 until 500) yield {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"kcore:$i".getBytes("UTF-8"))
+      val a = ((h(0) & 0x7f).toLong * 256 + (h(1) & 0xff)) % 80
+      val b = ((h(2) & 0x7f).toLong * 256 + (h(3) & 0xff)) % 80
+      (a, b)
+    }).filter { case (a, b) => a != b }
+    // noisy variant: duplicates, reversals, self-loops must not change it
+    val noisy = es ++ es.take(50).map(_.swap) ++ Seq((3L, 3L))
+    val canon = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = canon.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val k = 7
+    var alive = adj.keySet
+    var changed = true
+    while (changed) {
+      val next = alive.filter(n => adj(n).count(alive) >= k)
+      changed = next.size != alive.size
+      alive = next
+    }
+    val expected = alive.map(n => n -> adj(n).count(alive).toLong).toMap
+    assert(coreMap(noisy, k) === expected)
+    assert(expected.nonEmpty, "fixture must have a non-trivial core")
+  }
+
   test("bfs on a chain: hop counts, depth bound, unreachable absent") {
     val chain = edgesDf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
     val got = GraphOps.bfsDistances(chain, "src", "dst",
