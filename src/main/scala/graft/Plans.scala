@@ -58,7 +58,11 @@ object Plans {
       "q171_ship_priority", "q172_forecast_revenue", "q173_market_share",
       "q174_profit_by_nation", "q175_late_pivot", "q176_order_distribution",
       "q177_promo_share", "q178_small_qty_revenue", "q179_big_orders",
-      "q180_disjunctive_revenue")
+      "q180_disjunctive_revenue",
+      "q183_window_frames", "q184_sessions_bridge", "q185_pricing_full",
+      "q186_supplier_parts", "q187_triangle_capped",
+      "q190_min_cost_supplier", "q191_pq_topk", "q192_drift_gate",
+      "q193_ivfadc_topk", "q194_kcore")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)
