@@ -138,6 +138,61 @@ object ProductQuantizer {
   private def vectorDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
 
+  /** Coarse centroids of a [[KMeans]] model frame as a cid→vector map
+    * literal (cluster ids can gap when cells vanish, so a positional
+    * array would mis-index). */
+  private def coarseMap(coarse: DataFrame): Column = {
+    val cents = coarse.select(col("cluster_id"), col("dim"), col("centroid"))
+      .collect()
+      .groupBy(_.getLong(0)).toSeq.map { case (cid, rs) =>
+        cid -> rs.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq
+      }.sortBy(_._1)
+    typedlit(cents.toMap)
+  }
+
+  /** Residual of `vecCol` against the row's assigned coarse centroid —
+    * x − c(cell(x)), the quantity classical IVFADC encodes. Expects the
+    * `cellCol` produced by [[KMeans.assign]]; a narrow zip_with over the
+    * centroid map literal, zero shuffle. */
+  private def residualCol(vecCol: String, cellCol: String,
+      coarse: DataFrame): Column =
+    zip_with(col(vecCol).cast("array<double>"),
+      element_at(coarseMap(coarse), col(cellCol)),
+      (a, b) => a - b)
+
+  /** Train the PQ codebooks on RESIDUALS x − c(cell(x)) — the classical
+    * IVFADC refinement: within a cell the residual distribution is
+    * tighter than the raw one, so the same (m, k) budget buys smaller
+    * quantization error. One SHARED residual codebook serves every cell
+    * (the Jégou et al. design — per-cell codebooks would cost
+    * nLists·k·D parameters and fragment the training sample). */
+  def fitResidual(df: DataFrame, idCol: String, vecCol: String,
+      coarse: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
+    val withCell = KMeans.assign(
+      df.select(col(idCol), col(vecCol)), vecCol, coarse)
+      .withColumn("__resid", residualCol(vecCol, "cluster_id", coarse))
+    fit(withCell, idCol, "__resid", m, k, iters)
+  }
+
+  /** Encode every vector as (idCol, codes, list_id) with codes
+    * quantizing the RESIDUAL against the assigned cell — the complete
+    * corpus-side IVFADC artifact in one pass (assignment kernel +
+    * residual zip_with + m nearest-subcentroid kernels, all narrow). */
+  def encodeResidual(df: DataFrame, idCol: String, vecCol: String,
+      coarse: DataFrame, model: DataFrame): DataFrame = {
+    val cb = collectCodebook(model)
+    val subDim = cb(0)(0).length
+    val codes = cb.zipWithIndex.map { case (cents, s) =>
+      graft.functions.expressions.VectorExpressions.nearest_centroid_l2(
+        slice(col("__resid"), s * subDim + 1, subDim),
+        cents.map(_.toSeq).toSeq).cast("int")
+    }
+    KMeans.assign(df.select(col(idCol), col(vecCol)), vecCol, coarse)
+      .withColumn("__resid", residualCol(vecCol, "cluster_id", coarse))
+      .select(col(idCol), array(codes.toIndexedSeq: _*).as("codes"),
+        col("cluster_id").as("list_id"))
+  }
+
   /** IVF-PQ composition: the ADC scan restricted to each query's
     * `nProbe` nearest coarse cells, multiplying the two prunings — the
     * coarse layer skips (nLists − nProbe)/nLists of the corpus, PQ
@@ -157,7 +212,31 @@ object ProductQuantizer {
     * stored columnar. */
   def ivfAdcTopK(queries: DataFrame, queryIdCol: String, queryVecCol: String,
       indexed: DataFrame, idCol: String, model: DataFrame,
-      coarse: DataFrame, k: Int, nProbe: Int): DataFrame = {
+      coarse: DataFrame, k: Int, nProbe: Int): DataFrame =
+    ivfAdc(queries, queryIdCol, queryVecCol, indexed, idCol, model, coarse,
+      k, nProbe, residual = false)
+
+  /** Residual-encoded IVFADC — the classical Jégou et al. refinement
+    * over [[ivfAdcTopK]]: the corpus artifact comes from
+    * [[encodeResidual]] (codes quantize x − c(cell(x)) against the
+    * [[fitResidual]] codebook), and each probe's distance table is
+    * built from the query's OWN residual against that cell, q − c —
+    * per-(query, cell) table work is nProbe·k·D, still bounded on the
+    * broadcast side. Within a cell residuals are tighter than raw
+    * vectors, so the same (m, k) budget yields smaller quantization
+    * error (PqSpec pins reconstruction improving and the recall floor);
+    * the price is the raw-codes variant's exact full-probe ≡ plain-ADC
+    * identity, which residual codes trade away by construction. */
+  def ivfAdcTopKResidual(queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, indexed: DataFrame, idCol: String,
+      model: DataFrame, coarse: DataFrame, k: Int, nProbe: Int): DataFrame =
+    ivfAdc(queries, queryIdCol, queryVecCol, indexed, idCol, model, coarse,
+      k, nProbe, residual = true)
+
+  private def ivfAdc(queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, indexed: DataFrame, idCol: String,
+      model: DataFrame, coarse: DataFrame, k: Int, nProbe: Int,
+      residual: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val cb = collectCodebook(model)
@@ -169,19 +248,21 @@ object ProductQuantizer {
         (cid, rs.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq)
       }.sortBy(_._1)
     val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    // the table's reference vector: the raw query, or — residual form —
+    // the query minus the PROBED cell's centroid (so the table must be
+    // built after cell selection, once per (query, probed cell))
+    val tabOf = (v: String) => expr(
+      s"""transform(__cb, (subcents, s) ->
+         |  transform(subcents, c ->
+         |    aggregate(sequence(0, ${subDim - 1}), cast(0.0 as double),
+         |      (acc, d) -> acc + pow($v[s * $subDim + d] - c[d], 2))))"""
+        .stripMargin)
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("__cd").asc, col("list_id").asc)
-    val probes = queries
+    val cells = queries
       .select(col(queryIdCol).as("query_id"),
         col(queryVecCol).cast("array<double>").as("__qv"))
-      .withColumn("__cb", cbLit)
-      .withColumn("__tab", expr(
-        s"""transform(__cb, (subcents, s) ->
-           |  transform(subcents, c ->
-           |    aggregate(sequence(0, ${subDim - 1}), cast(0.0 as double),
-           |      (acc, d) -> acc + pow(__qv[s * $subDim + d] - c[d], 2))))"""
-          .stripMargin))
-      .select(col("query_id"), col("__qv"), col("__tab"),
+      .select(col("query_id"), col("__qv"),
         posexplode(typedlit(cents.map(_._2))).as(Seq("pos", "__c")))
       .withColumn("list_id",
         element_at(typedlit(cents.map(_._1)), col("pos") + 1))
@@ -190,6 +271,14 @@ object ProductQuantizer {
            |  (acc, i) -> acc + pow(__qv[i] - __c[i], 2))""".stripMargin))
       .withColumn("__rk", row_number().over(wq))
       .filter(col("__rk") <= nProbe)
+    val probes = (if (residual)
+        cells.withColumn("__rv",
+            zip_with(col("__qv"), col("__c"), (a, b) => a - b))
+          .withColumn("__cb", cbLit)
+          .withColumn("__tab", tabOf("__rv"))
+      else
+        cells.withColumn("__cb", cbLit)
+          .withColumn("__tab", tabOf("__qv")))
       .select(col("query_id"), col("__tab"), col("list_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_dist").asc, col("id").asc)

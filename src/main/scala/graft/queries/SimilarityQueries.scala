@@ -258,6 +258,27 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Residual-encoded IVFADC — q193's classical refinement: the PQ
+    * codebook is fitted on x − c(cell(x)) and each probe's distance
+    * table is built from the query's residual against that cell.
+    * Tighter reconstruction for the same (m, k) budget (PqSpec pins
+    * residual error < raw error and the shortlist recall floor);
+    * rows-only like its siblings, exact companion q28. */
+  private def q195IvfAdcResidual(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val coarse = graft.operators.KMeans.fit(
+      emb, "vec_id", "embedding", k = 8, iters = 2)
+    val pq = graft.operators.ProductQuantizer.fitResidual(
+      emb, "vec_id", "embedding", coarse, m = 8, k = 16, iters = 2)
+    val indexed = graft.operators.ProductQuantizer.encodeResidual(
+      emb, "vec_id", "embedding", coarse, pq)
+    graft.operators.ProductQuantizer.ivfAdcTopKResidual(
+        emb.filter($"vec_id" < 10), "vec_id", "embedding",
+        indexed, "vec_id", pq, coarse, k = 5, nProbe = 3)
+      .orderBy($"query_id", $"rank")
+  }
+
   private def q39IvfKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -693,6 +714,8 @@ object SimilarityQueries extends QueryModule {
       "product-quantization ADC top-k shortlist (rows-only; ADC identity + shortlist recall in PqSpec, exact companion q28)"),
     Q("q193_ivfadc_topk", q193IvfAdcTopk, None,
       "IVF-PQ composed pruning (rows-only; full-probe ≡ ADC limit identity in PqSpec, exact companion q28)"),
+    Q("q195_ivfadc_residual", q195IvfAdcResidual, None,
+      "residual-encoded IVFADC (rows-only; residual error < raw error pinned in PqSpec, exact companion q28)"),
     Q("q69_lsh_ann_exact", q69LshAnnExact, Some(q69Sql),
       "LSH-ANN at saturating table count reproduces exact top-k (north star)"),
     // q70 deliberately SHARES q69Sql: both queries' claim is "≡ exact

@@ -115,6 +115,60 @@ class PqSpec extends SparkSpec {
       s"sparse-probe shortlist lost the clustered neighbors: $overlap")
   }
 
+  test("residual encoding: tighter reconstruction than raw codes, recall floor holds") {
+    val coarse = graft.operators.KMeans.fit(corpus, "vec_id", "embedding",
+      k = 8, iters = 3)
+    // raw-codes artifact (the q193 path)
+    val rawIndexed = graft.operators.KMeans
+      .assign(ProductQuantizer.encode(corpus, "vec_id", "embedding", model)
+        .join(corpus, "vec_id"), "embedding", coarse)
+      .withColumnRenamed("cluster_id", "list_id")
+      .select($"vec_id", $"codes", $"list_id")
+    // residual artifact: codebook fitted on x - c(cell(x))
+    val residModel = ProductQuantizer.fitResidual(
+      corpus, "vec_id", "embedding", coarse, m = 4, k = 8, iters = 3)
+    val residIndexed = ProductQuantizer.encodeResidual(
+      corpus, "vec_id", "embedding", coarse, residModel)
+    // self-distance = quantization (reconstruction) error: querying each
+    // vector against its own code, nProbe 1 hits its own cell
+    def selfErr(res: org.apache.spark.sql.DataFrame): Double = {
+      val m = res.filter($"query_id" === $"id")
+        .select($"approx_dist").as[Double].collect()
+      assert(m.length === 200, "every vector must find its own code")
+      m.sum / m.length
+    }
+    // k = full corpus: same-cluster rows share codes, so the self row can
+    // tie arbitrarily deep — filter it out of the full ranking instead
+    val rawErr = selfErr(ProductQuantizer.ivfAdcTopK(
+      corpus, "vec_id", "embedding", rawIndexed, "vec_id", model, coarse,
+      k = 200, nProbe = 1))
+    val residErr = selfErr(ProductQuantizer.ivfAdcTopKResidual(
+      corpus, "vec_id", "embedding", residIndexed, "vec_id", residModel,
+      coarse, k = 200, nProbe = 1))
+    assert(residErr < rawErr,
+      s"residual codes must reconstruct tighter: $residErr vs raw $rawErr")
+    // shortlist recall: exact top-10 inside residual-IVFADC top-30 at
+    // a 2-of-8 probe
+    val queries = (0 until 5).map { i =>
+      val c = i % 8
+      (1000L + i, Array.tabulate(dim)(d => center(c, d) + noise("q", i, d, 0.05)).toSeq)
+    }
+    val got = ProductQuantizer.ivfAdcTopKResidual(
+        queries.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        residIndexed, "vec_id", residModel, coarse, k = 30, nProbe = 2)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val vecMap = (0 until 200).map(i => i.toLong -> corpusVec(i)).toMap
+    val recalls = queries.map { case (qid, qv) =>
+      val exact = vecMap.toSeq.map { case (i, x) =>
+        i -> x.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sortBy { case (i, dd) => (dd, i) }.take(10).map(_._1).toSet
+      exact.intersect(got(qid)).size / 10.0
+    }
+    assert(recalls.sum / recalls.length >= 0.9,
+      s"residual shortlist recall below 0.9: $recalls")
+  }
+
   test("shortlist recall: exact top-10 is inside the ADC top-30 candidates") {
     // the production PQ contract is shortlist-then-rerank: ADC cannot
     // rank near-ties WITHIN a cluster (same-cluster members share codes,
