@@ -485,4 +485,51 @@ object Sampling {
       .limit(k)
       .select(outCols.map(col): _*)
   }
+
+  /** Temperature-based source balancing (the UniMax / α-sampling
+    * mixture every LLM data pipeline runs): per-stratum mass m_i (an
+    * integral weight column, summed exactly), sampling share
+    * p_i ∝ m_i^α, and the per-stratum row budget ⌊p_i · budget⌋. α < 1
+    * flattens the natural distribution toward uniform (α = 0 IS
+    * uniform, α = 1 is proportional — no rebalancing), which is how a
+    * giant web crawl is kept from drowning small high-quality sources.
+    *
+    * Determinism discipline: the share denominator Σ m_j^α is a SUM OF
+    * DOUBLES, so it is computed as a running total over the stratum's
+    * lexicographic order and read back as max(cumulative) — every
+    * engine adds in the same order, so the shares are bit-reproducible
+    * (the float-sum trap, solved by ordering instead of decimal
+    * routing, which powers of non-grid doubles preclude). α = 0.5 runs
+    * on `sqrt` (correctly rounded per IEEE 754 — oracle-safe); other α
+    * use `pow`, which is libm-dependent and therefore spec'd, not
+    * oracled. Output: (stratum, mass, share, target_rows), one row per
+    * stratum — parameter-bounded, orderable by the caller. */
+  def temperatureShares(df: DataFrame, stratumCol: String,
+      weightCol: String, alpha: Double, budget: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha $alpha outside [0, 1]")
+    require(budget >= 0, s"budget must be nonnegative, got $budget")
+    df.schema(weightCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"temperatureShares needs an integral weight column, got $weightCol: ${other.simpleString}")
+    }
+    val powered =
+      if (alpha == 0.5) sqrt(col("mass").cast("double"))
+      else if (alpha == 0.0) lit(1.0)
+      else if (alpha == 1.0) col("mass").cast("double")
+      else pow(col("mass").cast("double"), alpha)
+    val wRun = Window.orderBy(col("stratum"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("stratum"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(col(weightCol).cast("long")).as("mass"))
+      .withColumn("__s", powered)
+      .withColumn("__cum", sum(col("__s")).over(wRun))
+      .withColumn("share", col("__s") / max(col("__cum")).over(wAll))
+      .withColumn("target_rows",
+        floor(col("share") * budget).cast("long"))
+      .select(col("stratum"), col("mass"), col("share"), col("target_rows"))
+  }
 }

@@ -773,6 +773,39 @@ object TextQueries extends QueryModule {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  /** Temperature-balanced source mixture (north star):
+    * [[graft.operators.Sampling.temperatureShares]] at α = 0.5 over
+    * per-source character mass — the UniMax-style flattening that keeps
+    * a dominant crawl from drowning small sources. α = 0.5 rides sqrt
+    * (correctly rounded per IEEE — oracle-safe where a general pow is
+    * libm-dependent), and the share denominator is a RUNNING total over
+    * the sources' lexicographic order read back as max(cumulative), so
+    * both engines add the doubles in the same order and every share
+    * hash-matches bit for bit. */
+  private def q196TempMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Sampling.temperatureShares(
+        Tables.documents(spark, dir), "source", "n_chars",
+        alpha = 0.5, budget = 100000L)
+      .orderBy($"stratum")
+  }
+
+  private val q196Sql =
+    """WITH m AS (
+      |  SELECT source AS stratum, CAST(SUM(n_chars) AS BIGINT) AS mass
+      |  FROM documents GROUP BY source),
+      |s AS (
+      |  SELECT stratum, mass, sqrt(CAST(mass AS DOUBLE)) AS w,
+      |    SUM(sqrt(CAST(mass AS DOUBLE))) OVER
+      |      (ORDER BY stratum ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM m),
+      |t AS (SELECT stratum, mass, w,
+      |        MAX(cum) OVER () AS total FROM s)
+      |SELECT stratum, mass, w / total AS share,
+      |  CAST(FLOOR(w / total * 100000) AS BIGINT) AS target_rows
+      |FROM t
+      |ORDER BY stratum""".stripMargin
+
   /** Epoch-based mixture upsampling (north star): run zh for 2.5 epochs
     * (every doc twice, a deterministic 25%-of-2.5 hash subset a third
     * time), downsample de to 0.25, leave the rest at 1 — the DoReMi-style
@@ -2122,6 +2155,8 @@ object TextQueries extends QueryModule {
       "per-doc n-gram repetition signals via row-local count table (north star)"),
     Q("q50_stratified", q50Stratified, Some(q50Sql),
       "stratified corpus balancing by portable hash thresholds (north star)"),
+    Q("q196_temp_mixture", q196TempMixture, Some(q196Sql),
+      "temperature (alpha=0.5) source-balancing shares with ordered-sum determinism (north star)"),
     Q("q80_epoch_mix", q80EpochMix, Some(q80Sql),
       "epoch-based mixture upsampling: row-local replication vs generate_series oracle (north star)"),
     Q("q83_head_sample", q83HeadSample, Some(q83Sql),

@@ -394,4 +394,34 @@ class SamplingSpec extends SparkSpec {
       Sampling.epochMixture(docs, "doc_id", "lang", Map.empty, defaultEpochs = Double.NaN)
     }
   }
+
+  test("temperatureShares: alpha endpoints, flattening monotonicity, validation") {
+    val rows = Seq(("big", 900L), ("big", 100L), ("mid", 90L), ("tiny", 10L))
+      .toDF("src", "w")
+    def shares(alpha: Double): Map[String, Double] =
+      Sampling.temperatureShares(rows, "src", "w", alpha, budget = 1000L)
+        .select($"stratum", $"share").as[(String, Double)].collect().toMap
+    // alpha = 1: proportional to mass (1000, 90, 10 of 1100)
+    val s1 = shares(1.0)
+    assert(math.abs(s1("big") - 1000.0 / 1100) < 1e-12)
+    // alpha = 0: uniform regardless of mass
+    val s0 = shares(0.0)
+    assert(s0.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12))
+    // alpha = 0.5 flattens: the dominant source gives up share, the tiny
+    // one gains — and the shares still sum to 1
+    val s5 = shares(0.5)
+    assert(s5("big") < s1("big") && s5("tiny") > s1("tiny"))
+    assert(math.abs(s5.values.sum - 1.0) < 1e-12)
+    // budgets: floor(share * budget), never exceeding the budget in sum
+    val t = Sampling.temperatureShares(rows, "src", "w", 0.5, budget = 1000L)
+      .select($"target_rows").as[Long].collect()
+    assert(t.sum <= 1000L && t.forall(_ >= 0L))
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureShares(rows, "src", "w", 1.5, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureShares(rows.withColumn("w", $"w".cast("double")),
+        "src", "w", 0.5, 10L)
+    }
+  }
 }
