@@ -85,8 +85,13 @@ object Drift {
     // per-row recount); quotient math follows in a single projection
     val totals = joined.agg(sum(col("n_base")).as("tot_base"),
       sum(col("n_cur")).as("tot_cur"))
-    val pBase = col("n_base").cast("double") / col("tot_base").cast("double")
-    val pCur = col("n_cur").cast("double") / col("tot_cur").cast("double")
+    // an EMPTY side would make every proportion 0/0 = NaN, and Spark
+    // orders NaN above any double — every bin would silently flag as
+    // drifted; an empty snapshot means "no evidence", so its shares are 0
+    val pBase = when(col("tot_base") === 0, lit(0.0))
+      .otherwise(col("n_base").cast("double") / col("tot_base").cast("double"))
+    val pCur = when(col("tot_cur") === 0, lit(0.0))
+      .otherwise(col("n_cur").cast("double") / col("tot_cur").cast("double"))
     joined.crossJoin(broadcast(totals))
       .withColumn("p_base", pBase)
       .withColumn("p_cur", pCur)

@@ -52,6 +52,17 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(out.map(_._2).sum - 1.0) < 1e-12)
   }
 
+  test("an empty snapshot yields zero shares, never NaN flags") {
+    val out = Drift.binnedDrift(df(Seq.empty), df(Seq(5.0, 15.0)), "v",
+        nBins = 4, lo = 0.0, hi = 40.0)
+      .select($"p_base", $"contrib", $"drifted")
+      .as[(Double, Double, Boolean)].collect()
+    assert(out.forall { case (pb, c, _) => !pb.isNaN && !c.isNaN })
+    // drift IS flagged where current mass appeared against zero baseline
+    // evidence — by the contribution formula, not by NaN ordering
+    assert(out.count(_._3) === 2)
+  }
+
   test("validation: degenerate bins or range rejected") {
     intercept[IllegalArgumentException] {
       Drift.binnedDrift(df(Seq(1.0)), df(Seq(1.0)), "v", 1, 0.0, 1.0)
