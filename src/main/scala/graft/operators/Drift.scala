@@ -63,6 +63,62 @@ object Drift {
       nBins, lo, hi, threshold, eps)
   }
 
+  /** Categorical drift between two snapshots of a string column — the
+    * language-mix / source-mix / label-mix monitoring companion to the
+    * numeric [[binnedDrift]]: the top `maxCategories` categories by
+    * COMBINED count (ties broken by category, so the set is
+    * deterministic) keep their identity, everything else folds into
+    * `__other`, and the same exact-count + rational-contribution
+    * machinery applies. A category present on only one side simply has
+    * zero count on the other — the ε in the contribution keeps the
+    * quotient finite, and a brand-new category's contribution explodes
+    * past any threshold, which is the alert a mix shift deserves.
+    * Output: (category, n_base, n_cur, p_base, p_cur, contrib, drifted),
+    * ≤ maxCategories + 1 rows — parameter-bounded. */
+  def categoricalDrift(base: DataFrame, cur: DataFrame, valueCol: String,
+      maxCategories: Int = 50,
+      threshold: Double = 0.01, eps: Double = 1e-9): DataFrame = {
+    require(maxCategories >= 1,
+      s"maxCategories must be >= 1, got $maxCategories")
+    def counts(df: DataFrame, out: String): DataFrame = df
+      .select(coalesce(col(valueCol).cast("string"), lit("__null")).as("category"))
+      .groupBy("category").agg(count(lit(1)).as(out))
+    val b = counts(base, "n_base")
+    val c = counts(cur, "n_cur")
+    val combined = b.join(c, Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    // deterministic head set: top maxCategories by combined mass, ties
+    // by category string — a TakeOrdered, never a full sort
+    val head = combined
+      .orderBy((col("n_base") + col("n_cur")).desc, col("category").asc)
+      .limit(maxCategories)
+      .select(col("category"))
+    val folded = combined
+      .join(broadcast(head.withColumn("__keep", lit(true))), Seq("category"), "left")
+      .select(
+        when(col("__keep"), col("category")).otherwise(lit("__other")).as("category"),
+        col("n_base"), col("n_cur"))
+      .groupBy("category")
+      .agg(sum(col("n_base")).as("n_base"), sum(col("n_cur")).as("n_cur"))
+    val totals = folded.agg(sum(col("n_base")).as("tot_base"),
+      sum(col("n_cur")).as("tot_cur"))
+    val pBase = when(col("tot_base") === 0, lit(0.0))
+      .otherwise(col("n_base").cast("double") / col("tot_base").cast("double"))
+    val pCur = when(col("tot_cur") === 0, lit(0.0))
+      .otherwise(col("n_cur").cast("double") / col("tot_cur").cast("double"))
+    folded.crossJoin(broadcast(totals))
+      .withColumn("p_base", pBase)
+      .withColumn("p_cur", pCur)
+      .withColumn("contrib",
+        (col("p_cur") - col("p_base")) * (col("p_cur") - col("p_base")) /
+          (col("p_base") + lit(eps)))
+      .withColumn("drifted", col("contrib") > threshold)
+      .select("category", "n_base", "n_cur", "p_base", "p_cur",
+        "contrib", "drifted")
+  }
+
   /** The drift frame from pre-aggregated per-bin counts — the join
     * point for the streaming fold, whose state IS a (bin, n_cur) frame.
     * Absent bins are treated as zero. */

@@ -812,6 +812,55 @@ object AdvancedQueries extends QueryModule {
        |ORDER BY bin""".stripMargin
   }
 
+  /** Categorical drift gate ([[graft.operators.Drift.categoricalDrift]]):
+    * language-mix comparison between the even- and odd-id halves of the
+    * documents corpus, with maxCategories = 3 chosen BELOW the five
+    * fixture languages so the deterministic head-set selection (top by
+    * combined mass, ties by category) and the `__other` fold are both
+    * under the hash. Same rational-arithmetic discipline as q192. */
+  private def q197CatDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    graft.operators.Drift.categoricalDrift(
+        docs.filter($"doc_id" % 2 === 0),
+        docs.filter($"doc_id" % 2 === 1),
+        "lang", maxCategories = 3)
+      .orderBy($"category")
+  }
+
+  private val q197Sql = {
+    val pb = "CASE WHEN tot_base = 0 THEN 0.0 ELSE CAST(n_base AS DOUBLE)/CAST(tot_base AS DOUBLE) END"
+    val pc = "CASE WHEN tot_cur = 0 THEN 0.0 ELSE CAST(n_cur AS DOUBLE)/CAST(tot_cur AS DOUBLE) END"
+    s"""WITH b AS (
+       |  SELECT COALESCE(CAST(lang AS VARCHAR), '__null') AS category,
+       |    COUNT(*) AS n_base
+       |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+       |c AS (
+       |  SELECT COALESCE(CAST(lang AS VARCHAR), '__null') AS category,
+       |    COUNT(*) AS n_cur
+       |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+       |comb AS (
+       |  SELECT COALESCE(b.category, c.category) AS category,
+       |    COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+       |  FROM b FULL OUTER JOIN c ON b.category = c.category),
+       |head AS (
+       |  SELECT category FROM comb
+       |  ORDER BY (n_base + n_cur) DESC, category LIMIT 3),
+       |folded AS (
+       |  SELECT CASE WHEN category IN (SELECT category FROM head)
+       |           THEN category ELSE '__other' END AS category,
+       |    SUM(n_base) AS n_base, SUM(n_cur) AS n_cur
+       |  FROM comb GROUP BY 1),
+       |t AS (SELECT SUM(n_base) AS tot_base, SUM(n_cur) AS tot_cur FROM folded)
+       |SELECT category, CAST(n_base AS BIGINT) AS n_base,
+       |  CAST(n_cur AS BIGINT) AS n_cur,
+       |  $pb AS p_base, $pc AS p_cur,
+       |  ($pc - $pb)*($pc - $pb)/($pb + 1e-9) AS contrib,
+       |  ($pc - $pb)*($pc - $pb)/($pb + 1e-9) > 0.01 AS drifted
+       |FROM folded CROSS JOIN t
+       |ORDER BY category""".stripMargin
+  }
+
   /** Snapshot CDC diff: yesterday's documents dump vs a deterministic
     * "today" (drops every 10th doc, rewrites every 7th's lang, adds 20
     * fresh ids) classified into inserted/deleted/updated — one
@@ -1644,6 +1693,8 @@ object AdvancedQueries extends QueryModule {
       "declarative data-quality gate: 5 rules, one pass, deterministic samples"),
     Q("q192_drift_gate", q192Drift, Some(q192Sql),
       "binned distribution-drift gate: exact counts, rational chi-square contributions"),
+    Q("q197_cat_drift", q197CatDrift, Some(q197Sql),
+      "categorical mix drift: deterministic head set + __other fold, rational contributions"),
     Q("q103_snapshot_diff", q103SnapshotDiff, Some(q103Sql),
       "snapshot CDC: full-dump diff to inserted/deleted/updated via one full-outer join"),
     Q("q104_pagerank", q104PageRank, Some(q104Sql),

@@ -63,6 +63,38 @@ class DriftSpec extends SparkSpec {
     assert(out.count(_._3) === 2)
   }
 
+  test("categorical drift: head set deterministic, __other folds, new category flags") {
+    val base = Seq.fill(50)("en") ++ Seq.fill(30)("de") ++ Seq.fill(10)("fr") ++
+      Seq.fill(5)("es") ++ Seq.fill(5)("zh")
+    val cur = Seq.fill(50)("en") ++ Seq.fill(30)("de") ++ Seq.fill(10)("fr") ++
+      Seq.fill(10)("ko") // es/zh gone, ko appeared
+    val out = Drift.categoricalDrift(
+        base.toDF("lang"), cur.toDF("lang"), "lang", maxCategories = 3)
+      .orderBy($"category")
+      .select($"category", $"n_base", $"n_cur", $"drifted")
+      .as[(String, Long, Long, Boolean)].collect()
+    // head = top-3 by combined mass: en, de, fr; the rest (es, zh, ko)
+    // folds into __other
+    assert(out.map(_._1).toSeq === Seq("__other", "de", "en", "fr"))
+    assert(out.find(_._1 == "__other").get._2 === 10L) // es+zh
+    assert(out.find(_._1 == "__other").get._3 === 10L) // ko
+    // stable mix: the named categories must not flag
+    assert(!out.filter(_._1 != "__other").exists(_._4))
+    // a brand-new category against zero baseline evidence must flag hard
+    val out2 = Drift.categoricalDrift(
+        Seq.fill(100)("en").toDF("lang"),
+        (Seq.fill(80)("en") ++ Seq.fill(20)("ko")).toDF("lang"),
+        "lang", maxCategories = 5)
+      .select($"category", $"drifted").as[(String, Boolean)].collect().toMap
+    assert(out2("ko"), "unseen category must flag")
+    // nulls bucket as __null rather than vanishing
+    val out3 = Drift.categoricalDrift(
+        Seq[Option[String]](Some("en"), None, None).toDF("lang"),
+        Seq[Option[String]](Some("en")).toDF("lang"), "lang")
+      .select($"category", $"n_base").as[(String, Long)].collect().toMap
+    assert(out3("__null") === 2L)
+  }
+
   test("validation: degenerate bins or range rejected") {
     intercept[IllegalArgumentException] {
       Drift.binnedDrift(df(Seq(1.0)), df(Seq(1.0)), "v", 1, 0.0, 1.0)

@@ -345,6 +345,22 @@ class PlanSpec extends SparkSpec {
       "in-cell reduction must be a partial+final aggregate")
   }
 
+  test("drift gate: two partial+final count aggregates, bounded joins broadcast, no sort-merge") {
+    val plan = planString(run("q192_drift_gate"))
+    assert(!plan.contains("SortMergeJoin"),
+      "the nBins-row joins must broadcast:\n" + plan.take(2000))
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "each side's bin count must be a two-phase (map-side combined) aggregate")
+  }
+
+  test("sessions bridge: windows and the session aggregate share one user exchange") {
+    val plan = planString(run("q184_sessions_bridge"))
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"gaps-and-islands must reuse ONE user_id exchange, found $exchanges:\n" +
+        plan.take(2000))
+  }
+
   test("PQ ADC scan: query tables ride a broadcast; the only hash exchange keys on query_id") {
     val plan = planString(run("q191_pq_topk"))
     // the bounded query side broadcasts (an intentional nested-loop over
