@@ -237,9 +237,20 @@ object ProductQuantizer {
       queryVecCol: String, indexed: DataFrame, idCol: String,
       model: DataFrame, coarse: DataFrame, k: Int, nProbe: Int,
       residual: Boolean): DataFrame = {
+    val cb = collectCodebook(model)
+    scoreAgainst(indexed, idCol,
+      probeFrame(queries, queryIdCol, queryVecCol, cb, coarse, nProbe,
+        residual),
+      cb.length, k)
+  }
+
+  /** The (query, probed cell) frame with per-pair ADC tables:
+    * (query_id, __tab, list_id). */
+  private def probeFrame(queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, cb: Array[Array[Array[Double]]],
+      coarse: DataFrame, nProbe: Int, residual: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
-    val cb = collectCodebook(model)
     val subDim = cb(0)(0).length
     val d = cb.length * subDim
     val cents = coarse.select(col("cluster_id"), col("dim"), col("centroid"))
@@ -271,7 +282,7 @@ object ProductQuantizer {
            |  (acc, i) -> acc + pow(__qv[i] - __c[i], 2))""".stripMargin))
       .withColumn("__rk", row_number().over(wq))
       .filter(col("__rk") <= nProbe)
-    val probes = (if (residual)
+    (if (residual)
         cells.withColumn("__rv",
             zip_with(col("__qv"), col("__c"), (a, b) => a - b))
           .withColumn("__cb", cbLit)
@@ -280,16 +291,106 @@ object ProductQuantizer {
         cells.withColumn("__cb", cbLit)
           .withColumn("__tab", tabOf("__qv")))
       .select(col("query_id"), col("__tab"), col("list_id"))
+  }
+
+  /** Broadcast-join the probe tables onto the codes and keep the top k
+    * per query by asymmetric distance, ties by id. */
+  private def scoreAgainst(indexed: DataFrame, idCol: String,
+      probes: DataFrame, m: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_dist").asc, col("id").asc)
     indexed
       .select(col(idCol).as("id"), col("codes").as("__codes"), col("list_id"))
       .join(broadcast(probes), "list_id")
       .withColumn("approx_dist", expr(
-        s"""aggregate(sequence(0, ${cb.length - 1}), cast(0.0 as double),
+        s"""aggregate(sequence(0, ${m - 1}), cast(0.0 as double),
            |  (acc, s) -> acc + __tab[s][__codes[s]])""".stripMargin))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id"), col("approx_dist"))
+  }
+
+  /** Persist an IVFADC index: the coarse model, the PQ codebook, the
+    * list-partitioned codes, and a one-row meta (the residual flag — a
+    * probe MUST build its tables in the same space the codes quantize).
+    * Codes are the only corpus-sized artifact: (id, m small ints),
+    * partitioned by cell so probes prune non-probed files at planning
+    * time. Mirrors [[IvfIndex.save]]'s layout discipline. */
+  def save(df: DataFrame, idCol: String, vecCol: String, coarse: DataFrame,
+      model: DataFrame, dir: String, residual: Boolean): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+    model.write.mode("overwrite").parquet(s"$dir/pq_model")
+    indexArtifact(df, idCol, vecCol, coarse, model, residual)
+      .write.partitionBy("list_id").mode("overwrite").parquet(s"$dir/codes")
+    Seq(residual).toDF("residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def indexArtifact(df: DataFrame, idCol: String, vecCol: String,
+      coarse: DataFrame, model: DataFrame, residual: Boolean): DataFrame =
+    if (residual) encodeResidual(df, idCol, vecCol, coarse, model)
+    else KMeans.assign(
+        encode(df, idCol, vecCol, model).join(df, idCol), vecCol, coarse)
+      .withColumnRenamed("cluster_id", "list_id")
+      .select(col(idCol), col("codes"), col("list_id"))
+
+  /** Append new vectors to a persisted index, encoded against the SAVED
+    * codebooks — deliberately immutable per batch, the [[IvfIndex.append]]
+    * discipline (codebooks represent the corpus distribution and are
+    * refit on a maintenance cadence, not nudged per micro-batch).
+    * Single-writer; readers may probe concurrently (parquet appends are
+    * add-only). */
+  def append(df: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val spark = df.sparkSession
+    val residual = spark.read.parquet(s"$dir/meta")
+      .head().getAs[Boolean]("residual")
+    indexArtifact(df, idCol, vecCol,
+        spark.read.parquet(s"$dir/coarse"),
+        spark.read.parquet(s"$dir/pq_model"), residual)
+      .write.partitionBy("list_id").mode("append").parquet(s"$dir/codes")
+  }
+
+  /** Probe a persisted index. The probed cell ids resolve driver-side
+    * first (≤ nLists longs) and apply as a static `isin` filter, so the
+    * codes scan prunes non-probed list directories at planning time —
+    * the [[IvfIndex.probeIndexed]] pruning discipline. */
+  def probeSaved(queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, spark: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int, nProbe: Int): DataFrame = {
+    val residual = spark.read.parquet(s"$dir/meta")
+      .head().getAs[Boolean]("residual")
+    val model = spark.read.parquet(s"$dir/pq_model")
+    val cb = collectCodebook(model)
+    val probes = probeFrame(queries, queryIdCol, queryVecCol, cb,
+      spark.read.parquet(s"$dir/coarse"), nProbe, residual)
+    val probedLists = probes.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val codes = spark.read.parquet(s"$dir/codes")
+      .filter(col("list_id").isin(probedLists.toIndexedSeq: _*))
+    scoreAgainst(codes, codes.columns
+      .find(c => c != "codes" && c != "list_id")
+      .getOrElse(throw new IllegalStateException("codes artifact lacks an id column")),
+      probes, cb.length, k)
+  }
+
+  /** Rewrite append-accreted code partitions to ~one file per cell via
+    * the crash-safe [[StagedSwap]] — same contract as
+    * [[IvfIndex.compact]]. Single-writer, no concurrent append/probe. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val nLists = spark.read.parquet(s"$dir/coarse")
+      .select(col("cluster_id")).distinct().count().toInt
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/codes_compact")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/codes_old")
+    StagedSwap.swap(live.getFileSystem(conf), live, tmp, old) { tmpDir =>
+      spark.read.parquet(s"$dir/codes")
+        .repartition(nLists, col("list_id"))
+        .write.partitionBy("list_id").parquet(tmpDir)
+    }
   }
 }

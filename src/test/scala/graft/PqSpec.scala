@@ -169,6 +169,49 @@ class PqSpec extends SparkSpec {
       s"residual shortlist recall below 0.9: $recalls")
   }
 
+  test("persisted index: probeSaved == in-memory IVFADC; append visible; compact preserves") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    val coarse = graft.operators.KMeans.fit(corpus, "vec_id", "embedding",
+      k = 8, iters = 3)
+    val residModel = ProductQuantizer.fitResidual(
+      corpus, "vec_id", "embedding", coarse, m = 4, k = 8, iters = 3)
+    ProductQuantizer.save(corpus, "vec_id", "embedding", coarse, residModel,
+      dir, residual = true)
+    val queries = corpus.filter($"vec_id" < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"rank", $"id", $"approx_dist")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val inMem = rows(ProductQuantizer.ivfAdcTopKResidual(
+      queries, "vec_id", "embedding",
+      ProductQuantizer.encodeResidual(corpus, "vec_id", "embedding", coarse,
+        residModel),
+      "vec_id", residModel, coarse, k = 6, nProbe = 3))
+    val saved = rows(ProductQuantizer.probeSaved(
+      queries, "vec_id", "embedding", spark, dir, k = 6, nProbe = 3))
+    assert(saved === inMem,
+      "the persisted index must answer exactly like the in-memory path")
+    // append a new vector near cluster 2's center: it must surface for a
+    // cluster-2 query after append, unchanged after compact
+    val newVec = (9999L, Array.tabulate(dim)(d => center(2, d) + 0.01).toSeq)
+    ProductQuantizer.append(Seq(newVec).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    val q2 = Seq((5000L, Array.tabulate(dim)(d => center(2, d)).toSeq))
+      .toDF("vec_id", "embedding")
+    // k deep enough to clear the same-code tie group (ties rank by id
+    // asc, and 9999 is the largest id in its cell)
+    def hit(): Boolean = ProductQuantizer.probeSaved(
+        q2, "vec_id", "embedding", spark, dir, k = 100, nProbe = 1)
+      .select($"id").as[Long].collect().contains(9999L)
+    assert(hit(), "appended vector must be probe-visible")
+    val before = rows(ProductQuantizer.probeSaved(
+      queries, "vec_id", "embedding", spark, dir, k = 6, nProbe = 3))
+    ProductQuantizer.compact(spark, dir)
+    assert(hit(), "compact must preserve the appended vector")
+    assert(rows(ProductQuantizer.probeSaved(
+      queries, "vec_id", "embedding", spark, dir, k = 6, nProbe = 3)) === before,
+      "compact must not change any probe answer")
+  }
+
   test("shortlist recall: exact top-10 is inside the ADC top-30 candidates") {
     // the production PQ contract is shortlist-then-rerank: ADC cannot
     // rank near-ties WITHIN a cluster (same-cluster members share codes,
