@@ -463,6 +463,40 @@ object StreamingJobs {
       cur, nBins, lo, hi, threshold, eps)
   }
 
+  /** [[histogramOnArrival]] with the monitoring loop closed: after each
+    * fold, the cumulative state is compared against the static baseline
+    * and any bin newly crossing the drift threshold fires ONE alert
+    * through the [[graft.sinks.Sinks.AlertHook]] seam (K10's webhook
+    * path). "Newly" is per-process: the fired set is kept in memory so a
+    * long-running stream alerts on each bin's first crossing rather
+    * than every micro-batch — after a restart the current crossings fire
+    * once more, which is at-least-once alerting (the right default for
+    * a pager; the state itself stays exactly-once under the fence). */
+  def driftAlertsOnArrival(stream: DataFrame, valueCol: String, nBins: Int,
+      lo: Double, hi: Double, baseline: DataFrame, statePath: String,
+      checkpoint: String, hook: graft.sinks.Sinks.AlertHook,
+      channel: String = "#drift", threshold: Double = 0.01)
+      : DataStreamWriter[Row] = {
+    val fired = scala.collection.mutable.Set.empty[Long]
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldHistogram(batch, batchId, valueCol, nBins, lo, hi, statePath)
+        val drifted = histogramDrift(batch.sparkSession, statePath,
+            baseline, valueCol, nBins, lo, hi, threshold)
+          .filter(col("drifted"))
+          .select(col("bin"), col("lo_edge"), col("hi_edge"),
+            col("p_base"), col("p_cur"))
+          .collect() // ≤ nBins rows — parameter-bounded
+        drifted.foreach { r =>
+          val bin = r.getLong(0)
+          if (fired.add(bin)) hook.send(
+            f"drift: $valueCol bin $bin [${r.getDouble(1)}%.1f, ${r.getDouble(2)}%.1f) " +
+              f"share ${r.getDouble(3)}%.4f -> ${r.getDouble(4)}%.4f", channel)
+        }
+      }
+  }
+
   case class CusumEvent(key: Long, ts: java.sql.Timestamp, tie: Long, v: Double)
   case class CusumAlarm(key: Long, rn: Long, vu: Long, cpos: Long,
       cneg: Long, alarm: Boolean)

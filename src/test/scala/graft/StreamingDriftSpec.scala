@@ -42,6 +42,30 @@ class StreamingDriftSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).sum === 100L, "no mass lost across batches")
   }
 
+  test("drift alerts fire once per bin on first crossing, through the hook seam") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("sdrift_alert").toString
+    val hook = new graft.sinks.Sinks.RecordingAlertHook
+    // baseline: uniform over [0, 100); stream: all mass into [0, 20)
+    val baseline = (0 until 100).map(_.toDouble).toDF("v")
+    val source = MemoryStream[Double]
+    val q = StreamingJobs.driftAlertsOnArrival(
+      source.toDF().toDF("v"), "v", nBins = 5, lo = 0.0, hi = 100.0,
+      baseline, s"$dir/state", s"$dir/ckpt", hook).start()
+    try {
+      source.addData((0 until 50).map(i => (i % 20).toDouble): _*)
+      q.processAllAvailable()
+      val afterFirst = hook.sent.size
+      assert(afterFirst >= 1, "the hot bin must alert on first crossing")
+      assert(hook.sent.forall(_._2 == "#drift"))
+      // same-shaped second batch: the SAME bins stay drifted — no re-alert
+      source.addData((0 until 50).map(i => (i % 20).toDouble): _*)
+      q.processAllAvailable()
+      assert(hook.sent.size === afterFirst,
+        s"already-fired bins must not re-alert: ${hook.sent}")
+    } finally q.stop()
+  }
+
   test("a redelivered batch is fenced; the fence survives an empty first batch") {
     val dir = Files.createTempDirectory("sdrift_fence").toString
     // batch 0 EMPTY: only the sentinel pins committed = 0
