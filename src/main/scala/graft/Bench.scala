@@ -65,6 +65,8 @@ object Bench {
     "q187_triangle_capped" -> 4.0,
     "q191_pq_topk" -> 5.0,
     "q193_ivfadc_topk" -> 5.5,
+    "q194_kcore" -> 3.5,
+    "q195_ivfadc_residual" -> 5.5,
     "q111_containment" -> 3.2,
     "q112_char_entropy" -> 1.8,
     // round-8 late wave (clean min-of-two, isolated re-measures agreed;

@@ -353,6 +353,21 @@ class PlanSpec extends SparkSpec {
       "each side's bin count must be a two-phase (map-side combined) aggregate")
   }
 
+  test("categorical drift: head set TakeOrdered, keep join broadcast, aggregates precede joins") {
+    val plan = planString(run("q197_cat_drift"))
+    // the top-maxCategories head set is a TakeOrdered (per-partition
+    // heaps), never a full global sort of the category frame
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // the ≤maxCategories head set joins back via broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the FULL OUTER merge of the two count frames legitimately
+    // sort-merges (Spark has no broadcast full-outer) — but only over
+    // the per-category AGGREGATES: both inputs must be two-phase
+    // count aggregates, so no corpus-sized row ever reaches a sort
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "category counts must be two-phase aggregates before any join or sort")
+  }
+
   test("sessions bridge: windows and the session aggregate share one user exchange") {
     val plan = planString(run("q184_sessions_bridge"))
     val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
