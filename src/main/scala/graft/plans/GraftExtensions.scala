@@ -121,6 +121,12 @@ object GraftExtensions {
         require(args.size == 1, "char_counts takes 1 argument")
         CharCounts(args.head)
       }),
+    (FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1] (classic parameters, matches DuckDB)"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "jaro_winkler takes 2 arguments")
+        JaroWinkler(args.head, args(1))
+      }),
     (FunctionIdentifier("luhn_valid"),
       info("luhn_valid", "luhn_valid(digits) - Luhn checksum over a digit string (payment-card validation)"),
       columnFn("luhn_valid", 1, as => graft.operators.Scrub.luhnValid(as.head))),

@@ -806,6 +806,40 @@ object TextQueries extends QueryModule {
       |FROM t
       |ORDER BY stratum""".stripMargin
 
+  /** Jaro–Winkler name matching ([[graft.functions.expressions
+    * .TextExpressions.jaro_winkler]]): blocked within-group scoring of
+    * customer names — the classic entity-resolution screen beside q60's
+    * levenshtein path, here with the OTHER standard metric. The codegen
+    * kernel mirrors DuckDB's `jaro_winkler_similarity` conventions
+    * exactly (empty→0, floored transposition halves, 0.7 boost
+    * threshold, prefix ≤ 4), so the raw doubles hash-match; round(6)
+    * guards the comparison anyway. Blocked on custkey % 50 — never an
+    * all-pairs join. */
+  private def q198JaroNames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.expressions.TextExpressions.jaro_winkler
+    val c = Tables.customer(spark, dir)
+      .filter($"c_custkey" < 600)
+      .select($"c_custkey", $"c_name", ($"c_custkey" % 50).as("blk"))
+    c.as("a").join(c.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("key_a"), col("b.c_custkey").as("key_b"),
+        round(jaro_winkler(col("a.c_name"), col("b.c_name")), 6).as("sim"))
+      .filter($"sim" >= 0.93)
+      .orderBy($"key_a", $"key_b")
+  }
+
+  private val q198Sql =
+    """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+      |  ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS sim
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey % 50 = b.c_custkey % 50
+      | AND a.c_custkey < b.c_custkey
+      |WHERE a.c_custkey < 600 AND b.c_custkey < 600
+      |  AND ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.93
+      |ORDER BY key_a, key_b""".stripMargin
+
   /** Epoch-based mixture upsampling (north star): run zh for 2.5 epochs
     * (every doc twice, a deterministic 25%-of-2.5 hash subset a third
     * time), downsample de to 0.25, leave the rest at 1 — the DoReMi-style
@@ -2155,6 +2189,8 @@ object TextQueries extends QueryModule {
       "per-doc n-gram repetition signals via row-local count table (north star)"),
     Q("q50_stratified", q50Stratified, Some(q50Sql),
       "stratified corpus balancing by portable hash thresholds (north star)"),
+    Q("q198_jaro_names", q198JaroNames, Some(q198Sql),
+      "blocked Jaro-Winkler name matching: codegen kernel == DuckDB's score bit for bit (north star)"),
     Q("q196_temp_mixture", q196TempMixture, Some(q196Sql),
       "temperature (alpha=0.5) source-balancing shares with ordered-sum determinism (north star)"),
     Q("q80_epoch_mix", q80EpochMix, Some(q80Sql),

@@ -170,4 +170,39 @@ class TextFunctionsSpec extends SparkSpec {
       .as[(Double, Double)].head()
     assert(lo > 0.05 && hi < 1.2, s"corpus ratios sane: [$lo, $hi]")
   }
+
+  test("jaro_winkler: literature vectors, conventions, symmetry, bounds") {
+    import graft.functions.expressions.TextExpressions.jaro_winkler
+    def jw(a: String, b: String): Double =
+      Seq((a, b)).toDF("a", "b").select(jaro_winkler($"a", $"b"))
+        .as[Double].head()
+    // the classic published vectors (also DuckDB's values — the kernel
+    // mirrors its conventions so scores stay oracle-checkable)
+    assert(jw("MARTHA", "MARHTA") === 0.9611111111111111)
+    assert(jw("DIXON", "DICKSONX") === 0.8133333333333332)
+    assert(jw("DWAYNE", "DUANE") === 0.8400000000000001)
+    assert(jw("JELLYFISH", "SMELLYFISH") === 0.8962962962962964)
+    // odd transposition-mismatch count floors (t/2 integer), as DuckDB's
+    assert(jw("ABCDEF", "BCADEF") === 0.9444444444444445)
+    // prefix boost applies above the 0.7 threshold only
+    assert(jw("aaa", "aaahhh") === 0.8833333333333334)
+    // conventions: empty-vs-anything AND empty-vs-empty are 0 (DuckDB's
+    // "no evidence" convention); identity is 1; no shared chars is 0
+    assert(jw("", "ABC") === 0.0 && jw("", "") === 0.0)
+    assert(jw("ABC", "ABC") === 1.0 && jw("a", "b") === 0.0)
+    // symmetry + bounds on generated noisy pairs
+    val pairs = (0 until 50).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jw:$i".getBytes("UTF-8"))
+      (h.take(6).map(x => ('a' + ((x & 0xff) % 9)).toChar).mkString,
+        h.slice(6, 13).map(x => ('a' + ((x & 0xff) % 9)).toChar).mkString)
+    }
+    val scored = pairs.toDF("a", "b")
+      .select(jaro_winkler($"a", $"b").as("ab"), jaro_winkler($"b", $"a").as("ba"))
+      .as[(Double, Double)].collect()
+    assert(scored.forall { case (ab, ba) => ab == ba && ab >= 0.0 && ab <= 1.0 })
+    // null propagates
+    assert(Seq((Option.empty[String], Some("x"))).toDF("a", "b")
+      .select(jaro_winkler($"a", $"b")).head().isNullAt(0))
+  }
 }
