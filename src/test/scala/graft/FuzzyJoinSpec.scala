@@ -80,4 +80,63 @@ class FuzzyJoinSpec extends SparkSpec {
       assert(blocked(left, right, t) === naive(left, right, t), s"t=$t")
     }
   }
+
+  test("jaroWinklerPairs: blocked == brute force within the blocking's reach; " +
+      "length band loses nothing; no cross join") {
+    import graft.functions.expressions.TextUtil.{jaroWinkler => jw}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // 120 base names + interior-typo variants (soundex-stable: the first
+    // letter is never touched, which is exactly the documented blocking
+    // contract)
+    val names = (0 until 120).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"name:$i".getBytes("UTF-8"))
+      (100L + i, "smith" + h.take(4).map(b => ('a' + ((b & 0xff) % 26)).toChar).mkString)
+    }
+    val variants = names.take(60).map { case (id, n) =>
+      // swap two interior chars — a transposition JW scores high
+      val cs = n.toCharArray; val t = cs(2); cs(2) = cs(3); cs(3) = t
+      (id + 1000L, new String(cs))
+    }
+    val all = (names ++ variants).toDF("id", "k")
+    val minSim = 0.92
+    val got = graft.operators.FuzzyJoin
+      .jaroWinklerPairs(all, all, "id", "k", minSim)
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // brute-force truth restricted to soundex-equal pairs (the blocking's
+    // documented reach — outside it the operator promises nothing)
+    val rows = (names ++ variants)
+    val sdx = all.select($"id", soundex($"k").as("s"))
+      .as[(Long, String)].collect().toMap
+    val expected = (for {
+      (ia, ka) <- rows; (ib, kb) <- rows
+      if ia < ib && sdx(ia) == sdx(ib) && jw(u(ka), u(kb)) >= minSim
+    } yield (ia, ib)).toSet
+    assert(got === expected,
+      "blocked result must equal brute force within soundex reach")
+    assert(got.nonEmpty, "fixture must produce matches")
+    // blocking recall on the planted transpositions: every pair whose
+    // soundex survived the mutation is found (implied by the equality
+    // above, asserted explicitly), and the LOSSY remainder — a
+    // transposition can reorder soundex codes or trip the h/w adjacency
+    // rule — stays a minority, which is the operator's documented
+    // recall contract for the default blocking
+    val planted = names.take(60).map { case (id, _) => (id, id + 1000L) }
+    val reachable = planted.filter { case (a, b) => sdx(a) == sdx(b) }
+    assert(reachable.forall(got.contains),
+      "every soundex-stable planted pair must be found")
+    assert(reachable.size >= planted.size * 6 / 10,
+      s"soundex kept only ${reachable.size}/60 planted transpositions")
+    // plan: equi-join on the block key, never a cartesian
+    val plan = graft.operators.FuzzyJoin
+      .jaroWinklerPairs(all, all, "id", "k", minSim)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // validation: the band needs jw > 0.8
+    intercept[IllegalArgumentException] {
+      graft.operators.FuzzyJoin.jaroWinklerPairs(all, all, "id", "k", 0.7)
+    }
+  }
 }

@@ -165,4 +165,25 @@ class PropertySpec extends SparkSpec {
     }
     assert(kept.last.nonEmpty)
   }
+
+  test("jaro_winkler kernel: symmetric, bounded, identity, driver-pure sweep") {
+    import graft.functions.expressions.TextUtil.{jaroWinkler => jw}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val word = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    check(Prop.forAll(word, word) { (a, b) =>
+      val s = jw(u(a), u(b))
+      s == jw(u(b), u(a)) && s >= 0.0 && s <= 1.0
+    })
+    check(Prop.forAll(word) { a =>
+      // identity is 1 for nonempty, 0 for empty (the DuckDB convention)
+      jw(u(a), u(a)) == (if (a.isEmpty) 0.0 else 1.0)
+    })
+    check(Prop.forAll(word, Gen.alphaChar) { (a, c) =>
+      // appending one char can only move the score within bounds — and a
+      // nonempty shared string keeps similarity strictly positive
+      val s = jw(u(a + c), u(a + c + c))
+      s >= 0.0 && s <= 1.0 && s > 0.0
+    })
+  }
 }
