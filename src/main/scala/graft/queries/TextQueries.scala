@@ -840,6 +840,36 @@ object TextQueries extends QueryModule {
       |  AND ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.93
       |ORDER BY key_a, key_b""".stripMargin
 
+  /** The JW JOIN operator under the oracle
+    * ([[graft.operators.FuzzyJoin.jaroWinklerPairs]]): last-two-chars
+    * blocking (DuckDB-expressible, unlike the soundex default) over
+    * customer names at minSim 0.93. The oracle replays block join + raw
+    * JW + threshold WITHOUT the operator's length-band prune — equality
+    * therefore also proves the band lossless on every fixture pair, not
+    * just in the derivation. */
+  private def q199JwJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+      .filter($"c_custkey" < 800)
+      .select($"c_custkey".as("id"), $"c_name".as("k"))
+    graft.operators.FuzzyJoin.jaroWinklerPairs(c, c, "id", "k",
+        minSim = 0.93, block = s => substring(s, -2, 2))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val q199Sql =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS sim
+      |FROM customer a JOIN customer b
+      |  ON substring(a.c_name, length(a.c_name) - 1, 2)
+      |   = substring(b.c_name, length(b.c_name) - 1, 2)
+      | AND a.c_custkey < b.c_custkey
+      |WHERE a.c_custkey < 800 AND b.c_custkey < 800
+      |  AND jaro_winkler_similarity(a.c_name, b.c_name) >= 0.93
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Epoch-based mixture upsampling (north star): run zh for 2.5 epochs
     * (every doc twice, a deterministic 25%-of-2.5 hash subset a third
     * time), downsample de to 0.25, leave the rest at 1 — the DoReMi-style
@@ -2189,6 +2219,8 @@ object TextQueries extends QueryModule {
       "per-doc n-gram repetition signals via row-local count table (north star)"),
     Q("q50_stratified", q50Stratified, Some(q50Sql),
       "stratified corpus balancing by portable hash thresholds (north star)"),
+    Q("q199_jw_join", q199JwJoin, Some(q199Sql),
+      "jaroWinklerPairs operator end-to-end: oracle omits the length band, proving it lossless (north star)"),
     Q("q198_jaro_names", q198JaroNames, Some(q198Sql),
       "blocked Jaro-Winkler name matching: codegen kernel == DuckDB's score bit for bit (north star)"),
     Q("q196_temp_mixture", q196TempMixture, Some(q196Sql),
