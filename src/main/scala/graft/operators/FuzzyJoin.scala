@@ -194,6 +194,63 @@ object FuzzyJoin {
     *
     * Output: (id_a, id_b, sim). Self-join: pass the frame twice, keep
     * id_a < id_b downstream (as [[editDistancePairs]]). */
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo's SNM, the
+    * classic entity-resolution alternative to blocking): rank every row
+    * by (sortKey, id) and emit each pair within `window` ranks. Where a
+    * blocking key loses pairs that disagree on the key, SNM loses pairs
+    * that sort far apart — the two methods' blind spots differ, which is
+    * why production ER runs multiple passes with different keys (e.g. a
+    * REVERSED-name pass catches the first-character typos that break
+    * both soundex and prefix blocking).
+    *
+    * Scale shape — no global sort:
+    *  1. cells = the sort key's first `cellPrefixLen` characters: a
+    *     MONOTONE function of the string order, so cells tile the global
+    *     order (the paretoClass two-level discipline, on strings);
+    *  2. in-cell ranks via a window PARTITIONED BY cell — cell-sized
+    *     sorts, parallel; cell offsets from one bounded cumulative pass
+    *     over the cells frame (≤ distinct prefixes rows);
+    *  3. the rank-band self-join: bucket = rank / window, the probe side
+    *     explodes into its bucket and predecessor — each qualifying pair
+    *     matches exactly once, never a cross join (the IntervalJoin bin
+    *     trick on rank space).
+    *
+    * A skewed hot prefix makes one big cell sort — pick `cellPrefixLen`
+    * for the key distribution (same caveat every cell-partitioned
+    * operator documents). Output: (id_a, id_b, rank_dist), id_a the
+    * lower-ranked row; callers score the candidates (jaro_winkler,
+    * levenshtein) and threshold. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      sortKeyCol: String, window: Int, cellPrefixLen: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(cellPrefixLen >= 1, s"cellPrefixLen must be >= 1, got $cellPrefixLen")
+    val base = df.select(col(idCol).as("__id"), col(sortKeyCol).as("__sk"))
+      .withColumn("__cell", substring(col("__sk"), 1, cellPrefixLen))
+    val inCell = Window.partitionBy(col("__cell"))
+      .orderBy(col("__sk"), col("__id"))
+    val cellOffsets = base.groupBy(col("__cell"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(Window.orderBy(col("__cell"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__cell"), col("__offset"))
+    val ranked = base
+      .withColumn("__r", row_number().over(inCell))
+      .join(broadcast(cellOffsets), "__cell")
+      .select(col("__id"), (col("__offset") + col("__r")).as("__rank"))
+    val w = window.toLong
+    val lhs = ranked.select(col("__id").as("id_a"), col("__rank").as("__ra"),
+      (col("__rank") / w).cast("long").as("__b"))
+    val rhs = ranked.select(col("__id").as("id_b"), col("__rank").as("__rb"))
+      .select(col("id_b"), col("__rb"), explode(array(
+        (col("__rb") / w).cast("long"),
+        (col("__rb") / w).cast("long") - 1)).as("__b"))
+    lhs.join(rhs, Seq("__b"))
+      .filter(col("__rb") > col("__ra") && col("__rb") - col("__ra") <= w)
+      .select(col("id_a"), col("id_b"), (col("__rb") - col("__ra")).as("rank_dist"))
+  }
+
   def jaroWinklerPairs(left: DataFrame, right: DataFrame,
       idCol: String, keyCol: String, minSim: Double,
       block: org.apache.spark.sql.Column => org.apache.spark.sql.Column = soundex)

@@ -870,6 +870,43 @@ object TextQueries extends QueryModule {
       |  AND jaro_winkler_similarity(a.c_name, b.c_name) >= 0.93
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Sorted-neighborhood ER pass ([[graft.operators.FuzzyJoin
+    * .sortedNeighborhoodPairs]]): the REVERSED-name ranking — the pass
+    * that reaches first-character typos no prefix/phonetic blocking can
+    * — window 8, candidates scored with the JW kernel. The oracle
+    * re-derives the candidate set from a plain global row_number (the
+    * operator uses the two-level cell rank precisely to AVOID that
+    * global sort), so rank arithmetic, banding, and scoring all sit
+    * under the hash. */
+  private def q200SnmJw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.expressions.TextExpressions.jaro_winkler
+    val c = Tables.customer(spark, dir)
+      .filter($"c_custkey" < 1200)
+      .select($"c_custkey".as("id"), $"c_name".as("k"))
+      .withColumn("rk", reverse($"k"))
+    graft.operators.FuzzyJoin
+      .sortedNeighborhoodPairs(c, "id", "rk", window = 8)
+      .join(c.select($"id".as("id_a"), $"k".as("__ka")), "id_a")
+      .join(c.select($"id".as("id_b"), $"k".as("__kb")), "id_b")
+      .filter(jaro_winkler($"__ka", $"__kb") >= 0.9)
+      .select($"id_a", $"id_b", $"rank_dist",
+        round(jaro_winkler($"__ka", $"__kb"), 6).as("sim"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val q200Sql =
+    """WITH c AS (
+      |  SELECT c_custkey AS id, c_name AS k, reverse(c_name) AS rk
+      |  FROM customer WHERE c_custkey < 1200),
+      |r AS (SELECT id, k, row_number() OVER (ORDER BY rk, id) AS rn FROM c)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  b.rn - a.rn AS rank_dist,
+      |  ROUND(jaro_winkler_similarity(a.k, b.k), 6) AS sim
+      |FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 8
+      |WHERE jaro_winkler_similarity(a.k, b.k) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Epoch-based mixture upsampling (north star): run zh for 2.5 epochs
     * (every doc twice, a deterministic 25%-of-2.5 hash subset a third
     * time), downsample de to 0.25, leave the rest at 1 — the DoReMi-style
@@ -2219,6 +2256,8 @@ object TextQueries extends QueryModule {
       "per-doc n-gram repetition signals via row-local count table (north star)"),
     Q("q50_stratified", q50Stratified, Some(q50Sql),
       "stratified corpus balancing by portable hash thresholds (north star)"),
+    Q("q200_snm_jw", q200SnmJw, Some(q200Sql),
+      "sorted-neighborhood reversed-key ER pass + JW scoring vs global-row_number oracle (north star)"),
     Q("q199_jw_join", q199JwJoin, Some(q199Sql),
       "jaroWinklerPairs operator end-to-end: oracle omits the length band, proving it lossless (north star)"),
     Q("q198_jaro_names", q198JaroNames, Some(q198Sql),

@@ -139,4 +139,44 @@ class FuzzyJoinSpec extends SparkSpec {
       graft.operators.FuzzyJoin.jaroWinklerPairs(all, all, "id", "k", 0.7)
     }
   }
+
+  test("sortedNeighborhoodPairs == brute-force rank window; first-char typo reachable " +
+      "via the reversed-key pass") {
+    // deterministic keys with a hot shared prefix (exercises uneven cells)
+    val rows = (0 until 300).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"snm:$i".getBytes("UTF-8"))
+      val body = h.take(5).map(b => ('a' + ((b & 0xff) % 26)).toChar).mkString
+      (i.toLong, (if (i % 3 == 0) "zz" else "") + body)
+    }
+    val df = rows.toDF("id", "k")
+    for (w <- Seq(1, 5, 12)) {
+      val got = graft.operators.FuzzyJoin
+        .sortedNeighborhoodPairs(df, "id", "k", w)
+        .select($"id_a", $"id_b", $"rank_dist")
+        .as[(Long, Long, Long)].collect().toSet
+      val sorted = rows.sortBy { case (id, k) => (k, id) }.map(_._1)
+      val expected = (for {
+        i <- sorted.indices; j <- (i + 1) to math.min(i + w, sorted.size - 1)
+      } yield (sorted(i), sorted(j), (j - i).toLong)).toSet
+      assert(got === expected, s"window $w")
+    }
+    // the multi-pass story: "melissa" vs "aelissa" (first-char typo) sit
+    // far apart on the raw key but adjacent once REVERSED
+    val names = Seq((1L, "melissa"), (2L, "aelissa"), (3L, "harold"),
+      (4L, "melinda"), (5L, "zz_filler")).toDF("id", "name")
+    val fwd = graft.operators.FuzzyJoin.sortedNeighborhoodPairs(
+        names, "id", "name", window = 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(!fwd.contains((2L, 1L)) && !fwd.contains((1L, 2L)),
+      "forward pass cannot reach the first-char typo at window 1")
+    val rev = graft.operators.FuzzyJoin.sortedNeighborhoodPairs(
+        names.withColumn("rk", reverse($"name")), "id", "rk", window = 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(rev.contains((1L, 2L)) || rev.contains((2L, 1L)),
+      s"reversed pass must adjoin the typo pair: $rev")
+    intercept[IllegalArgumentException] {
+      graft.operators.FuzzyJoin.sortedNeighborhoodPairs(df, "id", "k", 0)
+    }
+  }
 }
