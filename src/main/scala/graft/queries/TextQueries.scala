@@ -907,6 +907,79 @@ object TextQueries extends QueryModule {
       |WHERE jaro_winkler_similarity(a.k, b.k) >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** The full Hernández–Stolfo merge/purge chain (north star): TWO
+    * sorted-neighborhood passes (forward name order + reversed-name
+    * order — complementary blind spots), candidates scored by the JW
+    * kernel at 0.97, surviving edges closed into duplicate clusters by
+    * [[graft.operators.Components.connectedComponents]], emitting each
+    * duplicate with its cluster representative (min id — the q63
+    * convention). The oracle re-derives both passes from plain global
+    * row_numbers, rescores, and closes the clusters with a recursive
+    * CTE — every stage of the chain under one hash. */
+  private def q201MergePurge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.expressions.TextExpressions.jaro_winkler
+    val base = Tables.customer(spark, dir)
+      .filter($"c_custkey" < 600)
+      .select($"c_custkey".as("id"), $"c_name".as("k"))
+    // planted dirty re-entries: every 5th customer re-enters under a new
+    // id with the '#' transposed into the digits — a transposition
+    // scores ~0.989 (JW half-counts them) while the fixture's uniform
+    // names keep unrelated neighbors at <= ~0.978, so 0.985 separates
+    // the planted duplicates from consecutive-id chaining
+    val dirty = base.filter($"id" % 5 === 0)
+      .select(($"id" + 100000L).as("id"),
+        concat(substring($"k", 1, 8), substring($"k", 10, 1),
+          substring($"k", 9, 1), substring($"k", 11, 100)).as("k"))
+    val c = base.unionByName(dirty).withColumn("rk", reverse($"k"))
+    def pass(keyCol: String) = graft.operators.FuzzyJoin
+      .sortedNeighborhoodPairs(c, "id", keyCol, window = 5)
+      .select($"id_a", $"id_b")
+    val pairs = pass("k").unionByName(pass("rk")).distinct()
+      .join(c.select($"id".as("id_a"), $"k".as("__ka")), "id_a")
+      .join(c.select($"id".as("id_b"), $"k".as("__kb")), "id_b")
+      .filter(jaro_winkler($"__ka", $"__kb") >= 0.985)
+      .select($"id_a", $"id_b")
+    graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+      .filter($"node" =!= $"component")
+      .select($"node".as("id"), $"component".as("cluster"))
+      .orderBy($"id")
+  }
+
+  private val q201Sql =
+    """WITH RECURSIVE base AS (
+      |  SELECT c_custkey AS id, c_name AS k
+      |  FROM customer WHERE c_custkey < 600),
+      |c AS (
+      |  SELECT id, k, reverse(k) AS rk FROM (
+      |    SELECT id, k FROM base
+      |    UNION ALL
+      |    SELECT id + 100000,
+      |      concat(substring(k, 1, 8), substring(k, 10, 1),
+      |             substring(k, 9, 1), substring(k, 11, 100))
+      |    FROM base WHERE id % 5 = 0)),
+      |rf AS (SELECT id, k, row_number() OVER (ORDER BY k, id) AS rn FROM c),
+      |rr AS (SELECT id, k, row_number() OVER (ORDER BY rk, id) AS rn FROM c),
+      |cand AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, a.k AS ka, b.k AS kb
+      |  FROM rf a JOIN rf b ON b.rn > a.rn AND b.rn - a.rn <= 5
+      |  UNION
+      |  SELECT a.id, b.id, a.k, b.k
+      |  FROM rr a JOIN rr b ON b.rn > a.rn AND b.rn - a.rn <= 5),
+      |pairs AS (
+      |  SELECT DISTINCT id_a, id_b FROM cand
+      |  WHERE jaro_winkler_similarity(ka, kb) >= 0.985),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(n, r) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n),
+      |comp AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n)
+      |SELECT node AS id, component AS cluster FROM comp
+      |WHERE node <> component
+      |ORDER BY id""".stripMargin
+
   /** Epoch-based mixture upsampling (north star): run zh for 2.5 epochs
     * (every doc twice, a deterministic 25%-of-2.5 hash subset a third
     * time), downsample de to 0.25, leave the rest at 1 — the DoReMi-style
@@ -2256,6 +2329,8 @@ object TextQueries extends QueryModule {
       "per-doc n-gram repetition signals via row-local count table (north star)"),
     Q("q50_stratified", q50Stratified, Some(q50Sql),
       "stratified corpus balancing by portable hash thresholds (north star)"),
+    Q("q201_merge_purge", q201MergePurge, Some(q201Sql),
+      "two-pass SNM + JW + connected components: the full merge/purge chain under one hash (north star)"),
     Q("q200_snm_jw", q200SnmJw, Some(q200Sql),
       "sorted-neighborhood reversed-key ER pass + JW scoring vs global-row_number oracle (north star)"),
     Q("q199_jw_join", q199JwJoin, Some(q199Sql),
