@@ -166,6 +166,58 @@ object TimeSeriesOps {
         col("e.vu").as("vu"), col("e.ewma").as("ewma"))
   }
 
+  /** Holt double-exponential (level + trend) smoothing per key —
+    * [[ewma]]'s big sibling for series with drift: an EWMA chases a
+    * trending series with a permanent lag, Holt carries an explicit
+    * trend term and forecasts one step ahead. Same fixed-point floor
+    * discipline (α = 1/denA, β = 1/denB):
+    *
+    *   l_t = ⌊(vu_t + (denA−1)·(l_{t−1} + b_{t−1})) / denA⌋
+    *   b_t = ⌊((l_t − l_{t−1}) + (denB−1)·b_{t−1}) / denB⌋
+    *
+    * seeded l_1 = vu_1, b_1 = 0 (the no-prior-trend convention,
+    * documented rather than the x_2−x_1 alternative so single-event
+    * keys are well-defined). Floor division has exactly one
+    * representation, so every (level, trend, forecast = l + b) integer
+    * is engine-portable; same one-shuffle sorted-fold shape and the
+    * same per-key O(n²) array-append caveat as [[ewma]]. */
+  def holt(events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, valueUnits: Int = 1000, denA: Int = 8,
+      denB: Int = 16): DataFrame = {
+    require(denA >= 2 && denB >= 2, s"denominators must be >= 2, got $denA/$denB")
+    require(valueUnits >= 1, s"valueUnits must be >= 1, got $valueUnits")
+    def floorDiv(x: Column, w: Int): Column = IntervalJoin.floorDiv(x, w.toLong)
+    val evs = events
+      .select(col(keyCol).as("__k"),
+        struct(eventMicros(col(tsCol)).as("t"), col(tieCol).as("tie"),
+          floor(col(valueCol) * valueUnits + lit(0.5)).cast("long").as("vu"))
+          .as("__ev"))
+      .groupBy("__k")
+      .agg(sort_array(collect_list(col("__ev"))).as("__evs"))
+    val init = struct(lit(0L).as("l"), lit(0L).as("b"),
+      array().cast("array<struct<vu:bigint,level:bigint,trend:bigint>>").as("out"))
+    val folded = evs.withColumn("__acc",
+      aggregate(col("__evs"), init, (st, ev) => {
+        val first = size(st.getField("out")) === 0
+        val l2 = when(first, ev.getField("vu"))
+          .otherwise(floorDiv(ev.getField("vu") +
+            (st.getField("l") + st.getField("b")) * (denA - 1), denA))
+        val b2 = when(first, lit(0L))
+          .otherwise(floorDiv((l2 - st.getField("l")) +
+            st.getField("b") * (denB - 1), denB))
+        struct(l2.as("l"), b2.as("b"),
+          concat(st.getField("out"),
+            array(struct(ev.getField("vu").as("vu"), l2.as("level"),
+              b2.as("trend")))).as("out"))
+      }))
+    folded
+      .select(col("__k"), posexplode(col("__acc").getField("out")).as(Seq("pos", "e")))
+      .select(col("__k").as(keyCol), (col("pos") + 1).cast("long").as("rn"),
+        col("e.vu").as("vu"), col("e.level").as("level"),
+        col("e.trend").as("trend"),
+        (col("e.level") + col("e.trend")).as("forecast"))
+  }
+
   /** Two-sided CUSUM changepoint detection per key — Page's cumulative-sum
     * control chart in pure integer arithmetic: with values in integer
     * units, `sp' = max(0, sp + vu − ref)` accumulates upward drift,

@@ -319,6 +319,44 @@ object TimeSeriesQueries extends QueryModule {
     * replayed as a recursive-CTE walk per user with DuckDB's `//`
     * floor division — an entirely different evaluation strategy
     * reaching the same integers. */
+  /** Holt level+trend smoothing ([[graft.operators.TimeSeriesOps.holt]],
+    * α = 1/8, β = 1/16): q118's recurrence with an explicit trend and a
+    * one-step forecast, in the same floor fixed-point — every (level,
+    * trend, forecast) integer replays exactly as a recursive-CTE walk
+    * with DuckDB's `//` floor division. */
+  private def q202Holt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.TimeSeriesOps.holt(Tables.events(spark, dir),
+        "user_id", "ts", "event_id", "value")
+      .orderBy($"user_id", $"rn")
+  }
+
+  private val q202Sql = {
+    // FLOOR division for any sign: DuckDB's `//` truncates toward zero
+    // on negatives (the q118 EWMA never went negative, Holt's trend
+    // does), so subtract the positive modulus first — the numerator
+    // becomes exactly divisible and truncation equals floor
+    def fdiv(n: String, w: Int) = s"(($n) - ((($n) % $w) + $w) % $w) // $w"
+    val lnum = "o.vu + 7 * (w.l + w.b)"
+    val l2 = fdiv(lnum, 8)
+    val bnum = s"($l2 - w.l) + 15 * w.b"
+    s"""WITH RECURSIVE ord AS (
+       |  SELECT user_id,
+       |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vu,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |walk AS (
+       |  SELECT user_id, rn, vu, vu AS l, CAST(0 AS BIGINT) AS b FROM ord WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.user_id, o.rn, o.vu,
+       |    $l2,
+       |    ${fdiv(bnum, 16)}
+       |  FROM walk w JOIN ord o ON o.user_id = w.user_id AND o.rn = w.rn + 1)
+       |SELECT user_id, rn, vu, l AS level, b AS trend, l + b AS forecast
+       |FROM walk
+       |ORDER BY user_id, rn""".stripMargin
+  }
+
   private def q118Ewma(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.operators.TimeSeriesOps.ewma(Tables.events(spark, dir),
@@ -775,6 +813,8 @@ object TimeSeriesQueries extends QueryModule {
       "daily volume-weighted average value per event type (exact decimal sums)"),
     Q("q129_gaps", q129Gaps, Some(q129Sql),
       "interarrival gap detection per user (stream-went-quiet monitoring)"),
+    Q("q202_holt", q202Holt, Some(q202Sql),
+      "Holt level+trend smoothing with one-step forecast, fixed-point floor recurrence (north star)"),
     Q("q118_ewma", q118Ewma, Some(q118Sql),
       "fixed-point EWMA per user vs recursive-CTE oracle (north star)"),
     Q("q120_path_trigrams", q120PathTrigrams, Some(q120Sql),
