@@ -185,6 +185,59 @@ object GraphOps {
     out
   }
 
+  /** Minimum-cost distances from `sources` over DIRECTED weighted edges
+    * within `maxHops` hops — bounded Bellman–Ford rounds, the weighted
+    * sibling of [[bfsDistances]]: each round relaxes every edge out of
+    * the current distance frame and keeps the per-node minimum, so after
+    * k rounds `dist` is EXACTLY the cheapest path using ≤ k hops (the
+    * invariant the oracle replays level by level). Weights must be
+    * nonnegative integers (validated on the fly: a negative weight
+    * fails the job loudly — with hop-bounded semantics a negative edge
+    * would silently turn "distance" into an artifact of the bound).
+    *
+    * Scale shape: per round one join keyed on 8-byte node ids + one
+    * min-aggregate; the frame is cached and counted per round, and the
+    * count's companion — an improvement check against the previous
+    * round — exits early at the fixpoint (further rounds are identity,
+    * so early exit preserves the ≤ maxHops contract). No per-node state
+    * on the driver. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val guardedW = when(col(weightCol).isNull || col(weightCol) < 0,
+        raise_error(concat(lit("shortestPaths: negative or null weight: "),
+          coalesce(col(weightCol).cast("string"), lit("null")))).cast("long"))
+      .otherwise(col(weightCol).cast("long"))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      guardedW.as("w")).cache()
+    var dist = sources.toDF("node").distinct()
+      .withColumn("dist", lit(0L)).cache()
+    var distCount = dist.count()
+    var round = 0
+    var converged = false
+    while (round < maxHops && !converged) {
+      val relaxed = dist.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist")).cache()
+      val nextCount = next.count()
+      // fixpoint: same node set AND no distance improved
+      val improved = nextCount != distCount ||
+        next.join(dist.withColumnRenamed("dist", "__prev"), "node")
+          .filter(col("dist") < col("__prev")).limit(1).count() > 0
+      dist.unpersist()
+      dist = next
+      distCount = nextCount
+      converged = !improved
+      round += 1
+    }
+    val out = dist.orderBy(col("node")).cache()
+    out.count()
+    dist.unpersist()
+    e.unpersist()
+    out
+  }
+
   /** Hop distances from `sources` (a single-column frame of node ids)
     * over the DIRECTED edge frame, bounded at `maxDepth` rounds — callers
     * symmetrize the edge list for undirected semantics. Output: (node,

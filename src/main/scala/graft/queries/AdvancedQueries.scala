@@ -1489,6 +1489,56 @@ object AdvancedQueries extends QueryModule {
        |ORDER BY node""".stripMargin
   }
 
+  /** Bounded weighted shortest paths (north star):
+    * [[graft.operators.GraphOps.shortestPaths]] — Bellman–Ford rounds
+    * over the customer↔supplier graph weighted by the pair's minimum
+    * line-quantity units, 4 hops from the lowest customer. After k
+    * rounds the distance frame is exactly the cheapest ≤ k-hop cost, so
+    * the oracle unrolls four per-level min relaxations (no recursive
+    * path enumeration — level-wise GROUP BY min keeps the replay
+    * polynomial on the dense graph). */
+  private def q203ShortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    val l = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey",
+        ($"l_quantity".cast(org.apache.spark.sql.types.DecimalType(18, 4)) * 10000)
+          .cast("long").as("qu"))
+    val pairs = o.join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_custkey".as("cust"), ($"l_suppkey" + 1000000L).as("supp"))
+      .agg(min($"qu").as("w"))
+    val edges = pairs.select($"cust".as("src"), $"supp".as("dst"), $"w")
+      .unionByName(pairs.select($"supp".as("src"), $"cust".as("dst"), $"w"))
+    val sources = pairs.agg(min($"cust").as("node"))
+    graft.operators.GraphOps.shortestPaths(
+      edges, "src", "dst", "w", sources, maxHops = 4)
+  }
+
+  private val q203Sql = {
+    def level(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT node, MIN(d) AS d FROM (
+         |    SELECT node, d FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst, $prev.d + e.w FROM $prev
+         |    JOIN e ON e.src = $prev.node)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp,
+       |    MIN(CAST(CAST(l_quantity AS DECIMAL(18,4))*10000 AS BIGINT)) AS w
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |e AS (SELECT cust AS src, supp AS dst, w FROM pairs
+       |      UNION ALL SELECT supp, cust, w FROM pairs),
+       |d0 AS (SELECT MIN(cust) AS node, CAST(0 AS BIGINT) AS d FROM pairs),
+       |${level("d0", "d1")},
+       |${level("d1", "d2")},
+       |${level("d2", "d3")},
+       |${level("d3", "d4")}
+       |SELECT node, d AS dist FROM d4
+       |ORDER BY node""".stripMargin
+  }
+
   private def q115BfsHops(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
@@ -1658,6 +1708,8 @@ object AdvancedQueries extends QueryModule {
       "degree-capped triangle total: deterministic lower bound, O(m*cap) wedge stage (north star)"),
     Q("q115_bfs_hops", q115BfsHops, Some(q115Sql),
       "bounded BFS hop distances vs recursive-CTE oracle (north star)"),
+    Q("q203_shortest_paths", q203ShortestPaths, Some(q203Sql),
+      "bounded Bellman-Ford weighted distances vs level-unrolled min-relaxation oracle (north star)"),
     Q("q194_kcore", q194KCore, Some(q194Sql),
       "k-core peeling to fixpoint: dense-commerce core with within-core degrees (north star)"),
     Q("q42_collect_list", q42CollectList, Some(q42Sql), "grouped gather to sorted list (F16/F17)"),

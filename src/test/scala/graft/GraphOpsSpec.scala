@@ -159,6 +159,52 @@ class GraphOpsSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture must have a non-trivial core")
   }
 
+  test("weighted shortest paths: cheap detour beats direct edge, hop bound binds, " +
+      "negative weight fails loudly") {
+    // direct 1->4 costs 100; the 3-hop detour 1->2->3->4 costs 3
+    val es = Seq((1L, 4L, 100L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (4L, 5L, 1L)).toDF("src", "dst", "w")
+    val src = Seq(1L).toDF("node")
+    def dists(maxHops: Int): Map[Long, Long] =
+      GraphOps.shortestPaths(es, "src", "dst", "w", src, maxHops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1 hop: only the direct edges
+    assert(dists(1) === Map(1L -> 0L, 4L -> 100L, 2L -> 1L))
+    // 3 hops: the detour wins
+    assert(dists(3)(4L) === 3L)
+    // 4 hops: node 5 reached through the detour
+    assert(dists(4) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // fixpoint early-exit: a larger bound changes nothing
+    assert(dists(10) === dists(4))
+    intercept[Exception] {
+      GraphOps.shortestPaths(Seq((1L, 2L, -5L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", src, 2).collect()
+    }
+  }
+
+  test("weighted shortest paths == driver Bellman-Ford on a generated graph") {
+    val es = (for (i <- 0 until 400) yield {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sp:$i".getBytes("UTF-8"))
+      val a = ((h(0) & 0x7f).toLong * 256 + (h(1) & 0xff)) % 50
+      val b = ((h(2) & 0x7f).toLong * 256 + (h(3) & 0xff)) % 50
+      (a, b, 1L + ((h(4) & 0xff) % 9))
+    }).filter { case (a, b, _) => a != b }
+    val maxHops = 5
+    val got = GraphOps.shortestPaths(es.toDF("src", "dst", "w"),
+        "src", "dst", "w", Seq(0L).toDF("node"), maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: maxHops rounds of relaxation over a driver map
+    var ref = Map(0L -> 0L)
+    for (_ <- 1 to maxHops) {
+      val relaxed = es.flatMap { case (a, b, w) => ref.get(a).map(d => b -> (d + w)) }
+      ref = (ref.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    assert(got === ref)
+    assert(got.size > 1, "source must reach something")
+  }
+
   test("bfs on a chain: hop counts, depth bound, unreachable absent") {
     val chain = edgesDf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
     val got = GraphOps.bfsDistances(chain, "src", "dst",
