@@ -543,6 +543,48 @@ object StreamingJobs {
       }
   }
 
+  case class HoltEvent(key: Long, ts: java.sql.Timestamp, tie: Long, v: Double)
+  case class HoltPoint(key: Long, rn: Long, vu: Long, level: Long,
+      trend: Long, forecast: Long)
+  case class HoltState(l: Long, b: Long, n: Long)
+
+  /** Streaming Holt smoothing — [[graft.operators.TimeSeriesOps.holt]]
+    * maintained continuously, the [[cusumOnArrival]] discipline: keyed
+    * state carries (level, trend, count), each batch folds in (ts, tie)
+    * order with `Math.floorDiv` (the same floor the batch operator's
+    * column arithmetic takes), and the emitted integers are bit-equal
+    * to the batch form over the concatenated prefix (StreamingHoltSpec
+    * pins it). State is three longs per key. */
+  def holtOnArrival(events: org.apache.spark.sql.Dataset[HoltEvent],
+      valueUnits: Int = 1000, denA: Int = 8, denB: Int = 16)
+      : org.apache.spark.sql.Dataset[HoltPoint] = {
+    require(denA >= 2 && denB >= 2, s"denominators must be >= 2, got $denA/$denB")
+    require(valueUnits >= 1, s"valueUnits must be >= 1, got $valueUnits")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[HoltState, HoltPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, evs, state) =>
+          var st = state.getOption.getOrElse(HoltState(0L, 0L, 0L))
+          val out = evs.toSeq.sortBy(e => (e.ts.getTime, e.tie)).map { e =>
+            val vu = math.floor(e.v * valueUnits + 0.5).toLong
+            val (l2, b2) =
+              if (st.n == 0L) (vu, 0L)
+              else {
+                val l = Math.floorDiv(vu + (st.l + st.b) * (denA - 1), denA.toLong)
+                (l, Math.floorDiv((l - st.l) + st.b * (denB - 1), denB.toLong))
+              }
+            st = HoltState(l2, b2, st.n + 1)
+            HoltPoint(key, st.n, vu, l2, b2, l2 + b2)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Stream-stream inner join with event-time range: both sides watermarked
     * so the state store evicts rows once the other side can no longer
     * match (the condition bounds the buffering window). */
