@@ -218,6 +218,73 @@ object TimeSeriesOps {
         (col("e.level") + col("e.trend")).as("forecast"))
   }
 
+  /** Holt–Winters additive triple smoothing per key — [[holt]] plus a
+    * rotating seasonal lane vector of `period` integers (α = 1/denA,
+    * β = 1/denB, γ = 1/denC, floor arithmetic throughout):
+    *
+    *   s⁻ = season head (the lane last updated a full period ago)
+    *   l_t = ⌊((vu_t − s⁻) + (denA−1)(l+b)) / denA⌋
+    *   b_t = ⌊((l_t − l_{t−1}) + (denB−1) b) / denB⌋
+    *   s_t = ⌊((vu_t − l_t) + (denC−1) s⁻) / denC⌋
+    *   season' = rotate(season) ++ [s_t]
+    *
+    * Seeding convention (documented, replayed by the oracle): the first
+    * event sets l = vu, b = 0; the seasonal vector starts at zeros, so
+    * the model degenerates to [[holt]] through the first period and
+    * learns seasonality from the second onward — no look-ahead seeding,
+    * so single-period keys stay well-defined. Forecast = l + b + the
+    * NEXT lane (the rotated head). State per key is period + 2 longs;
+    * same one-shuffle sorted-fold shape as its siblings. */
+  def holtWinters(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, period: Int,
+      valueUnits: Int = 1000, denA: Int = 8, denB: Int = 16,
+      denC: Int = 8): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(denA >= 2 && denB >= 2 && denC >= 2,
+      s"denominators must be >= 2, got $denA/$denB/$denC")
+    require(valueUnits >= 1, s"valueUnits must be >= 1, got $valueUnits")
+    def floorDiv(x: Column, w: Int): Column = IntervalJoin.floorDiv(x, w.toLong)
+    val evs = events
+      .select(col(keyCol).as("__k"),
+        struct(eventMicros(col(tsCol)).as("t"), col(tieCol).as("tie"),
+          floor(col(valueCol) * valueUnits + lit(0.5)).cast("long").as("vu"))
+          .as("__ev"))
+      .groupBy("__k")
+      .agg(sort_array(collect_list(col("__ev"))).as("__evs"))
+    val zeros = array_repeat(lit(0L), period)
+    val init = struct(lit(0L).as("l"), lit(0L).as("b"), zeros.as("sea"),
+      array().cast(
+        "array<struct<vu:bigint,level:bigint,trend:bigint,season:bigint,forecast:bigint>>")
+        .as("out"))
+    val folded = evs.withColumn("__acc",
+      aggregate(col("__evs"), init, (st, ev) => {
+        val first = size(st.getField("out")) === 0
+        val sPrev = element_at(st.getField("sea"), 1)
+        val l2 = when(first, ev.getField("vu"))
+          .otherwise(floorDiv((ev.getField("vu") - sPrev) +
+            (st.getField("l") + st.getField("b")) * (denA - 1), denA))
+        val b2 = when(first, lit(0L))
+          .otherwise(floorDiv((l2 - st.getField("l")) +
+            st.getField("b") * (denB - 1), denB))
+        val s2 = when(first, lit(0L))
+          .otherwise(floorDiv((ev.getField("vu") - l2) +
+            sPrev * (denC - 1), denC))
+        val rotated = concat(slice(st.getField("sea"), 2, period - 1),
+          array(s2))
+        struct(l2.as("l"), b2.as("b"), rotated.as("sea"),
+          concat(st.getField("out"), array(struct(
+            ev.getField("vu").as("vu"), l2.as("level"), b2.as("trend"),
+            s2.as("season"),
+            (l2 + b2 + element_at(rotated, 1)).as("forecast")))).as("out"))
+      }))
+    folded
+      .select(col("__k"), posexplode(col("__acc").getField("out")).as(Seq("pos", "e")))
+      .select(col("__k").as(keyCol), (col("pos") + 1).cast("long").as("rn"),
+        col("e.vu").as("vu"), col("e.level").as("level"),
+        col("e.trend").as("trend"), col("e.season").as("season"),
+        col("e.forecast").as("forecast"))
+  }
+
   /** Two-sided CUSUM changepoint detection per key — Page's cumulative-sum
     * control chart in pure integer arithmetic: with values in integer
     * units, `sp' = max(0, sp + vu − ref)` accumulates upward drift,

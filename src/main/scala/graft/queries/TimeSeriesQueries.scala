@@ -357,6 +357,45 @@ object TimeSeriesQueries extends QueryModule {
        |ORDER BY user_id, rn""".stripMargin
   }
 
+  /** Holt–Winters additive smoothing ([[graft.operators.TimeSeriesOps
+    * .holtWinters]], period 4, α=1/8, β=1/16, γ=1/8): level, trend, and
+    * a rotating 4-lane seasonal state, all in floor fixed-point; the
+    * oracle walks the same recurrence as a recursive CTE carrying the
+    * seasonal LIST as state (head = the lane due this step), with the
+    * sign-safe floor-division form throughout. */
+  private def q204HoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.TimeSeriesOps.holtWinters(Tables.events(spark, dir),
+        "user_id", "ts", "event_id", "value", period = 4)
+      .orderBy($"user_id", $"rn")
+  }
+
+  private val q204Sql = {
+    def fdiv(n: String, w: Int) = s"(($n) - ((($n) % $w) + $w) % $w) // $w"
+    val l2 = fdiv("(o.vu - w.sea[1]) + 7 * (w.l + w.b)", 8)
+    val b2 = fdiv(s"($l2 - w.l) + 15 * w.b", 16)
+    val s2 = fdiv(s"(o.vu - $l2) + 7 * w.sea[1]", 8)
+    s"""WITH RECURSIVE ord AS (
+       |  SELECT user_id,
+       |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vu,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |walk AS (
+       |  SELECT user_id, rn, vu, vu AS l, CAST(0 AS BIGINT) AS b,
+       |    CAST(0 AS BIGINT) AS s,
+       |    [CAST(0 AS BIGINT), 0, 0, 0] AS sea
+       |  FROM ord WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.user_id, o.rn, o.vu,
+       |    $l2, $b2, $s2,
+       |    list_append(w.sea[2:4], $s2)
+       |  FROM walk w JOIN ord o ON o.user_id = w.user_id AND o.rn = w.rn + 1)
+       |SELECT user_id, rn, vu, l AS level, b AS trend, s AS season,
+       |  l + b + sea[1] AS forecast
+       |FROM walk
+       |ORDER BY user_id, rn""".stripMargin
+  }
+
   private def q118Ewma(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.operators.TimeSeriesOps.ewma(Tables.events(spark, dir),
@@ -813,6 +852,8 @@ object TimeSeriesQueries extends QueryModule {
       "daily volume-weighted average value per event type (exact decimal sums)"),
     Q("q129_gaps", q129Gaps, Some(q129Sql),
       "interarrival gap detection per user (stream-went-quiet monitoring)"),
+    Q("q204_holt_winters", q204HoltWinters, Some(q204Sql),
+      "Holt-Winters triple smoothing: rotating seasonal lanes vs list-state recursive-CTE oracle (north star)"),
     Q("q202_holt", q202Holt, Some(q202Sql),
       "Holt level+trend smoothing with one-step forecast, fixed-point floor recurrence (north star)"),
     Q("q118_ewma", q118Ewma, Some(q118Sql),

@@ -140,6 +140,43 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(checked > 100, s"checked only $checked rows")
   }
 
+  test("holt tracks a linear trend an ewma lags; holtWinters learns a planted season") {
+    import java.sql.Timestamp
+    def ts(i: Int) = new Timestamp(60000L + i * 60000L)
+    // strictly increasing series: Holt's forecast converges onto the
+    // ramp while EWMA trails it permanently
+    val ramp = (0 until 60).map(i => (1L, ts(i), i.toLong, 100.0 + 5.0 * i))
+      .toDF("key", "t", "tie", "v")
+    val holt = TimeSeriesOps.holt(ramp, "key", "t", "tie", "v")
+      .select($"rn", $"vu", $"forecast").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    // late-window one-step forecast error (vs the NEXT value) small
+    val lateErr = holt.sliding(2).collect {
+      case Array((_, _, f), (_, vuNext, _)) => math.abs(f - vuNext)
+    }.toSeq.takeRight(10)
+    assert(lateErr.forall(_ <= 2000L),
+      s"holt must track the ramp within 2 units late on: $lateErr")
+    // period-4 seasonal sawtooth on a flat base: HW's late forecasts
+    // must beat Holt's on the same series (the seasonal term's job)
+    val season = Seq(0.0, 40.0, 10.0, -30.0)
+    val wave = (0 until 80).map(i => (1L, ts(i), i.toLong, 100.0 + season(i % 4)))
+      .toDF("key", "t", "tie", "v")
+    def lateAbsErr(rows: Seq[(Long, Long, Long)]): Double = {
+      val s = rows.sortBy(_._1)
+      s.sliding(2).collect {
+        case Seq((_, _, f), (_, vuNext, _)) => math.abs(f - vuNext).toDouble
+      }.toSeq.takeRight(30).sum
+    }
+    val hwErr = lateAbsErr(TimeSeriesOps
+      .holtWinters(wave, "key", "t", "tie", "v", period = 4)
+      .select($"rn", $"vu", $"forecast").as[(Long, Long, Long)].collect().toSeq)
+    val holtErr = lateAbsErr(TimeSeriesOps
+      .holt(wave, "key", "t", "tie", "v")
+      .select($"rn", $"vu", $"forecast").as[(Long, Long, Long)].collect().toSeq)
+    assert(hwErr < holtErr / 2,
+      s"seasonal forecasts must beat trend-only by 2x on a sawtooth: $hwErr vs $holtErr")
+  }
+
   test("top-k aggregator handles groups smaller than k and score ties") {
     val ds = Seq((1L, 10L, 5.0), (1L, 11L, 5.0), (2L, 20L, 1.0))
       .toDS()
