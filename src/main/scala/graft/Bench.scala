@@ -67,6 +67,9 @@ object Bench {
     "q193_ivfadc_topk" -> 5.5,
     "q194_kcore" -> 3.5,
     "q195_ivfadc_residual" -> 5.5,
+    // round-10 late wave (solo min-of-two during a mild throttle phase)
+    "q203_shortest_paths" -> 5.5,
+    "q204_holt_winters" -> 3.0,
     "q111_containment" -> 3.2,
     "q112_char_entropy" -> 1.8,
     // round-8 late wave (clean min-of-two, isolated re-measures agreed;
