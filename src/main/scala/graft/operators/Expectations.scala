@@ -45,6 +45,17 @@ object Expectations {
   case class Unique(col: String) extends Rule {
     def name = s"unique:$col"
   }
+  /** Referential integrity: every non-null `col` value must exist in
+    * `dim`'s `dimCol` — the declarative form of the K1/J3 left-anti FK
+    * check, so a contract suite can gate on orphaned keys alongside its
+    * row rules. Nulls do NOT violate (compose with [[NotNull]] when a
+    * mandatory FK is meant — the SQL FK convention). The dim side
+    * broadcasts when small; either way the check is one anti join
+    * keyed on the FK, never a row-local scan of the dim per row. */
+  case class ForeignKeyIn(col: String, dim: DataFrame, dimCol: String)
+      extends Rule {
+    def name = s"foreign_key:$col"
+  }
 
   /** One row per rule: (rule, n_violations, sample_id) where sample_id
     * is the smallest `idCol` value among violators (null when clean). */
@@ -61,6 +72,7 @@ object Expectations {
         Some(!coalesce(col(c) >= lo && col(c) <= hi, lit(false)))
       case Satisfies(_, p) => Some(!coalesce(p, lit(false)))
       case Unique(_) => None
+      case ForeignKeyIn(_, _, _) => None
     }
 
     val rowRules = rules.flatMap(r => rowRule(r).map(r.name -> _))
@@ -88,6 +100,16 @@ object Expectations {
           col("sample_id"))
     }
 
-    (rowVerdicts.toSeq ++ uniqueVerdicts).reduce(_.unionByName(_))
+    val fkVerdicts = rules.collect { case ForeignKeyIn(c, dim, dc) =>
+      df.filter(col(c).isNotNull)
+        .select(col(c).as("__fk"), col(idCol).as("__id"))
+        .join(dim.select(col(dc).as("__fk")).distinct(), Seq("__fk"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"),
+          min(col("__id")).cast("string").as("sample_id"))
+        .select(lit(s"foreign_key:$c").as("rule"), col("n_violations"),
+          col("sample_id"))
+    }
+
+    (rowVerdicts.toSeq ++ uniqueVerdicts ++ fkVerdicts).reduce(_.unionByName(_))
   }
 }

@@ -769,6 +769,48 @@ object AdvancedQueries extends QueryModule {
       |      FROM documents GROUP BY doc_id HAVING COUNT(*) > 1)
       |ORDER BY rule""".stripMargin
 
+  /** Referential contract suite — [[q102Expectations]] extended with the
+    * [[graft.operators.Expectations.ForeignKeyIn]] rule: the fact table
+    * gated on BOTH its foreign keys (one broadcast anti join each,
+    * never a per-row dim scan) alongside row rules, one of which
+    * (quantity < 50) actually fires so the verdict isn't all-zeros. */
+  private def q205FkContract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Expectations._
+    check(Tables.lineitem(spark, dir), "l_orderkey", Seq(
+        NotNull("l_partkey"),
+        ForeignKeyIn("l_partkey", Tables.part(spark, dir), "p_partkey"),
+        ForeignKeyIn("l_suppkey", Tables.supplier(spark, dir), "s_suppkey"),
+        InRange("l_quantity", 1, 49)))
+      .orderBy($"rule")
+  }
+
+  private val q205Sql =
+    """SELECT 'not_null:l_partkey' AS rule,
+      |  COUNT(*) FILTER (l_partkey IS NULL) AS n_violations,
+      |  CAST(MIN(l_orderkey) FILTER (l_partkey IS NULL) AS VARCHAR) AS sample_id
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'in_range:l_quantity',
+      |  COUNT(*) FILTER (NOT coalesce(l_quantity BETWEEN 1 AND 49, FALSE)),
+      |  CAST(MIN(l_orderkey) FILTER (NOT coalesce(l_quantity BETWEEN 1 AND 49, FALSE)) AS VARCHAR)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'foreign_key:l_partkey',
+      |  COUNT(*) FILTER (l_partkey IS NOT NULL
+      |    AND l_partkey NOT IN (SELECT p_partkey FROM part)),
+      |  CAST(MIN(l_orderkey) FILTER (l_partkey IS NOT NULL
+      |    AND l_partkey NOT IN (SELECT p_partkey FROM part)) AS VARCHAR)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'foreign_key:l_suppkey',
+      |  COUNT(*) FILTER (l_suppkey IS NOT NULL
+      |    AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+      |  CAST(MIN(l_orderkey) FILTER (l_suppkey IS NOT NULL
+      |    AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier)) AS VARCHAR)
+      |FROM lineitem
+      |ORDER BY rule""".stripMargin
+
   /** Distribution-drift gate ([[graft.operators.Drift.binnedDrift]]):
     * order-value shape, pre-1998 baseline vs the 1998+ current window —
     * the aggregate-level monitoring companion to q103's row-level diff.
@@ -1745,6 +1787,8 @@ object AdvancedQueries extends QueryModule {
       "declarative data-quality gate: 5 rules, one pass, deterministic samples"),
     Q("q192_drift_gate", q192Drift, Some(q192Sql),
       "binned distribution-drift gate: exact counts, rational chi-square contributions"),
+    Q("q205_fk_contract", q205FkContract, Some(q205Sql),
+      "referential contract: ForeignKeyIn anti-join rules beside row rules, one verdict frame"),
     Q("q197_cat_drift", q197CatDrift, Some(q197Sql),
       "categorical mix drift: deterministic head set + __other fold, rational contributions"),
     Q("q103_snapshot_diff", q103SnapshotDiff, Some(q103Sql),

@@ -57,6 +57,18 @@ class ExpectationsSpec extends SparkSpec {
     assert(scans === 1, s"want one scan:\n$plan")
   }
 
+  test("foreign-key rule: orphans counted, nulls exempt, clean dim passes") {
+    val dim = Seq("en", "de", "fr").toDF("code")
+    val v = run(Seq(ForeignKeyIn("lang", dim, "code"), NotNull("lang")))
+    // id 2 ("xx") is the only orphan: id 3's null is EXEMPT from the FK
+    // rule (the SQL convention) and flagged by NotNull instead
+    assert(v("foreign_key:lang") === ((1L, Some("2"))))
+    assert(v("not_null:lang") === ((1L, Some("3"))))
+    val clean = run(Seq(ForeignKeyIn("lang",
+      Seq("en", "de", "xx").toDF("code"), "code")))
+    assert(clean("foreign_key:lang") === ((0L, None)))
+  }
+
   test("duplicate rule names and empty rule lists are rejected") {
     intercept[IllegalArgumentException] {
       Expectations.check(fixture, "id", Seq(NotNull("lang"), NotNull("lang")))
