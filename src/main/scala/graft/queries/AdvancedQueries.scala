@@ -395,6 +395,60 @@ object AdvancedQueries extends QueryModule {
       |FROM t JOIN r ON r.event_type = t.event_type AND r.rn = t.r0
       |ORDER BY t.event_type, t.p""".stripMargin
 
+  /** Quantile-shift gate — the third leg of the drift family beside
+    * q192's binned shape and q197's categorical mix: per-stratum EXACT
+    * p50/p90/p99 ([[graft.operators.OrderStats.exactQuantiles]], the
+    * cell-partitioned plan) of the pre-1998 baseline vs the 1998+
+    * window, joined on (stratum, p), with the shift emitted as a
+    * difference of identically-derived doubles and the flag a plain
+    * comparison — no float sums anywhere. Catches median/tail moves a
+    * histogram's fixed bins can blur. */
+  private def q206QuantileShift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val cut = lit("1998-01-01").cast("timestamp")
+    def qs(df: DataFrame, out: String) =
+      graft.operators.OrderStats.exactQuantiles(
+          df, "o_totalprice", "o_orderpriority", ps = Seq(0.5, 0.9, 0.99))
+        .select($"o_orderpriority", $"p", $"n".as(s"n_$out"),
+          $"q".as(s"q_$out"))
+    qs(orders.filter($"o_orderdate" < cut), "base")
+      .join(qs(orders.filter($"o_orderdate" >= cut), "cur"),
+        Seq("o_orderpriority", "p"))
+      .withColumn("shift", $"q_cur" - $"q_base")
+      .withColumn("drifted", abs($"q_cur" - $"q_base") > 20000.0)
+      .orderBy($"o_orderpriority", $"p")
+  }
+
+  private val q206Sql = {
+    def side(pred: String, out: String) =
+      s"""${out}0 AS (
+         |  SELECT o_orderpriority, o_totalprice AS value,
+         |    row_number() OVER (PARTITION BY o_orderpriority
+         |                       ORDER BY o_totalprice, o_orderkey) AS rn,
+         |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+         |  FROM orders WHERE $pred),
+         |$out AS (
+         |  SELECT t.o_orderpriority, t.p, CAST(t.n AS BIGINT) AS n_$out,
+         |    r.value AS q_$out
+         |  FROM (
+         |    SELECT o_orderpriority, p, n,
+         |      GREATEST(1, CAST(CEIL(p * n) AS BIGINT)) AS r0
+         |    FROM (SELECT DISTINCT o_orderpriority, n FROM ${out}0)
+         |    CROSS JOIN ps) t
+         |  JOIN ${out}0 r ON r.o_orderpriority = t.o_orderpriority
+         |               AND r.rn = t.r0)""".stripMargin
+    s"""WITH ps(p) AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE)),
+       |${side("o_orderdate < TIMESTAMP '1998-01-01'", "base")},
+       |${side("o_orderdate >= TIMESTAMP '1998-01-01'", "cur")}
+       |SELECT base.o_orderpriority, base.p, n_base, q_base, n_cur, q_cur,
+       |  q_cur - q_base AS shift,
+       |  abs(q_cur - q_base) > 20000.0 AS drifted
+       |FROM base JOIN cur
+       |  ON base.o_orderpriority = cur.o_orderpriority AND base.p = cur.p
+       |ORDER BY base.o_orderpriority, base.p""".stripMargin
+  }
+
   /** Per-stratum length-outlier trim (north star): drop each language's
     * longest decile — "winsorize the corpus at per-language p90 token
     * length", the length-outlier curation rule a 100 TB cleaning run
@@ -1787,6 +1841,8 @@ object AdvancedQueries extends QueryModule {
       "declarative data-quality gate: 5 rules, one pass, deterministic samples"),
     Q("q192_drift_gate", q192Drift, Some(q192Sql),
       "binned distribution-drift gate: exact counts, rational chi-square contributions"),
+    Q("q206_quantile_shift", q206QuantileShift, Some(q206Sql),
+      "per-stratum exact-quantile drift gate: p50/p90/p99 shifts between snapshots"),
     Q("q205_fk_contract", q205FkContract, Some(q205Sql),
       "referential contract: ForeignKeyIn anti-join rules beside row rules, one verdict frame"),
     Q("q197_cat_drift", q197CatDrift, Some(q197Sql),
