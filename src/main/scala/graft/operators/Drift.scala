@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift monitoring between two snapshots of the same
@@ -117,6 +118,46 @@ object Drift {
       .withColumn("drifted", col("contrib") > threshold)
       .select("category", "n_base", "n_cur", "p_base", "p_cur",
         "contrib", "drifted")
+  }
+
+  /** Quantile estimates from per-bin counts — the deterministic
+    * mergeable-quantile read the histogram state supports for free:
+    * bin counts are exactly mergeable (plain addition — unlike KLL or
+    * t-digest, whose randomized/merge-order-dependent compaction defies
+    * a cross-engine replay), so the SAME state the drift gate and the
+    * streaming fold maintain doubles as a quantile summary with error
+    * bounded by one bin width (clamped-tail caveat: mass outside
+    * [lo, hi) sits in the edge bins, so tail quantiles saturate at the
+    * range ends — size the range like the histogram's).
+    *
+    * Estimator (replayable rational arithmetic): target = ⌈p·n⌉
+    * (computed in DOUBLE, the q89 convention), answer = the UPPER edge
+    * of the first bin whose cumulative count reaches the target — a
+    * conservative bound that exact-matches any engine. Output: (p,
+    * target_rank, est_quantile). */
+  def binnedQuantiles(counts: DataFrame, nBins: Int, lo: Double,
+      hi: Double, ps: Seq[Double]): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantiles $ps outside [0, 1]")
+    val width = (hi - lo) / nBins
+    val cum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = counts.select(col("bin"), col("n"))
+      .withColumn("__cum", sum(col("n")).over(cum))
+      .withColumn("__total", max(col("__cum")).over(
+        Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val pFrame = counts.sparkSession
+      .createDataFrame(ps.map(Tuple1(_))).toDF("p")
+    withCum.crossJoin(broadcast(pFrame))
+      .withColumn("__target",
+        greatest(lit(1L), ceil(col("p") * col("__total")).cast("long")))
+      .filter(col("__cum") >= col("__target"))
+      .groupBy(col("p"))
+      .agg(min(col("bin")).as("__bin"), min(col("__target")).as("target_rank"))
+      .select(col("p"), col("target_rank"),
+        (lit(lo) + (col("__bin") + 1) * width).as("est_quantile"))
   }
 
   /** The drift frame from pre-aggregated per-bin counts — the join

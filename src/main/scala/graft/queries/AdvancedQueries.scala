@@ -449,6 +449,66 @@ object AdvancedQueries extends QueryModule {
        |ORDER BY base.o_orderpriority, base.p""".stripMargin
   }
 
+  /** Mergeable-histogram quantiles ([[graft.operators.Drift
+    * .binnedQuantiles]]): the quantile read the drift family's bin
+    * counts support for free — deterministic and exactly mergeable
+    * (plain addition) where KLL/t-digest compaction defies a
+    * cross-engine replay. The contract sits fully under the hash: the
+    * estimate (upper edge of the straddling bin), the EXACT rank
+    * quantile (window formulation), and the one-bin-width error bound
+    * boolean are all replayed relationally. */
+  private def q207BinnedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val width = 5000.0
+    val counts = graft.operators.Drift.binCounts(
+      Tables.orders(spark, dir), "o_totalprice", nBins = 100,
+      lo = 0.0, hi = 500000.0)
+    val est = graft.operators.Drift.binnedQuantiles(
+      counts, nBins = 100, lo = 0.0, hi = 500000.0, ps = Seq(0.5, 0.9, 0.99))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"o_totalprice", $"o_orderkey")
+    val n = Tables.orders(spark, dir).count()
+    val exact = Tables.orders(spark, dir)
+      .select($"o_totalprice", $"o_orderkey")
+      .withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(Seq(0.5, 0.9, 0.99).toDF("p")))
+      .filter($"__rn" === greatest(lit(1L), ceil($"p" * n).cast("long")))
+      .select($"p", $"o_totalprice".as("exact_q"))
+    est.join(exact, "p")
+      .withColumn("ok",
+        $"est_quantile" > $"exact_q" &&
+          $"est_quantile" - $"exact_q" <= width)
+      .orderBy($"p")
+  }
+
+  private val q207Sql =
+    """WITH c AS (
+      |  SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0)/5000.0) AS BIGINT), 0), 99) AS bin,
+      |    COUNT(*) AS n
+      |  FROM orders GROUP BY bin),
+      |cum AS (
+      |  SELECT bin, SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cumn,
+      |    SUM(n) OVER () AS total
+      |  FROM c),
+      |ps(p) AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE)),
+      |est AS (
+      |  SELECT p, MIN(GREATEST(1, CAST(CEIL(p * total) AS BIGINT))) AS target_rank,
+      |    0.0 + (MIN(bin) + 1) * 5000.0 AS est_quantile
+      |  FROM cum CROSS JOIN ps
+      |  WHERE cumn >= GREATEST(1, CAST(CEIL(p * total) AS BIGINT))
+      |  GROUP BY p),
+      |r AS (
+      |  SELECT o_totalprice, row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM orders),
+      |ex AS (
+      |  SELECT p, o_totalprice AS exact_q
+      |  FROM r CROSS JOIN ps
+      |  WHERE rn = GREATEST(1, CAST(CEIL(p * n) AS BIGINT)))
+      |SELECT est.p, target_rank, est_quantile, exact_q,
+      |  est_quantile > exact_q AND est_quantile - exact_q <= 5000.0 AS ok
+      |FROM est JOIN ex ON est.p = ex.p
+      |ORDER BY est.p""".stripMargin
+
   /** Per-stratum length-outlier trim (north star): drop each language's
     * longest decile — "winsorize the corpus at per-language p90 token
     * length", the length-outlier curation rule a 100 TB cleaning run
@@ -1841,6 +1901,8 @@ object AdvancedQueries extends QueryModule {
       "declarative data-quality gate: 5 rules, one pass, deterministic samples"),
     Q("q192_drift_gate", q192Drift, Some(q192Sql),
       "binned distribution-drift gate: exact counts, rational chi-square contributions"),
+    Q("q207_binned_quantiles", q207BinnedQuantiles, Some(q207Sql),
+      "mergeable-histogram quantiles: estimate, exact, and the one-bin error bound under the hash"),
     Q("q206_quantile_shift", q206QuantileShift, Some(q206Sql),
       "per-stratum exact-quantile drift gate: p50/p90/p99 shifts between snapshots"),
     Q("q205_fk_contract", q205FkContract, Some(q205Sql),

@@ -543,6 +543,28 @@ object StreamingJobs {
       }
   }
 
+  /** Quantile estimates off a [[histogramOnArrival]] state path —
+    * [[graft.operators.Drift.binnedQuantiles]] over the persisted
+    * cumulative counts: the SAME state serves the drift gate and a
+    * streaming quantile summary (exactly mergeable by construction,
+    * where KLL/t-digest compaction would be merge-order-dependent).
+    * Error ≤ one bin width; non-mutating read. */
+  def histogramQuantiles(spark: SparkSession, statePath: String,
+      nBins: Int, lo: Double, hi: Double, ps: Seq[Double]): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = graft.operators.StagedSwap.readable(fs,
+      new org.apache.hadoop.fs.Path(statePath, "state"),
+      new org.apache.hadoop.fs.Path(statePath, ".state_tmp"),
+      new org.apache.hadoop.fs.Path(statePath, ".state_old"))
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no histogram state under $statePath"))
+    graft.operators.Drift.binnedQuantiles(
+      readState(spark, fs, src)
+        .filter(org.apache.spark.sql.functions.col("bin") >= 0),
+      nBins, lo, hi, ps)
+  }
+
   case class HoltEvent(key: Long, ts: java.sql.Timestamp, tie: Long, v: Double)
   case class HoltPoint(key: Long, rn: Long, vu: Long, level: Long,
       trend: Long, forecast: Long)

@@ -66,6 +66,30 @@ class StreamingDriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("state-backed quantiles: within one bin width of exact over the streamed union") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("sdrift_q").toString
+    val source = MemoryStream[Double]
+    val q = StreamingJobs.histogramOnArrival(
+      source.toDF().toDF("v"), "v", nBins = 20, lo = 0.0, hi = 100.0,
+      s"$dir/state", s"$dir/ckpt").start()
+    val all = (0 until 500).map(i => ((i * 7919) % 100).toDouble)
+    try {
+      all.grouped(180).foreach { chunk =>
+        source.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val est = StreamingJobs.histogramQuantiles(spark, s"$dir/state",
+        nBins = 20, lo = 0.0, hi = 100.0, ps = Seq(0.5, 0.9))
+      .select($"p", $"est_quantile").as[(Double, Double)].collect().toMap
+    val sorted = all.sorted
+    for (p <- Seq(0.5, 0.9)) {
+      val exact = sorted(math.max(0, math.ceil(p * sorted.size).toInt - 1))
+      assert(est(p) > exact && est(p) - exact <= 5.0,
+        s"p=$p est=${est(p)} exact=$exact must sit within one bin above")
+    }
+  }
+
   test("a redelivered batch is fenced; the fence survives an empty first batch") {
     val dir = Files.createTempDirectory("sdrift_fence").toString
     // batch 0 EMPTY: only the sentinel pins committed = 0
