@@ -185,6 +185,53 @@ object GraphOps {
     out
   }
 
+  /** Synchronous label propagation over the undirected graph — the
+    * deterministic LPA variant: starting from `seeds` (node, label),
+    * each round every node adopts the MAJORITY label among its
+    * neighbors' current labels plus its own (the self-vote damps the
+    * classic two-cycle oscillation), ties broken by the SMALLEST label
+    * — so the fixpoint is replayable in any engine, unlike the
+    * random-order asynchronous LPA in the original paper. Unlabeled
+    * nodes acquire labels only as the frontier reaches them. The
+    * semi-supervised spreading / community-assignment primitive
+    * ("label suppliers by their dominant customer nation").
+    *
+    * Scale shape: per round one label-join keyed on 8-byte node ids +
+    * one (node, label) count aggregate + one max_by argmax — no
+    * payload beyond (id, label, count) ever shuffles; `rounds` bounds
+    * the iterations (labels stabilize in a few rounds on most graphs;
+    * the round count is part of the operator's contract and the
+    * oracle replays exactly that many). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val und = canon.union(canon.select(col("v"), col("u")))
+      .toDF("src", "dst").cache()
+    var labels = seeds.toDF("node", "label").cache()
+    for (_ <- 1 to rounds) {
+      val votes = und.join(labels, col("node") === col("src"))
+        .select(col("dst").as("node"), col("label"))
+        .unionByName(labels) // the self-vote
+      val next = votes.groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("node"))
+        .agg(max_by(col("label"),
+          struct(col("__n").as("c"), (-col("label")).as("t"))).as("label"))
+        .cache()
+      next.count() // materialize before dropping the previous round
+      labels.unpersist()
+      labels = next
+    }
+    val out = labels.orderBy(col("node"))
+    und.unpersist()
+    out
+  }
+
   /** Minimum-cost distances from `sources` over DIRECTED weighted edges
     * within `maxHops` hops — bounded Bellman–Ford rounds, the weighted
     * sibling of [[bfsDistances]]: each round relaxes every edge out of

@@ -1695,6 +1695,56 @@ object AdvancedQueries extends QueryModule {
        |ORDER BY node""".stripMargin
   }
 
+  /** Deterministic label propagation (north star):
+    * [[graft.operators.GraphOps.labelPropagation]] — customers seed
+    * their nation key onto the co-purchase graph, 3 synchronous
+    * majority rounds (self-vote, min-label ties) label every supplier
+    * with its dominant customer nation. The oracle unrolls the three
+    * rounds as count + window-argmax levels — the same votes, the same
+    * tie-break, relationally. */
+  private def q208LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    val l = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
+    val pairs = o.join(l, $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("cust"), ($"l_suppkey" + 1000000L).as("supp"))
+    val seeds = Tables.customer(spark, dir)
+      .select($"c_custkey".as("node"), $"c_nationkey".cast("long").as("label"))
+    graft.operators.GraphOps.labelPropagation(
+        pairs, "cust", "supp", seeds, rounds = 3)
+      .filter($"node" >= 1000000L)
+      .orderBy($"node")
+  }
+
+  private val q208Sql = {
+    def round(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |      row_number() OVER (PARTITION BY node
+         |                         ORDER BY cnt DESC, label ASC) AS rk
+         |    FROM (
+         |      SELECT node, label, COUNT(*) AS cnt FROM (
+         |        SELECT und.dst AS node, $prev.label
+         |        FROM und JOIN $prev ON und.src = $prev.node
+         |        UNION ALL
+         |        SELECT node, label FROM $prev)
+         |      GROUP BY node, label))
+         |  WHERE rk = 1)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |und AS (SELECT u AS src, v AS dst FROM e
+       |        UNION ALL SELECT v, u FROM e),
+       |l0 AS (SELECT c_custkey AS node, CAST(c_nationkey AS BIGINT) AS label
+       |       FROM customer),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")},
+       |${round("l2", "l3")}
+       |SELECT node, label FROM l3 WHERE node >= 1000000
+       |ORDER BY node""".stripMargin
+  }
+
   private def q115BfsHops(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
@@ -1864,6 +1914,8 @@ object AdvancedQueries extends QueryModule {
       "degree-capped triangle total: deterministic lower bound, O(m*cap) wedge stage (north star)"),
     Q("q115_bfs_hops", q115BfsHops, Some(q115Sql),
       "bounded BFS hop distances vs recursive-CTE oracle (north star)"),
+    Q("q208_label_prop", q208LabelProp, Some(q208Sql),
+      "deterministic label propagation: majority + self-vote + min-label ties vs unrolled oracle (north star)"),
     Q("q203_shortest_paths", q203ShortestPaths, Some(q203Sql),
       "bounded Bellman-Ford weighted distances vs level-unrolled min-relaxation oracle (north star)"),
     Q("q194_kcore", q194KCore, Some(q194Sql),

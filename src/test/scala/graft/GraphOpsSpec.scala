@@ -159,6 +159,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture must have a non-trivial core")
   }
 
+  test("label propagation: planted communities converge, ties take the min label, " +
+      "unlabeled nodes acquire by frontier") {
+    // two K4 cliques bridged by one edge; one seed per clique
+    val k4a = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val k4b = for { a <- 11L to 14L; b <- (a + 1) to 14L } yield (a, b)
+    val es = (k4a ++ k4b :+ (4L, 11L)).toDF("src", "dst")
+    val seeds = Seq((1L, 100L), (14L, 200L)).toDF("node", "label")
+    val got = GraphOps.labelPropagation(es, "src", "dst", seeds, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(got(_) == 100L), s"clique A keeps its seed: $got")
+    assert((11L to 14L).forall(got(_) == 200L), s"clique B keeps its seed: $got")
+    // a node seeing two single-vote labels takes the SMALLER one
+    val tri = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val tieSeeds = Seq((1L, 50L), (2L, 40L)).toDF("node", "label")
+    val tie = GraphOps.labelPropagation(tri, "src", "dst", tieSeeds, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tie(3L) === 40L, s"tie must break to the min label: $tie")
+    // frontier acquisition: a chain labels one hop per round
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val cs = Seq((1L, 9L)).toDF("node", "label")
+    assert(!GraphOps.labelPropagation(chain, "src", "dst", cs, rounds = 2)
+      .collect().map(_.getLong(0)).contains(4L),
+      "round 2 must not reach three hops out")
+    assert(GraphOps.labelPropagation(chain, "src", "dst", cs, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 9L, 2L -> 9L, 3L -> 9L, 4L -> 9L))
+  }
+
   test("weighted shortest paths: cheap detour beats direct edge, hop bound binds, " +
       "negative weight fails loudly") {
     // direct 1->4 costs 100; the 3-hop detour 1->2->3->4 costs 3
