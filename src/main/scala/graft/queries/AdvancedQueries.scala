@@ -509,6 +509,58 @@ object AdvancedQueries extends QueryModule {
       |FROM est JOIN ex ON est.p = ex.p
       |ORDER BY est.p""".stripMargin
 
+  /** Quantile binning (the feature-calibration transform): per-priority
+    * quartile cuts from [[graft.operators.OrderStats.exactQuantiles]]
+    * (the cell-partitioned exact plan), each order bucketed as the
+    * COUNT OF CUTS ≤ its value — cut-based bucketing, deterministic
+    * under ties where NTILE's equal-count split is not — then the
+    * per-(stratum, bucket) population re-aggregated so the oracle can
+    * hash the whole assignment without shipping per-row output. The
+    * cuts join back via broadcast (|strata|·3 rows). */
+  private def q209QuantileBins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val cuts = graft.operators.OrderStats.exactQuantiles(
+        orders, "o_totalprice", "o_orderpriority", ps = Seq(0.25, 0.5, 0.75))
+      .select($"o_orderpriority", $"q")
+      .groupBy($"o_orderpriority")
+      .agg(collect_list($"q").as("__cuts"))
+    orders.join(broadcast(cuts), "o_orderpriority")
+      .withColumn("bucket", expr(
+        "aggregate(__cuts, 0, (acc, c) -> acc + if(c <= o_totalprice, 1, 0))"))
+      .groupBy($"o_orderpriority", $"bucket")
+      .agg(count(lit(1)).as("n"),
+        Exact.dsum($"o_totalprice").as("sum_value"))
+      .orderBy($"o_orderpriority", $"bucket")
+  }
+
+  private val q209Sql =
+    s"""WITH r AS (
+       |  SELECT o_orderpriority, o_totalprice,
+       |    row_number() OVER (PARTITION BY o_orderpriority
+       |                       ORDER BY o_totalprice, o_orderkey) AS rn,
+       |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+       |  FROM orders),
+       |ps(p) AS (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE)),
+       |cuts AS (
+       |  SELECT t.o_orderpriority, r.o_totalprice AS q
+       |  FROM (
+       |    SELECT o_orderpriority, p, GREATEST(1, CAST(CEIL(p * n) AS BIGINT)) AS r0
+       |    FROM (SELECT DISTINCT o_orderpriority, n FROM r) CROSS JOIN ps) t
+       |  JOIN r ON r.o_orderpriority = t.o_orderpriority AND r.rn = t.r0),
+       |b AS (
+       |  SELECT o.o_orderpriority, o.o_totalprice,
+       |    (SELECT COUNT(*) FROM cuts c
+       |     WHERE c.o_orderpriority = o.o_orderpriority
+       |       AND c.q <= o.o_totalprice) AS bucket
+       |  FROM orders o)
+       |SELECT o_orderpriority, CAST(bucket AS INT) AS bucket,
+       |  COUNT(*) AS n,
+       |  ${Exact.sqlDsum("o_totalprice")} AS sum_value
+       |FROM b
+       |GROUP BY o_orderpriority, bucket
+       |ORDER BY o_orderpriority, bucket""".stripMargin
+
   /** Per-stratum length-outlier trim (north star): drop each language's
     * longest decile — "winsorize the corpus at per-language p90 token
     * length", the length-outlier curation rule a 100 TB cleaning run
@@ -1953,6 +2005,8 @@ object AdvancedQueries extends QueryModule {
       "declarative data-quality gate: 5 rules, one pass, deterministic samples"),
     Q("q192_drift_gate", q192Drift, Some(q192Sql),
       "binned distribution-drift gate: exact counts, rational chi-square contributions"),
+    Q("q209_quantile_bins", q209QuantileBins, Some(q209Sql),
+      "quantile binning: exact per-stratum cuts, tie-deterministic cut-count buckets"),
     Q("q207_binned_quantiles", q207BinnedQuantiles, Some(q207Sql),
       "mergeable-histogram quantiles: estimate, exact, and the one-bin error bound under the hash"),
     Q("q206_quantile_shift", q206QuantileShift, Some(q206Sql),
