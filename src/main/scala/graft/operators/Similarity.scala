@@ -154,4 +154,83 @@ object Similarity {
       .filter(col("sim") >= minSim)
       .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"), col("sim"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998,
+    * public): pick k results that are RELEVANT to the query but not
+    * redundant with each other — the diversified-retrieval /
+    * diverse-exemplar-selection step downstream of any top-k:
+    *
+    *   next = argmax_{d ∉ S} [ λ·sim(q, d) − (1−λ)·max_{s∈S} sim(d, s) ]
+    *
+    * Two-stage shape: [[cosineTopK]] fetches each query's `poolSize`
+    * exact candidates (λ = 1 reduces MMR to that ranking — the spec's
+    * limit identity), then a `groupByKey(query).mapGroups` runs the
+    * greedy selection ROW-LOCALLY per query — the pool is
+    * parameter-bounded (≤ poolSize vectors), so the pairwise cosines
+    * and the k greedy passes are O(poolSize²·dim) per query inside one
+    * task, never a driver loop and never a corpus-wide pairwise join.
+    * Ties break by candidate id; scores round to 6 decimals first so a
+    * float wobble can't flip the argmax (the house rank discipline).
+    * Output: (query_id, rank, id, mmr_score). */
+  def mmrTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, poolSize: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && poolSize >= k,
+      s"need poolSize ($poolSize) >= k ($k) >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda $lambda outside [0, 1]")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val pool = cosineTopK(queries, candidates, idCol, vecCol, poolSize)
+      .join(candidates.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__cv")), "neighbor_id")
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("sim").cast("double"), col("__cv"))
+      .as[(Long, Long, Double, Seq[Double])]
+    pool.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.toArray.sortBy(_._2) // id order: deterministic base
+        val n = cands.length
+        val vecs = cands.map(_._4.toArray)
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+          if (na == 0.0 || nb == 0.0) 0.0
+          else math.rint(dot / math.sqrt(na * nb) * 1e6) / 1e6
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val maxSimToSel = Array.fill(n)(0.0)
+        val chosen = Array.fill(n)(false)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+        var rank = 1L
+        while (rank <= k && selected.length < n) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!chosen(i)) {
+              val red = if (selected.isEmpty) 0.0 else maxSimToSel(i)
+              val score = math.rint(
+                (lambda * cands(i)._3 - (1 - lambda) * red) * 1e6) / 1e6
+              if (score > bestScore ||
+                  (score == bestScore && (best < 0 || cands(i)._2 < cands(best)._2))) {
+                best = i; bestScore = score
+              }
+            }
+            i += 1
+          }
+          chosen(best) = true
+          selected += best
+          out += ((qid, rank, cands(best)._2, bestScore))
+          var j = 0
+          while (j < n) {
+            if (!chosen(j)) {
+              val s = cos(vecs(j), vecs(best))
+              if (s > maxSimToSel(j)) maxSimToSel(j) = s
+            }
+            j += 1
+          }
+          rank += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "rank", "id", "mmr_score")
+  }
 }

@@ -279,6 +279,21 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"query_id", $"rank")
   }
 
+  /** MMR diversified retrieval ([[graft.operators.Similarity.mmrTopK]],
+    * λ = 0.6, pool 20 → top-5): the redundancy-penalized selection a
+    * retrieval or exemplar-sampling pass runs after top-k. Greedy and
+    * per-query row-local (pool bounded), λ = 1 ≡ plain top-k pinned in
+    * SimilaritySpec; rows-only here (the greedy argmax chain is not
+    * practically SQL-replayable), exact companion q28. */
+  private def q210MmrTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    graft.operators.Similarity.mmrTopK(
+        emb.filter($"vec_id" < 10), emb, "vec_id", "embedding",
+        k = 5, poolSize = 20, lambda = 0.6)
+      .orderBy($"query_id", $"rank")
+  }
+
   private def q39IvfKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -714,6 +729,8 @@ object SimilarityQueries extends QueryModule {
       "product-quantization ADC top-k shortlist (rows-only; ADC identity + shortlist recall in PqSpec, exact companion q28)"),
     Q("q193_ivfadc_topk", q193IvfAdcTopk, None,
       "IVF-PQ composed pruning (rows-only; full-probe ≡ ADC limit identity in PqSpec, exact companion q28)"),
+    Q("q210_mmr_topk", q210MmrTopk, None,
+      "MMR diversified top-k re-ranking (rows-only; lambda=1 ≡ plain top-k pinned in spec, companion q28)"),
     Q("q195_ivfadc_residual", q195IvfAdcResidual, None,
       "residual-encoded IVFADC (rows-only; residual error < raw error pinned in PqSpec, exact companion q28)"),
     Q("q69_lsh_ann_exact", q69LshAnnExact, Some(q69Sql),

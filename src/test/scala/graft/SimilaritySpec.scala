@@ -119,4 +119,40 @@ class SimilaritySpec extends SparkSpec {
       assert(labelOf(nid) === nl)
     }
   }
+
+  test("MMR: lambda=1 reduces to plain top-k; lambda=0.5 breaks up a redundant cluster") {
+    // query at the origin direction; cluster A = 5 near-copies very close
+    // to the query, cluster B = 3 vectors on a different axis but still
+    // positively similar
+    def v(xs: Double*): Seq[Double] = xs
+    val corpus = Seq(
+      (10L, v(1.0, 0.01, 0.0)), (11L, v(1.0, 0.02, 0.0)),
+      (12L, v(1.0, 0.03, 0.0)), (13L, v(1.0, 0.04, 0.0)),
+      (14L, v(1.0, 0.05, 0.0)),
+      (20L, v(0.5, 0.0, 0.9)), (21L, v(0.5, 0.0, 0.95)),
+      (22L, v(0.5, 0.0, 1.0))).toDF("vec_id", "embedding")
+    val query = Seq((1L, v(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val plain = Similarity.cosineTopK(query, corpus, "vec_id", "embedding", 4)
+      .orderBy($"rank").select($"neighbor_id").as[Long].collect().toSeq
+    val mmr1 = Similarity.mmrTopK(query, corpus, "vec_id", "embedding",
+        k = 4, poolSize = 8, lambda = 1.0)
+      .orderBy($"rank").select($"id").as[Long].collect().toSeq
+    assert(mmr1 === plain, "lambda = 1 must reproduce the plain ranking")
+    assert(plain.forall(id => id >= 10L && id <= 14L),
+      "plain top-4 is all redundant cluster A")
+    val mmr5 = Similarity.mmrTopK(query, corpus, "vec_id", "embedding",
+        k = 4, poolSize = 8, lambda = 0.5)
+      .orderBy($"rank").select($"id").as[Long].collect().toSeq
+    assert(mmr5.exists(_ >= 20L),
+      s"diversified selection must reach cluster B: $mmr5")
+    assert(mmr5.head === plain.head, "the first pick is always the most relevant")
+    // k beyond the pool: emits everything once, never loops
+    val all = Similarity.mmrTopK(query, corpus, "vec_id", "embedding",
+        k = 8, poolSize = 8, lambda = 0.3)
+      .select($"id").as[Long].collect()
+    assert(all.length === 8 && all.toSet.size === 8)
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(query, corpus, "vec_id", "embedding", 5, 4, 0.5)
+    }
+  }
 }
