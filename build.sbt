@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses ONE JSON line from the bench run's stdout. sbt's
+// default LoggedOutput decorates every forked line with "[info] " and
+// appends its own "[success] Total time: ..." as the true last line —
+// both break a strict JSON-line parser. StdoutOutput passes the forked
+// process's streams through byte-clean, and showSuccess drops the
+// trailing decoration, so the bench JSON is the last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by another setting —
+// exclude it from the unused-key lint so the bench stdout stays clean
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -242,10 +242,15 @@ object Bench {
     val heavies = fmtMap(results.collect {
       case (k, v) if anchorSec.contains(k) => k -> ms(v)
     }.toSeq.sortBy(_._1))
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"n_failed":$nFail,""" +
       s""""pass_wall":[${ms(p1Wall)},${ms(p2Wall)}],""" +
       s""""queries":$heavies,"contracts":$contractsJson,""" +
-      s""""sf":"$sfDir","full":"target/bench_full.json"}""")
+      s""""sf":"$sfDir","full":"target/bench_full.json"}"""
+    // belt-and-braces: the same line on BOTH streams — whichever the
+    // driver retains, the JSON is present and (with build.sbt's
+    // StdoutOutput + showSuccess := false) undecorated and last
+    System.err.println(line)
+    println(line)
   }
 }

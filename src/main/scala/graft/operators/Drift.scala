@@ -48,11 +48,22 @@ object Drift {
   }
 
   /** Per-bin exact counts of `valueCol` — one map-side-combined
-    * aggregate; bins with no rows are absent (callers densify). */
+    * aggregate; bins with no rows are absent (callers densify).
+    * Null/NaN values fail loudly: a null would produce a null bin that
+    * silently vanishes from counts AND totals (shrinking proportions
+    * without tripping the gate), and NaN has no place on an equal-width
+    * axis — the same guard philosophy as [[OrderStats.exactQuantiles]].
+    * Monitor null rates with [[categoricalDrift]] (which gives nulls a
+    * first-class `__null` category) or an upstream [[Expectations]]
+    * rule; this operator contracts on REAL values only. */
   def binCounts(df: DataFrame, valueCol: String, nBins: Int, lo: Double,
-      hi: Double): DataFrame = df
-    .select(binOf(col(valueCol).cast("double"), nBins, lo, hi).as("bin"))
-    .groupBy("bin").agg(count(lit(1)).as("n"))
+      hi: Double): DataFrame = {
+    val guarded = when(col(valueCol).isNull || isnan(col(valueCol).cast("double")),
+        raise_error(lit(s"binCounts: null/NaN value in $valueCol")).cast("double"))
+      .otherwise(col(valueCol).cast("double"))
+    df.select(binOf(guarded, nBins, lo, hi).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+  }
 
   def binnedDrift(base: DataFrame, cur: DataFrame, valueCol: String,
       nBins: Int, lo: Double, hi: Double,

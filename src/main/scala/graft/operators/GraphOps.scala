@@ -145,7 +145,17 @@ object GraphOps {
     * length L attached to the core costs L rounds — the documented
     * worst case) and `maxRounds` bounds them defensively; each round's
     * one count() both materializes the frame and detects the fixpoint
-    * (alive shrinks monotonically, so count equality IS set equality). */
+    * (alive shrinks monotonically, so count equality IS set equality).
+    *
+    * Cache ownership (also applies to [[labelPropagation]] and
+    * [[shortestPaths]]): the returned frame is CACHED and materialized —
+    * its lineage is the full unrolled iteration, so an uncached return
+    * would replay every round on each downstream action. The result is
+    * per-node (not parameter-bounded), so it cannot be collected and
+    * re-created driver-side; the CALLER owns `result.unpersist()` once
+    * done (unpersisting is always safe — the deterministic lineage
+    * recomputes correctly if re-used). All intermediates are released
+    * before return. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxRounds: Int = 100): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -201,7 +211,8 @@ object GraphOps {
     * payload beyond (id, label, count) ever shuffles; `rounds` bounds
     * the iterations (labels stabilize in a few rounds on most graphs;
     * the round count is part of the operator's contract and the
-    * oracle replays exactly that many). */
+    * oracle replays exactly that many). Cache ownership: see [[kCore]] —
+    * the returned frame is cached, the caller owns unpersisting it. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
@@ -227,7 +238,11 @@ object GraphOps {
       labels.unpersist()
       labels = next
     }
-    val out = labels.orderBy(col("node"))
+    // same cache-ownership contract as kCore: the returned frame is the
+    // one cached handle (caller unpersists); intermediates released here
+    val out = labels.orderBy(col("node")).cache()
+    out.count()
+    labels.unpersist()
     und.unpersist()
     out
   }
@@ -247,12 +262,16 @@ object GraphOps {
     * count's companion — an improvement check against the previous
     * round — exits early at the fixpoint (further rounds are identity,
     * so early exit preserves the ≤ maxHops contract). No per-node state
-    * on the driver. */
+    * on the driver. Cache ownership: see [[kCore]] — the returned frame
+    * is cached, the caller owns unpersisting it. */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val guardedW = when(col(weightCol).isNull || col(weightCol) < 0,
-        raise_error(concat(lit("shortestPaths: negative or null weight: "),
+    // reject fractional weights too: cast('long') would silently truncate
+    // them and the "distance" would be an artifact of the truncation
+    val guardedW = when(col(weightCol).isNull || col(weightCol) < 0 ||
+        col(weightCol).cast("double") =!= floor(col(weightCol).cast("double")),
+        raise_error(concat(lit("shortestPaths: weight must be a nonnegative integer, got: "),
           coalesce(col(weightCol).cast("string"), lit("null")))).cast("long"))
       .otherwise(col(weightCol).cast("long"))
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),

@@ -177,6 +177,20 @@ object Similarity {
     require(k >= 1 && poolSize >= k,
       s"need poolSize ($poolSize) >= k ($k) >= 1")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda $lambda outside [0, 1]")
+    // the row-local greedy keys on LONG ids through a typed Dataset; a
+    // string/UUID id would silently cast to null and collapse every query
+    // into one null group — reject it loudly (cosineTopK itself is
+    // id-type-agnostic, so callers with non-integral ids can rank there
+    // and map ids through a dictionary first)
+    Seq("queries" -> queries, "candidates" -> candidates).foreach { case (side, df) =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val ok = df.schema(idCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok, s"mmrTopK requires an integral $idCol on the $side side, " +
+        s"got ${df.schema(idCol).dataType.simpleString}")
+    }
     val spark = queries.sparkSession
     import spark.implicits._
     val pool = cosineTopK(queries, candidates, idCol, vecCol, poolSize)

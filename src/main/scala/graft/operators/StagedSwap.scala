@@ -86,7 +86,16 @@ object StagedSwap {
     * recover), else fall back to `old`. The crashed writer's own restart
     * still runs recover() and repairs the directory; until then every
     * reader sees the surviving state with zero writes. Returns None when
-    * no readable copy exists (genuinely absent state). */
+    * no readable copy exists (genuinely absent state).
+    *
+    * Check-then-read race (inherent to a no-lock design): between this
+    * exists(live) and the caller's actual read, a concurrent writer's
+    * swap can rename `live` away, so the read can still fail with
+    * FileNotFoundException even after Some(live). The non-mutating
+    * design removes the promote-steal hazard, not reader crashes —
+    * callers racing a live writer must catch FileNotFoundException,
+    * re-call readable(), and retry once (the swap window is two renames
+    * wide, so a single re-resolution always lands on a complete copy). */
   def readable(fs: FileSystem, live: Path, tmp: Path, old: Path): Option[Path] =
     if (fs.exists(live)) Some(live)
     else if (fs.exists(tmp) && fs.exists(new Path(tmp, "_SUCCESS"))) Some(tmp)

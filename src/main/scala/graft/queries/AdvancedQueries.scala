@@ -455,8 +455,10 @@ object AdvancedQueries extends QueryModule {
     * (plain addition) where KLL/t-digest compaction defies a
     * cross-engine replay. The contract sits fully under the hash: the
     * estimate (upper edge of the straddling bin), the EXACT rank
-    * quantile (window formulation), and the one-bin-width error bound
-    * boolean are all replayed relationally. */
+    * quantile ([[graft.operators.OrderStats.exactQuantiles]] — the
+    * cell-partitioned plan, never a corpus-global window; the ORACLE
+    * replays it as a window, which is fine in DuckDB), and the
+    * one-bin-width error bound boolean are all under the hash. */
   private def q207BinnedQuantiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val width = 5000.0
@@ -465,14 +467,16 @@ object AdvancedQueries extends QueryModule {
       lo = 0.0, hi = 500000.0)
     val est = graft.operators.Drift.binnedQuantiles(
       counts, nBins = 100, lo = 0.0, hi = 500000.0, ps = Seq(0.5, 0.9, 0.99))
-    val w = org.apache.spark.sql.expressions.Window.orderBy($"o_totalprice", $"o_orderkey")
-    val n = Tables.orders(spark, dir).count()
-    val exact = Tables.orders(spark, dir)
-      .select($"o_totalprice", $"o_orderkey")
-      .withColumn("__rn", row_number().over(w))
-      .crossJoin(broadcast(Seq(0.5, 0.9, 0.99).toDF("p")))
-      .filter($"__rn" === greatest(lit(1L), ceil($"p" * n).cast("long")))
-      .select($"p", $"o_totalprice".as("exact_q"))
+    // exact comparator via OrderStats.exactQuantiles (the q89-oracled
+    // cell-partitioned histogram plan, here with one constant stratum) —
+    // NOT a corpus-global row_number window, which would sort the whole
+    // table in one task at scale. Same rank formula (max(1, ceil(p·n))
+    // in double) and same rank-r value under value-ascending order, so
+    // the oracle SQL's window replay is unchanged.
+    val exact = graft.operators.OrderStats.exactQuantiles(
+        Tables.orders(spark, dir).withColumn("__all", lit(1)),
+        "o_totalprice", "__all", ps = Seq(0.5, 0.9, 0.99))
+      .select($"p", $"q".as("exact_q"))
     est.join(exact, "p")
       .withColumn("ok",
         $"est_quantile" > $"exact_q" &&

@@ -95,6 +95,18 @@ class DriftSpec extends SparkSpec {
     assert(out3("__null") === 2L)
   }
 
+  test("binCounts fails loudly on null and NaN values (no silent mass loss)") {
+    // a null bin would vanish from counts AND totals, shrinking every
+    // proportion without tripping the gate — reject instead
+    intercept[Exception] {
+      Drift.binCounts(Seq[Option[Double]](Some(1.0), None).toDF("v"),
+        "v", 4, 0.0, 10.0).collect()
+    }
+    intercept[Exception] {
+      Drift.binCounts(df(Seq(1.0, Double.NaN)), "v", 4, 0.0, 10.0).collect()
+    }
+  }
+
   test("validation: degenerate bins or range rejected") {
     intercept[IllegalArgumentException] {
       Drift.binnedDrift(df(Seq(1.0)), df(Seq(1.0)), "v", 1, 0.0, 1.0)

@@ -208,6 +208,11 @@ class GraphOpsSpec extends SparkSpec {
       GraphOps.shortestPaths(Seq((1L, 2L, -5L)).toDF("src", "dst", "w"),
         "src", "dst", "w", src, 2).collect()
     }
+    // fractional weights would silently truncate via cast('long') — reject
+    intercept[Exception] {
+      GraphOps.shortestPaths(Seq((1L, 2L, 1.5)).toDF("src", "dst", "w"),
+        "src", "dst", "w", src, 2).collect()
+    }
   }
 
   test("weighted shortest paths == driver Bellman-Ford on a generated graph") {

@@ -154,5 +154,13 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.mmrTopK(query, corpus, "vec_id", "embedding", 5, 4, 0.5)
     }
+    // a string/UUID id would silently cast to null and collapse every
+    // query into one null group — rejected up front
+    val strIds = corpus.withColumn("vec_id", $"vec_id".cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(query.withColumn("vec_id", $"vec_id".cast("string")),
+        strIds, "vec_id", "embedding", 2, 4, 0.5)
+    }
+    assert(e.getMessage.contains("integral"))
   }
 }

@@ -58,4 +58,58 @@ class SkylineSpec extends SparkSpec {
     val pts = (1L to 20L).map(i => (i, i.toDouble, (21 - i).toInt))
     assert(run(pts) === (1L to 20L))
   }
+
+  test("continuous x (every x distinct) matches brute at small bin counts") {
+    // distinct-x == corpus size — the case the hierarchical prune exists
+    // for; bins << n forces multi-candidate cells so BOTH the in-cell
+    // window and the cross-cell running max do real work
+    val rnd = new scala.util.Random(7)
+    val pts = (1L to 400L).map(i => (i, rnd.nextDouble() * 100.0, rnd.nextInt(40)))
+    for (bins <- Seq(1, 3, 8, 65536)) {
+      val got = Skyline.frontier2D(pts.toDF("id", "x", "y"), "x", "y", bins)
+        .select($"id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(got === brute(pts), s"bins=$bins")
+    }
+  }
+
+  test("equal y in a strictly-greater cell dominates across the cell boundary") {
+    // y' == y at larger x ⇒ dominated (x strict); the cross-cell max must
+    // apply NON-strictly — a >= comparison bug would keep id 1
+    val pts = Seq((1L, 1.0, 10), (2L, 99.0, 10))
+    assert(run(pts) === Seq(2L))
+    assert(run(pts) === brute(pts))
+  }
+
+  test("anti-correlated continuous input (worst case: everything survives)") {
+    val pts = (1L to 300L).map(i => (i, i * 0.1, (1000 - i).toInt))
+    val got = Skyline.frontier2D(pts.toDF("id", "x", "y"), "x", "y", 16)
+      .select($"id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got === (1L to 300L))
+  }
+
+  test("non-numeric x is rejected (binning needs a numeric axis)") {
+    val df = Seq(("a", 1)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Skyline.frontier2D(df, "x", "y")
+    }
+    assert(e.getMessage.contains("numeric"))
+  }
+
+  test("plan pin: the only unpartitioned window runs over the ≤bins cell aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val pts = (1L to 100L).map(i => (i, i * 0.37, (i % 13).toInt))
+    val out = Skyline.frontier2D(pts.toDF("id", "x", "y"), "x", "y", 32)
+    val wins = out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected window nodes in the frontier plan")
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.size === 1, s"exactly one unpartitioned window, got ${unpart.size}")
+    // its input must be the per-cell aggregate (≤ bins rows), never raw data
+    val boundedInput = unpart.head.child.collectFirst {
+      case a: Aggregate if a.groupingExpressions.exists(_.toString.contains("__bin")) => a
+    }
+    assert(boundedInput.isDefined,
+      "unpartitioned window must consume the __bin cell aggregate:\n" + unpart.head)
+    // and the data-sized candidate window is partitioned (by cell)
+    assert(wins.exists(_.partitionSpec.nonEmpty), "in-cell window must be partitioned")
+  }
 }
