@@ -107,6 +107,25 @@ object ProductQuantizer {
   def adcTopK(queries: DataFrame, queryIdCol: String, queryVecCol: String,
       encoded: DataFrame, idCol: String, model: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist").asc, col("id").asc)
+    adcDistances(queries, queryIdCol, queryVecCol, encoded, idCol, model)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("approx_dist"))
+  }
+
+  /** The full ADC-scored frame [[adcTopK]] windows over — one row per
+    * (query, corpus code) with the asymmetric distance, no top-k cut:
+    * (query_id, id, approx_dist). Exposed so exactness contracts can
+    * restate the whole chain relationally (q211's DuckDB replay ranks
+    * this frame under the house round-6 discipline) and so callers can
+    * apply their own cut (threshold screens, reservoir feeds).
+    * approx_dist is the fixed-order fold Σ_s tab[s][code_s] — per-query
+    * table work m·k·(D/m) on the broadcast side, m array lookups per
+    * (query, code) pair; the corpus side never shuffles. */
+  def adcDistances(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      encoded: DataFrame, idCol: String, model: DataFrame): DataFrame = {
     val cb = collectCodebook(model)
     val subDim = cb(0)(0).length
     val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
@@ -121,18 +140,13 @@ object ProductQuantizer {
            |      (acc, d) -> acc + pow(__qv[s * $subDim + d] - c[d], 2))))"""
           .stripMargin))
       .drop("__cb", "__qv")
-    val scored = encoded
+    encoded
       .select(col(idCol).as("id"), col("codes").as("__codes"))
       .crossJoin(broadcast(qTab))
       .withColumn("approx_dist", expr(
         s"""aggregate(sequence(0, ${cb.length - 1}), cast(0.0 as double),
            |  (acc, s) -> acc + __tab[s][__codes[s]])""".stripMargin))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_dist").asc, col("id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id"), col("approx_dist"))
+      .select(col("query_id"), col("id"), col("approx_dist"))
   }
 
   private def vectorDim(df: DataFrame, vecCol: String): Int =

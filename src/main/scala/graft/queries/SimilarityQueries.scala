@@ -233,6 +233,106 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"query_id", $"rank")
   }
 
+  /** The PQ family's exactness escape hatch (the q70/q81 pattern applied
+    * to ADC): the ENTIRE quantization chain — per-subspace Lloyd fit,
+    * nearest-subcentroid encoding, asymmetric-distance scoring, top-k —
+    * in a configuration DuckDB replays relationally under one hash.
+    * m = 2 subspaces × k = 4 centroids × 1 Lloyd round keeps the replay
+    * tractable; every convention is the house cross-engine discipline:
+    * seeds are the k lowest-id subvectors, argmins compare
+    * round(squared-L2, 6) with position tie-break (the q81 trick — a
+    * sub-1e-6 float wobble can't flip an assignment), means are
+    * DECIMAL(18,8) sums VARCHAR-routed to double, and the hashed ADC
+    * distance is round(t0 + t1, 6) with the two subspace terms summed in
+    * fixed order (each term is the same sequential dim-order fold in
+    * both engines). Ranking keys on the ROUNDED distance + id; the raw
+    * operator ranks unrounded — PqSpec pins `adcTopK` ≡ the window over
+    * [[graft.operators.ProductQuantizer.adcDistances]], which is the
+    * frame this query rounds. Shrinks the rows-only set: q191/q193's
+    * machinery (fit/encode/ADC) is now hash-checked end to end. */
+  private def q211PqExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.operators.ProductQuantizer.fit(
+      emb, "vec_id", "embedding", m = 2, k = 4, iters = 1)
+    val codes = graft.operators.ProductQuantizer.encode(
+      emb, "vec_id", "embedding", model)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"adist", $"id")
+    graft.operators.ProductQuantizer.adcDistances(
+        emb.filter($"vec_id" < 5), "vec_id", "embedding",
+        codes, "vec_id", model)
+      .withColumn("adist", round($"approx_dist", 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"id", $"adist")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Relational replay of the whole m=2/k=4/iters=1 PQ chain: subspace
+    * slices → seed centroids → one Lloyd round (round-6 argmin, decimal
+    * means) → dense positions → nearest-position codes → ADC lookups
+    * summed in fixed subspace order → round-6 ranked top-10. */
+  private val q211Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, 0 AS s, v[1:32] AS sv FROM e
+      |  UNION ALL
+      |  SELECT vec_id, 1 AS s, v[33:64] AS sv FROM e),
+      |seed AS (
+      |  SELECT s, cid, sv AS c FROM (
+      |    SELECT s, vec_id, sv,
+      |      CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS BIGINT) AS cid
+      |    FROM sub)
+      |  WHERE cid < 4),
+      |a1 AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT sub.vec_id, sub.s, seed.cid,
+      |      row_number() OVER (PARTITION BY sub.s, sub.vec_id ORDER BY
+      |        round(list_sum(list_transform(list_zip(sub.sv, seed.c),
+      |          p -> (p[1]-p[2])*(p[1]-p[2]))), 6), seed.cid) AS rn
+      |    FROM sub JOIN seed ON sub.s = seed.s)
+      |  WHERE rn = 1),
+      |mrows AS (
+      |  SELECT a1.s, a1.cid, generate_subscripts(sub.sv, 1) - 1 AS dim,
+      |         CAST(unnest(sub.sv) AS DOUBLE) AS x
+      |  FROM sub JOIN a1 ON sub.s = a1.s AND sub.vec_id = a1.vec_id),
+      |md AS (
+      |  SELECT s, cid, dim,
+      |    CAST(CAST(SUM(CAST(x AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+      |  FROM mrows GROUP BY s, cid, dim),
+      |cb AS (
+      |  SELECT s, cid, row_number() OVER (PARTITION BY s ORDER BY cid) - 1 AS pos, c
+      |  FROM (SELECT s, cid, list(m ORDER BY dim) AS c FROM md GROUP BY s, cid)),
+      |codes AS (
+      |  SELECT vec_id, s, pos FROM (
+      |    SELECT sub.vec_id, sub.s, cb.pos,
+      |      row_number() OVER (PARTITION BY sub.s, sub.vec_id ORDER BY
+      |        round(list_sum(list_transform(list_zip(sub.sv, cb.c),
+      |          p -> (p[1]-p[2])*(p[1]-p[2]))), 6), cb.pos) AS rn
+      |    FROM sub JOIN cb ON sub.s = cb.s)
+      |  WHERE rn = 1),
+      |t AS (
+      |  SELECT q.vec_id AS query_id, x.vec_id AS id, x.s,
+      |    list_sum(list_transform(list_zip(q.sv, cb.c),
+      |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS td
+      |  FROM codes x
+      |  JOIN cb ON cb.s = x.s AND cb.pos = x.pos
+      |  JOIN sub q ON q.s = x.s
+      |  WHERE q.vec_id < 5),
+      |adist AS (
+      |  SELECT query_id, id,
+      |    round(MAX(CASE WHEN s = 0 THEN td END)
+      |        + MAX(CASE WHEN s = 1 THEN td END), 6) AS adist
+      |  FROM t GROUP BY query_id, id),
+      |ranked AS (
+      |  SELECT query_id, id, adist,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY adist, id) AS rank
+      |  FROM adist)
+      |SELECT query_id, rank, id, adist
+      |FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   /** IVF-PQ (IVFADC) over the embeddings fixture: coarse KMeans cells ×
     * PQ codes — the two prunings multiplied, the 100 TB ANN shape
     * (probe a fraction of cells, scan 8-byte codes). Approximate →
@@ -729,6 +829,8 @@ object SimilarityQueries extends QueryModule {
       "product-quantization ADC top-k shortlist (rows-only; ADC identity + shortlist recall in PqSpec, exact companion q28)"),
     Q("q193_ivfadc_topk", q193IvfAdcTopk, None,
       "IVF-PQ composed pruning (rows-only; full-probe ≡ ADC limit identity in PqSpec, exact companion q28)"),
+    Q("q211_pq_exact", q211PqExact, Some(q211Sql),
+      "full PQ chain (subspace Lloyd + encode + ADC top-k) replayed relationally under one hash (north star)"),
     Q("q210_mmr_topk", q210MmrTopk, None,
       "MMR diversified top-k re-ranking (rows-only; lambda=1 ≡ plain top-k pinned in spec, companion q28)"),
     Q("q195_ivfadc_residual", q195IvfAdcResidual, None,

@@ -238,4 +238,23 @@ class PqSpec extends SparkSpec {
     val mean = recalls.sum / recalls.length
     assert(mean >= 0.9, s"mean shortlist recall $mean below 0.9 ($recalls)")
   }
+
+  test("adcTopK ≡ the per-query window over adcDistances (the q211 frame)") {
+    import org.apache.spark.sql.expressions.Window
+    val codes = ProductQuantizer.encode(corpus, "vec_id", "embedding", model)
+    val queries = corpus.filter($"vec_id" < 6)
+    val viaOp = ProductQuantizer.adcTopK(queries, "vec_id", "embedding",
+        codes, "vec_id", model, k = 7)
+      .select($"query_id", $"rank".cast("long"), $"id", $"approx_dist")
+      .collect().map(_.toSeq).toSet
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"approx_dist".asc, $"id".asc)
+    val viaFrame = ProductQuantizer.adcDistances(queries, "vec_id",
+        "embedding", codes, "vec_id", model)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 7)
+      .select($"query_id", $"rank", $"id", $"approx_dist")
+      .collect().map(_.toSeq).toSet
+    assert(viaOp === viaFrame)
+  }
 }
