@@ -333,6 +333,82 @@ object SimilarityQueries extends QueryModule {
       |FROM ranked WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Hybrid retrieval (BM25 ⊕ vector) with reciprocal-rank fusion — the
+    * standard RAG retrieval op, composed from two already-oracled legs:
+    * q119's BM25 ranking over `documents` (rank = round-6 score DESC,
+    * doc_id) and q28's exact cosine top-k over `embeddings` (query
+    * vec_id 0), fused by [[graft.operators.Rrf.fuse]] at kRrf = 60.
+    * Ranks are integers and the fused score is two fixed-order
+    * correctly-rounded divisions plus one addition, so the WHOLE fusion
+    * (both leg ranks + the fused ordering) sits under the DuckDB hash —
+    * no rounding needed on the score itself. The corpus-scale work is
+    * in the legs (each independently scale-audited); fusion joins two
+    * ≤20-row frames. */
+  private def q212HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wBm = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"doc_id")
+    val bm = graft.operators.Bm25.search(Tables.documents(spark, dir),
+        "doc_id", "text", Seq("spark", "merge", "join"), k = 20)
+      .withColumn("r", row_number().over(wBm))
+      .select($"doc_id", $"r")
+    val emb = Tables.embeddings(spark, dir)
+    val vec = graft.operators.Similarity.cosineTopK(
+        emb.filter($"vec_id" === 0), emb, "vec_id", "embedding", k = 20)
+      .select($"neighbor_id".as("doc_id"), $"rank".as("r"))
+    graft.operators.Rrf.fuse(
+        Seq("bm25" -> bm, "vec" -> vec), "doc_id", "r", topK = 10)
+      .orderBy($"rank")
+  }
+
+  private val q212Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |base AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+      |    CAST(len(list_filter(ws, x -> x = 'spark')) AS BIGINT) AS tf0,
+      |    CAST(len(list_filter(ws, x -> x = 'merge')) AS BIGINT) AS tf1,
+      |    CAST(len(list_filter(ws, x -> x = 'join')) AS BIGINT) AS tf2
+      |  FROM d),
+      |stats AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+      |    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+      |    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      |  FROM base),
+      |bmscore AS (
+      |  SELECT b.doc_id,
+      |    round(
+      |      ln((s.n - s.df0 + 0.5) / (s.df0 + 0.5) + 1) * (b.tf0 * 2.2) / (b.tf0 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+      |    + ln((s.n - s.df1 + 0.5) / (s.df1 + 0.5) + 1) * (b.tf1 * 2.2) / (b.tf1 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+      |    + ln((s.n - s.df2 + 0.5) / (s.df2 + 0.5) + 1) * (b.tf2 * 2.2) / (b.tf2 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl)), 6) AS score
+      |  FROM base b CROSS JOIN stats s),
+      |bm AS (
+      |  SELECT doc_id, r FROM (
+      |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      |    FROM bmscore)
+      |  WHERE r <= 20),
+      |vec AS (
+      |  SELECT doc_id, r FROM (
+      |    SELECT c.vec_id AS doc_id,
+      |      row_number() OVER (ORDER BY
+      |        round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+      |        c.vec_id) AS r
+      |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      |    WHERE q.vec_id = 0)
+      |  WHERE r <= 20),
+      |fused AS (
+      |  SELECT COALESCE(bm.doc_id, vec.doc_id) AS doc_id,
+      |    bm.r AS r_bm25, vec.r AS r_vec,
+      |    COALESCE(CAST(1 AS DOUBLE) / (60 + bm.r), CAST(0 AS DOUBLE))
+      |      + COALESCE(CAST(1 AS DOUBLE) / (60 + vec.r), CAST(0 AS DOUBLE)) AS rrf_score
+      |  FROM bm FULL OUTER JOIN vec ON bm.doc_id = vec.doc_id)
+      |SELECT rank, doc_id, r_bm25, r_vec, rrf_score FROM (
+      |  SELECT doc_id, r_bm25, r_vec, rrf_score,
+      |    row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+      |  FROM fused)
+      |WHERE rank <= 10
+      |ORDER BY rank""".stripMargin
+
   /** IVF-PQ (IVFADC) over the embeddings fixture: coarse KMeans cells ×
     * PQ codes — the two prunings multiplied, the 100 TB ANN shape
     * (probe a fraction of cells, scan 8-byte codes). Approximate →
@@ -831,6 +907,8 @@ object SimilarityQueries extends QueryModule {
       "IVF-PQ composed pruning (rows-only; full-probe ≡ ADC limit identity in PqSpec, exact companion q28)"),
     Q("q211_pq_exact", q211PqExact, Some(q211Sql),
       "full PQ chain (subspace Lloyd + encode + ADC top-k) replayed relationally under one hash (north star)"),
+    Q("q212_hybrid_rrf", q212HybridRrf, Some(q212Sql),
+      "hybrid BM25 ⊕ vector retrieval fused by reciprocal rank, both legs + fusion under one hash (north star)"),
     Q("q210_mmr_topk", q210MmrTopk, None,
       "MMR diversified top-k re-ranking (rows-only; lambda=1 ≡ plain top-k pinned in spec, companion q28)"),
     Q("q195_ivfadc_residual", q195IvfAdcResidual, None,
