@@ -58,9 +58,14 @@ object Drift {
     * rule; this operator contracts on REAL values only. */
   def binCounts(df: DataFrame, valueCol: String, nBins: Int, lo: Double,
       hi: Double): DataFrame = {
-    val guarded = when(col(valueCol).isNull || isnan(col(valueCol).cast("double")),
-        raise_error(lit(s"binCounts: null/NaN value in $valueCol")).cast("double"))
-      .otherwise(col(valueCol).cast("double"))
+    // guard on the CASTED value: a non-null string like "abc" casts to
+    // null, and `raw.isNull || isnan(cast)` would evaluate to SQL NULL
+    // there — falling through to otherwise() and silently producing the
+    // null bin the guard exists to prevent
+    val casted = col(valueCol).cast("double")
+    val guarded = when(casted.isNull || isnan(casted),
+        raise_error(lit(s"binCounts: null/NaN/uncastable value in $valueCol")).cast("double"))
+      .otherwise(casted)
     df.select(binOf(guarded, nBins, lo, hi).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
   }

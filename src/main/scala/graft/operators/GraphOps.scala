@@ -268,8 +268,14 @@ object GraphOps {
       weightCol: String, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     // reject fractional weights too: cast('long') would silently truncate
-    // them and the "distance" would be an artifact of the truncation
+    // them and the "distance" would be an artifact of the truncation.
+    // NaN and ±Infinity need their own clauses: `x =!= floor(x)` is FALSE
+    // for NaN (Spark treats NaN as equal to itself) and for Infinity
+    // (floor(inf) = inf), so both would slip past the fractional check
+    // and cast to 0 / Long.MaxValue silently
+    val wd = col(weightCol).cast("double")
     val guardedW = when(col(weightCol).isNull || col(weightCol) < 0 ||
+        isnan(wd) || wd === Double.PositiveInfinity ||
         col(weightCol).cast("double") =!= floor(col(weightCol).cast("double")),
         raise_error(concat(lit("shortestPaths: weight must be a nonnegative integer, got: "),
           coalesce(col(weightCol).cast("string"), lit("null")))).cast("long"))

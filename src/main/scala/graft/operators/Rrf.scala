@@ -42,6 +42,16 @@ object Rrf {
       s"leg names must be distinct, got ${legs.map(_._1)}")
     require(topK >= 1, s"topK must be >= 1, got $topK")
     require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    // reserved-name audit (the Skyline.frontier2D discipline): withColumn
+    // on "rank"/"rrf_score" and the r_<name> leg columns would silently
+    // REPLACE a colliding id/query column and corrupt the output
+    val legCols = legs.map { case (name, _) => s"r_$name" }
+    val reserved = Seq("rank", "rrf_score") ++ legCols
+    val keyCols = idCol +: queryCols
+    keyCols.foreach { c =>
+      require(!reserved.contains(c),
+        s"column '$c' collides with a reserved output column ($reserved)")
+    }
     val keyed = legs.map { case (name, df) =>
       df.select(queryCols.map(col) ++ Seq(col(idCol),
         col(rankCol).cast("long").as(s"r_$name")): _*)
