@@ -82,6 +82,43 @@ object MinHashIndex {
     } finally sigs.unpersist()
   }
 
+  /** Targeted delete (right-to-be-forgotten): remove `ids` (a one-column
+    * frame) from the index without a rebuild — `sigs/` and `bands/`
+    * rewrite filtered under the crash-safe [[StagedSwap]]. Signatures
+    * and bands are strictly per-row artifacts (no corpus-level stats to
+    * correct, unlike [[TextIndex.delete]]), so post-delete probe is
+    * EXACTLY probe of an index rebuilt without the ids
+    * (MinHashIndexSpec pins it). Crash window: a crash between the two
+    * swaps leaves deleted ids in one artifact but not the other — a
+    * band hit whose signature is gone drops out of the candidate join
+    * (inner on id), so deleted ids never surface mid-repair; re-running
+    * the same delete is idempotent and completes it. Single-writer, no
+    * concurrent append/probe during the swap (same as [[compact]]). */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    require(ids.columns.length == 1,
+      s"ids must be a one-column frame, got ${ids.columns.toSeq}")
+    val del = ids.toDF("__del_id").distinct().cache()
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      def swapSub(sub: String)(write: String => Unit): Unit = {
+        val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}_del")
+        val old = new org.apache.hadoop.fs.Path(s"$path/${sub}_old")
+        StagedSwap.swap(live.getFileSystem(conf), live, tmp, old)(write)
+      }
+      swapSub("sigs") { tmp =>
+        spark.read.parquet(s"$path/sigs")
+          .join(del, col("id") === col("__del_id"), "left_anti")
+          .write.parquet(tmp)
+      }
+      swapSub("bands") { tmp =>
+        spark.read.parquet(s"$path/bands")
+          .join(del, col("id") === col("__del_id"), "left_anti")
+          .write.partitionBy("band_idx").parquet(tmp)
+      }
+    } finally del.unpersist()
+  }
+
   /** Compact an index that has accreted small files through [[append]]:
     * every ingest micro-batch adds one file set per band partition, so
     * thousands of batches turn `bands/` into thousands of tiny files per

@@ -307,19 +307,26 @@ object ProductQuantizer {
       .select(col("query_id"), col("__tab"), col("list_id"))
   }
 
-  /** Broadcast-join the probe tables onto the codes and keep the top k
-    * per query by asymmetric distance, ties by id. */
-  private def scoreAgainst(indexed: DataFrame, idCol: String,
-      probes: DataFrame, m: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_dist").asc, col("id").asc)
+  /** Broadcast-join the probe tables onto the codes — the full scored
+    * frame (query_id, id, approx_dist), no top-k cut. */
+  private def scoredAgainst(indexed: DataFrame, idCol: String,
+      probes: DataFrame, m: Int): DataFrame =
     indexed
       .select(col(idCol).as("id"), col("codes").as("__codes"), col("list_id"))
       .join(broadcast(probes), "list_id")
       .withColumn("approx_dist", expr(
         s"""aggregate(sequence(0, ${m - 1}), cast(0.0 as double),
            |  (acc, s) -> acc + __tab[s][__codes[s]])""".stripMargin))
+      .select(col("query_id"), col("id"), col("approx_dist"))
+
+  /** [[scoredAgainst]] cut to the top k per query by asymmetric
+    * distance, ties by id. */
+  private def scoreAgainst(indexed: DataFrame, idCol: String,
+      probes: DataFrame, m: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist").asc, col("id").asc)
+    scoredAgainst(indexed, idCol, probes, m)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id"), col("approx_dist"))
@@ -368,6 +375,24 @@ object ProductQuantizer {
       .write.partitionBy("list_id").mode("append").parquet(s"$dir/codes")
   }
 
+  private def codesIdCol(codes: DataFrame): String =
+    codes.columns.find(c => c != "codes" && c != "list_id")
+      .getOrElse(throw new IllegalStateException("codes artifact lacks an id column"))
+
+  /** The pruned-scan scored frame behind [[probeSaved]]: one row per
+    * (query, code in a probed cell) with the asymmetric distance and no
+    * top-k cut — the persisted-index analogue of [[adcDistances]].
+    * Exposed so exactness contracts can restate the persisted chain
+    * relationally (rank over round(approx_dist, 6) — the q211
+    * discipline) and so callers can apply their own cut. */
+  def probeSavedDistances(queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, spark: org.apache.spark.sql.SparkSession,
+      dir: String, nProbe: Int): DataFrame = {
+    val (codes, probes, m) =
+      savedProbePlan(queries, queryIdCol, queryVecCol, spark, dir, nProbe)
+    scoredAgainst(codes, codesIdCol(codes), probes, m)
+  }
+
   /** Probe a persisted index. The probed cell ids resolve driver-side
     * first (≤ nLists longs) and apply as a static `isin` filter, so the
     * codes scan prunes non-probed list directories at planning time —
@@ -375,6 +400,16 @@ object ProductQuantizer {
   def probeSaved(queries: DataFrame, queryIdCol: String,
       queryVecCol: String, spark: org.apache.spark.sql.SparkSession,
       dir: String, k: Int, nProbe: Int): DataFrame = {
+    val (codes, probes, m) =
+      savedProbePlan(queries, queryIdCol, queryVecCol, spark, dir, nProbe)
+    scoreAgainst(codes, codesIdCol(codes), probes, m, k)
+  }
+
+  /** Shared probe plan over a persisted index: (pruned codes scan,
+    * broadcast probe-table frame, subspace count). */
+  private def savedProbePlan(queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, spark: org.apache.spark.sql.SparkSession,
+      dir: String, nProbe: Int): (DataFrame, DataFrame, Int) = {
     val residual = spark.read.parquet(s"$dir/meta")
       .head().getAs[Boolean]("residual")
     val model = spark.read.parquet(s"$dir/pq_model")
@@ -385,10 +420,37 @@ object ProductQuantizer {
       .collect().map(_.getLong(0)).sorted
     val codes = spark.read.parquet(s"$dir/codes")
       .filter(col("list_id").isin(probedLists.toIndexedSeq: _*))
-    scoreAgainst(codes, codes.columns
-      .find(c => c != "codes" && c != "list_id")
-      .getOrElse(throw new IllegalStateException("codes artifact lacks an id column")),
-      probes, cb.length, k)
+    (codes, probes, cb.length)
+  }
+
+  /** Targeted delete (right-to-be-forgotten): remove `ids` (a one-column
+    * frame) from a persisted index without a rebuild — the `codes/`
+    * artifact (the only corpus-sized one) rewrites filtered under the
+    * crash-safe [[StagedSwap]], preserving the list_id partition layout.
+    * The codebooks and coarse model are deliberately untouched: they are
+    * distribution fits refit on a maintenance cadence (the [[append]]
+    * discipline), and codes are strictly per-row, so post-delete
+    * [[probeSaved]] is EXACTLY the pre-delete probe with the deleted ids
+    * removed and ranks recomputed (PqSpec pins it) — a deleted vector
+    * can never surface again. Single-writer, no concurrent append/probe
+    * during the swap. */
+  def delete(spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame): Unit = {
+    require(ids.columns.length == 1,
+      s"ids must be a one-column frame, got ${ids.columns.toSeq}")
+    val del = ids.toDF("__del_id").distinct().cache()
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val live = new org.apache.hadoop.fs.Path(s"$dir/codes")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/codes_del")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/codes_old")
+      StagedSwap.swap(live.getFileSystem(conf), live, tmp, old) { tmpDir =>
+        val codes = spark.read.parquet(s"$dir/codes")
+        val idName = codesIdCol(codes)
+        codes.join(del, col(idName) === col("__del_id"), "left_anti")
+          .write.partitionBy("list_id").parquet(tmpDir)
+      }
+    } finally del.unpersist()
   }
 
   /** Rewrite append-accreted code partitions to ~one file per cell via

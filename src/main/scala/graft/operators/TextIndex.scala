@@ -21,6 +21,11 @@ import graft.functions.TextFunctions
   *    partition pruning, the IvfIndex list-file discipline).
   *  - `meta/` one row (n_docs, sum_dl, n_buckets) — the corpus-level
   *    BM25 statistics, so scoring never recounts the corpus.
+  *  - `docs/` (doc_id, dl) one row per indexed document — the membership
+  *    sidecar [[delete]] corrects stats from (postings alone can't see a
+  *    token-less document, so a postings-derived correction would leave
+  *    n_docs stale) and the cheapest already-indexed check for ingest
+  *    dedup (no postings aggregate needed).
   *
   * Probe scale shape: the bucket scan reads |query| partitions; per-term
   * df comes from ONE aggregate over those pruned postings; per-doc tf
@@ -59,6 +64,12 @@ object TextIndex {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** The (doc_id, dl) membership sidecar rows of a document frame. */
+  private def docRowsOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
+
   /** Build and persist the index over `docs`. Overwrites `path`. */
   def save(docs: DataFrame, idCol: String, textCol: String, path: String,
       nBuckets: Int = 64): Unit = {
@@ -67,6 +78,8 @@ object TextIndex {
     import spark.implicits._
     postingsOf(docs, idCol, textCol, nBuckets)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    docRowsOf(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/docs")
     val (n, sdl) = corpusStats(docs, textCol)
     Seq((n, sdl, nBuckets)).toDF("n_docs", "sum_dl", "n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -82,10 +95,75 @@ object TextIndex {
     val nBuckets = meta.getInt(2)
     postingsOf(batch, idCol, textCol, nBuckets)
       .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    docRowsOf(batch, idCol, textCol)
+      .write.mode("append").parquet(s"$path/docs")
     val (bn, bsdl) = corpusStats(batch, textCol)
     Seq((meta.getLong(0) + bn, meta.getLong(1) + bsdl, nBuckets))
       .toDF("n_docs", "sum_dl", "n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Targeted delete (right-to-be-forgotten): remove `ids` (a one-column
+    * frame of doc ids) from the index WITHOUT a corpus rebuild — postings
+    * and the docs sidecar rewrite filtered under the crash-safe
+    * [[StagedSwap]], then meta rewrites with the CORRECTED statistics
+    * (n_docs and sum_dl decremented by exactly the removed documents, so
+    * BM25's idf/avgdl never go stale — a tombstone-only design would
+    * keep scoring deleted mass forever). Contract (TextIndexSpec):
+    * post-delete probe ≡ probe of an index rebuilt without the ids.
+    *
+    * Crash windows, in write order (postings swap → docs swap → meta):
+    * any prefix leaves a structurally sound index (fewer postings under
+    * the old, slightly-too-large stats — the [[append]] stale-stats
+    * contract), and re-running the SAME delete is idempotent and
+    * completes the repair, because nothing is decremented: meta is
+    * RECOMPUTED from the surviving docs sidecar (one aggregate over one
+    * row per doc), so a rerun after any crash point converges to the
+    * rebuilt-without-ids state. Same single-writer contract as
+    * [[append]].
+    *
+    * Deleting ids not in the index is a no-op for them. Deleting the
+    * ENTIRE corpus is rejected — an index over nothing has no meaningful
+    * stats; drop the directory instead. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    import spark.implicits._
+    require(ids.columns.length == 1,
+      s"ids must be a one-column frame, got ${ids.columns.toSeq}")
+    val del = ids.toDF("__del_id").distinct().cache()
+    try {
+      val nBuckets = spark.read.parquet(s"$path/meta").collect().head.getInt(2)
+      val surviving = spark.read.parquet(s"$path/docs")
+        .join(del, col("doc_id") === col("__del_id"), "left_anti")
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
+        .collect().head
+      require(surviving.getLong(0) > 0,
+        "delete would empty the index; drop the index directory instead")
+      val conf = spark.sparkContext.hadoopConfiguration
+      def swapSub(sub: String)(write: String => Unit): Unit = {
+        val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}_del")
+        val old = new org.apache.hadoop.fs.Path(s"$path/${sub}_old")
+        StagedSwap.swap(live.getFileSystem(conf), live, tmp, old)(write)
+      }
+      swapSub("postings") { tmp =>
+        spark.read.parquet(s"$path/postings")
+          .join(del, col("doc_id") === col("__del_id"), "left_anti")
+          .write.partitionBy("bucket").parquet(tmp)
+      }
+      swapSub("docs") { tmp =>
+        spark.read.parquet(s"$path/docs")
+          .join(del, col("doc_id") === col("__del_id"), "left_anti")
+          .write.parquet(tmp)
+      }
+      // meta LAST, recomputed from the now-live sidecar — not decremented
+      // from the old meta, so a rerun after any crash point self-heals
+      val stats = spark.read.parquet(s"$path/docs")
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
+        .collect().head
+      Seq((stats.getLong(0), stats.getLong(1), nBuckets))
+        .toDF("n_docs", "sum_dl", "n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally del.unpersist()
   }
 
   /** Top-k BM25 over the persisted index — same output contract as

@@ -184,9 +184,11 @@ object StreamingJobs {
         val spark = batch.sparkSession
         val docs = batch.dropDuplicates(idCol).persist()
         try {
+          // the docs membership sidecar is one row per doc — a cheaper
+          // (and empty-doc-correct) seen-set than a postings distinct
           val indexed =
-            try Some(spark.read.parquet(s"$indexPath/postings")
-              .select(col("doc_id")).distinct())
+            try Some(spark.read.parquet(s"$indexPath/docs")
+              .select(col("doc_id")))
             catch { case _: org.apache.spark.sql.AnalysisException => None }
           indexed match {
             case None =>

@@ -119,6 +119,29 @@ class MinHashIndexSpec extends SparkSpec {
     for (i <- 121 to 125) assert(!byBatch.contains(i.toLong), s"fresh $i matched")
   }
 
+  test("delete == rebuild: probe after delete matches an index saved without " +
+      "the ids; deleted corpus docs stop matching their copies") {
+    val dirA = Files.createTempDirectory("mh_del_a").toString
+    val dirB = Files.createTempDirectory("mh_del_b").toString
+    MinHashIndex.save(corpus, "doc_id", "text", dirA)
+    // forget corpus docs 1-3: their verbatim copies 101-103 must stop hitting
+    val delIds = corpus.filter($"doc_id" <= 3).select($"doc_id")
+    MinHashIndex.delete(spark, dirA, delIds)
+    MinHashIndex.save(corpus.filter($"doc_id" > 3), "doc_id", "text", dirB)
+    def hits(dir: String) = MinHashIndex.probe(batch, "doc_id", "text", dir,
+        minEstJac = 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(h => (h._1, h._2)).toSeq
+    val got = hits(dirA)
+    assert(got === hits(dirB),
+      "post-delete probe must equal the rebuilt-without-ids index")
+    assert(!got.exists(_._2 <= 3), "a deleted corpus id surfaced")
+    assert(got.exists(_._2 > 3), "surviving corpus ids must still match")
+    // idempotent rerun, then absent-ids no-op
+    MinHashIndex.delete(spark, dirA, delIds)
+    MinHashIndex.delete(spark, dirA, spark.range(5000, 5003).toDF("doc_id"))
+    assert(hits(dirA) === got)
+  }
+
   test("probe candidates equal the in-memory banding on the union (cross pairs)") {
     val union = corpus.unionByName(batch)
     val inMem = Dedup.minhashSignatures(union, "doc_id", "text")

@@ -212,6 +212,34 @@ class PqSpec extends SparkSpec {
       "compact must not change any probe answer")
   }
 
+  test("delete: probeSaved == an index saved without the ids under the SAME " +
+      "codebooks; deleted ids never surface; other answers re-rank exactly") {
+    val dirA = java.nio.file.Files.createTempDirectory("pq_del_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("pq_del_b").toString
+    val coarse = graft.operators.KMeans.fit(corpus, "vec_id", "embedding",
+      k = 8, iters = 3)
+    val delIds = corpus.filter($"vec_id" % 3 === 0).select($"vec_id")
+    ProductQuantizer.save(corpus, "vec_id", "embedding", coarse, model,
+      dirA, residual = false)
+    ProductQuantizer.delete(spark, dirA, delIds)
+    // reference: the same codebooks over the surviving corpus (codebooks
+    // are distribution fits, untouched by delete — the documented contract)
+    ProductQuantizer.save(corpus.filter($"vec_id" % 3 =!= 0),
+      "vec_id", "embedding", coarse, model, dirB, residual = false)
+    val queries = corpus.filter($"vec_id" < 4)
+    def rows(dir: String) = ProductQuantizer.probeSaved(
+        queries, "vec_id", "embedding", spark, dir, k = 10, nProbe = 3)
+      .select($"query_id", $"rank", $"id", $"approx_dist")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val got = rows(dirA)
+    assert(got === rows(dirB),
+      "post-delete probe must equal the rebuilt-without-ids index")
+    assert(!got.exists(_._3 % 3 == 0), "a deleted id surfaced in a probe")
+    // idempotent rerun
+    ProductQuantizer.delete(spark, dirA, delIds)
+    assert(rows(dirA) === got)
+  }
+
   test("shortlist recall: exact top-10 is inside the ADC top-30 candidates") {
     // the production PQ contract is shortlist-then-rerank: ADC cannot
     // rank near-ties WITHIN a cluster (same-cluster members share codes,

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.{Bm25, TextIndex}
 
 /** TextIndex: persisted-probe ≡ scan-form BM25, bucket-file pruning,
@@ -88,6 +90,76 @@ class TextIndexSpec extends SparkSpec {
       assert(viaIndex === viaScan,
         "streamed index must equal a batch build over the distinct documents")
     } finally q.stop()
+  }
+
+  test("delete == rebuild: probe and meta match a fresh save without the ids") {
+    val all = fixtureDocs.cache()
+    val delIds = all.filter($"doc_id" % 3 === 0).select($"doc_id")
+    val deleted = s"$root/ixd1"
+    val rebuilt = s"$root/ixd2"
+    TextIndex.save(all, "doc_id", "text", deleted)
+    TextIndex.delete(spark, deleted, delIds)
+    TextIndex.save(all.filter($"doc_id" % 3 =!= 0), "doc_id", "text", rebuilt)
+    for (q <- Seq(Seq("spark", "merge", "join"), Seq("window"))) {
+      val a = TextIndex.probe(spark, deleted, q, k = 20).collect().toSeq
+      val b = TextIndex.probe(spark, rebuilt, q, k = 20).collect().toSeq
+      assert(a === b, s"query $q diverged post-delete")
+    }
+    // the BM25 statistics themselves must be corrected, not just scores
+    val ma = spark.read.parquet(s"$deleted/meta").collect().head
+    val mb = spark.read.parquet(s"$rebuilt/meta").collect().head
+    assert(ma.getLong(0) === mb.getLong(0), "n_docs stale after delete")
+    assert(ma.getLong(1) === mb.getLong(1), "sum_dl stale after delete")
+    all.unpersist()
+  }
+
+  test("delete is idempotent; deleting absent ids is a no-op") {
+    val docs = fixtureDocs
+    val path = s"$root/ixd3"
+    TextIndex.save(docs, "doc_id", "text", path)
+    val delIds = docs.filter($"doc_id" % 4 === 0).select($"doc_id")
+    TextIndex.delete(spark, path, delIds)
+    val once = TextIndex.probe(spark, path, Seq("spark"), k = 10).collect().toSeq
+    TextIndex.delete(spark, path, delIds) // rerun: same ids, nothing left to remove
+    assert(TextIndex.probe(spark, path, Seq("spark"), k = 10).collect().toSeq === once)
+    TextIndex.delete(spark, path, // absent ids: no-op
+      spark.range(900000, 900005).toDF("doc_id"))
+    assert(TextIndex.probe(spark, path, Seq("spark"), k = 10).collect().toSeq === once)
+  }
+
+  test("delete recovers a crash left between the postings swap renames") {
+    val docs = fixtureDocs
+    val path = s"$root/ixd4"
+    TextIndex.save(docs, "doc_id", "text", path)
+    val delIds = docs.filter($"doc_id" % 4 === 0).select($"doc_id")
+    // simulate the dangerous StagedSwap window for the postings subdir:
+    // the filtered rewrite completed into postings_del (with _SUCCESS),
+    // live was staged aside as postings_old, and the promote never ran
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    import org.apache.hadoop.fs.Path
+    spark.read.parquet(s"$path/postings")
+      .join(delIds.toDF("__del_id"), col("doc_id") === col("__del_id"), "left_anti")
+      .write.partitionBy("bucket").parquet(s"$path/postings_del")
+    assert(fs.rename(new Path(s"$path/postings"), new Path(s"$path/postings_old")))
+    // rerunning the SAME delete must first recover, then complete
+    TextIndex.delete(spark, path, delIds)
+    val expectPath = s"$root/ixd4r"
+    TextIndex.save(docs.filter($"doc_id" % 4 =!= 0), "doc_id", "text", expectPath)
+    assert(TextIndex.probe(spark, path, Seq("spark", "join"), k = 15).collect().toSeq ===
+      TextIndex.probe(spark, expectPath, Seq("spark", "join"), k = 15).collect().toSeq)
+  }
+
+  test("delete validation: emptying the index is rejected; multi-column ids rejected") {
+    val docs = fixtureDocs
+    val path = s"$root/ixd5"
+    TextIndex.save(docs, "doc_id", "text", path)
+    intercept[IllegalArgumentException] {
+      TextIndex.delete(spark, path, docs.select($"doc_id")) }
+    intercept[IllegalArgumentException] {
+      TextIndex.delete(spark, path, docs.select($"doc_id", $"text")) }
+    // the rejected delete must not have mutated anything
+    assert(TextIndex.probe(spark, path, Seq("spark"), k = 5).count() === 5L)
   }
 
   test("zero-match query returns empty; validation errors") {
