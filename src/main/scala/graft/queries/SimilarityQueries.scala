@@ -409,6 +409,113 @@ object SimilarityQueries extends QueryModule {
       |WHERE rank <= 10
       |ORDER BY rank""".stripMargin
 
+  /** Two-stage retrieval (north star): ADC shortlist → EXACT re-rank —
+    * the standard serving pattern, composed from
+    * [[graft.operators.ProductQuantizer.adcDistances]] (stage 1: top-20
+    * per query by round-6 asymmetric distance over the m=2/k=4/iters=1
+    * replayable PQ chain, q211's config) and
+    * [[graft.operators.Rerank.exactL2TopK]] (stage 2: full-precision
+    * squared-L2 on the 20-row-per-query shortlist only, top-5). The
+    * whole chain — fit, encode, ADC, shortlist cut, exact re-rank —
+    * sits under one DuckDB hash; the plan shows a codes-only stage-1
+    * scan and a broadcast-bounded re-rank join, never a corpus-wide
+    * exact pass. */
+  private def q215TwoStage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.operators.ProductQuantizer.fit(
+      emb, "vec_id", "embedding", m = 2, k = 4, iters = 1)
+    val codes = graft.operators.ProductQuantizer.encode(
+      emb, "vec_id", "embedding", model)
+    val queries = emb.filter($"vec_id" < 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"adist", $"id")
+    val shortlist = graft.operators.ProductQuantizer.adcDistances(
+        queries, "vec_id", "embedding", codes, "vec_id", model)
+      .withColumn("adist", round($"approx_dist", 6))
+      .withColumn("srank", row_number().over(w))
+      .filter($"srank" <= 20)
+      .select($"query_id", $"id")
+    graft.operators.Rerank.exactL2TopK(shortlist,
+        queries, "vec_id", "embedding", emb, "vec_id", "embedding", k = 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** q211's relational PQ replay extended two stages: the round-6 ADC
+    * shortlist cut, then exact round-6 squared-L2 re-ranking of the
+    * shortlist joined back to the raw vectors. */
+  private val q215Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, 0 AS s, v[1:32] AS sv FROM e
+      |  UNION ALL
+      |  SELECT vec_id, 1 AS s, v[33:64] AS sv FROM e),
+      |seed AS (
+      |  SELECT s, cid, sv AS c FROM (
+      |    SELECT s, vec_id, sv,
+      |      CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS BIGINT) AS cid
+      |    FROM sub)
+      |  WHERE cid < 4),
+      |a1 AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT sub.vec_id, sub.s, seed.cid,
+      |      row_number() OVER (PARTITION BY sub.s, sub.vec_id ORDER BY
+      |        round(list_sum(list_transform(list_zip(sub.sv, seed.c),
+      |          p -> (p[1]-p[2])*(p[1]-p[2]))), 6), seed.cid) AS rn
+      |    FROM sub JOIN seed ON sub.s = seed.s)
+      |  WHERE rn = 1),
+      |mrows AS (
+      |  SELECT a1.s, a1.cid, generate_subscripts(sub.sv, 1) - 1 AS dim,
+      |         CAST(unnest(sub.sv) AS DOUBLE) AS x
+      |  FROM sub JOIN a1 ON sub.s = a1.s AND sub.vec_id = a1.vec_id),
+      |md AS (
+      |  SELECT s, cid, dim,
+      |    CAST(CAST(SUM(CAST(x AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+      |  FROM mrows GROUP BY s, cid, dim),
+      |cb AS (
+      |  SELECT s, cid, row_number() OVER (PARTITION BY s ORDER BY cid) - 1 AS pos, c
+      |  FROM (SELECT s, cid, list(m ORDER BY dim) AS c FROM md GROUP BY s, cid)),
+      |codes AS (
+      |  SELECT vec_id, s, pos FROM (
+      |    SELECT sub.vec_id, sub.s, cb.pos,
+      |      row_number() OVER (PARTITION BY sub.s, sub.vec_id ORDER BY
+      |        round(list_sum(list_transform(list_zip(sub.sv, cb.c),
+      |          p -> (p[1]-p[2])*(p[1]-p[2]))), 6), cb.pos) AS rn
+      |    FROM sub JOIN cb ON sub.s = cb.s)
+      |  WHERE rn = 1),
+      |t AS (
+      |  SELECT q.vec_id AS query_id, x.vec_id AS id, x.s,
+      |    list_sum(list_transform(list_zip(q.sv, cb.c),
+      |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS td
+      |  FROM codes x
+      |  JOIN cb ON cb.s = x.s AND cb.pos = x.pos
+      |  JOIN sub q ON q.s = x.s
+      |  WHERE q.vec_id < 5),
+      |adist AS (
+      |  SELECT query_id, id,
+      |    round(MAX(CASE WHEN s = 0 THEN td END)
+      |        + MAX(CASE WHEN s = 1 THEN td END), 6) AS adist
+      |  FROM t GROUP BY query_id, id),
+      |short AS (
+      |  SELECT query_id, id FROM (
+      |    SELECT query_id, id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY adist, id) AS srank
+      |    FROM adist)
+      |  WHERE srank <= 20),
+      |ex AS (
+      |  SELECT sh.query_id, sh.id,
+      |    round(list_sum(list_transform(list_zip(q.v, c.v),
+      |      p -> (p[1]-p[2])*(p[1]-p[2]))), 6) AS dist
+      |  FROM short sh
+      |  JOIN e q ON q.vec_id = sh.query_id
+      |  JOIN e c ON c.vec_id = sh.id)
+      |SELECT query_id, rank, id, dist FROM (
+      |  SELECT query_id, id, dist,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS BIGINT) AS rank
+      |  FROM ex)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** IVF-PQ (IVFADC) over the embeddings fixture: coarse KMeans cells ×
     * PQ codes — the two prunings multiplied, the 100 TB ANN shape
     * (probe a fraction of cells, scan 8-byte codes). Approximate →
@@ -455,6 +562,123 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Retrieval-quality harness (north star): measured recall@5 floors
+    * for every approximate ANN variant in the family, against the exact
+    * cosine top-5 (q28's plan) — the regression gate that turns
+    * "approximate by design" (q30/q39/q191/q193/q195/q210's rows-only
+    * status) into "approximate with a measured floor". Per variant:
+    * per-query hit counts |ANN∩exact| as pure INTEGER rank arithmetic
+    * (no float ever reaches the output), gated as min-hits and
+    * mean-hits-percent floors; the MMR row gates its containment
+    * contract instead (all k selections inside the exact top-20 pool
+    * it draws from — provably 5/5). The oracle is the constant
+    * expectation table: any variant drifting below its floor at either
+    * SF flips a boolean and fails the hash. Floors are deliberately
+    * conservative (≥ 20 recall points below measured at sf0.01 and
+    * sf0.1) so host variance can't flip them, while a real plan
+    * regression (a broken band join, a mis-pruned probe) still trips.
+    * Fits are shared across variants (one PQ codebook for q191+q193's
+    * configs, one coarse model for both IVFADC variants) — the harness
+    * measures the SAME configurations the standing queries run. */
+  private def q214AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).cache()
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.cosineTopK(queries, emb, "vec_id", "embedding",
+        k = 5)
+      .select($"query_id", $"neighbor_id".as("id"))
+
+    val lsh = Similarity.lshCosineTopK(queries, emb, "vec_id", "embedding",
+        k = 5, nPlanes = 4, nTables = 8)
+      .select($"query_id", $"neighbor_id".as("id"))
+    val ivfModel = graft.operators.IvfIndex.fit(
+      emb, "vec_id", "embedding", nLists = 16, iters = 2)
+    val ivf = graft.operators.IvfIndex.probe(
+        queries, emb, "vec_id", "embedding", k = 5, ivfModel, nProbe = 6)
+      .select($"query_id", $"neighbor_id".as("id"))
+    val pqModel = graft.operators.ProductQuantizer.fit(
+      emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val codes = graft.operators.ProductQuantizer.encode(
+      emb, "vec_id", "embedding", pqModel)
+    val pq = graft.operators.ProductQuantizer.adcTopK(
+        queries, "vec_id", "embedding", codes, "vec_id", pqModel, k = 5)
+      .select($"query_id", $"id")
+    val coarse = graft.operators.KMeans.fit(
+      emb, "vec_id", "embedding", k = 8, iters = 2)
+    val indexed = graft.operators.KMeans
+      .assign(codes.join(emb, "vec_id"), "embedding", coarse)
+      .withColumnRenamed("cluster_id", "list_id")
+      .select($"vec_id", $"codes", $"list_id")
+    val ivfadc = graft.operators.ProductQuantizer.ivfAdcTopK(
+        queries, "vec_id", "embedding", indexed, "vec_id", pqModel, coarse,
+        k = 5, nProbe = 3)
+      .select($"query_id", $"id")
+    val pqR = graft.operators.ProductQuantizer.fitResidual(
+      emb, "vec_id", "embedding", coarse, m = 8, k = 16, iters = 2)
+    val indexedR = graft.operators.ProductQuantizer.encodeResidual(
+      emb, "vec_id", "embedding", coarse, pqR)
+    val ivfadcR = graft.operators.ProductQuantizer.ivfAdcTopKResidual(
+        queries, "vec_id", "embedding", indexedR, "vec_id", pqR, coarse,
+        k = 5, nProbe = 3)
+      .select($"query_id", $"id")
+    // MMR gates CONTAINMENT in its pool (exact top-20), not recall@5 —
+    // diversification trades recall by design
+    val pool20 = Similarity.cosineTopK(queries, emb, "vec_id", "embedding",
+        k = 20)
+      .select($"query_id", $"neighbor_id".as("id"))
+    val mmr = Similarity.mmrTopK(queries, emb, "vec_id", "embedding",
+        k = 5, poolSize = 20, lambda = 0.6)
+      .select($"query_id", $"id")
+
+    /* Per-variant integer gate row: hits against `ref` per query
+     * (queries with zero hits kept via the ref-side distinct), then
+     * min-hits and 100·total-hits >= meanPct·k·nQueries — all exact
+     * integer arithmetic, zero float risk across engines. */
+    def gate(variant: String, ann: DataFrame, ref: DataFrame,
+        minHitsFloor: Int, meanPctFloor: Int): DataFrame = {
+      val hits = ref.join(ann, Seq("query_id", "id"), "left_semi")
+        .groupBy($"query_id").agg(count(lit(1)).as("__h"))
+      ref.select($"query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("__nq"),
+          min(coalesce($"__h", lit(0L))).as("__mn"),
+          sum(coalesce($"__h", lit(0L))).as("__tot"))
+        .select(lit(variant).as("variant"),
+          $"__nq".as("n_queries"),
+          lit(minHitsFloor.toLong).as("min_hits_floor"),
+          lit(meanPctFloor.toLong).as("mean_pct_floor"),
+          ($"__mn" >= minHitsFloor).as("pass_min"),
+          ($"__tot" * 100 >= lit(meanPctFloor.toLong) * 5 * $"__nq")
+            .as("pass_mean"))
+    }
+
+    gate("ivf_nprobe6", ivf, exact, 1, 40)
+      .unionAll(gate("ivfadc_nprobe3", ivfadc, exact, 0, 10))
+      .unionAll(gate("ivfadc_residual_nprobe3", ivfadcR, exact, 0, 10))
+      .unionAll(gate("lsh_4x8", lsh, exact, 1, 40))
+      .unionAll(gate("mmr_pool_containment", mmr, pool20, 5, 100))
+      .unionAll(gate("pq_adc_m8k16", pq, exact, 0, 10))
+      .orderBy($"variant")
+  }
+
+  /** The constant expectation table: every variant at or above its
+    * floor, n_queries = the fixture's probe-set size. */
+  private val q214Sql =
+    """WITH nq AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 10),
+      |exp(variant, min_hits_floor, mean_pct_floor) AS (VALUES
+      |  ('ivf_nprobe6', 1, 40),
+      |  ('ivfadc_nprobe3', 0, 10),
+      |  ('ivfadc_residual_nprobe3', 0, 10),
+      |  ('lsh_4x8', 1, 40),
+      |  ('mmr_pool_containment', 5, 100),
+      |  ('pq_adc_m8k16', 0, 10))
+      |SELECT variant, CAST(nq.n AS BIGINT) AS n_queries,
+      |  CAST(min_hits_floor AS BIGINT) AS min_hits_floor,
+      |  CAST(mean_pct_floor AS BIGINT) AS mean_pct_floor,
+      |  true AS pass_min, true AS pass_mean
+      |FROM exp CROSS JOIN nq
+      |ORDER BY variant""".stripMargin
+
   /** MMR diversified retrieval ([[graft.operators.Similarity.mmrTopK]],
     * λ = 0.6, pool 20 → top-5): the redundancy-penalized selection a
     * retrieval or exemplar-sampling pass runs after top-k. Greedy and
@@ -469,6 +693,163 @@ object SimilarityQueries extends QueryModule {
         k = 5, poolSize = 20, lambda = 0.6)
       .orderBy($"query_id", $"rank")
   }
+
+  /** Hybrid retrieval over the PERSISTED indexes (north star): the
+    * production serving shape — q212's fusion with both legs served
+    * from saved indexes after a full lifecycle. BM25 leg:
+    * [[graft.operators.TextIndex]] save → delete(doc_id ≡ 0 mod 5) →
+    * probe (bucket-pruned, stats-corrected). Vector leg:
+    * [[graft.operators.ProductQuantizer]] save(even ids) → append(odd
+    * ids, encoded against the saved codebooks) → delete(vec_id ≡ 0 mod
+    * 5) → full-probe [[graft.operators.ProductQuantizer.probeSavedDistances]]
+    * at q211's replayable m=2/k=4/iters=1 config (nProbe = nLists and
+    * raw codes ⇒ the scored frame ≡ plain ADC over the surviving
+    * corpus), ranked by round-6 distance. Fused by
+    * [[graft.operators.Rrf.fuse]]. The DuckDB hash therefore pins:
+    * corrected BM25 stats after delete, append ≡ rebuild encoding,
+    * deleted ids absent from BOTH legs, and the fused ordering. */
+  private def q216HybridPersisted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    // BM25 leg over the persisted inverted index
+    val tPath = graft.core.Scratch.dir(dir, "hybm25")
+    graft.operators.TextIndex.save(docs, "doc_id", "text", tPath)
+    graft.operators.TextIndex.delete(spark, tPath,
+      docs.filter($"doc_id" % 5 === 0).select($"doc_id"))
+    val wBm = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"doc_id")
+    val bm = graft.operators.TextIndex.probe(spark, tPath,
+        Seq("spark", "merge", "join"), k = 20)
+      .withColumn("r", row_number().over(wBm))
+      .select($"doc_id", $"r")
+    // vector leg over the persisted IVFADC index
+    val vPath = graft.core.Scratch.dir(dir, "hypq")
+    val pq = graft.operators.ProductQuantizer.fit(
+      emb, "vec_id", "embedding", m = 2, k = 4, iters = 1)
+    val coarse = graft.operators.KMeans.fit(
+      emb, "vec_id", "embedding", k = 4, iters = 1)
+    graft.operators.ProductQuantizer.save(
+      emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      coarse, pq, vPath, residual = false)
+    graft.operators.ProductQuantizer.append(
+      emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", vPath)
+    graft.operators.ProductQuantizer.delete(spark, vPath,
+      emb.filter($"vec_id" % 5 === 0).select($"vec_id"))
+    val wV = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"adist", $"id")
+    val vec = graft.operators.ProductQuantizer.probeSavedDistances(
+        emb.filter($"vec_id" === 0), "vec_id", "embedding",
+        spark, vPath, nProbe = 4)
+      .withColumn("adist", round($"approx_dist", 6))
+      .withColumn("r", row_number().over(wV))
+      .filter($"r" <= 20)
+      .select($"id".as("doc_id"), $"r")
+    graft.operators.Rrf.fuse(
+        Seq("bm25" -> bm, "vec" -> vec), "doc_id", "r", topK = 10)
+      .orderBy($"rank")
+  }
+
+  /** BM25 scan over documents minus the deleted ids ⊕ the q211 ADC
+    * replay over embeddings with deleted ids excluded from the SCORED
+    * side only (codebooks fitted on the full corpus, exactly as the
+    * engine fits before save), fused by fixed-order reciprocal-rank
+    * arithmetic. */
+  private val q216Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE doc_id % 5 <> 0),
+      |base AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+      |    CAST(len(list_filter(ws, x -> x = 'spark')) AS BIGINT) AS tf0,
+      |    CAST(len(list_filter(ws, x -> x = 'merge')) AS BIGINT) AS tf1,
+      |    CAST(len(list_filter(ws, x -> x = 'join')) AS BIGINT) AS tf2
+      |  FROM d),
+      |stats AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+      |    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+      |    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      |  FROM base),
+      |bmscore AS (
+      |  SELECT b.doc_id,
+      |    round(
+      |      ln((s.n - s.df0 + 0.5) / (s.df0 + 0.5) + 1) * (b.tf0 * 2.2) / (b.tf0 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+      |    + ln((s.n - s.df1 + 0.5) / (s.df1 + 0.5) + 1) * (b.tf1 * 2.2) / (b.tf1 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+      |    + ln((s.n - s.df2 + 0.5) / (s.df2 + 0.5) + 1) * (b.tf2 * 2.2) / (b.tf2 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl)), 6) AS score
+      |  FROM base b CROSS JOIN stats s),
+      |bm AS (
+      |  SELECT doc_id, r FROM (
+      |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      |    FROM bmscore)
+      |  WHERE r <= 20),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, 0 AS s, v[1:32] AS sv FROM e
+      |  UNION ALL
+      |  SELECT vec_id, 1 AS s, v[33:64] AS sv FROM e),
+      |seed AS (
+      |  SELECT s, cid, sv AS c FROM (
+      |    SELECT s, vec_id, sv,
+      |      CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS BIGINT) AS cid
+      |    FROM sub)
+      |  WHERE cid < 4),
+      |a1 AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT sub.vec_id, sub.s, seed.cid,
+      |      row_number() OVER (PARTITION BY sub.s, sub.vec_id ORDER BY
+      |        round(list_sum(list_transform(list_zip(sub.sv, seed.c),
+      |          p -> (p[1]-p[2])*(p[1]-p[2]))), 6), seed.cid) AS rn
+      |    FROM sub JOIN seed ON sub.s = seed.s)
+      |  WHERE rn = 1),
+      |mrows AS (
+      |  SELECT a1.s, a1.cid, generate_subscripts(sub.sv, 1) - 1 AS dim,
+      |         CAST(unnest(sub.sv) AS DOUBLE) AS x
+      |  FROM sub JOIN a1 ON sub.s = a1.s AND sub.vec_id = a1.vec_id),
+      |md AS (
+      |  SELECT s, cid, dim,
+      |    CAST(CAST(SUM(CAST(x AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+      |  FROM mrows GROUP BY s, cid, dim),
+      |cb AS (
+      |  SELECT s, cid, row_number() OVER (PARTITION BY s ORDER BY cid) - 1 AS pos, c
+      |  FROM (SELECT s, cid, list(m ORDER BY dim) AS c FROM md GROUP BY s, cid)),
+      |codes AS (
+      |  SELECT vec_id, s, pos FROM (
+      |    SELECT sub.vec_id, sub.s, cb.pos,
+      |      row_number() OVER (PARTITION BY sub.s, sub.vec_id ORDER BY
+      |        round(list_sum(list_transform(list_zip(sub.sv, cb.c),
+      |          p -> (p[1]-p[2])*(p[1]-p[2]))), 6), cb.pos) AS rn
+      |    FROM sub JOIN cb ON sub.s = cb.s)
+      |  WHERE rn = 1),
+      |t AS (
+      |  SELECT q.vec_id AS query_id, x.vec_id AS id, x.s,
+      |    list_sum(list_transform(list_zip(q.sv, cb.c),
+      |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS td
+      |  FROM codes x
+      |  JOIN cb ON cb.s = x.s AND cb.pos = x.pos
+      |  JOIN sub q ON q.s = x.s
+      |  WHERE q.vec_id = 0 AND x.vec_id % 5 <> 0),
+      |adist AS (
+      |  SELECT query_id, id,
+      |    round(MAX(CASE WHEN s = 0 THEN td END)
+      |        + MAX(CASE WHEN s = 1 THEN td END), 6) AS adist
+      |  FROM t GROUP BY query_id, id),
+      |vec AS (
+      |  SELECT id AS doc_id, r FROM (
+      |    SELECT id, row_number() OVER (ORDER BY adist, id) AS r
+      |    FROM adist)
+      |  WHERE r <= 20),
+      |fused AS (
+      |  SELECT COALESCE(bm.doc_id, vec.doc_id) AS doc_id,
+      |    bm.r AS r_bm25, vec.r AS r_vec,
+      |    COALESCE(CAST(1 AS DOUBLE) / (60 + bm.r), CAST(0 AS DOUBLE))
+      |      + COALESCE(CAST(1 AS DOUBLE) / (60 + vec.r), CAST(0 AS DOUBLE)) AS rrf_score
+      |  FROM bm FULL OUTER JOIN vec ON bm.doc_id = vec.doc_id)
+      |SELECT rank, doc_id, r_bm25, r_vec, rrf_score FROM (
+      |  SELECT doc_id, r_bm25, r_vec, rrf_score,
+      |    row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+      |  FROM fused)
+      |WHERE rank <= 10
+      |ORDER BY rank""".stripMargin
 
   private def q39IvfKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -907,6 +1288,12 @@ object SimilarityQueries extends QueryModule {
       "IVF-PQ composed pruning (rows-only; full-probe ≡ ADC limit identity in PqSpec, exact companion q28)"),
     Q("q211_pq_exact", q211PqExact, Some(q211Sql),
       "full PQ chain (subspace Lloyd + encode + ADC top-k) replayed relationally under one hash (north star)"),
+    Q("q214_ann_recall", q214AnnRecall, Some(q214Sql),
+      "measured recall@5 floors for every ANN variant vs exact top-k, integer-gated (north star)"),
+    Q("q215_two_stage", q215TwoStage, Some(q215Sql),
+      "two-stage retrieval: ADC shortlist -> exact re-rank, whole chain under one hash (north star)"),
+    Q("q216_hybrid_persisted", q216HybridPersisted, Some(q216Sql),
+      "hybrid retrieval over persisted indexes: save/append/delete/probe/fuse lifecycle under one hash (north star)"),
     Q("q212_hybrid_rrf", q212HybridRrf, Some(q212Sql),
       "hybrid BM25 ⊕ vector retrieval fused by reciprocal rank, both legs + fusion under one hash (north star)"),
     Q("q210_mmr_topk", q210MmrTopk, None,

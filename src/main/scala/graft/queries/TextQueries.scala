@@ -704,13 +704,197 @@ object TextQueries extends QueryModule {
       Seq("spark", "merge", "join"), k = 20)
   }
 
-  private def q121IndexPath(dir: String): String = {
-    scratchCleanupOnce
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"$scratchPrefix${key}bm25_${ProcessHandle.current().pid()}").toString
+  private def q121IndexPath(dir: String): String =
+    graft.core.Scratch.dir(dir, "bm25")
+
+  /** Targeted delete on the persisted inverted index (right-to-be-
+    * forgotten, north star): build over the full corpus, DELETE every
+    * doc_id ≡ 0 (mod 7) via [[graft.operators.TextIndex.delete]]
+    * (filtered rewrite under StagedSwap, meta recomputed from the docs
+    * sidecar), then probe. The oracle runs the BM25 scan over documents
+    * WITHOUT the deleted rows — so the hash pins not just the absence
+    * of deleted ids but the CORRECTED corpus statistics: idf's N and
+    * per-term df and avgdl all shrink with the deletion, and a
+    * tombstone design serving stale stats would score (and rank)
+    * differently and fail here. Probe-side plan is q121's (bucket-file
+    * pruning, postings-proportional work). */
+  private def q213IndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val path = q213IndexPath(dir)
+    graft.operators.TextIndex.save(docs, "doc_id", "text", path)
+    graft.operators.TextIndex.delete(spark, path,
+      docs.filter($"doc_id" % 7 === 0).select($"doc_id"))
+    graft.operators.TextIndex.probe(spark, path,
+      Seq("spark", "merge", "join"), k = 20)
   }
+
+  private def q213IndexPath(dir: String): String =
+    graft.core.Scratch.dir(dir, "bm25del")
+
+  /** q119's scan SQL restricted to the surviving corpus — the stats
+    * CTE recomputes N/df/avgdl over the filtered set, exactly what
+    * TextIndex.delete's corrected meta must reproduce. */
+  private val q213Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE doc_id % 7 <> 0),
+      |base AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+      |    CAST(len(list_filter(ws, x -> x = 'spark')) AS BIGINT) AS tf0,
+      |    CAST(len(list_filter(ws, x -> x = 'merge')) AS BIGINT) AS tf1,
+      |    CAST(len(list_filter(ws, x -> x = 'join')) AS BIGINT) AS tf2
+      |  FROM d),
+      |stats AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+      |    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+      |    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      |  FROM base)
+      |SELECT b.doc_id, b.tf0 AS tf_spark, b.tf1 AS tf_merge, b.tf2 AS tf_join,
+      |  round(
+      |    ln((s.n - s.df0 + 0.5) / (s.df0 + 0.5) + 1) * (b.tf0 * 2.2) / (b.tf0 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+      |  + ln((s.n - s.df1 + 0.5) / (s.df1 + 0.5) + 1) * (b.tf1 * 2.2) / (b.tf1 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+      |  + ln((s.n - s.df2 + 0.5) / (s.df2 + 0.5) + 1) * (b.tf2 * 2.2) / (b.tf2 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl)), 6) AS score
+      |FROM base b CROSS JOIN stats s
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin
+
+  /** Trained quality scorer (north star): fuse the Gopher-rule signals
+    * into a LEARNED document score via
+    * [[graft.operators.QuantizedLR]] — hard-sigmoid logistic regression,
+    * 3 full-batch GD rounds with fixed-point gradient accumulation, so
+    * the weights are a deterministic function of the data and the WHOLE
+    * chain (integer features → 3 updates → scores → tercile buckets)
+    * replays relationally under one hash. Features are integer-exact
+    * ratios from [[graft.operators.QualityRules.annotate]]; the label is
+    * the gopher gate itself (weak supervision: distill the hard rule
+    * into a smooth, rankable score). Terciles are cut-based from
+    * [[graft.operators.OrderStats.exactQuantiles]] (the q209
+    * discipline — never a corpus-global NTILE window). */
+  private def q217TrainedQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fcols = Seq("x1", "x2", "x3", "x4")
+    val feats = graft.operators.QualityRules.annotate(
+        Tables.documents(spark, dir), "text")
+      .select($"doc_id",
+        ($"n_words".cast("double") / lit(100.0)).as("x1"),
+        ($"sum_word_len".cast("double") / $"n_words".cast("double")).as("x2"),
+        ($"n_alpha_words".cast("double") / $"n_words".cast("double")).as("x3"),
+        ($"n_stopwords".cast("double") / lit(10.0)).as("x4"),
+        when($"gopher_pass", 1.0).otherwise(0.0).as("y"))
+    val w = graft.operators.QuantizedLR.fit(feats, fcols, "y",
+      lr = 0.1, rounds = 3)
+    val scored = feats.withColumn("score",
+        round(graft.operators.QuantizedLR.scoreCol(fcols, w), 6))
+      .withColumn("__all", lit(1))
+    val cuts = graft.operators.OrderStats.exactQuantiles(
+        scored, "score", "__all", ps = Seq(1.0 / 3.0, 2.0 / 3.0))
+      .agg(collect_list($"q").as("__cuts"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket", expr(
+        "aggregate(__cuts, 0, (acc, c) -> acc + if(c <= score, 1, 0))")
+        .cast("long"))
+      .select($"doc_id", $"y".cast("long").as("label"), $"score", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  /** Relational replay of the full quantized-GD chain: feature CTE →
+    * three weight CTEs (each one aggregate of floor-quantized gradient
+    * contributions over the previous weights) → scores → cut-based
+    * tercile buckets. Every arithmetic step mirrors the engine's
+    * operation order exactly (left-assoc dot product, (err·x)·10⁶
+    * multiplication order, CAST-to-DOUBLE before the /n division). */
+  private val q217Sql =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_words,
+      |    CAST(SUM(len(w)) AS BIGINT) AS sum_word_len,
+      |    CAST(SUM(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words,
+      |    CAST(SUM(CASE WHEN w IN ('the','a','and','of','to','in','be','that','have','with')
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords
+      |  FROM words GROUP BY doc_id),
+      |f AS (
+      |  SELECT doc_id,
+      |    CAST(n_words AS DOUBLE) / 100.0 AS x1,
+      |    CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE) AS x2,
+      |    CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS x3,
+      |    CAST(n_stopwords AS DOUBLE) / 10.0 AS x4,
+      |    CASE WHEN n_words BETWEEN 50 AND 100000
+      |      AND sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words
+      |      AND n_alpha_words * 100 >= 80 * n_words
+      |      AND n_stopwords >= 2 THEN 1.0 ELSE 0.0 END AS y
+      |  FROM s),
+      |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f),
+      |g1 AS (
+      |  SELECT
+      |    SUM(CAST(floor(e * 1000000.0) AS BIGINT)) AS s0,
+      |    SUM(CAST(floor((e * x1) * 1000000.0) AS BIGINT)) AS s1,
+      |    SUM(CAST(floor((e * x2) * 1000000.0) AS BIGINT)) AS s2,
+      |    SUM(CAST(floor((e * x3) * 1000000.0) AS BIGINT)) AS s3,
+      |    SUM(CAST(floor((e * x4) * 1000000.0) AS BIGINT)) AS s4
+      |  FROM (SELECT x1, x2, x3, x4,
+      |          greatest(0.0, least(1.0, 0.25 * (0.0 + 0.0 * x1 + 0.0 * x2 + 0.0 * x3 + 0.0 * x4) + 0.5)) - y AS e
+      |        FROM f)),
+      |w1 AS (
+      |  SELECT 0.0 - 0.1 * ((CAST(s0 AS DOUBLE) / n) / 1000000.0) AS w0,
+      |         0.0 - 0.1 * ((CAST(s1 AS DOUBLE) / n) / 1000000.0) AS w1,
+      |         0.0 - 0.1 * ((CAST(s2 AS DOUBLE) / n) / 1000000.0) AS w2,
+      |         0.0 - 0.1 * ((CAST(s3 AS DOUBLE) / n) / 1000000.0) AS w3,
+      |         0.0 - 0.1 * ((CAST(s4 AS DOUBLE) / n) / 1000000.0) AS w4
+      |  FROM g1 CROSS JOIN nn),
+      |g2 AS (
+      |  SELECT
+      |    SUM(CAST(floor(e * 1000000.0) AS BIGINT)) AS s0,
+      |    SUM(CAST(floor((e * x1) * 1000000.0) AS BIGINT)) AS s1,
+      |    SUM(CAST(floor((e * x2) * 1000000.0) AS BIGINT)) AS s2,
+      |    SUM(CAST(floor((e * x3) * 1000000.0) AS BIGINT)) AS s3,
+      |    SUM(CAST(floor((e * x4) * 1000000.0) AS BIGINT)) AS s4
+      |  FROM (SELECT f.x1, f.x2, f.x3, f.x4,
+      |          greatest(0.0, least(1.0, 0.25 * (w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4) + 0.5)) - f.y AS e
+      |        FROM f CROSS JOIN w1 w)),
+      |w2 AS (
+      |  SELECT w.w0 - 0.1 * ((CAST(g.s0 AS DOUBLE) / n) / 1000000.0) AS w0,
+      |         w.w1 - 0.1 * ((CAST(g.s1 AS DOUBLE) / n) / 1000000.0) AS w1,
+      |         w.w2 - 0.1 * ((CAST(g.s2 AS DOUBLE) / n) / 1000000.0) AS w2,
+      |         w.w3 - 0.1 * ((CAST(g.s3 AS DOUBLE) / n) / 1000000.0) AS w3,
+      |         w.w4 - 0.1 * ((CAST(g.s4 AS DOUBLE) / n) / 1000000.0) AS w4
+      |  FROM g2 g CROSS JOIN w1 w CROSS JOIN nn),
+      |g3 AS (
+      |  SELECT
+      |    SUM(CAST(floor(e * 1000000.0) AS BIGINT)) AS s0,
+      |    SUM(CAST(floor((e * x1) * 1000000.0) AS BIGINT)) AS s1,
+      |    SUM(CAST(floor((e * x2) * 1000000.0) AS BIGINT)) AS s2,
+      |    SUM(CAST(floor((e * x3) * 1000000.0) AS BIGINT)) AS s3,
+      |    SUM(CAST(floor((e * x4) * 1000000.0) AS BIGINT)) AS s4
+      |  FROM (SELECT f.x1, f.x2, f.x3, f.x4,
+      |          greatest(0.0, least(1.0, 0.25 * (w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4) + 0.5)) - f.y AS e
+      |        FROM f CROSS JOIN w2 w)),
+      |w3 AS (
+      |  SELECT w.w0 - 0.1 * ((CAST(g.s0 AS DOUBLE) / n) / 1000000.0) AS w0,
+      |         w.w1 - 0.1 * ((CAST(g.s1 AS DOUBLE) / n) / 1000000.0) AS w1,
+      |         w.w2 - 0.1 * ((CAST(g.s2 AS DOUBLE) / n) / 1000000.0) AS w2,
+      |         w.w3 - 0.1 * ((CAST(g.s3 AS DOUBLE) / n) / 1000000.0) AS w3,
+      |         w.w4 - 0.1 * ((CAST(g.s4 AS DOUBLE) / n) / 1000000.0) AS w4
+      |  FROM g3 g CROSS JOIN w2 w CROSS JOIN nn),
+      |scored AS (
+      |  SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
+      |    round(greatest(0.0, least(1.0, 0.25 * (w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4) + 0.5)), 6) AS score
+      |  FROM f CROSS JOIN w3 w),
+      |r AS (
+      |  SELECT score, row_number() OVER (ORDER BY score, doc_id) AS rn,
+      |    COUNT(*) OVER () AS cnt
+      |  FROM scored),
+      |cuts AS (
+      |  SELECT MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL((CAST(1.0 AS DOUBLE)/3.0) * cnt) AS BIGINT)) THEN score END) AS c1,
+      |    MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL((CAST(2.0 AS DOUBLE)/3.0) * cnt) AS BIGINT)) THEN score END) AS c2
+      |  FROM r)
+      |SELECT s.doc_id, s.label, s.score,
+      |  CAST((CASE WHEN c.c1 <= s.score THEN 1 ELSE 0 END)
+      |     + (CASE WHEN c.c2 <= s.score THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+      |FROM scored s CROSS JOIN cuts c
+      |ORDER BY s.doc_id""".stripMargin
 
   /** Greedy sequence packing, cross-validated by an INDEPENDENT algorithm:
     * the engine streams first-fit chunks per md5 bucket; the oracle
@@ -1900,52 +2084,11 @@ object TextQueries extends QueryModule {
     * it — the continuous-ingest dedup workflow. Hash-based (rows-only);
     * MinHashIndexSpec proves probe ≡ in-memory banding, estimator error
     * bounds, and the drop/keep split. */
-  /** Index scratch path for q65/q71: keyed by data dir AND process id, so
-    * (a) repeated invocations in one process (bench warmup + timed run)
-    * reuse one directory instead of accumulating copies, and (b) two
-    * concurrent harness processes — whose saves are non-atomic (sigs,
-    * bands, meta written sequentially) — can never interleave writes into
-    * each other's index and produce silently wrong rows.
-    *
-    * Lifecycle: a JVM shutdown hook deletes THIS process's directories
-    * (registered once, on first use), and first use also reaps any
-    * leftover `graft_mh_idx_*_<pid>` whose owning pid is no longer alive
-    * (a kill -9 skips shutdown hooks; the next harness run sweeps the
-    * orphan). Live pids are never touched — the pid keying that prevents
-    * write interleaving also makes the reap safe. */
-  private val scratchPrefix = "graft_mh_idx_"
-  private lazy val scratchCleanupOnce: Unit = {
-    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
-    def deleteRecursively(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-      f.delete(); ()
-    }
-    val self = ProcessHandle.current().pid()
-    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
-      val name = f.getName
-      if (f.isDirectory && name.startsWith(scratchPrefix)) {
-        val pid = name.substring(name.lastIndexOf('_') + 1)
-        val dead = pid.forall(_.isDigit) && pid.nonEmpty && pid.toLong != self &&
-          !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false)
-        if (dead) deleteRecursively(f)
-      }
-    }
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.isDirectory && f.getName.startsWith(scratchPrefix) &&
-            f.getName.endsWith(s"_$self"))
-          deleteRecursively(f)
-      }))
-    ()
-  }
-
-  private def q65IndexPath(dir: String): String = {
-    scratchCleanupOnce
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"$scratchPrefix${key}_${ProcessHandle.current().pid()}").toString
-  }
+  /** Index scratch paths for q65/q71/q121/q213 live in
+    * [[graft.core.Scratch]] (pid-keyed, reaped on shutdown / next run).
+    */
+  private def q65IndexPath(dir: String): String =
+    graft.core.Scratch.dir(dir, "")
 
   private def q65IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -2307,6 +2450,10 @@ object TextQueries extends QueryModule {
       "cross-corpus decontamination: distinct-digest anti-join vs NOT-IN oracle (north star)"),
     Q("q58_gopher_rules", q58GopherRules, Some(q58Sql),
       "Gopher hard quality gates in integer-exact rule arithmetic (north star)"),
+    Q("q213_index_delete", q213IndexDelete, Some(q213Sql),
+      "targeted delete on the persisted BM25 index: corrected df/N stats under one hash (north star)"),
+    Q("q217_trained_quality", q217TrainedQuality, Some(q217Sql),
+      "trained quality scorer: quantized-GD logistic regression + tercile buckets under one hash (north star)"),
     Q("q56_lm_score", q56LmScore, Some(q56Sql),
       "add-k bigram LM quality scoring: hashed-gram engine vs string-keyed oracle (north star)"),
     Q("q109_dsir_weights", q109DsirWeights, Some(q109Sql),
