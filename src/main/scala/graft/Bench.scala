@@ -99,7 +99,20 @@ object Bench {
     "q162_lone_late_supplier" -> 2.8,
     "q161_doc_keywords" -> 1.7,
     "q166_spatial_pairs" -> 0.9,
-    "q167_spatial_clusters" -> 1.3)
+    "q167_spatial_clusters" -> 1.3,
+    // round-11 addition, anchored from the r12 sweep (3.39) + its
+    // in-sweep isolated re-measure (3.72) — bounded-round label prop
+    "q208_label_prop" -> 3.5,
+    // round-12 additions (r12 sweep min-of-two + in-sweep isolated
+    // re-measures, clean phase: q1 canary ~0.2). q214 runs SEVEN ANN
+    // variants + the exact reference; q216 is two full persisted-index
+    // lifecycles (BM25 save/delete/probe + IVFADC save/append/delete/
+    // probe) — both index-build-dominated, not probe-bound
+    "q213_index_delete" -> 3.0,
+    "q214_ann_recall" -> 6.5,
+    "q215_two_stage" -> 1.2,
+    "q216_hybrid_persisted" -> 6.5,
+    "q217_trained_quality" -> 2.5)
   private val defaultAnchorSec = 1.0
   // overridable for local testing of the rerun path (driver never sets it)
   private val suspectFactor =
