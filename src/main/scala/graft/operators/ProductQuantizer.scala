@@ -384,26 +384,52 @@ object ProductQuantizer {
     * top-k cut — the persisted-index analogue of [[adcDistances]].
     * Exposed so exactness contracts can restate the persisted chain
     * relationally (rank over round(approx_dist, 6) — the q211
-    * discipline) and so callers can apply their own cut. */
+    * discipline) and so callers can apply their own cut.
+    *
+    * `idFilter` (optional, one column of allowed ids — the FAISS
+    * IDSelector shape) restricts the search to a subset of the corpus:
+    * the semi-join lands on the codes scan BEFORE any probe-table join
+    * or ADC arithmetic, so excluded vectors are never scored and the
+    * top-k is taken WITHIN the filtered set — the filtered-search
+    * semantics a post-filter on an unfiltered top-k cannot give (it
+    * returns < k survivors and loses recall). Callers with an attribute
+    * predicate derive the frame as `attrs.filter(pred).select(id)`;
+    * the filter may be corpus-scale, so it is NOT broadcast-hinted —
+    * AQE picks broadcast when it is small. */
   def probeSavedDistances(queries: DataFrame, queryIdCol: String,
       queryVecCol: String, spark: org.apache.spark.sql.SparkSession,
-      dir: String, nProbe: Int): DataFrame = {
+      dir: String, nProbe: Int,
+      idFilter: Option[DataFrame] = None): DataFrame = {
     val (codes, probes, m) =
       savedProbePlan(queries, queryIdCol, queryVecCol, spark, dir, nProbe)
-    scoredAgainst(codes, codesIdCol(codes), probes, m)
+    scoredAgainst(filteredCodes(codes, idFilter), codesIdCol(codes),
+      probes, m)
   }
 
   /** Probe a persisted index. The probed cell ids resolve driver-side
     * first (≤ nLists longs) and apply as a static `isin` filter, so the
     * codes scan prunes non-probed list directories at planning time —
-    * the [[IvfIndex.probeIndexed]] pruning discipline. */
+    * the [[IvfIndex.probeIndexed]] pruning discipline. `idFilter` as in
+    * [[probeSavedDistances]]: filtered search, never post-filtering. */
   def probeSaved(queries: DataFrame, queryIdCol: String,
       queryVecCol: String, spark: org.apache.spark.sql.SparkSession,
-      dir: String, k: Int, nProbe: Int): DataFrame = {
+      dir: String, k: Int, nProbe: Int,
+      idFilter: Option[DataFrame] = None): DataFrame = {
     val (codes, probes, m) =
       savedProbePlan(queries, queryIdCol, queryVecCol, spark, dir, nProbe)
-    scoreAgainst(codes, codesIdCol(codes), probes, m, k)
+    scoreAgainst(filteredCodes(codes, idFilter), codesIdCol(codes),
+      probes, m, k)
   }
+
+  /** Apply an optional allowed-id semi-join to a codes scan. */
+  private def filteredCodes(codes: DataFrame,
+      idFilter: Option[DataFrame]): DataFrame =
+    idFilter.fold(codes) { f =>
+      require(f.columns.length == 1,
+        s"idFilter must be a one-column frame, got ${f.columns.toSeq}")
+      codes.join(f.toDF("__allow_id"),
+        col(codesIdCol(codes)) === col("__allow_id"), "left_semi")
+    }
 
   /** Shared probe plan over a persisted index: (pruned codes scan,
     * broadcast probe-table frame, subspace count). */

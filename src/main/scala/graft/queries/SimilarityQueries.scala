@@ -851,6 +851,108 @@ object SimilarityQueries extends QueryModule {
       |WHERE rank <= 10
       |ORDER BY rank""".stripMargin
 
+  /** Filtered vector search (north star): attribute predicate + ANN in
+    * one probe — the production "vector search WHERE label = x" shape
+    * (FAISS IDSelector / the filtered-search mode every vector DB
+    * serves). The allowed-id frame (`label = 3`) semi-joins onto the
+    * PERSISTED index's codes scan BEFORE any ADC arithmetic
+    * ([[graft.operators.ProductQuantizer.probeSavedDistances]] with
+    * `idFilter`), so excluded vectors are never scored and top-10 is
+    * taken WITHIN the filtered set — a post-filter on an unfiltered
+    * top-10 would return < 10 survivors and lose recall (for label=3
+    * at ~10 % selectivity, an unfiltered top-10 carries ~1 survivor).
+    * At q211's replayable config (m=2/k=4/iters=1, nProbe = nLists = 4)
+    * the whole persisted chain — fit, save, filtered probe, round-6
+    * ranked cut — replays relationally: the oracle is q211's PQ replay
+    * with the scored side restricted by the same predicate. */
+  private def q218FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val path = graft.core.Scratch.dir(dir, "fltpq")
+    val pq = graft.operators.ProductQuantizer.fit(
+      emb, "vec_id", "embedding", m = 2, k = 4, iters = 1)
+    val coarse = graft.operators.KMeans.fit(
+      emb, "vec_id", "embedding", k = 4, iters = 1)
+    graft.operators.ProductQuantizer.save(
+      emb, "vec_id", "embedding", coarse, pq, path, residual = false)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"adist", $"id")
+    graft.operators.ProductQuantizer.probeSavedDistances(
+        emb.filter($"vec_id" < 5), "vec_id", "embedding", spark, path,
+        nProbe = 4,
+        idFilter = Some(emb.filter($"label" === 3).select($"vec_id")))
+      .withColumn("adist", round($"approx_dist", 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"id", $"adist")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** q211's relational PQ replay with the scored side restricted to the
+    * allowed ids — codebooks still fitted on the FULL corpus, exactly
+    * as the engine fits before save. */
+  private val q218Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, 0 AS s, v[1:32] AS sv FROM e
+      |  UNION ALL
+      |  SELECT vec_id, 1 AS s, v[33:64] AS sv FROM e),
+      |seed AS (
+      |  SELECT s, cid, sv AS c FROM (
+      |    SELECT s, vec_id, sv,
+      |      CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS BIGINT) AS cid
+      |    FROM sub)
+      |  WHERE cid < 4),
+      |a1 AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT sub.vec_id, sub.s, seed.cid,
+      |      row_number() OVER (PARTITION BY sub.s, sub.vec_id ORDER BY
+      |        round(list_sum(list_transform(list_zip(sub.sv, seed.c),
+      |          p -> (p[1]-p[2])*(p[1]-p[2]))), 6), seed.cid) AS rn
+      |    FROM sub JOIN seed ON sub.s = seed.s)
+      |  WHERE rn = 1),
+      |mrows AS (
+      |  SELECT a1.s, a1.cid, generate_subscripts(sub.sv, 1) - 1 AS dim,
+      |         CAST(unnest(sub.sv) AS DOUBLE) AS x
+      |  FROM sub JOIN a1 ON sub.s = a1.s AND sub.vec_id = a1.vec_id),
+      |md AS (
+      |  SELECT s, cid, dim,
+      |    CAST(CAST(SUM(CAST(x AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+      |  FROM mrows GROUP BY s, cid, dim),
+      |cb AS (
+      |  SELECT s, cid, row_number() OVER (PARTITION BY s ORDER BY cid) - 1 AS pos, c
+      |  FROM (SELECT s, cid, list(m ORDER BY dim) AS c FROM md GROUP BY s, cid)),
+      |codes AS (
+      |  SELECT vec_id, s, pos FROM (
+      |    SELECT sub.vec_id, sub.s, cb.pos,
+      |      row_number() OVER (PARTITION BY sub.s, sub.vec_id ORDER BY
+      |        round(list_sum(list_transform(list_zip(sub.sv, cb.c),
+      |          p -> (p[1]-p[2])*(p[1]-p[2]))), 6), cb.pos) AS rn
+      |    FROM sub JOIN cb ON sub.s = cb.s)
+      |  WHERE rn = 1),
+      |allowed AS (SELECT vec_id FROM embeddings WHERE label = 3),
+      |t AS (
+      |  SELECT q.vec_id AS query_id, x.vec_id AS id, x.s,
+      |    list_sum(list_transform(list_zip(q.sv, cb.c),
+      |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS td
+      |  FROM codes x
+      |  JOIN allowed f ON f.vec_id = x.vec_id
+      |  JOIN cb ON cb.s = x.s AND cb.pos = x.pos
+      |  JOIN sub q ON q.s = x.s
+      |  WHERE q.vec_id < 5),
+      |adist AS (
+      |  SELECT query_id, id,
+      |    round(MAX(CASE WHEN s = 0 THEN td END)
+      |        + MAX(CASE WHEN s = 1 THEN td END), 6) AS adist
+      |  FROM t GROUP BY query_id, id),
+      |ranked AS (
+      |  SELECT query_id, id, adist,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY adist, id) AS rank
+      |  FROM adist)
+      |SELECT query_id, rank, id, adist
+      |FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   private def q39IvfKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -1294,6 +1396,8 @@ object SimilarityQueries extends QueryModule {
       "two-stage retrieval: ADC shortlist -> exact re-rank, whole chain under one hash (north star)"),
     Q("q216_hybrid_persisted", q216HybridPersisted, Some(q216Sql),
       "hybrid retrieval over persisted indexes: save/append/delete/probe/fuse lifecycle under one hash (north star)"),
+    Q("q218_filtered_ann", q218FilteredAnn, Some(q218Sql),
+      "filtered vector search: attribute predicate semi-joined onto the persisted codes scan before ADC, under one hash (north star)"),
     Q("q212_hybrid_rrf", q212HybridRrf, Some(q212Sql),
       "hybrid BM25 ⊕ vector retrieval fused by reciprocal rank, both legs + fusion under one hash (north star)"),
     Q("q210_mmr_topk", q210MmrTopk, None,

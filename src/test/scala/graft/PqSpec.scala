@@ -240,6 +240,41 @@ class PqSpec extends SparkSpec {
     assert(rows(dirA) === got)
   }
 
+  test("filtered probe: idFilter == probing an index built from only the " +
+      "allowed ids; disallowed ids never surface; full k within the filter") {
+    val dirA = java.nio.file.Files.createTempDirectory("pq_flt_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("pq_flt_b").toString
+    val coarse = graft.operators.KMeans.fit(corpus, "vec_id", "embedding",
+      k = 8, iters = 3)
+    val allowed = corpus.filter($"vec_id" % 2 === 0).select($"vec_id")
+    ProductQuantizer.save(corpus, "vec_id", "embedding", coarse, model,
+      dirA, residual = false)
+    // reference: an index holding ONLY the allowed ids under the same
+    // codebooks — filtered search must equal search over that restriction
+    ProductQuantizer.save(corpus.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", coarse, model, dirB, residual = false)
+    val queries = corpus.filter($"vec_id" < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"rank", $"id", $"approx_dist")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val got = rows(ProductQuantizer.probeSaved(
+      queries, "vec_id", "embedding", spark, dirA, k = 10, nProbe = 8,
+      idFilter = Some(allowed)))
+    assert(got === rows(ProductQuantizer.probeSaved(
+      queries, "vec_id", "embedding", spark, dirB, k = 10, nProbe = 8)),
+      "filtered probe must equal probing the allowed-only index")
+    assert(got.forall(_._3 % 2 == 0), "a disallowed id surfaced")
+    // top-k WITHIN the filter: every query still gets its full k — the
+    // semantics a post-filter on an unfiltered top-k cannot give
+    assert(got.groupBy(_._1).forall(_._2.size == 10),
+      "filtered probe must return k results per query, not post-filtered stragglers")
+    assert(intercept[IllegalArgumentException] {
+      ProductQuantizer.probeSaved(queries, "vec_id", "embedding", spark,
+        dirA, k = 10, nProbe = 8,
+        idFilter = Some(corpus.select($"vec_id", $"embedding")))
+    }.getMessage.contains("one-column"))
+  }
+
   test("shortlist recall: exact top-10 is inside the ADC top-30 candidates") {
     // the production PQ contract is shortlist-then-rerank: ADC cannot
     // rank near-ties WITHIN a cluster (same-cluster members share codes,
