@@ -590,19 +590,19 @@ object SimilarityQueries extends QueryModule {
 
     val lsh = Similarity.lshCosineTopK(queries, emb, "vec_id", "embedding",
         k = 5, nPlanes = 4, nTables = 8)
-      .select($"query_id", $"neighbor_id".as("id"))
+      .select($"query_id", $"neighbor_id".as("id"), $"rank")
     val ivfModel = graft.operators.IvfIndex.fit(
       emb, "vec_id", "embedding", nLists = 16, iters = 2)
     val ivf = graft.operators.IvfIndex.probe(
         queries, emb, "vec_id", "embedding", k = 5, ivfModel, nProbe = 6)
-      .select($"query_id", $"neighbor_id".as("id"))
+      .select($"query_id", $"neighbor_id".as("id"), $"rank")
     val pqModel = graft.operators.ProductQuantizer.fit(
       emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
     val codes = graft.operators.ProductQuantizer.encode(
       emb, "vec_id", "embedding", pqModel)
     val pq = graft.operators.ProductQuantizer.adcTopK(
         queries, "vec_id", "embedding", codes, "vec_id", pqModel, k = 5)
-      .select($"query_id", $"id")
+      .select($"query_id", $"id", $"rank")
     val coarse = graft.operators.KMeans.fit(
       emb, "vec_id", "embedding", k = 8, iters = 2)
     val indexed = graft.operators.KMeans
@@ -612,7 +612,7 @@ object SimilarityQueries extends QueryModule {
     val ivfadc = graft.operators.ProductQuantizer.ivfAdcTopK(
         queries, "vec_id", "embedding", indexed, "vec_id", pqModel, coarse,
         k = 5, nProbe = 3)
-      .select($"query_id", $"id")
+      .select($"query_id", $"id", $"rank")
     val pqR = graft.operators.ProductQuantizer.fitResidual(
       emb, "vec_id", "embedding", coarse, m = 8, k = 16, iters = 2)
     val indexedR = graft.operators.ProductQuantizer.encodeResidual(
@@ -620,7 +620,7 @@ object SimilarityQueries extends QueryModule {
     val ivfadcR = graft.operators.ProductQuantizer.ivfAdcTopKResidual(
         queries, "vec_id", "embedding", indexedR, "vec_id", pqR, coarse,
         k = 5, nProbe = 3)
-      .select($"query_id", $"id")
+      .select($"query_id", $"id", $"rank")
     // MMR gates CONTAINMENT in its pool (exact top-20), not recall@5 —
     // diversification trades recall by design
     val pool20 = Similarity.cosineTopK(queries, emb, "vec_id", "embedding",
@@ -628,54 +628,52 @@ object SimilarityQueries extends QueryModule {
       .select($"query_id", $"neighbor_id".as("id"))
     val mmr = Similarity.mmrTopK(queries, emb, "vec_id", "embedding",
         k = 5, poolSize = 20, lambda = 0.6)
-      .select($"query_id", $"id")
+      .select($"query_id", $"id", $"rank")
 
-    /* Per-variant integer gate row: hits against `ref` per query
-     * (queries with zero hits kept via the ref-side distinct), then
-     * min-hits and 100·total-hits >= meanPct·k·nQueries — all exact
-     * integer arithmetic, zero float risk across engines. */
+    /* Per-variant gate row via [[graft.operators.RankMetrics.gateRow]]:
+     * recall floors (min-hits + corpus mean) in pure integer
+     * arithmetic, plus GRADED floors — binary nDCG@5 (quantized
+     * subset-sum DCG) and MRR — so a variant that keeps recall but
+     * degrades rank ORDER (hits sliding from position 1 to position 5)
+     * still trips its gate. MMR's nDCG/MRR run against its CONTAINMENT
+     * reference (the pool), where its greedy first pick is the exact
+     * top-1 — diversification trades exact-set rank quality by design,
+     * so gating it against `exact` would measure the design choice, not
+     * a regression. */
     def gate(variant: String, ann: DataFrame, ref: DataFrame,
-        minHitsFloor: Int, meanPctFloor: Int): DataFrame = {
-      val hits = ref.join(ann, Seq("query_id", "id"), "left_semi")
-        .groupBy($"query_id").agg(count(lit(1)).as("__h"))
-      ref.select($"query_id").distinct()
-        .join(hits, Seq("query_id"), "left")
-        .agg(count(lit(1)).as("__nq"),
-          min(coalesce($"__h", lit(0L))).as("__mn"),
-          sum(coalesce($"__h", lit(0L))).as("__tot"))
-        .select(lit(variant).as("variant"),
-          $"__nq".as("n_queries"),
-          lit(minHitsFloor.toLong).as("min_hits_floor"),
-          lit(meanPctFloor.toLong).as("mean_pct_floor"),
-          ($"__mn" >= minHitsFloor).as("pass_min"),
-          ($"__tot" * 100 >= lit(meanPctFloor.toLong) * 5 * $"__nq")
-            .as("pass_mean"))
-    }
+        minHitsFloor: Int, meanPctFloor: Int, ndcgPctFloor: Int,
+        mrrPctFloor: Int): DataFrame =
+      graft.operators.RankMetrics.gateRow(variant, ann, ref,
+        "query_id", "id", "rank", k = 5,
+        minHitsFloor, meanPctFloor, ndcgPctFloor, mrrPctFloor)
 
-    gate("ivf_nprobe6", ivf, exact, 1, 40)
-      .unionAll(gate("ivfadc_nprobe3", ivfadc, exact, 0, 10))
-      .unionAll(gate("ivfadc_residual_nprobe3", ivfadcR, exact, 0, 10))
-      .unionAll(gate("lsh_4x8", lsh, exact, 1, 40))
-      .unionAll(gate("mmr_pool_containment", mmr, pool20, 5, 100))
-      .unionAll(gate("pq_adc_m8k16", pq, exact, 0, 10))
+    gate("ivf_nprobe6", ivf, exact, 1, 40, 40, 50)
+      .unionAll(gate("ivfadc_nprobe3", ivfadc, exact, 0, 10, 10, 10))
+      .unionAll(gate("ivfadc_residual_nprobe3", ivfadcR, exact, 0, 10, 10, 10))
+      .unionAll(gate("lsh_4x8", lsh, exact, 1, 40, 40, 50))
+      .unionAll(gate("mmr_pool_containment", mmr, pool20, 5, 100, 90, 90))
+      .unionAll(gate("pq_adc_m8k16", pq, exact, 0, 10, 10, 10))
       .orderBy($"variant")
   }
 
   /** The constant expectation table: every variant at or above its
-    * floor, n_queries = the fixture's probe-set size. */
+    * floors, n_queries = the fixture's probe-set size. */
   private val q214Sql =
     """WITH nq AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 10),
-      |exp(variant, min_hits_floor, mean_pct_floor) AS (VALUES
-      |  ('ivf_nprobe6', 1, 40),
-      |  ('ivfadc_nprobe3', 0, 10),
-      |  ('ivfadc_residual_nprobe3', 0, 10),
-      |  ('lsh_4x8', 1, 40),
-      |  ('mmr_pool_containment', 5, 100),
-      |  ('pq_adc_m8k16', 0, 10))
+      |exp(variant, min_hits_floor, mean_pct_floor, ndcg_pct_floor, mrr_pct_floor) AS (VALUES
+      |  ('ivf_nprobe6', 1, 40, 40, 50),
+      |  ('ivfadc_nprobe3', 0, 10, 10, 10),
+      |  ('ivfadc_residual_nprobe3', 0, 10, 10, 10),
+      |  ('lsh_4x8', 1, 40, 40, 50),
+      |  ('mmr_pool_containment', 5, 100, 90, 90),
+      |  ('pq_adc_m8k16', 0, 10, 10, 10))
       |SELECT variant, CAST(nq.n AS BIGINT) AS n_queries,
       |  CAST(min_hits_floor AS BIGINT) AS min_hits_floor,
       |  CAST(mean_pct_floor AS BIGINT) AS mean_pct_floor,
-      |  true AS pass_min, true AS pass_mean
+      |  CAST(ndcg_pct_floor AS BIGINT) AS ndcg_pct_floor,
+      |  CAST(mrr_pct_floor AS BIGINT) AS mrr_pct_floor,
+      |  true AS pass_min, true AS pass_mean,
+      |  true AS pass_ndcg, true AS pass_mrr
       |FROM exp CROSS JOIN nq
       |ORDER BY variant""".stripMargin
 
