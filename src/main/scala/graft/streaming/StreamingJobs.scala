@@ -205,6 +205,73 @@ object StreamingJobs {
         }
       }
 
+  /** An erasure fan-out target for [[forgetOnArrival]] — one case per
+    * persisted index family, each delegating to that index's idempotent
+    * `delete(ids)` (tombstone-free filtered rewrite under StagedSwap). */
+  sealed trait ErasureTarget {
+    def path: String
+    def delete(spark: SparkSession, ids: DataFrame): Unit
+  }
+  /** [[graft.operators.TextIndex]] (BM25) at `path`. */
+  final case class TextIndexAt(path: String) extends ErasureTarget {
+    def delete(spark: SparkSession, ids: DataFrame): Unit =
+      graft.operators.TextIndex.delete(spark, path, ids)
+  }
+  /** [[graft.operators.MinHashIndex]] (near-dup) at `path`. */
+  final case class MinHashIndexAt(path: String) extends ErasureTarget {
+    def delete(spark: SparkSession, ids: DataFrame): Unit =
+      graft.operators.MinHashIndex.delete(spark, path, ids)
+  }
+  /** [[graft.operators.ProductQuantizer]] (IVFADC vectors) at `path`. */
+  final case class PqIndexAt(path: String) extends ErasureTarget {
+    def delete(spark: SparkSession, ids: DataFrame): Unit =
+      graft.operators.ProductQuantizer.delete(spark, path, ids)
+  }
+
+  /** Continuous right-to-be-forgotten propagation — the delete half of
+    * [[indexOnArrival]]'s lifecycle: a stream of document ids (an
+    * erasure queue — the GDPR/user-deletion feed every serving system
+    * must consume) drains per micro-batch into EVERY index serving the
+    * corpus (the realistic shape: one feed, fan-out to the BM25,
+    * near-dup, and vector indexes at once), so each converges to its
+    * rebuilt-without-them state (corrected BM25 df/N stats, never a
+    * stale tombstone) without ever rebuilding.
+    *
+    * Replay safety: every target's delete is idempotent (stats recompute
+    * from the surviving artifacts; absent ids are no-ops), so
+    * at-least-once redelivery of an erasure batch converges to the same
+    * indexes — the [[distinctOnArrival]] idempotence discipline,
+    * inherited from the operators instead of re-proven here. A crash
+    * BETWEEN targets of one batch is likewise safe: the replayed batch
+    * re-deletes ids already gone from the first target (no-op) and
+    * completes the rest. Empty batches skip the filtered rewrites
+    * entirely (a no-op delete would still rewrite every artifact under
+    * StagedSwap).
+    *
+    * Single-writer contract: the forget stream must be each index's ONLY
+    * writer while it runs (same as append/compact) — pause ingest or
+    * fuse erasure into the ingest stream's foreachBatch when both run
+    * continuously. */
+  def forgetOnArrival(stream: DataFrame, idCol: String,
+      targets: Seq[ErasureTarget], checkpoint: String,
+      clearCachePerBatch: Boolean = true): DataStreamWriter[Row] = {
+    require(targets.nonEmpty, "forgetOnArrival needs at least one target")
+    require(targets.map(_.path).distinct.length == targets.length,
+      s"duplicate erasure-target paths: ${targets.map(_.path)}")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val ids = batch.select(col(idCol)).distinct().persist()
+        try {
+          if (ids.head(1).nonEmpty) targets.foreach(_.delete(spark, ids))
+        } finally {
+          ids.unpersist()
+          if (clearCachePerBatch) spark.catalog.clearCache()
+        }
+      }
+  }
+
   /** Stream-static enrichment join: per micro-batch broadcast-hash join
     * against a (small) dimension table — no state store involved. */
   def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =

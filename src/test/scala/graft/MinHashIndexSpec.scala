@@ -140,6 +140,9 @@ class MinHashIndexSpec extends SparkSpec {
     MinHashIndex.delete(spark, dirA, delIds)
     MinHashIndex.delete(spark, dirA, spark.range(5000, 5003).toDF("doc_id"))
     assert(hits(dirA) === got)
+    // compact after delete must not resurrect deleted rows or move answers
+    MinHashIndex.compact(spark, dirA)
+    assert(hits(dirA) === got, "compact changed post-delete probe answers")
   }
 
   test("probe candidates equal the in-memory banding on the union (cross pairs)") {

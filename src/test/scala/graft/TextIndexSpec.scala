@@ -92,6 +92,64 @@ class TextIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("forgetOnArrival: streamed erasure fans to every serving index and " +
+      "converges each to rebuilt-without; redelivered and absent ids are no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.MinHashIndex
+    import graft.streaming.StreamingJobs.{MinHashIndexAt, TextIndexAt}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ti_forget").toString
+    val (tIdx, mIdx, ckpt) = (s"$dir/text", s"$dir/mh", s"$dir/ckpt")
+    val all = fixtureDocs.cache()
+    TextIndex.save(all, "doc_id", "text", tIdx)
+    MinHashIndex.save(all, "doc_id", "text", mIdx)
+    // PqIndexAt rides the same mechanism; ProductQuantizer.delete's own
+    // contract (post-delete probe == rebuild-without) is pinned in PqSpec
+    val source = MemoryStream[Long]
+    val q = graft.streaming.StreamingJobs.forgetOnArrival(
+        source.toDF().toDF("doc_id"), "doc_id",
+        Seq(TextIndexAt(tIdx), MinHashIndexAt(mIdx)), ckpt,
+        clearCachePerBatch = false)
+      .start()
+    try {
+      val batch1 = all.filter($"doc_id" % 4 === 0)
+        .select($"doc_id").as[Long].collect().toSeq
+      source.addData(batch1: _*)
+      q.processAllAvailable()
+      // batch 2: redelivered ids from batch 1 + fresh ids + one absent id
+      val batch2 = all.filter($"doc_id" % 4 === 1)
+        .select($"doc_id").as[Long].collect().toSeq
+      source.addData(batch1.take(3) ++ batch2 :+ -999L: _*)
+      q.processAllAvailable()
+      val metaBefore = spark.read.parquet(s"$tIdx/meta").collect().head
+      // batch 3: ONLY absent ids — converged state must not move
+      source.addData(-1L, -2L)
+      q.processAllAvailable()
+      val survivors = all.filter($"doc_id" % 4 >= 2)
+      val (rebuiltT, rebuiltM) = (s"$dir/rebuiltT", s"$dir/rebuiltM")
+      TextIndex.save(survivors, "doc_id", "text", rebuiltT)
+      MinHashIndex.save(survivors, "doc_id", "text", rebuiltM)
+      for (terms <- Seq(Seq("spark", "merge", "join"), Seq("window"))) {
+        val a = TextIndex.probe(spark, tIdx, terms, k = 20).collect().toSeq
+        val b = TextIndex.probe(spark, rebuiltT, terms, k = 20).collect().toSeq
+        assert(a === b, s"query $terms diverged after streamed erasure")
+      }
+      // minhash leg: verbatim copies of a slice spanning erased + surviving
+      // docs must hit exactly what a rebuilt-without index hits
+      val probeDocs = all.filter($"doc_id" < 40)
+        .select(($"doc_id" + 100000).as("doc_id"), $"text")
+      def mhHits(p: String) =
+        MinHashIndex.probe(probeDocs, "doc_id", "text", p, minEstJac = 0.5)
+          .as[(Long, Long, Double)].collect().sortBy(h => (h._1, h._2)).toSeq
+      val mhGot = mhHits(mIdx)
+      assert(mhGot === mhHits(rebuiltM),
+        "minhash streamed erasure diverged from rebuild")
+      assert(!mhGot.exists(h => h._2 % 4 <= 1), "an erased doc id surfaced")
+      assert(spark.read.parquet(s"$tIdx/meta").collect().head === metaBefore,
+        "an absent-ids-only erasure batch must leave the corpus stats unmoved")
+    } finally { q.stop(); all.unpersist() }
+  }
+
   test("delete == rebuild: probe and meta match a fresh save without the ids") {
     val all = fixtureDocs.cache()
     val delIds = all.filter($"doc_id" % 3 === 0).select($"doc_id")
