@@ -72,8 +72,15 @@ object KMeans {
         }.sortBy(_._1)
       }
     }
-    sums.select(col("cid").as("cluster_id"), col("dim"),
+    // the model is parameter-bounded (k·dim rows), so collect it once and
+    // re-issue as a local relation: consumers (assign, coarse maps, the
+    // PQ chain) each collect the model, and a lazy return would re-run
+    // the final corpus-scale aggregate per collect
+    val model = sums.select(col("cid").as("cluster_id"), col("dim"),
       col("m").as("centroid"), col("n").as("n_members"))
+    val rows = model.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), model.schema)
   }
 
   /** Adds a `cluster_id` column assigning every row to its nearest

@@ -46,23 +46,54 @@ object ProductQuantizer {
       s"subspace count $m must divide the vector dim $d")
     val subDim = d / m
     val v = col(vecCol).cast("array<double>")
-    // the m subspace fits are INDEPENDENT small-job chains (each Lloyd
-    // round is one aggregate + a bounded collect); submitted
-    // sequentially they serialize m·iters driver round-trips, so run
-    // them as concurrent Spark jobs — results are deterministic either
-    // way, the scheduler just overlaps the round-trips
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val fits = Future.traverse((0 until m).toList) { s => Future {
-      val sub = df.select(col(idCol),
-        slice(v, s * subDim + 1, subDim).as("__sub"))
-      KMeans.fit(sub, idCol, "__sub", k, iters)
-        .withColumn("subspace", lit(s))
-        .select(col("subspace"), col("cluster_id"), col("dim"),
-          col("centroid"), col("n_members"))
-    }}
-    Await.result(fits, Duration.Inf).reduce(_.unionAll(_))
+    // Materialize the training projection ONCE before the concurrent
+    // fan-out. Two load-bearing reasons:
+    //  - correctness: the input chain may carry higher-order-function
+    //    lambdas (fitResidual's zip_with residual). Catalyst binds those
+    //    to NamedLambdaVariable instances whose value slot is MUTABLE
+    //    shared state; driver-side evaluation (ConvertToLocalRelation
+    //    folds projections over local data at optimization time) races
+    //    them across the m concurrent jobs — observed as run-to-run
+    //    codebook divergence. A materialized cache evaluates the lambda
+    //    chain exactly once, before any concurrency exists.
+    //  - scale: without it, every subspace's every Lloyd round would
+    //    re-execute the full upstream chain (assignment kernel +
+    //    residual zip_with) — m·(iters+1) redundant corpus passes.
+    val base = df.select(col(idCol), v.as("__vec")).persist()
+    try {
+      base.count()
+      // the m subspace fits are INDEPENDENT small-job chains (each Lloyd
+      // round is one aggregate + a bounded collect); submitted
+      // sequentially they serialize m·iters driver round-trips, so run
+      // them as concurrent Spark jobs over the cache — the scheduler
+      // just overlaps the round-trips
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fits = Future.traverse((0 until m).toList) { s => Future {
+        val sub = base.select(col(idCol),
+          slice(col("__vec"), s * subDim + 1, subDim).as("__sub"))
+        KMeans.fit(sub, idCol, "__sub", k, iters)
+          .withColumn("subspace", lit(s))
+          .select(col("subspace"), col("cluster_id"), col("dim"),
+            col("centroid"), col("n_members"))
+      }}
+      // the model is parameter-bounded (m·k·(D/m) = k·D rows), so pin it
+      // as a local relation: downstream collects (codebooks, encode, ADC
+      // tables) never re-run the training chain — and never re-read the
+      // cache this method is about to release
+      localized(Await.result(fits, Duration.Inf).reduce(_.unionAll(_)))
+    } finally base.unpersist()
+  }
+
+  /** Collect a parameter-bounded frame and re-issue it as a local
+    * relation — the model frames here are k·D scalars by construction,
+    * so this trades one bounded driver round-trip for never re-running
+    * the (corpus-scale) training lineage on later collects. */
+  private def localized(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
   }
 
   /** The codebook as nested driver arrays: codebook(s)(j) is subspace

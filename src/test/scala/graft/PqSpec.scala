@@ -115,6 +115,26 @@ class PqSpec extends SparkSpec {
       s"sparse-probe shortlist lost the clustered neighbors: $overlap")
   }
 
+  test("fitResidual is bit-identical across reruns (the concurrent " +
+      "subspace fits must not race the residual lambda chain)") {
+    // regression: the m subspace fits run as concurrent jobs; before the
+    // pre-fan-out materialization in ProductQuantizer.fit, driver-side
+    // folding of the zip_with residual raced its shared
+    // NamedLambdaVariable slots and whole Lloyd trajectories diverged
+    // run to run
+    val coarse = graft.operators.KMeans.fit(corpus, "vec_id", "embedding",
+      k = 8, iters = 3)
+    def sig(): Seq[(Int, Long, Long, Double, Long)] =
+      ProductQuantizer.fitResidual(
+          corpus, "vec_id", "embedding", coarse, m = 4, k = 8, iters = 3)
+        .select($"subspace".cast("int"), $"cluster_id", $"dim", $"centroid",
+          $"n_members")
+        .as[(Int, Long, Long, Double, Long)].collect()
+        .sortBy(r => (r._1, r._2, r._3)).toSeq
+    val a = sig()
+    for (i <- 1 to 2) assert(sig() === a, s"fitResidual diverged on rerun $i")
+  }
+
   test("residual encoding: tighter reconstruction than raw codes, recall floor holds") {
     val coarse = graft.operators.KMeans.fit(corpus, "vec_id", "embedding",
       k = 8, iters = 3)
@@ -238,6 +258,9 @@ class PqSpec extends SparkSpec {
     // idempotent rerun
     ProductQuantizer.delete(spark, dirA, delIds)
     assert(rows(dirA) === got)
+    // compact after delete must not resurrect deleted codes or move answers
+    ProductQuantizer.compact(spark, dirA)
+    assert(rows(dirA) === got, "compact changed post-delete probe answers")
   }
 
   test("filtered probe: idFilter == probing an index built from only the " +
