@@ -157,12 +157,12 @@ object Drift {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantiles $ps outside [0, 1]")
     val width = (hi - lo) / nBins
-    val cum = Window.orderBy(col("bin"))
+    val cum = BoundedWindow.ordered(col("bin"), col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withCum = counts.select(col("bin"), col("n"))
       .withColumn("__cum", sum(col("n")).over(cum))
       .withColumn("__total", max(col("__cum")).over(
-        Window.orderBy(col("bin"))
+        BoundedWindow.ordered(col("bin"), col("bin"))
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val pFrame = counts.sparkSession
       .createDataFrame(ps.map(Tuple1(_))).toDF("p")

@@ -232,7 +232,7 @@ object FuzzyJoin {
     val cellOffsets = base.groupBy(col("__cell"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__offset",
-        coalesce(sum(col("__n")).over(Window.orderBy(col("__cell"))
+        coalesce(sum(col("__n")).over(BoundedWindow.ordered(col("__cell"), col("__cell"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__cell"), col("__offset"))
     val ranked = base

@@ -81,7 +81,14 @@ object OrderStats {
             (col("__max") - col("__min")), bins)))
       .drop("__s_stratum", "__min", "__max")
 
-    val wBin = Window.partitionBy(col("__stratum")).orderBy(col("__bin"))
+    // second key is BoundedWindow's constant: when the caller's stratum
+    // is a LITERAL (the one-stratum q155/q207/q217 shape),
+    // FoldablePropagation folds __stratum away and would otherwise prune
+    // the spec to an unpartitioned WindowExec; the frame stays ≤ bins
+    // rows per stratum either way
+    val wBin = Window
+      .partitionBy(col("__stratum"), BoundedWindow.key(col("__bin")))
+      .orderBy(col("__bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cells = binned2.groupBy(col("__stratum"), col("__bin"))
       .agg(count(lit(1)).as("__cnt"))
@@ -184,7 +191,7 @@ object OrderStats {
 
     // cell totals: ≤ bins rows, so the unpartitioned cumulative window is
     // parameter-bounded (never the full-corpus single-task sort)
-    val wCells = Window.orderBy(col("__bin").desc)
+    val wCells = BoundedWindow.ordered(col("__bin"), col("__bin").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cellsCum = binned.groupBy(col("__bin"))
       .agg(sum(col("__w").cast(dec38)).as("__cell"))

@@ -63,7 +63,10 @@ object Rrf {
     val score = legs.map { case (name, _) =>
       coalesce(lit(1.0) / (lit(kRrf) + col(s"r_$name")), lit(0.0))
     }.reduce(_ + _)
-    val w = (if (queryCols.isEmpty) Window.partitionBy()
+    // single-query fusion: the frame is ≤ Σ|leg| rows, so the global
+    // window is parameter-bounded (BoundedWindow's constant key)
+    val w = (if (queryCols.isEmpty)
+        Window.partitionBy(BoundedWindow.key(col(idCol)))
       else Window.partitionBy(queryCols.map(col): _*))
       .orderBy(col("rrf_score").desc, col(idCol).asc)
     joined.withColumn("rrf_score", score)

@@ -519,9 +519,9 @@ object Sampling {
       else if (alpha == 0.0) lit(1.0)
       else if (alpha == 1.0) col("mass").cast("double")
       else pow(col("mass").cast("double"), alpha)
-    val wRun = Window.orderBy(col("stratum"))
+    val wRun = BoundedWindow.ordered(col("stratum"), col("stratum"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy(col("stratum"))
+    val wAll = BoundedWindow.ordered(col("stratum"), col("stratum"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     df.groupBy(col(stratumCol).as("stratum"))
       .agg(sum(col(weightCol).cast("long")).as("mass"))

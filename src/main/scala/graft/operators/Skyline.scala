@@ -82,7 +82,7 @@ object Skyline {
 
     // (b) running max of cell maxima from strictly-greater cells — the
     // only unpartitioned window, over ≤ bins rows
-    val wCells = Window.orderBy(col("__bin").desc)
+    val wCells = BoundedWindow.ordered(col("__bin"), col("__bin").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cellsAbove = binned.groupBy(col("__bin"))
       .agg(max(col("__maxy")).as("__cellmax"))

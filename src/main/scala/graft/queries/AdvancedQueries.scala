@@ -1246,23 +1246,32 @@ object AdvancedQueries extends QueryModule {
   /** Key-skew diagnosis: exact Gini coefficient + concentration stats
     * over the per-user event-count distribution — the "is this join key
     * safe to shuffle on" report a 100 TB planner wants BEFORE picking a
-    * partitioning. All moments are integer-exact (rank·count sums);
-    * only the final ratios are (identical-op) float divisions. Rank ties
-    * can't perturb the sum: equal counts contribute the same product
-    * under any rank permutation. */
+    * partitioning. All moments are integer-exact; only the final ratios
+    * are (identical-op) float divisions.
+    *
+    * Σ rank·n never ranks the keys: ranks by (n, user_id) give every
+    * tied group of t keys sharing count value n the consecutive ranks
+    * c+1..c+t (c = keys with smaller n), and the tie-blind identity
+    * Σ i·nᵢ over the group = n·(t·c + t(t+1)/2) — the user_id
+    * tiebreak order inside the group can't perturb a sum of equal
+    * products. So the plan aggregates by the count VALUE first and runs
+    * the one cumulative window over the distinct-value frame, bounded by
+    * the value domain (≤ max_n ≪ n_keys; a per-key global row_number
+    * would single-task-sort every key at scale). */
   private def q137SkewGini(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val counts = Tables.events(spark, dir)
       .groupBy($"user_id").agg(count(lit(1)).as("n"))
-    val ranked = counts.withColumn("i",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy($"n", $"user_id")))
-    ranked
+    val byVal = counts.groupBy($"n").agg(count(lit(1)).as("t"))
+    val wBelow = graft.operators.BoundedWindow.ordered($"n", $"n")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    byVal
+      .withColumn("c", coalesce(sum($"t").over(wBelow), lit(0L)))
       .agg(
-        count(lit(1)).as("n_keys"),
-        sum($"n").as("total"),
+        sum($"t").as("n_keys"),
+        sum($"n" * $"t").as("total"),
         max($"n").as("max_n"),
-        sum($"i" * $"n").as("iwsum"))
+        sum($"n" * ($"t" * $"c" + $"t" * ($"t" + 1) / 2)).as("iwsum"))
       .select($"n_keys", $"total", $"max_n",
         (($"iwsum" * 2 - ($"n_keys" + 1) * $"total").cast("double") /
           ($"n_keys" * $"total").cast("double")).as("gini"),

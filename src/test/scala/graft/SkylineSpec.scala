@@ -95,21 +95,31 @@ class SkylineSpec extends SparkSpec {
     assert(e.getMessage.contains("numeric"))
   }
 
-  test("plan pin: the only unpartitioned window runs over the ≤bins cell aggregate") {
+  test("plan pin: no unpartitioned window; the BoundedWindow-keyed cumulative " +
+      "runs over the ≤bins cell aggregate") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val pts = (1L to 100L).map(i => (i, i * 0.37, (i % 13).toInt))
     val out = Skyline.frontier2D(pts.toDF("id", "x", "y"), "x", "y", 32)
     val wins = out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
     assert(wins.nonEmpty, "expected window nodes in the frontier plan")
-    val unpart = wins.filter(_.partitionSpec.isEmpty)
-    assert(unpart.size === 1, s"exactly one unpartitioned window, got ${unpart.size}")
-    // its input must be the per-cell aggregate (≤ bins rows), never raw data
-    val boundedInput = unpart.head.child.collectFirst {
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "every window must carry a partition spec (real key or BoundedWindow's constant)")
+    // the cross-cell cumulative rides BoundedWindow's constant key — the
+    // analyzer extracts the pmod(xxhash64) expression into a `_wN` alias,
+    // so the spec holds an extracted attribute rather than a plain column
+    val bounded = wins.filter(_.partitionSpec.exists(
+      _.references.exists(_.name.startsWith("_w"))))
+    assert(bounded.size === 1,
+      s"exactly one BoundedWindow-keyed window, got ${bounded.size}")
+    // … and its input must be the per-cell aggregate (≤ bins rows), never raw data
+    val boundedInput = bounded.head.child.collectFirst {
       case a: Aggregate if a.groupingExpressions.exists(_.toString.contains("__bin")) => a
     }
     assert(boundedInput.isDefined,
-      "unpartitioned window must consume the __bin cell aggregate:\n" + unpart.head)
-    // and the data-sized candidate window is partitioned (by cell)
-    assert(wins.exists(_.partitionSpec.nonEmpty), "in-cell window must be partitioned")
+      "BoundedWindow-keyed window must consume the __bin cell aggregate:\n" + bounded.head)
+    // and the data-sized candidate window is partitioned by a REAL key (the cell)
+    assert(wins.exists(w => w.partitionSpec.nonEmpty &&
+      !w.partitionSpec.exists(_.references.exists(_.name.startsWith("_w")))),
+      "in-cell window must be partitioned by the cell key")
   }
 }
