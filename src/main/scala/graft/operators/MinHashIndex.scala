@@ -82,6 +82,19 @@ object MinHashIndex {
     } finally sigs.unpersist()
   }
 
+  /** Upsert (replace-or-insert) a batch — the document-edited path:
+    * delete(batch ids) then append(batch), so re-ingested docs carry
+    * their NEW signatures and absent ids are plain inserts. Contract
+    * (MinHashIndexSpec): post-upsert probe ≡ probe of an index rebuilt
+    * with the batch replacing its ids. Crash between the halves leaves
+    * the batch ids absent (never stale dual-signature); the same upsert
+    * rerun is idempotent and completes it. Single-writer. */
+  def upsert(batch: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    delete(batch.sparkSession, path, batch.select(col(idCol)))
+    append(batch, idCol, textCol, path)
+  }
+
   /** Targeted delete (right-to-be-forgotten): remove `ids` (a one-column
     * frame) from the index without a rebuild — `sigs/` and `bands/`
     * rewrite filtered under the crash-safe [[StagedSwap]]. Signatures
@@ -169,6 +182,44 @@ object MinHashIndex {
     * this index (e.g. the streaming gate's intra-batch pair stage). */
   def params(spark: SparkSession, path: String): (Int, Int, Int, Long) =
     meta(spark, path)
+
+  /** Operational snapshot — one (stat, value) row per metric, exact
+    * longs (the [[TextIndex.stats]] dashboard discipline):
+    *
+    *  - `sig_rows`: indexed documents. `band_rows` must equal
+    *    sig_rows × bands; drift between the two is the staleness signal
+    *    of a crash between [[append]]'s two writes.
+    *  - `distinct_banded_ids`: ids present in the band layout (the other
+    *    side of the same invariant).
+    *  - `max_bucket_size`: occupancy of the fullest (band_idx,
+    *    band_hash) bucket — THE skew number for probe cost: a probe
+    *    joining into a pathological bucket (e.g. a boilerplate-heavy
+    *    corpus hashing many docs identically) pays candidates
+    *    proportional to it. Watch it grow; split/shard when it runs hot.
+    *  - `n`/`k`/`bands`/`seed`: the hash parameters (from meta). */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val (n, k, bands, seed) = meta(spark, path)
+    val sigRows = spark.read.parquet(s"$path/sigs").count()
+    val b = spark.read.parquet(s"$path/bands")
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")), countDistinct(col("band_idx"), col("band_hash")),
+        max(col("c"))).collect().head
+    val distinctIds = spark.read.parquet(s"$path/bands")
+      .select(col("id")).distinct().count()
+    Seq(
+      "sig_rows" -> sigRows,
+      "band_rows" -> b.getLong(0),
+      "nonempty_buckets" -> b.getLong(1),
+      "max_bucket_size" -> b.getLong(2),
+      "distinct_banded_ids" -> distinctIds,
+      "n" -> n.toLong,
+      "k" -> k.toLong,
+      "bands" -> bands.toLong,
+      "seed" -> seed
+    ).toDF("stat", "value")
+  }
 
   /** Probe a batch against the index: every (batch id, corpus id) pair
     * whose estimated Jaccard >= minEstJac, as (idCol, corpus_id,

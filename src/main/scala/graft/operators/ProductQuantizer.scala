@@ -526,4 +526,58 @@ object ProductQuantizer {
         .write.partitionBy("list_id").parquet(tmpDir)
     }
   }
+
+  /** Upsert (replace-or-insert) a batch of vectors — the RE-EMBED path
+    * of the lifecycle: a document was edited, its embedding recomputed,
+    * and the serving index must swap the old vector for the new one
+    * without a rebuild. Exactly delete(batch ids) then append(batch):
+    * existing ids are re-encoded against the SAVED codebooks into their
+    * new cells, absent ids are plain inserts. Contract (PqSpec):
+    * post-upsert probe ≡ probe of an index rebuilt with the batch
+    * replacing its ids under the same codebooks. Codebooks stay
+    * immutable ([[append]]'s maintenance-cadence discipline) — a
+    * distribution shift big enough to invalidate them is a refit+save,
+    * not an upsert. Crash between the halves leaves the batch ids
+    * absent; the same upsert rerun is idempotent and completes it.
+    * Single-writer. */
+  def upsert(df: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    delete(df.sparkSession, dir, df.select(col(idCol)))
+    append(df, idCol, vecCol, dir)
+  }
+
+  /** Operational snapshot of a persisted IVFADC index — one (stat,
+    * value) row per metric, exact longs (the [[TextIndex.stats]]
+    * dashboard discipline):
+    *
+    *  - `code_rows`: indexed vectors (grows with [[append]], shrinks
+    *    with [[delete]]).
+    *  - `n_lists`/`min_cell_size`/`max_cell_size`: cell-balance shape —
+    *    THE probe-cost skew numbers: a probe scans its nProbe cells, so
+    *    a max cell far above code_rows/n_lists means some probes pay a
+    *    corpus-fraction scan. A hot max cell is the signal to refit the
+    *    coarse quantizer (codebooks are immutable per [[append]]'s
+    *    maintenance-cadence contract).
+    *  - `m`/`pq_codebook_rows`/`residual`: the quantization parameters
+    *    a probe must match. */
+  def stats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val residual = spark.read.parquet(s"$dir/meta")
+      .head().getAs[Boolean]("residual")
+    val cbRows = spark.read.parquet(s"$dir/pq_model").count()
+    val codes = spark.read.parquet(s"$dir/codes")
+    val m = codes.select(size(col("codes"))).head().getInt(0)
+    val c = codes.groupBy(col("list_id")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")), count(lit(1)), min(col("c")), max(col("c")))
+      .collect().head
+    Seq(
+      "code_rows" -> c.getLong(0),
+      "n_lists" -> c.getLong(1),
+      "min_cell_size" -> c.getLong(2),
+      "max_cell_size" -> c.getLong(3),
+      "m" -> m.toLong,
+      "pq_codebook_rows" -> cbRows,
+      "residual" -> (if (residual) 1L else 0L)
+    ).toDF("stat", "value")
+  }
 }

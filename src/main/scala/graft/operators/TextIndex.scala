@@ -103,6 +103,60 @@ object TextIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Upsert (replace-or-insert) a batch — the document-EDITED path of
+    * the lifecycle, the one mutation [[append]]+[[delete]] don't cover
+    * alone: re-ingesting a crawl where some documents changed and some
+    * are new. Exactly delete(batch ids) then append(batch): ids already
+    * indexed are replaced by their new text, absent ids are plain
+    * inserts (delete no-ops them), and the corpus stats stay corrected
+    * through both halves. Contract (TextIndexSpec + the q220 oracle):
+    * post-upsert probe ≡ probe of an index rebuilt with the batch
+    * replacing its ids.
+    *
+    * Crash between the halves leaves the batch ids absent under sound
+    * stats (the [[delete]] contract); rerunning the SAME upsert is
+    * idempotent and completes it. Single-writer, like append/delete.
+    * A batch replacing the ENTIRE corpus is rejected by delete's
+    * emptying guard — use [[save]] for a full refresh. */
+  def upsert(batch: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    delete(batch.sparkSession, path, batch.select(col(idCol)))
+    append(batch, idCol, textCol, path)
+  }
+
+  /** Operational snapshot of a persisted index — the serving-dashboard
+    * frame every index deployment needs: one (stat, value) row per
+    * metric, all exact longs so the frame is hash-comparable.
+    *
+    *  - `n_docs`/`sum_dl`/`n_buckets`: the scoring stats probes read
+    *    (from meta).
+    *  - `doc_rows`: rows actually in the docs sidecar. `doc_rows ≠
+    *    n_docs` is THE staleness signal of [[append]]'s documented
+    *    crash window (fresh postings under stale meta) — the condition
+    *    a dashboard alert should page on.
+    *  - `posting_rows`/`distinct_terms`/`nonempty_buckets`: inverted-
+    *    file shape (vocabulary size, bucket occupancy for the pruning
+    *    layout).
+    *
+    * One bounded aggregate per artifact; no corpus text is read. */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val p = spark.read.parquet(s"$path/postings")
+      .agg(count(lit(1)), countDistinct(col("term")),
+        countDistinct(col("bucket"))).collect().head
+    val docRows = spark.read.parquet(s"$path/docs").count()
+    Seq(
+      "n_docs" -> meta.getLong(0),
+      "sum_dl" -> meta.getLong(1),
+      "n_buckets" -> meta.getInt(2).toLong,
+      "doc_rows" -> docRows,
+      "posting_rows" -> p.getLong(0),
+      "distinct_terms" -> p.getLong(1),
+      "nonempty_buckets" -> p.getLong(2)
+    ).toDF("stat", "value")
+  }
+
   /** Targeted delete (right-to-be-forgotten): remove `ids` (a one-column
     * frame of doc ids) from the index WITHOUT a corpus rebuild — postings
     * and the docs sidecar rewrite filtered under the crash-safe

@@ -346,8 +346,8 @@ object SimilarityQueries extends QueryModule {
     * ≤20-row frames. */
   private def q212HybridRrf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wBm = org.apache.spark.sql.expressions.Window
-      .orderBy($"score".desc, $"doc_id")
+    val wBm = graft.operators.BoundedWindow
+      .ordered($"doc_id", $"score".desc, $"doc_id")
     val bm = graft.operators.Bm25.search(Tables.documents(spark, dir),
         "doc_id", "text", Seq("spark", "merge", "join"), k = 20)
       .withColumn("r", row_number().over(wBm))
@@ -715,8 +715,8 @@ object SimilarityQueries extends QueryModule {
     graft.operators.TextIndex.save(docs, "doc_id", "text", tPath)
     graft.operators.TextIndex.delete(spark, tPath,
       docs.filter($"doc_id" % 5 === 0).select($"doc_id"))
-    val wBm = org.apache.spark.sql.expressions.Window
-      .orderBy($"score".desc, $"doc_id")
+    val wBm = graft.operators.BoundedWindow
+      .ordered($"doc_id", $"score".desc, $"doc_id")
     val bm = graft.operators.TextIndex.probe(spark, tPath,
         Seq("spark", "merge", "join"), k = 20)
       .withColumn("r", row_number().over(wBm))
@@ -950,6 +950,91 @@ object SimilarityQueries extends QueryModule {
       |SELECT query_id, rank, id, adist
       |FROM ranked WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
+
+  /** Index observability: the serving-dashboard stats of all three
+    * persisted index families ([[graft.operators.TextIndex.stats]],
+    * [[graft.operators.MinHashIndex.stats]],
+    * [[graft.operators.ProductQuantizer.stats]]) after a realistic
+    * build (save half, append half — so the hash also pins that stats
+    * AGGREGATE across appends). Emitted tall: (idx, stat, value), all
+    * exact longs.
+    *
+    * Only the corpus-derivable stats ride the oracle (counts, token
+    * sums, posting cardinalities, parameters); the occupancy/skew
+    * numbers (bucket sizes, cell balance) hang off xxhash64 and k-means
+    * cells DuckDB cannot replay — their invariants are spec-gated
+    * (TextIndexSpec / MinHashIndexSpec / PqSpec) instead. */
+  private def q219IndexStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val tPath = graft.core.Scratch.dir(dir, "stx")
+    graft.operators.TextIndex.save(
+      docs.filter($"doc_id" % 2 === 0), "doc_id", "text", tPath)
+    graft.operators.TextIndex.append(
+      docs.filter($"doc_id" % 2 === 1), "doc_id", "text", tPath)
+    val mPath = graft.core.Scratch.dir(dir, "smh")
+    graft.operators.MinHashIndex.save(docs, "doc_id", "text", mPath)
+    val vPath = graft.core.Scratch.dir(dir, "spq")
+    val pq = graft.operators.ProductQuantizer.fit(
+      emb, "vec_id", "embedding", m = 2, k = 4, iters = 1)
+    val coarse = graft.operators.KMeans.fit(
+      emb, "vec_id", "embedding", k = 4, iters = 1)
+    graft.operators.ProductQuantizer.save(
+      emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      coarse, pq, vPath, residual = false)
+    graft.operators.ProductQuantizer.append(
+      emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", vPath)
+    val text = graft.operators.TextIndex.stats(spark, tPath)
+      .filter($"stat".isin(
+        "n_docs", "doc_rows", "sum_dl", "posting_rows", "distinct_terms"))
+      .select(lit("text").as("idx"), $"stat", $"value")
+    val mh = graft.operators.MinHashIndex.stats(spark, mPath)
+      .filter($"stat".isin(
+        "sig_rows", "band_rows", "distinct_banded_ids", "n", "k", "bands",
+        "seed"))
+      .select(lit("minhash").as("idx"), $"stat", $"value")
+    val vec = graft.operators.ProductQuantizer.stats(spark, vPath)
+      .filter($"stat".isin("code_rows", "m", "residual"))
+      .select(lit("pq").as("idx"), $"stat", $"value")
+    text.unionByName(mh).unionByName(vec).orderBy($"idx", $"stat")
+  }
+
+  /** Every oracled stat recomputed from the raw tables: token counts
+    * via the same single-space split, posting rows as distinct
+    * (doc, term) pairs, band/sig rows from the corpus count and the
+    * index's literal hash parameters. */
+  private val q219Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tp AS (SELECT DISTINCT doc_id, term
+      |       FROM (SELECT doc_id, unnest(ws) AS term FROM d)),
+      |txt AS (
+      |  SELECT 'text' AS idx, stat, value FROM (
+      |    SELECT 'n_docs' AS stat, CAST(COUNT(*) AS BIGINT) AS value FROM d
+      |    UNION ALL SELECT 'doc_rows', CAST(COUNT(*) AS BIGINT) FROM d
+      |    UNION ALL SELECT 'sum_dl', CAST(SUM(len(ws)) AS BIGINT) FROM d
+      |    UNION ALL SELECT 'posting_rows', CAST(COUNT(*) AS BIGINT) FROM tp
+      |    UNION ALL SELECT 'distinct_terms',
+      |      CAST(COUNT(DISTINCT term) AS BIGINT) FROM tp)),
+      |mh AS (
+      |  SELECT 'minhash' AS idx, stat, value FROM (
+      |    SELECT 'sig_rows' AS stat, CAST(COUNT(*) AS BIGINT) AS value FROM d
+      |    UNION ALL SELECT 'band_rows', CAST(COUNT(*) * 16 AS BIGINT) FROM d
+      |    UNION ALL SELECT 'distinct_banded_ids', CAST(COUNT(*) AS BIGINT) FROM d
+      |    UNION ALL SELECT 'n', CAST(3 AS BIGINT)
+      |    UNION ALL SELECT 'k', CAST(64 AS BIGINT)
+      |    UNION ALL SELECT 'bands', CAST(16 AS BIGINT)
+      |    UNION ALL SELECT 'seed', CAST(42 AS BIGINT))),
+      |pq AS (
+      |  SELECT 'pq' AS idx, stat, value FROM (
+      |    SELECT 'code_rows' AS stat, CAST(COUNT(*) AS BIGINT) AS value
+      |    FROM embeddings
+      |    UNION ALL SELECT 'm', CAST(2 AS BIGINT)
+      |    UNION ALL SELECT 'residual', CAST(0 AS BIGINT)))
+      |SELECT idx, stat, value
+      |FROM (SELECT * FROM txt UNION ALL SELECT * FROM mh
+      |      UNION ALL SELECT * FROM pq)
+      |ORDER BY idx, stat""".stripMargin
 
   private def q39IvfKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1396,6 +1481,8 @@ object SimilarityQueries extends QueryModule {
       "hybrid retrieval over persisted indexes: save/append/delete/probe/fuse lifecycle under one hash (north star)"),
     Q("q218_filtered_ann", q218FilteredAnn, Some(q218Sql),
       "filtered vector search: attribute predicate semi-joined onto the persisted codes scan before ADC, under one hash (north star)"),
+    Q("q219_index_stats", q219IndexStats, Some(q219Sql),
+      "index observability: serving-dashboard stats of all three persisted index families, corpus-derivable subset under one hash (north star)"),
     Q("q212_hybrid_rrf", q212HybridRrf, Some(q212Sql),
       "hybrid BM25 ⊕ vector retrieval fused by reciprocal rank, both legs + fusion under one hash (north star)"),
     Q("q210_mmr_topk", q210MmrTopk, None,

@@ -759,6 +759,73 @@ object TextQueries extends QueryModule {
       |ORDER BY score DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  /** Upsert (replace-or-insert) on the persisted BM25 index — the
+    * document-EDITED path of the lifecycle (q213 pins delete, q219 the
+    * stats): save the full corpus, then [[graft.operators.TextIndex
+    * .upsert]] a batch where every doc_id ≡ 0 (mod 10) carries edited
+    * text (an appended marker term) and every doc_id ≡ 0 (mod 25)
+    * re-enters as a NEW document under an offset id; probe a query
+    * containing the marker. The hash pins replace-not-duplicate
+    * semantics (an upserted id serves ONLY its new text — a stale
+    * duplicate would double its tf and shift every score), insert
+    * semantics for the offset ids, and corpus stats corrected through
+    * both halves — against a DuckDB replay that scores the edited
+    * corpus directly. */
+  private def q220IndexUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val path = graft.core.Scratch.dir(dir, "bm25ups")
+    graft.operators.TextIndex.save(docs, "doc_id", "text", path)
+    val edited = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id",
+        concat($"text", lit(" graftedit graftedit")).as("text"))
+    val fresh = docs.filter($"doc_id" % 25 === 0)
+      .select(($"doc_id" + 100000L).as("doc_id"),
+        concat(lit("graftedit fresh doc "), $"doc_id".cast("string"))
+          .as("text"))
+    graft.operators.TextIndex.upsert(
+      edited.unionByName(fresh), "doc_id", "text", path)
+    graft.operators.TextIndex.probe(spark, path,
+      Seq("graftedit", "spark", "join"), k = 20)
+  }
+
+  /** q213's BM25 replay over the EDITED corpus: in-place edits for
+    * doc_id ≡ 0 (mod 10), fresh offset-id rows for doc_id ≡ 0
+    * (mod 25) — exactly the state upsert must converge the index to. */
+  private val q220Sql =
+    """WITH d0 AS (SELECT doc_id, text FROM documents),
+      |corpus AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 0 THEN text || ' graftedit graftedit'
+      |         ELSE text END AS text
+      |  FROM d0
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |    'graftedit fresh doc ' || CAST(doc_id AS VARCHAR)
+      |  FROM d0 WHERE doc_id % 25 = 0),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+      |base AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+      |    CAST(len(list_filter(ws, x -> x = 'graftedit')) AS BIGINT) AS tf0,
+      |    CAST(len(list_filter(ws, x -> x = 'spark')) AS BIGINT) AS tf1,
+      |    CAST(len(list_filter(ws, x -> x = 'join')) AS BIGINT) AS tf2
+      |  FROM d),
+      |stats AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+      |    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+      |    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      |  FROM base)
+      |SELECT b.doc_id, b.tf0 AS tf_graftedit, b.tf1 AS tf_spark,
+      |  b.tf2 AS tf_join,
+      |  round(
+      |    ln((s.n - s.df0 + 0.5) / (s.df0 + 0.5) + 1) * (b.tf0 * 2.2) / (b.tf0 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+      |  + ln((s.n - s.df1 + 0.5) / (s.df1 + 0.5) + 1) * (b.tf1 * 2.2) / (b.tf1 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+      |  + ln((s.n - s.df2 + 0.5) / (s.df2 + 0.5) + 1) * (b.tf2 * 2.2) / (b.tf2 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl)), 6) AS score
+      |FROM base b CROSS JOIN stats s
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   /** Trained quality scorer (north star): fuse the Gopher-rule signals
     * into a LEARNED document score via
     * [[graft.operators.QuantizedLR]] — hard-sigmoid logistic regression,
@@ -2452,6 +2519,8 @@ object TextQueries extends QueryModule {
       "Gopher hard quality gates in integer-exact rule arithmetic (north star)"),
     Q("q213_index_delete", q213IndexDelete, Some(q213Sql),
       "targeted delete on the persisted BM25 index: corrected df/N stats under one hash (north star)"),
+    Q("q220_index_upsert", q220IndexUpsert, Some(q220Sql),
+      "upsert on the persisted BM25 index: edited docs replace, fresh docs insert, stats corrected, under one hash (north star)"),
     Q("q217_trained_quality", q217TrainedQuality, Some(q217Sql),
       "trained quality scorer: quantized-GD logistic regression + tercile buckets under one hash (north star)"),
     Q("q56_lm_score", q56LmScore, Some(q56Sql),

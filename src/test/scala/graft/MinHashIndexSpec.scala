@@ -145,6 +145,60 @@ class MinHashIndexSpec extends SparkSpec {
     assert(hits(dirA) === got, "compact changed post-delete probe answers")
   }
 
+  test("upsert == rebuild-with-replacements: edited docs serve only their " +
+      "new signatures, fresh docs insert") {
+    val dirA = Files.createTempDirectory("mh_ups_a").toString
+    val dirB = Files.createTempDirectory("mh_ups_b").toString
+    MinHashIndex.save(corpus, "doc_id", "text", dirA)
+    // docs 1-5 edited to entirely different text; 201-203 are new
+    val ups = (
+      (1 to 5).map(i => (i.toLong, words(s"edit$i", 40))) ++
+      (201 to 203).map(i => (i.toLong, words(s"new$i", 40)))
+    ).toDF("doc_id", "text")
+    MinHashIndex.upsert(ups, "doc_id", "text", dirA)
+    MinHashIndex.save(
+      corpus.filter($"doc_id" > 5).unionByName(ups), "doc_id", "text", dirB)
+    // probes: a copy of doc 1's OLD text (must hit nothing), a copy of its
+    // NEW text (must hit doc 1), a copy of untouched doc 10 (still hits)
+    val probes = Seq(
+      (901L, words("c1", 40)),
+      (902L, words("edit1", 40)),
+      (903L, words("c10", 40)),
+      (904L, words("new202", 40))).toDF("doc_id", "text")
+    def hits(dir: String) =
+      MinHashIndex.probe(probes, "doc_id", "text", dir, minEstJac = 0.5)
+        .as[(Long, Long, Double)].collect().sortBy(h => (h._1, h._2)).toSeq
+    val got = hits(dirA)
+    assert(got === hits(dirB),
+      "post-upsert probe must equal the rebuilt-with-replacements index")
+    assert(!got.exists(h => h._1 === 901L && h._2 === 1L),
+      "an upserted id still serves its OLD signature")
+    assert(got.exists(h => h._1 === 902L && h._2 === 1L),
+      "an upserted id must serve its new signature")
+    assert(got.exists(h => h._1 === 903L && h._2 === 10L))
+    assert(got.exists(h => h._1 === 904L && h._2 === 202L),
+      "a fresh id must have been inserted")
+    // idempotent rerun
+    MinHashIndex.upsert(ups, "doc_id", "text", dirA)
+    assert(hits(dirA) === got)
+  }
+
+  test("stats: band/sig invariants across append; skew stat sees shared buckets") {
+    val dir = Files.createTempDirectory("mh_stats").toString
+    MinHashIndex.save(corpus, "doc_id", "text", dir)
+    MinHashIndex.append(batch, "doc_id", "text", dir)
+    val s = MinHashIndex.stats(spark, dir).as[(String, Long)].collect().toMap
+    val total = corpus.count() + batch.count()
+    assert(s("sig_rows") === total)
+    assert(s("band_rows") === total * s("bands"),
+      "sigs/bands drifted — the append crash-window staleness signal")
+    assert(s("distinct_banded_ids") === total)
+    // verbatim copies (101-105) hash identically in every band
+    assert(s("max_bucket_size") >= 2, "copies must share a bucket")
+    assert(s("n") === 3 && s("k") === 64 && s("bands") === 16 &&
+      s("seed") === 42)
+  }
+
   test("probe candidates equal the in-memory banding on the union (cross pairs)") {
     val union = corpus.unionByName(batch)
     val inMem = Dedup.minhashSignatures(union, "doc_id", "text")

@@ -232,6 +232,58 @@ class PqSpec extends SparkSpec {
       "compact must not change any probe answer")
   }
 
+  test("upsert == rebuild-with-replacements under the same codebooks: " +
+      "re-embedded vectors move cells, fresh ids insert") {
+    val dirA = java.nio.file.Files.createTempDirectory("pq_ups_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("pq_ups_b").toString
+    val coarse = graft.operators.KMeans.fit(corpus, "vec_id", "embedding",
+      k = 8, iters = 3)
+    ProductQuantizer.save(corpus, "vec_id", "embedding", coarse, model,
+      dirA, residual = false)
+    // vec_id % 7 == 0 re-embedded into a DIFFERENT cluster's
+    // neighborhood; 500-504 are new vectors
+    val ups = (
+      (0 until 200).filter(_ % 7 == 0)
+        .map(i => (i.toLong, corpusVec(i + 1).toSeq)) ++
+      (500 to 504).map(i => (i.toLong, corpusVec(i).toSeq))
+    ).toDF("vec_id", "embedding")
+    ProductQuantizer.upsert(ups, "vec_id", "embedding", dirA)
+    val replaced = corpus.filter($"vec_id" % 7 =!= 0).unionByName(ups)
+    ProductQuantizer.save(replaced, "vec_id", "embedding", coarse, model,
+      dirB, residual = false)
+    val queries = corpus.filter($"vec_id" < 4)
+    def rows(dir: String) = ProductQuantizer.probeSaved(
+        queries, "vec_id", "embedding", spark, dir, k = 10, nProbe = 8)
+      .select($"query_id", $"rank", $"id", $"approx_dist")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val got = rows(dirA)
+    assert(got === rows(dirB),
+      "post-upsert probe must equal the rebuilt-with-replacements index")
+    // idempotent rerun
+    ProductQuantizer.upsert(ups, "vec_id", "embedding", dirA)
+    assert(rows(dirA) === got)
+  }
+
+  test("stats: cell-balance invariants over save + append") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_stats").toString
+    val coarse = graft.operators.KMeans.fit(corpus, "vec_id", "embedding",
+      k = 8, iters = 3)
+    ProductQuantizer.save(corpus.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", coarse, model, dir, residual = false)
+    ProductQuantizer.append(corpus.filter($"vec_id" % 2 === 1),
+      "vec_id", "embedding", dir)
+    val s = ProductQuantizer.stats(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(s("code_rows") === corpus.count())
+    assert(s("n_lists") >= 1 && s("n_lists") <= 8)
+    assert(s("min_cell_size") >= 1 &&
+      s("min_cell_size") <= s("max_cell_size"))
+    assert(s("max_cell_size") <= s("code_rows"))
+    assert(s("m") === 4)
+    assert(s("residual") === 0)
+    assert(s("pq_codebook_rows") > 0)
+  }
+
   test("delete: probeSaved == an index saved without the ids under the SAME " +
       "codebooks; deleted ids never surface; other answers re-rank exactly") {
     val dirA = java.nio.file.Files.createTempDirectory("pq_del_a").toString

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 
 import graft.operators.{Bm25, TextIndex}
 
@@ -148,6 +148,55 @@ class TextIndexSpec extends SparkSpec {
       assert(spark.read.parquet(s"$tIdx/meta").collect().head === metaBefore,
         "an absent-ids-only erasure batch must leave the corpus stats unmoved")
     } finally { q.stop(); all.unpersist() }
+  }
+
+  test("upsert == rebuild-with-replacements: edited docs serve only new " +
+      "text, fresh docs insert, stats corrected; idempotent rerun") {
+    val docs = fixtureDocs
+    val path = s"$root/ixups"
+    TextIndex.save(docs, "doc_id", "text", path)
+    val ups = docs.filter($"doc_id" % 6 === 0)
+      .select($"doc_id", concat($"text", lit(" upserted")).as("text"))
+      .unionByName(docs.filter($"doc_id" === 1)
+        .select(($"doc_id" + 7000).as("doc_id"),
+          lit("upserted fresh row").as("text")))
+    TextIndex.upsert(ups, "doc_id", "text", path)
+    val rebuilt = s"$root/ixups_rebuilt"
+    TextIndex.save(docs.filter($"doc_id" % 6 =!= 0)
+      .select($"doc_id", $"text").unionByName(ups),
+      "doc_id", "text", rebuilt)
+    def probes(p: String) = Seq(Seq("upserted"), Seq("spark", "window"))
+      .map(q => TextIndex.probe(spark, p, q, k = 15).collect().toSeq)
+    assert(probes(path) === probes(rebuilt),
+      "post-upsert probe diverged from rebuilt-with-replacements")
+    assert(TextIndex.stats(spark, path).collect().toSeq ===
+      TextIndex.stats(spark, rebuilt).collect().toSeq,
+      "post-upsert stats diverged")
+    TextIndex.upsert(ups, "doc_id", "text", path)
+    assert(probes(path) === probes(rebuilt), "upsert rerun not idempotent")
+  }
+
+  test("stats: dashboard invariants hold; post-delete stats equal a " +
+      "rebuilt index's") {
+    val docs = fixtureDocs
+    val path = s"$root/ixstats"
+    TextIndex.save(docs, "doc_id", "text", path)
+    val s0 = TextIndex.stats(spark, path)
+      .as[(String, Long)].collect().toMap
+    val nDocs = docs.count()
+    assert(s0("n_docs") === nDocs)
+    assert(s0("doc_rows") === nDocs, "meta/docs-sidecar staleness")
+    assert(s0("nonempty_buckets") >= 1 &&
+      s0("nonempty_buckets") <= s0("n_buckets"))
+    assert(s0("distinct_terms") <= s0("posting_rows"))
+    assert(s0("sum_dl") > 0)
+    TextIndex.delete(spark, path,
+      docs.filter($"doc_id" % 3 === 0).select($"doc_id"))
+    val rebuilt = s"$root/ixstats_rebuilt"
+    TextIndex.save(docs.filter($"doc_id" % 3 =!= 0), "doc_id", "text", rebuilt)
+    assert(TextIndex.stats(spark, path).collect().toSeq ===
+      TextIndex.stats(spark, rebuilt).collect().toSeq,
+      "post-delete stats diverge from a rebuilt-without index")
   }
 
   test("delete == rebuild: probe and meta match a fresh save without the ids") {
