@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Named snapshots + rollback for the persisted indexes — the "yesterday's
+  * crawl poisoned the index" recovery path that append/delete/upsert
+  * (forward-only mutations) cannot provide. Family-agnostic: an index is
+  * its directory of artifact subdirectories (TextIndex `postings/docs/
+  * meta`, MinHashIndex `sigs/bands/meta`, ProductQuantizer `coarse/
+  * pq_model/codes/meta`), so one snapshotter serves all three (and any
+  * future family that keeps the same layout).
+  *
+  * Design notes, scale first:
+  *  - A snapshot is a FULL COPY under `<index>/_snapshots/<tag>/`. The
+  *    families rewrite artifact files in place under [[StagedSwap]]
+  *    (no immutable-segment manifest to pin), so copying is the honest
+  *    snapshot; it is O(index bytes) and the caller chooses the moments
+  *    (e.g. before each day's ingest). On an object store the copy is a
+  *    server-side operation; nothing here reads rows — bytes stream
+  *    through the filesystem layer, never through Spark.
+  *  - Snapshots are IMMUTABLE: same-tag re-snapshot is rejected; `drop`
+  *    then re-snapshot for a rolling "latest" discipline.
+  *  - Crash-safe at every step. snapshot(): copies land in a hidden
+  *    `.tmp_<tag>` staging dir, promoted by one rename — a crash leaves
+  *    only staging, which [[list]] ignores and the rerun clears.
+  *    restore(): each artifact subdir swaps in under [[StagedSwap]]
+  *    (recover-first, `_SUCCESS`-gated), so a crash mid-restore leaves
+  *    every subdir either pre- or post-restore and NEVER missing; the
+  *    subdirs are not swapped atomically TOGETHER, so a crash can leave
+  *    a mixed generation (restored postings under pre-restore meta) —
+  *    rerunning the SAME restore is idempotent and converges it, the
+  *    same crash-window discipline the families' append documents.
+  *  - Single-writer, like every index mutation. snapshot() and restore()
+  *    require a QUIESCENT index (no `_del`/`_old`/`_compact`/`_rst`
+  *    staging leftovers): a leftover means a crashed mutation whose
+  *    rerun must decide the index's true state first — snapshotting
+  *    around it would freeze (or restore over) an undecided generation.
+  *
+  * Contract (IndexSnapshotsSpec, oracle q221): restore(tag) makes every
+  * probe and [[TextIndex.stats]]-style dashboard frame bit-identical to
+  * the index as it stood at snapshot(tag), regardless of the mutations
+  * in between. */
+object IndexSnapshots {
+
+  private val stagingSuffixes = Seq("_del", "_old", "_compact", "_rst")
+  private val snapDirName = "_snapshots"
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def validTag(tag: String): Unit =
+    require(tag.nonEmpty && tag.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"snapshot tag '$tag' must be [A-Za-z0-9][A-Za-z0-9._-]*")
+
+  /** Live artifact subdirectories of the index root: every child
+    * directory that is not the snapshot store, not a hidden/staging
+    * dir, and not a crashed swap's leftover. */
+  private def artifactDirs(f: FileSystem, root: Path): Seq[Path] = {
+    require(f.exists(root), s"no index at $root")
+    f.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filterNot(p => p.getName == snapDirName || p.getName.startsWith("."))
+      .filterNot(p => stagingSuffixes.exists(p.getName.endsWith))
+  }
+
+  private def requireQuiescent(f: FileSystem, root: Path): Unit = {
+    val leftovers = f.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => stagingSuffixes.exists(n.endsWith))
+    require(leftovers.isEmpty,
+      s"index at $root has crashed-mutation staging leftovers " +
+        s"$leftovers — rerun the interrupted mutation (its recover " +
+        "path repairs the index) before snapshot/restore")
+  }
+
+  private def copyDir(f: FileSystem, src: Path, dst: Path,
+      conf: org.apache.hadoop.conf.Configuration): Unit =
+    if (!FileUtil.copy(f, src, f, dst, false, true, conf))
+      throw new java.io.IOException(s"snapshot: cannot copy $src to $dst")
+
+  /** Freeze the index's current generation as `<index>/_snapshots/<tag>`.
+    * Fails on an existing tag (snapshots are immutable — [[drop]] first)
+    * and on a non-quiescent index. */
+  def snapshot(spark: SparkSession, path: String, tag: String): Unit = {
+    validTag(tag)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = fs(spark, path)
+    val root = new Path(path)
+    requireQuiescent(f, root)
+    val subs = artifactDirs(f, root)
+    require(subs.nonEmpty, s"no artifact subdirectories under $root")
+    val snapRoot = new Path(root, snapDirName)
+    val dest = new Path(snapRoot, tag)
+    require(!f.exists(dest), s"snapshot '$tag' already exists at $dest")
+    val staging = new Path(snapRoot, s".tmp_$tag")
+    if (f.exists(staging) && !f.delete(staging, true))
+      throw new java.io.IOException(s"snapshot: cannot clear stale $staging")
+    f.mkdirs(staging)
+    subs.foreach(s => copyDir(f, s, new Path(staging, s.getName), conf))
+    if (!f.rename(staging, dest))
+      throw new java.io.IOException(s"snapshot: cannot promote $staging to $dest")
+  }
+
+  /** Roll the index back to snapshot `tag`: each artifact subdir in the
+    * snapshot swaps in under [[StagedSwap]]; live subdirs absent from
+    * the snapshot (none for the shipped families) are dropped last.
+    * Idempotent — rerun after any crash point to converge. The snapshot
+    * itself is untouched (roll forward again by re-restoring another
+    * tag). */
+  def restore(spark: SparkSession, path: String, tag: String): Unit = {
+    validTag(tag)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = fs(spark, path)
+    val root = new Path(path)
+    val snap = new Path(new Path(root, snapDirName), tag)
+    require(f.exists(snap), s"no snapshot '$tag' under $root/$snapDirName")
+    requireQuiescent(f, root)
+    val snapSubs = f.listStatus(snap).toSeq.filter(_.isDirectory).map(_.getPath)
+    require(snapSubs.nonEmpty, s"snapshot '$tag' is empty at $snap")
+    snapSubs.foreach { s =>
+      val live = new Path(root, s.getName)
+      val tmp = new Path(root, s"${s.getName}_rst")
+      val old = new Path(root, s"${s.getName}_old")
+      StagedSwap.swap(f, live, tmp, old)(t => copyDir(f, s, new Path(t), conf))
+    }
+    val snapNames = snapSubs.map(_.getName).toSet
+    artifactDirs(f, root).filterNot(p => snapNames.contains(p.getName))
+      .foreach { extra =>
+        if (!f.delete(extra, true) && f.exists(extra))
+          throw new java.io.IOException(s"restore: cannot drop post-snapshot $extra")
+      }
+    // the swaps moved files BEHIND Spark's back (FileUtil + renames, not
+    // Spark writes, which self-refresh): any plan cached over the old
+    // generation (e.g. TextIndex.probe's pruned-postings cache) would
+    // keep serving pre-restore rows — re-read it from the restored files
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** The snapshot inventory as a dashboard frame: one (tag, n_files,
+    * bytes) row per snapshot, exact longs, staging dirs excluded. */
+  def list(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, path)
+    val snapRoot = new Path(new Path(path), snapDirName)
+    val rows: Seq[(String, Long, Long)] =
+      if (!f.exists(snapRoot)) Seq.empty
+      else f.listStatus(snapRoot).toSeq
+        .filter(_.isDirectory).map(_.getPath)
+        .filterNot(_.getName.startsWith("."))
+        .map { p =>
+          val s = f.getContentSummary(p)
+          (p.getName, s.getFileCount, s.getLength)
+        }.sortBy(_._1)
+    rows.toDF("tag", "n_files", "bytes")
+  }
+
+  /** Delete snapshot `tag`. Loud on failure (a half-deleted snapshot
+    * must not look restorable). */
+  def drop(spark: SparkSession, path: String, tag: String): Unit = {
+    validTag(tag)
+    val f = fs(spark, path)
+    val dest = new Path(new Path(new Path(path), snapDirName), tag)
+    require(f.exists(dest), s"no snapshot '$tag' to drop at $dest")
+    if (!f.delete(dest, true) && f.exists(dest))
+      throw new java.io.IOException(s"drop: cannot delete $dest")
+  }
+}

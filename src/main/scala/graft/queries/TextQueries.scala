@@ -759,6 +759,35 @@ object TextQueries extends QueryModule {
       |ORDER BY score DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  /** Snapshot + rollback on the persisted BM25 index — the recovery
+    * path of the lifecycle (q213 pins delete, q220 upsert, q219 the
+    * stats): save the full corpus, [[graft.operators.IndexSnapshots
+    * .snapshot]] it, POISON the generation (delete every doc_id ≡ 0
+    * (mod 3), then upsert doctored text into every doc_id ≡ 0 (mod 5)),
+    * and [[graft.operators.IndexSnapshots.restore]] the snapshot before
+    * probing. Shares q119's plain-corpus oracle — the whole point: after
+    * two corpus-reshaping mutations, rollback must reproduce the
+    * original index BIT-EXACTLY (scores, ranks, df/N stats), not merely
+    * resemble it; any residue of the deleted or doctored rows (or a
+    * stale cached plan serving the pre-restore generation) shifts the
+    * hash. Probe-side plan is q121's (bucket-file pruning). */
+  private def q221IndexRollback(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val path = graft.core.Scratch.dir(dir, "bm25rbk")
+    graft.operators.TextIndex.save(docs, "doc_id", "text", path)
+    graft.operators.IndexSnapshots.snapshot(spark, path, "clean")
+    graft.operators.TextIndex.delete(spark, path,
+      docs.filter($"doc_id" % 3 === 0).select($"doc_id"))
+    graft.operators.TextIndex.upsert(
+      docs.filter($"doc_id" % 5 === 0)
+        .select($"doc_id", concat($"text", lit(" poisoned")).as("text")),
+      "doc_id", "text", path)
+    graft.operators.IndexSnapshots.restore(spark, path, "clean")
+    graft.operators.TextIndex.probe(spark, path,
+      Seq("spark", "merge", "join"), k = 20)
+  }
+
   /** Upsert (replace-or-insert) on the persisted BM25 index — the
     * document-EDITED path of the lifecycle (q213 pins delete, q219 the
     * stats): save the full corpus, then [[graft.operators.TextIndex
@@ -2521,6 +2550,11 @@ object TextQueries extends QueryModule {
       "targeted delete on the persisted BM25 index: corrected df/N stats under one hash (north star)"),
     Q("q220_index_upsert", q220IndexUpsert, Some(q220Sql),
       "upsert on the persisted BM25 index: edited docs replace, fresh docs insert, stats corrected, under one hash (north star)"),
+    // q221 deliberately SHARES q119Sql (the q121 precedent): its claim is
+    // "rollback ≡ the never-mutated index", so the plain-corpus oracle
+    // gates it — edit q119Sql with care.
+    Q("q221_index_rollback", q221IndexRollback, Some(q119Sql),
+      "snapshot + rollback on the persisted BM25 index: poison (delete+upsert) then restore == never-mutated probe (north star)"),
     Q("q217_trained_quality", q217TrainedQuality, Some(q217Sql),
       "trained quality scorer: quantized-GD logistic regression + tercile buckets under one hash (north star)"),
     Q("q56_lm_score", q56LmScore, Some(q56Sql),

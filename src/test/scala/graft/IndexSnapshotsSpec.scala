@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IndexSnapshots, MinHashIndex, ProductQuantizer, TextIndex}
+
+/** Snapshot/rollback across all three persisted index families: restore
+  * returns probes AND dashboard stats bit-exactly to the snapshot-time
+  * generation, idempotently, crash-window included; immutability,
+  * quiescence, and inventory contracts. */
+class IndexSnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(seed: String, n: Int): String =
+    (1 to n).map(i => s"w${seed}_$i").mkString(" ")
+  private lazy val docs = (1 to 40)
+    .map(i => (i.toLong, words(s"c$i", 30) + (if (i % 4 == 0) " spark join" else "")))
+    .toDF("doc_id", "text").cache()
+
+  test("TextIndex: restore == snapshot-time probe + stats; mutations in " +
+      "between fully undone; idempotent rerun; snapshot survives") {
+    val path = Files.createTempDirectory("snap_tx").toString
+    TextIndex.save(docs, "doc_id", "text", path)
+    def probe() = TextIndex.probe(spark, path,
+      Seq("spark", "join"), k = 15).collect().toSeq
+    def stats() = TextIndex.stats(spark, path).collect().toSeq
+    val (p0, s0) = (probe(), stats())
+    IndexSnapshots.snapshot(spark, path, "v1")
+    // poison the generation: delete a third, upsert edited + fresh docs
+    TextIndex.delete(spark, path,
+      docs.filter($"doc_id" % 3 === 0).select($"doc_id"))
+    TextIndex.upsert(docs.filter($"doc_id" % 5 === 0)
+      .select($"doc_id", concat($"text", lit(" poisoned")).as("text")),
+      "doc_id", "text", path)
+    assert(probe() !== p0, "mutations must be visible before restore")
+    IndexSnapshots.restore(spark, path, "v1")
+    assert(probe() === p0, "restore must return the snapshot-time probe")
+    assert(stats() === s0, "restore must return the snapshot-time stats")
+    // idempotent rerun; snapshot still restorable after restoring from it
+    IndexSnapshots.restore(spark, path, "v1")
+    assert(probe() === p0)
+    assert(IndexSnapshots.list(spark, path).select($"tag")
+      .as[String].collect().toSeq === Seq("v1"))
+  }
+
+  test("MinHashIndex: roll back an append that polluted the corpus") {
+    val path = Files.createTempDirectory("snap_mh").toString
+    MinHashIndex.save(docs, "doc_id", "text", path)
+    val probes = Seq((901L, words("c1", 30)), (902L, words("np", 30)))
+      .toDF("doc_id", "text")
+    def hits() = MinHashIndex.probe(probes, "doc_id", "text", path,
+      minEstJac = 0.5).collect().toSeq.sortBy(_.toString)
+    val h0 = hits()
+    IndexSnapshots.snapshot(spark, path, "pre_ingest")
+    MinHashIndex.append(
+      Seq((500L, words("np", 30))).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    assert(hits() !== h0, "appended near-dup must hit before rollback")
+    IndexSnapshots.restore(spark, path, "pre_ingest")
+    assert(hits() === h0, "rollback must un-learn the appended batch")
+    assert(MinHashIndex.stats(spark, path).collect().toSeq
+      .toString.contains("sig_rows"))
+  }
+
+  test("ProductQuantizer: roll back an upsert; probeSaved bit-exact") {
+    def vec(i: Int): Seq[Double] =
+      Seq.tabulate(8)(d => if (d == i % 4) 10.0 + (i % 4) else 0.001 * i)
+    val corpus = (0 until 60).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val path = Files.createTempDirectory("snap_pq").toString
+    val coarse = graft.operators.KMeans.fit(
+      corpus, "vec_id", "embedding", k = 4, iters = 2)
+    val pq = ProductQuantizer.fit(
+      corpus, "vec_id", "embedding", m = 2, k = 4, iters = 2)
+    ProductQuantizer.save(
+      corpus, "vec_id", "embedding", coarse, pq, path, residual = false)
+    val queries = corpus.filter($"vec_id" < 2)
+    def rows() = ProductQuantizer.probeSaved(queries, "vec_id", "embedding",
+        spark, path, k = 5, nProbe = 4)
+      .collect().toSeq.sortBy(_.toString)
+    val r0 = rows()
+    IndexSnapshots.snapshot(spark, path, "v1")
+    ProductQuantizer.upsert(
+      (0 until 10).map(i => (i.toLong, vec(i + 1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path)
+    assert(rows() !== r0)
+    IndexSnapshots.restore(spark, path, "v1")
+    assert(rows() === r0, "rollback must restore snapshot-time answers")
+  }
+
+  test("restore converges a crash window: one artifact already swapped, " +
+      "the rerun restores the rest") {
+    val path = Files.createTempDirectory("snap_crash").toString
+    TextIndex.save(docs, "doc_id", "text", path)
+    val p0 = TextIndex.probe(spark, path, Seq("spark"), k = 10).collect().toSeq
+    val s0 = TextIndex.stats(spark, path).collect().toSeq
+    IndexSnapshots.snapshot(spark, path, "v1")
+    TextIndex.delete(spark, path,
+      docs.filter($"doc_id" % 2 === 0).select($"doc_id"))
+    // simulate a restore that died after swapping ONLY the docs sidecar:
+    // copy the snapshot's docs over live (what its first swap produces)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val live = new org.apache.hadoop.fs.Path(s"$path/docs")
+    fs.delete(live, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$path/_snapshots/v1/docs"),
+      fs, live, false, true, conf)
+    // mixed generation now (snapshot docs, post-delete postings+meta);
+    // the rerun must converge everything to the snapshot
+    IndexSnapshots.restore(spark, path, "v1")
+    assert(TextIndex.probe(spark, path, Seq("spark"), k = 10)
+      .collect().toSeq === p0)
+    assert(TextIndex.stats(spark, path).collect().toSeq === s0)
+  }
+
+  test("immutability, quiescence, inventory, drop, and validation") {
+    val path = Files.createTempDirectory("snap_val").toString
+    TextIndex.save(docs, "doc_id", "text", path)
+    IndexSnapshots.snapshot(spark, path, "v1")
+    // immutable: same tag rejected
+    intercept[IllegalArgumentException] {
+      IndexSnapshots.snapshot(spark, path, "v1")
+    }
+    // quiescence: a staging leftover blocks snapshot and restore
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val leftover = new org.apache.hadoop.fs.Path(s"$path/postings_del")
+    fs.mkdirs(leftover)
+    intercept[IllegalArgumentException] {
+      IndexSnapshots.snapshot(spark, path, "v2")
+    }
+    intercept[IllegalArgumentException] {
+      IndexSnapshots.restore(spark, path, "v1")
+    }
+    fs.delete(leftover, true)
+    // inventory: tags sorted, counts positive; staging dirs ignored
+    IndexSnapshots.snapshot(spark, path, "v2")
+    val inv = IndexSnapshots.list(spark, path)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(inv.map(_._1) === Seq("v1", "v2"))
+    assert(inv.forall(r => r._2 > 0 && r._3 > 0))
+    // drop removes exactly the tag; unknown tag and bad names reject
+    IndexSnapshots.drop(spark, path, "v1")
+    assert(IndexSnapshots.list(spark, path).select($"tag")
+      .as[String].collect().toSeq === Seq("v2"))
+    intercept[IllegalArgumentException] {
+      IndexSnapshots.drop(spark, path, "v1")
+    }
+    intercept[IllegalArgumentException] {
+      IndexSnapshots.snapshot(spark, path, "../evil")
+    }
+    intercept[IllegalArgumentException] {
+      IndexSnapshots.restore(spark, path, "nope")
+    }
+  }
+}
