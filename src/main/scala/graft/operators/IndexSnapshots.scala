@@ -138,6 +138,22 @@ object IndexSnapshots {
     spark.catalog.refreshByPath(path)
   }
 
+  /** Read-only time travel: the path of snapshot `tag`, usable wherever
+    * an index path is (every family's probe/stats reads the same
+    * artifact layout the snapshot preserves) — query a past generation
+    * WITHOUT restoring it, e.g. `TextIndex.probe(spark, at(path, tag),
+    * terms, k)` to diff yesterday's ranking against today's. Never pass
+    * it to a MUTATION (append/delete/upsert/compact): snapshots are
+    * immutable by contract, and nothing stops a caller armed with a raw
+    * path except this sentence. Fails loudly on a missing tag rather
+    * than returning a path whose read would fail later. */
+  def at(spark: SparkSession, path: String, tag: String): String = {
+    validTag(tag)
+    val dest = new Path(new Path(new Path(path), snapDirName), tag)
+    require(fs(spark, path).exists(dest), s"no snapshot '$tag' at $dest")
+    dest.toString
+  }
+
   /** The snapshot inventory as a dashboard frame: one (tag, n_files,
     * bytes) row per snapshot, exact longs, staging dirs excluded. */
   def list(spark: SparkSession, path: String): DataFrame = {

@@ -205,6 +205,48 @@ object StreamingJobs {
         }
       }
 
+  /** Continuous index maintenance for a MUTABLE corpus — the edit path
+    * [[indexOnArrival]] deliberately refuses (its seen-set SKIPS known
+    * ids, exactly wrong for a crawl refresh where a known id means the
+    * document CHANGED). Each micro-batch [[graft.operators.TextIndex
+    * .upsert]]s: known ids serve only their new text, fresh ids insert,
+    * corpus stats stay corrected. Cold start: the first batch creates
+    * the index.
+    *
+    * Replay safety: upsert is idempotent per batch (delete-then-append
+    * under recover-first swaps), so at-least-once redelivery converges;
+    * a crash between upsert's halves leaves the batch ids absent under
+    * sound stats and the replay completes them. Intra-batch conflicts
+    * (two edits of one id in one batch) resolve DETERMINISTICALLY to
+    * the lexicographically greatest text — arbitrary-row dropDuplicates
+    * would let a replayed batch pick the OTHER edit and diverge; feeds
+    * with a real version column should pre-reduce to one row per id.
+    * Single-writer, like every index mutation. */
+  def upsertOnArrival(stream: DataFrame, idCol: String, textCol: String,
+      indexPath: String, checkpoint: String,
+      clearCachePerBatch: Boolean = true): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val docs = batch.groupBy(col(idCol))
+          .agg(max(col(textCol)).as(textCol)).persist()
+        try {
+          if (docs.head(1).nonEmpty) {
+            val exists =
+              try { spark.read.parquet(s"$indexPath/docs"); true }
+              catch { case _: org.apache.spark.sql.AnalysisException => false }
+            if (exists)
+              graft.operators.TextIndex.upsert(docs, idCol, textCol, indexPath)
+            else
+              graft.operators.TextIndex.save(docs, idCol, textCol, indexPath)
+          }
+        } finally {
+          docs.unpersist()
+          if (clearCachePerBatch) spark.catalog.clearCache()
+        }
+      }
+
   /** An erasure fan-out target for [[forgetOnArrival]] — one case per
     * persisted index family, each delegating to that index's idempotent
     * `delete(ids)` (tombstone-free filtered rewrite under StagedSwap). */

@@ -116,6 +116,31 @@ class IndexSnapshotsSpec extends SparkSpec {
     assert(TextIndex.stats(spark, path).collect().toSeq === s0)
   }
 
+  test("at(tag): read-only time travel — probe a past generation without " +
+      "restoring; live index unaffected") {
+    val path = Files.createTempDirectory("snap_at").toString
+    TextIndex.save(docs, "doc_id", "text", path)
+    val p0 = TextIndex.probe(spark, path, Seq("spark", "join"), k = 10)
+      .collect().toSeq
+    IndexSnapshots.snapshot(spark, path, "v1")
+    TextIndex.delete(spark, path,
+      docs.filter($"doc_id" % 2 === 0).select($"doc_id"))
+    val pLive = TextIndex.probe(spark, path, Seq("spark", "join"), k = 10)
+      .collect().toSeq
+    assert(pLive !== p0)
+    // the snapshot path serves the PAST generation through the normal probe
+    val atV1 = IndexSnapshots.at(spark, path, "v1")
+    assert(TextIndex.probe(spark, atV1, Seq("spark", "join"), k = 10)
+      .collect().toSeq === p0, "time-travel probe must see the snapshot")
+    assert(TextIndex.stats(spark, atV1).collect().nonEmpty)
+    // …and reading it did not disturb the live generation
+    assert(TextIndex.probe(spark, path, Seq("spark", "join"), k = 10)
+      .collect().toSeq === pLive)
+    intercept[IllegalArgumentException] {
+      IndexSnapshots.at(spark, path, "missing")
+    }
+  }
+
   test("immutability, quiescence, inventory, drop, and validation") {
     val path = Files.createTempDirectory("snap_val").toString
     TextIndex.save(docs, "doc_id", "text", path)

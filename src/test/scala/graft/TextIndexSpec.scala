@@ -92,6 +92,51 @@ class TextIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertOnArrival: streamed edits replace, fresh ids insert, " +
+      "redelivery converges, intra-batch conflict is deterministic") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ti_upstream").toString
+    val (idx, ckpt) = (s"$dir/index", s"$dir/ckpt")
+    val source = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs.upsertOnArrival(
+        source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idx, ckpt, clearCachePerBatch = false)
+      .start()
+    try {
+      // batch 1 creates the index; doc 2 has an intra-batch conflict that
+      // must resolve to the lexicographically greater text ("zz...")
+      source.addData(
+        (1L, "spark merge join scan"),
+        (2L, "aa first version"),
+        (2L, "zz spark window"))
+      q.processAllAvailable()
+      // batch 2: doc 1 EDITED (the indexOnArrival-refusing case) + new doc
+      source.addData(
+        (1L, "merge merge merge"),
+        (3L, "spark scan scan"))
+      q.processAllAvailable()
+      // batch 3: pure redelivery of batch 2 — must converge, not double
+      source.addData(
+        (1L, "merge merge merge"),
+        (3L, "spark scan scan"))
+      q.processAllAvailable()
+      val finalDocs = Seq(
+        (1L, "merge merge merge"),
+        (2L, "zz spark window"),
+        (3L, "spark scan scan")).toDF("doc_id", "text")
+      for (terms <- Seq(Seq("spark", "merge"), Seq("scan"))) {
+        val viaIndex = TextIndex.probe(spark, idx, terms, k = 10)
+          .collect().toSeq
+        // scan-form emits zero-score docs the postings probe never sees
+        val viaScan = Bm25.search(finalDocs, "doc_id", "text", terms, k = 10)
+          .collect().toSeq.filter(_.getDouble(terms.length + 1) > 0.0)
+        assert(viaIndex === viaScan,
+          s"streamed upserts must equal a batch build of the edited corpus ($terms)")
+      }
+    } finally q.stop()
+  }
+
   test("forgetOnArrival: streamed erasure fans to every serving index and " +
       "converges each to rebuilt-without; redelivered and absent ids are no-ops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
