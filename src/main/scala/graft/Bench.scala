@@ -112,7 +112,16 @@ object Bench {
     "q214_ann_recall" -> 6.5,
     "q215_two_stage" -> 1.2,
     "q216_hybrid_persisted" -> 6.5,
-    "q217_trained_quality" -> 2.5)
+    "q217_trained_quality" -> 2.5,
+    // later r12 additions (mid-r12 sweep + isolated/solo re-measures).
+    // q219 builds ALL THREE index families (text save+append, minhash
+    // save, ivfadc save+append) before reading their stats; q220/q221
+    // are multi-rewrite lifecycles (save+upsert / save+snapshot+delete+
+    // upsert+restore); all index-build-dominated
+    "q218_filtered_ann" -> 3.5,
+    "q219_index_stats" -> 8.5,
+    "q220_index_upsert" -> 6.0,
+    "q221_index_rollback" -> 7.0)
   private val defaultAnchorSec = 1.0
   // overridable for local testing of the rerun path (driver never sets it)
   private val suspectFactor =

@@ -776,6 +776,11 @@ object TextQueries extends QueryModule {
     val docs = Tables.documents(spark, dir)
     val path = graft.core.Scratch.dir(dir, "bm25rbk")
     graft.operators.TextIndex.save(docs, "doc_id", "text", path)
+    // bench re-runs each query in one process over one Scratch dir:
+    // snapshots are immutable, so a prior pass's tag must drop first
+    if (graft.operators.IndexSnapshots.list(spark, path)
+        .filter($"tag" === "clean").head(1).nonEmpty)
+      graft.operators.IndexSnapshots.drop(spark, path, "clean")
     graft.operators.IndexSnapshots.snapshot(spark, path, "clean")
     graft.operators.TextIndex.delete(spark, path,
       docs.filter($"doc_id" % 3 === 0).select($"doc_id"))
