@@ -121,7 +121,8 @@ object Bench {
     "q218_filtered_ann" -> 3.5,
     "q219_index_stats" -> 8.5,
     "q220_index_upsert" -> 6.0,
-    "q221_index_rollback" -> 7.0)
+    "q221_index_rollback" -> 7.0,
+    "q222_rank_drift" -> 7.0)
   private val defaultAnchorSec = 1.0
   // overridable for local testing of the rerun path (driver never sets it)
   private val suspectFactor =

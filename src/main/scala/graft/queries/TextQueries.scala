@@ -793,6 +793,102 @@ object TextQueries extends QueryModule {
       Seq("spark", "merge", "join"), k = 20)
   }
 
+  /** Rank drift between two index GENERATIONS — the "what did
+    * yesterday's curation pass do to rankings" serving diagnostic, and
+    * the oracled consumer of [[graft.operators.IndexSnapshots.at]]
+    * (read-only time travel): snapshot the clean index as `then`,
+    * delete a third of the corpus, then probe BOTH generations (the
+    * live path and the snapshot path through the SAME probe code) and
+    * full-outer-join their top-20s into (rank_then, rank_now, drift)
+    * per doc, 21 = "outside the top-20". Rank arithmetic is exact
+    * integers over two contract-bounded 20-row frames; corpus-scale
+    * work stays inside the two probes. The hash pins that the snapshot
+    * serves the PRE-delete ranking while the live index serves the
+    * post-delete one — a snapshot that leaked the mutation (or a probe
+    * that cached across generations) shifts every drift. */
+  private def q222RankDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val path = graft.core.Scratch.dir(dir, "bm25drift")
+    graft.operators.TextIndex.save(docs, "doc_id", "text", path)
+    if (graft.operators.IndexSnapshots.list(spark, path)
+        .filter($"tag" === "then").head(1).nonEmpty)
+      graft.operators.IndexSnapshots.drop(spark, path, "then")
+    graft.operators.IndexSnapshots.snapshot(spark, path, "then")
+    graft.operators.TextIndex.delete(spark, path,
+      docs.filter($"doc_id" % 3 === 0).select($"doc_id"))
+    val terms = Seq("spark", "merge", "join")
+    val w = graft.operators.BoundedWindow
+      .ordered($"doc_id", $"score".desc, $"doc_id")
+    def ranked(p: String, as: String) =
+      graft.operators.TextIndex.probe(spark, p, terms, k = 20)
+        .withColumn(as, row_number().over(w).cast("long"))
+        .select($"doc_id", col(as))
+    val thenK = ranked(
+      graft.operators.IndexSnapshots.at(spark, path, "then"), "rank_then")
+    val nowK = ranked(path, "rank_now")
+    thenK.join(nowK, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        coalesce($"rank_then", lit(21L)).as("rank_then"),
+        coalesce($"rank_now", lit(21L)).as("rank_now"),
+        (coalesce($"rank_now", lit(21L)) -
+          coalesce($"rank_then", lit(21L))).as("drift"))
+      .orderBy($"doc_id")
+  }
+
+  /** Both generations replayed relationally: the full corpus and the
+    * corpus without doc_id ≡ 0 (mod 3), each BM25-scored and top-20
+    * ranked, diffed with the same 21-sentinel. */
+  private val q222Sql =
+    """WITH mk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    doc_id % 3 <> 0 AS now_member
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, now_member, CAST(len(ws) AS BIGINT) AS dl,
+      |    CAST(len(list_filter(ws, x -> x = 'spark')) AS BIGINT) AS tf0,
+      |    CAST(len(list_filter(ws, x -> x = 'merge')) AS BIGINT) AS tf1,
+      |    CAST(len(list_filter(ws, x -> x = 'join')) AS BIGINT) AS tf2
+      |  FROM mk),
+      |statsT AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+      |    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+      |    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      |  FROM base),
+      |statsN AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+      |    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+      |    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      |  FROM base WHERE now_member),
+      |thenk AS (
+      |  SELECT doc_id, rank_then FROM (
+      |    SELECT b.doc_id, row_number() OVER (ORDER BY
+      |      round(
+      |        ln((s.n - s.df0 + 0.5) / (s.df0 + 0.5) + 1) * (b.tf0 * 2.2) / (b.tf0 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+      |      + ln((s.n - s.df1 + 0.5) / (s.df1 + 0.5) + 1) * (b.tf1 * 2.2) / (b.tf1 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+      |      + ln((s.n - s.df2 + 0.5) / (s.df2 + 0.5) + 1) * (b.tf2 * 2.2) / (b.tf2 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl)), 6) DESC,
+      |      b.doc_id) AS rank_then
+      |    FROM base b CROSS JOIN statsT s)
+      |  WHERE rank_then <= 20),
+      |nowk AS (
+      |  SELECT doc_id, rank_now FROM (
+      |    SELECT b.doc_id, row_number() OVER (ORDER BY
+      |      round(
+      |        ln((s.n - s.df0 + 0.5) / (s.df0 + 0.5) + 1) * (b.tf0 * 2.2) / (b.tf0 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+      |      + ln((s.n - s.df1 + 0.5) / (s.df1 + 0.5) + 1) * (b.tf1 * 2.2) / (b.tf1 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+      |      + ln((s.n - s.df2 + 0.5) / (s.df2 + 0.5) + 1) * (b.tf2 * 2.2) / (b.tf2 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl)), 6) DESC,
+      |      b.doc_id) AS rank_now
+      |    FROM base b CROSS JOIN statsN s WHERE b.now_member)
+      |  WHERE rank_now <= 20)
+      |SELECT COALESCE(t.doc_id, n.doc_id) AS doc_id,
+      |  CAST(COALESCE(t.rank_then, 21) AS BIGINT) AS rank_then,
+      |  CAST(COALESCE(n.rank_now, 21) AS BIGINT) AS rank_now,
+      |  CAST(COALESCE(n.rank_now, 21) - COALESCE(t.rank_then, 21) AS BIGINT) AS drift
+      |FROM thenk t FULL OUTER JOIN nowk n ON t.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Upsert (replace-or-insert) on the persisted BM25 index — the
     * document-EDITED path of the lifecycle (q213 pins delete, q219 the
     * stats): save the full corpus, then [[graft.operators.TextIndex
@@ -2560,6 +2656,8 @@ object TextQueries extends QueryModule {
     // gates it — edit q119Sql with care.
     Q("q221_index_rollback", q221IndexRollback, Some(q119Sql),
       "snapshot + rollback on the persisted BM25 index: poison (delete+upsert) then restore == never-mutated probe (north star)"),
+    Q("q222_rank_drift", q222RankDrift, Some(q222Sql),
+      "rank drift between index generations: snapshot time-travel probe vs live probe, exact integer diff under one hash (north star)"),
     Q("q217_trained_quality", q217TrainedQuality, Some(q217Sql),
       "trained quality scorer: quantized-GD logistic regression + tercile buckets under one hash (north star)"),
     Q("q56_lm_score", q56LmScore, Some(q56Sql),
