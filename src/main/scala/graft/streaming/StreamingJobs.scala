@@ -247,6 +247,42 @@ object StreamingJobs {
         }
       }
 
+  /** Continuous vector-index maintenance — [[upsertOnArrival]]'s
+    * discipline for the persisted IVFADC index: an embedding-service
+    * stream of (id, vector) rows drains per micro-batch into
+    * [[graft.operators.ProductQuantizer.upsert]], so re-embedded ids
+    * move cells and serve only their new codes, fresh ids insert, and
+    * at-least-once redelivery converges (a bare `append` would DOUBLE a
+    * replayed batch's codes — duplicate candidates in every future
+    * probe). Codebooks stay immutable (the append maintenance-cadence
+    * contract): a distribution shift big enough to invalidate them is a
+    * batch refit+save, not a streaming concern.
+    *
+    * NO cold start: the index must already exist (fit+save need a
+    * training corpus, not a first micro-batch) — absent index fails the
+    * stream loudly rather than training codebooks on whatever trickled
+    * in first. Intra-batch conflicts (two embeddings of one id) resolve
+    * deterministically to the greatest vector under array ordering, the
+    * [[upsertOnArrival]] replay rule. Single-writer. */
+  def upsertVectorsOnArrival(stream: DataFrame, idCol: String,
+      vecCol: String, indexPath: String, checkpoint: String,
+      clearCachePerBatch: Boolean = true): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val vecs = batch.groupBy(col(idCol))
+          .agg(max(col(vecCol)).as(vecCol)).persist()
+        try {
+          if (vecs.head(1).nonEmpty)
+            graft.operators.ProductQuantizer.upsert(
+              vecs, idCol, vecCol, indexPath)
+        } finally {
+          vecs.unpersist()
+          if (clearCachePerBatch) spark.catalog.clearCache()
+        }
+      }
+
   /** An erasure fan-out target for [[forgetOnArrival]] — one case per
     * persisted index family, each delegating to that index's idempotent
     * `delete(ids)` (tombstone-free filtered rewrite under StagedSwap). */

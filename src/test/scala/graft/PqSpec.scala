@@ -264,6 +264,44 @@ class PqSpec extends SparkSpec {
     assert(rows(dirA) === got)
   }
 
+  test("upsertVectorsOnArrival: streamed re-embeds replace, fresh ids " +
+      "insert, redelivery converges to the batch-built index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("pq_stream").toString
+    val (idx, ckpt) = (s"$dir/index", s"$dir/ckpt")
+    val coarse = graft.operators.KMeans.fit(corpus, "vec_id", "embedding",
+      k = 8, iters = 3)
+    ProductQuantizer.save(corpus, "vec_id", "embedding", coarse, model,
+      idx, residual = false)
+    val source = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingJobs.upsertVectorsOnArrival(
+        source.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        idx, ckpt, clearCachePerBatch = false)
+      .start()
+    try {
+      // batch 1: ids 0/7/14 re-embedded into other cells, 300-302 fresh
+      val ups = ((0 until 200 by 7).map(i => (i.toLong, corpusVec(i + 1).toSeq))
+        ++ (300 to 302).map(i => (i.toLong, corpusVec(i).toSeq)))
+      source.addData(ups: _*)
+      q.processAllAvailable()
+      // batch 2: pure redelivery — upsert idempotence must hold streamed
+      source.addData(ups: _*)
+      q.processAllAvailable()
+      val replaced = corpus.filter($"vec_id" % 7 =!= 0)
+        .unionByName(ups.toDF("vec_id", "embedding"))
+      val rebuilt = s"$dir/rebuilt"
+      ProductQuantizer.save(replaced, "vec_id", "embedding", coarse, model,
+        rebuilt, residual = false)
+      val queries = corpus.filter($"vec_id" < 4)
+      def rows(p: String) = ProductQuantizer.probeSaved(
+          queries, "vec_id", "embedding", spark, p, k = 10, nProbe = 8)
+        .collect().toSeq.sortBy(_.toString)
+      assert(rows(idx) === rows(rebuilt),
+        "streamed upserts must equal a batch build with the replacements")
+    } finally q.stop()
+  }
+
   test("stats: cell-balance invariants over save + append") {
     val dir = java.nio.file.Files.createTempDirectory("pq_stats").toString
     val coarse = graft.operators.KMeans.fit(corpus, "vec_id", "embedding",
