@@ -247,6 +247,43 @@ object StreamingJobs {
         }
       }
 
+  /** Continuous near-dup-index maintenance for a MUTABLE corpus —
+    * [[upsertOnArrival]]'s discipline for the MinHash index:
+    * [[dedupOnArrival]] is append-only (a known id means "drop the
+    * duplicate"), exactly wrong for a crawl refresh where a known id
+    * means the document CHANGED and its OLD signature must stop
+    * matching. Each micro-batch [[graft.operators.MinHashIndex
+    * .upsert]]s: edited ids serve only their new signatures (a bare
+    * append would leave BOTH generations' band rows live — stale
+    * dual-signature matching), fresh ids insert, redelivery converges.
+    * Cold start: the first batch creates the index. Intra-batch
+    * conflicts resolve to the greatest text (the replay rule).
+    * Single-writer. */
+  def upsertMinHashOnArrival(stream: DataFrame, idCol: String,
+      textCol: String, indexPath: String, checkpoint: String,
+      clearCachePerBatch: Boolean = true): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val docs = batch.groupBy(col(idCol))
+          .agg(max(col(textCol)).as(textCol)).persist()
+        try {
+          if (docs.head(1).nonEmpty) {
+            val exists =
+              try { spark.read.parquet(s"$indexPath/sigs"); true }
+              catch { case _: org.apache.spark.sql.AnalysisException => false }
+            if (exists)
+              graft.operators.MinHashIndex.upsert(docs, idCol, textCol, indexPath)
+            else
+              graft.operators.MinHashIndex.save(docs, idCol, textCol, indexPath)
+          }
+        } finally {
+          docs.unpersist()
+          if (clearCachePerBatch) spark.catalog.clearCache()
+        }
+      }
+
   /** Continuous vector-index maintenance — [[upsertOnArrival]]'s
     * discipline for the persisted IVFADC index: an embedding-service
     * stream of (id, vector) rows drains per micro-batch into

@@ -183,6 +183,54 @@ class MinHashIndexSpec extends SparkSpec {
     assert(hits(dirA) === got)
   }
 
+  test("upsertMinHashOnArrival: streamed edits stop old-signature matches, " +
+      "fresh ids insert, redelivery converges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("mh_upstream").toString
+    val (idx, ckpt) = (s"$dir/index", s"$dir/ckpt")
+    val source = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs.upsertMinHashOnArrival(
+        source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idx, ckpt, clearCachePerBatch = false)
+      .start()
+    try {
+      // batch 1 cold-starts the index with the corpus
+      source.addData((1 to 30).map(i => (i.toLong, words(s"c$i", 40))): _*)
+      q.processAllAvailable()
+      // batch 2: docs 1-3 EDITED to new content + one fresh doc; then
+      // batch 3 redelivers batch 2 verbatim
+      val edits = (1 to 3).map(i => (i.toLong, words(s"edit$i", 40))) :+
+        (400L, words("new400", 40))
+      source.addData(edits: _*)
+      q.processAllAvailable()
+      source.addData(edits: _*)
+      q.processAllAvailable()
+      val probes = Seq(
+        (901L, words("c1", 40)),    // old text of an edited doc
+        (902L, words("edit2", 40)), // new text of an edited doc
+        (903L, words("c10", 40)),   // untouched doc
+        (904L, words("new400", 40))).toDF("doc_id", "text")
+      val hits = MinHashIndex.probe(probes, "doc_id", "text", idx,
+          minEstJac = 0.5)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(!hits.exists(h => h._1 == 901L && h._2 == 1L),
+        "an edited id still matches its OLD signature")
+      assert(hits.exists(h => h._1 == 902L && h._2 == 2L))
+      assert(hits.exists(h => h._1 == 903L && h._2 == 10L))
+      assert(hits.exists(h => h._1 == 904L && h._2 == 400L))
+      // converged index == batch rebuild with the replacements
+      val rebuilt = s"$dir/rebuilt"
+      MinHashIndex.save(
+        ((4 to 30).map(i => (i.toLong, words(s"c$i", 40))) ++ edits)
+          .toDF("doc_id", "text"), "doc_id", "text", rebuilt)
+      val viaRebuilt = MinHashIndex.probe(probes, "doc_id", "text", rebuilt,
+          minEstJac = 0.5)
+        .as[(Long, Long, Double)].collect().toSeq.sortBy(h => (h._1, h._2))
+      assert(hits.sortBy(h => (h._1, h._2)) === viaRebuilt)
+    } finally q.stop()
+  }
+
   test("stats: band/sig invariants across append; skew stat sees shared buckets") {
     val dir = Files.createTempDirectory("mh_stats").toString
     MinHashIndex.save(corpus, "doc_id", "text", dir)
