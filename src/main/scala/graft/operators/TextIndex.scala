@@ -157,6 +157,40 @@ object TextIndex {
     ).toDF("stat", "value")
   }
 
+  /** Compact an index that has accreted small files through [[append]]/
+    * [[upsert]]: every ingest micro-batch adds one file set per bucket
+    * partition, so thousands of batches turn `postings/` into thousands
+    * of tiny files per bucket and the probe's bucket-file pruning
+    * becomes file-open-bound — the [[MinHashIndex.compact]] problem on
+    * the inverted file. Rewrites `postings/` to ~one file per bucket
+    * partition and `docs/` to size-proportional file counts, contents
+    * and meta untouched (spec-pinned: probe AND stats identical
+    * pre/post). Single-writer, staged under the crash-safe
+    * [[StagedSwap]], same as the other families' compacts. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(2)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def swap(sub: String)(write: String => Unit): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}_compact")
+      val old = new org.apache.hadoop.fs.Path(s"$path/${sub}_old")
+      StagedSwap.swap(live.getFileSystem(conf), live, tmp, old)(write)
+    }
+    swap("postings") { tmp =>
+      // repartition on bucket: each task holds whole bucket partitions,
+      // so partitionBy emits ~one file per bucket directory
+      spark.read.parquet(s"$path/postings")
+        .repartition(nBuckets, col("bucket"))
+        .write.partitionBy("bucket").parquet(tmp)
+    }
+    swap("docs") { tmp =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/docs")
+      val bytes = live.getFileSystem(conf).getContentSummary(live).getLength
+      val nFiles = math.max(1L, bytes / (128L << 20)).toInt
+      spark.read.parquet(s"$path/docs").repartition(nFiles).write.parquet(tmp)
+    }
+  }
+
   /** Targeted delete (right-to-be-forgotten): remove `ids` (a one-column
     * frame of doc ids) from the index WITHOUT a corpus rebuild — postings
     * and the docs sidecar rewrite filtered under the crash-safe

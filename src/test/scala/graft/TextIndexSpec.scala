@@ -244,6 +244,32 @@ class TextIndexSpec extends SparkSpec {
       "post-delete stats diverge from a rebuilt-without index")
   }
 
+  test("compact: fewer posting files, probe and stats bit-identical") {
+    val docs = fixtureDocs
+    val path = s"$root/ixcompact"
+    // many small appends -> many files per bucket
+    TextIndex.save(docs.filter($"doc_id" % 4 === 0), "doc_id", "text", path)
+    for (r <- 1 to 3)
+      TextIndex.append(docs.filter($"doc_id" % 4 === r), "doc_id", "text", path)
+    def probes() = Seq(Seq("spark", "merge", "join"), Seq("window"))
+      .map(q => TextIndex.probe(spark, path, q, k = 15).collect().toSeq)
+    def stats() = TextIndex.stats(spark, path).collect().toSeq
+    def nFiles() = {
+      def count(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(count).sum).getOrElse(0)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      count(new java.io.File(s"$path/postings"))
+    }
+    val (p0, s0, f0) = (probes(), stats(), nFiles())
+    TextIndex.compact(spark, path)
+    assert(nFiles() < f0, s"compact must shrink file count (was $f0)")
+    assert(probes() === p0, "compact changed probe answers")
+    assert(stats() === s0, "compact changed the dashboard stats")
+    // idempotent rerun
+    TextIndex.compact(spark, path)
+    assert(probes() === p0 && stats() === s0)
+  }
+
   test("delete == rebuild: probe and meta match a fresh save without the ids") {
     val all = fixtureDocs.cache()
     val delIds = all.filter($"doc_id" % 3 === 0).select($"doc_id")
