@@ -120,7 +120,7 @@ object Bench {
     // upsert+restore); all index-build-dominated
     "q218_filtered_ann" -> 3.5,
     "q219_index_stats" -> 8.5,
-    "q220_index_upsert" -> 6.0,
+    "q220_index_upsert" -> 7.5, // +compact in-chain since late r12
     "q221_index_rollback" -> 7.0,
     "q222_rank_drift" -> 7.0)
   private val defaultAnchorSec = 1.0

@@ -915,6 +915,9 @@ object TextQueries extends QueryModule {
           .as("text"))
     graft.operators.TextIndex.upsert(
       edited.unionByName(fresh), "doc_id", "text", path)
+    // compact is content-preserving, so probing THROUGH it puts the
+    // small-file rewrite under the same hash as the upsert semantics
+    graft.operators.TextIndex.compact(spark, path)
     graft.operators.TextIndex.probe(spark, path,
       Seq("graftedit", "spark", "join"), k = 20)
   }
