@@ -62,7 +62,11 @@ object Plans {
       "q183_window_frames", "q184_sessions_bridge", "q185_pricing_full",
       "q186_supplier_parts", "q187_triangle_capped",
       "q190_min_cost_supplier", "q191_pq_topk", "q192_drift_gate",
-      "q193_ivfadc_topk", "q194_kcore", "q195_ivfadc_residual", "q196_temp_mixture", "q197_cat_drift", "q198_jaro_names", "q199_jw_join", "q200_snm_jw", "q201_merge_purge", "q202_holt", "q203_shortest_paths", "q204_holt_winters", "q205_fk_contract", "q206_quantile_shift", "q207_binned_quantiles", "q208_label_prop", "q209_quantile_bins", "q210_mmr_topk")
+      "q193_ivfadc_topk", "q194_kcore", "q195_ivfadc_residual", "q196_temp_mixture", "q197_cat_drift", "q198_jaro_names", "q199_jw_join", "q200_snm_jw", "q201_merge_purge", "q202_holt", "q203_shortest_paths", "q204_holt_winters", "q205_fk_contract", "q206_quantile_shift", "q207_binned_quantiles", "q208_label_prop", "q209_quantile_bins", "q210_mmr_topk",
+      "q211_pq_exact", "q212_hybrid_rrf", "q213_index_delete",
+      "q214_ann_recall", "q215_two_stage", "q216_hybrid_persisted",
+      "q217_trained_quality", "q218_filtered_ann", "q219_index_stats",
+      "q220_index_upsert", "q221_index_rollback", "q222_rank_drift")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)
