@@ -314,6 +314,74 @@ object IvfIndex {
       .write.partitionBy("list_id").mode("append").parquet(s"$dir/lists")
   }
 
+  /** Targeted delete (right-to-be-forgotten) — the [[TextIndex.delete]]
+    * discipline on the exact-vector index: remove `ids` (a one-column
+    * frame) by rewriting `lists/` filtered under the crash-safe
+    * [[StagedSwap]]. Centroids and the fit-time `stats/` profile stay:
+    * they are the partitioning yardstick, not per-vector state — a
+    * deletion big enough to invalidate them is a [[refit]], which
+    * [[staleness]] will flag. Idempotent; absent ids are no-ops; an
+    * emptying delete is rejected (drop the directory instead).
+    * Single-writer. */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    require(ids.columns.length == 1,
+      s"ids must be a one-column frame, got ${ids.columns.toSeq}")
+    val del = ids.toDF("__del_id").distinct().cache()
+    try {
+      val idCol = spark.read.parquet(s"$dir/lists").columns
+        .find(c => c != "list_id" && !c.startsWith("__"))
+        .getOrElse(throw new IllegalStateException("no id column in lists/"))
+      val surviving = spark.read.parquet(s"$dir/lists")
+        .join(del, col(idCol) === col("__del_id"), "left_anti").count()
+      require(surviving > 0,
+        "delete would empty the index; drop the index directory instead")
+      val nLists = spark.read.parquet(s"$dir/centroids").count().toInt
+      val conf = spark.sparkContext.hadoopConfiguration
+      val live = new org.apache.hadoop.fs.Path(s"$dir/lists")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/lists_del")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/lists_old")
+      StagedSwap.swap(live.getFileSystem(conf), live, tmp, old) { tmpDir =>
+        spark.read.parquet(s"$dir/lists")
+          .join(del, col(idCol) === col("__del_id"), "left_anti")
+          .repartition(nLists, col("list_id"))
+          .write.partitionBy("list_id").parquet(tmpDir)
+      }
+    } finally del.unpersist()
+  }
+
+  /** Upsert (replace-or-insert) — the re-embed path: delete(batch ids)
+    * then [[append]](batch), so re-embedded ids move to their new lists
+    * and serve only their new vectors, absent ids are plain inserts.
+    * Crash between the halves leaves the batch ids absent; the same
+    * upsert rerun is idempotent and completes it. Single-writer. */
+  def upsert(vectors: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    delete(vectors.sparkSession, dir, vectors.select(col(idCol)))
+    append(vectors, idCol, vecCol, dir)
+  }
+
+  /** Operational snapshot — one (stat, value) row per metric, exact
+    * longs (the [[TextIndex.stats]] dashboard discipline): `vec_rows`
+    * (grows with [[append]], shrinks with [[delete]]), `n_lists`, and
+    * the list-balance shape `nonempty_lists`/`min_list_size`/
+    * `max_list_size` — the probe-cost skew numbers; a hot max list is
+    * the [[refit]] signal [[staleness]] reads distributionally. */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nLists = spark.read.parquet(s"$dir/centroids").count()
+    val c = spark.read.parquet(s"$dir/lists")
+      .groupBy(col("list_id")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")), count(lit(1)), min(col("c")), max(col("c")))
+      .collect().head
+    Seq(
+      "vec_rows" -> c.getLong(0),
+      "n_lists" -> nLists,
+      "nonempty_lists" -> c.getLong(1),
+      "min_list_size" -> c.getLong(2),
+      "max_list_size" -> c.getLong(3)
+    ).toDF("stat", "value")
+  }
+
   /** Rewrite append-accreted list partitions to ~one file per list via the
     * crash-safe [[StagedSwap]] (write to a sibling, two renames, never a
     * mixed read; a crash in the rename window is repaired by the next

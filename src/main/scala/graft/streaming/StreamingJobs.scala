@@ -342,6 +342,11 @@ object StreamingJobs {
     def delete(spark: SparkSession, ids: DataFrame): Unit =
       graft.operators.ProductQuantizer.delete(spark, path, ids)
   }
+  /** [[graft.operators.IvfIndex]] (exact-vector IVF) at `path`. */
+  final case class IvfIndexAt(path: String) extends ErasureTarget {
+    def delete(spark: SparkSession, ids: DataFrame): Unit =
+      graft.operators.IvfIndex.delete(spark, path, ids)
+  }
 
   /** Continuous right-to-be-forgotten propagation — the delete half of
     * [[indexOnArrival]]'s lifecycle: a stream of document ids (an

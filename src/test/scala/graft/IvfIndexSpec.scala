@@ -345,4 +345,59 @@ class IvfIndexSpec extends SparkSpec {
     assert(probeRows() === expected,
       "old restored; the _SUCCESS-less tmp was deleted, not promoted")
   }
+
+  test("delete == rebuild-without under the same model; upsert moves " +
+      "re-embedded ids; stats track both; idempotent") {
+    import org.apache.spark.sql.functions.col
+    val dirA = java.nio.file.Files.createTempDirectory("ivf_del_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("ivf_del_b").toString
+    val model = IvfIndex.fit(emb, "vec_id", "embedding", nLists = 8, iters = 3)
+    IvfIndex.save(emb, "vec_id", "embedding", model, dirA)
+    val n0 = emb.count()
+    val delIds = emb.filter($"vec_id" % 4 === 0).select($"vec_id")
+    IvfIndex.delete(spark, dirA, delIds)
+    IvfIndex.save(emb.filter($"vec_id" % 4 =!= 0), "vec_id", "embedding",
+      model, dirB)
+    val queries = emb.filter($"vec_id" < 10)
+    def rows(d: String) = {
+      val (m, lists) = IvfIndex.load(spark, d)
+      IvfIndex.probeIndexed(queries, lists, "vec_id", "embedding",
+          k = 5, m, nProbe = 8)
+        .orderBy($"query_id", $"rank").collect().map(_.toString).toSeq
+    }
+    assert(rows(dirA) === rows(dirB),
+      "post-delete probe must equal rebuild-without under the same model")
+    // deleted ids never surface
+    val (mA, listsA) = IvfIndex.load(spark, dirA)
+    assert(listsA.filter($"vec_id" % 4 === 0).count() === 0)
+    // idempotent; absent ids no-op
+    IvfIndex.delete(spark, dirA, delIds)
+    assert(rows(dirA) === rows(dirB))
+    // stats reflect the deletion, exactly
+    val s = IvfIndex.stats(spark, dirA)
+      .as[(String, Long)].collect().toMap
+    assert(s("vec_rows") === emb.filter($"vec_id" % 4 =!= 0).count())
+    assert(s("n_lists") === 8L)
+    assert(s("nonempty_lists") >= 1 && s("nonempty_lists") <= 8)
+    assert(s("min_list_size") >= 1 && s("min_list_size") <= s("max_list_size"))
+    // upsert: re-embed some survivors with different vectors + new ids
+    val ups = emb.filter($"vec_id" % 4 === 1 && $"vec_id" < 80)
+      .select($"vec_id", org.apache.spark.sql.functions.reverse($"embedding").as("embedding"))
+      .unionByName(emb.filter($"vec_id" < 5)
+        .select(($"vec_id" + 90000L).as("vec_id"), $"embedding"))
+    IvfIndex.upsert(ups, "vec_id", "embedding", dirA)
+    val dirC = java.nio.file.Files.createTempDirectory("ivf_ups_c").toString
+    IvfIndex.save(
+      emb.select($"vec_id", $"embedding").filter($"vec_id" % 4 =!= 0)
+        .join(ups.select($"vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(ups),
+      "vec_id", "embedding", model, dirC)
+    assert(rows(dirA) === rows(dirC),
+      "post-upsert probe must equal rebuild-with-replacements")
+    // emptying delete rejected
+    intercept[IllegalArgumentException] {
+      IvfIndex.delete(spark, dirC, spark.read.parquet(s"$dirC/lists")
+        .select($"vec_id"))
+    }
+  }
 }
