@@ -328,8 +328,13 @@ object IvfIndex {
       s"ids must be a one-column frame, got ${ids.columns.toSeq}")
     val del = ids.toDF("__del_id").distinct().cache()
     try {
-      val idCol = spark.read.parquet(s"$dir/lists").columns
-        .find(c => c != "list_id" && !c.startsWith("__"))
+      // the id column is the scalar that isn't the list key; keying off
+      // the TYPE (the vector column is the ArrayType one) survives any
+      // column-order change in assign()'s output
+      val idCol = spark.read.parquet(s"$dir/lists").schema.fields
+        .find(f => f.name != "list_id" &&
+          !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        .map(_.name)
         .getOrElse(throw new IllegalStateException("no id column in lists/"))
       val surviving = spark.read.parquet(s"$dir/lists")
         .join(del, col(idCol) === col("__del_id"), "left_anti").count()
