@@ -122,7 +122,8 @@ object Bench {
     "q219_index_stats" -> 8.5,
     "q220_index_upsert" -> 7.5, // +compact in-chain since late r12
     "q221_index_rollback" -> 7.0,
-    "q222_rank_drift" -> 7.0)
+    "q222_rank_drift" -> 7.0,
+    "q223_ivf_delete" -> 3.5)
   private val defaultAnchorSec = 1.0
   // overridable for local testing of the rerun path (driver never sets it)
   private val suspectFactor =

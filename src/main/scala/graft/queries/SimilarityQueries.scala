@@ -1071,6 +1071,49 @@ object SimilarityQueries extends QueryModule {
     * probe-set ranking/scoring end to end against the relational oracle;
     * q39 keeps the approximate nProbe < nLists setting with its spec'd
     * recall floor. */
+  /** Targeted delete on the PERSISTED exact-vector IVF index (the q213
+    * discipline on the fourth family): fit, save, [[graft.operators
+    * .IvfIndex.delete]] every vec_id ≡ 0 (mod 4) — a filtered rewrite of
+    * the list partitions under StagedSwap — then probe the SAVED index
+    * at saturating nProbe = nLists, where IVF provably reduces to exact
+    * brute force. The oracle is the exact top-k over the corpus WITHOUT
+    * the deleted rows, so the hash pins both halves: deleted ids never
+    * surface, and every survivor re-ranks exactly (a tombstone that
+    * leaked into scoring, or a list partition missed by the rewrite,
+    * shifts ranks). Queries keep the full id range — probing for an
+    * erased document's neighbors must still work. */
+  private def q223IvfDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val path = graft.core.Scratch.dir(dir, "ivfdel")
+    val model = graft.operators.IvfIndex.fit(
+      emb, "vec_id", "embedding", nLists = 8, iters = 2)
+    graft.operators.IvfIndex.save(emb, "vec_id", "embedding", model, path)
+    graft.operators.IvfIndex.delete(spark, path,
+      emb.filter($"vec_id" % 4 === 0).select($"vec_id"))
+    val (m, lists) = graft.operators.IvfIndex.load(spark, path)
+    graft.operators.IvfIndex.probeIndexed(
+        emb.filter($"vec_id" < 20), lists, "vec_id", "embedding",
+        k = 5, m, nProbe = 8)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** q69's exact replay over the corpus minus the deleted ids. */
+  private val q223Sql =
+    """WITH sims AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+      |  FROM embeddings q JOIN embeddings c
+      |    ON q.vec_id != c.vec_id AND c.vec_id % 4 <> 0
+      |  WHERE q.vec_id < 20),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM sims)
+      |SELECT query_id, rank, neighbor_id, sim
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   private def q70IvfFullProbe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -1493,6 +1536,8 @@ object SimilarityQueries extends QueryModule {
       "LSH-ANN at saturating table count reproduces exact top-k (north star)"),
     // q70 deliberately SHARES q69Sql: both queries' claim is "≡ exact
     // top-k", so one oracle gates two queries — edit q69Sql with care.
+    Q("q223_ivf_delete", q223IvfDelete, Some(q223Sql),
+      "targeted delete on the persisted exact-vector IVF index: saturating probe == exact top-k without the deleted rows (north star)"),
     Q("q70_ivf_full_probe", q70IvfFullProbe, Some(q69Sql),
       "IVF at nProbe = nLists reduces to exact brute force (north star)"),
     Q("q28_knn_brute", q28KnnBrute, Some(q28Sql), "exact cosine top-k (north star)"),
