@@ -66,7 +66,8 @@ object Plans {
       "q211_pq_exact", "q212_hybrid_rrf", "q213_index_delete",
       "q214_ann_recall", "q215_two_stage", "q216_hybrid_persisted",
       "q217_trained_quality", "q218_filtered_ann", "q219_index_stats",
-      "q220_index_upsert", "q221_index_rollback", "q222_rank_drift")
+      "q220_index_upsert", "q221_index_rollback", "q222_rank_drift",
+      "q223_ivf_delete")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)
