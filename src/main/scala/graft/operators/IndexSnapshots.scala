@@ -65,20 +65,43 @@ object IndexSnapshots {
       .filterNot(p => stagingSuffixes.exists(p.getName.endsWith))
   }
 
-  private def requireQuiescent(f: FileSystem, root: Path): Unit = {
+  /** Reject crashed-OTHER-mutation staging leftovers. `ownSuffixes` are
+    * the suffixes the CALLER's own rerun recovers (restore owns `_rst`,
+    * and `_old` when paired with it): excluding them keeps the
+    * documented "rerun the SAME restore to converge" repair path
+    * reachable — a quiescence check that rejected restore's own crash
+    * leftovers would deadlock the recovery it prescribes. */
+  private def requireQuiescent(f: FileSystem, root: Path,
+      ownSuffixes: Set[String] = Set.empty): Unit = {
     val leftovers = f.listStatus(root).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(n => stagingSuffixes.exists(n.endsWith))
+      .filterNot(n => ownSuffixes.exists(n.endsWith))
     require(leftovers.isEmpty,
       s"index at $root has crashed-mutation staging leftovers " +
         s"$leftovers — rerun the interrupted mutation (its recover " +
         "path repairs the index) before snapshot/restore")
   }
 
+  /** Recursive dir copy that writes the `_SUCCESS` marker LAST:
+    * StagedSwap.recover (and `readable`) trust a marked tmp as a
+    * COMPLETE dataset because Spark's committer creates the marker after
+    * every task file — a naive FileUtil.copy of the whole dir replays
+    * children in arbitrary order and can land `_SUCCESS` before the data
+    * files, so a mid-copy crash would leave a partial directory that
+    * recovery promotes as complete. */
   private def copyDir(f: FileSystem, src: Path, dst: Path,
-      conf: org.apache.hadoop.conf.Configuration): Unit =
-    if (!FileUtil.copy(f, src, f, dst, false, true, conf))
-      throw new java.io.IOException(s"snapshot: cannot copy $src to $dst")
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    f.mkdirs(dst)
+    val (markers, data) = f.listStatus(src).toSeq
+      .partition(_.getPath.getName == "_SUCCESS")
+    (data ++ markers).foreach { st =>
+      if (!FileUtil.copy(f, st.getPath, f, new Path(dst, st.getPath.getName),
+          false, true, conf))
+        throw new java.io.IOException(
+          s"snapshot: cannot copy ${st.getPath} to $dst")
+    }
+  }
 
   /** Freeze the index's current generation as `<index>/_snapshots/<tag>`.
     * Fails on an existing tag (snapshots are immutable — [[drop]] first)
@@ -116,7 +139,10 @@ object IndexSnapshots {
     val root = new Path(path)
     val snap = new Path(new Path(root, snapDirName), tag)
     require(f.exists(snap), s"no snapshot '$tag' under $root/$snapDirName")
-    requireQuiescent(f, root)
+    // `_rst` (and the paired `_old`) are THIS operation's own crash
+    // leftovers — StagedSwap.swap's recover step repairs them; only
+    // other mutations' leftovers (`_del`/`_compact`) block a restore
+    requireQuiescent(f, root, ownSuffixes = Set("_rst", "_old"))
     val snapSubs = f.listStatus(snap).toSeq.filter(_.isDirectory).map(_.getPath)
     require(snapSubs.nonEmpty, s"snapshot '$tag' is empty at $snap")
     snapSubs.foreach { s =>

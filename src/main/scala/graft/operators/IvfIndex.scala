@@ -266,13 +266,8 @@ object IvfIndex {
       else spark.read.parquet(s"$dir/centroids").count().toInt
     val current = spark.read.parquet(s"$dir/lists").drop("list_id")
     val model = fit(current, idCol, vecCol, k, iters, trainCap)
-    val conf = spark.sparkContext.hadoopConfiguration
-    def swapIn(sub: String)(write: String => Unit): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${sub}_compact")
-      val old = new org.apache.hadoop.fs.Path(s"$dir/${sub}_old")
-      StagedSwap.swap(live.getFileSystem(conf), live, tmp, old)(write)
-    }
+    def swapIn(sub: String)(write: String => Unit): Unit =
+      StagedSwap.swapSub(spark, dir, sub, "_compact")(write)
     // lists first (its write READS the live lists dir); the later swaps
     // re-read only the freshly swapped lists
     swapIn("lists") { tmp =>
@@ -336,16 +331,14 @@ object IvfIndex {
           !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
         .map(_.name)
         .getOrElse(throw new IllegalStateException("no id column in lists/"))
-      val surviving = spark.read.parquet(s"$dir/lists")
-        .join(del, col(idCol) === col("__del_id"), "left_anti").count()
-      require(surviving > 0,
+      // existence check, not a count: head(1) stops at the first
+      // surviving row instead of scanning the whole corpus twice
+      require(spark.read.parquet(s"$dir/lists")
+          .join(del, col(idCol) === col("__del_id"), "left_anti")
+          .head(1).nonEmpty,
         "delete would empty the index; drop the index directory instead")
       val nLists = spark.read.parquet(s"$dir/centroids").count().toInt
-      val conf = spark.sparkContext.hadoopConfiguration
-      val live = new org.apache.hadoop.fs.Path(s"$dir/lists")
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/lists_del")
-      val old = new org.apache.hadoop.fs.Path(s"$dir/lists_old")
-      StagedSwap.swap(live.getFileSystem(conf), live, tmp, old) { tmpDir =>
+      StagedSwap.swapSub(spark, dir, "lists", "_del") { tmpDir =>
         spark.read.parquet(s"$dir/lists")
           .join(del, col(idCol) === col("__del_id"), "left_anti")
           .repartition(nLists, col("list_id"))
@@ -395,11 +388,7 @@ object IvfIndex {
     * append or probe during the swap. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val nLists = spark.read.parquet(s"$dir/centroids").count().toInt
-    val conf = spark.sparkContext.hadoopConfiguration
-    val live = new org.apache.hadoop.fs.Path(s"$dir/lists")
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/lists_compact")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/lists_old")
-    StagedSwap.swap(live.getFileSystem(conf), live, tmp, old) { tmpDir =>
+    StagedSwap.swapSub(spark, dir, "lists", "_compact") { tmpDir =>
       // repartition on list_id: each task holds whole list partitions, so
       // partitionBy emits ~one file per list directory
       spark.read.parquet(s"$dir/lists")

@@ -112,13 +112,15 @@ object MinHashIndex {
       s"ids must be a one-column frame, got ${ids.columns.toSeq}")
     val del = ids.toDF("__del_id").distinct().cache()
     try {
-      val conf = spark.sparkContext.hadoopConfiguration
-      def swapSub(sub: String)(write: String => Unit): Unit = {
-        val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
-        val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}_del")
-        val old = new org.apache.hadoop.fs.Path(s"$path/${sub}_old")
-        StagedSwap.swap(live.getFileSystem(conf), live, tmp, old)(write)
-      }
+      // same emptying guard as the other families: a zero-row rewrite
+      // under partitionBy writes NO data files (just _SUCCESS), bricking
+      // every future probe/stats with an unreadable-schema error
+      require(spark.read.parquet(s"$path/sigs")
+          .join(del, col("id") === col("__del_id"), "left_anti")
+          .head(1).nonEmpty,
+        "delete would empty the index; drop the index directory instead")
+      def swapSub(sub: String)(write: String => Unit): Unit =
+        StagedSwap.swapSub(spark, path, sub, "_del")(write)
       swapSub("sigs") { tmp =>
         spark.read.parquet(s"$path/sigs")
           .join(del, col("id") === col("__del_id"), "left_anti")
@@ -149,12 +151,8 @@ object MinHashIndex {
   def compact(spark: SparkSession, path: String): Unit = {
     val (_, _, bands, _) = meta(spark, path)
     val conf = spark.sparkContext.hadoopConfiguration
-    def swap(sub: String)(write: String => Unit): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}_compact")
-      val old = new org.apache.hadoop.fs.Path(s"$path/${sub}_old")
-      StagedSwap.swap(live.getFileSystem(conf), live, tmp, old)(write)
-    }
+    def swap(sub: String)(write: String => Unit): Unit =
+      StagedSwap.swapSub(spark, path, sub, "_compact")(write)
     swap("bands") { tmp =>
       // repartition on band_idx: each task holds whole band partitions, so
       // partitionBy emits ~one file per band directory

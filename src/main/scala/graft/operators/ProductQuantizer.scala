@@ -497,11 +497,17 @@ object ProductQuantizer {
       s"ids must be a one-column frame, got ${ids.columns.toSeq}")
     val del = ids.toDF("__del_id").distinct().cache()
     try {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val live = new org.apache.hadoop.fs.Path(s"$dir/codes")
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/codes_del")
-      val old = new org.apache.hadoop.fs.Path(s"$dir/codes_old")
-      StagedSwap.swap(live.getFileSystem(conf), live, tmp, old) { tmpDir =>
+      // same emptying guard as the other families: a zero-row rewrite
+      // under partitionBy writes NO data files, bricking every future
+      // probeSaved/stats with an unreadable-schema error. NOTE this also
+      // rejects an upsert whose batch covers the WHOLE corpus — use a
+      // fresh save for a full refresh.
+      val preCodes = spark.read.parquet(s"$dir/codes")
+      require(preCodes
+          .join(del, col(codesIdCol(preCodes)) === col("__del_id"), "left_anti")
+          .head(1).nonEmpty,
+        "delete would empty the index; drop the index directory instead")
+      StagedSwap.swapSub(spark, dir, "codes", "_del") { tmpDir =>
         val codes = spark.read.parquet(s"$dir/codes")
         val idName = codesIdCol(codes)
         codes.join(del, col(idName) === col("__del_id"), "left_anti")
@@ -516,11 +522,7 @@ object ProductQuantizer {
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val nLists = spark.read.parquet(s"$dir/coarse")
       .select(col("cluster_id")).distinct().count().toInt
-    val conf = spark.sparkContext.hadoopConfiguration
-    val live = new org.apache.hadoop.fs.Path(s"$dir/codes")
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/codes_compact")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/codes_old")
-    StagedSwap.swap(live.getFileSystem(conf), live, tmp, old) { tmpDir =>
+    StagedSwap.swapSub(spark, dir, "codes", "_compact") { tmpDir =>
       spark.read.parquet(s"$dir/codes")
         .repartition(nLists, col("list_id"))
         .write.partitionBy("list_id").parquet(tmpDir)

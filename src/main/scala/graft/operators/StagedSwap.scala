@@ -110,6 +110,19 @@ object StagedSwap {
     if (!fs.delete(p, true) && fs.exists(p))
       throw new java.io.IOException(s"swap: cannot delete $p")
 
+  /** The one staging-name convention every index family shares: swap
+    * `<path>/<sub>` with tmp `<path>/<sub><tmpSuffix>` and stage-aside
+    * `<path>/<sub>_old`. Extracted so the staging discipline lives in
+    * ONE place instead of a per-family copy of the three-Path dance. */
+  def swapSub(spark: org.apache.spark.sql.SparkSession, path: String,
+      sub: String, tmpSuffix: String)(write: String => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new Path(s"$path/$sub")
+    val tmp = new Path(s"$path/$sub$tmpSuffix")
+    val old = new Path(s"$path/${sub}_old")
+    swap(live.getFileSystem(conf), live, tmp, old)(write)
+  }
+
   /** Run one swap: recover a crashed predecessor, clear leftovers (only
     * with `live` confirmed present), `write` the new copy to `tmp`, then
     * two renames. A legitimately absent `live` (first materialization of a

@@ -134,6 +134,13 @@ object TextIndex {
     *    n_docs` is THE staleness signal of [[append]]'s documented
     *    crash window (fresh postings under stale meta) — the condition
     *    a dashboard alert should page on.
+    *  - `posting_doc_ids`: distinct doc ids IN the postings.
+    *    `posting_doc_ids > doc_rows + (token-less docs)` means some
+    *    append crashed between its postings and docs writes and its
+    *    redelivery was (correctly) fenced by the seen-set — postings
+    *    exist for docs the sidecar and meta never counted. Repair:
+    *    [[upsert]] the drifted ids (delete clears the partial postings,
+    *    append re-ingests them consistently).
     *  - `posting_rows`/`distinct_terms`/`nonempty_buckets`: inverted-
     *    file shape (vocabulary size, bucket occupancy for the pruning
     *    layout).
@@ -144,13 +151,15 @@ object TextIndex {
     val meta = spark.read.parquet(s"$path/meta").collect().head
     val p = spark.read.parquet(s"$path/postings")
       .agg(count(lit(1)), countDistinct(col("term")),
-        countDistinct(col("bucket"))).collect().head
+        countDistinct(col("bucket")), countDistinct(col("doc_id")))
+      .collect().head
     val docRows = spark.read.parquet(s"$path/docs").count()
     Seq(
       "n_docs" -> meta.getLong(0),
       "sum_dl" -> meta.getLong(1),
       "n_buckets" -> meta.getInt(2).toLong,
       "doc_rows" -> docRows,
+      "posting_doc_ids" -> p.getLong(3),
       "posting_rows" -> p.getLong(0),
       "distinct_terms" -> p.getLong(1),
       "nonempty_buckets" -> p.getLong(2)
@@ -170,12 +179,8 @@ object TextIndex {
   def compact(spark: SparkSession, path: String): Unit = {
     val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(2)
     val conf = spark.sparkContext.hadoopConfiguration
-    def swap(sub: String)(write: String => Unit): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}_compact")
-      val old = new org.apache.hadoop.fs.Path(s"$path/${sub}_old")
-      StagedSwap.swap(live.getFileSystem(conf), live, tmp, old)(write)
-    }
+    def swap(sub: String)(write: String => Unit): Unit =
+      StagedSwap.swapSub(spark, path, sub, "_compact")(write)
     swap("postings") { tmp =>
       // repartition on bucket: each task holds whole bucket partitions,
       // so partitionBy emits ~one file per bucket directory
@@ -226,13 +231,8 @@ object TextIndex {
         .collect().head
       require(surviving.getLong(0) > 0,
         "delete would empty the index; drop the index directory instead")
-      val conf = spark.sparkContext.hadoopConfiguration
-      def swapSub(sub: String)(write: String => Unit): Unit = {
-        val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
-        val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}_del")
-        val old = new org.apache.hadoop.fs.Path(s"$path/${sub}_old")
-        StagedSwap.swap(live.getFileSystem(conf), live, tmp, old)(write)
-      }
+      def swapSub(sub: String)(write: String => Unit): Unit =
+        StagedSwap.swapSub(spark, path, sub, "_del")(write)
       swapSub("postings") { tmp =>
         spark.read.parquet(s"$path/postings")
           .join(del, col("doc_id") === col("__del_id"), "left_anti")

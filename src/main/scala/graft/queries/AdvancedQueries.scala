@@ -1271,7 +1271,10 @@ object AdvancedQueries extends QueryModule {
         sum($"t").as("n_keys"),
         sum($"n" * $"t").as("total"),
         max($"n").as("max_n"),
-        sum($"n" * ($"t" * $"c" + $"t" * ($"t" + 1) / 2)).as("iwsum"))
+        // `div`, not `/`: Spark's Divide is DOUBLE division even on
+        // integrals, and a float iwsum loses integer exactness past 2^53
+        // (t·(t+1) is always even, so div is exact)
+        sum($"n" * ($"t" * $"c" + expr("t * (t + 1) div 2"))).as("iwsum"))
       .select($"n_keys", $"total", $"max_n",
         (($"iwsum" * 2 - ($"n_keys" + 1) * $"total").cast("double") /
           ($"n_keys" * $"total").cast("double")).as("gini"),

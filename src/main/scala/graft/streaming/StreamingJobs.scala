@@ -184,18 +184,29 @@ object StreamingJobs {
         val spark = batch.sparkSession
         val docs = batch.dropDuplicates(idCol).persist()
         try {
-          // the docs membership sidecar is one row per doc — a cheaper
-          // (and empty-doc-correct) seen-set than a postings distinct
-          val indexed =
-            try Some(spark.read.parquet(s"$indexPath/docs")
-              .select(col("doc_id")))
+          def readIds(sub: String, idName: String) =
+            try Some(spark.read.parquet(s"$indexPath/$sub")
+              .select(col(idName).as("__seen_id")).distinct())
             catch { case _: org.apache.spark.sql.AnalysisException => None }
+          // seen-set = docs sidecar ∪ postings distinct. The union is
+          // load-bearing twice over: (a) append commits postings BEFORE
+          // the docs sidecar, so after a crash in that window a
+          // docs-only seen-set would re-append the redelivered batch and
+          // DOUBLE its tf/df — postings must count as "seen" too;
+          // (b) a docs-only check would also treat a pre-sidecar-format
+          // index as absent and let save() overwrite the whole corpus
+          // with one micro-batch. The sidecar side stays for empty-doc
+          // correctness (token-less docs never reach postings).
+          val indexed = (readIds("docs", "doc_id"),
+            readIds("postings", "doc_id")) match {
+            case (Some(d), Some(p)) => Some(d.unionByName(p).distinct())
+            case (d, p) => d.orElse(p)
+          }
           indexed match {
             case None =>
               graft.operators.TextIndex.save(docs, idCol, textCol, indexPath)
             case Some(seen) =>
-              val fresh = docs.join(
-                seen.withColumnRenamed("doc_id", "__seen_id"),
+              val fresh = docs.join(seen,
                 docs(idCol) === col("__seen_id"), "left_anti")
               graft.operators.TextIndex.append(fresh, idCol, textCol, indexPath)
           }

@@ -116,6 +116,33 @@ class IndexSnapshotsSpec extends SparkSpec {
     assert(TextIndex.stats(spark, path).collect().toSeq === s0)
   }
 
+  test("restore recovers its OWN mid-swap crash: _rst + _old leftovers " +
+      "with live missing do not deadlock the rerun") {
+    val path = Files.createTempDirectory("snap_rstcrash").toString
+    TextIndex.save(docs, "doc_id", "text", path)
+    val p0 = TextIndex.probe(spark, path, Seq("spark"), k = 10).collect().toSeq
+    IndexSnapshots.snapshot(spark, path, "v1")
+    TextIndex.delete(spark, path,
+      docs.filter($"doc_id" % 2 === 0).select($"doc_id"))
+    // simulate restore dying between StagedSwap's two renames on the
+    // postings artifact: live renamed to _old, the complete new copy
+    // still staged at _rst (with its _SUCCESS), live MISSING
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val live = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val rst = new org.apache.hadoop.fs.Path(s"$path/postings_rst")
+    val old = new org.apache.hadoop.fs.Path(s"$path/postings_old")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$path/_snapshots/v1/postings"),
+      fs, rst, false, true, conf)
+    assert(fs.rename(live, old), "fixture: stage live aside")
+    // the rerun must converge everything to the snapshot, not reject
+    IndexSnapshots.restore(spark, path, "v1")
+    assert(TextIndex.probe(spark, path, Seq("spark"), k = 10)
+      .collect().toSeq === p0)
+    assert(!fs.exists(rst) && !fs.exists(old), "staging leftovers cleared")
+  }
+
   test("at(tag): read-only time travel — probe a past generation without " +
       "restoring; live index unaffected") {
     val path = Files.createTempDirectory("snap_at").toString
