@@ -987,7 +987,8 @@ object SimilarityQueries extends QueryModule {
       emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", vPath)
     val text = graft.operators.TextIndex.stats(spark, tPath)
       .filter($"stat".isin(
-        "n_docs", "doc_rows", "sum_dl", "posting_rows", "distinct_terms"))
+        "n_docs", "doc_rows", "sum_dl", "posting_rows", "distinct_terms",
+        "posting_doc_ids"))
       .select(lit("text").as("idx"), $"stat", $"value")
     val mh = graft.operators.MinHashIndex.stats(spark, mPath)
       .filter($"stat".isin(
@@ -1014,6 +1015,8 @@ object SimilarityQueries extends QueryModule {
       |    UNION ALL SELECT 'doc_rows', CAST(COUNT(*) AS BIGINT) FROM d
       |    UNION ALL SELECT 'sum_dl', CAST(SUM(len(ws)) AS BIGINT) FROM d
       |    UNION ALL SELECT 'posting_rows', CAST(COUNT(*) AS BIGINT) FROM tp
+      |    UNION ALL SELECT 'posting_doc_ids',
+      |      CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM tp
       |    UNION ALL SELECT 'distinct_terms',
       |      CAST(COUNT(DISTINCT term) AS BIGINT) FROM tp)),
       |mh AS (
