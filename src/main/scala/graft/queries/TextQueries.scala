@@ -759,6 +759,87 @@ object TextQueries extends QueryModule {
       |ORDER BY score DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  /** Per-document drop ledger — the "why was THIS document removed"
+    * audit a curation pipeline owes its users, emitted as one
+    * (doc_id, reason) row per input document with FIRST-FAILURE-WINS
+    * attribution across three ordered stages: language filter
+    * (script+stopword langid ≠ 'en'), Gopher hard quality gates, exact
+    * dedup (md5 keeper = lowest doc_id AMONG STAGE SURVIVORS — dedup
+    * runs after filtering, so a dup whose earlier copies were all
+    * quality-dropped is KEPT, which a naive corpus-wide keeper would
+    * get wrong). Every rule is integer/string-exact, so the whole
+    * ledger replays relationally; the survivor-rank is one cumulative
+    * window per md5 group (no corpus-global window, no text rejoin). */
+  private def q224DropLedger(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wH = org.apache.spark.sql.expressions.Window
+      .partitionBy($"__h").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(spark, dir)
+      // all text-derived columns compute BEFORE the window so its
+      // exchange shuffles (doc_id, digest, two booleans), never the text
+      .select($"doc_id", md5($"text").as("__h"),
+        (langIdScript($"text") === "en").as("__en"),
+        graft.operators.QualityRules.passes("text").as("__gopher"))
+      .withColumn("__surv_rank",
+        sum(when($"__en" && $"__gopher", 1L).otherwise(0L)).over(wH))
+      .select($"doc_id",
+        when(!$"__en", lit("lang_filter"))
+          .when(!$"__gopher", lit("gopher_quality"))
+          .when($"__surv_rank" > 1, lit("exact_dup"))
+          .otherwise(lit("kept")).as("reason"))
+      .orderBy($"doc_id")
+  }
+
+  /** The three stages replayed relationally: q45's langid CASE per doc,
+    * q58's Gopher rule arithmetic, and a per-md5 survivor cumsum. */
+  private val q224Sql =
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(len(w)) AS BIGINT) AS sum_word_len,
+       |    CAST(SUM(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+       |    CAST(SUM(CASE WHEN w IN ('the','a','and','of','to','in','be','that','have','with')
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+       |  FROM words GROUP BY doc_id),
+       |l AS (
+       |  SELECT doc_id, text,
+       |    length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 1.0 /
+       |      greatest(length(text), 1) AS cjk,
+       |    ${hits("en")} AS s_en, ${hits("de")} AS s_de,
+       |    ${hits("fr")} AS s_fr, ${hits("es")} AS s_es,
+       |    greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")}) AS best
+       |  FROM documents),
+       |j AS (
+       |  SELECT l.doc_id, l.text,
+       |    (CASE WHEN l.cjk >= 0.3 THEN 'zh'
+       |          WHEN l.s_en = l.best AND l.best > 0 THEN 'en'
+       |          WHEN l.s_de = l.best AND l.best > 0 THEN 'de'
+       |          WHEN l.s_fr = l.best AND l.best > 0 THEN 'fr'
+       |          WHEN l.s_es = l.best AND l.best > 0 THEN 'es'
+       |          ELSE 'und' END = 'en') AS en,
+       |    (g.n_words BETWEEN 50 AND 100000
+       |      AND g.sum_word_len >= 3 * g.n_words
+       |      AND g.sum_word_len <= 10 * g.n_words
+       |      AND g.n_alpha * 100 >= 80 * g.n_words
+       |      AND g.n_stop >= 2) AS gopher
+       |  FROM l JOIN g USING (doc_id)),
+       |r AS (
+       |  SELECT doc_id, en, gopher,
+       |    SUM(CASE WHEN en AND gopher THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY md5(text) ORDER BY doc_id
+       |            ROWS UNBOUNDED PRECEDING) AS surv_rank
+       |  FROM j)
+       |SELECT doc_id,
+       |  CASE WHEN NOT en THEN 'lang_filter'
+       |       WHEN NOT gopher THEN 'gopher_quality'
+       |       WHEN surv_rank > 1 THEN 'exact_dup'
+       |       ELSE 'kept' END AS reason
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** Snapshot + rollback on the persisted BM25 index — the recovery
     * path of the lifecycle (q213 pins delete, q220 upsert, q219 the
     * stats): save the full corpus, [[graft.operators.IndexSnapshots
@@ -2661,6 +2742,8 @@ object TextQueries extends QueryModule {
       "snapshot + rollback on the persisted BM25 index: poison (delete+upsert) then restore == never-mutated probe (north star)"),
     Q("q222_rank_drift", q222RankDrift, Some(q222Sql),
       "rank drift between index generations: snapshot time-travel probe vs live probe, exact integer diff under one hash (north star)"),
+    Q("q224_drop_ledger", q224DropLedger, Some(q224Sql),
+      "per-document drop ledger: first-failure-wins reason across langid -> Gopher -> survivor-aware exact dedup (north star)"),
     Q("q217_trained_quality", q217TrainedQuality, Some(q217Sql),
       "trained quality scorer: quantized-GD logistic regression + tercile buckets under one hash (north star)"),
     Q("q56_lm_score", q56LmScore, Some(q56Sql),
