@@ -177,7 +177,8 @@ object StreamingJobs {
     * contract). Cold start: the first batch creates the index. */
   def indexOnArrival(stream: DataFrame, idCol: String, textCol: String,
       indexPath: String, checkpoint: String,
-      clearCachePerBatch: Boolean = true): DataStreamWriter[Row] =
+      clearCachePerBatch: Boolean = true,
+      autoCompactFilesPerDir: Option[Int] = None): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -210,6 +211,12 @@ object StreamingJobs {
                 docs(idCol) === col("__seen_id"), "left_anti")
               graft.operators.TextIndex.append(fresh, idCol, textCol, indexPath)
           }
+          // opt-in maintenance: one directory listing per batch; compact
+          // only when append-accreted files pass the policy threshold
+          // (the foreachBatch IS the single writer, so the swap is safe)
+          if (autoCompactFilesPerDir.exists(t =>
+              graft.operators.IndexMaintenance.needsCompact(spark, indexPath, t)))
+            graft.operators.TextIndex.compact(spark, indexPath)
         } finally {
           docs.unpersist()
           if (clearCachePerBatch) spark.catalog.clearCache()
@@ -235,7 +242,8 @@ object StreamingJobs {
     * Single-writer, like every index mutation. */
   def upsertOnArrival(stream: DataFrame, idCol: String, textCol: String,
       indexPath: String, checkpoint: String,
-      clearCachePerBatch: Boolean = true): DataStreamWriter[Row] =
+      clearCachePerBatch: Boolean = true,
+      autoCompactFilesPerDir: Option[Int] = None): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -251,6 +259,9 @@ object StreamingJobs {
               graft.operators.TextIndex.upsert(docs, idCol, textCol, indexPath)
             else
               graft.operators.TextIndex.save(docs, idCol, textCol, indexPath)
+            if (autoCompactFilesPerDir.exists(t =>
+                graft.operators.IndexMaintenance.needsCompact(spark, indexPath, t)))
+              graft.operators.TextIndex.compact(spark, indexPath)
           }
         } finally {
           docs.unpersist()

@@ -137,6 +137,37 @@ class TextIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("auto-compact inside the ingest stream: file growth bounded by the " +
+      "policy, answers unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ti_autocompact").toString
+    val (idx, ckpt) = (s"$dir/index", s"$dir/ckpt")
+    val source = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs.indexOnArrival(
+        source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idx, ckpt, clearCachePerBatch = false,
+        autoCompactFilesPerDir = Some(2))
+      .start()
+    try {
+      for (b <- 0 until 6) {
+        source.addData((1 to 5).map(i =>
+          ((b * 10 + i).toLong, s"spark batch$b doc$i join merge")): _*)
+        q.processAllAvailable()
+      }
+      assert(!graft.operators.IndexMaintenance.needsCompact(spark, idx, 2),
+        "in-stream compaction must keep fragmentation under the policy")
+      val allDocs = (0 until 6).flatMap(b => (1 to 5).map(i =>
+        ((b * 10 + i).toLong, s"spark batch$b doc$i join merge")))
+        .toDF("doc_id", "text")
+      val viaIndex = TextIndex.probe(spark, idx, Seq("spark", "merge"), k = 40)
+        .collect().toSeq
+      val viaScan = Bm25.search(allDocs, "doc_id", "text",
+        Seq("spark", "merge"), k = 40).collect().toSeq
+      assert(viaIndex === viaScan)
+    } finally q.stop()
+  }
+
   test("forgetOnArrival: streamed erasure fans to every serving index and " +
       "converges each to rebuilt-without; redelivered and absent ids are no-ops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
