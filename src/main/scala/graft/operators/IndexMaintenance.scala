@@ -28,13 +28,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ignored, same exclusions as [[IndexSnapshots]]. */
 object IndexMaintenance {
 
-  private val excludedSuffixes = Seq("_del", "_old", "_compact", "_rst")
+  private def excludedSuffixes = StagedSwap.allStagingSuffixes
 
   private def dataFiles(f: org.apache.hadoop.fs.FileSystem,
       dir: Path): (Long, Long) = {
     // (leaf dirs, data files): a partitioned artifact's leaves are its
     // partition dirs; a flat artifact is its own single leaf
     val children = f.listStatus(dir).toSeq
+      // skip committer scratch (_temporary) and hidden dirs, matching
+      // the file-level filter and Spark's own reader convention
+      .filterNot(st => st.isDirectory &&
+        (st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith(".")))
     val (subdirs, files) = children.partition(_.isDirectory)
     val dataHere = files.count { st =>
       val n = st.getPath.getName
@@ -54,28 +58,33 @@ object IndexMaintenance {
   def plan(spark: SparkSession, path: String,
       maxFilesPerDir: Int = 4): DataFrame = {
     import spark.implicits._
+    planRows(spark, path, maxFilesPerDir)
+      .toDF("artifact", "leaf_dirs", "data_files", "needs_compact")
+  }
+
+  private def planRows(spark: SparkSession, path: String,
+      maxFilesPerDir: Int): Seq[(String, Long, Long, Boolean)] = {
     require(maxFilesPerDir >= 1, s"maxFilesPerDir must be >= 1")
     val root = new Path(path)
     val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(f.exists(root), s"no index at $path")
-    val rows = f.listStatus(root).toSeq
+    f.listStatus(root).toSeq
       .filter(_.isDirectory).map(_.getPath)
-      .filterNot(p => p.getName == "_snapshots" || p.getName.startsWith("."))
+      .filterNot(p => p.getName == IndexSnapshots.snapDirName ||
+        p.getName.startsWith("."))
       .filterNot(p => excludedSuffixes.exists(p.getName.endsWith))
       .sortBy(_.getName)
       .map { a =>
         val (leaves, files) = dataFiles(f, a)
         (a.getName, leaves, files, files > maxFilesPerDir.toLong * leaves)
       }
-    rows.toDF("artifact", "leaf_dirs", "data_files", "needs_compact")
   }
 
   /** True when ANY artifact is fragmented past the threshold — the
-    * boolean the ingest loop gates its family compact on. */
+    * boolean the ingest loop gates its family compact on. Pure driver
+    * work (no Spark job): this runs once per micro-batch in the hot
+    * ingest loop. */
   def needsCompact(spark: SparkSession, path: String,
-      maxFilesPerDir: Int = 4): Boolean = {
-    import spark.implicits._
-    plan(spark, path, maxFilesPerDir)
-      .filter($"needs_compact").head(1).nonEmpty
-  }
+      maxFilesPerDir: Int = 4): Boolean =
+    planRows(spark, path, maxFilesPerDir).exists(_._4)
 }

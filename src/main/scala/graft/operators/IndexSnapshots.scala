@@ -43,8 +43,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * in between. */
 object IndexSnapshots {
 
-  private val stagingSuffixes = Seq("_del", "_old", "_compact", "_rst")
-  private val snapDirName = "_snapshots"
+  private def stagingSuffixes = StagedSwap.allStagingSuffixes
+  private[operators] val snapDirName = "_snapshots"
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

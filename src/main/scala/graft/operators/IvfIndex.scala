@@ -262,6 +262,7 @@ object IvfIndex {
     * compact during the swap, same as [[compact]]. */
   def refit(spark: SparkSession, dir: String, idCol: String, vecCol: String,
       nLists: Int = 0, iters: Int = 3, trainCap: Int = 4096): IvfModel = {
+    recover(spark, dir)
     val k = if (nLists > 0) nLists
       else spark.read.parquet(s"$dir/centroids").count().toInt
     val current = spark.read.parquet(s"$dir/lists").drop("list_id")
@@ -304,6 +305,7 @@ object IvfIndex {
   def append(vectors: DataFrame, idCol: String, vecCol: String,
       dir: String): Unit = {
     val spark = vectors.sparkSession
+    recover(spark, dir)
     val centroids = spark.read.parquet(s"$dir/centroids")
     assign(vectors, idCol, vecCol, centroids)
       .write.partitionBy("list_id").mode("append").parquet(s"$dir/lists")
@@ -321,6 +323,7 @@ object IvfIndex {
   def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
     require(ids.columns.length == 1,
       s"ids must be a one-column frame, got ${ids.columns.toSeq}")
+    recover(spark, dir)
     val del = ids.toDF("__del_id").distinct().cache()
     try {
       // the id column is the scalar that isn't the list key; keying off
@@ -386,7 +389,14 @@ object IvfIndex {
     * compact's recovery step, which restores `lists/` from the surviving
     * copy before deleting anything). Single-writer contract: no concurrent
     * append or probe during the swap. */
+  /** Writer-restart repair — the [[TextIndex.recover]] discipline on
+    * this family's swapped artifacts (lists always; centroids and stats
+    * swap during [[refit]]). */
+  def recover(spark: SparkSession, dir: String): Unit =
+    Seq("lists", "centroids", "stats").foreach(StagedSwap.recoverSub(spark, dir, _))
+
   def compact(spark: SparkSession, dir: String): Unit = {
+    recover(spark, dir)
     val nLists = spark.read.parquet(s"$dir/centroids").count().toInt
     StagedSwap.swapSub(spark, dir, "lists", "_compact") { tmpDir =>
       // repartition on list_id: each task holds whole list partitions, so

@@ -63,6 +63,11 @@ object MinHashIndex {
     } finally sigs.unpersist()
   }
 
+  /** Writer-restart repair — the [[TextIndex.recover]] discipline on
+    * this family's swapped artifacts (sigs, bands). */
+  def recover(spark: SparkSession, path: String): Unit =
+    Seq("sigs", "bands").foreach(StagedSwap.recoverSub(spark, path, _))
+
   /** Admit a new batch into an EXISTING index: append its signatures and
     * bands (parquet append — partitionBy(band_idx) layouts merge
     * file-wise, no rewrite of standing data). The continuous-ingest
@@ -72,6 +77,7 @@ object MinHashIndex {
   def append(newDocs: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
     val spark = newDocs.sparkSession
+    recover(spark, path)
     val (n, k, bands, seed) = meta(spark, path)
     val sigs = Dedup.minhashSignatures(newDocs, idCol, textCol, n, k, seed)
       .select(col(idCol).as("id"), col("sig")).cache()
@@ -110,6 +116,7 @@ object MinHashIndex {
   def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
     require(ids.columns.length == 1,
       s"ids must be a one-column frame, got ${ids.columns.toSeq}")
+    recover(spark, path)
     val del = ids.toDF("__del_id").distinct().cache()
     try {
       // same emptying guard as the other families: a zero-row rewrite
@@ -149,6 +156,7 @@ object MinHashIndex {
     * recovery step, which restores the live directory from the surviving
     * copy before deleting anything). */
   def compact(spark: SparkSession, path: String): Unit = {
+    recover(spark, path)
     val (_, _, bands, _) = meta(spark, path)
     val conf = spark.sparkContext.hadoopConfiguration
     def swap(sub: String)(write: String => Unit): Unit =

@@ -398,6 +398,7 @@ object ProductQuantizer {
   def append(df: DataFrame, idCol: String, vecCol: String,
       dir: String): Unit = {
     val spark = df.sparkSession
+    recover(spark, dir)
     val residual = spark.read.parquet(s"$dir/meta")
       .head().getAs[Boolean]("residual")
     indexArtifact(df, idCol, vecCol,
@@ -495,6 +496,7 @@ object ProductQuantizer {
       ids: DataFrame): Unit = {
     require(ids.columns.length == 1,
       s"ids must be a one-column frame, got ${ids.columns.toSeq}")
+    recover(spark, dir)
     val del = ids.toDF("__del_id").distinct().cache()
     try {
       // same emptying guard as the other families: a zero-row rewrite
@@ -519,7 +521,13 @@ object ProductQuantizer {
   /** Rewrite append-accreted code partitions to ~one file per cell via
     * the crash-safe [[StagedSwap]] — same contract as
     * [[IvfIndex.compact]]. Single-writer, no concurrent append/probe. */
+  /** Writer-restart repair — the [[TextIndex.recover]] discipline on
+    * this family's swapped artifact (codes). */
+  def recover(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    StagedSwap.recoverSub(spark, dir, "codes")
+
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    recover(spark, dir)
     val nLists = spark.read.parquet(s"$dir/coarse")
       .select(col("cluster_id")).distinct().count().toInt
     StagedSwap.swapSub(spark, dir, "codes", "_compact") { tmpDir =>

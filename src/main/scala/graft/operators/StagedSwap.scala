@@ -22,6 +22,40 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object StagedSwap {
 
+  /** Every tmp-staging suffix any index mutation uses (`_old` is the
+    * shared stage-aside name). ONE definition — IndexSnapshots'
+    * quiescence check and IndexMaintenance's artifact filter reference
+    * it, so a future mutation adding a suffix cannot desynchronize
+    * them. */
+  val tmpSuffixes: Seq[String] = Seq("_del", "_compact", "_rst")
+  val oldSuffix: String = "_old"
+  val allStagingSuffixes: Seq[String] = tmpSuffixes :+ oldSuffix
+
+  /** Writer-restart recovery for one artifact subdir under the shared
+    * naming convention, without knowing WHICH mutation crashed: find the
+    * surviving tmp candidate among [[tmpSuffixes]] (single-writer ⇒ at
+    * most one) and run [[recover]] against it and `<sub>_old`. Call at
+    * every mutation entry point (and at the head of a restarting ingest
+    * stream's foreachBatch) BEFORE reading the artifact: a reader that
+    * instead interprets the mid-swap missing-live state as "index
+    * absent" and re-saves would overwrite the whole corpus with one
+    * micro-batch. Cheap: a handful of fs.exists calls; a no-op when
+    * `live` is present. */
+  def recoverSub(spark: org.apache.spark.sql.SparkSession, path: String,
+      sub: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new Path(s"$path/$sub")
+    val fs = live.getFileSystem(conf)
+    val tmps = tmpSuffixes.map(sfx => new Path(s"$path/$sub$sfx"))
+      .filter(fs.exists)
+    require(tmps.size <= 1,
+      s"multiple staged tmp dirs for $path/$sub: $tmps — single-writer " +
+        "contract violated; resolve manually")
+    recover(fs, live,
+      tmps.headOption.getOrElse(new Path(s"$path/$sub${tmpSuffixes.head}")),
+      new Path(s"$path/$sub$oldSuffix"))
+  }
+
   /** If `live` is missing, restore it from a crashed prior swap's
     * leftovers. Safe no-op when `live` exists.
     *

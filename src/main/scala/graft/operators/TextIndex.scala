@@ -70,6 +70,14 @@ object TextIndex {
     docs.select(col(idCol).as("doc_id"),
       size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
 
+  /** Writer-restart repair: recover any crashed swap's leftovers on the
+    * swapped artifacts (postings, docs) BEFORE reading or mutating —
+    * the [[StagedSwap.recoverSub]] contract. Every mutation entry point
+    * calls this; restarting ingest streams call it per batch so a
+    * mid-swap crash is never misread as an absent index. */
+  def recover(spark: SparkSession, path: String): Unit =
+    Seq("postings", "docs").foreach(StagedSwap.recoverSub(spark, path, _))
+
   /** Build and persist the index over `docs`. Overwrites `path`. */
   def save(docs: DataFrame, idCol: String, textCol: String, path: String,
       nBuckets: Int = 64): Unit = {
@@ -91,6 +99,7 @@ object TextIndex {
       path: String): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    recover(spark, path)
     val meta = spark.read.parquet(s"$path/meta").collect().head
     val nBuckets = meta.getInt(2)
     postingsOf(batch, idCol, textCol, nBuckets)
@@ -177,6 +186,7 @@ object TextIndex {
     * pre/post). Single-writer, staged under the crash-safe
     * [[StagedSwap]], same as the other families' compacts. */
   def compact(spark: SparkSession, path: String): Unit = {
+    recover(spark, path)
     val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(2)
     val conf = spark.sparkContext.hadoopConfiguration
     def swap(sub: String)(write: String => Unit): Unit =
@@ -222,6 +232,7 @@ object TextIndex {
     import spark.implicits._
     require(ids.columns.length == 1,
       s"ids must be a one-column frame, got ${ids.columns.toSeq}")
+    recover(spark, path)
     val del = ids.toDF("__del_id").distinct().cache()
     try {
       val nBuckets = spark.read.parquet(s"$path/meta").collect().head.getInt(2)

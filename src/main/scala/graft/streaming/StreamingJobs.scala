@@ -185,6 +185,10 @@ object StreamingJobs {
         val spark = batch.sparkSession
         val docs = batch.dropDuplicates(idCol).persist()
         try {
+          // writer-restart repair FIRST: a crash inside a prior batch's
+          // auto-compact (or any other swap) must not be misread below
+          // as "index absent" and overwritten by save()
+          graft.operators.TextIndex.recover(spark, indexPath)
           def readIds(sub: String, idName: String) =
             try Some(spark.read.parquet(s"$indexPath/$sub")
               .select(col(idName).as("__seen_id")).distinct())
@@ -252,6 +256,9 @@ object StreamingJobs {
           .agg(max(col(textCol)).as(textCol)).persist()
         try {
           if (docs.head(1).nonEmpty) {
+            // writer-restart repair FIRST: the exists probe below must
+            // never see a mid-swap missing artifact as an absent index
+            graft.operators.TextIndex.recover(spark, indexPath)
             val exists =
               try { spark.read.parquet(s"$indexPath/docs"); true }
               catch { case _: org.apache.spark.sql.AnalysisException => false }
@@ -292,6 +299,9 @@ object StreamingJobs {
           .agg(max(col(textCol)).as(textCol)).persist()
         try {
           if (docs.head(1).nonEmpty) {
+            // writer-restart repair FIRST (the upsert's delete half swaps
+            // sigs/bands; a crash there must not trigger a save overwrite)
+            graft.operators.MinHashIndex.recover(spark, indexPath)
             val exists =
               try { spark.read.parquet(s"$indexPath/sigs"); true }
               catch { case _: org.apache.spark.sql.AnalysisException => false }

@@ -168,6 +168,68 @@ class TextIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream restart inside compact's swap window: recovery runs before " +
+      "the seen-set reads — the corpus is never overwritten by one batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ti_swapcrash").toString
+    val (idx, ckpt) = (s"$dir/index", s"$dir/ckpt")
+    val corpus = (1L to 30L).map(i => (i, s"spark doc$i join merge"))
+    TextIndex.save(corpus.toDF("doc_id", "text"), "doc_id", "text", idx)
+    // simulate a compact that died between StagedSwap's two renames on
+    // BOTH swapped artifacts: live staged aside, complete tmp present
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
+    for (sub <- Seq("postings", "docs")) {
+      val live = new org.apache.hadoop.fs.Path(s"$idx/$sub")
+      org.apache.hadoop.fs.FileUtil.copy(fs, live, fs,
+        new org.apache.hadoop.fs.Path(s"$idx/${sub}_compact"),
+        false, true, conf)
+      assert(fs.rename(live, new org.apache.hadoop.fs.Path(s"$idx/${sub}_old")))
+    }
+    // a restarting ingest stream must repair, then APPEND — not save()
+    val source = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs.indexOnArrival(
+        source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idx, ckpt, clearCachePerBatch = false)
+      .start()
+    try {
+      source.addData((100L, "spark fresh doc"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = (corpus :+ (100L, "spark fresh doc")).toDF("doc_id", "text")
+    val viaIndex = TextIndex.probe(spark, idx, Seq("spark"), k = 40)
+      .collect().toSeq
+    val viaScan = Bm25.search(all, "doc_id", "text", Seq("spark"), k = 40)
+      .collect().toSeq
+    assert(viaIndex === viaScan,
+      "the pre-crash corpus must survive the stream restart")
+    // upsertOnArrival path too: crash window again, then an edit batch
+    for (sub <- Seq("postings", "docs")) {
+      val live = new org.apache.hadoop.fs.Path(s"$idx/$sub")
+      org.apache.hadoop.fs.FileUtil.copy(fs, live, fs,
+        new org.apache.hadoop.fs.Path(s"$idx/${sub}_compact"),
+        false, true, conf)
+      assert(fs.rename(live, new org.apache.hadoop.fs.Path(s"$idx/${sub}_old")))
+    }
+    val source2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.StreamingJobs.upsertOnArrival(
+        source2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idx, s"$dir/ckpt2", clearCachePerBatch = false)
+      .start()
+    try {
+      source2.addData((1L, "merge edited doc"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val edited = ((2L to 30L).map(i => (i, s"spark doc$i join merge"))
+      :+ (100L, "spark fresh doc") :+ (1L, "merge edited doc"))
+      .toDF("doc_id", "text")
+    assert(TextIndex.probe(spark, idx, Seq("spark"), k = 40).collect().toSeq
+      === Bm25.search(edited, "doc_id", "text", Seq("spark"), k = 40)
+        .collect().toSeq.filter(_.getDouble(2) > 0.0),
+      "upsert restart must repair, replace the edit, and keep the corpus")
+  }
+
   test("forgetOnArrival: streamed erasure fans to every serving index and " +
       "converges each to rebuilt-without; redelivered and absent ids are no-ops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
