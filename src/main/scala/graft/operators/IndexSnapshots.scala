@@ -8,8 +8,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (forward-only mutations) cannot provide. Family-agnostic: an index is
   * its directory of artifact subdirectories (TextIndex `postings/docs/
   * meta`, MinHashIndex `sigs/bands/meta`, ProductQuantizer `coarse/
-  * pq_model/codes/meta`), so one snapshotter serves all three (and any
-  * future family that keeps the same layout).
+  * pq_model/codes/meta`, IvfIndex `centroids/lists/stats`), so one
+  * snapshotter serves all four (and any future family that keeps the
+  * same layout).
   *
   * Design notes, scale first:
   *  - A snapshot is a FULL COPY under `<index>/_snapshots/<tag>/`. The
