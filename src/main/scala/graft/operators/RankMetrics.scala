@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * bit-identical across engines and partitionings:
   *
   *  - recall: per-query hit counts against the reference set — already
-  *    integers.
+  *    integers; the gate compares `100·Σ_q hits_q ≥ pct·Σ_q c_q` with
+  *    c_q = min(|ref_q|, k), the standard recall@k denominator.
   *  - nDCG@k (binary relevance): the per-position discount weights
   *    1/log2(i+1) are k fixed constants, so each query's DCG is a
   *    subset-sum of them, and the mean-nDCG gate is
-  *    `100·Σ_q DCG_q ≥ pct·n·IDCG`. Quantizing the k weights ONCE,
+  *    `100·Σ_q DCG_q ≥ pct·Σ_q IDCG_q` with IDCG_q the sum of the
+  *    first c_q weights. Quantizing the k weights ONCE,
   *    driver-side, to a 1e-9 grid (floor, the [[QuantizedLR]]
   *    discipline) makes every DCG_q an exact BIGINT subset-sum — the
   *    float-accumulation order problem is gone before the cluster ever
@@ -43,16 +45,25 @@ object RankMetrics {
 
   /** One gate row for a ranked `ann` frame — (queryIdCol, rankCol 1..k,
     * idCol) — against the reference relevant set `ref` (queryIdCol,
-    * idCol; ≤ k rows per query, e.g. the exact top-k). Floors are
-    * percentages (0 disables a gate — it degenerates to `≥ 0`, always
-    * true; use for variants where the metric is meaningless, e.g. nDCG
-    * of a diversification re-ranker that trades relevance by design).
+    * idCol). Floors are percentages (0 disables a gate — it
+    * degenerates to `≥ 0`, always true; use for variants where the
+    * metric is meaningless, e.g. nDCG of a diversification re-ranker
+    * that trades relevance by design).
+    *
+    * Denominators are PER-QUERY, the standard @k definitions: each
+    * query's effective relevant count is c_q = min(|ref_q|, k), so
+    * mean recall is Σhits / Σc_q, per-query IDCG is the sum of the
+    * first c_q discount weights, and the min-hits floor caps at c_q —
+    * a query with fewer than k relevant ids (or more: a containment
+    * pool larger than k) can still reach 100 %, instead of floors
+    * silently tightening (|ref_q| < k) or loosening (|ref_q| > k)
+    * against the nominal recall/nDCG definition.
     *
     * Output (one row): variant, n_queries, min_hits_floor,
     * mean_pct_floor, ndcg_pct_floor, mrr_pct_floor, pass_min,
     * pass_mean, pass_ndcg, pass_mrr — every value an integer or a
     * boolean over integers. Queries with zero hits count (via the
-    * ref-side distinct), so an empty ANN answer fails floors rather
+    * ref-side group-by), so an empty ANN answer fails floors rather
     * than vanishing. */
   def gateRow(variant: String, ann: DataFrame, ref: DataFrame,
       queryIdCol: String, idCol: String, rankCol: String, k: Int,
@@ -60,7 +71,10 @@ object RankMetrics {
       mrrPctFloor: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val w = dcgWeightsScaled(k)
-    val idcg = w.sum
+    // cumulative discount sums: cum(i) = w(1)+…+w(i), so a query with
+    // c_q relevant ids gets IDCG_q = element_at(cum, c_q) — still a
+    // driver-side constant table, still exact BIGINT arithmetic
+    val cum = w.scanLeft(0L)(_ + _).tail
     val rel = ann
       .select(col(queryIdCol).as("query_id"), col(idCol).as("id"),
         col(rankCol).cast("int").as("__r"))
@@ -71,12 +85,18 @@ object RankMetrics {
       sum(element_at(lit(w), col("__r"))).as("__dcg"),
       (lit(1000000000L) / min(col("__r")).cast("long")).cast("long")
         .as("__rr"))
-    ref.select(col(queryIdCol).as("query_id")).distinct()
+    ref.select(col(queryIdCol).as("query_id"))
+      .groupBy(col("query_id"))
+      .agg(least(count(lit(1)), lit(k.toLong)).as("__c"))
+      .withColumn("__idcg", element_at(lit(cum), col("__c").cast("int")))
       .join(perQ, Seq("query_id"), "left")
       .agg(count(lit(1)).as("__nq"),
-        min(coalesce(col("__h"), lit(0L))).as("__mn"),
+        min(coalesce(col("__h"), lit(0L)) -
+          least(lit(minHitsFloor.toLong), col("__c"))).as("__mnslack"),
         sum(coalesce(col("__h"), lit(0L))).as("__tot"),
+        sum(col("__c")).as("__totref"),
         sum(coalesce(col("__dcg"), lit(0L))).as("__dcg"),
+        sum(col("__idcg")).as("__idcgsum"),
         sum(coalesce(col("__rr"), lit(0L))).as("__rr"))
       .select(lit(variant).as("variant"),
         col("__nq").as("n_queries"),
@@ -84,11 +104,11 @@ object RankMetrics {
         lit(meanPctFloor.toLong).as("mean_pct_floor"),
         lit(ndcgPctFloor.toLong).as("ndcg_pct_floor"),
         lit(mrrPctFloor.toLong).as("mrr_pct_floor"),
-        (col("__mn") >= minHitsFloor).as("pass_min"),
-        (col("__tot") * 100 >= lit(meanPctFloor.toLong) * k * col("__nq"))
+        (col("__mnslack") >= 0).as("pass_min"),
+        (col("__tot") * 100 >= lit(meanPctFloor.toLong) * col("__totref"))
           .as("pass_mean"),
-        (col("__dcg") * 100 >= lit(ndcgPctFloor.toLong) * lit(idcg) *
-          col("__nq")).as("pass_ndcg"),
+        (col("__dcg") * 100 >= lit(ndcgPctFloor.toLong) *
+          col("__idcgsum")).as("pass_ndcg"),
         (col("__rr") * 100 >= lit(mrrPctFloor.toLong) *
           lit(1000000000L) * col("__nq")).as("pass_mrr"))
   }

@@ -48,12 +48,34 @@ object StagedSwap {
     val fs = live.getFileSystem(conf)
     val tmps = tmpSuffixes.map(sfx => new Path(s"$path/$sub$sfx"))
       .filter(fs.exists)
-    require(tmps.size <= 1,
-      s"multiple staged tmp dirs for $path/$sub: $tmps — single-writer " +
-        "contract violated; resolve manually")
-    recover(fs, live,
-      tmps.headOption.getOrElse(new Path(s"$path/$sub${tmpSuffixes.head}")),
-      new Path(s"$path/$sub$oldSuffix"))
+    val old = new Path(s"$path/$sub$oldSuffix")
+    if (fs.exists(live)) {
+      // live is healthy ⇒ every leftover staging dir is superseded
+      // garbage, not ambiguity. A SEQUENTIAL single writer produces
+      // coexisting suffixes legitimately: a crash mid-compact-write
+      // leaves <sub>_compact with live intact, and later mutations'
+      // swap() clears only their OWN suffix — so a subsequent crash
+      // mid-delete-write adds <sub>_del beside it. Clear them all
+      // (exactly what swap() does for its own suffix) instead of
+      // hard-failing every future mutation pending manual cleanup.
+      (tmps :+ old).filter(fs.exists).foreach(checkedDelete(fs, _))
+    } else {
+      // live missing: the surviving copies are all we have, and with
+      // TWO complete tmp candidates we cannot tell which mutation was
+      // in flight (promoting the stale one would silently roll back
+      // the last committed mutation) — only HERE is manual resolution
+      // required. An unmarked tmp is provably an incomplete write
+      // (never renamed into), so it disambiguates for free.
+      val complete = tmps.filter(t => fs.exists(new Path(t, "_SUCCESS")))
+      require(complete.size <= 1,
+        s"multiple complete staged tmp dirs for $path/$sub with live " +
+          s"missing: $complete — cannot tell which crashed swap is " +
+          "newest; resolve manually")
+      tmps.filterNot(complete.contains).foreach(checkedDelete(fs, _))
+      recover(fs, live,
+        complete.headOption.getOrElse(new Path(s"$path/$sub${tmpSuffixes.head}")),
+        old)
+    }
   }
 
   /** If `live` is missing, restore it from a crashed prior swap's

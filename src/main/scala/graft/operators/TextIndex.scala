@@ -242,6 +242,17 @@ object TextIndex {
         .collect().head
       require(surviving.getLong(0) > 0,
         "delete would empty the index; drop the index directory instead")
+      // the docs guard is not enough: if every SURVIVOR is token-less
+      // (dl = 0 ⇒ no postings rows) the postings rewrite emits zero
+      // rows, partitionBy writes no data files, and every future
+      // probe/stats dies on an unreadable-schema read — guard the
+      // postings side the same way before any swap runs
+      require(spark.read.parquet(s"$path/postings")
+          .join(del, col("doc_id") === col("__del_id"), "left_anti")
+          .head(1).nonEmpty,
+        "delete would leave an index whose surviving documents are all " +
+          "token-less (zero postings rows); drop the index directory " +
+          "and rebuild instead")
       def swapSub(sub: String)(write: String => Unit): Unit =
         StagedSwap.swapSub(spark, path, sub, "_del")(write)
       swapSub("postings") { tmp =>

@@ -259,10 +259,23 @@ object StreamingJobs {
             // writer-restart repair FIRST: the exists probe below must
             // never see a mid-swap missing artifact as an absent index
             graft.operators.TextIndex.recover(spark, indexPath)
-            val exists =
-              try { spark.read.parquet(s"$indexPath/docs"); true }
+            def readableSub(sub: String) =
+              try { spark.read.parquet(s"$indexPath/$sub"); true }
               catch { case _: org.apache.spark.sql.AnalysisException => false }
-            if (exists)
+            // probe BOTH artifacts, the indexOnArrival seen-set rule: an
+            // index saved by a pre-sidecar format has postings/meta but
+            // no docs/, and a docs-only probe would misread it as absent
+            // and let save() overwrite the whole corpus with one
+            // micro-batch. postings-without-docs can't be repaired here
+            // (upsert's delete half needs the sidecar for stats), so it
+            // fails loudly instead of falling through to save().
+            val (hasDocs, hasPostings) =
+              (readableSub("docs"), readableSub("postings"))
+            require(hasDocs || !hasPostings,
+              s"$indexPath has postings but no docs sidecar (pre-sidecar " +
+                "format or partial manual copy): refusing to overwrite — " +
+                "backfill docs/ from the corpus, or rebuild with save()")
+            if (hasDocs)
               graft.operators.TextIndex.upsert(docs, idCol, textCol, indexPath)
             else
               graft.operators.TextIndex.save(docs, idCol, textCol, indexPath)

@@ -66,6 +66,36 @@ class RankMetricsSpec extends SparkSpec {
       "q2 must count in n_queries and break the min-hits floor")
   }
 
+  test("a query with fewer than k relevant ids can still reach 100 %") {
+    // k = 3 but q1 has ONE relevant id, found at rank 1: per-query
+    // denominators (c_q = min(|ref_q|, k) = 1) make recall, nDCG and
+    // the capped min-hits floor all perfect; the old k-denominators
+    // would have pinned mean recall at 33 % forever
+    val ann = Seq((1L, "a", 1L), (1L, "x", 2L), (1L, "y", 3L))
+      .toDF("query_id", "id", "rank")
+    val ref = Seq((1L, "a")).toDF("query_id", "id")
+    val r = RankMetrics.gateRow("v", ann, ref, "query_id", "id", "rank",
+        k = 3, minHitsFloor = 3, meanPctFloor = 100, ndcgPctFloor = 100,
+        mrrPctFloor = 100)
+      .select($"pass_min", $"pass_mean", $"pass_ndcg", $"pass_mrr")
+      .as[(Boolean, Boolean, Boolean, Boolean)].head()
+    assert(r === ((true, true, true, true)))
+  }
+
+  test("a containment pool larger than k keeps the /k denominator") {
+    // ref is a 5-id pool, k = 2 selections both inside it: containment
+    // is 2/min(5,2) = 100 %, not 2/5 — the q214 MMR gate shape
+    val ann = Seq((1L, "a", 1L), (1L, "b", 2L)).toDF("query_id", "id", "rank")
+    val ref = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"), (1L, "e"))
+      .toDF("query_id", "id")
+    val r = RankMetrics.gateRow("v", ann, ref, "query_id", "id", "rank",
+        k = 2, minHitsFloor = 2, meanPctFloor = 100, ndcgPctFloor = 100,
+        mrrPctFloor = 100)
+      .select($"pass_min", $"pass_mean", $"pass_ndcg", $"pass_mrr")
+      .as[(Boolean, Boolean, Boolean, Boolean)].head()
+    assert(r === ((true, true, true, true)))
+  }
+
   test("floor 0 disables a gate (always true, even with zero hits anywhere)") {
     val ann = Seq((1L, "z", 1L)).toDF("query_id", "id", "rank")
     val ref = Seq((1L, "a")).toDF("query_id", "id")

@@ -125,3 +125,76 @@ class StagedSwapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(old))
   }
 }
+
+/** [[StagedSwap.recoverSub]]'s multi-suffix arbitration — the states a
+  * SEQUENTIAL single writer really produces across several mutations
+  * (each swap clears only its OWN suffix, so a crashed compact's
+  * `_compact` survives later delete/restore cycles and can coexist with
+  * a later crash's `_del`). */
+class StagedSwapRecoverSubSpec extends SparkSpec {
+
+  private def fixture(): (FileSystem, String) = {
+    val root = Files.createTempDirectory("staged_swap_sub").toString
+    (new Path(root).getFileSystem(new Configuration()), root)
+  }
+
+  private def writeDir(fs: FileSystem, dir: Path, files: (String, String)*): Unit = {
+    fs.mkdirs(dir)
+    files.foreach { case (name, body) =>
+      val out = fs.create(new Path(dir, name), true)
+      out.write(body.getBytes("UTF-8"))
+      out.close()
+    }
+  }
+
+  private def readFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  test("coexisting tmp suffixes with live healthy are garbage-collected, not fatal") {
+    val (fs, root) = fixture()
+    // crash mid-compact left _compact; a later crash mid-delete-write
+    // left _del; live survived both — every leftover is superseded
+    writeDir(fs, new Path(s"$root/sub"), "part-00000" -> "current")
+    writeDir(fs, new Path(s"$root/sub_compact"), "part-00000" -> "stale", "_SUCCESS" -> "")
+    writeDir(fs, new Path(s"$root/sub_del"), "part-00000" -> "partial")
+    writeDir(fs, new Path(s"$root/sub_old"), "part-00000" -> "older")
+    StagedSwap.recoverSub(spark, root, "sub")
+    assert(readFile(fs, new Path(s"$root/sub/part-00000")) === "current")
+    Seq("sub_compact", "sub_del", "sub_old").foreach { d =>
+      assert(!fs.exists(new Path(s"$root/$d")), s"$d must be cleared")
+    }
+    fs.delete(new Path(root), true)
+  }
+
+  test("live missing: an unmarked tmp disambiguates; the complete one is promoted") {
+    val (fs, root) = fixture()
+    // stale partial _compact (no marker) + crashed-in-rename-window _del
+    // (complete, old staged aside): the unmarked dir is provably an
+    // incomplete write, so recovery still proceeds unambiguously
+    writeDir(fs, new Path(s"$root/sub_compact"), "part-00000" -> "partial")
+    writeDir(fs, new Path(s"$root/sub_del"), "part-00000" -> "new copy", "_SUCCESS" -> "")
+    writeDir(fs, new Path(s"$root/sub_old"), "part-00000" -> "original")
+    StagedSwap.recoverSub(spark, root, "sub")
+    assert(readFile(fs, new Path(s"$root/sub/part-00000")) === "new copy")
+    Seq("sub_compact", "sub_del", "sub_old").foreach { d =>
+      assert(!fs.exists(new Path(s"$root/$d")), s"$d must be cleared")
+    }
+    fs.delete(new Path(root), true)
+  }
+
+  test("live missing with TWO complete tmps is the one genuinely ambiguous state") {
+    val (fs, root) = fixture()
+    writeDir(fs, new Path(s"$root/sub_compact"), "part-00000" -> "gen A", "_SUCCESS" -> "")
+    writeDir(fs, new Path(s"$root/sub_del"), "part-00000" -> "gen B", "_SUCCESS" -> "")
+    val e = intercept[IllegalArgumentException] {
+      StagedSwap.recoverSub(spark, root, "sub")
+    }
+    assert(e.getMessage.contains("resolve manually"))
+    // nothing was destroyed: both candidate copies survive for the human
+    assert(fs.exists(new Path(s"$root/sub_compact")))
+    assert(fs.exists(new Path(s"$root/sub_del")))
+    fs.delete(new Path(root), true)
+  }
+}

@@ -433,6 +433,55 @@ class TextIndexSpec extends SparkSpec {
     assert(TextIndex.probe(spark, path, Seq("spark"), k = 5).count() === 5L)
   }
 
+  test("delete rejects a rewrite whose survivors are all token-less " +
+      "(zero postings rows would brick the index)") {
+    val path = s"$root/ixd6"
+    // null text is the token-less shape: explode(null) emits no postings
+    // rows, while the doc still lands in the docs/ sidecar
+    val docs = Seq(
+      (1L, "spark join window"),
+      (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    TextIndex.save(docs, "doc_id", "text", path)
+    // survivors 2 and 3 pass the docs-count guard but carry no postings
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.delete(spark, path, Seq(1L).toDF("doc_id"))
+    }
+    assert(e.getMessage.contains("token-less"))
+    // the rejected delete must not have swapped anything
+    assert(TextIndex.probe(spark, path, Seq("spark"), k = 5).count() === 1L)
+    assert(spark.read.parquet(s"$path/docs").count() === 3L)
+  }
+
+  test("upsertOnArrival refuses a postings-without-docs index instead of " +
+      "silently overwriting the corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ti_presidecar").toString
+    val (idx, ckpt) = (s"$dir/index", s"$dir/ckpt")
+    TextIndex.save(fixtureDocs, "doc_id", "text", idx)
+    // simulate a pre-sidecar-format index: postings/meta live, docs/ gone
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$idx/docs"), true))
+    val nPostings = spark.read.parquet(s"$idx/postings").count()
+    val source = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs.upsertOnArrival(
+        source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idx, ckpt, clearCachePerBatch = false)
+      .start()
+    try {
+      source.addData((1L, "one tiny batch"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("refusing to overwrite"),
+        s"expected the loud pre-sidecar refusal, got: ${e.getMessage.take(500)}")
+    } finally q.stop()
+    // the corpus postings survived untouched — no one-batch overwrite
+    assert(spark.read.parquet(s"$idx/postings").count() === nPostings)
+  }
+
   test("zero-match query returns empty; validation errors") {
     val path = s"$root/ix4"
     TextIndex.save(fixtureDocs, "doc_id", "text", path)
