@@ -277,13 +277,32 @@ object TextIndex {
   }
 
   /** Top-k BM25 over the persisted index — same output contract as
-    * [[Bm25.search]] restricted to documents matching ≥ 1 query term. */
+    * [[Bm25.search]] restricted to documents matching ≥ 1 query term.
+    *
+    * `maxDfFrac` makes the serving cost model explicit: a query term
+    * appearing in most documents (a stopword) makes the "pruned"
+    * postings frame corpus-sized — the aggregates stay distributed, so
+    * correctness holds, but the probe silently costs a corpus scan.
+    * Setting it < 1 fails loudly (naming the degenerate terms) when any
+    * term's df exceeds that fraction of the corpus; the df map is
+    * already on the driver, so the check is free. Default 1.0 keeps the
+    * permissive behavior.
+    *
+    * Cache hygiene: the pruned postings are deliberately NOT cached —
+    * they are read twice (term-df aggregate, then the per-doc tf-map
+    * aggregate), but both reads are bucket-pruned file scans, while a
+    * per-probe `.cache()` pinned query-dependent fragments a
+    * long-running serving process never released (and went corpus-sized
+    * on stopword terms). Two pruned scans beat an unbounded cache. */
   def probe(spark: SparkSession, path: String, queryTerms: Seq[String],
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFrac: Double = 1.0): DataFrame = {
     require(queryTerms.nonEmpty, "at least one query term required")
     require(queryTerms.distinct.size == queryTerms.size,
       s"query terms must be distinct, got $queryTerms")
     require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
     import spark.implicits._
     val meta = spark.read.parquet(s"$path/meta").collect().head
     val (n, sdl, nBuckets) = (meta.getLong(0), meta.getLong(1), meta.getInt(2))
@@ -296,9 +315,16 @@ object TextIndex {
     val post = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(queryTerms: _*))
-      .cache()
     val dfs = post.groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (maxDfFrac < 1.0) {
+      val degenerate = queryTerms.filter(t =>
+        dfs.getOrElse(t, 0L).toDouble > maxDfFrac * n)
+      require(degenerate.isEmpty,
+        s"degenerate (stopword-scale) query terms $degenerate: df exceeds " +
+          s"maxDfFrac=$maxDfFrac of the $n-doc corpus — drop them from the " +
+          "query or raise maxDfFrac to pay the corpus-scale probe knowingly")
+    }
     val idfs = queryTerms.map { t =>
       val df = dfs.getOrElse(t, 0L).toDouble
       StrictMath.log((n - df + 0.5) / (df + 0.5) + 1.0)
@@ -317,5 +343,95 @@ object TextIndex {
     perDoc.select((col("doc_id") +: named) :+ round(score, 6).as("score"): _*)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Batched top-k BM25 — the many-queries serving form [[probe]]'s
+    * one-`Seq[String]` signature can't reach: evaluating a retrieval
+    * sweep, a RAG batch, or a quality harness through `probe` means a
+    * driver loop of N small jobs, while this is ONE distributed plan
+    * whose SHAPE is independent of the number of queries (the
+    * [[ProductQuantizer.probeSaved]]/[[MinHashIndex.probe]] contract,
+    * brought to the text family).
+    *
+    * `queries` carries (`queryIdCol`, `termsCol: array<string>`); output
+    * is (query_id, doc_id, score, rank) with rank 1..k per query over
+    * (round-6 score DESC, doc_id) — [[probe]]'s ranking keys, so
+    * `probeAll(queries)` row-for-row equals N single probes
+    * (TextIndexSpec pins it; the q225 oracle replays it relationally).
+    *
+    * Plan shape, corpus-scale path in CAPS: bucket-prune the postings to
+    * the query terms' partitions (bucket ids via one bounded job using
+    * the writer's own xxhash64, then static `isin` pruning — readable at
+    * planning time exactly like the single probe); one bounded aggregate
+    * over the pruned postings for per-term df (the scale analogue of
+    * probe's driver df map — it stays a frame and broadcasts); ONE JOIN
+    * of the PRUNED POSTINGS against the broadcast (query, term, idf)
+    * frame; one per-(query, doc) AGGREGATE summing contributions in
+    * lexicographic term order (array_sort before the fold — float
+    * addition is order-sensitive, and a nondeterministic sum order would
+    * flake the round-6 hash run-to-run); one rank window that
+    * WindowGroupLimit cuts to ~k rows per partition map-side before the
+    * query_id exchange. Nothing driver-side scales with the corpus, and
+    * nothing in the plan scales with the number of queries.
+    *
+    * Queries whose terms all miss the index (or with empty term arrays)
+    * emit no rows — the inverted-index contract, same as a zero-match
+    * single probe. `maxDfFrac` < 1 rejects stopword-scale terms loudly
+    * (one extra bounded collect), the [[probe]] advisory. */
+  def probeAll(queries: DataFrame, queryIdCol: String, termsCol: String,
+      path: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    val spark = queries.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val (n, sdl, nBuckets) = (meta.getLong(0), meta.getLong(1), meta.getInt(2))
+    val avgdl = sdl.toDouble / n
+    val qt = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(col(termsCol))).as("term"))
+    // the terms' bucket ids: ≤ nBuckets values, via the writer's hash
+    val buckets = qt.select(
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val pruned = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*))
+    // per-term df over the pruned postings, restricted to query terms —
+    // bounded by the batch's distinct-term count, so it broadcasts
+    val qterms = qt.select(col("term")).distinct()
+    val idfOf = pruned.join(broadcast(qterms), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    if (maxDfFrac < 1.0) {
+      val degenerate = idfOf.filter(col("__df") > lit(maxDfFrac * n))
+        .select(col("term")).collect().map(_.getString(0)).toSeq
+      require(degenerate.isEmpty,
+        s"degenerate (stopword-scale) query terms $degenerate: df exceeds " +
+          s"maxDfFrac=$maxDfFrac of the $n-doc corpus — drop them from the " +
+          "batch or raise maxDfFrac to pay the corpus-scale probe knowingly")
+    }
+    // (query_id, term, idf): both inputs bounded; missing terms (df = 0)
+    // drop out here, matching their zero contribution in the single probe
+    val qtIdf = qt.join(idfOf, Seq("term"))
+      .select(col("query_id"), col("term"),
+        log((lit(n.toDouble) - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5)) + lit(1.0)).as("__idf"))
+    val tfD = col("tf").cast("double")
+    val scored = pruned.join(broadcast(qtIdf), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("term"),
+        (col("__idf") * (tfD * lit(k1 + 1.0)) /
+          (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+          .as("__c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("__c")))),
+        lit(0.0), (acc, x) => acc + x.getField("__c")).as("__s"))
+      .select(col("query_id"), col("doc_id"), round(col("__s"), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"),
+        col("__rn").cast("long").as("rank"))
   }
 }

@@ -732,6 +732,68 @@ object TextQueries extends QueryModule {
   private def q213IndexPath(dir: String): String =
     graft.core.Scratch.dir(dir, "bm25del")
 
+  /** Batched BM25 retrieval (north star): THREE queries served by ONE
+    * distributed plan over the persisted index
+    * ([[graft.operators.TextIndex.probeAll]] — bucket-pruned postings,
+    * one broadcast (query, term, idf) join, per-(query, doc) sorted-fold
+    * score aggregate, WindowGroupLimit top-k). The serving shape q121's
+    * single probe can't reach: a retrieval-eval sweep or RAG batch
+    * through `probe` is a driver loop of N small jobs, while this plan's
+    * shape is independent of the query count (TextIndexSpec pins
+    * batched ≡ N single probes row-for-row AND the constant-scan-count
+    * plan property). The oracle replays all three queries relationally —
+    * the q119 scoring pattern generalized over a VALUES query-terms
+    * table — so the hash pins scores, per-query ranking, and the miss
+    * semantics (a term absent from a query's documents contributes
+    * nothing) at once. */
+  private def q225BatchedProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val path = graft.core.Scratch.dir(dir, "bm25all")
+    graft.operators.TextIndex.save(docs, "doc_id", "text", path)
+    val queries = Seq(
+      (0L, Seq("spark", "merge", "join")),
+      (1L, Seq("window")),
+      (2L, Seq("vector", "scan"))).toDF("query_id", "terms")
+    graft.operators.TextIndex.probeAll(
+        queries, "query_id", "terms", path, k = 10)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** q119's BM25 arithmetic over a (query_id, term) VALUES table: df and
+    * tf from one token explosion, per-(query, doc) contribution sum,
+    * rank window per query — the relational form of the batched probe. */
+  private val q225Sql =
+    """WITH q(query_id, term) AS (VALUES
+      |  (0, 'spark'), (0, 'merge'), (0, 'join'),
+      |  (1, 'window'),
+      |  (2, 'vector'), (2, 'scan')),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |         FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |       FROM documents),
+      |stats AS (SELECT COUNT(*) AS n,
+      |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |contrib AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1) * (tf.tf * 2.2) /
+      |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS c
+      |  FROM q JOIN tf USING (term) JOIN df USING (term)
+      |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s),
+      |scored AS (SELECT query_id, doc_id, round(SUM(c), 6) AS score
+      |  FROM contrib GROUP BY 1, 2),
+      |ranked AS (SELECT query_id, doc_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+      |  CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   /** q119's scan SQL restricted to the surviving corpus — the stats
     * CTE recomputes N/df/avgdl over the filtered set, exactly what
     * TextIndex.delete's corrected meta must reproduce. */
@@ -2733,6 +2795,8 @@ object TextQueries extends QueryModule {
       "Gopher hard quality gates in integer-exact rule arithmetic (north star)"),
     Q("q213_index_delete", q213IndexDelete, Some(q213Sql),
       "targeted delete on the persisted BM25 index: corrected df/N stats under one hash (north star)"),
+    Q("q225_batched_probe", q225BatchedProbe, Some(q225Sql),
+      "batched BM25 probe: N queries in ONE plan over the persisted index, scores+ranks under one hash (north star)"),
     Q("q220_index_upsert", q220IndexUpsert, Some(q220Sql),
       "upsert on the persisted BM25 index: edited docs replace, fresh docs insert, stats corrected, under one hash (north star)"),
     // q221 deliberately SHARES q119Sql (the q121 precedent): its claim is

@@ -482,6 +482,110 @@ class TextIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/postings").count() === nPostings)
   }
 
+  test("probeAll == N single probes, row for row") {
+    val docs = fixtureDocs
+    val path = s"$root/ixb1"
+    TextIndex.save(docs, "doc_id", "text", path)
+    val querySets = Seq(
+      0L -> Seq("spark", "merge", "join"),
+      1L -> Seq("window"),
+      2L -> Seq("vector", "scan"),
+      3L -> Seq("zzz_nosuchterm"), // all-miss query: no rows
+      4L -> Seq("shuffle", "zzz_nosuchterm")) // partial miss: term drops out
+    val queries = querySets.toDF("query_id", "terms")
+    val batched = TextIndex.probeAll(queries, "query_id", "terms",
+        path, k = 12)
+      .orderBy($"query_id", $"rank")
+      .select($"query_id", $"doc_id", $"score")
+      .collect().toSeq
+    val singly = querySets.flatMap { case (qid, terms) =>
+      // single probe rejects unseen-only queries at the df-map level?
+      // no — it scores them to zero matches; same surface
+      TextIndex.probe(spark, path, terms, k = 12)
+        .select(lit(qid).as("query_id"), $"doc_id", $"score")
+        .collect().toSeq
+    }
+    assert(batched === singly)
+  }
+
+  test("probeAll plan shape is independent of the number of queries " +
+      "(no per-query jobs) and prunes bucket partitions") {
+    val path = s"$root/ixb2"
+    TextIndex.save(fixtureDocs, "doc_id", "text", path, nBuckets = 32)
+    def planOf(qs: Seq[(Long, Seq[String])]) =
+      TextIndex.probeAll(qs.toDF("query_id", "terms"), "query_id", "terms",
+          path, k = 5)
+        .queryExecution.executedPlan.toString
+    val small = planOf(Seq(0L -> Seq("spark")))
+    val large = planOf(Seq(0L -> Seq("spark"), 1L -> Seq("merge"),
+      2L -> Seq("join"), 3L -> Seq("window"), 4L -> Seq("scan")))
+    def scans(p: String) = p.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet")
+    assert(scans(small) === scans(large),
+      "postings-scan count must not grow with the query batch")
+    assert(large.contains("PartitionFilters: ["), large.take(2000))
+    assert(large.contains("WindowGroupLimit"),
+      "per-query top-k must run as WindowGroupLimit, not a full sort")
+  }
+
+  test("probeAll maxDfFrac rejects stopword-scale terms in the batch") {
+    val path = s"$root/ixb3"
+    val docs = Seq(
+      (1L, "common rare alpha"), (2L, "common beta"), (3L, "common gamma"),
+      (4L, "common delta")).toDF("doc_id", "text")
+    TextIndex.save(docs, "doc_id", "text", path)
+    val qs = Seq(0L -> Seq("rare"), 1L -> Seq("common"))
+      .toDF("query_id", "terms")
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.probeAll(qs, "query_id", "terms", path, k = 3,
+        maxDfFrac = 0.5)
+    }
+    assert(e.getMessage.contains("common"))
+    assert(TextIndex.probeAll(qs, "query_id", "terms", path, k = 3)
+      .count() === 4L) // 1 rare match + 4 common matches capped at k = 3
+  }
+
+  test("probe pins no cache fragments: many distinct probes leave the " +
+      "persistent-RDD registry flat") {
+    val path = s"$root/ixh1"
+    TextIndex.save(fixtureDocs, "doc_id", "text", path)
+    TextIndex.probe(spark, path, Seq("spark"), k = 3).collect() // warm
+    // diff, not absolute emptiness: suites share the session in parallel
+    // (the SparkSpec rule), so only the DELTA across our probes is ours
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val terms = Seq("merge", "join", "window", "scan", "vector", "shuffle",
+      "filter", "broadcast", "partition", "codegen", "stream", "schema")
+    terms.foreach { t =>
+      TextIndex.probe(spark, path, Seq(t), k = 3).collect()
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before < terms.size / 2,
+      s"probe must not pin a cache fragment per call ($before -> $after " +
+        s"across ${terms.size} probes)")
+  }
+
+  test("probe maxDfFrac flags stopword-scale terms, permissive by default") {
+    val path = s"$root/ixh2"
+    // "common" appears in EVERY doc; "rare" in one
+    val docs = Seq(
+      (1L, "common rare alpha"), (2L, "common beta"), (3L, "common gamma"),
+      (4L, "common delta")).toDF("doc_id", "text")
+    TextIndex.save(docs, "doc_id", "text", path)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.probe(spark, path, Seq("rare", "common"), k = 3,
+        maxDfFrac = 0.5)
+    }
+    assert(e.getMessage.contains("common") && !e.getMessage.contains("List(rare"),
+      s"only the degenerate term is named: ${e.getMessage}")
+    // df = 1 of 4 docs passes a 0.5 cap; default 1.0 accepts everything
+    assert(TextIndex.probe(spark, path, Seq("rare"), k = 3, maxDfFrac = 0.5)
+      .count() === 1L)
+    assert(TextIndex.probe(spark, path, Seq("common"), k = 3).count() === 3L)
+    intercept[IllegalArgumentException] {
+      TextIndex.probe(spark, path, Seq("rare"), k = 3, maxDfFrac = 0.0)
+    }
+  }
+
   test("zero-match query returns empty; validation errors") {
     val path = s"$root/ix4"
     TextIndex.save(fixtureDocs, "doc_id", "text", path)
