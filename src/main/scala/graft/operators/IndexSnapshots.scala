@@ -199,6 +199,69 @@ object IndexSnapshots {
     rows.toDF("tag", "n_files", "bytes")
   }
 
+  /** Retention: drop every snapshot EXCEPT the `keepLast` most recent
+    * (promotion order — the atomic rename stamps each snapshot dir's
+    * mtime at creation; ties break toward the lexicographically later
+    * tag) and any in `protect`. Returns the dropped tags.
+    *
+    * This is the unbounded-storage valve [[snapshot]]'s full-copy design
+    * needs: a nightly-snapshot cadence on a 100 TB index multiplies
+    * storage without bound unless something reclaims old generations.
+    * Pure driver-side file metadata — one `_snapshots` listing, no rows.
+    *
+    * Safety:
+    *  - Refuses to run while a RESTORE is mid-flight (any `_rst`
+    *    staging under the index root): the restore's source tag is not
+    *    recorded anywhere prune could read, so pruning around one risks
+    *    deleting the very snapshot its rerun-to-converge repair path
+    *    still needs. Crashed snapshot()/prune() leftovers (hidden
+    *    `.tmp_`/`.del_` dirs) are swept here instead — they are garbage
+    *    by construction, never a recovery input.
+    *  - Each victim is renamed to a hidden `.del_<tag>` BEFORE deletion:
+    *    one atomic rename makes it invisible to [[list]]/[[at]]/
+    *    [[restore]], so a crash mid-delete can never leave a
+    *    half-deleted snapshot that still looks restorable — the exact
+    *    hazard [[drop]]'s "loud on failure" contract only reports,
+    *    while prune (a policy loop over many tags) must survive.
+    *    Restore-of-a-pruned-tag fails loudly at its existence check. */
+  def prune(spark: SparkSession, path: String, keepLast: Int,
+      protect: Set[String] = Set.empty): Seq[String] = {
+    require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
+    protect.foreach(validTag)
+    val f = fs(spark, path)
+    val root = new Path(path)
+    require(f.exists(root), s"no index at $root")
+    val restoring = f.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.endsWith("_rst"))
+    require(restoring.isEmpty,
+      s"index at $root has a restore mid-flight ($restoring) — its source " +
+        "tag is unknown to prune, so finish (rerun) the restore first")
+    val snapRoot = new Path(root, snapDirName)
+    if (!f.exists(snapRoot)) return Seq.empty
+    val (hidden, visible) = f.listStatus(snapRoot).toSeq
+      .filter(_.isDirectory)
+      .partition(_.getPath.getName.startsWith("."))
+    // crashed snapshot()/prune() staging: garbage by construction
+    hidden.map(_.getPath).foreach { p =>
+      if (!f.delete(p, true) && f.exists(p))
+        throw new java.io.IOException(s"prune: cannot clear stale $p")
+    }
+    val victims = visible
+      .map(st => (st.getPath, st.getModificationTime))
+      .sortBy { case (p, m) => (m, p.getName) }
+      .dropRight(keepLast)
+      .map(_._1)
+      .filterNot(p => protect.contains(p.getName))
+    victims.map { p =>
+      val shadow = new Path(snapRoot, s".del_${p.getName}")
+      if (!f.rename(p, shadow))
+        throw new java.io.IOException(s"prune: cannot retire $p to $shadow")
+      if (!f.delete(shadow, true) && f.exists(shadow))
+        throw new java.io.IOException(s"prune: cannot delete retired $shadow")
+      p.getName
+    }
+  }
+
   /** Delete snapshot `tag`. Loud on failure (a half-deleted snapshot
     * must not look restorable). */
   def drop(spark: SparkSession, path: String, tag: String): Unit = {

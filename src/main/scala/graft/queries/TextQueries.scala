@@ -936,6 +936,88 @@ object TextQueries extends QueryModule {
       Seq("spark", "merge", "join"), k = 20)
   }
 
+  /** Snapshot retention (prune) + time travel over the pruned store —
+    * the storage valve for [[graft.operators.IndexSnapshots]]'s
+    * full-copy snapshots (a nightly cadence on a 100 TB index grows
+    * without bound otherwise): save the corpus, take three generation
+    * snapshots with a targeted delete between each, prune to the TWO
+    * most recent, then probe every SURVIVING generation read-only via
+    * `at()`. The row count itself pins the retention choice (a
+    * surviving g1 would emit 15 rows, not 10), the per-tag scores pin
+    * that each snapshot froze its OWN generation's df/N stats, and the
+    * oracle replays both surviving corpora relationally. Prune is one
+    * driver-side `_snapshots` listing + renames — no row data moves. */
+  private def q226SnapshotPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val path = graft.core.Scratch.dir(dir, "bm25prune")
+    graft.operators.TextIndex.save(docs, "doc_id", "text", path)
+    // bench reruns each query in one process over one Scratch dir:
+    // retire the prior pass's tags (and exercise prune-to-empty)
+    graft.operators.IndexSnapshots.prune(spark, path, keepLast = 0)
+    graft.operators.IndexSnapshots.snapshot(spark, path, "g1")
+    graft.operators.TextIndex.delete(spark, path,
+      docs.filter($"doc_id" % 3 === 0).select($"doc_id"))
+    graft.operators.IndexSnapshots.snapshot(spark, path, "g2")
+    graft.operators.TextIndex.delete(spark, path,
+      docs.filter($"doc_id" % 3 =!= 0 && $"doc_id" % 5 === 0)
+        .select($"doc_id"))
+    graft.operators.IndexSnapshots.snapshot(spark, path, "g3")
+    val dropped = graft.operators.IndexSnapshots.prune(spark, path,
+      keepLast = 2)
+    require(dropped == Seq("g1"),
+      s"retention must drop exactly the oldest tag, got $dropped")
+    val tags = graft.operators.IndexSnapshots.list(spark, path)
+      .select($"tag").as[String].collect().toSeq.sorted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"tag").orderBy($"score".desc, $"doc_id")
+    tags.map { t =>
+      graft.operators.TextIndex.probe(spark,
+          graft.operators.IndexSnapshots.at(spark, path, t),
+          Seq("spark", "merge", "join"), k = 5)
+        .select(lit(t).as("tag"), $"doc_id", $"score")
+    }.reduce(_ union _)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy($"tag", $"rank")
+  }
+
+  /** Both surviving generations replayed relationally: g2 = the corpus
+    * without doc_id ≡ 0 (mod 3), g3 = g2 additionally without ≡ 0
+    * (mod 5); each BM25-scored with its own corpus stats, top-5. */
+  private val q226Sql =
+    """WITH gens(tag) AS (VALUES ('g2'), ('g3')),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |m AS (
+      |  SELECT g.tag, d.doc_id, d.ws
+      |  FROM d CROSS JOIN gens g
+      |  WHERE d.doc_id % 3 <> 0 AND (g.tag = 'g2' OR d.doc_id % 5 <> 0)),
+      |base AS (
+      |  SELECT tag, doc_id, CAST(len(ws) AS BIGINT) AS dl,
+      |    CAST(len(list_filter(ws, x -> x = 'spark')) AS BIGINT) AS tf0,
+      |    CAST(len(list_filter(ws, x -> x = 'merge')) AS BIGINT) AS tf1,
+      |    CAST(len(list_filter(ws, x -> x = 'join')) AS BIGINT) AS tf2
+      |  FROM m),
+      |stats AS (
+      |  SELECT tag, COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+      |    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+      |    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      |  FROM base GROUP BY tag),
+      |scored AS (
+      |  SELECT b.tag, b.doc_id,
+      |    round(
+      |      ln((s.n - s.df0 + 0.5) / (s.df0 + 0.5) + 1) * (b.tf0 * 2.2) / (b.tf0 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+      |    + ln((s.n - s.df1 + 0.5) / (s.df1 + 0.5) + 1) * (b.tf1 * 2.2) / (b.tf1 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+      |    + ln((s.n - s.df2 + 0.5) / (s.df2 + 0.5) + 1) * (b.tf2 * 2.2) / (b.tf2 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl)), 6) AS score
+      |  FROM base b JOIN stats s USING (tag)),
+      |ranked AS (
+      |  SELECT tag, doc_id, score,
+      |    row_number() OVER (PARTITION BY tag ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored)
+      |SELECT tag, doc_id, score, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY tag, rank""".stripMargin
+
   /** Rank drift between two index GENERATIONS — the "what did
     * yesterday's curation pass do to rankings" serving diagnostic, and
     * the oracled consumer of [[graft.operators.IndexSnapshots.at]]
@@ -2806,6 +2888,8 @@ object TextQueries extends QueryModule {
       "snapshot + rollback on the persisted BM25 index: poison (delete+upsert) then restore == never-mutated probe (north star)"),
     Q("q222_rank_drift", q222RankDrift, Some(q222Sql),
       "rank drift between index generations: snapshot time-travel probe vs live probe, exact integer diff under one hash (north star)"),
+    Q("q226_snapshot_prune", q226SnapshotPrune, Some(q226Sql),
+      "snapshot retention: prune to keepLast=2 then probe each surviving generation via time travel, per-tag stats under one hash (north star)"),
     Q("q224_drop_ledger", q224DropLedger, Some(q224Sql),
       "per-document drop ledger: first-failure-wins reason across langid -> Gopher -> survivor-aware exact dedup (north star)"),
     Q("q217_trained_quality", q217TrainedQuality, Some(q217Sql),

@@ -168,6 +168,108 @@ class IndexSnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("prune: keepLast retention by creation order; pruned tag no longer " +
+      "restorable; survivors untouched") {
+    val path = Files.createTempDirectory("snap_pr1").toString
+    TextIndex.save(docs, "doc_id", "text", path)
+    // lexicographically REVERSED tags prove retention is creation-order
+    // (promotion mtime), not name-order; sleeps separate the ms stamps
+    IndexSnapshots.snapshot(spark, path, "z_oldest")
+    Thread.sleep(20)
+    TextIndex.delete(spark, path,
+      docs.filter($"doc_id" % 4 === 0).select($"doc_id"))
+    IndexSnapshots.snapshot(spark, path, "m_mid")
+    Thread.sleep(20)
+    TextIndex.delete(spark, path,
+      docs.filter($"doc_id" % 4 === 1).select($"doc_id"))
+    IndexSnapshots.snapshot(spark, path, "a_newest")
+    val pMid = TextIndex.probe(
+      spark, IndexSnapshots.at(spark, path, "m_mid"), Seq("spark"), k = 10)
+      .collect().toSeq
+    assert(IndexSnapshots.prune(spark, path, keepLast = 2) ===
+      Seq("z_oldest"))
+    assert(IndexSnapshots.list(spark, path).select($"tag")
+      .as[String].collect().toSeq === Seq("a_newest", "m_mid"))
+    intercept[IllegalArgumentException] {
+      IndexSnapshots.restore(spark, path, "z_oldest")
+    }
+    intercept[IllegalArgumentException] {
+      IndexSnapshots.at(spark, path, "z_oldest")
+    }
+    // survivors still time-travel and restore bit-exactly
+    assert(TextIndex.probe(
+      spark, IndexSnapshots.at(spark, path, "m_mid"), Seq("spark"), k = 10)
+      .collect().toSeq === pMid)
+    IndexSnapshots.restore(spark, path, "m_mid")
+    assert(TextIndex.probe(spark, path, Seq("spark"), k = 10)
+      .collect().toSeq === pMid)
+    // idempotent: nothing left over the cap (restore's _rst is gone)
+    assert(IndexSnapshots.prune(spark, path, keepLast = 2) === Seq.empty)
+    // keepLast = 0 drains the store
+    assert(IndexSnapshots.prune(spark, path, keepLast = 0).sorted ===
+      Seq("a_newest", "m_mid"))
+    assert(IndexSnapshots.list(spark, path).count() === 0L)
+  }
+
+  test("prune: protect pins a tag past the retention cap; mid-flight " +
+      "restore blocks prune; no snapshot store is a no-op") {
+    val path = Files.createTempDirectory("snap_pr2").toString
+    TextIndex.save(docs, "doc_id", "text", path)
+    assert(IndexSnapshots.prune(spark, path, keepLast = 3) === Seq.empty)
+    IndexSnapshots.snapshot(spark, path, "v1")
+    Thread.sleep(20)
+    IndexSnapshots.snapshot(spark, path, "v2")
+    Thread.sleep(20)
+    IndexSnapshots.snapshot(spark, path, "v3")
+    // protect is additive: v1 survives the cap, v2 falls to it
+    assert(IndexSnapshots.prune(spark, path, keepLast = 1,
+      protect = Set("v1")) === Seq("v2"))
+    assert(IndexSnapshots.list(spark, path).select($"tag")
+      .as[String].collect().toSeq === Seq("v1", "v3"))
+    // a restore mid-flight (any _rst staging) blocks prune entirely:
+    // its source tag is unknown, so no victim choice is safe
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val rst = new org.apache.hadoop.fs.Path(s"$path/postings_rst")
+    fs.mkdirs(rst)
+    intercept[IllegalArgumentException] {
+      IndexSnapshots.prune(spark, path, keepLast = 0)
+    }
+    fs.delete(rst, true)
+    intercept[IllegalArgumentException] {
+      IndexSnapshots.prune(spark, path, keepLast = -1)
+    }
+  }
+
+  test("prune crash window: a half-deleted victim is retired (hidden) " +
+      "first, so it never looks restorable, and the next prune sweeps it") {
+    val path = Files.createTempDirectory("snap_pr3").toString
+    TextIndex.save(docs, "doc_id", "text", path)
+    IndexSnapshots.snapshot(spark, path, "v1")
+    Thread.sleep(20)
+    IndexSnapshots.snapshot(spark, path, "v2")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    // simulate prune dying AFTER the retire rename, BEFORE the delete
+    val v1 = new org.apache.hadoop.fs.Path(s"$path/_snapshots/v1")
+    assert(fs.rename(v1, new org.apache.hadoop.fs.Path(
+      s"$path/_snapshots/.del_v1")), "fixture: retire v1")
+    // …and a crashed snapshot() staging dir for good measure
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_snapshots/.tmp_v9"))
+    // invisible everywhere a snapshot is named
+    assert(IndexSnapshots.list(spark, path).select($"tag")
+      .as[String].collect().toSeq === Seq("v2"))
+    intercept[IllegalArgumentException] {
+      IndexSnapshots.restore(spark, path, "v1")
+    }
+    // the next prune sweeps both hidden leftovers, keeps the survivor
+    assert(IndexSnapshots.prune(spark, path, keepLast = 1) === Seq.empty)
+    val left = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$path/_snapshots"))
+      .map(_.getPath.getName).toSeq
+    assert(left === Seq("v2"), s"hidden leftovers must be swept, got $left")
+  }
+
   test("immutability, quiescence, inventory, drop, and validation") {
     val path = Files.createTempDirectory("snap_val").toString
     TextIndex.save(docs, "doc_id", "text", path)
