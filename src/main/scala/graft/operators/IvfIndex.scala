@@ -208,8 +208,10 @@ object IvfIndex {
     * Build once, probe many — across jobs, not just within one. */
   def save(vectors: DataFrame, idCol: String, vecCol: String,
       model: IvfModel, dir: String): Unit = {
+    // parameter-sized (k x dim rows): one file, like stats — multi-file
+    // writes would trip the fragmentation policy compact can't clear
     model.toDF(vectors.sparkSession)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     assign(vectors, idCol, vecCol, model.toDF(vectors.sparkSession))
       .write.partitionBy("list_id").mode("overwrite").parquet(s"$dir/lists")
     distProfile(vectors, vecCol, model)
@@ -277,7 +279,7 @@ object IvfIndex {
         .write.partitionBy("list_id").parquet(tmp)
     }
     swapIn("centroids")(tmp =>
-      model.toDF(spark).write.parquet(tmp))
+      model.toDF(spark).coalesce(1).write.parquet(tmp))
     swapIn("stats")(tmp =>
       distProfile(spark.read.parquet(s"$dir/lists"), vecCol, model)
         .coalesce(1).write.parquet(tmp))

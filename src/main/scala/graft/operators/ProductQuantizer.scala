@@ -373,8 +373,11 @@ object ProductQuantizer {
       model: DataFrame, dir: String, residual: Boolean): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    coarse.write.mode("overwrite").parquet(s"$dir/coarse")
-    model.write.mode("overwrite").parquet(s"$dir/pq_model")
+    // parameter-sized artifacts (k x dim rows): one file each, like meta —
+    // multi-file writes here would trip the fragmentation policy forever
+    // (compact only rewrites codes/, the corpus-sized artifact)
+    coarse.coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+    model.coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_model")
     indexArtifact(df, idCol, vecCol, coarse, model, residual)
       .write.partitionBy("list_id").mode("overwrite").parquet(s"$dir/codes")
     Seq(residual).toDF("residual")

@@ -121,7 +121,8 @@ object StreamingJobs {
     * session is shared (tests, notebooks) and accept the small leak. */
   def dedupOnArrival(stream: DataFrame, idCol: String, textCol: String,
       indexPath: String, outPath: String, checkpoint: String,
-      minJac: Double = 0.5, clearCachePerBatch: Boolean = true): DataStreamWriter[Row] =
+      minJac: Double = 0.5, clearCachePerBatch: Boolean = true,
+      autoCompactFilesPerDir: Option[Int] = None): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -154,6 +155,13 @@ object StreamingJobs {
           val kept = fresh.join(losers, Seq(idCol), "left_anti")
           graft.sinks.Sinks.upsertIgnoreParquet(kept, outPath, Seq(idCol))
           graft.operators.MinHashIndex.append(kept, idCol, textCol, indexPath)
+          // opt-in maintenance, the indexOnArrival knob: per-batch appends
+          // fragment sigs/bands at exactly the text stream's rate; one
+          // listing per batch, compact only past the policy threshold
+          // (this foreachBatch IS the single writer, so the swap is safe)
+          if (autoCompactFilesPerDir.exists(t =>
+              graft.operators.IndexMaintenance.needsCompact(spark, indexPath, t)))
+            graft.operators.MinHashIndex.compact(spark, indexPath)
         } finally {
           fresh.unpersist()
           if (clearCachePerBatch) spark.catalog.clearCache()
@@ -303,7 +311,8 @@ object StreamingJobs {
     * Single-writer. */
   def upsertMinHashOnArrival(stream: DataFrame, idCol: String,
       textCol: String, indexPath: String, checkpoint: String,
-      clearCachePerBatch: Boolean = true): DataStreamWriter[Row] =
+      clearCachePerBatch: Boolean = true,
+      autoCompactFilesPerDir: Option[Int] = None): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -322,6 +331,9 @@ object StreamingJobs {
               graft.operators.MinHashIndex.upsert(docs, idCol, textCol, indexPath)
             else
               graft.operators.MinHashIndex.save(docs, idCol, textCol, indexPath)
+            if (autoCompactFilesPerDir.exists(t =>
+                graft.operators.IndexMaintenance.needsCompact(spark, indexPath, t)))
+              graft.operators.MinHashIndex.compact(spark, indexPath)
           }
         } finally {
           docs.unpersist()
@@ -348,7 +360,8 @@ object StreamingJobs {
     * [[upsertOnArrival]] replay rule. Single-writer. */
   def upsertVectorsOnArrival(stream: DataFrame, idCol: String,
       vecCol: String, indexPath: String, checkpoint: String,
-      clearCachePerBatch: Boolean = true): DataStreamWriter[Row] =
+      clearCachePerBatch: Boolean = true,
+      autoCompactFilesPerDir: Option[Int] = None): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -356,9 +369,13 @@ object StreamingJobs {
         val vecs = batch.groupBy(col(idCol))
           .agg(max(col(vecCol)).as(vecCol)).persist()
         try {
-          if (vecs.head(1).nonEmpty)
+          if (vecs.head(1).nonEmpty) {
             graft.operators.ProductQuantizer.upsert(
               vecs, idCol, vecCol, indexPath)
+            if (autoCompactFilesPerDir.exists(t =>
+                graft.operators.IndexMaintenance.needsCompact(spark, indexPath, t)))
+              graft.operators.ProductQuantizer.compact(spark, indexPath)
+          }
         } finally {
           vecs.unpersist()
           if (clearCachePerBatch) spark.catalog.clearCache()

@@ -231,6 +231,75 @@ class MinHashIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("auto-compact on upsertMinHashOnArrival: file growth bounded by " +
+      "the policy, answers unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("mh_upac").toString
+    val (idx, ckpt) = (s"$dir/index", s"$dir/ckpt")
+    val source = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs.upsertMinHashOnArrival(
+        source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idx, ckpt, clearCachePerBatch = false,
+        autoCompactFilesPerDir = Some(2))
+      .start()
+    try {
+      for (b <- 0 until 6) {
+        source.addData((1 to 5).map(i =>
+          ((b * 10 + i).toLong, words(s"s${b}_$i", 40))): _*)
+        q.processAllAvailable()
+      }
+      assert(!graft.operators.IndexMaintenance.needsCompact(spark, idx, 2),
+        "in-stream compaction must keep fragmentation under the policy")
+      // converged index == batch rebuild of everything streamed
+      val all = (0 until 6).flatMap(b => (1 to 5).map(i =>
+        ((b * 10 + i).toLong, words(s"s${b}_$i", 40)))).toDF("doc_id", "text")
+      val rebuilt = s"$dir/rebuilt"
+      MinHashIndex.save(all, "doc_id", "text", rebuilt)
+      val probes = Seq((901L, words("s2_3", 40)), (902L, words("s5_1", 40)))
+        .toDF("doc_id", "text")
+      def hits(p: String) = MinHashIndex.probe(probes, "doc_id", "text", p,
+        minEstJac = 0.5).collect().toSeq.sortBy(_.toString)
+      assert(hits(idx) === hits(rebuilt))
+    } finally q.stop()
+  }
+
+  test("auto-compact on dedupOnArrival: file growth bounded by the " +
+      "policy, dedup verdicts unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("mh_ddac").toString
+    val (idx, out, ckpt) = (s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    MinHashIndex.save(corpus, "doc_id", "text", idx)
+    val source = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs.dedupOnArrival(
+        source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idx, out, ckpt, clearCachePerBatch = false,
+        autoCompactFilesPerDir = Some(2))
+      .start()
+    try {
+      for (b <- 0 until 5) {
+        source.addData((1 to 4).map(i =>
+          ((200 + b * 10 + i).toLong, words(s"f${b}_$i", 40))): _*)
+        q.processAllAvailable()
+      }
+      assert(!graft.operators.IndexMaintenance.needsCompact(spark, idx, 2),
+        "in-stream compaction must keep fragmentation under the policy")
+      // all 20 fresh docs admitted; the compacted index still screens a
+      // corpus dup AND a dup of a streamed survivor
+      assert(spark.read.parquet(out).count() === 20L)
+      source.addData(
+        (501L, words("c1", 40)),     // verbatim copy of corpus doc 1
+        (502L, words("f2_3", 40)),   // copy of a streamed survivor
+        (503L, words("brandnew", 40)))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(out).select($"doc_id")
+        .as[Long].collect().toSet
+      assert(ids.contains(503L) && !ids.contains(501L) && !ids.contains(502L),
+        "compacted index must still screen corpus and streamed dups")
+    } finally q.stop()
+  }
+
   test("stats: band/sig invariants across append; skew stat sees shared buckets") {
     val dir = Files.createTempDirectory("mh_stats").toString
     MinHashIndex.save(corpus, "doc_id", "text", dir)

@@ -302,6 +302,45 @@ class PqSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("auto-compact on upsertVectorsOnArrival: file growth bounded by " +
+      "the policy, answers unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("pq_upac").toString
+    val (idx, ckpt) = (s"$dir/index", s"$dir/ckpt")
+    val coarse = graft.operators.KMeans.fit(corpus, "vec_id", "embedding",
+      k = 8, iters = 3)
+    ProductQuantizer.save(corpus, "vec_id", "embedding", coarse, model,
+      idx, residual = false)
+    val source = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingJobs.upsertVectorsOnArrival(
+        source.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        idx, ckpt, clearCachePerBatch = false,
+        autoCompactFilesPerDir = Some(2))
+      .start()
+    try {
+      val fresh = (0 until 6).map(b =>
+        (300 + b * 10 until 300 + b * 10 + 5).map(i =>
+          (i.toLong, corpusVec(i).toSeq)))
+      fresh.foreach { batch =>
+        source.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      assert(!graft.operators.IndexMaintenance.needsCompact(spark, idx, 2),
+        "in-stream compaction must keep fragmentation under the policy")
+      val rebuilt = s"$dir/rebuilt"
+      ProductQuantizer.save(
+        corpus.unionByName(fresh.flatten.toDF("vec_id", "embedding")),
+        "vec_id", "embedding", coarse, model, rebuilt, residual = false)
+      val queries = corpus.filter($"vec_id" < 4)
+      def rows(p: String) = ProductQuantizer.probeSaved(
+          queries, "vec_id", "embedding", spark, p, k = 10, nProbe = 8)
+        .collect().toSeq.sortBy(_.toString)
+      assert(rows(idx) === rows(rebuilt),
+        "compacted streamed index must equal the batch build")
+    } finally q.stop()
+  }
+
   test("stats: cell-balance invariants over save + append") {
     val dir = java.nio.file.Files.createTempDirectory("pq_stats").toString
     val coarse = graft.operators.KMeans.fit(corpus, "vec_id", "embedding",
