@@ -48,12 +48,13 @@ object TrainingDataPipeline {
     final case class SpanDedup(w: Int = 8, minCount: Long = 2L)
   }
 
-  /** Annotation + filter + exact-dedup stages, shared by curate and funnel
-    * so the reported funnel can never diverge from the executed pipeline.
-    * `exact` is cached: three downstream subplans consume it (minhash
-    * signatures, verification shingles, the final anti-join). */
+  /** Annotation + filter + exact-dedup stages, shared by curate, funnel,
+    * and ledger so the reported accounting can never diverge from the
+    * executed pipeline. Returns (annotated, filtered, exact); `exact` is
+    * cached: three downstream subplans consume it (minhash signatures,
+    * verification shingles, the final anti-join). */
   private def stages(docs: DataFrame, idCol: String, textCol: String,
-      cfg: Config): (DataFrame, DataFrame) = {
+      cfg: Config): (DataFrame, DataFrame, DataFrame) = {
     val deboiled = cfg.boilerplate.fold(docs)(b =>
       Dedup.dropCommonSegments(docs, idCol, textCol,
         sep = b.sep, maxDfFrac = b.maxDfFrac).drop("n_removed"))
@@ -78,7 +79,7 @@ object TrainingDataPipeline {
     // narrow variant: corpus ids are unique by contract here, so the dedup
     // exchanges move 24-byte digest+id rows, never the document text
     val exact = Dedup.exactDedupNarrow(filtered, idCol, textCol).cache()
-    (filtered, exact)
+    (annotated, filtered, exact)
   }
 
   /** Near-dup removal rule: drop a doc iff it has a verified near-duplicate
@@ -114,7 +115,7 @@ object TrainingDataPipeline {
     * duplicates removed per the [[dropNearDups]] rule. */
   def curate(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", cfg: Config = Config()): DataFrame = {
-    val (_, exact) = stages(docs, idCol, textCol, cfg)
+    val (_, _, exact) = stages(docs, idCol, textCol, cfg)
     dropNearDups(exact, idCol, textCol, cfg)
   }
 
@@ -182,7 +183,7 @@ object TrainingDataPipeline {
     * costs one annotated scan plus the two dedup shuffles. */
   def funnel(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", cfg: Config = Config()): Map[String, Long] = {
-    val (filtered, exact) = stages(docs, idCol, textCol, cfg)
+    val (_, filtered, exact) = stages(docs, idCol, textCol, cfg)
     Map(
       "input" -> docs.count(),
       "after_filters" -> filtered.count(),
@@ -198,7 +199,7 @@ object TrainingDataPipeline {
     * stages reuse the cached exact frame). q76 pins it relationally. */
   def funnelFrame(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", cfg: Config = Config()): DataFrame = {
-    val (filtered, exact) = stages(docs, idCol, textCol, cfg)
+    val (_, filtered, exact) = stages(docs, idCol, textCol, cfg)
     val kept = dropNearDups(exact, idCol, textCol, cfg)
     def stage(ord: Int, name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n"))
@@ -207,5 +208,57 @@ object TrainingDataPipeline {
       .unionByName(stage(2, "after_filters", filtered))
       .unionByName(stage(3, "after_exact_dedup", exact))
       .unionByName(stage(4, "after_near_dedup", kept))
+  }
+
+  /** Per-document drop ledger — [[funnelFrame]]'s counts exploded to the
+    * row level: one (id, reason) row per INPUT document with the
+    * first-failure-wins reason in pipeline order (`lang_filter` →
+    * `quality` → `min_tokens` → `gopher_quality` → `exact_dup` →
+    * `near_dup` → `kept`), so a 100 TB curation run can audit why any
+    * individual document was cut without re-running the pipeline stage
+    * by stage. Same rewrite + annotation chain and the same cached
+    * `exact` frame as [[curate]] (the ledger can never diverge from the
+    * executed pipeline); grouping by reason reproduces the funnel
+    * deltas exactly (TrainingDataPipelineSpec pins both, and pins the
+    * composition against q224's standalone ledger query).
+    *
+    * Scale shape: the filter verdicts are row-local columns computed
+    * BEFORE the dedup window, so the digest exchange moves (id, digest,
+    * four booleans) — never text; the exact-dup rank is the q224
+    * per-digest cumulative-survivor window; the near-dup leg joins two
+    * id-only frames. No new shuffle class over [[curate]] itself. */
+  def ledgerFrame(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", cfg: Config = Config()): DataFrame = {
+    val (annotated, _, exact) = stages(docs, idCol, textCol, cfg)
+    val gopherOk = cfg.gopherRules.fold(lit(true))(g =>
+      graft.operators.QualityRules.passes(textCol, g))
+    val flagged = annotated.select(col(idCol),
+      md5(col(textCol)).as("__h"),
+      col("pred_lang").isin(cfg.allowedLangs.toSeq: _*).as("__lang"),
+      (col("quality") >= cfg.minQuality).as("__q"),
+      (col("n_tokens") >= cfg.minTokens).as("__t"),
+      gopherOk.as("__g"))
+    val pass = col("__lang") && col("__q") && col("__t") && col("__g")
+    val wH = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // the near-dup survivors, as an id-only membership marker: a filter
+    // survivor that is its digest's keeper but absent here lost the
+    // near-dup stage (exactly curate's final anti-join, inverted)
+    val keptIds = dropNearDups(exact, idCol, textCol, cfg)
+      .select(col(idCol), lit(true).as("__kept"))
+    flagged
+      .withColumn("__surv_rank",
+        sum(when(pass, 1L).otherwise(0L)).over(wH))
+      .join(keptIds, Seq(idCol), "left")
+      .select(col(idCol),
+        when(!col("__lang"), lit("lang_filter"))
+          .when(!col("__q"), lit("quality"))
+          .when(!col("__t"), lit("min_tokens"))
+          .when(!col("__g"), lit("gopher_quality"))
+          .when(col("__surv_rank") > 1, lit("exact_dup"))
+          .when(col("__kept").isNull, lit("near_dup"))
+          .otherwise(lit("kept")).as("reason"))
   }
 }

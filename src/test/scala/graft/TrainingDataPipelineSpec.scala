@@ -52,6 +52,57 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(again.count() === curated.count(), "idempotent on its own output")
   }
 
+  test("ledgerFrame: first-failure-wins reason per input doc, every branch, " +
+      "in pipeline order (the q224 composition through the pipeline API)") {
+    val good = (1 to 50).map(i => if (i % 3 == 0) "the" else s"word$i")
+      .mkString(" ")
+    val ndBase = (1 to 60).map(i => if (i % 3 == 0) "and" else s"near$i")
+    val fixture = Seq(
+      1L -> good,                                   // kept (digest keeper)
+      9L -> good,                                   // exact_dup of 1
+      3L -> "le la les et je tu il nous vous de un une dans pour avec",
+      4L -> ("the " + Seq.fill(19)("???").mkString(" ")), // en but junk
+      5L -> "the cat sat on the mat and the dog ran with the ball",
+      6L -> (1 to 40).map(i => if (i % 3 == 0) "of" else s"mid$i")
+        .mkString(" "),                             // 40 words < Gopher's 50
+      7L -> ndBase.mkString(" "),                   // near-dup keeper
+      8L -> ndBase.updated(1, "changed").mkString(" ")) // near-dup loser
+      .toDF("doc_id", "text")
+    val lcfg = Config(minQuality = 0.3, minTokens = 30,
+      allowedLangs = Set("en"), nearDupJaccard = 0.8,
+      gopherRules = Some(graft.operators.QualityRules.Config()))
+    val ledger = TrainingDataPipeline.ledgerFrame(fixture, cfg = lcfg)
+      .as[(Long, String)].collect().toMap
+    assert(ledger === Map(
+      1L -> "kept", 9L -> "exact_dup", 3L -> "lang_filter",
+      4L -> "quality", 5L -> "min_tokens", 6L -> "gopher_quality",
+      7L -> "kept", 8L -> "near_dup"))
+    // the ledger's survivors ARE curate's output
+    val curatedIds = TrainingDataPipeline.curate(fixture, cfg = lcfg)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ledger.filter(_._2 == "kept").keySet === curatedIds)
+  }
+
+  test("ledgerFrame reason counts reproduce the funnel deltas on the real " +
+      "corpus; kept rows equal curate") {
+    val reasons = TrainingDataPipeline.ledgerFrame(docs, cfg = cfg)
+      .groupBy($"reason").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap.withDefaultValue(0L)
+    val f = TrainingDataPipeline.funnel(docs, cfg = cfg)
+    assert(reasons.values.sum === f("input"),
+      "one ledger row per input document")
+    val filteredOut = reasons("lang_filter") + reasons("quality") +
+      reasons("min_tokens") + reasons("gopher_quality")
+    assert(f("after_filters") === f("input") - filteredOut)
+    assert(f("after_exact_dedup") === f("after_filters") - reasons("exact_dup"))
+    assert(f("after_near_dedup") === f("after_exact_dedup") - reasons("near_dup"))
+    val keptIds = TrainingDataPipeline.ledgerFrame(docs, cfg = cfg)
+      .filter($"reason" === "kept").select($"doc_id").as[Long].collect().toSet
+    val curatedIds = TrainingDataPipeline.curate(docs, cfg = cfg)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptIds === curatedIds)
+  }
+
   test("cluster mode keeps exactly one doc per transitive near-dup cluster") {
     // Chain fixture A(10) ~ M(30) ~ C(20) with A !~ C, middle id LARGEST:
     // shingle math at 3-grams — base = 40 tokens (38 shingles), each end
