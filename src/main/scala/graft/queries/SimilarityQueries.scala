@@ -677,6 +677,75 @@ object SimilarityQueries extends QueryModule {
       |FROM exp CROSS JOIN nq
       |ORDER BY variant""".stripMargin
 
+  /** Recall gate on the PERSISTED serving path at production nProbe
+    * AFTER a full mutation chain (north star): q214 gates the
+    * IN-MEMORY ANN variants and q216/q223 pin persisted EXACTNESS at
+    * saturating params, but nothing gated what a user actually serves —
+    * [[graft.operators.ProductQuantizer.probeSaved]] at partial nProbe
+    * over an index that has lived: save(half) → append(half) →
+    * delete(vec_id ≡ 0 mod 7) → compact → snapshot → poison-delete →
+    * restore. The gate row (same [[graft.operators.RankMetrics
+    * .gateRow]] integer arithmetic and the SAME floors as q214's
+    * ivfadc_nprobe3 variant, same m=8/k=16/coarse-8 params) asserts the
+    * persisted post-lifecycle path retains the in-memory variant's
+    * recall/nDCG/MRR floors against exact cosine top-k over the
+    * SURVIVING corpus — a lifecycle step that leaked (stale codes after
+    * restore, a compact that dropped a cell, an append encoded against
+    * the wrong codebooks) lands in the hash as a false gate bit. */
+  private def q227PersistedRecallGate(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).cache()
+    val queries = emb.filter($"vec_id" < 10)
+    val path = graft.core.Scratch.dir(dir, "pqgate")
+    val pq = graft.operators.ProductQuantizer.fit(
+      emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val coarse = graft.operators.KMeans.fit(
+      emb, "vec_id", "embedding", k = 8, iters = 2)
+    graft.operators.ProductQuantizer.save(
+      emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      coarse, pq, path, residual = false)
+    graft.operators.ProductQuantizer.append(
+      emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", path)
+    graft.operators.ProductQuantizer.delete(spark, path,
+      emb.filter($"vec_id" % 7 === 0).select($"vec_id"))
+    graft.operators.ProductQuantizer.compact(spark, path)
+    // bench reruns in one process over one Scratch dir: drop last
+    // pass's tag before re-snapshotting (snapshots are immutable)
+    if (graft.operators.IndexSnapshots.list(spark, path)
+        .filter($"tag" === "postlife").head(1).nonEmpty)
+      graft.operators.IndexSnapshots.drop(spark, path, "postlife")
+    graft.operators.IndexSnapshots.snapshot(spark, path, "postlife")
+    graft.operators.ProductQuantizer.delete(spark, path,
+      emb.filter($"vec_id" % 7 =!= 0 && $"vec_id" % 3 === 0)
+        .select($"vec_id"))
+    graft.operators.IndexSnapshots.restore(spark, path, "postlife")
+    val ann = graft.operators.ProductQuantizer.probeSaved(
+        queries, "vec_id", "embedding", spark, path, k = 5, nProbe = 3)
+      .select($"query_id", $"id", $"rank")
+    val exact = Similarity.cosineTopK(queries,
+        emb.filter($"vec_id" % 7 =!= 0), "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id".as("id"))
+    graft.operators.RankMetrics.gateRow("ivfadc_persisted_postlife",
+      ann, exact, "query_id", "id", "rank", k = 5,
+      minHitsFloor = 0, meanPctFloor = 10, ndcgPctFloor = 10,
+      mrrPctFloor = 10)
+  }
+
+  /** The constant expectation row: the persisted post-lifecycle gate at
+    * or above q214's ivfadc floors, n_queries from the probe set. */
+  private val q227Sql =
+    """WITH nq AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 10)
+      |SELECT 'ivfadc_persisted_postlife' AS variant,
+      |  CAST(nq.n AS BIGINT) AS n_queries,
+      |  CAST(0 AS BIGINT) AS min_hits_floor,
+      |  CAST(10 AS BIGINT) AS mean_pct_floor,
+      |  CAST(10 AS BIGINT) AS ndcg_pct_floor,
+      |  CAST(10 AS BIGINT) AS mrr_pct_floor,
+      |  true AS pass_min, true AS pass_mean,
+      |  true AS pass_ndcg, true AS pass_mrr
+      |FROM nq""".stripMargin
+
   /** MMR diversified retrieval ([[graft.operators.Similarity.mmrTopK]],
     * λ = 0.6, pool 20 → top-5): the redundancy-penalized selection a
     * retrieval or exemplar-sampling pass runs after top-k. Greedy and
@@ -1525,6 +1594,8 @@ object SimilarityQueries extends QueryModule {
       "two-stage retrieval: ADC shortlist -> exact re-rank, whole chain under one hash (north star)"),
     Q("q216_hybrid_persisted", q216HybridPersisted, Some(q216Sql),
       "hybrid retrieval over persisted indexes: save/append/delete/probe/fuse lifecycle under one hash (north star)"),
+    Q("q227_persisted_recall_gate", q227PersistedRecallGate, Some(q227Sql),
+      "recall/nDCG/MRR gate on probeSaved at production nProbe after save/append/delete/compact/snapshot/restore (north star)"),
     Q("q218_filtered_ann", q218FilteredAnn, Some(q218Sql),
       "filtered vector search: attribute predicate semi-joined onto the persisted codes scan before ADC, under one hash (north star)"),
     Q("q219_index_stats", q219IndexStats, Some(q219Sql),
