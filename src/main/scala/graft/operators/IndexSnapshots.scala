@@ -210,13 +210,20 @@ object IndexSnapshots {
     * Pure driver-side file metadata — one `_snapshots` listing, no rows.
     *
     * Safety:
-    *  - Refuses to run while a RESTORE is mid-flight (any `_rst`
-    *    staging under the index root): the restore's source tag is not
+    *  - Refuses to run while ANY mutation is mid-flight (any staging
+    *    suffix under the index root — the [[snapshot]]/[[restore]]
+    *    quiescence rule): a crashed restore's source tag is not
     *    recorded anywhere prune could read, so pruning around one risks
     *    deleting the very snapshot its rerun-to-converge repair path
-    *    still needs. Crashed snapshot()/prune() leftovers (hidden
-    *    `.tmp_`/`.del_` dirs) are swept here instead — they are garbage
-    *    by construction, never a recovery input.
+    *    still needs — and a crashed restore can leave `_old`-only
+    *    states a `_rst`-only check would miss. Residual caveat, same as
+    *    restore's own crash contract: a crash BETWEEN two artifact
+    *    swaps leaves NO staging at all (a mixed generation no
+    *    filesystem check can see) — the single-writer discipline is to
+    *    FINISH (rerun) an interrupted restore before running any other
+    *    mutation, prune included. Crashed snapshot()/prune() leftovers
+    *    (hidden `.tmp_`/`.del_` dirs) are swept here instead — they are
+    *    garbage by construction, never a recovery input.
     *  - Each victim is renamed to a hidden `.del_<tag>` BEFORE deletion:
     *    one atomic rename makes it invisible to [[list]]/[[at]]/
     *    [[restore]], so a crash mid-delete can never leave a
@@ -231,11 +238,13 @@ object IndexSnapshots {
     val f = fs(spark, path)
     val root = new Path(path)
     require(f.exists(root), s"no index at $root")
-    val restoring = f.listStatus(root).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.endsWith("_rst"))
-    require(restoring.isEmpty,
-      s"index at $root has a restore mid-flight ($restoring) — its source " +
-        "tag is unknown to prune, so finish (rerun) the restore first")
+    val leftovers = f.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => stagingSuffixes.exists(n.endsWith))
+    require(leftovers.isEmpty,
+      s"index at $root has crashed-mutation staging leftovers " +
+        s"$leftovers — if it was a restore, its source tag is unknown to " +
+        "prune; finish (rerun) the interrupted mutation first")
     val snapRoot = new Path(root, snapDirName)
     if (!f.exists(snapRoot)) return Seq.empty
     val (hidden, visible) = f.listStatus(snapRoot).toSeq

@@ -407,6 +407,10 @@ object IvfIndex {
         .repartition(nLists, col("list_id"))
         .write.partitionBy("list_id").parquet(tmpDir)
     }
+    // heal multi-file parameter artifacts (older saves wrote centroids
+    // un-coalesced): compact must clear everything the fragmentation
+    // policy flags, or auto-compact re-triggers every pass forever
+    IndexMaintenance.coalesceFlatArtifact(spark, dir, "centroids")
   }
 
   /** Probe a PERSISTED index (a frame carrying a `list_id` partition

@@ -47,7 +47,14 @@ object MinHashIndex {
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
   }
 
-  /** Build and persist the index over `docs`. Overwrites `path`. */
+  /** Build and persist the index over `docs`. Overwrites `path`. Meta is
+    * written LAST and atomically (under [[StagedSwap]], the
+    * [[TextIndex]] discipline): meta is this family's only
+    * corpus-parameter artifact and no mutation after save ever rewrites
+    * it, so "meta readable" ⟺ "a save once completed here" — the signal
+    * a restarting ingest stream keys its cold-start decision on. A
+    * plain overwrite's delete-then-write window would break that
+    * inference. */
   def save(docs: DataFrame, idCol: String, textCol: String, path: String,
       n: Int = 3, k: Int = 64, bands: Int = 16, seed: Long = 42L): Unit = {
     val spark = docs.sparkSession
@@ -58,15 +65,17 @@ object MinHashIndex {
       sigs.write.mode("overwrite").parquet(s"$path/sigs")
       banded(sigs, "id", k, bands).write.mode("overwrite")
         .partitionBy("band_idx").parquet(s"$path/bands")
-      Seq((n, k, bands, seed)).toDF("n", "k", "bands", "seed")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      StagedSwap.swapSub(spark, path, "meta", "_del") { tmp =>
+        Seq((n, k, bands, seed)).toDF("n", "k", "bands", "seed")
+          .coalesce(1).write.parquet(tmp)
+      }
     } finally sigs.unpersist()
   }
 
   /** Writer-restart repair — the [[TextIndex.recover]] discipline on
-    * this family's swapped artifacts (sigs, bands). */
+    * this family's swapped artifacts (sigs, bands, meta). */
   def recover(spark: SparkSession, path: String): Unit =
-    Seq("sigs", "bands").foreach(StagedSwap.recoverSub(spark, path, _))
+    Seq("sigs", "bands", "meta").foreach(StagedSwap.recoverSub(spark, path, _))
 
   /** Admit a new batch into an EXISTING index: append its signatures and
     * bands (parquet append — partitionBy(band_idx) layouts merge

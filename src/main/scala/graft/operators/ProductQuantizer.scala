@@ -521,14 +521,22 @@ object ProductQuantizer {
     } finally del.unpersist()
   }
 
+  /** Writer-restart repair — the [[TextIndex.recover]] discipline on
+    * this family's swapped artifacts (codes, plus the parameter
+    * artifacts [[compact]] may coalesce). */
+  def recover(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    Seq("codes", "coarse", "pq_model")
+      .foreach(StagedSwap.recoverSub(spark, dir, _))
+
   /** Rewrite append-accreted code partitions to ~one file per cell via
     * the crash-safe [[StagedSwap]] — same contract as
-    * [[IvfIndex.compact]]. Single-writer, no concurrent append/probe. */
-  /** Writer-restart repair — the [[TextIndex.recover]] discipline on
-    * this family's swapped artifact (codes). */
-  def recover(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
-    StagedSwap.recoverSub(spark, dir, "codes")
-
+    * [[IvfIndex.compact]]. Single-writer, no concurrent append/probe.
+    * Also coalesces multi-file PARAMETER artifacts (coarse, pq_model —
+    * k x dim rows written single-file by today's [[save]], multi-file by
+    * older saves): the fragmentation policy counts every artifact, and a
+    * compact that can't clear a flagged artifact would re-trigger on
+    * every maintenance pass forever — so compact heals everything the
+    * policy measures, a one-time migration for pre-coalesce indexes. */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     recover(spark, dir)
     val nLists = spark.read.parquet(s"$dir/coarse")
@@ -538,6 +546,8 @@ object ProductQuantizer {
         .repartition(nLists, col("list_id"))
         .write.partitionBy("list_id").parquet(tmpDir)
     }
+    Seq("coarse", "pq_model").foreach(sub =>
+      IndexMaintenance.coalesceFlatArtifact(spark, dir, sub))
   }
 
   /** Upsert (replace-or-insert) a batch of vectors — the RE-EMBED path

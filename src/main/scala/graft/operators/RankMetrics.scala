@@ -85,7 +85,12 @@ object RankMetrics {
       sum(element_at(lit(w), col("__r"))).as("__dcg"),
       (lit(1000000000L) / min(col("__r")).cast("long")).cast("long")
         .as("__rr"))
-    ref.select(col(queryIdCol).as("query_id"))
+    // distinct BEFORE counting: relevance is a SET of (query, id) pairs,
+    // and the hits side already dedups via the semi-join — a ref built
+    // from a join that emits duplicate rows would otherwise inflate c_q
+    // and IDCG_q, making 100% recall unreachable for a perfect answer
+    ref.select(col(queryIdCol).as("query_id"), col(idCol).as("id"))
+      .distinct()
       .groupBy(col("query_id"))
       .agg(least(count(lit(1)), lit(k.toLong)).as("__c"))
       .withColumn("__idcg", element_at(lit(cum), col("__c").cast("int")))

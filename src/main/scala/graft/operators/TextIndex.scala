@@ -71,26 +71,45 @@ object TextIndex {
       size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
 
   /** Writer-restart repair: recover any crashed swap's leftovers on the
-    * swapped artifacts (postings, docs) BEFORE reading or mutating —
-    * the [[StagedSwap.recoverSub]] contract. Every mutation entry point
-    * calls this; restarting ingest streams call it per batch so a
+    * swapped artifacts (postings, docs, meta) BEFORE reading or mutating
+    * — the [[StagedSwap.recoverSub]] contract. Every mutation entry
+    * point calls this; restarting ingest streams call it per batch so a
     * mid-swap crash is never misread as an absent index. */
   def recover(spark: SparkSession, path: String): Unit =
-    Seq("postings", "docs").foreach(StagedSwap.recoverSub(spark, path, _))
+    Seq("postings", "docs", "meta").foreach(StagedSwap.recoverSub(spark, path, _))
 
-  /** Build and persist the index over `docs`. Overwrites `path`. */
+  /** Every meta write goes through [[StagedSwap]] so meta is NEVER
+    * half-written: a readable meta therefore means "a save once
+    * COMPLETED here" (meta is save's last write), which is exactly the
+    * signal a restarting ingest stream keys its cold-start decision on —
+    * an unreadable meta after [[recover]] can only be a save that never
+    * finished, so re-running save() cannot overwrite a live corpus. A
+    * plain `mode("overwrite")` here would break that inference: its
+    * delete-then-write window leaves meta unreadable on an ESTABLISHED
+    * index, and the stream's replay would save() one micro-batch over
+    * the whole corpus. */
+  private def writeMeta(spark: SparkSession, path: String, n: Long,
+      sdl: Long, nBuckets: Int): Unit = {
+    import spark.implicits._
+    StagedSwap.swapSub(spark, path, "meta", "_del") { tmp =>
+      Seq((n, sdl, nBuckets)).toDF("n_docs", "sum_dl", "n_buckets")
+        .coalesce(1).write.parquet(tmp)
+    }
+  }
+
+  /** Build and persist the index over `docs`. Overwrites `path`. Meta is
+    * written LAST (and atomically) — an index without readable meta is
+    * by construction a save that never completed, never a served one. */
   def save(docs: DataFrame, idCol: String, textCol: String, path: String,
       nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val spark = docs.sparkSession
-    import spark.implicits._
     postingsOf(docs, idCol, textCol, nBuckets)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
     docRowsOf(docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$path/docs")
     val (n, sdl) = corpusStats(docs, textCol)
-    Seq((n, sdl, nBuckets)).toDF("n_docs", "sum_dl", "n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeMeta(spark, path, n, sdl, nBuckets)
   }
 
   /** Admit a new batch into an EXISTING index: postings append into the
@@ -98,7 +117,6 @@ object TextIndex {
   def append(batch: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
     val spark = batch.sparkSession
-    import spark.implicits._
     recover(spark, path)
     val meta = spark.read.parquet(s"$path/meta").collect().head
     val nBuckets = meta.getInt(2)
@@ -107,9 +125,8 @@ object TextIndex {
     docRowsOf(batch, idCol, textCol)
       .write.mode("append").parquet(s"$path/docs")
     val (bn, bsdl) = corpusStats(batch, textCol)
-    Seq((meta.getLong(0) + bn, meta.getLong(1) + bsdl, nBuckets))
-      .toDF("n_docs", "sum_dl", "n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeMeta(spark, path, meta.getLong(0) + bn, meta.getLong(1) + bsdl,
+      nBuckets)
   }
 
   /** Upsert (replace-or-insert) a batch — the document-EDITED path of
@@ -242,14 +259,16 @@ object TextIndex {
         .collect().head
       require(surviving.getLong(0) > 0,
         "delete would empty the index; drop the index directory instead")
-      // the docs guard is not enough: if every SURVIVOR is token-less
-      // (dl = 0 ⇒ no postings rows) the postings rewrite emits zero
-      // rows, partitionBy writes no data files, and every future
-      // probe/stats dies on an unreadable-schema read — guard the
-      // postings side the same way before any swap runs
-      require(spark.read.parquet(s"$path/postings")
-          .join(del, col("doc_id") === col("__del_id"), "left_anti")
-          .head(1).nonEmpty,
+      // the row-count guard is not enough: if every SURVIVOR is
+      // token-less (dl = 0 ⇒ no postings rows) the postings rewrite
+      // emits zero rows, partitionBy writes no data files, and every
+      // future probe/stats dies on an unreadable-schema read. The
+      // surviving sum(dl) already answers this for free: a doc emits
+      // postings rows iff it has ≥ 1 token iff its sidecar dl ≥ 1
+      // (postingsOf and docRowsOf derive both from the same tokens()),
+      // so sum(dl) > 0 ⟺ the rewrite keeps ≥ 1 postings row — no
+      // corpus-scale postings anti-join needed before the swap
+      require(surviving.getLong(1) > 0,
         "delete would leave an index whose surviving documents are all " +
           "token-less (zero postings rows); drop the index directory " +
           "and rebuild instead")
@@ -270,9 +289,7 @@ object TextIndex {
       val stats = spark.read.parquet(s"$path/docs")
         .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
         .collect().head
-      Seq((stats.getLong(0), stats.getLong(1), nBuckets))
-        .toDF("n_docs", "sum_dl", "n_buckets")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      writeMeta(spark, path, stats.getLong(0), stats.getLong(1), nBuckets)
     } finally del.unpersist()
   }
 
@@ -293,7 +310,13 @@ object TextIndex {
     * aggregate), but both reads are bucket-pruned file scans, while a
     * per-probe `.cache()` pinned query-dependent fragments a
     * long-running serving process never released (and went corpus-sized
-    * on stopword terms). Two pruned scans beat an unbounded cache. */
+    * on stopword terms). Two pruned scans beat an unbounded cache.
+    * Corollary (the single-writer read contract): the two scans list
+    * files independently, so a probe racing a CONCURRENT swap
+    * (delete/compact/restore) can straddle generations — same rule as
+    * every family's mutations document: no concurrent probe during a
+    * swap; serve from a snapshot ([[IndexSnapshots.at]]) while the live
+    * index mutates. */
   def probe(spark: SparkSession, path: String, queryTerms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       maxDfFrac: Double = 1.0): DataFrame = {
@@ -366,13 +389,23 @@ object TextIndex {
     * over the pruned postings for per-term df (the scale analogue of
     * probe's driver df map — it stays a frame and broadcasts); ONE JOIN
     * of the PRUNED POSTINGS against the broadcast (query, term, idf)
-    * frame; one per-(query, doc) AGGREGATE summing contributions in
-    * lexicographic term order (array_sort before the fold — float
-    * addition is order-sensitive, and a nondeterministic sum order would
-    * flake the round-6 hash run-to-run); one rank window that
-    * WindowGroupLimit cuts to ~k rows per partition map-side before the
-    * query_id exchange. Nothing driver-side scales with the corpus, and
-    * nothing in the plan scales with the number of queries.
+    * frame; one per-(query, doc) AGGREGATE summing contributions in the
+    * QUERY'S OWN term order (posexplode position carried through the
+    * join, array_sort on it before the fold) — float addition is
+    * order-sensitive, and [[probe]]'s reduce sums in queryTerms order,
+    * so any other fold order could flip a round-6 boundary and break the
+    * row-for-row contract (a nondeterministic order would flake the hash
+    * run-to-run); one rank window that WindowGroupLimit cuts to ~k rows
+    * per partition map-side before the query_id exchange. Nothing
+    * driver-side scales with the corpus, and nothing in the plan scales
+    * with the number of queries.
+    *
+    * One row per query id, enforced (one bounded aggregate): duplicate
+    * query_id rows would silently DOUBLE shared terms' contributions in
+    * the per-(query, doc) sum — the batched analogue of [[probe]]'s
+    * duplicate-terms rejection, failed loudly the same way. Per-row
+    * duplicate terms inside one array are deduped (array_distinct),
+    * matching probe's contract that terms are distinct.
     *
     * Queries whose terms all miss the index (or with empty term arrays)
     * emit no rows — the inverted-index contract, same as a zero-match
@@ -388,8 +421,15 @@ object TextIndex {
     val meta = spark.read.parquet(s"$path/meta").collect().head
     val (n, sdl, nBuckets) = (meta.getLong(0), meta.getLong(1), meta.getInt(2))
     val avgdl = sdl.toDouble / n
+    val dup = queries.agg(count(lit(1)),
+      countDistinct(col(queryIdCol))).collect().head
+    require(dup.getLong(0) == dup.getLong(1),
+      s"queries must carry ONE row per $queryIdCol (got ${dup.getLong(0)} " +
+        s"rows over ${dup.getLong(1)} distinct ids): duplicate rows would " +
+        "double-count shared terms — union term arrays per id first")
     val qt = queries.select(col(queryIdCol).as("query_id"),
-      explode(array_distinct(col(termsCol))).as("term"))
+      posexplode(array_distinct(col(termsCol))))
+      .select(col("query_id"), col("pos").as("__pos"), col("col").as("term"))
     // the terms' bucket ids: ≤ nBuckets values, via the writer's hash
     val buckets = qt.select(
         pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("b"))
@@ -409,21 +449,24 @@ object TextIndex {
           s"maxDfFrac=$maxDfFrac of the $n-doc corpus — drop them from the " +
           "batch or raise maxDfFrac to pay the corpus-scale probe knowingly")
     }
-    // (query_id, term, idf): both inputs bounded; missing terms (df = 0)
-    // drop out here, matching their zero contribution in the single probe
+    // (query_id, pos, term, idf): both inputs bounded; missing terms
+    // (df = 0) drop out here, matching their zero contribution in the
+    // single probe
     val qtIdf = qt.join(idfOf, Seq("term"))
-      .select(col("query_id"), col("term"),
+      .select(col("query_id"), col("__pos"), col("term"),
         log((lit(n.toDouble) - col("__df") + lit(0.5)) /
           (col("__df") + lit(0.5)) + lit(1.0)).as("__idf"))
     val tfD = col("tf").cast("double")
     val scored = pruned.join(broadcast(qtIdf), Seq("term"))
-      .select(col("query_id"), col("doc_id"), col("term"),
+      .select(col("query_id"), col("doc_id"), col("__pos"),
         (col("__idf") * (tfD * lit(k1 + 1.0)) /
           (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
           .as("__c"))
       .groupBy(col("query_id"), col("doc_id"))
+      // fold in the query's own term order (__pos): probe's reduce sums
+      // in queryTerms order, and float addition must match it exactly
       .agg(aggregate(
-        array_sort(collect_list(struct(col("term"), col("__c")))),
+        array_sort(collect_list(struct(col("__pos"), col("__c")))),
         lit(0.0), (acc, x) => acc + x.getField("__c")).as("__s"))
       .select(col("query_id"), col("doc_id"), round(col("__s"), 6).as("score"))
     val w = org.apache.spark.sql.expressions.Window

@@ -201,6 +201,17 @@ object StreamingJobs {
             try Some(spark.read.parquet(s"$indexPath/$sub")
               .select(col(idName).as("__seen_id")).distinct())
             catch { case _: org.apache.spark.sql.AnalysisException => None }
+          def readable(sub: String) =
+            try { spark.read.parquet(s"$indexPath/$sub"); true }
+            catch { case _: org.apache.spark.sql.AnalysisException => false }
+          // cold-start detection keys on META, not on postings/docs:
+          // save writes meta LAST and atomically (TextIndex.writeMeta's
+          // swap), so unreadable meta after recover() ⟺ no save ever
+          // completed here — re-running save() cannot overwrite a live
+          // corpus, and it SELF-HEALS save's own crash windows (postings
+          // written, docs/meta not), which previously wedged the stream:
+          // the partial postings made the batch look fully "seen", the
+          // empty append then failed reading the missing meta, forever.
           // seen-set = docs sidecar ∪ postings distinct. The union is
           // load-bearing twice over: (a) append commits postings BEFORE
           // the docs sidecar, so after a crash in that window a
@@ -210,11 +221,12 @@ object StreamingJobs {
           // index as absent and let save() overwrite the whole corpus
           // with one micro-batch. The sidecar side stays for empty-doc
           // correctness (token-less docs never reach postings).
-          val indexed = (readIds("docs", "doc_id"),
-            readIds("postings", "doc_id")) match {
-            case (Some(d), Some(p)) => Some(d.unionByName(p).distinct())
-            case (d, p) => d.orElse(p)
-          }
+          val indexed = if (!readable("meta")) None
+            else (readIds("docs", "doc_id"),
+              readIds("postings", "doc_id")) match {
+              case (Some(d), Some(p)) => Some(d.unionByName(p).distinct())
+              case (d, p) => d.orElse(p)
+            }
           indexed match {
             case None =>
               graft.operators.TextIndex.save(docs, idCol, textCol, indexPath)
@@ -270,23 +282,31 @@ object StreamingJobs {
             def readableSub(sub: String) =
               try { spark.read.parquet(s"$indexPath/$sub"); true }
               catch { case _: org.apache.spark.sql.AnalysisException => false }
-            // probe BOTH artifacts, the indexOnArrival seen-set rule: an
-            // index saved by a pre-sidecar format has postings/meta but
-            // no docs/, and a docs-only probe would misread it as absent
-            // and let save() overwrite the whole corpus with one
-            // micro-batch. postings-without-docs can't be repaired here
-            // (upsert's delete half needs the sidecar for stats), so it
-            // fails loudly instead of falling through to save().
-            val (hasDocs, hasPostings) =
-              (readableSub("docs"), readableSub("postings"))
-            require(hasDocs || !hasPostings,
-              s"$indexPath has postings but no docs sidecar (pre-sidecar " +
-                "format or partial manual copy): refusing to overwrite — " +
-                "backfill docs/ from the corpus, or rebuild with save()")
-            if (hasDocs)
-              graft.operators.TextIndex.upsert(docs, idCol, textCol, indexPath)
-            else
+            // cold-start keys on META (save's LAST write, atomic under
+            // TextIndex.writeMeta's swap): unreadable meta after
+            // recover() ⟺ no save ever completed here, so save() is
+            // always safe AND self-heals save's own crash windows
+            // (postings written, docs/meta not — previously the require
+            // below misdiagnosed that state as pre-sidecar and wedged
+            // the stream on every restart). With meta present, probe
+            // the docs sidecar: a pre-sidecar-format index (postings +
+            // meta, no docs) can't be repaired here — upsert's delete
+            // half needs the sidecar for stats — so it fails loudly
+            // instead of falling through to save().
+            if (!readableSub("meta"))
               graft.operators.TextIndex.save(docs, idCol, textCol, indexPath)
+            else {
+              val (hasDocs, hasPostings) =
+                (readableSub("docs"), readableSub("postings"))
+              require(hasDocs || !hasPostings,
+                s"$indexPath has postings but no docs sidecar (pre-sidecar " +
+                  "format or partial manual copy): refusing to overwrite — " +
+                  "backfill docs/ from the corpus, or rebuild with save()")
+              if (hasDocs)
+                graft.operators.TextIndex.upsert(docs, idCol, textCol, indexPath)
+              else // meta-only residue is no index; rebuild it
+                graft.operators.TextIndex.save(docs, idCol, textCol, indexPath)
+            }
             if (autoCompactFilesPerDir.exists(t =>
                 graft.operators.IndexMaintenance.needsCompact(spark, indexPath, t)))
               graft.operators.TextIndex.compact(spark, indexPath)
@@ -324,8 +344,14 @@ object StreamingJobs {
             // writer-restart repair FIRST (the upsert's delete half swaps
             // sigs/bands; a crash there must not trigger a save overwrite)
             graft.operators.MinHashIndex.recover(spark, indexPath)
+            // cold-start keys on META (save's LAST write, atomic):
+            // unreadable meta ⟺ no save ever completed, so save() is
+            // safe and self-heals a cold-start save that crashed after
+            // writing sigs — a sigs-keyed probe wedged that state
+            // forever (upsert's first read of the missing meta failed
+            // on every restart)
             val exists =
-              try { spark.read.parquet(s"$indexPath/sigs"); true }
+              try { spark.read.parquet(s"$indexPath/meta"); true }
               catch { case _: org.apache.spark.sql.AnalysisException => false }
             if (exists)
               graft.operators.MinHashIndex.upsert(docs, idCol, textCol, indexPath)

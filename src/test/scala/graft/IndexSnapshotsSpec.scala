@@ -226,16 +226,19 @@ class IndexSnapshotsSpec extends SparkSpec {
       protect = Set("v1")) === Seq("v2"))
     assert(IndexSnapshots.list(spark, path).select($"tag")
       .as[String].collect().toSeq === Seq("v1", "v3"))
-    // a restore mid-flight (any _rst staging) blocks prune entirely:
-    // its source tag is unknown, so no victim choice is safe
+    // ANY crashed-mutation staging blocks prune (the quiescence rule):
+    // a crashed restore can leave _old-only states, and its source tag
+    // is unknown, so no victim choice is safe around any leftover
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    val rst = new org.apache.hadoop.fs.Path(s"$path/postings_rst")
-    fs.mkdirs(rst)
-    intercept[IllegalArgumentException] {
-      IndexSnapshots.prune(spark, path, keepLast = 0)
+    for (leftover <- Seq("postings_rst", "postings_old", "docs_del")) {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$leftover")
+      fs.mkdirs(p)
+      intercept[IllegalArgumentException] {
+        IndexSnapshots.prune(spark, path, keepLast = 0)
+      }
+      fs.delete(p, true)
     }
-    fs.delete(rst, true)
     intercept[IllegalArgumentException] {
       IndexSnapshots.prune(spark, path, keepLast = -1)
     }

@@ -231,6 +231,35 @@ class MinHashIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a cold-start save crash self-heals in upsertMinHashOnArrival: " +
+      "unreadable meta means no save ever completed, so the replay re-saves") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("mh_coldcrash").toString
+    val (idx, ckpt) = (s"$dir/index", s"$dir/ckpt")
+    val batch = (1 to 10).map(i => (i.toLong, words(s"cc$i", 40)))
+    // simulate save dying AFTER sigs, BEFORE meta: the state a sigs-keyed
+    // existence probe wedged forever (upsert's meta read failed every restart)
+    MinHashIndex.save(batch.toDF("doc_id", "text"), "doc_id", "text", idx)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$idx/meta"), true))
+    val source = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs.upsertMinHashOnArrival(
+        source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idx, ckpt, clearCachePerBatch = false)
+      .start()
+    try {
+      source.addData(batch: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val probes = Seq((901L, words("cc3", 40))).toDF("doc_id", "text")
+    val hits = MinHashIndex.probe(probes, "doc_id", "text", idx,
+      minEstJac = 0.5).as[(Long, Long, Double)].collect().toSeq
+    assert(hits.exists(h => h._1 == 901L && h._2 == 3L),
+      s"stream must re-save the crashed cold start, got $hits")
+  }
+
   test("auto-compact on upsertMinHashOnArrival: file growth bounded by " +
       "the policy, answers unchanged") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -341,6 +341,31 @@ class PqSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compact heals multi-file parameter artifacts (pre-coalesce saves): " +
+      "the policy flag clears instead of re-triggering forever") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_heal").toString
+    val coarse = graft.operators.KMeans.fit(corpus, "vec_id", "embedding",
+      k = 8, iters = 3)
+    ProductQuantizer.save(corpus, "vec_id", "embedding", coarse, model,
+      dir, residual = false)
+    val queries = corpus.filter($"vec_id" < 3)
+    def rows() = ProductQuantizer.probeSaved(queries, "vec_id", "embedding",
+        spark, dir, k = 5, nProbe = 8)
+      .collect().toSeq.sortBy(_.toString)
+    val r0 = rows()
+    // simulate an old-format index: rewrite coarse/ multi-file
+    val old = spark.read.parquet(s"$dir/coarse").cache()
+    old.count()
+    old.repartition(6).write.mode("overwrite").parquet(s"$dir/coarse")
+    old.unpersist()
+    assert(graft.operators.IndexMaintenance.needsCompact(spark, dir, 2),
+      "fixture: the multi-file parameter artifact must trip the policy")
+    ProductQuantizer.compact(spark, dir)
+    assert(!graft.operators.IndexMaintenance.needsCompact(spark, dir, 2),
+      "compact must clear every artifact the policy flags")
+    assert(rows() === r0, "healing must not change answers")
+  }
+
   test("stats: cell-balance invariants over save + append") {
     val dir = java.nio.file.Files.createTempDirectory("pq_stats").toString
     val coarse = graft.operators.KMeans.fit(corpus, "vec_id", "embedding",

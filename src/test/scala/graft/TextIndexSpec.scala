@@ -482,6 +482,86 @@ class TextIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/postings").count() === nPostings)
   }
 
+  test("a cold-start save crash self-heals: unreadable meta (save's last, " +
+      "atomic write) means no save ever completed, so the replay re-saves") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // both text streams must self-heal the same state
+    for ((job, tag) <- Seq(
+        ((df: org.apache.spark.sql.DataFrame, idx: String, ck: String) =>
+          graft.streaming.StreamingJobs.indexOnArrival(
+            df, "doc_id", "text", idx, ck, clearCachePerBatch = false),
+          "ioa"),
+        ((df: org.apache.spark.sql.DataFrame, idx: String, ck: String) =>
+          graft.streaming.StreamingJobs.upsertOnArrival(
+            df, "doc_id", "text", idx, ck, clearCachePerBatch = false),
+          "uoa"))) {
+      val dir = Files.createTempDirectory(s"ti_coldcrash_$tag").toString
+      val (idx, ckpt) = (s"$dir/index", s"$dir/ckpt")
+      val batch = Seq((1L, "spark merge join"), (2L, "spark scan window"))
+      // simulate save dying AFTER postings, BEFORE docs/meta (w1): the
+      // state that previously wedged both streams forever — the partial
+      // postings made the batch look "seen" (or look pre-sidecar), and
+      // the follow-up read of the missing meta failed on every restart
+      TextIndex.save(batch.toDF("doc_id", "text"), "doc_id", "text", idx)
+      assert(fs.delete(new org.apache.hadoop.fs.Path(s"$idx/docs"), true))
+      assert(fs.delete(new org.apache.hadoop.fs.Path(s"$idx/meta"), true))
+      val source = MemoryStream[(Long, String)]
+      val q = job(source.toDF().toDF("doc_id", "text"), idx, ckpt).start()
+      try {
+        source.addData(batch: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val viaIndex = TextIndex.probe(spark, idx, Seq("spark"), k = 10)
+        .collect().toSeq
+      val viaScan = Bm25.search(batch.toDF("doc_id", "text"),
+        "doc_id", "text", Seq("spark"), k = 10).collect().toSeq
+      assert(viaIndex === viaScan, s"stream $tag must re-save, not wedge")
+    }
+  }
+
+  test("meta writes are atomic: a crash inside delete's meta swap leaves " +
+      "a recoverable state, never a half-written meta") {
+    val path = s"$root/ixmeta"
+    TextIndex.save(fixtureDocs, "doc_id", "text", path)
+    val s0 = TextIndex.stats(spark, path).collect().toSeq
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    // simulate the swap dying between its two renames: live meta staged
+    // aside as meta_old, the complete new copy still at meta_del
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$path/meta"), fs,
+      new org.apache.hadoop.fs.Path(s"$path/meta_del"), false, true, conf)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/meta"),
+      new org.apache.hadoop.fs.Path(s"$path/meta_old")))
+    // any mutation entry point recovers it (recover-first discipline)
+    TextIndex.recover(spark, path)
+    assert(TextIndex.stats(spark, path).collect().toSeq === s0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta_del")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$path/meta_old")))
+  }
+
+  test("probeAll rejects duplicate query_id rows (they would double-count " +
+      "shared terms)") {
+    val path = s"$root/ixdup"
+    TextIndex.save(fixtureDocs, "doc_id", "text", path)
+    val dup = Seq(0L -> Seq("spark"), 0L -> Seq("spark", "join"))
+      .toDF("query_id", "terms")
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.probeAll(dup, "query_id", "terms", path, k = 3)
+    }
+    assert(e.getMessage.contains("ONE row per query_id"), e.getMessage)
+    // within-row duplicate terms are deduped, matching probe's contract
+    val within = Seq(0L -> Seq("spark", "spark")).toDF("query_id", "terms")
+    val viaBatch = TextIndex.probeAll(within, "query_id", "terms", path, k = 3)
+      .select($"doc_id", $"score").collect().toSeq
+    val viaSingle = TextIndex.probe(spark, path, Seq("spark"), k = 3)
+      .select($"doc_id", $"score").collect().toSeq
+    assert(viaBatch === viaSingle)
+  }
+
   test("probeAll == N single probes, row for row") {
     val docs = fixtureDocs
     val path = s"$root/ixb1"
