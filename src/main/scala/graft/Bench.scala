@@ -123,7 +123,16 @@ object Bench {
     "q220_index_upsert" -> 7.5, // +compact in-chain since late r12
     "q221_index_rollback" -> 7.0,
     "q222_rank_drift" -> 7.0,
-    "q223_ivf_delete" -> 3.5)
+    "q223_ivf_delete" -> 3.5,
+    // round-13 additions, solo min-of-two during a ~2.5-3.8x throttle
+    // phase (q1 canary 0.52-0.77 vs ~0.2 clean) — likely tightenable.
+    // q225 is index-build-dominated (q121's class); q226 is three
+    // snapshot copies + two deletes + two time-travel probes (q221's
+    // class); q227 fits PQ + coarse then runs the full persisted
+    // lifecycle before its gate probe (q219's class)
+    "q225_batched_probe" -> 3.0,
+    "q226_snapshot_prune" -> 6.5,
+    "q227_persisted_recall_gate" -> 8.0)
   private val defaultAnchorSec = 1.0
   // overridable for local testing of the rerun path (driver never sets it)
   private val suspectFactor =
