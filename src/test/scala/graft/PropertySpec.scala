@@ -120,6 +120,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("probeAll == N single probes on a GENERATED corpus and query mix " +
+      "(hits, partial misses, full misses, stopword-heavy docs)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(1312L)
+    val vocab = (1 to 60).map(i => s"v$i")
+    // 120 docs of 5-40 tokens drawn with a skewed distribution (low ids
+    // are stopword-like and land in most docs), plus a few empty-ish docs
+    val docs = (1 to 120).map { i =>
+      val n = 5 + rng.nextInt(36)
+      val toks = Seq.fill(n)(vocab(math.min(
+        (math.abs(rng.nextGaussian()) * 12).toInt, vocab.size - 1)))
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("ti_prop").toString
+    graft.operators.TextIndex.save(docs, "doc_id", "text", path, nBuckets = 16)
+    // 12 queries of 1-4 DISTINCT terms, some entirely off-vocabulary
+    val querySets = (0 until 12).map { q =>
+      val terms = if (q % 5 == 4) Seq(s"zz_miss_$q")
+        else rng.shuffle(vocab).take(1 + rng.nextInt(4))
+      q.toLong -> terms
+    }
+    val batched = graft.operators.TextIndex.probeAll(
+        querySets.toDF("query_id", "terms"), "query_id", "terms",
+        path, k = 15)
+      .orderBy($"query_id", $"rank")
+      .select($"query_id", $"doc_id", $"score").collect().toSeq
+    val singly = querySets.flatMap { case (qid, terms) =>
+      graft.operators.TextIndex.probe(spark, path, terms, k = 15)
+        .select(lit(qid).as("query_id"), $"doc_id", $"score")
+        .collect().toSeq
+    }
+    assert(batched === singly,
+      s"generated-corpus batched/single divergence (${batched.size} rows)")
+  }
+
   test("jaccard output is within [minJac, 1] and pair-ordered") {
     import spark.implicits._
     val docs = graft.core.Tables.documents(spark, sfDir)
