@@ -408,6 +408,40 @@ object StreamingJobs {
         }
       }
 
+  /** [[upsertVectorsOnArrival]]'s discipline for the EXACT-vector
+    * [[graft.operators.IvfIndex]] (the family q223 oracles): each
+    * micro-batch [[graft.operators.IvfIndex.upsert]]s, so re-embedded
+    * ids move lists and serve only their new vectors, fresh ids insert,
+    * and at-least-once redelivery converges. Centroids stay immutable
+    * per batch ([[graft.operators.IvfIndex.refit]] is the
+    * maintenance-cadence path, a batch op, never a streaming concern).
+    * NO cold start, same rule as the PQ job: fit+save need a training
+    * corpus, not a first micro-batch — an absent index fails the stream
+    * loudly. Intra-batch conflicts resolve deterministically to the
+    * greatest vector (the replay rule). Single-writer. */
+  def upsertIvfOnArrival(stream: DataFrame, idCol: String,
+      vecCol: String, indexPath: String, checkpoint: String,
+      clearCachePerBatch: Boolean = true,
+      autoCompactFilesPerDir: Option[Int] = None): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val vecs = batch.groupBy(col(idCol))
+          .agg(max(col(vecCol)).as(vecCol)).persist()
+        try {
+          if (vecs.head(1).nonEmpty) {
+            graft.operators.IvfIndex.upsert(vecs, idCol, vecCol, indexPath)
+            if (autoCompactFilesPerDir.exists(t =>
+                graft.operators.IndexMaintenance.needsCompact(spark, indexPath, t)))
+              graft.operators.IvfIndex.compact(spark, indexPath)
+          }
+        } finally {
+          vecs.unpersist()
+          if (clearCachePerBatch) spark.catalog.clearCache()
+        }
+      }
+
   /** An erasure fan-out target for [[forgetOnArrival]] — one case per
     * persisted index family, each delegating to that index's idempotent
     * `delete(ids)` (tombstone-free filtered rewrite under StagedSwap). */

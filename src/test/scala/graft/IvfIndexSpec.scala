@@ -346,6 +346,54 @@ class IvfIndexSpec extends SparkSpec {
       "old restored; the _SUCCESS-less tmp was deleted, not promoted")
   }
 
+  test("upsertIvfOnArrival: streamed re-embeds replace, fresh ids insert, " +
+      "redelivery converges, auto-compact bounds file growth") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.reverse
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivf_upstream").toString
+    val (idx, ckpt) = (s"$dir/index", s"$dir/ckpt")
+    val model = IvfIndex.fit(emb, "vec_id", "embedding", nLists = 8, iters = 3)
+    IvfIndex.save(emb, "vec_id", "embedding", model, idx)
+    // bounded fixture slice drives the MemoryStream: re-embeds (reversed
+    // vectors move lists) + fresh ids
+    val ups = emb.filter($"vec_id" % 7 === 0 && $"vec_id" < 140)
+      .select($"vec_id", reverse($"embedding").as("embedding"))
+      .unionByName(emb.filter($"vec_id" < 3)
+        .select(($"vec_id" + 90000L).as("vec_id"), $"embedding"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val (b1, b2) = ups.splitAt(ups.size / 2)
+    val source = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingJobs.upsertIvfOnArrival(
+        source.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        idx, ckpt, clearCachePerBatch = false,
+        autoCompactFilesPerDir = Some(2))
+      .start()
+    try {
+      source.addData(b1: _*); q.processAllAvailable()
+      source.addData(b2: _*); q.processAllAvailable()
+      source.addData(b2: _*); q.processAllAvailable() // pure redelivery
+    } finally q.stop()
+    assert(!graft.operators.IndexMaintenance.needsCompact(spark, idx, 2),
+      "in-stream compaction must keep fragmentation under the policy")
+    val rebuilt = s"$dir/rebuilt"
+    val upsDf = ups.toDF("vec_id", "embedding")
+    IvfIndex.save(
+      emb.select($"vec_id", $"embedding")
+        .join(upsDf.select($"vec_id"), Seq("vec_id"), "left_anti")
+        .unionByName(upsDf),
+      "vec_id", "embedding", model, rebuilt)
+    val queries = emb.filter($"vec_id" < 10)
+    def rows(d: String) = {
+      val (m, lists) = IvfIndex.load(spark, d)
+      IvfIndex.probeIndexed(queries, lists, "vec_id", "embedding",
+          k = 5, m, nProbe = 8)
+        .orderBy($"query_id", $"rank").collect().map(_.toString).toSeq
+    }
+    assert(rows(idx) === rows(rebuilt),
+      "streamed upserts must equal a batch build with the replacements")
+  }
+
   test("delete == rebuild-without under the same model; upsert moves " +
       "re-embedded ids; stats track both; idempotent") {
     import org.apache.spark.sql.functions.col
