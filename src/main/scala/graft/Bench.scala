@@ -137,7 +137,10 @@ object Bench {
     // lifecycle before its gate probe (q219's class)
     "q225_batched_probe" -> 3.0,
     "q226_snapshot_prune" -> 6.5,
-    "q227_persisted_recall_gate" -> 8.0)
+    "q227_persisted_recall_gate" -> 8.0,
+    // save + delete + upsert rewrites before the batched probe — q220's
+    // lifecycle class; throttled solo min-of-two 6.60
+    "q228_batched_probe_lifecycle" -> 6.5)
   private val defaultAnchorSec = 1.0
   // overridable for local testing of the rerun path (driver never sets it)
   private val suspectFactor =

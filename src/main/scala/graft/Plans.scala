@@ -68,7 +68,8 @@ object Plans {
       "q217_trained_quality", "q218_filtered_ann", "q219_index_stats",
       "q220_index_upsert", "q221_index_rollback", "q222_rank_drift",
       "q223_ivf_delete", "q224_drop_ledger", "q225_batched_probe",
-      "q226_snapshot_prune", "q227_persisted_recall_gate")
+      "q226_snapshot_prune", "q227_persisted_recall_gate",
+      "q228_batched_probe_lifecycle")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -794,6 +794,74 @@ object TextQueries extends QueryModule {
       |FROM ranked WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** The batched probe against a MUTATED index (north star): q225 pins
+    * probeAll over a fresh save; this pins it over the LIFECYCLE path a
+    * serving index actually lives on — save, targeted delete (doc_id ≡
+    * 0 mod 5), then upsert (every surviving doc_id ≡ 0 mod 7 re-ingested
+    * with edited text), then ONE batched plan for three queries. The
+    * hash therefore pins the corrected post-delete df/N stats, the
+    * upsert's replace semantics (old postings gone, new "refreshed"
+    * token scored), and the batched scoring arithmetic at once; the
+    * oracle replays the mutated corpus relationally. */
+  private def q228BatchedProbeLifecycle(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val path = graft.core.Scratch.dir(dir, "bm25alllc")
+    graft.operators.TextIndex.save(docs, "doc_id", "text", path)
+    graft.operators.TextIndex.delete(spark, path,
+      docs.filter($"doc_id" % 5 === 0).select($"doc_id"))
+    graft.operators.TextIndex.upsert(
+      docs.filter($"doc_id" % 5 =!= 0 && $"doc_id" % 7 === 0)
+        .select($"doc_id", concat($"text", lit(" refreshed")).as("text")),
+      "doc_id", "text", path)
+    val queries = Seq(
+      (0L, Seq("spark", "merge", "join")),
+      (1L, Seq("refreshed")),
+      (2L, Seq("vector", "scan"))).toDF("query_id", "terms")
+    graft.operators.TextIndex.probeAll(
+        queries, "query_id", "terms", path, k = 10)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** q225's relational replay over the MUTATED corpus: rows ≡ 0 (mod 5)
+    * dropped, surviving rows ≡ 0 (mod 7) re-texted, stats recomputed. */
+  private val q228Sql =
+    """WITH q(query_id, term) AS (VALUES
+      |  (0, 'spark'), (0, 'merge'), (0, 'join'),
+      |  (1, 'refreshed'),
+      |  (2, 'vector'), (2, 'scan')),
+      |docs2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' refreshed'
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |         FROM docs2),
+      |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |       FROM docs2),
+      |stats AS (SELECT COUNT(*) AS n,
+      |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |contrib AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1) * (tf.tf * 2.2) /
+      |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS c
+      |  FROM q JOIN tf USING (term) JOIN df USING (term)
+      |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s),
+      |scored AS (SELECT query_id, doc_id, round(SUM(c), 6) AS score
+      |  FROM contrib GROUP BY 1, 2),
+      |ranked AS (SELECT query_id, doc_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+      |  CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   /** q119's scan SQL restricted to the surviving corpus — the stats
     * CTE recomputes N/df/avgdl over the filtered set, exactly what
     * TextIndex.delete's corrected meta must reproduce. */
@@ -2879,6 +2947,8 @@ object TextQueries extends QueryModule {
       "targeted delete on the persisted BM25 index: corrected df/N stats under one hash (north star)"),
     Q("q225_batched_probe", q225BatchedProbe, Some(q225Sql),
       "batched BM25 probe: N queries in ONE plan over the persisted index, scores+ranks under one hash (north star)"),
+    Q("q228_batched_probe_lifecycle", q228BatchedProbeLifecycle, Some(q228Sql),
+      "batched probe over a MUTATED index: save -> delete -> upsert, then one plan for N queries, corrected stats under one hash (north star)"),
     Q("q220_index_upsert", q220IndexUpsert, Some(q220Sql),
       "upsert on the persisted BM25 index: edited docs replace, fresh docs insert, stats corrected, under one hash (north star)"),
     // q221 deliberately SHARES q119Sql (the q121 precedent): its claim is
