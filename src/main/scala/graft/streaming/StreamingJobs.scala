@@ -444,30 +444,47 @@ object StreamingJobs {
 
   /** An erasure fan-out target for [[forgetOnArrival]] — one case per
     * persisted index family, each delegating to that index's idempotent
-    * `delete(ids)` (tombstone-free filtered rewrite under StagedSwap). */
+    * `delete(ids)` (tombstone-free filtered rewrite under StagedSwap).
+    * `rows` reads the family's membership count (one aggregate over the
+    * id-bearing artifact, no text/vectors) — the before/after evidence
+    * the opt-in erasure audit records. */
   sealed trait ErasureTarget {
     def path: String
+    def family: String
     def delete(spark: SparkSession, ids: DataFrame): Unit
+    def rows(spark: SparkSession): Long
   }
   /** [[graft.operators.TextIndex]] (BM25) at `path`. */
   final case class TextIndexAt(path: String) extends ErasureTarget {
+    def family = "text_bm25"
     def delete(spark: SparkSession, ids: DataFrame): Unit =
       graft.operators.TextIndex.delete(spark, path, ids)
+    def rows(spark: SparkSession): Long =
+      spark.read.parquet(s"$path/docs").count()
   }
   /** [[graft.operators.MinHashIndex]] (near-dup) at `path`. */
   final case class MinHashIndexAt(path: String) extends ErasureTarget {
+    def family = "minhash"
     def delete(spark: SparkSession, ids: DataFrame): Unit =
       graft.operators.MinHashIndex.delete(spark, path, ids)
+    def rows(spark: SparkSession): Long =
+      spark.read.parquet(s"$path/sigs").count()
   }
   /** [[graft.operators.ProductQuantizer]] (IVFADC vectors) at `path`. */
   final case class PqIndexAt(path: String) extends ErasureTarget {
+    def family = "ivfadc"
     def delete(spark: SparkSession, ids: DataFrame): Unit =
       graft.operators.ProductQuantizer.delete(spark, path, ids)
+    def rows(spark: SparkSession): Long =
+      spark.read.parquet(s"$path/codes").count()
   }
   /** [[graft.operators.IvfIndex]] (exact-vector IVF) at `path`. */
   final case class IvfIndexAt(path: String) extends ErasureTarget {
+    def family = "ivf_exact"
     def delete(spark: SparkSession, ids: DataFrame): Unit =
       graft.operators.IvfIndex.delete(spark, path, ids)
+    def rows(spark: SparkSession): Long =
+      spark.read.parquet(s"$path/lists").count()
   }
 
   /** Continuous right-to-be-forgotten propagation — the delete half of
@@ -494,19 +511,43 @@ object StreamingJobs {
     * writer while it runs (same as append/compact) — pause ingest or
     * fuse erasure into the ingest stream's foreachBatch when both run
     * continuously. */
+  /** @param auditPath when set, one (batch_id, family, path,
+    *   ids_requested, rows_before, rows_after) row per (batch, target)
+    *   appends there after each target's delete — the "prove you
+    *   forgot" evidence a compliance review asks for. Each audit row
+    *   costs two membership counts (id-column aggregates — no text or
+    *   vectors move); the append is at-least-once like the deletes
+    *   (foreachBatch replay can duplicate a batch's rows — dedupe on
+    *   (batch_id, family) downstream; rows_before/rows_after converge
+    *   because the deletes are idempotent). */
   def forgetOnArrival(stream: DataFrame, idCol: String,
       targets: Seq[ErasureTarget], checkpoint: String,
-      clearCachePerBatch: Boolean = true): DataStreamWriter[Row] = {
+      clearCachePerBatch: Boolean = true,
+      auditPath: Option[String] = None): DataStreamWriter[Row] = {
     require(targets.nonEmpty, "forgetOnArrival needs at least one target")
     require(targets.map(_.path).distinct.length == targets.length,
       s"duplicate erasure-target paths: ${targets.map(_.path)}")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        import spark.implicits._
         val ids = batch.select(col(idCol)).distinct().persist()
         try {
-          if (ids.head(1).nonEmpty) targets.foreach(_.delete(spark, ids))
+          if (ids.head(1).nonEmpty) {
+            val nIds = ids.count()
+            val audit = targets.map { t =>
+              val before = if (auditPath.isDefined) t.rows(spark) else 0L
+              t.delete(spark, ids)
+              (batchId, t.family, t.path, nIds, before,
+                if (auditPath.isDefined) t.rows(spark) else 0L)
+            }
+            auditPath.foreach { p =>
+              audit.toDF("batch_id", "family", "path", "ids_requested",
+                  "rows_before", "rows_after")
+                .coalesce(1).write.mode("append").parquet(p)
+            }
+          }
         } finally {
           ids.unpersist()
           if (clearCachePerBatch) spark.catalog.clearCache()

@@ -288,6 +288,51 @@ class TextIndexSpec extends SparkSpec {
     } finally { q.stop(); all.unpersist() }
   }
 
+  test("forgetOnArrival audit ledger: one row per (batch, family) with " +
+      "exact before/after membership — the prove-you-forgot evidence") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.MinHashIndex
+    import graft.streaming.StreamingJobs.{MinHashIndexAt, TextIndexAt}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ti_forgetaudit").toString
+    val (tIdx, mIdx, ckpt, audit) =
+      (s"$dir/text", s"$dir/mh", s"$dir/ckpt", s"$dir/audit")
+    val all = fixtureDocs.cache()
+    val n0 = all.count()
+    TextIndex.save(all, "doc_id", "text", tIdx)
+    MinHashIndex.save(all, "doc_id", "text", mIdx)
+    val source = MemoryStream[Long]
+    val q = graft.streaming.StreamingJobs.forgetOnArrival(
+        source.toDF().toDF("doc_id"), "doc_id",
+        Seq(TextIndexAt(tIdx), MinHashIndexAt(mIdx)), ckpt,
+        clearCachePerBatch = false, auditPath = Some(audit))
+      .start()
+    try {
+      val b1 = all.filter($"doc_id" % 4 === 0)
+        .select($"doc_id").as[Long].collect().toSeq
+      source.addData(b1: _*)
+      q.processAllAvailable()
+      // batch 2 mixes already-erased + absent ids: requested != removed,
+      // and the audit shows exactly that
+      source.addData(b1.take(2) :+ -999L: _*)
+      q.processAllAvailable()
+      val rows = spark.read.parquet(audit)
+        .as[(Long, String, String, Long, Long, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(rows.map(r => (r._1, r._2)) ===
+        Seq((0L, "minhash"), (0L, "text_bm25"), (1L, "minhash"),
+          (1L, "text_bm25")), s"one row per (batch, family): $rows")
+      rows.filter(_._1 == 0L).foreach { r =>
+        assert(r._4 === b1.size && r._5 === n0 && r._6 === n0 - b1.size,
+          s"batch-0 evidence must show the exact removal: $r")
+      }
+      rows.filter(_._1 == 1L).foreach { r =>
+        assert(r._4 === 3 && r._5 === n0 - b1.size && r._6 === r._5,
+          s"already-erased + absent ids must show zero movement: $r")
+      }
+    } finally { q.stop(); all.unpersist() }
+  }
+
   test("upsert == rebuild-with-replacements: edited docs serve only new " +
       "text, fresh docs insert, stats corrected; idempotent rerun") {
     val docs = fixtureDocs
