@@ -273,6 +273,31 @@ class IndexSnapshotsSpec extends SparkSpec {
     assert(left === Seq("v2"), s"hidden leftovers must be swept, got $left")
   }
 
+  test("prune retention property: over a randomized tag history, survivors " +
+      "are exactly the keepLast newest plus the protected set") {
+    val path = Files.createTempDirectory("snap_prprop").toString
+    TextIndex.save(docs, "doc_id", "text", path)
+    val rng = new scala.util.Random(4242L)
+    // shuffled names decouple lexicographic order from creation order
+    val tags = rng.shuffle((1 to 9).map(i => s"t$i").toList)
+    tags.foreach { t =>
+      IndexSnapshots.snapshot(spark, path, t)
+      Thread.sleep(15) // separate the promotion mtimes
+    }
+    val protect = Set(tags(1), tags(4))
+    val keepLast = 3
+    val expectSurvivors = (tags.takeRight(keepLast) ++ protect).toSet
+    val dropped = IndexSnapshots.prune(spark, path, keepLast, protect)
+    assert(dropped.toSet === tags.toSet -- expectSurvivors,
+      s"creation order ${tags.mkString(",")}: dropped $dropped")
+    assert(IndexSnapshots.list(spark, path).select($"tag")
+      .as[String].collect().toSet === expectSurvivors)
+    // idempotent under the same policy; every survivor still restorable
+    assert(IndexSnapshots.prune(spark, path, keepLast, protect) === Seq.empty)
+    expectSurvivors.foreach(t =>
+      assert(IndexSnapshots.at(spark, path, t).nonEmpty))
+  }
+
   test("immutability, quiescence, inventory, drop, and validation") {
     val path = Files.createTempDirectory("snap_val").toString
     TextIndex.save(docs, "doc_id", "text", path)
