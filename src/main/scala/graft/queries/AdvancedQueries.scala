@@ -449,6 +449,60 @@ object AdvancedQueries extends QueryModule {
        |ORDER BY base.o_orderpriority, base.p""".stripMargin
   }
 
+  /** Mergeable MRL quantile sketch at exact capacity (the q70/q105
+    * oracle trick applied to [[graft.operators.QuantileSketch]]): with
+    * capacity ≥ every language's row count no buffer collapse ever
+    * fires, the accumulated error bound stays 0, and the summary IS the
+    * sorted group — so insert/promote/merge/finish sit end to end under
+    * the q89-style window-rank oracle. q207's doc notes KLL/t-digest
+    * compaction "defies a cross-engine replay"; this pins the lossless
+    * half relationally and leaves the lossy half to q230's
+    * self-certifying integer gate + QuantileSketchSpec's bound checks. */
+  private def q229QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.QuantileSketch.summarize(
+        Tables.documents(spark, dir), "n_chars", "lang",
+        ps = Seq(0.5, 0.9, 0.99), capacity = 8192)
+      .orderBy($"lang", $"p")
+  }
+
+  private val q229Sql =
+    """WITH r AS (
+      |  SELECT lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents),
+      |ps(p) AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE)),
+      |t AS (
+      |  SELECT lang, p, n,
+      |    GREATEST(1, CAST(CEIL(p * n) AS BIGINT)) AS r0
+      |  FROM (SELECT DISTINCT lang, n FROM r) CROSS JOIN ps)
+      |SELECT t.lang, t.p, CAST(t.n AS BIGINT) AS n, r.n_chars AS q
+      |FROM t JOIN r ON r.lang = t.lang AND r.rn = t.r0
+      |ORDER BY t.lang, t.p""".stripMargin
+
+  /** The sparse-capacity half of the q229 story: a 256-item-per-buffer
+    * sketch over lineitem's 600k quantities (collapses DO fire), then
+    * [[graft.operators.QuantileSketch.gate]]'s exact one-pass audit —
+    * each estimate's true rank interval must intersect the target rank
+    * ± the summary's own accumulated bound. The pass flags are TRUE
+    * under ANY merge order (the bound certifies its own realized
+    * error), which is what makes an approximate sketch's contract
+    * hash-pinnable (the q214 gate pattern) even though the estimates
+    * themselves are merge-order-dependent like q105's MG survivors. */
+  private def q230QuantileGate(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.QuantileSketch.gate(
+      Tables.lineitem(spark, dir), "l_quantity",
+      ps = Seq(0.1, 0.5, 0.9, 0.99), capacity = 256)
+
+  private val q230Sql =
+    """WITH c AS (SELECT COUNT(*) AS n FROM lineitem),
+      |ps(p_pct) AS (VALUES (10), (50), (90), (99))
+      |SELECT CAST(p_pct AS BIGINT) AS p_pct, CAST(c.n AS BIGINT) AS n,
+      |  true AS pass
+      |FROM ps CROSS JOIN c
+      |ORDER BY p_pct""".stripMargin
+
   /** Mergeable-histogram quantiles ([[graft.operators.Drift
     * .binnedQuantiles]]): the quantile read the drift family's bin
     * counts support for free — deterministic and exactly mergeable
@@ -2025,6 +2079,10 @@ object AdvancedQueries extends QueryModule {
       "quantile binning: exact per-stratum cuts, tie-deterministic cut-count buckets"),
     Q("q207_binned_quantiles", q207BinnedQuantiles, Some(q207Sql),
       "mergeable-histogram quantiles: estimate, exact, and the one-bin error bound under the hash"),
+    Q("q229_quantile_sketch", q229QuantileSketch, Some(q229Sql),
+      "MRL quantile sketch at exact capacity: insert/promote/merge/finish under the window-rank oracle"),
+    Q("q230_quantile_gate", q230QuantileGate, Some(q230Sql),
+      "sparse MRL sketch self-audit: exact rank intervals vs the summary's own error bound, integer gates"),
     Q("q206_quantile_shift", q206QuantileShift, Some(q206Sql),
       "per-stratum exact-quantile drift gate: p50/p90/p99 shifts between snapshots"),
     Q("q205_fk_contract", q205FkContract, Some(q205Sql),
