@@ -13,13 +13,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * same layout).
   *
   * Design notes, scale first:
-  *  - A snapshot is a FULL COPY under `<index>/_snapshots/<tag>/`. The
+  *  - [[snapshot]] is a FULL COPY under `<index>/_snapshots/<tag>/`. The
   *    families rewrite artifact files in place under [[StagedSwap]]
   *    (no immutable-segment manifest to pin), so copying is the honest
   *    snapshot; it is O(index bytes) and the caller chooses the moments
   *    (e.g. before each day's ingest). On an object store the copy is a
   *    server-side operation; nothing here reads rows — bytes stream
   *    through the filesystem layer, never through Spark.
+  *  - [[snapshotIncremental]] is the O(changed bytes) form for a
+  *    recurring cadence: artifact subdirs dedup through a
+  *    content-addressed store (`_snapshots/_objects/`) and tags hold
+  *    `.ref` pointers; [[prune]] refcounts and garbage-collects. Same
+  *    restore/at/list surface, same crash and quiescence contracts.
   *  - Snapshots are IMMUTABLE: same-tag re-snapshot is rejected; `drop`
   *    then re-snapshot for a rolling "latest" discipline.
   *  - Crash-safe at every step. snapshot(): copies land in a hidden
@@ -46,6 +51,12 @@ object IndexSnapshots {
 
   private def stagingSuffixes = StagedSwap.allStagingSuffixes
   private[operators] val snapDirName = "_snapshots"
+
+  /** Content-addressed store for [[snapshotIncremental]] dedup — lives
+    * beside the tag dirs; never a valid tag name (tags must start
+    * alphanumeric). */
+  private[graft] val objectsDirName = "_objects"
+  private val refSuffix = ".ref"
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -127,6 +138,138 @@ object IndexSnapshots {
       throw new java.io.IOException(s"snapshot: cannot promote $staging to $dest")
   }
 
+  /** Fingerprint of an artifact subdir: SHA-256 over the sorted
+    * recursive (relative path, length) listing. Sufficient as a content
+    * address HERE because every artifact generation is a fresh Spark
+    * write whose part files carry task-attempt UUIDs in their names —
+    * two different generations can never present the same name set, and
+    * an unchanged subdir (copied or untouched) presents exactly the
+    * same names and lengths. Deliberately excludes mtimes (copies
+    * re-stamp them) and never reads file contents (O(metadata), not
+    * O(bytes) — the point of an incremental snapshot). */
+  private def fingerprint(f: FileSystem, dir: Path): String = {
+    val base = dir.toUri.getPath
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = f.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      entries += s"${st.getPath.toUri.getPath.stripPrefix(base)}:${st.getLen}"
+    }
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def writeRef(f: FileSystem, file: Path, key: String): Unit = {
+    val out = f.create(file, true)
+    try out.write(key.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readRef(f: FileSystem, file: Path): String = {
+    val in = f.open(file)
+    try {
+      val buf = new Array[Byte](256)
+      val n = in.read(buf)
+      new String(buf, 0, math.max(n, 0), "UTF-8").trim
+    } finally in.close()
+  }
+
+  /** A snapshot's artifact entries: (artifact name, source path to copy
+    * from) — a real copied subdir (full snapshots) or a `<name>.ref`
+    * file resolved through the object store (incremental). Fails loudly
+    * on a dangling ref (an object a buggy external cleanup removed —
+    * [[gcObjects]] itself can never orphan a visible tag's ref). */
+  private def entries(f: FileSystem, root: Path, snap: Path): Seq[(String, Path)] = {
+    val objRoot = new Path(new Path(root, snapDirName), objectsDirName)
+    f.listStatus(snap).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) Some(name -> st.getPath)
+      else if (name.endsWith(refSuffix)) {
+        val obj = new Path(objRoot, readRef(f, st.getPath))
+        require(f.exists(obj),
+          s"snapshot entry $name references missing object $obj — " +
+            "the object store was modified outside prune/gcObjects")
+        Some(name.dropRight(refSuffix.length) -> obj)
+      } else None
+    }
+  }
+
+  /** [[snapshot]] at O(changed bytes): artifact subdirs are stored ONCE
+    * in a content-addressed store (`_snapshots/_objects/<sha>`, keyed by
+    * the [[fingerprint]] listing) and each tag records `<sub>.ref`
+    * pointer files — a nightly cadence on a 100 TB index pays only for
+    * the subdirs that day's mutations rewrote (e.g. an IVF append
+    * rewrites lists/stats but shares centroids; a quiet day shares
+    * everything). [[restore]] and [[at]] resolve refs transparently;
+    * [[prune]] refcounts the store and garbage-collects unreferenced
+    * objects. Same immutability, quiescence, and crash contracts as
+    * [[snapshot]]: objects promote by atomic rename (a crash leaves only
+    * hidden staging, swept by prune), the tag dir promotes last, and a
+    * tag is visible ⟺ every one of its refs resolves. */
+  def snapshotIncremental(spark: SparkSession, path: String, tag: String): Unit = {
+    validTag(tag)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = fs(spark, path)
+    val root = new Path(path)
+    requireQuiescent(f, root)
+    val subs = artifactDirs(f, root)
+    require(subs.nonEmpty, s"no artifact subdirectories under $root")
+    val snapRoot = new Path(root, snapDirName)
+    val dest = new Path(snapRoot, tag)
+    require(!f.exists(dest), s"snapshot '$tag' already exists at $dest")
+    val objRoot = new Path(snapRoot, objectsDirName)
+    f.mkdirs(objRoot)
+    val staging = new Path(snapRoot, s".tmp_$tag")
+    if (f.exists(staging) && !f.delete(staging, true))
+      throw new java.io.IOException(s"snapshot: cannot clear stale $staging")
+    f.mkdirs(staging)
+    subs.foreach { s =>
+      val key = fingerprint(f, s)
+      val obj = new Path(objRoot, key)
+      if (!f.exists(obj)) {
+        val objTmp = new Path(objRoot, s".tmp_$key")
+        if (f.exists(objTmp) && !f.delete(objTmp, true))
+          throw new java.io.IOException(s"snapshot: cannot clear stale $objTmp")
+        copyDir(f, s, objTmp, conf)
+        if (!f.rename(objTmp, obj))
+          throw new java.io.IOException(s"snapshot: cannot promote $objTmp")
+      }
+      writeRef(f, new Path(staging, s"${s.getName}$refSuffix"), key)
+    }
+    if (!f.rename(staging, dest))
+      throw new java.io.IOException(s"snapshot: cannot promote $staging to $dest")
+  }
+
+  /** Delete every object no VISIBLE tag references (plus crashed-copy
+    * staging). Returns the deleted keys. Called by [[prune]] after tags
+    * retire; public so a [[drop]]-heavy caller can reclaim too. Runs
+    * under the family's single-writer contract: a snapshot MID-BUILD has
+    * objects on disk whose refs still sit in hidden staging this scan
+    * cannot see, so gc concurrent with [[snapshotIncremental]] could
+    * collect them — the same no-concurrent-mutation rule every
+    * operation here already requires covers it. */
+  def gcObjects(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val snapRoot = new Path(new Path(path), snapDirName)
+    val objRoot = new Path(snapRoot, objectsDirName)
+    if (!f.exists(objRoot)) return Seq.empty
+    val live: Set[String] = f.listStatus(snapRoot).toSeq
+      .filter(_.isDirectory).map(_.getPath)
+      .filterNot(p => p.getName.startsWith(".") || p.getName == objectsDirName)
+      .flatMap { tagDir =>
+        f.listStatus(tagDir).toSeq
+          .filter(st => !st.isDirectory && st.getPath.getName.endsWith(refSuffix))
+          .map(st => readRef(f, st.getPath))
+      }.toSet
+    f.listStatus(objRoot).toSeq.map(_.getPath)
+      .filterNot(p => live.contains(p.getName))
+      .map { p =>
+        if (!f.delete(p, true) && f.exists(p))
+          throw new java.io.IOException(s"gcObjects: cannot delete $p")
+        p.getName
+      }.sorted
+  }
+
   /** Roll the index back to snapshot `tag`: each artifact subdir in the
     * snapshot swaps in under [[StagedSwap]]; live subdirs absent from
     * the snapshot (none for the shipped families) are dropped last.
@@ -144,15 +287,15 @@ object IndexSnapshots {
     // leftovers — StagedSwap.swap's recover step repairs them; only
     // other mutations' leftovers (`_del`/`_compact`) block a restore
     requireQuiescent(f, root, ownSuffixes = Set("_rst", "_old"))
-    val snapSubs = f.listStatus(snap).toSeq.filter(_.isDirectory).map(_.getPath)
+    val snapSubs = entries(f, root, snap)
     require(snapSubs.nonEmpty, s"snapshot '$tag' is empty at $snap")
-    snapSubs.foreach { s =>
-      val live = new Path(root, s.getName)
-      val tmp = new Path(root, s"${s.getName}_rst")
-      val old = new Path(root, s"${s.getName}_old")
-      StagedSwap.swap(f, live, tmp, old)(t => copyDir(f, s, new Path(t), conf))
+    snapSubs.foreach { case (name, src) =>
+      val live = new Path(root, name)
+      val tmp = new Path(root, s"${name}_rst")
+      val old = new Path(root, s"${name}_old")
+      StagedSwap.swap(f, live, tmp, old)(t => copyDir(f, src, new Path(t), conf))
     }
-    val snapNames = snapSubs.map(_.getName).toSet
+    val snapNames = snapSubs.map(_._1).toSet
     artifactDirs(f, root).filterNot(p => snapNames.contains(p.getName))
       .foreach { extra =>
         if (!f.delete(extra, true) && f.exists(extra))
@@ -176,9 +319,32 @@ object IndexSnapshots {
     * than returning a path whose read would fail later. */
   def at(spark: SparkSession, path: String, tag: String): String = {
     validTag(tag)
-    val dest = new Path(new Path(new Path(path), snapDirName), tag)
-    require(fs(spark, path).exists(dest), s"no snapshot '$tag' at $dest")
-    dest.toString
+    val f = fs(spark, path)
+    val root = new Path(path)
+    val snapRoot = new Path(root, snapDirName)
+    val dest = new Path(snapRoot, tag)
+    require(f.exists(dest), s"no snapshot '$tag' at $dest")
+    // incremental snapshots hold .ref pointers, not readable artifact
+    // dirs: materialize ONCE into a hidden derived view (staged + atomic
+    // rename, so existence ⟺ complete; a crash leaves only staging) and
+    // serve that. Views are caches — every prune sweeps them (hidden-dir
+    // rule) and the next at() rebuilds.
+    val hasRefs = f.listStatus(dest).exists(st =>
+      !st.isDirectory && st.getPath.getName.endsWith(refSuffix))
+    if (!hasRefs) return dest.toString
+    val view = new Path(snapRoot, s".view_$tag")
+    if (f.exists(view)) return view.toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val staging = new Path(snapRoot, s".tmpview_$tag")
+    if (f.exists(staging) && !f.delete(staging, true))
+      throw new java.io.IOException(s"at: cannot clear stale $staging")
+    f.mkdirs(staging)
+    entries(f, root, dest).foreach { case (name, src) =>
+      copyDir(f, src, new Path(staging, name), conf)
+    }
+    if (!f.rename(staging, view))
+      throw new java.io.IOException(s"at: cannot promote $staging to $view")
+    view.toString
   }
 
   /** The snapshot inventory as a dashboard frame: one (tag, n_files,
@@ -191,7 +357,8 @@ object IndexSnapshots {
       if (!f.exists(snapRoot)) Seq.empty
       else f.listStatus(snapRoot).toSeq
         .filter(_.isDirectory).map(_.getPath)
-        .filterNot(_.getName.startsWith("."))
+        .filterNot(p =>
+          p.getName.startsWith(".") || p.getName == objectsDirName)
         .map { p =>
           val s = f.getContentSummary(p)
           (p.getName, s.getFileCount, s.getLength)
@@ -249,8 +416,10 @@ object IndexSnapshots {
     if (!f.exists(snapRoot)) return Seq.empty
     val (hidden, visible) = f.listStatus(snapRoot).toSeq
       .filter(_.isDirectory)
+      .filterNot(_.getPath.getName == objectsDirName)
       .partition(_.getPath.getName.startsWith("."))
-    // crashed snapshot()/prune() staging: garbage by construction
+    // crashed snapshot()/prune() staging AND materialized at() views:
+    // garbage/caches by construction — views rebuild on the next at()
     hidden.map(_.getPath).foreach { p =>
       if (!f.delete(p, true) && f.exists(p))
         throw new java.io.IOException(s"prune: cannot clear stale $p")
@@ -261,7 +430,7 @@ object IndexSnapshots {
       .dropRight(keepLast)
       .map(_._1)
       .filterNot(p => protect.contains(p.getName))
-    victims.map { p =>
+    val dropped = victims.map { p =>
       val shadow = new Path(snapRoot, s".del_${p.getName}")
       if (!f.rename(p, shadow))
         throw new java.io.IOException(s"prune: cannot retire $p to $shadow")
@@ -269,15 +438,25 @@ object IndexSnapshots {
         throw new java.io.IOException(s"prune: cannot delete retired $shadow")
       p.getName
     }
+    // retired tags may have been the last referents of shared objects
+    if (dropped.nonEmpty) gcObjects(spark, path)
+    dropped
   }
 
   /** Delete snapshot `tag`. Loud on failure (a half-deleted snapshot
-    * must not look restorable). */
+    * must not look restorable). Drops the tag's materialized [[at]]
+    * view FIRST — a re-snapshot under the same tag must never serve the
+    * dropped generation through a stale view. Shared objects the tag
+    * referenced stay until the next [[prune]]/[[gcObjects]]. */
   def drop(spark: SparkSession, path: String, tag: String): Unit = {
     validTag(tag)
     val f = fs(spark, path)
-    val dest = new Path(new Path(new Path(path), snapDirName), tag)
+    val snapRoot = new Path(new Path(path), snapDirName)
+    val dest = new Path(snapRoot, tag)
     require(f.exists(dest), s"no snapshot '$tag' to drop at $dest")
+    val view = new Path(snapRoot, s".view_$tag")
+    if (f.exists(view) && !f.delete(view, true) && f.exists(view))
+      throw new java.io.IOException(s"drop: cannot delete stale view $view")
     if (!f.delete(dest, true) && f.exists(dest))
       throw new java.io.IOException(s"drop: cannot delete $dest")
   }

@@ -1086,6 +1086,94 @@ object TextQueries extends QueryModule {
       |FROM ranked WHERE rank <= 5
       |ORDER BY tag, rank""".stripMargin
 
+  /** Incremental (content-addressed) snapshots through a full lifecycle
+    * — the O(changed bytes) answer to q226's storage-valve caveat (full
+    * copies on a nightly cadence): save the corpus, take TWO incremental
+    * snapshots of the SAME generation (rolling-latest cadence on a quiet
+    * index — engine-side contracts assert they share every object and
+    * the tag dirs hold only `.ref` pointers), mutate (delete a third),
+    * snapshot the new generation, POISON the index (doctored upserts),
+    * restore through the ref store, and prune to keepLast=1 (the
+    * refcounting GC reclaims the dropped generation's objects). The
+    * probe runs TWICE — the restored live index and read-only time
+    * travel through `at()`'s materialized view — and the hash pins both
+    * legs to the identical post-delete relation: a restore that resolved
+    * a ref to the wrong object, a GC that collected a live object, or a
+    * stale/partial view shifts scores or drops rows. */
+  private def q231IncrementalSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val path = graft.core.Scratch.dir(dir, "bm25incr")
+    graft.operators.TextIndex.save(docs, "doc_id", "text", path)
+    // bench reruns in one process over one Scratch dir: drain prior tags
+    // (prune-to-empty also garbage-collects the object store)
+    graft.operators.IndexSnapshots.prune(spark, path, keepLast = 0)
+    require(graft.operators.IndexSnapshots.gcObjects(spark, path).isEmpty,
+      "prune-to-empty must already have collected every object")
+    graft.operators.IndexSnapshots.snapshotIncremental(spark, path, "s1")
+    graft.operators.IndexSnapshots.snapshotIncremental(spark, path, "s1b")
+    graft.operators.TextIndex.delete(spark, path,
+      docs.filter($"doc_id" % 3 === 0).select($"doc_id"))
+    graft.operators.IndexSnapshots.snapshotIncremental(spark, path, "s2")
+    graft.operators.TextIndex.upsert(
+      docs.filter($"doc_id" % 5 === 0)
+        .select($"doc_id", concat($"text", lit(" poisoned")).as("text")),
+      "doc_id", "text", path)
+    graft.operators.IndexSnapshots.restore(spark, path, "s2")
+    val dropped = graft.operators.IndexSnapshots.prune(spark, path,
+      keepLast = 1)
+    require(dropped.sorted == Seq("s1", "s1b"),
+      s"retention must drop the superseded generation's tags, got $dropped")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"tag").orderBy($"score".desc, $"doc_id")
+    Seq("live" -> path,
+        "view" -> graft.operators.IndexSnapshots.at(spark, path, "s2"))
+      .map { case (t, p) =>
+        graft.operators.TextIndex.probe(spark, p,
+            Seq("spark", "merge", "join"), k = 5)
+          .select(lit(t).as("tag"), $"doc_id", $"score")
+      }.reduce(_ union _)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy($"tag", $"rank")
+  }
+
+  /** Both probe legs (restored live index, materialized time-travel
+    * view) replay as the SAME relation: the corpus without doc_id ≡ 0
+    * (mod 3), BM25-scored with its own stats, top-5. */
+  private val q231Sql =
+    """WITH gens(tag) AS (VALUES ('live'), ('view')),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |m AS (
+      |  SELECT g.tag, d.doc_id, d.ws
+      |  FROM d CROSS JOIN gens g
+      |  WHERE d.doc_id % 3 <> 0),
+      |base AS (
+      |  SELECT tag, doc_id, CAST(len(ws) AS BIGINT) AS dl,
+      |    CAST(len(list_filter(ws, x -> x = 'spark')) AS BIGINT) AS tf0,
+      |    CAST(len(list_filter(ws, x -> x = 'merge')) AS BIGINT) AS tf1,
+      |    CAST(len(list_filter(ws, x -> x = 'join')) AS BIGINT) AS tf2
+      |  FROM m),
+      |stats AS (
+      |  SELECT tag, COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+      |    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+      |    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      |  FROM base GROUP BY tag),
+      |scored AS (
+      |  SELECT b.tag, b.doc_id,
+      |    round(
+      |      ln((s.n - s.df0 + 0.5) / (s.df0 + 0.5) + 1) * (b.tf0 * 2.2) / (b.tf0 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+      |    + ln((s.n - s.df1 + 0.5) / (s.df1 + 0.5) + 1) * (b.tf1 * 2.2) / (b.tf1 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl))
+      |    + ln((s.n - s.df2 + 0.5) / (s.df2 + 0.5) + 1) * (b.tf2 * 2.2) / (b.tf2 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl)), 6) AS score
+      |  FROM base b JOIN stats s USING (tag)),
+      |ranked AS (
+      |  SELECT tag, doc_id, score,
+      |    row_number() OVER (PARTITION BY tag ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored)
+      |SELECT tag, doc_id, score, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY tag, rank""".stripMargin
+
   /** Rank drift between two index GENERATIONS — the "what did
     * yesterday's curation pass do to rankings" serving diagnostic, and
     * the oracled consumer of [[graft.operators.IndexSnapshots.at]]
@@ -2958,6 +3046,8 @@ object TextQueries extends QueryModule {
       "snapshot + rollback on the persisted BM25 index: poison (delete+upsert) then restore == never-mutated probe (north star)"),
     Q("q222_rank_drift", q222RankDrift, Some(q222Sql),
       "rank drift between index generations: snapshot time-travel probe vs live probe, exact integer diff under one hash (north star)"),
+    Q("q231_incremental_snapshot", q231IncrementalSnapshot, Some(q231Sql),
+      "content-addressed incremental snapshots: dedup, ref-resolved restore, view time travel, GC"),
     Q("q226_snapshot_prune", q226SnapshotPrune, Some(q226Sql),
       "snapshot retention: prune to keepLast=2 then probe each surviving generation via time travel, per-tag stats under one hash (north star)"),
     Q("q224_drop_ledger", q224DropLedger, Some(q224Sql),

@@ -1,0 +1,224 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IndexSnapshots, IvfIndex, TextIndex}
+
+/** Content-addressed incremental snapshots: O(changed bytes) dedup
+  * through `_snapshots/_objects`, transparent restore/at resolution,
+  * refcounted GC under prune, crash windows, and the stale-view
+  * hazards. Complements IndexSnapshotsSpec (full-copy contracts). */
+class IncrementalSnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(seed: String, n: Int): String =
+    (1 to n).map(i => s"w${seed}_$i").mkString(" ")
+  private lazy val docs = (1 to 40)
+    .map(i => (i.toLong, words(s"c$i", 30) + (if (i % 4 == 0) " spark join" else "")))
+    .toDF("doc_id", "text").cache()
+
+  private def hfs(path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def objectKeys(path: String): Seq[String] = {
+    val f = hfs(path)
+    val objRoot = new Path(s"$path/_snapshots/_objects")
+    if (!f.exists(objRoot)) Seq.empty
+    else f.listStatus(objRoot).map(_.getPath.getName).toSeq.sorted
+  }
+  private def tagFiles(path: String, tag: String): Seq[String] =
+    hfs(path).listStatus(new Path(s"$path/_snapshots/$tag"))
+      .map(_.getPath.getName).toSeq.sorted
+
+  test("restore from an incremental snapshot is bit-exact; identical " +
+      "generations share every object; tag dirs hold only refs") {
+    val path = Files.createTempDirectory("isnap_tx").toString
+    TextIndex.save(docs, "doc_id", "text", path)
+    def probe() = TextIndex.probe(spark, path,
+      Seq("spark", "join"), k = 15).collect().toSeq
+    def stats() = TextIndex.stats(spark, path).collect().toSeq
+    val (p0, s0) = (probe(), stats())
+    IndexSnapshots.snapshotIncremental(spark, path, "i1")
+    // an unchanged index snapshotted again: zero new objects
+    IndexSnapshots.snapshotIncremental(spark, path, "i1again")
+    val keys = objectKeys(path)
+    assert(keys.size === 3, s"postings/docs/meta stored once, got $keys")
+    assert(tagFiles(path, "i1") === Seq("docs.ref", "meta.ref", "postings.ref"))
+    assert(tagFiles(path, "i1again") === tagFiles(path, "i1"))
+    // poison the generation, then roll back through the ref store
+    TextIndex.delete(spark, path,
+      docs.filter($"doc_id" % 3 === 0).select($"doc_id"))
+    TextIndex.upsert(docs.filter($"doc_id" % 5 === 0)
+      .select($"doc_id", concat($"text", lit(" poisoned")).as("text")),
+      "doc_id", "text", path)
+    assert(probe() !== p0, "mutations must be visible before restore")
+    IndexSnapshots.restore(spark, path, "i1")
+    assert(probe() === p0, "incremental restore must be bit-exact")
+    assert(stats() === s0)
+    IndexSnapshots.restore(spark, path, "i1") // idempotent
+    assert(probe() === p0)
+    assert(IndexSnapshots.list(spark, path).select($"tag")
+      .as[String].collect().toSeq === Seq("i1", "i1again"),
+      "_objects must never be listed as a tag")
+  }
+
+  test("dedup accounting on the IVF family: append rewrites lists, " +
+      "shares centroids/stats objects across snapshots") {
+    def vec(i: Int): Seq[Double] =
+      Seq.tabulate(8)(d => if (d == i % 4) 10.0 + (i % 4) else 0.001 * i)
+    val corpus = (0 until 48).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val path = Files.createTempDirectory("isnap_ivf").toString
+    val model = IvfIndex.fit(corpus, "vec_id", "embedding", nLists = 4, iters = 2)
+    IvfIndex.save(corpus, "vec_id", "embedding", model, path)
+    IndexSnapshots.snapshotIncremental(spark, path, "a1")
+    assert(objectKeys(path).size === 3)
+    // exact duplicates of the probe vectors: they MUST enter the top-5
+    IvfIndex.append((100 until 110).map(i => (i.toLong, vec(i - 100)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", path)
+    IndexSnapshots.snapshotIncremental(spark, path, "a2")
+    // centroids + stats untouched by append -> shared; lists changed
+    assert(objectKeys(path).size === 4,
+      s"expected 3 + 1 new lists object, got ${objectKeys(path)}")
+    // both generations remain independently restorable
+    val (m2, lists2) = IvfIndex.load(spark, path)
+    val probes = corpus.filter($"vec_id" < 3)
+    val r2 = IvfIndex.probeIndexed(probes, lists2, "vec_id", "embedding",
+      k = 5, m2, nProbe = 4).collect().toSeq
+    IndexSnapshots.restore(spark, path, "a1")
+    val (m1, lists1) = IvfIndex.load(spark, path)
+    val r1 = IvfIndex.probeIndexed(probes, lists1, "vec_id", "embedding",
+      k = 5, m1, nProbe = 4).collect().toSeq
+    assert(r1 !== r2, "generations must differ (append visible in a2)")
+    IndexSnapshots.restore(spark, path, "a2")
+    val (m2b, lists2b) = IvfIndex.load(spark, path)
+    assert(IvfIndex.probeIndexed(probes, lists2b, "vec_id", "embedding",
+      k = 5, m2b, nProbe = 4).collect().toSeq === r2)
+  }
+
+  test("at() materializes a readable view once, reuses it, and prune " +
+      "sweeps it as a cache; live index never disturbed") {
+    val path = Files.createTempDirectory("isnap_at").toString
+    TextIndex.save(docs, "doc_id", "text", path)
+    val p0 = TextIndex.probe(spark, path, Seq("spark", "join"), k = 10)
+      .collect().toSeq
+    IndexSnapshots.snapshotIncremental(spark, path, "i1")
+    TextIndex.delete(spark, path,
+      docs.filter($"doc_id" % 2 === 0).select($"doc_id"))
+    val at1 = IndexSnapshots.at(spark, path, "i1")
+    assert(at1.endsWith(".view_i1"), s"incremental at() must serve a view: $at1")
+    assert(TextIndex.probe(spark, at1, Seq("spark", "join"), k = 10)
+      .collect().toSeq === p0, "time travel through the view")
+    assert(IndexSnapshots.at(spark, path, "i1") === at1, "view reused")
+    val f = hfs(path)
+    // prune sweeps the view (hidden cache), keeps the tag; at() rebuilds
+    assert(IndexSnapshots.prune(spark, path, keepLast = 5) === Seq.empty)
+    assert(!f.exists(new Path(at1)), "prune must sweep materialized views")
+    assert(TextIndex.probe(spark, IndexSnapshots.at(spark, path, "i1"),
+      Seq("spark", "join"), k = 10).collect().toSeq === p0)
+  }
+
+  test("prune refcounts the object store: survivors' objects stay, " +
+      "orphans and crashed-copy staging are collected") {
+    val path = Files.createTempDirectory("isnap_gc").toString
+    TextIndex.save(docs, "doc_id", "text", path)
+    IndexSnapshots.snapshotIncremental(spark, path, "g1")
+    Thread.sleep(20)
+    TextIndex.delete(spark, path,
+      docs.filter($"doc_id" % 4 === 0).select($"doc_id"))
+    IndexSnapshots.snapshotIncremental(spark, path, "g2")
+    assert(objectKeys(path).size === 6, "two disjoint generations")
+    // a crashed object copy leaves hidden staging in _objects
+    val f = hfs(path)
+    f.mkdirs(new Path(s"$path/_snapshots/_objects/.tmp_deadbeef"))
+    val p2 = TextIndex.probe(spark, IndexSnapshots.at(spark, path, "g2"),
+      Seq("spark"), k = 10).collect().toSeq
+    assert(IndexSnapshots.prune(spark, path, keepLast = 1) === Seq("g1"))
+    val after = objectKeys(path)
+    assert(after.size === 3, s"g1's orphans + staging collected: $after")
+    assert(!after.exists(_.startsWith(".")), "crashed staging swept")
+    // the survivor still resolves through the store
+    assert(TextIndex.probe(spark, IndexSnapshots.at(spark, path, "g2"),
+      Seq("spark"), k = 10).collect().toSeq === p2)
+    IndexSnapshots.restore(spark, path, "g2")
+    assert(TextIndex.probe(spark, path, Seq("spark"), k = 10)
+      .collect().toSeq === p2)
+    // drop leaves orphans; explicit gcObjects reclaims them
+    IndexSnapshots.drop(spark, path, "g2")
+    assert(objectKeys(path).size === 3)
+    assert(IndexSnapshots.gcObjects(spark, path).size === 3)
+    assert(objectKeys(path) === Seq.empty)
+  }
+
+  test("drop + re-snapshot under the same tag never serves the dropped " +
+      "generation through a stale view") {
+    val path = Files.createTempDirectory("isnap_stale").toString
+    TextIndex.save(docs, "doc_id", "text", path)
+    IndexSnapshots.snapshotIncremental(spark, path, "latest")
+    val v0 = IndexSnapshots.at(spark, path, "latest") // materialize view
+    val p0 = TextIndex.probe(spark, v0, Seq("spark"), k = 10).collect().toSeq
+    TextIndex.delete(spark, path,
+      docs.filter($"doc_id" % 2 === 0).select($"doc_id"))
+    val pLive = TextIndex.probe(spark, path, Seq("spark"), k = 10)
+      .collect().toSeq
+    IndexSnapshots.drop(spark, path, "latest")
+    IndexSnapshots.snapshotIncremental(spark, path, "latest")
+    val v1 = IndexSnapshots.at(spark, path, "latest")
+    assert(TextIndex.probe(spark, v1, Seq("spark"), k = 10)
+      .collect().toSeq === pLive,
+      "re-snapshotted tag must serve the NEW generation")
+    assert(pLive !== p0)
+  }
+
+  test("mixed full + incremental snapshots coexist: list, prune order, " +
+      "restore both; dangling ref fails loudly") {
+    val path = Files.createTempDirectory("isnap_mix").toString
+    TextIndex.save(docs, "doc_id", "text", path)
+    IndexSnapshots.snapshot(spark, path, "full1")
+    Thread.sleep(20)
+    TextIndex.delete(spark, path,
+      docs.filter($"doc_id" % 3 === 0).select($"doc_id"))
+    IndexSnapshots.snapshotIncremental(spark, path, "inc1")
+    assert(IndexSnapshots.list(spark, path).select($"tag")
+      .as[String].collect().toSeq === Seq("full1", "inc1"))
+    // full tag serves directly; both restore
+    assert(IndexSnapshots.at(spark, path, "full1").endsWith("full1"))
+    IndexSnapshots.restore(spark, path, "full1")
+    IndexSnapshots.restore(spark, path, "inc1")
+    // dangling ref (external sabotage of the store) fails loudly
+    val f = hfs(path)
+    objectKeys(path).foreach(k =>
+      f.delete(new Path(s"$path/_snapshots/_objects/$k"), true))
+    intercept[IllegalArgumentException] {
+      IndexSnapshots.restore(spark, path, "inc1")
+    }
+    intercept[IllegalArgumentException] {
+      IndexSnapshots.at(spark, path, "inc1")
+    }
+  }
+
+  test("crash mid-snapshot leaves only hidden staging: list ignores it, " +
+      "the rerun completes, quiescence and immutability still hold") {
+    val path = Files.createTempDirectory("isnap_crash").toString
+    TextIndex.save(docs, "doc_id", "text", path)
+    val f = hfs(path)
+    // simulate a snapshotIncremental that died mid-staging
+    f.mkdirs(new Path(s"$path/_snapshots/.tmp_c1"))
+    assert(IndexSnapshots.list(spark, path).count() === 0L)
+    IndexSnapshots.snapshotIncremental(spark, path, "c1")
+    assert(IndexSnapshots.list(spark, path).select($"tag")
+      .as[String].collect().toSeq === Seq("c1"))
+    intercept[IllegalArgumentException] {
+      IndexSnapshots.snapshotIncremental(spark, path, "c1") // immutable
+    }
+    // quiescence: a crashed index mutation blocks incremental snapshots
+    val leftover = new Path(s"$path/postings_del")
+    f.mkdirs(leftover)
+    intercept[IllegalArgumentException] {
+      IndexSnapshots.snapshotIncremental(spark, path, "c2")
+    }
+    f.delete(leftover, true)
+  }
+}
