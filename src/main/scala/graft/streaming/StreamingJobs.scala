@@ -555,6 +555,61 @@ object StreamingJobs {
       }
   }
 
+  /** Streaming retrieval SERVING — the read side of the index lifecycle
+    * the ingest/upsert/forget streams maintain: queries arrive on a
+    * stream as (`queryIdCol`, `termsCol: array<string>`), each
+    * micro-batch runs [[graft.operators.TextIndex.probeAll]] (ONE
+    * distributed plan per batch, shape independent of batch size —
+    * never a per-query driver loop) against the persisted BM25 index,
+    * and the per-query top-k lands in `outPath` as an idempotent keyed
+    * upsert on (query_id, rank).
+    *
+    * Contracts:
+    *  - Query ids are UNIQUE PER ASK (re-ask under a fresh id): the
+    *    keyed upsert absorbs at-least-once redelivery by ignoring rows
+    *    whose (query_id, rank) already landed, so answers are
+    *    write-once — a redelivered batch that recomputes against a
+    *    mutated index cannot half-overwrite its first answer (it is
+    *    ignored wholesale, converging on the first-committed ranking).
+    *  - Intra-batch duplicate ids (source-side redelivery) reduce
+    *    DETERMINISTICALLY to the greatest terms array before the probe:
+    *    probeAll refuses duplicates (they would double-count shared
+    *    terms), and an arbitrary dropDuplicates could pick the OTHER
+    *    copy on replay and diverge.
+    *  - Zero-match queries (terms absent from the index) emit no rows —
+    *    the inverted-index contract; distinguish "no answer yet" from
+    *    "no matches" downstream by joining asks against `outPath`.
+    *  - The job is READ-ONLY on the index. Concurrent single-writer
+    *    mutations swap artifact dirs atomically, so a batch planned
+    *    across a swap can fail its read and retry (at-least-once
+    *    recovers it); for strict generation isolation serve a
+    *    [[graft.operators.IndexSnapshots.at]] snapshot path and roll it
+    *    on the maintenance cadence. */
+  def probeOnArrival(queries: DataFrame, queryIdCol: String,
+      termsCol: String, indexPath: String, outPath: String,
+      checkpoint: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFrac: Double = 1.0,
+      clearCachePerBatch: Boolean = true): DataStreamWriter[Row] =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val qs = batch.groupBy(col(queryIdCol))
+          .agg(max(col(termsCol)).as(termsCol))
+          .persist()
+        try {
+          if (qs.head(1).nonEmpty) {
+            val topk = graft.operators.TextIndex.probeAll(
+              qs, queryIdCol, termsCol, indexPath, k, k1, b, maxDfFrac)
+            graft.sinks.Sinks.upsertIgnoreParquet(
+              topk, outPath, Seq("query_id", "rank"))
+          }
+        } finally {
+          qs.unpersist()
+          if (clearCachePerBatch) spark.catalog.clearCache()
+        }
+      }
+
   /** Stream-static enrichment join: per micro-batch broadcast-hash join
     * against a (small) dimension table — no state store involved. */
   def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =

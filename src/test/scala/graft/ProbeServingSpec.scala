@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextIndex
+import graft.streaming.StreamingJobs
+
+/** Streaming retrieval serving (probeOnArrival): batched probeAll per
+  * micro-batch against the persisted BM25 index, write-once keyed
+  * answers, deterministic intra-batch dedup, zero-match and empty-batch
+  * behavior. */
+class ProbeServingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(seed: String, n: Int): String =
+    (1 to n).map(i => s"w${seed}_$i").mkString(" ")
+  private lazy val docs = (1 to 40)
+    .map(i => (i.toLong, words(s"c$i", 30) +
+      (if (i % 4 == 0) " spark join" else "") +
+      (if (i % 5 == 0) " merge scan" else "")))
+    .toDF("doc_id", "text").cache()
+
+  test("served answers equal probeAll equal per-query single probes; " +
+      "redelivery and re-asks are write-once; zero-match asks emit nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("serve_bm25").toString
+    val (idx, out, ckpt) = (s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    TextIndex.save(docs, "doc_id", "text", idx)
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[String])]
+    val q = StreamingJobs.probeOnArrival(
+        source.toDF().toDF("query_id", "terms"), "query_id", "terms",
+        idx, out, ckpt, k = 5, clearCachePerBatch = false)
+      .start()
+    try {
+      // batch 1: two asks, one of them duplicated in-batch (redelivery)
+      // with a LESSER terms array that must lose the deterministic reduce
+      source.addData(
+        (1L, Seq("spark", "join")),
+        (1L, Seq("aaa")),
+        (2L, Seq("merge", "scan")),
+        (9L, Seq("no_such_term")))
+      q.processAllAvailable()
+      // batch 2: empty batch is a no-op, then a re-ask of id 1 with NEW
+      // terms — write-once must keep the first answer
+      source.addData()
+      q.processAllAvailable()
+      source.addData((1L, Seq("merge")), (3L, Seq("spark")))
+      q.processAllAvailable()
+      val served = spark.read.parquet(out)
+        .select($"query_id", $"doc_id", $"score", $"rank")
+      val got = served.orderBy($"query_id", $"rank")
+        .as[(Long, Long, Double, Long)].collect().toSeq
+      val expectQs = Seq(
+        (1L, Seq("spark", "join")), (2L, Seq("merge", "scan")),
+        (3L, Seq("spark"))).toDF("query_id", "terms")
+      val expect = TextIndex.probeAll(expectQs, "query_id", "terms",
+          idx, k = 5)
+        .orderBy($"query_id", $"rank")
+        .as[(Long, Long, Double, Long)].collect().toSeq
+      assert(got === expect,
+        "served output must equal batched probeAll over first-asked terms")
+      // ...and probeAll ≡ single probes is TextIndexSpec's pinned fact;
+      // spot-check one query here end to end
+      val single = TextIndex.probe(spark, idx, Seq("spark", "join"), k = 5)
+        .select($"doc_id").as[Long].collect().toSeq
+      assert(got.filter(_._1 == 1L).map(_._2) === single)
+      assert(!got.exists(_._1 == 9L), "zero-match ask must emit no rows")
+    } finally q.stop()
+  }
+
+  test("answers survive an index mutation between batches: old asks keep " +
+      "their committed ranking, new asks see the new generation") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("serve_mut").toString
+    val (idx, out, ckpt) = (s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    TextIndex.save(docs, "doc_id", "text", idx)
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[String])]
+    val q = StreamingJobs.probeOnArrival(
+        source.toDF().toDF("query_id", "terms"), "query_id", "terms",
+        idx, out, ckpt, k = 5, clearCachePerBatch = true)
+      .start()
+    try {
+      source.addData((1L, Seq("spark", "join")))
+      q.processAllAvailable()
+      val a1 = spark.read.parquet(out).filter($"query_id" === 1L)
+        .select($"query_id", $"doc_id", $"score", $"rank")
+        .orderBy($"rank").as[(Long, Long, Double, Long)].collect().toSeq
+      // single-writer mutation between batches (stream is idle): erase
+      // HALF the spark-bearing docs (ids ≡ 0 mod 8), keeping matches
+      TextIndex.delete(spark, idx,
+        docs.filter($"doc_id" % 8 === 0).select($"doc_id"))
+      source.addData((2L, Seq("spark", "join")))
+      q.processAllAvailable()
+      val served = spark.read.parquet(out)
+        .select($"query_id", $"doc_id", $"score", $"rank")
+      assert(served.filter($"query_id" === 1L).orderBy($"rank")
+        .as[(Long, Long, Double, Long)].collect().toSeq === a1,
+        "committed answers are immutable across index generations")
+      val a2docs = served.filter($"query_id" === 2L)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(a2docs.nonEmpty && a2docs.forall(_ % 8 != 0),
+        "new asks must rank over the post-delete generation")
+    } finally q.stop()
+  }
+}
