@@ -1108,6 +1108,88 @@ object SimilarityQueries extends QueryModule {
       |      UNION ALL SELECT * FROM pq)
       |ORDER BY idx, stat""".stripMargin
 
+  /** fsck over all FOUR persisted index families after a LIVED build
+    * (save half → append half → targeted delete) —
+    * [[graft.operators.IndexAudit]]'s cross-artifact invariants, which
+    * the q219 dashboards can't see (stats reads each artifact alone;
+    * the corruption that matters lives BETWEEN artifacts: orphan
+    * postings after a delete, bucket misplacement invisible to pruned
+    * probes, band fan-out holes, duplicate code ids). Every `value` on
+    * a healthy index is corpus-derivable (counts after the delete, or a
+    * violation count of 0) and every `pass` must be true, so the whole
+    * audit surface sits under the DuckDB hash — a lifecycle bug that
+    * leaves any inter-artifact inconsistency flips a row. */
+  private def q232IndexFsck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val tPath = graft.core.Scratch.dir(dir, "fsck_tx")
+    graft.operators.TextIndex.save(
+      docs.filter($"doc_id" % 2 === 0), "doc_id", "text", tPath)
+    graft.operators.TextIndex.append(
+      docs.filter($"doc_id" % 2 === 1), "doc_id", "text", tPath)
+    graft.operators.TextIndex.delete(spark, tPath,
+      docs.filter($"doc_id" % 7 === 0).select($"doc_id"))
+    val mPath = graft.core.Scratch.dir(dir, "fsck_mh")
+    graft.operators.MinHashIndex.save(
+      docs.filter($"doc_id" % 2 === 0), "doc_id", "text", mPath)
+    graft.operators.MinHashIndex.append(
+      docs.filter($"doc_id" % 2 === 1), "doc_id", "text", mPath)
+    graft.operators.MinHashIndex.delete(spark, mPath,
+      docs.filter($"doc_id" % 7 === 0).select($"doc_id"))
+    val pPath = graft.core.Scratch.dir(dir, "fsck_pq")
+    val pq = graft.operators.ProductQuantizer.fit(
+      emb, "vec_id", "embedding", m = 2, k = 4, iters = 1)
+    val coarse = graft.operators.KMeans.fit(
+      emb, "vec_id", "embedding", k = 4, iters = 1)
+    graft.operators.ProductQuantizer.save(
+      emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      coarse, pq, pPath, residual = false)
+    graft.operators.ProductQuantizer.append(
+      emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", pPath)
+    graft.operators.ProductQuantizer.delete(spark, pPath,
+      emb.filter($"vec_id" % 7 === 0).select($"vec_id"))
+    val iPath = graft.core.Scratch.dir(dir, "fsck_ivf")
+    val ivf = graft.operators.IvfIndex.fit(
+      emb, "vec_id", "embedding", nLists = 8, iters = 2)
+    graft.operators.IvfIndex.save(emb, "vec_id", "embedding", ivf, iPath)
+    graft.operators.IvfIndex.delete(spark, iPath,
+      emb.filter($"vec_id" % 7 === 0).select($"vec_id"))
+    graft.operators.IndexAudit.auditText(spark, tPath)
+      .unionAll(graft.operators.IndexAudit.auditMinHash(spark, mPath))
+      .unionAll(graft.operators.IndexAudit.auditPq(spark, pPath))
+      .unionAll(graft.operators.IndexAudit.auditIvf(spark, iPath))
+      .orderBy($"family", $"check")
+  }
+
+  /** Every audit value recomputed from the corpora minus the deleted
+    * ids; every violation count 0, every verdict true. */
+  private val q232Sql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |e AS (SELECT vec_id FROM embeddings WHERE vec_id % 7 <> 0),
+      |rows(family, "check", value, pass) AS (
+      |  SELECT 'text', 'n_docs', (SELECT COUNT(*) FROM d), true
+      |  UNION ALL SELECT 'text', 'sum_dl', (SELECT SUM(len(ws)) FROM d), true
+      |  UNION ALL SELECT 'text', 'orphan_postings', 0, true
+      |  UNION ALL SELECT 'text', 'missing_postings', 0, true
+      |  UNION ALL SELECT 'text', 'bucket_misplacement', 0, true
+      |  UNION ALL SELECT 'text', 'dl_mismatch', 0, true
+      |  UNION ALL SELECT 'minhash', 'sig_rows', (SELECT COUNT(*) FROM d), true
+      |  UNION ALL SELECT 'minhash', 'band_fanout_violations', 0, true
+      |  UNION ALL SELECT 'minhash', 'orphan_band_ids', 0, true
+      |  UNION ALL SELECT 'minhash', 'missing_band_ids', 0, true
+      |  UNION ALL SELECT 'pq', 'code_rows', (SELECT COUNT(*) FROM e), true
+      |  UNION ALL SELECT 'pq', 'code_width_violations', 0, true
+      |  UNION ALL SELECT 'pq', 'unknown_list_ids', 0, true
+      |  UNION ALL SELECT 'ivf', 'vector_rows', (SELECT COUNT(*) FROM e), true
+      |  UNION ALL SELECT 'ivf', 'centroid_rows', 8, true
+      |  UNION ALL SELECT 'ivf', 'unknown_list_ids', 0, true)
+      |SELECT family, "check", CAST(value AS BIGINT) AS value, pass
+      |FROM rows
+      |ORDER BY family, "check"""".stripMargin
+
   private def q39IvfKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -1598,6 +1680,8 @@ object SimilarityQueries extends QueryModule {
       "recall/nDCG/MRR gate on probeSaved at production nProbe after save/append/delete/compact/snapshot/restore (north star)"),
     Q("q218_filtered_ann", q218FilteredAnn, Some(q218Sql),
       "filtered vector search: attribute predicate semi-joined onto the persisted codes scan before ADC, under one hash (north star)"),
+    Q("q232_index_fsck", q232IndexFsck, Some(q232Sql),
+      "fsck all four index families after a lived build: cross-artifact invariants under the hash"),
     Q("q219_index_stats", q219IndexStats, Some(q219Sql),
       "index observability: serving-dashboard stats of all three persisted index families, corpus-derivable subset under one hash (north star)"),
     Q("q212_hybrid_rrf", q212HybridRrf, Some(q212Sql),
