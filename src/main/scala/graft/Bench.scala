@@ -140,7 +140,16 @@ object Bench {
     "q227_persisted_recall_gate" -> 8.0,
     // save + delete + upsert rewrites before the batched probe — q220's
     // lifecycle class; throttled solo min-of-two 6.60
-    "q228_batched_probe_lifecycle" -> 6.5)
+    "q228_batched_probe_lifecycle" -> 6.5,
+    // round-13 late wave, solo min-of-two during a ~2x throttle phase
+    // (q1 canary 0.37-0.47 vs ~0.2 clean) — likely tightenable. q231 is
+    // one save + two object-store snapshots + delete + snapshot + upsert
+    // + restore + prune + two probes (q221's lifecycle class, ref-store
+    // copies instead of full ones); q232 builds ALL FOUR families with
+    // save+append+delete each before the audit joins (q219's class,
+    // plus the IVF family and three targeted deletes)
+    "q231_incremental_snapshot" -> 10.0,
+    "q232_index_fsck" -> 17.5)
   private val defaultAnchorSec = 1.0
   // overridable for local testing of the rerun path (driver never sets it)
   private val suspectFactor =

@@ -69,7 +69,9 @@ object Plans {
       "q220_index_upsert", "q221_index_rollback", "q222_rank_drift",
       "q223_ivf_delete", "q224_drop_ledger", "q225_batched_probe",
       "q226_snapshot_prune", "q227_persisted_recall_gate",
-      "q228_batched_probe_lifecycle")
+      "q228_batched_probe_lifecycle", "q229_quantile_sketch",
+      "q230_quantile_gate", "q231_incremental_snapshot",
+      "q232_index_fsck")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)
