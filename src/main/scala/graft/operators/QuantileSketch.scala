@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -179,6 +179,48 @@ object QuantileSketch {
       .select(new QuantileSketchAgg(capacity).toColumn.name("sk"))
       .head()
   }
+
+  /** Merge two summaries driver-side — the cross-JOB form of the
+    * Aggregator's merge (same arithmetic), for incremental statistics:
+    * sketch each day's partition as it lands, [[saveSummary]] it, and
+    * fold new days into the standing summary without ever re-reading
+    * old data. Error bounds add (plus any collapses the merge itself
+    * triggers); exactness is preserved whenever total n stays under
+    * the no-collapse threshold. */
+  def merge(a: Summary, b: Summary): Summary = {
+    require(a.capacity == b.capacity,
+      s"cannot merge summaries of different capacity: " +
+        s"${a.capacity} vs ${b.capacity}")
+    new QuantileSketchAgg(a.capacity).merge(a, b)
+  }
+
+  /** Persist a summary under `path/summary` (atomic via [[StagedSwap]]
+    * — a reader never sees a half-written summary, and a crashed save
+    * leaves the previous one intact). The summary is parameter-bounded
+    * (capacity·levels longs), so this is one tiny file. */
+  def saveSummary(spark: SparkSession, s: Summary, path: String): Unit = {
+    import spark.implicits._
+    val rows = Seq((s.capacity, s.buf.toSeq, s.levels.map(_.toSeq).toSeq,
+      s.n, s.err))
+    StagedSwap.swapSub(spark, path, "summary", "_del") { tmp =>
+      rows.toDF("capacity", "buf", "levels", "n", "err")
+        .coalesce(1).write.parquet(tmp)
+    }
+  }
+
+  /** Load a summary persisted by [[saveSummary]]. */
+  def loadSummary(spark: SparkSession, path: String): Summary =
+    summaryOfRow(spark.read.parquet(s"$path/summary").head())
+
+  /** Rebuild a Summary from its persisted row — converting the reader's
+    * mutable ArraySeq fields to immutable collections (the Aggregator's
+    * merge and Spark's product encoder both require immutable Seq). */
+  private[graft] def summaryOfRow(r: org.apache.spark.sql.Row): Summary =
+    Summary(r.getAs[Int]("capacity"),
+      r.getAs[scala.collection.Seq[Long]]("buf").toList,
+      r.getAs[scala.collection.Seq[scala.collection.Seq[Long]]]("levels")
+        .map(_.toList).toList,
+      r.getAs[Long]("n"), r.getAs[Long]("err"))
 
   /** Self-audit gate: sketch `valueCol`, then EXACTLY verify each
     * estimate against the data in one conditional-count pass — for each

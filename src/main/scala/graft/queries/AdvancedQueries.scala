@@ -481,6 +481,43 @@ object AdvancedQueries extends QueryModule {
       |FROM t JOIN r ON r.lang = t.lang AND r.rn = t.r0
       |ORDER BY t.lang, t.p""".stripMargin
 
+  /** The sketch-store contract (the q100 mergeable-state discipline
+    * applied to [[graft.operators.QuantileSketch]]): sketch DISJOINT
+    * halves of the corpus separately, persist one summary and reload it
+    * (the save/load round trip sits under the hash), merge driver-side,
+    * and the merged summary at exact capacity must reproduce the full
+    * recompute's rank-⌈p·n⌉ order statistics bit for bit — the
+    * incremental-daily-statistics path: fold each new day's sketch into
+    * the standing summary without re-reading old data. */
+  private def q233SketchMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val even = graft.operators.QuantileSketch.sketch(
+      docs.filter($"doc_id" % 2 === 0), "n_chars", capacity = 16384)
+    val odd = graft.operators.QuantileSketch.sketch(
+      docs.filter($"doc_id" % 2 === 1), "n_chars", capacity = 16384)
+    val store = graft.core.Scratch.dir(dir, "qsstore")
+    graft.operators.QuantileSketch.saveSummary(spark, even, store)
+    val reloaded = graft.operators.QuantileSketch.loadSummary(spark, store)
+    val m = graft.operators.QuantileSketch.merge(reloaded, odd)
+    Seq(0.5, 0.9, 0.99).map(p => (p, m.n, m.quantile(p)))
+      .toDF("p", "n", "q").orderBy($"p")
+  }
+
+  private val q233Sql =
+    """WITH r AS (
+      |  SELECT n_chars,
+      |    row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM documents),
+      |ps(p) AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE)),
+      |t AS (
+      |  SELECT p, n, GREATEST(1, CAST(CEIL(p * n) AS BIGINT)) AS r0
+      |  FROM (SELECT DISTINCT n FROM r) CROSS JOIN ps)
+      |SELECT t.p, CAST(t.n AS BIGINT) AS n, r.n_chars AS q
+      |FROM t JOIN r ON r.rn = t.r0
+      |ORDER BY t.p""".stripMargin
+
   /** The sparse-capacity half of the q229 story: a 256-item-per-buffer
     * sketch over lineitem's 600k quantities (collapses DO fire), then
     * [[graft.operators.QuantileSketch.gate]]'s exact one-pass audit —
@@ -2083,6 +2120,8 @@ object AdvancedQueries extends QueryModule {
       "MRL quantile sketch at exact capacity: insert/promote/merge/finish under the window-rank oracle"),
     Q("q230_quantile_gate", q230QuantileGate, Some(q230Sql),
       "sparse MRL sketch self-audit: exact rank intervals vs the summary's own error bound, integer gates"),
+    Q("q233_sketch_merge", q233SketchMerge, Some(q233Sql),
+      "sketch store: disjoint halves sketched, one persisted+reloaded, merged == full recompute"),
     Q("q206_quantile_shift", q206QuantileShift, Some(q206Sql),
       "per-stratum exact-quantile drift gate: p50/p90/p99 shifts between snapshots"),
     Q("q205_fk_contract", q205FkContract, Some(q205Sql),

@@ -610,6 +610,40 @@ object StreamingJobs {
         }
       }
 
+  /** [[probeOnArrival]]'s vector twin — streaming ANN serving over the
+    * persisted IVFADC index: query embeddings arrive as (`queryIdCol`,
+    * `vecCol: array<double>`), each micro-batch runs ONE
+    * [[graft.operators.ProductQuantizer.probeSaved]] plan (list-pruned
+    * codes scan, broadcast probe set, ADC fold, per-query top-k) and
+    * answers land write-once on (query_id, rank). Same contracts as the
+    * text job: unique ids per ask, deterministic intra-batch dedup,
+    * read-only on the index, optional `idFilter` for filtered search
+    * (the q218 semi-join — applied BEFORE ranking, never after). */
+  def vectorProbeOnArrival(queries: DataFrame, queryIdCol: String,
+      vecCol: String, indexPath: String, outPath: String,
+      checkpoint: String, k: Int, nProbe: Int,
+      idFilter: Option[DataFrame] = None,
+      clearCachePerBatch: Boolean = true): DataStreamWriter[Row] =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val qs = batch.groupBy(col(queryIdCol))
+          .agg(max(col(vecCol)).as(vecCol))
+          .persist()
+        try {
+          if (qs.head(1).nonEmpty) {
+            val topk = graft.operators.ProductQuantizer.probeSaved(
+              qs, queryIdCol, vecCol, spark, indexPath, k, nProbe, idFilter)
+            graft.sinks.Sinks.upsertIgnoreParquet(
+              topk, outPath, Seq("query_id", "rank"))
+          }
+        } finally {
+          qs.unpersist()
+          if (clearCachePerBatch) spark.catalog.clearCache()
+        }
+      }
+
   /** Stream-static enrichment join: per micro-batch broadcast-hash join
     * against a (small) dimension table — no state store involved. */
   def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
@@ -786,6 +820,83 @@ object StreamingJobs {
         org.apache.spark.sql.functions.col("est_count"))
       .orderBy(org.apache.spark.sql.functions.col("est_count").desc,
         org.apache.spark.sql.functions.col("item"))
+  }
+
+  /** Streaming quantile maintenance — [[graft.operators.QuantileSketch]]
+    * folded continuously: per micro-batch, ONE distributed sketch
+    * aggregate over the batch, then a driver-side [[graft.operators
+    * .QuantileSketch.merge]] into the persisted summary under the
+    * [[graft.operators.StagedSwap]] discipline. The standing p50/p90/p99
+    * of an unbounded stream in capacity·log(n/capacity) longs — with the
+    * summary's self-certified rank-error bound riding along, so a reader
+    * always knows how much to trust tonight's tail latency number.
+    *
+    * MRL merges are NOT replay-free (a re-folded batch doubles its
+    * items), so the state carries the last folded batchId and a
+    * redelivered batch is fenced out — the [[histogramOnArrival]]
+    * exactly-once corner. The state is always exactly ONE row (an empty
+    * summary is still a row), so the row itself is the fence.
+    * Single-writer contract: one stream per statePath. */
+  def quantilesOnArrival(stream: DataFrame, valueCol: String,
+      capacity: Int, statePath: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldQuantiles(batch, batchId, valueCol, capacity, statePath)
+      }
+
+  /** One micro-batch fold — exposed for redelivery tests: calling it
+    * twice with the same batchId must leave the state bit-identical. */
+  private[graft] def foldQuantiles(batch: DataFrame, batchId: Long,
+      valueCol: String, capacity: Int, statePath: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(statePath, "state")
+    val tmp = new org.apache.hadoop.fs.Path(statePath, ".state_tmp")
+    val old = new org.apache.hadoop.fs.Path(statePath, ".state_old")
+    graft.operators.StagedSwap.recover(fs, live, tmp, old)
+    val prior: Option[(Long, graft.operators.QuantileSketch.Summary)] =
+      if (fs.exists(live)) {
+        val r = spark.read.parquet(live.toString).head()
+        Some((r.getAs[Long]("batch_id"),
+          graft.operators.QuantileSketch.summaryOfRow(r)))
+      } else None
+    if (prior.exists(batchId <= _._1)) return // redelivered: fenced out
+    val batchSummary =
+      graft.operators.QuantileSketch.sketch(batch, valueCol, capacity)
+    val merged = prior match {
+      case Some((_, p)) => graft.operators.QuantileSketch.merge(p, batchSummary)
+      case None => batchSummary
+    }
+    val outRow = Seq((merged.capacity, merged.buf.toList,
+      merged.levels.map(_.toList).toList, merged.n, merged.err, batchId))
+    graft.operators.StagedSwap.swap(fs, live, tmp, old)(dir =>
+      outRow.toDF("capacity", "buf", "levels", "n", "err", "batch_id")
+        .coalesce(1).write.parquet(dir))
+  }
+
+  /** Current quantile estimates off a [[quantilesOnArrival]] state path:
+    * one (p, n, err, q) row per requested p. Non-mutating crash-window
+    * tolerance via [[graft.operators.StagedSwap.readable]]. */
+  def quantileEstimates(spark: SparkSession, statePath: String,
+      ps: Seq[Double]): DataFrame = {
+    import spark.implicits._
+    require(ps.nonEmpty, "at least one quantile requested")
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = graft.operators.StagedSwap.readable(fs,
+      new org.apache.hadoop.fs.Path(statePath, "state"),
+      new org.apache.hadoop.fs.Path(statePath, ".state_tmp"),
+      new org.apache.hadoop.fs.Path(statePath, ".state_old"))
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no quantile state under $statePath"))
+    val s = graft.operators.QuantileSketch.summaryOfRow(
+      spark.read.parquet(src.toString).head())
+    ps.map(p => (p, s.n, s.err, s.quantile(p)))
+      .toDF("p", "n", "err", "q").orderBy(col("p"))
   }
 
   /** Streaming histogram maintenance for the drift gate

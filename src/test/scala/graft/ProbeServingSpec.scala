@@ -106,4 +106,43 @@ class ProbeServingSpec extends SparkSpec {
         "new asks must rank over the post-delete generation")
     } finally q.stop()
   }
+
+  test("vectorProbeOnArrival: streamed ANN asks equal batch probeSaved; " +
+      "write-once under redelivery") {
+    implicit val sqlCtx = spark.sqlContext
+    def vec(i: Int): Seq[Double] =
+      Seq.tabulate(8)(d => if (d == i % 4) 10.0 + (i % 4) else 0.001 * i)
+    val corpus = (0 until 60).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("serve_vec").toString
+    val (idx, out, ckpt) = (s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    val pq = graft.operators.ProductQuantizer.fit(
+      corpus, "vec_id", "embedding", m = 2, k = 4, iters = 2)
+    val coarse = graft.operators.KMeans.fit(
+      corpus, "vec_id", "embedding", k = 4, iters = 2)
+    graft.operators.ProductQuantizer.save(
+      corpus, "vec_id", "embedding", coarse, pq, idx, residual = false)
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingJobs.vectorProbeOnArrival(
+        source.toDF().toDF("query_id", "embedding"), "query_id", "embedding",
+        idx, out, ckpt, k = 5, nProbe = 4, clearCachePerBatch = false)
+      .start()
+    try {
+      source.addData((101L, vec(1)), (101L, vec(1)), (102L, vec(2)))
+      q.processAllAvailable()
+      source.addData((101L, vec(3))) // re-ask: write-once keeps batch 1
+      q.processAllAvailable()
+      val served = spark.read.parquet(out)
+        .select($"query_id", $"rank", $"id", $"approx_dist")
+        .orderBy($"query_id", $"rank")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      val expect = graft.operators.ProductQuantizer.probeSaved(
+          Seq((101L, vec(1)), (102L, vec(2))).toDF("query_id", "embedding"),
+          "query_id", "embedding", spark, idx, k = 5, nProbe = 4)
+        .orderBy($"query_id", $"rank")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(served === expect)
+    } finally q.stop()
+  }
 }

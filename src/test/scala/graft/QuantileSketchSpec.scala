@@ -122,6 +122,30 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("save/load round-trips a summary bit-exactly; merge requires " +
+      "matching capacity and equals the aggregator's merge") {
+    val dir = java.nio.file.Files.createTempDirectory("qs_store").toString
+    val agg = new QuantileSketchAgg(16)
+    val a = (1L to 500L).foldLeft(agg.zero)(agg.reduce)
+    val b = (501L to 900L).foldLeft(agg.zero)(agg.reduce)
+    QuantileSketch.saveSummary(spark, a, dir)
+    val a2 = QuantileSketch.loadSummary(spark, dir)
+    assert(a2.capacity === a.capacity && a2.n === a.n && a2.err === a.err)
+    assert(a2.buf.toSeq === a.buf.toSeq)
+    assert(a2.levels.map(_.toSeq) === a.levels.map(_.toSeq))
+    val viaStore = QuantileSketch.merge(a2, b)
+    val direct = agg.merge(a, b)
+    assert(viaStore.n === direct.n && viaStore.err === direct.err)
+    for (p <- Seq(0.1, 0.5, 0.9))
+      assert(viaStore.quantile(p) === direct.quantile(p), s"p=$p")
+    // overwrite-safe: a second save replaces atomically
+    QuantileSketch.saveSummary(spark, viaStore, dir)
+    assert(QuantileSketch.loadSummary(spark, dir).n === 900L)
+    intercept[IllegalArgumentException] {
+      QuantileSketch.merge(a, new QuantileSketchAgg(32).zero)
+    }
+  }
+
   test("empty and degenerate inputs fail loudly or stay trivial") {
     intercept[IllegalArgumentException] {
       new QuantileSketchAgg(1)
