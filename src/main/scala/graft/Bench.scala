@@ -149,7 +149,10 @@ object Bench {
     // save+append+delete each before the audit joins (q219's class,
     // plus the IVF family and three targeted deletes)
     "q231_incremental_snapshot" -> 10.0,
-    "q232_index_fsck" -> 17.5)
+    "q232_index_fsck" -> 17.5,
+    // two sketch aggregates + a summary save/load round trip (small
+    // but filesystem-touching); throttled solo min-of-two 0.94
+    "q233_sketch_merge" -> 1.2)
   private val defaultAnchorSec = 1.0
   // overridable for local testing of the rerun path (driver never sets it)
   private val suspectFactor =

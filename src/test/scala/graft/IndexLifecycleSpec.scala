@@ -130,4 +130,92 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(probe(idx) === viaScan,
       "three days of lifecycle == one batch Bm25.search of the intent")
   }
+
+  test("wave-2 composition: nightly Maintenance.cycle (fsck gate + " +
+      "incremental snapshots + retention) with streamed query serving " +
+      "between days; rollback through the object store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingJobs
+    import graft.operators.Maintenance
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("lifecycle2").toString
+    val idx = s"$dir/index"
+    var corpus = Seq.empty[(Long, String)]
+    var day = 0
+
+    def runIngestDay(batches: Seq[Seq[(Long, String)]]): Unit = {
+      val source = MemoryStream[(Long, String)]
+      val q = StreamingJobs.indexOnArrival(
+          source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          idx, s"$dir/ckpt_day$day", clearCachePerBatch = false,
+          autoCompactFilesPerDir = Some(3))
+        .start()
+      try batches.foreach { b =>
+        source.addData(b: _*)
+        q.processAllAvailable()
+        corpus = corpus ++ b
+      } finally q.stop()
+    }
+    def night(): Unit = {
+      // the single nightly call: recover -> compact-if-needed -> fsck
+      // gate -> incremental snapshot -> prune to two generations
+      Maintenance.cycle(spark, Maintenance.TextFamily, idx,
+        s"night$day", keepLast = 2)
+      day += 1
+      Thread.sleep(20) // separate promotion mtimes for retention order
+    }
+    def serve(asks: Seq[(Long, Seq[String])]): Seq[(Long, Long, Double, Long)] = {
+      // read-only serving between mutations, through the streaming job
+      val source = MemoryStream[(Long, Seq[String])]
+      val (out, ckpt) = (s"$dir/out_day$day", s"$dir/ckpt_serve$day")
+      val q = StreamingJobs.probeOnArrival(
+          source.toDF().toDF("query_id", "terms"), "query_id", "terms",
+          idx, out, ckpt, k = 5, clearCachePerBatch = false)
+        .start()
+      try {
+        source.addData(asks: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(out)
+        .select($"query_id", $"doc_id", $"score", $"rank")
+        .orderBy($"query_id", $"rank")
+        .as[(Long, Long, Double, Long)].collect().toSeq
+    }
+    def expect(asks: Seq[(Long, Seq[String])]) =
+      TextIndex.probeAll(asks.toDF("query_id", "terms"), "query_id",
+          "terms", idx, k = 5)
+        .orderBy($"query_id", $"rank")
+        .as[(Long, Long, Double, Long)].collect().toSeq
+
+    // three days: ingest -> nightly cycle -> next-day serving
+    runIngestDay((0 until 4).map(b => (0 until 8).map(i => doc(0, b * 8 + i))))
+    night()
+    val asks1 = Seq((1L, Seq("spark", "w13")), (2L, Seq("w42")))
+    assert(serve(asks1) === expect(asks1), "day-1 serving parity")
+
+    runIngestDay((0 until 3).map(b => (0 until 8).map(i => doc(1, b * 8 + i))))
+    night()
+    runIngestDay(Seq((0 until 8).map(i => doc(2, i))))
+    night()
+
+    // retention: exactly the last two nights stand; their snapshots
+    // deduplicate through the content-addressed store (ref files only)
+    assert(IndexSnapshots.list(spark, idx).select($"tag")
+      .as[String].collect().toSeq === Seq("night1", "night2"))
+
+    // disaster after night2: poison, then roll back THROUGH the object
+    // store; fresh asks (new ids) serve the restored generation
+    TextIndex.upsert(
+      corpus.take(5).map { case (id, t) => (id, t + " poisoned") }
+        .toDF("doc_id", "text"), "doc_id", "text", idx)
+    IndexSnapshots.restore(spark, idx, "night2")
+    val asks2 = Seq((10L, Seq("spark", "w13")), (11L, Seq("w42")))
+    assert(serve(asks2) === expect(asks2), "post-rollback serving parity")
+    assert(probe(idx, 10) === rebuildProbe(corpus, dir, 10),
+      "restored generation == batch rebuild of the full three-day corpus")
+
+    // and the next nightly cycle still passes its fsck gate
+    Maintenance.cycle(spark, Maintenance.TextFamily, idx, "night3",
+      keepLast = 2)
+  }
 }
