@@ -152,7 +152,10 @@ object Bench {
     "q232_index_fsck" -> 17.5,
     // two sketch aggregates + a summary save/load round trip (small
     // but filesystem-touching); throttled solo min-of-two 0.94
-    "q233_sketch_merge" -> 1.2)
+    "q233_sketch_merge" -> 1.2,
+    // q53's pair graph + star contraction + one id-keyed join;
+    // throttled solo min-of-two 3.72 (canary 0.44 ~ 2.2x)
+    "q234_leakage_split" -> 4.0)
   private val defaultAnchorSec = 1.0
   // overridable for local testing of the rerun path (driver never sets it)
   private val suspectFactor =

@@ -50,6 +50,37 @@ object Sampling {
     df.withColumn("split", expr2)
   }
 
+  /** Leakage-safe train/val/test split: [[deterministicSplit]] keyed on
+    * the NEAR-DUP COMPONENT instead of the document id, so two
+    * near-duplicate documents can never straddle splits — the
+    * train/test-contamination hole a row-wise split leaves open (a
+    * paraphrased copy of a training document in the eval set inflates
+    * every metric it touches). `pairs` is any similarity pair frame
+    * (exact Jaccard, MinHash, SimHash — the [[Dedup]] family);
+    * components come from the star-contraction
+    * [[Components.connectedComponents]] (O(log² n) bounded-shuffle
+    * rounds), documents in no pair form singleton groups keyed by their
+    * own id. Output adds (`group_key`, `split`): split is a pure
+    * function of group_key, so the no-straddle guarantee is structural,
+    * not statistical. Fraction skew note: splits land whole GROUPS, so
+    * realized fractions drift from the targets by the large-component
+    * tail — by design (that tail is exactly what must not be divided).
+    *
+    * Scale shape: the pair graph is the expensive input (blocked
+    * upstream); everything here is the contraction plus ONE id-keyed
+    * left join and a row-local hash — no new corpus-scale shuffle
+    * beyond the join. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      idACol: String, idBCol: String, salt: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    val comps = Components.connectedComponents(pairs, idACol, idBCol)
+      .select(col("node").as("__ls_node"), col("component").as("__ls_comp"))
+    val keyed = df.join(comps, df(idCol) === col("__ls_node"), "left")
+      .withColumn("group_key", coalesce(col("__ls_comp"), df(idCol)))
+      .drop("__ls_node", "__ls_comp")
+    deterministicSplit(keyed, "group_key", salt, weights)
+  }
+
   /** Deterministic ~fraction sample: keeps a row iff its hash bucket falls
     * below floor(fraction * 2^32). Applied per row, so it is stratified by
     * construction over any grouping whose ids hash uniformly. */

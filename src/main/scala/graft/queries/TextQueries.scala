@@ -2097,6 +2097,43 @@ object TextQueries extends QueryModule {
       |  array_to_string(list_sort(list(node)), ',') AS members
       |FROM comp GROUP BY component ORDER BY component""".stripMargin
 
+  /** Leakage-safe split (north star): train/val/test assignment keyed on
+    * the near-dup COMPONENT, so a paraphrased copy of a training document
+    * can never land in the eval set — the contamination hole a row-wise
+    * hash split leaves open. Engine: the q53 star-contraction components
+    * + ONE id-keyed left join (singletons keep their own id) + the
+    * portable md5 bucket ([[graft.operators.Sampling.leakageSafeSplit]]);
+    * oracle: the recursive-CTE closure + the same hash thresholds — an
+    * independent formulation of both the grouping and the assignment.
+    * The hash pins the structural guarantee: split is a pure function of
+    * group_key, so equal components ⟹ equal splits, row for row. */
+  private def q234LeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.jaccardPairsAuto(docs,
+      "doc_id", "text", n = 3, minJac = 0.5, knownCount = Some(docs.count()))
+    graft.operators.Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+        "id_a", "id_b", "s234:",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"doc_id", $"group_key", $"split")
+      .orderBy($"doc_id")
+  }
+
+  private val q234Sql =
+    s"""WITH RECURSIVE $closureCtes,
+      |g AS (
+      |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_key
+      |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+      |b AS (
+      |  SELECT doc_id, group_key,
+      |    substr(md5('s234:' || CAST(group_key AS VARCHAR)), 1, 8) AS h
+      |  FROM g)
+      |SELECT doc_id, group_key,
+      |  CASE WHEN h < 'cccccccc' THEN 'train'
+      |       WHEN h < 'e6666666' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+
   /** Quality-aware keeper selection (north star): within each near-dup
     * cluster keep the HIGHEST-quality copy, not the lowest id — the
     * "keep by quality signal, not arrival order" rule of modern curation
@@ -3066,6 +3103,8 @@ object TextQueries extends QueryModule {
       "character-entropy quality signal: one-pass codepoint-count kernel vs substring-explode oracle (north star)"),
     Q("q57_line_dedup", q57LineDedup, Some(q57Sql),
       "corpus boilerplate line removal: hashed-df hot set + narrow rebuild vs relational oracle (north star)"),
+    Q("q234_leakage_split", q234LeakageSplit, Some(q234Sql),
+      "leakage-safe split: near-dup components never straddle train/val/test, hash-assigned by group"),
     Q("q53_dup_clusters", q53DupClusters, Some(q53Sql),
       "near-dup clusters: star-contraction components vs recursive-closure oracle (north star)"),
     Q("q79_best_keeper", q79BestKeeper, Some(q79Sql),

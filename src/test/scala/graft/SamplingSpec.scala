@@ -32,6 +32,32 @@ class SamplingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("leakageSafeSplit: connected near-dup components never straddle " +
+      "splits; singletons follow their own hash; exhaustive") {
+    // pair graph: {1,2,3} chained, {10,11} paired, 20/21/22 singletons
+    val rows = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L)
+      .map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(rows, "doc_id", pairs,
+        "id_a", "id_b", "sx:", weights)
+      .select($"doc_id", $"group_key", $"split")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) === Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L))
+    // whole components share one group key and therefore one split
+    val comp123 = out.filter(_._1 <= 3L)
+    assert(comp123.map(_._2).distinct.size === 1)
+    assert(comp123.map(_._3).distinct.size === 1, "component straddled!")
+    val comp1011 = out.filter(r => r._1 == 10L || r._1 == 11L)
+    assert(comp1011.map(_._3).distinct.size === 1)
+    // singletons key on their own id and match the row-wise split
+    val single = out.filter(_._1 >= 20L)
+    assert(single.forall(r => r._2 == r._1))
+    val rowWise = Sampling.deterministicSplit(
+        rows.filter($"doc_id" >= 20L), "doc_id", "sx:", weights)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(single.forall(r => rowWise(r._1) == r._3))
+  }
+
   test("different salts draw independent assignments") {
     val a = Sampling.deterministicSplit(docs, "doc_id", "s1", weights)
       .filter($"split" === "train").select("doc_id").as[Long].collect().toSet
