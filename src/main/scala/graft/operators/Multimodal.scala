@@ -394,4 +394,91 @@ object Multimodal {
       .toDF().select(col("doc_id"), col("dhash")).cache()
     Dedup.hammingPairs(fps, "doc_id", "dhash", maxHamming)
   }
+
+  case class AudioHash(doc_id: Long, ehash: Long, status: String)
+
+  /** 64-bit audio fingerprint — [[imageDHash]]'s discipline applied to
+    * the ENERGY ENVELOPE: decode 16-bit PCM WAV ([[decodeAudio]]'s pure
+    * JDK path), frame the sample stream into 65 equal windows of EXACT
+    * integer energy sums (Σs², Long — s² ≤ 2^30, no float ever enters),
+    * and set bit i when window i's mean energy is below window i+1's,
+    * compared by cross-multiplication in BigInt (window lengths differ
+    * by the remainder; Long products could overflow past ~9 minutes of
+    * audio). Gain-invariant by construction for exact scalings (uniform
+    * gain scales every window's energy identically, and the comparisons
+    * are homogeneous), and robust to small noise the way dHash is: only
+    * adjacent-window ORDER matters, not absolute level. Undecodable
+    * payloads keep a typed status row, excluded from pairing. */
+  def audioEHash(payloads: DataFrame): Dataset[AudioHash] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    typedPayloads(payloads).mapPartitions(_.map { case (id, bytes) =>
+      if (!isWav(bytes)) AudioHash(id, 0L, "unsupported")
+      else try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 ||
+              fmt.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            AudioHash(id, 0L, "unsupported")
+          else {
+            val data = ais.readAllBytes()
+            val n = data.length / 2
+            if (n < 65) AudioHash(id, 0L, "too_short")
+            else AudioHash(id, ehash64(data, n, fmt.isBigEndian), "decoded")
+          }
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException => AudioHash(id, 0L, "corrupt")
+      }
+    })
+  }
+
+  private def ehash64(data: Array[Byte], n: Int, bigEndian: Boolean): Long = {
+    val sums = new Array[Long](65)
+    val cnts = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      val i0 = (w.toLong * n / 65).toInt
+      val i1 = math.max(i0 + 1, ((w + 1).toLong * n / 65).toInt) min n
+      var s = 0L
+      var i = i0
+      while (i < i1) {
+        val b = 2 * i
+        val v = if (bigEndian) ((data(b) << 8) | (data(b + 1) & 0xFF)).toShort
+          else ((data(b + 1) << 8) | (data(b) & 0xFF)).toShort
+        s += v.toLong * v
+        i += 1
+      }
+      sums(w) = s; cnts(w) = (i1 - i0).toLong
+      w += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      // mean(i) < mean(i+1), cross-multiplied exactly (BigInt: a window
+      // sum reaches 2^30 · n/65, so Long products overflow on long clips)
+      if (BigInt(sums(i)) * cnts(i + 1) < BigInt(sums(i + 1)) * cnts(i))
+        bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Near-duplicate audio pairs: [[audioEHash]] + the covering-code
+    * hamming band join — re-encoded, re-gained, or lightly noised copies
+    * of the same clip land within a few envelope-order bits while
+    * different material scatters ~32 bits apart. Same scale shape as
+    * [[imageNearDupPairs]]: fingerprints are 8-byte keys, the band join
+    * is recall-guaranteed at `maxHamming`. */
+  def audioNearDupPairs(payloads: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val fps = audioEHash(payloads).filter(col("status") === "decoded")
+      .toDF().select(col("doc_id"), col("ehash")).cache()
+    Dedup.hammingPairs(fps, "doc_id", "ehash", maxHamming)
+  }
 }
