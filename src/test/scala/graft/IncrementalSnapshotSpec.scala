@@ -199,6 +199,71 @@ class IncrementalSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("property: a randomized snapshot/mutate/drop/prune/restore history " +
+      "keeps every surviving tag bit-exact and the object store consistent") {
+    val path = Files.createTempDirectory("isnap_prop").toString
+    TextIndex.save(docs, "doc_id", "text", path)
+    val rng = new scala.util.Random(1313L)
+    def probeLive() = TextIndex.probe(spark, path, Seq("spark", "join"),
+      k = 12).collect().toSeq
+    // model: tag -> the live probe at snapshot time
+    var model = Map.empty[String, Seq[org.apache.spark.sql.Row]]
+    var tagN = 0
+    var delMod = 2
+    for (step <- 1 to 18) {
+      rng.nextInt(6) match {
+        case 0 | 1 => // snapshot the current generation
+          tagN += 1
+          val t = s"t$tagN"
+          IndexSnapshots.snapshotIncremental(spark, path, t)
+          model += t -> probeLive()
+          Thread.sleep(12)
+        case 2 => // small mutation: delete one rotating residue class
+          delMod = (delMod % 6) + 2
+          TextIndex.delete(spark, path,
+            docs.filter($"doc_id" % 19 === delMod).select($"doc_id"))
+        case 3 => // edit a couple of docs
+          TextIndex.upsert(docs.filter($"doc_id" % 13 === (step % 13))
+            .select($"doc_id",
+              concat($"text", lit(s" rev$step")).as("text")),
+            "doc_id", "text", path)
+        case 4 if model.nonEmpty => // drop a random tag
+          val t = model.keys.toSeq.sorted.apply(rng.nextInt(model.size))
+          IndexSnapshots.drop(spark, path, t)
+          model -= t
+        case 5 if model.size > 1 => // prune to a random cap
+          val keep = 1 + rng.nextInt(model.size)
+          val dropped = IndexSnapshots.prune(spark, path, keepLast = keep)
+          model --= dropped
+        case _ => ()
+      }
+      // invariant 1: the inventory is exactly the model's tags
+      assert(IndexSnapshots.list(spark, path).select($"tag")
+        .as[String].collect().toSeq === model.keys.toSeq.sorted,
+        s"step $step inventory")
+      // invariant 2: one random surviving tag time-travels bit-exactly
+      if (model.nonEmpty) {
+        val t = model.keys.toSeq.sorted.apply(rng.nextInt(model.size))
+        assert(TextIndex.probe(spark, IndexSnapshots.at(spark, path, t),
+          Seq("spark", "join"), k = 12).collect().toSeq === model(t),
+          s"step $step tag $t time travel")
+      }
+    }
+    // final: every survivor restores bit-exactly (newest last, so the
+    // live index ends on a restorable generation), and gc is settled
+    for (t <- model.keys.toSeq.sorted) {
+      IndexSnapshots.restore(spark, path, t)
+      assert(probeLive() === model(t), s"final restore of $t")
+    }
+    // explicit gc (drops leave orphans by contract) must never touch an
+    // object a surviving tag still references
+    IndexSnapshots.gcObjects(spark, path)
+    for (t <- model.keys.toSeq.sorted)
+      assert(TextIndex.probe(spark, IndexSnapshots.at(spark, path, t),
+        Seq("spark", "join"), k = 12).collect().toSeq === model(t),
+        s"post-gc time travel of $t")
+  }
+
   test("crash mid-snapshot leaves only hidden staging: list ignores it, " +
       "the rerun completes, quiescence and immutability still hold") {
     val path = Files.createTempDirectory("isnap_crash").toString
