@@ -227,6 +227,42 @@ object TrainingDataPipeline {
     * four booleans) — never text; the exact-dup rank is the q224
     * per-digest cumulative-survivor window; the near-dup leg joins two
     * id-only frames. No new shuffle class over [[curate]] itself. */
+  /** Leakage-safe train/val/test assignment over the CURATED corpus —
+    * [[graft.operators.Sampling.leakageSafeSplit]] wired into the
+    * pipeline with the piece a plain post-curation split misses:
+    * curation only REMOVES pairs at ≥ `cfg.nearDupJaccard`, so documents
+    * related at [`splitJaccard`, nearDupJaccard) BOTH survive and a
+    * row-wise split can strand a paraphrase of a training document in
+    * the eval set. This runs a SECOND, looser pair pass at
+    * `splitJaccard` over the survivors and keys the assignment on those
+    * components, so related-but-not-duplicate documents co-locate.
+    *
+    * Recall caveat, stated rather than hidden: the MinHash band screen's
+    * hit rate falls with similarity ((j^(k/bands))·bands-ish), so pairs
+    * near a LOW splitJaccard may be missed; verification is exact, so
+    * every surfaced pair is real. For strict guarantees at low
+    * thresholds raise `bands` via a custom pair frame and call
+    * [[graft.operators.Sampling.leakageSafeSplit]] directly.
+    *
+    * Output: the curated frame plus (group_key, split). No new shuffle
+    * class over curate + one near-dup pass + one id-keyed join. */
+  def splitFrame(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", cfg: Config = Config(),
+      salt: String = "split:",
+      weights: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      splitJaccard: Double = 0.3): DataFrame = {
+    require(splitJaccard > 0.0 && splitJaccard <= cfg.nearDupJaccard,
+      s"splitJaccard ($splitJaccard) must be in (0, nearDupJaccard=" +
+        s"${cfg.nearDupJaccard}]: the split guard must be at least as " +
+        "inclusive as the dedup that already removed closer pairs")
+    val curated = curate(docs, idCol, textCol, cfg)
+    val pairs = Dedup.minhashNearDupPairs(curated, idCol, textCol,
+      n = cfg.shingleSize, minJac = splitJaccard)
+    graft.operators.Sampling.leakageSafeSplit(curated, idCol, pairs,
+      "id_a", "id_b", salt, weights)
+  }
+
   def ledgerFrame(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", cfg: Config = Config()): DataFrame = {
     val (annotated, _, exact) = stages(docs, idCol, textCol, cfg)

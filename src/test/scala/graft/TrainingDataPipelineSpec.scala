@@ -126,6 +126,38 @@ class TrainingDataPipelineSpec extends SparkSpec {
     assert(clusterIds === Set(10L), s"cluster mode kept $clusterIds")
   }
 
+  test("splitFrame: related-but-not-duplicate survivors co-locate in one " +
+      "split; unrelated docs follow their own hash; the guard validates") {
+    // the cluster-mode shingle fixture, under a HIGHER dedup threshold so
+    // the whole chain SURVIVES curation (0.73 < 0.8) while the split
+    // guard at 0.5 still groups it (0.73 and 0.58 both >= 0.5)
+    val base = Seq.tabulate(40)(i => s"tok$i").mkString(" ")
+    val a = base + " " + Seq.tabulate(14)(i => s"enda$i").mkString(" ")
+    val c = base + " " + Seq.tabulate(14)(i => s"endc$i").mkString(" ")
+    val fixture = Seq(
+      (10L, a), (20L, c), (30L, base),
+      (40L, Seq.tabulate(40)(i => s"alpha$i").mkString(" ")),
+      (50L, Seq.tabulate(40)(i => s"beta$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val loose = Config(minQuality = -1.0, minTokens = 1, nearDupJaccard = 0.8,
+      allowedLangs = Set("en", "de", "fr", "es", "und"))
+    val out = TrainingDataPipeline.splitFrame(fixture, cfg = loose,
+        salt = "sx:", splitJaccard = 0.5)
+      .select($"doc_id", $"group_key", $"split")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) === Seq(10L, 20L, 30L, 40L, 50L),
+      "nothing reaches the 0.8 dedup threshold, so all five survive")
+    val chain = out.filter(_._1 <= 30L)
+    assert(chain.map(_._2).distinct.size === 1, s"chain must group: $chain")
+    assert(chain.map(_._3).distinct.size === 1, s"chain straddled: $chain")
+    assert(out.filter(_._1 >= 40L).forall(r => r._2 == r._1),
+      "unrelated docs are singleton groups keyed by their own id")
+    intercept[IllegalArgumentException] {
+      TrainingDataPipeline.splitFrame(fixture, cfg = loose,
+        splitJaccard = 0.9) // looser than the dedup threshold: rejected
+    }
+  }
+
   test("cluster mode on the real corpus removes at least as much as pairwise") {
     val pairwise = TrainingDataPipeline.curate(docs, cfg = cfg).count()
     val clustered = TrainingDataPipeline.curate(docs,
