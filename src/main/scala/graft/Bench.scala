@@ -155,7 +155,10 @@ object Bench {
     "q233_sketch_merge" -> 1.2,
     // q53's pair graph + star contraction + one id-keyed join;
     // throttled solo min-of-two 3.72 (canary 0.44 ~ 2.2x)
-    "q234_leakage_split" -> 4.0)
+    "q234_leakage_split" -> 4.0,
+    // two grouped sketch aggregates + store save/load + group-keyed
+    // reduce; throttled solo min-of-two 1.09
+    "q235_grouped_store" -> 1.3)
   private val defaultAnchorSec = 1.0
   // overridable for local testing of the rerun path (driver never sets it)
   private val suspectFactor =

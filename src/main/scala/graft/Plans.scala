@@ -71,7 +71,8 @@ object Plans {
       "q226_snapshot_prune", "q227_persisted_recall_gate",
       "q228_batched_probe_lifecycle", "q229_quantile_sketch",
       "q230_quantile_gate", "q231_incremental_snapshot",
-      "q232_index_fsck", "q233_sketch_merge", "q234_leakage_split")
+      "q232_index_fsck", "q233_sketch_merge", "q234_leakage_split",
+      "q235_grouped_store")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)

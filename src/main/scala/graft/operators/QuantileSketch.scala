@@ -222,6 +222,85 @@ object QuantileSketch {
         .map(_.toList).toList,
       r.getAs[Long]("n"), r.getAs[Long]("err"))
 
+  /** Per-group summaries as a STORE frame — one (g, capacity, buf,
+    * levels, n, err) row per group, the persistable/mergeable form of
+    * [[summarize]]: sketch each day's partition into a store, save it,
+    * and [[mergeGrouped]] it into the standing store without re-reading
+    * old data (the per-stratum daily-statistics cadence). Row width is
+    * parameter-bounded (capacity·levels longs per group). */
+  def summarizeToStore(df: DataFrame, valueCol: String, byCol: String,
+      capacity: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new QuantileSketchAgg(capacity)
+    df.filter(col(valueCol).isNotNull && col(byCol).isNotNull)
+      .select(col(byCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("sk"))
+      .map { case (g, s) =>
+        (g, s.capacity, s.buf.toList, s.levels.map(_.toList).toList,
+          s.n, s.err)
+      }
+      .toDF("g", "capacity", "buf", "levels", "n", "err")
+  }
+
+  private def asTyped(store: DataFrame) = {
+    val spark = store.sparkSession
+    import spark.implicits._
+    store.select(col("g"), col("capacity"), col("buf"), col("levels"),
+        col("n"), col("err"))
+      .as[(String, Int, Seq[Long], Seq[Seq[Long]], Long, Long)]
+      .map { case (g, c, buf, lv, n, e) =>
+        (g, Summary(c, buf.toList, lv.map(_.toList).toList, n, e))
+      }
+  }
+
+  /** Merge two store frames group-wise — a DISTRIBUTED reduce (one
+    * group-keyed exchange over parameter-bounded rows), so folding a
+    * new day into a store of millions of strata never touches the
+    * driver. Groups present on one side pass through; capacities must
+    * match where groups meet (the Aggregator merge enforces it). */
+  def mergeGrouped(a: DataFrame, b: DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    asTyped(a).union(asTyped(b))
+      .groupByKey(_._1)
+      .reduceGroups((x, y) => (x._1, merge(x._2, y._2)))
+      .map { case (_, (g, s)) =>
+        (g, s.capacity, s.buf.toList, s.levels.map(_.toList).toList,
+          s.n, s.err)
+      }
+      .toDF("g", "capacity", "buf", "levels", "n", "err")
+  }
+
+  /** Persist a grouped store under `path/summaries` (atomic via
+    * [[StagedSwap]], like [[saveSummary]]). */
+  def saveGrouped(spark: SparkSession, store: DataFrame,
+      path: String): Unit =
+    StagedSwap.swapSub(spark, path, "summaries", "_del") { tmp =>
+      store.write.parquet(tmp)
+    }
+
+  /** Load a grouped store persisted by [[saveGrouped]]. */
+  def loadGrouped(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/summaries")
+
+  /** Quantile reads off a store frame: one (group, p, n, q) row per
+    * group × p — [[summarize]]'s output shape, computed from the store
+    * instead of the data. */
+  def quantilesOfStore(store: DataFrame, byCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "at least one quantile requested")
+    val spark = store.sparkSession
+    import spark.implicits._
+    asTyped(store)
+      .flatMap { case (g, s) => ps.map(p => (g, p, s.n, s.quantile(p))) }
+      .toDF(byCol, "p", "n", "q")
+  }
+
   /** Self-audit gate: sketch `valueCol`, then EXACTLY verify each
     * estimate against the data in one conditional-count pass — for each
     * p, the estimate's true rank interval [count(v<q̂)+1, count(v≤q̂)]

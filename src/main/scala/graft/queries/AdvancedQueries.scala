@@ -518,6 +518,30 @@ object AdvancedQueries extends QueryModule {
       |FROM t JOIN r ON r.rn = t.r0
       |ORDER BY t.p""".stripMargin
 
+  /** The GROUPED sketch store (q233's discipline per stratum, fully
+    * distributed): sketch disjoint document halves into per-language
+    * store frames, persist one and reload it, [[graft.operators
+    * .QuantileSketch.mergeGrouped]] them (a group-keyed reduce over
+    * parameter-bounded rows — a store of millions of strata never
+    * touches the driver), and read quantiles off the merged store. At
+    * exact capacity the result must equal q229's full recompute per
+    * group, bit for bit, under the same window-rank oracle. */
+  private def q235GroupedStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val even = graft.operators.QuantileSketch.summarizeToStore(
+      docs.filter($"doc_id" % 2 === 0), "n_chars", "lang", capacity = 16384)
+    val odd = graft.operators.QuantileSketch.summarizeToStore(
+      docs.filter($"doc_id" % 2 === 1), "n_chars", "lang", capacity = 16384)
+    val store = graft.core.Scratch.dir(dir, "qsgstore")
+    graft.operators.QuantileSketch.saveGrouped(spark, even, store)
+    val merged = graft.operators.QuantileSketch.mergeGrouped(
+      graft.operators.QuantileSketch.loadGrouped(spark, store), odd)
+    graft.operators.QuantileSketch.quantilesOfStore(merged, "lang",
+        ps = Seq(0.5, 0.9, 0.99))
+      .orderBy($"lang", $"p")
+  }
+
   /** The sparse-capacity half of the q229 story: a 256-item-per-buffer
     * sketch over lineitem's 600k quantities (collapses DO fire), then
     * [[graft.operators.QuantileSketch.gate]]'s exact one-pass audit —
@@ -2122,6 +2146,8 @@ object AdvancedQueries extends QueryModule {
       "sparse MRL sketch self-audit: exact rank intervals vs the summary's own error bound, integer gates"),
     Q("q233_sketch_merge", q233SketchMerge, Some(q233Sql),
       "sketch store: disjoint halves sketched, one persisted+reloaded, merged == full recompute"),
+    Q("q235_grouped_store", q235GroupedStore, Some(q229Sql),
+      "grouped sketch store: per-stratum halves merged distributed == q229's full recompute"),
     Q("q206_quantile_shift", q206QuantileShift, Some(q206Sql),
       "per-stratum exact-quantile drift gate: p50/p90/p99 shifts between snapshots"),
     Q("q205_fk_contract", q205FkContract, Some(q205Sql),

@@ -146,6 +146,50 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("grouped store: distributed merge equals per-group recompute at " +
+      "exact capacity; one-sided groups pass through; bounds hold sparse") {
+    val rows = (0 until 3000).map { i =>
+      (s"g${i % 3}", ((i * 2654435761L) % 5000))
+    } :+ (("only_left", 7L))
+    val df = rows.toDF("g", "v")
+    val left = df.filter(org.apache.spark.sql.functions.hash($"v") % 2 === 0)
+    val right = df.filter(org.apache.spark.sql.functions.hash($"v") % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("qs_gstore").toString
+    val ls = QuantileSketch.summarizeToStore(left, "v", "g", capacity = 8192)
+    val rs = QuantileSketch.summarizeToStore(right, "v", "g", capacity = 8192)
+    QuantileSketch.saveGrouped(spark, ls, dir)
+    val merged = QuantileSketch.mergeGrouped(
+      QuantileSketch.loadGrouped(spark, dir), rs)
+    val got = QuantileSketch.quantilesOfStore(merged, "g", Seq(0.5, 0.9))
+      .as[(String, Double, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val truth = rows.groupBy(_._1).map { case (g, rs0) =>
+      g -> rs0.map(_._2).sorted.toIndexedSeq }
+    for ((g, sorted) <- truth; p <- Seq(0.5, 0.9)) {
+      val r = math.max(1L, math.ceil(p * sorted.size).toLong)
+      assert(got((g, p)) === ((sorted.size.toLong, sorted((r - 1).toInt))),
+        s"group=$g p=$p")
+    }
+    assert(got(("only_left", 0.5)) === ((1L, 7L)),
+      "a group on one side must pass through the merge untouched")
+    // sparse capacity: the merged store's own bound certifies per group
+    val sm = QuantileSketch.mergeGrouped(
+      QuantileSketch.summarizeToStore(left, "v", "g", capacity = 32),
+      QuantileSketch.summarizeToStore(right, "v", "g", capacity = 32))
+    QuantileSketch.quantilesOfStore(sm, "g", Seq(0.5))
+      .as[(String, Double, Long, Long)].collect().foreach {
+        case (g, p, n, est) =>
+          val sorted = truth(g)
+          assert(n === sorted.size.toLong)
+          val errRow = sm.filter($"g" === g).select($"err")
+            .as[Long].collect().head
+          val r = math.max(1L, math.ceil(p * n).toLong)
+          val lo = sorted.count(_ < est) + 1L
+          val hi = sorted.count(_ <= est).toLong
+          assert(lo <= r + errRow && hi >= r - errRow, s"group=$g")
+      }
+  }
+
   test("empty and degenerate inputs fail loudly or stay trivial") {
     intercept[IllegalArgumentException] {
       new QuantileSketchAgg(1)
