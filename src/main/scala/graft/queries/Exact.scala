@@ -45,6 +45,10 @@ object Exact {
     * any magnitude. */
   def sqlDsum(expr: String): String =
     s"CAST(CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)"
+  /** scale-8 variant for small-magnitude values (embedding components:
+    * float precision ~7 digits, sums in the thousands). */
+  def sqlDsum8(expr: String): String =
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE)"
   def sqlDavg(expr: String): String =
     s"CAST(CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT($expr)"
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.operators.Similarity
+import Exact.{dsum, sqlDsum8}
 
 /** Similarity search over the `embeddings` table (north star).
   *
@@ -1190,6 +1191,75 @@ object SimilarityQueries extends QueryModule {
       |FROM rows
       |ORDER BY family, "check"""".stripMargin
 
+  /** Embedding drift gate — the drift family's fourth leg (q192 binned,
+    * q197 categorical, q206 quantile) for VECTOR corpora: per-dimension
+    * mean shift between two corpus windows plus the cosine between the
+    * window SUM vectors (≡ cosine of the means — scale-invariant — but
+    * computed over EXACT decimal sums, never over mean quotients: the
+    * q85 mirror-trap lesson). Shifts follow q206's discipline
+    * (differences of identically derived doubles, no float sums); the
+    * cosine folds the 64 per-dim sums in ASCENDING dim order on both
+    * engines (driver-side here — 64 rows, parameter-bounded; dim-ordered
+    * list_sum in the oracle), the q211 convention. The monitor a
+    * re-embedding or encoder upgrade needs: a silent model swap moves
+    * the mean vector long before any scalar column notices. */
+  private def q236EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"label", $"embedding".cast("array<double>").as("v"))
+    def sums(df: DataFrame, out: String) =
+      df.select(posexplode($"v").as(Seq("dim", "x")))
+        .groupBy($"dim")
+        .agg(dsum($"x", 18, 8).as(s"s_$out"),
+          count(lit(1)).as(s"n_$out"))
+    val joined = sums(emb.filter($"label" < 5), "base")
+      .join(sums(emb.filter($"label" >= 5), "cur"), "dim")
+      .cache()
+    val byDim = joined.orderBy($"dim")
+      .select($"s_base", $"s_cur").as[(Double, Double)].collect()
+    var dot = 0.0; var nb = 0.0; var nc = 0.0
+    byDim.foreach { case (sb, sc) => dot += sb * sc; nb += sb * sb; nc += sc * sc }
+    val cos = BigDecimal(dot / math.sqrt(nb * nc))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    joined.select($"dim",
+        round($"s_base" / $"n_base", 6).as("mean_base"),
+        round($"s_cur" / $"n_cur", 6).as("mean_cur"),
+        round($"s_cur" / $"n_cur" - $"s_base" / $"n_base", 6).as("shift"),
+        lit(cos).as("cos_windows"),
+        lit(cos < 0.999).as("drifted"))
+      .orderBy($"dim")
+  }
+
+  private val q236Sql =
+    s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+      |x AS (
+      |  SELECT label, unnest(v) AS x,
+      |    generate_subscripts(v, 1) - 1 AS dim
+      |  FROM e),
+      |b AS (
+      |  SELECT dim, ${sqlDsum8("x")} AS s_base, COUNT(*) AS n_base
+      |  FROM x WHERE label < 5 GROUP BY dim),
+      |c AS (
+      |  SELECT dim, ${sqlDsum8("x")} AS s_cur, COUNT(*) AS n_cur
+      |  FROM x WHERE label >= 5 GROUP BY dim),
+      |j AS (SELECT b.dim, s_base, n_base, s_cur, n_cur
+      |      FROM b JOIN c USING (dim)),
+      |vecs AS (
+      |  SELECT list(s_base ORDER BY dim) AS sb, list(s_cur ORDER BY dim) AS sc
+      |  FROM j),
+      |cosv AS (
+      |  SELECT round(
+      |    list_sum(list_transform(list_zip(sb, sc), p -> p[1] * p[2])) /
+      |    sqrt(list_sum(list_transform(sb, q -> q * q)) *
+      |         list_sum(list_transform(sc, q -> q * q))), 6) AS cos_windows
+      |  FROM vecs)
+      |SELECT j.dim, round(s_base / n_base, 6) AS mean_base,
+      |  round(s_cur / n_cur, 6) AS mean_cur,
+      |  round(s_cur / n_cur - s_base / n_base, 6) AS shift,
+      |  cosv.cos_windows, cosv.cos_windows < 0.999 AS drifted
+      |FROM j CROSS JOIN cosv
+      |ORDER BY j.dim""".stripMargin
+
   private def q39IvfKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -1680,6 +1750,8 @@ object SimilarityQueries extends QueryModule {
       "recall/nDCG/MRR gate on probeSaved at production nProbe after save/append/delete/compact/snapshot/restore (north star)"),
     Q("q218_filtered_ann", q218FilteredAnn, Some(q218Sql),
       "filtered vector search: attribute predicate semi-joined onto the persisted codes scan before ADC, under one hash (north star)"),
+    Q("q236_embedding_drift", q236EmbeddingDrift, Some(q236Sql),
+      "embedding drift gate: per-dim exact mean shifts + dim-ordered window cosine, q206's discipline on vectors"),
     Q("q232_index_fsck", q232IndexFsck, Some(q232Sql),
       "fsck all four index families after a lived build: cross-artifact invariants under the hash"),
     Q("q219_index_stats", q219IndexStats, Some(q219Sql),
