@@ -134,6 +134,30 @@ object TextFunctions {
       lower(graft.functions.expressions.TextExpressions.nfc_normalize(text)),
       "\\s+", " "))
 
+  /** Sentence segmentation: split on runs of terminal punctuation
+    * (`[.!?]+`), trim each segment, drop empties. Deliberately the
+    * simplest deterministic contract — abbreviation/decimal-point
+    * awareness needs a language model and is out of scope; what matters
+    * for corpus curation is that the SAME rule runs on 100 TB and in the
+    * oracle. Engine-portable: Spark `split` keeps trailing empty segments
+    * (limit -1) and DuckDB `regexp_split_to_array` does too, and both are
+    * filtered; `trim` strips spaces in both. Row-local higher-order
+    * functions — whole-stage codegen, no shuffle, the raw text never
+    * leaves its partition. */
+  def sentences(text: Column): Column =
+    filter(transform(split(text, "[.!?]+"), s => trim(s)),
+      s => length(s) > 0)
+
+  /** Number of sentences under the [[sentences]] contract. */
+  def sentenceCount(text: Column): Column = size(sentences(text))
+
+  /** Per-sentence character-length array (trimmed lengths) — the input
+    * to mean/min/max sentence-length quality signals (short mean sentence
+    * length is a strong boilerplate/listing indicator; cf. Gopher's
+    * document-shape rules). */
+  def sentenceLens(text: Column): Column =
+    transform(sentences(text), s => length(s).cast("long"))
+
   /** Word n-gram shingles as a distinct array — the unit for Jaccard/MinHash
     * dedup. Computed with a higher-order `transform` over an index sequence
     * (no explode/window shuffle; stays row-local). */

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Visual time-series downsampling: one representative point per fixed
+  * time bucket per key, chosen by the largest-triangle criterion
+  * (Steinarsson's LTTB family — the standard dashboard downsampler).
+  *
+  * This is the PARALLEL bucket-mean variant: classic LTTB anchors each
+  * bucket's triangle on the point SELECTED in the previous bucket, a
+  * sequential dependence that cannot distribute. Anchoring both sides on
+  * the neighbor buckets' MEAN points instead (Steinarsson §4.2 discusses
+  * exactly this relaxation; the fixed-anchor form is his LTOB/LTTB
+  * middle ground) makes every bucket's argmax independent — two narrow
+  * aggregates and one windowed join, no sequential state, no driver
+  * loop. Visual fidelity is near-identical in practice because bucket
+  * means are what the skipped points collapse to on screen anyway.
+  *
+  * Determinism/portability: the triangle area is evaluated in EXACT
+  * integer arithmetic. With x = epoch millis (long), y = floor(value·10^6)
+  * (long), and per-bucket sums (n, Σx, Σy), the area against the two
+  * neighbor means, scaled by the positive constant n_L·n_R (argmax
+  * invariant), expands to
+  *
+  *   E = | Σx_L·n_R·y_b − Σx_L·Σy_R + x_b·n_L·Σy_R
+  *       − x_b·n_R·Σy_L + Σx_R·Σy_L − Σx_R·n_L·y_b |
+  *
+  * — six three-factor integer products. Magnitude budget: |x| < 2^41
+  * (epoch millis), |y| ≤ 2^40, bucket count ≤ 2^21 keeps every sum in a
+  * long and every product under 10^33 < 10^38, exact in Spark
+  * decimal(38,0) and DuckDB HUGEINT alike — no float ever decides a
+  * selection, so the result replays bit-for-bit in the oracle.
+  *
+  * Edge contract: a bucket with no left neighbor (the key's first)
+  * yields its EARLIEST point, no right neighbor (the last) its LATEST —
+  * LTTB's keep-the-endpoints rule, bucket-local. A single-bucket key
+  * takes the first-bucket rule. Neighbors are the previous/next
+  * NON-EMPTY buckets (gaps skip, matching lag/lead over the summary).
+  * Ties on area break on (x asc, y asc) — fully deterministic.
+  *
+  * Scale shape: one groupBy(key, bucket) aggregate (map-side partial),
+  * one key-partitioned window over the SUMMARY frame (bucket-count
+  * sized, not point-sized), one shuffle-on-(key,bucket) join back to the
+  * points, one per-bucket window for the argmax. Raw points shuffle
+  * once; everything else moves (key, bucket)-sized summaries. At 100 TB
+  * the output is ~n_keys·n_buckets rows — the whole point. */
+object Downsample {
+
+  /** One row per (key, bucket): the selected point (`x_millis`,
+    * `y_units`) plus the bucket's population `n_points`.
+    *
+    * @param bucketMillis fixed bucket width in milliseconds
+    * @param quantScale   y quantization: y = floor(value · 10^quantScale) */
+  def lttb(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      bucketMillis: Long, quantScale: Int = 6): DataFrame = {
+    require(bucketMillis > 0, s"bucketMillis must be positive, got $bucketMillis")
+    require(quantScale >= 0 && quantScale <= 9,
+      s"quantScale must be in [0, 9], got $quantScale")
+    val reserved = Seq("__x", "__y", "__b", "bucket", "x_millis", "y_units",
+      "n_points")
+    require(reserved.forall(c => !df.columns.contains(c) || c == keyCol),
+      s"column names $reserved are reserved by lttb")
+
+    val k = col(keyCol)
+    val pts = df.select(
+        k.as("__k"),
+        (unix_micros(col(tsCol)) / lit(1000L)).cast("long").as("__x"),
+        floor(col(valCol) * pow(lit(10.0), lit(quantScale))).cast("long")
+          .as("__y"))
+      .withColumn("__b", expr(s"__x DIV ${bucketMillis}L"))
+
+    val sums = pts.groupBy(col("__k"), col("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__b"))
+    val nb = sums.select(col("__k"), col("__b"), col("__n"),
+      lag(col("__n"), 1).over(w).as("__pn"),
+      lag(col("__sx"), 1).over(w).as("__psx"),
+      lag(col("__sy"), 1).over(w).as("__psy"),
+      lead(col("__n"), 1).over(w).as("__nn"),
+      lead(col("__sx"), 1).over(w).as("__nsx"),
+      lead(col("__sy"), 1).over(w).as("__nsy"))
+
+    def d(c: Column): Column = c.cast(DecimalType(38, 0))
+    val j = pts.join(nb, Seq("__k", "__b"))
+    val e = abs(
+      d(col("__psx")) * d(col("__nn")) * d(col("__y")) -
+        d(col("__psx")) * d(col("__nsy")) +
+        d(col("__x")) * d(col("__pn")) * d(col("__nsy")) -
+        d(col("__x")) * d(col("__nn")) * d(col("__psy")) +
+        d(col("__nsx")) * d(col("__psy")) -
+        d(col("__nsx")) * d(col("__pn")) * d(col("__y")))
+    val prevNull = col("__pn").isNull
+    val nextNull = col("__nn").isNull
+    // branch-encoded sort keys: first bucket → earliest point, last →
+    // latest, interior → largest exact area, ties on (x, y) ascending
+    val s1 = when(prevNull, d(col("__x")))
+      .when(nextNull, -d(col("__x"))).otherwise(-e)
+    val s2 = when(prevNull, col("__y"))
+      .when(nextNull, -col("__y")).otherwise(col("__x"))
+    val s3 = when(prevNull || nextNull, lit(0L)).otherwise(col("__y"))
+    val wb = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(s1.asc, s2.asc, s3.asc)
+    j.withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") === 1)
+      .select(col("__k").as(keyCol), col("__b").as("bucket"),
+        col("__x").as("x_millis"), col("__y").as("y_units"),
+        col("__n").as("n_points"))
+  }
+}

@@ -40,6 +40,50 @@ object TextQueries extends QueryModule {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Sentence-shape statistics (north star): the sentence-level
+    * document-shape signals (count, char mass, min/max extremes) that
+    * Gopher-style quality filters key on — a very short MEAN sentence is
+    * a strong listing/boilerplate indicator, a single giant "sentence" a
+    * missing-punctuation one. The fixture corpus is punctuation-free, so
+    * the query first synthesizes terminal punctuation deterministically
+    * (every standalone `the`/`a` becomes a sentence break via one
+    * regexp_replace); the SAME replacement runs in the oracle, so the
+    * segmentation contract of [[graft.functions.TextFunctions.sentences]]
+    * itself sits under the hash. Row-local end to end (split / trim /
+    * filter higher-order functions inside whole-stage codegen — the text
+    * never shuffles); the only exchange is the presentation sort. */
+  private def q237SentenceStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val punct = regexp_replace($"text", "\\b(the|a)\\b", ".")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", sentenceLens(punct).as("__lens"))
+      .select($"doc_id", $"lang",
+        size($"__lens").cast("long").as("n_sentences"),
+        coalesce(aggregate($"__lens", lit(0L), _ + _), lit(0L))
+          .as("n_sentence_chars"),
+        coalesce(array_min($"__lens"), lit(0L)).as("min_sentence_chars"),
+        coalesce(array_max($"__lens"), lit(0L)).as("max_sentence_chars"))
+      .orderBy($"doc_id")
+  }
+
+  private val q237Sql =
+    """WITH seg AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(list_transform(
+      |      regexp_split_to_array(
+      |        regexp_replace(text, '\b(the|a)\b', '.', 'g'), '[.!?]+'),
+      |      x -> trim(x)), x -> length(x) > 0) AS sents
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  CAST(len(sents) AS BIGINT) AS n_sentences,
+      |  CAST(coalesce(list_sum(list_transform(sents, x -> length(x))), 0)
+      |    AS BIGINT) AS n_sentence_chars,
+      |  CAST(coalesce(list_min(list_transform(sents, x -> length(x))), 0)
+      |    AS BIGINT) AS min_sentence_chars,
+      |  CAST(coalesce(list_max(list_transform(sents, x -> length(x))), 0)
+      |    AS BIGINT) AS max_sentence_chars
+      |FROM seg ORDER BY doc_id""".stripMargin
+
   /** Quality scoring: stopword ratio + mean token length + punctuation. */
   private def q19Quality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1352,7 +1396,9 @@ object TextQueries extends QueryModule {
     * into a smooth, rankable score). Terciles are cut-based from
     * [[graft.operators.OrderStats.exactQuantiles]] (the q209
     * discipline — never a corpus-global NTILE window). */
-  private def q217TrainedQuality(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared engine chain for q217/q239: Gopher-rule features → 3-round
+    * quantized GD fit → rounded hard-sigmoid scores per document. */
+  private def quantizedLrScored(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fcols = Seq("x1", "x2", "x3", "x4")
     val feats = graft.operators.QualityRules.annotate(
@@ -1365,8 +1411,13 @@ object TextQueries extends QueryModule {
         when($"gopher_pass", 1.0).otherwise(0.0).as("y"))
     val w = graft.operators.QuantizedLR.fit(feats, fcols, "y",
       lr = 0.1, rounds = 3)
-    val scored = feats.withColumn("score",
-        round(graft.operators.QuantizedLR.scoreCol(fcols, w), 6))
+    feats.withColumn("score",
+      round(graft.operators.QuantizedLR.scoreCol(fcols, w), 6))
+  }
+
+  private def q217TrainedQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = quantizedLrScored(spark, dir)
       .withColumn("__all", lit(1))
     val cuts = graft.operators.OrderStats.exactQuantiles(
         scored, "score", "__all", ps = Seq(1.0 / 3.0, 2.0 / 3.0))
@@ -1385,7 +1436,10 @@ object TextQueries extends QueryModule {
     * tercile buckets. Every arithmetic step mirrors the engine's
     * operation order exactly (left-assoc dot product, (err·x)·10⁶
     * multiplication order, CAST-to-DOUBLE before the /n division). */
-  private val q217Sql =
+  /** Shared relational replay of the scoring chain (feature CTE → three
+    * quantized-GD weight CTEs → rounded hard-sigmoid scores); q217 appends
+    * the tercile cut, q239 the fixed-width calibration bins. */
+  private val quantizedLrScoredSql =
     """WITH words AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
       |s AS (
@@ -1462,7 +1516,10 @@ object TextQueries extends QueryModule {
       |scored AS (
       |  SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
       |    round(greatest(0.0, least(1.0, 0.25 * (w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4) + 0.5)), 6) AS score
-      |  FROM f CROSS JOIN w3 w),
+      |  FROM f CROSS JOIN w3 w)""".stripMargin
+
+  private val q217Sql = quantizedLrScoredSql +
+    """,
       |r AS (
       |  SELECT score, row_number() OVER (ORDER BY score, doc_id) AS rn,
       |    COUNT(*) OVER () AS cnt
@@ -1476,6 +1533,58 @@ object TextQueries extends QueryModule {
       |     + (CASE WHEN c.c2 <= s.score THEN 1 ELSE 0 END) AS BIGINT) AS bucket
       |FROM scored s CROSS JOIN cuts c
       |ORDER BY s.doc_id""".stripMargin
+
+  /** Scorer calibration audit (north star): the reliability table for the
+    * q217 trained quality scorer — a model whose scores drive 100 TB keep/
+    * drop decisions needs its "0.8 means ~80% positive" claim audited, not
+    * assumed. Fixed-width score bins (bin = min(⌊1000·score⌋, 999) — millesimal
+    * resolution, because a barely-moved quantized-GD scorer concentrates
+    * its scores in a few hundredths and coarser bins would collapse the
+    * whole corpus into one row — over the
+    * hard-sigmoid's [0,1] range), per bin: exact doc/positive counts and
+    * the score mass in integer micro-units, plus a per-bin monotonicity
+    * bit (positive RATE non-decreasing vs the previous bin, compared
+    * cross-multiplied — p_prev·n_cur ≤ p_cur·n_prev — so no float ratio
+    * ever decides it). The whole audit replays relationally: the oracle
+    * re-derives training, scoring, binning, and the monotonicity join.
+    * Scale shape: one narrow aggregate over the scored corpus into ≤10
+    * rows, then a 10-row broadcast self-join — audit cost is one pass. */
+  private def q239Calibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byBin = quantizedLrScored(spark, dir)
+      .select(
+        least(floor($"score" * 1000.0), lit(999.0)).cast("long").as("bin"),
+        $"y".cast("long").as("__label"),
+        round($"score" * 1000000.0).cast("long").as("__su"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"__label").as("n_pos"),
+        sum($"__su").as("sum_score_micros"))
+    byBin.as("c")
+      .join(broadcast(byBin.as("p")), col("c.bin") === col("p.bin") + 1, "left")
+      .select(col("c.bin").as("bin"), col("c.n_docs").as("n_docs"),
+        col("c.n_pos").as("n_pos"),
+        col("c.sum_score_micros").as("sum_score_micros"),
+        when(col("p.bin").isNull ||
+            col("p.n_pos") * col("c.n_docs") <= col("c.n_pos") * col("p.n_docs"),
+          1L).otherwise(0L).as("mono_ok"))
+      .orderBy($"bin")
+  }
+
+  private val q239Sql = quantizedLrScoredSql +
+    """,
+      |bybin AS (
+      |  SELECT CAST(least(floor(score * 1000.0), 999.0) AS BIGINT) AS bin,
+      |    COUNT(*) AS n_docs, SUM(label) AS n_pos,
+      |    SUM(CAST(round(score * 1000000.0) AS BIGINT)) AS sum_score_micros
+      |  FROM scored GROUP BY 1)
+      |SELECT c.bin, CAST(c.n_docs AS BIGINT) AS n_docs,
+      |  CAST(c.n_pos AS BIGINT) AS n_pos,
+      |  CAST(c.sum_score_micros AS BIGINT) AS sum_score_micros,
+      |  CAST(CASE WHEN p.bin IS NULL
+      |            OR p.n_pos * c.n_docs <= c.n_pos * p.n_docs
+      |       THEN 1 ELSE 0 END AS BIGINT) AS mono_ok
+      |FROM bybin c LEFT JOIN bybin p ON p.bin = c.bin - 1
+      |ORDER BY c.bin""".stripMargin
 
   /** Greedy sequence packing, cross-validated by an INDEPENDENT algorithm:
     * the engine streams first-fit chunks per md5 bucket; the oracle
@@ -3091,6 +3200,8 @@ object TextQueries extends QueryModule {
       "per-document drop ledger: first-failure-wins reason across langid -> Gopher -> survivor-aware exact dedup (north star)"),
     Q("q217_trained_quality", q217TrainedQuality, Some(q217Sql),
       "trained quality scorer: quantized-GD logistic regression + tercile buckets under one hash (north star)"),
+    Q("q239_calibration", q239Calibration, Some(q239Sql),
+      "scorer calibration audit: fixed-width reliability bins + cross-multiplied monotonicity bits (north star)"),
     Q("q56_lm_score", q56LmScore, Some(q56Sql),
       "add-k bigram LM quality scoring: hashed-gram engine vs string-keyed oracle (north star)"),
     Q("q109_dsir_weights", q109DsirWeights, Some(q109Sql),
@@ -3163,6 +3274,8 @@ object TextQueries extends QueryModule {
     Q("q77_training_flow", q77TrainingFlow, Some(q77Sql),
       "curate -> token budget -> pack -> shard end to end, per-shard digest (north star)"),
     Q("q18_text_stats", q18TextStats, Some(q18Sql), "token counting (north star)"),
+    Q("q237_sentence_stats", q237SentenceStats, Some(q237Sql),
+      "sentence segmentation + per-doc sentence-shape quality stats (north star)"),
     Q("q19_quality", q19Quality, Some(q19Sql), "document quality scoring (north star)"),
     Q("q20_langid", q20LangId, Some(q20Sql), "language-ID heuristic (north star)"),
     Q("q21_exact_dedup", q21ExactDedup, Some(q21Sql), "exact dedup by digest (north star)"),

@@ -835,7 +835,104 @@ object TimeSeriesQueries extends QueryModule {
       |FROM g
       |ORDER BY user_id, day""".stripMargin
 
+  /** Largest-triangle downsampling (north star): one representative point
+    * per 6-hour bucket per event type — the dashboard-rendering reduction
+    * of an unboundedly large telemetry series. Engine:
+    * [[graft.operators.Downsample.lttb]], the parallel bucket-mean LTTB
+    * variant with the triangle area decided in EXACT integer arithmetic
+    * (decimal(38,0) here, HUGEINT in the oracle) so the per-bucket argmax
+    * replays bit-for-bit. The oracle replays the whole contract
+    * relationally: same bucket sums, same lag/lead neighbor means, same
+    * six-product area expansion, same branch-encoded sort. */
+  private def q238Lttb(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Downsample.lttb(
+        Tables.events(spark, dir), "event_type", "ts", "value",
+        bucketMillis = 21600000L)
+      .orderBy($"event_type", $"bucket")
+  }
+
+  private val q238Sql =
+    """WITH pts AS (
+      |  SELECT event_type AS k, epoch_ms(ts) AS x,
+      |    CAST(floor(value * 1000000.0) AS BIGINT) AS y,
+      |    epoch_ms(ts) // 21600000 AS b
+      |  FROM events),
+      |s AS (
+      |  SELECT k, b, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy
+      |  FROM pts GROUP BY k, b),
+      |nb AS (
+      |  SELECT k, b, n,
+      |    lag(n) OVER w AS pn, lag(sx) OVER w AS psx, lag(sy) OVER w AS psy,
+      |    lead(n) OVER w AS nn, lead(sx) OVER w AS nsx, lead(sy) OVER w AS nsy
+      |  FROM s WINDOW w AS (PARTITION BY k ORDER BY b)),
+      |j AS (
+      |  SELECT p.k, p.b, p.x, p.y, nb.n, nb.pn, nb.nn,
+      |    abs(CAST(nb.psx AS HUGEINT) * nb.nn * p.y
+      |      - CAST(nb.psx AS HUGEINT) * nb.nsy
+      |      + CAST(p.x AS HUGEINT) * nb.pn * nb.nsy
+      |      - CAST(p.x AS HUGEINT) * nb.nn * nb.psy
+      |      + CAST(nb.nsx AS HUGEINT) * nb.psy
+      |      - CAST(nb.nsx AS HUGEINT) * nb.pn * p.y) AS e
+      |  FROM pts p JOIN nb ON p.k = nb.k AND p.b = nb.b),
+      |r AS (
+      |  SELECT k, b, x, y, n, row_number() OVER (
+      |    PARTITION BY k, b ORDER BY
+      |      (CASE WHEN pn IS NULL THEN CAST(x AS HUGEINT)
+      |            WHEN nn IS NULL THEN -CAST(x AS HUGEINT)
+      |            ELSE -e END) ASC,
+      |      (CASE WHEN pn IS NULL THEN y WHEN nn IS NULL THEN -y
+      |            ELSE x END) ASC,
+      |      (CASE WHEN pn IS NULL OR nn IS NULL THEN 0 ELSE y END) ASC) AS rn
+      |  FROM j)
+      |SELECT k AS event_type, b AS bucket, x AS x_millis, y AS y_units,
+      |  CAST(n AS BIGINT) AS n_points
+      |FROM r WHERE rn = 1
+      |ORDER BY event_type, bucket""".stripMargin
+
+  /** Decayed trending leaderboard (north star): top-10 users per event
+    * type by exponentially decayed daily activity — yesterday's burst
+    * must not outrank today's. Engine:
+    * [[graft.operators.Decayed.leaderboard]] — per-window counts times
+    * EXACT power-of-two weights (integer units of 2^-18, explicit 18-day
+    * cutoff instead of a float tail), one 1-row global-max broadcast,
+    * per-key top-k under WindowGroupLimit. The oracle replays the whole
+    * weighting relationally in BIGINT. */
+  private def q240DecayedLeaders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Decayed.leaderboard(
+        Tables.events(spark, dir), "event_type", "user_id", "ts",
+        windowMillis = 86400000L, maxBack = 18, k = 10)
+      .select($"event_type", $"user_id", $"score_units",
+        $"rank".cast("long").as("rank"))
+      .orderBy($"event_type", $"rank")
+  }
+
+  private val q240Sql =
+    """WITH pw AS (
+      |  SELECT event_type AS k, user_id AS item,
+      |    epoch_ms(ts) // 86400000 AS w, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2, 3),
+      |mx AS (SELECT MAX(w) AS wmax FROM pw),
+      |sc AS (
+      |  SELECT k, item,
+      |    SUM(c * CAST(power(2, 18 - (wmax - w)) AS BIGINT)) AS score_units
+      |  FROM pw CROSS JOIN mx WHERE wmax - w <= 18 GROUP BY 1, 2),
+      |r AS (
+      |  SELECT k, item, score_units, row_number() OVER (
+      |    PARTITION BY k ORDER BY score_units DESC, item ASC) AS rnk
+      |  FROM sc)
+      |SELECT k AS event_type, item AS user_id,
+      |  CAST(score_units AS BIGINT) AS score_units,
+      |  CAST(rnk AS BIGINT) AS rank
+      |FROM r WHERE rnk <= 10
+      |ORDER BY event_type, rank""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q240_decayed_leaders", q240DecayedLeaders, Some(q240Sql),
+      "decayed trending leaderboard: exact power-of-two half-life weights, top-10 per key (north star)"),
+    Q("q238_lttb", q238Lttb, Some(q238Sql),
+      "largest-triangle (LTTB) downsampling: one point per bucket by exact integer area (north star)"),
     Q("q144_twap", q144Twap, Some(q144Sql),
       "daily time-weighted average per user: integer-exact Σ value·Δt / Σ Δt"),
     Q("q142_drawdown", q142Drawdown, Some(q142Sql),
