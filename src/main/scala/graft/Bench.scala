@@ -158,7 +158,13 @@ object Bench {
     "q234_leakage_split" -> 4.0,
     // two grouped sketch aggregates + store save/load + group-keyed
     // reduce; throttled solo min-of-two 1.09
-    "q235_grouped_store" -> 1.3)
+    "q235_grouped_store" -> 1.3,
+    // LTTB: one point shuffle + summary window + join-back argmax over
+    // 600 buckets; r13 sweep 1.35 (clean canary 0.30)
+    "q238_lttb" -> 1.5,
+    // q217's 3-round GD chain + millesimal binning + 19-row self-join;
+    // r13 sweep 2.49 — q217's anchor class
+    "q239_calibration" -> 2.5)
   private val defaultAnchorSec = 1.0
   // overridable for local testing of the rerun path (driver never sets it)
   private val suspectFactor =
