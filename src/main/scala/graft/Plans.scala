@@ -73,7 +73,8 @@ object Plans {
       "q230_quantile_gate", "q231_incremental_snapshot",
       "q232_index_fsck", "q233_sketch_merge", "q234_leakage_split",
       "q235_grouped_store", "q236_embedding_drift",
-      "q237_sentence_stats", "q238_lttb", "q239_calibration")
+      "q237_sentence_stats", "q238_lttb", "q239_calibration",
+      "q240_decayed_leaders")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)
