@@ -158,6 +158,55 @@ object TextFunctions {
   def sentenceLens(text: Column): Column =
     transform(sentences(text), s => length(s).cast("long"))
 
+  /** Heuristic syllable count: per word, the number of vowel-group runs
+    * (`[aeiouy]+`), floored at 1 (a vowel-less token still carries one
+    * spoken beat). The standard readability-formula approximation — exact
+    * syllabification needs a dictionary; what matters at corpus scale is
+    * a DETERMINISTIC rule both engines replay. Row-local higher-order
+    * functions over the token array; no shuffle. */
+  def syllableCount(text: Column): Column =
+    aggregate(
+      transform(tokens(lower(text)),
+        w => greatest(size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))),
+          lit(1)).cast("long")),
+      lit(0L), (acc, s) => acc + s)
+
+  /** Homoglyph skeleton: fold the common Cyrillic/Greek lookalike code
+    * points onto their Latin confusables (Unicode TR39's skeleton idea,
+    * restricted to a fixed high-frequency table so the mapping is a pure
+    * 1:1 `translate` both engines share). Apply before hashing/shingling:
+    * a scraped or adversarial document that swaps 'а' (U+0430) for 'a'
+    * otherwise evades every exact and shingle dedup while reading
+    * identically to a human — the classic dedup/decontamination evasion.
+    * Composable with [[normalizeText]] (NFC first, then skeleton). */
+  // the spec pins each FROM char's code point (HomoglyphSpec), so an
+  // editor/encoding step that silently substituted a Latin twin — turning
+  // the mapping into a no-op — cannot survive the suite
+  private val homoglyphPairs: Seq[(Char, Char)] = Seq(
+    // Cyrillic lowercase а е о р с х у і ѕ ј һ
+    'а' -> 'a', 'е' -> 'e', 'о' -> 'o', 'р' -> 'p',
+    'с' -> 'c', 'х' -> 'x', 'у' -> 'y', 'і' -> 'i',
+    'ѕ' -> 's', 'ј' -> 'j', 'һ' -> 'h',
+    // Greek omicron ο
+    'ο' -> 'o',
+    // Greek uppercase Α Β Ε Η Ι Κ Μ Ν Ο Ρ Τ
+    'Α' -> 'A', 'Β' -> 'B', 'Ε' -> 'E', 'Η' -> 'H',
+    'Ι' -> 'I', 'Κ' -> 'K', 'Μ' -> 'M', 'Ν' -> 'N',
+    'Ο' -> 'O', 'Ρ' -> 'P', 'Τ' -> 'T',
+    // Cyrillic uppercase А В Е К М Н О Р С Т Х
+    'А' -> 'A', 'В' -> 'B', 'Е' -> 'E', 'К' -> 'K',
+    'М' -> 'M', 'Н' -> 'H', 'О' -> 'O', 'Р' -> 'P',
+    'С' -> 'C', 'Т' -> 'T', 'Х' -> 'X')
+
+  def homoglyphSkeleton(text: Column): Column =
+    translate(text, homoglyphPairs.map(_._1).mkString,
+      homoglyphPairs.map(_._2).mkString)
+
+  /** The skeleton table as (from, to) strings — exposed so oracle SQL and
+    * specs replay the exact same mapping. */
+  def homoglyphTable: (String, String) =
+    (homoglyphPairs.map(_._1).mkString, homoglyphPairs.map(_._2).mkString)
+
   /** Word n-gram shingles as a distinct array — the unit for Jaccard/MinHash
     * dedup. Computed with a higher-order `transform` over an index sequence
     * (no explode/window shuffle; stays row-local). */

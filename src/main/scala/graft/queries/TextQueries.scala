@@ -84,6 +84,117 @@ object TextQueries extends QueryModule {
       |    AS BIGINT) AS max_sentence_chars
       |FROM seg ORDER BY doc_id""".stripMargin
 
+  /** Flesch readability bands (north star): the classic reading-ease
+    * screen as a corpus quality signal, decided ENTIRELY in integer
+    * arithmetic. F = 206.835 − 1.015·W/S − 84.6·Y/W involves two float
+    * divisions, but the BAND test F ≥ t multiplies through by S·W > 0:
+    * 206835·S·W − 1015·W² − 84600·Y·S ≥ 1000·t·S·W — plain longs, so the
+    * easy(≥60)/standard(≥30)/difficult cuts replay bit-for-bit (the q106
+    * cross-multiplication discipline). W counts raw tokens, S reuses
+    * q237's synthesized-punctuation sentences, Y the vowel-group
+    * syllable heuristic ([[graft.functions.TextFunctions.syllableCount]],
+    * floored at 1 per token). Degenerate docs (S=0 or W=0) band to −1
+    * instead of dividing by zero. Row-local end to end; the only
+    * exchange is the presentation sort. */
+  private def q241Readability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ptext = regexp_replace($"text", "\\b(the|a)\\b", ".")
+    val w = tokenCount($"text").cast("long")
+    val s = sentenceCount(ptext).cast("long")
+    val y = syllableCount($"text")
+    val lhs = lit(206835L) * s * w - lit(1015L) * w * w -
+      lit(84600L) * y * s
+    Tables.documents(spark, dir)
+      .select($"doc_id", w.as("n_words"), s.as("n_sentences"),
+        y.as("n_syllables"),
+        when(s === 0L || w === 0L, -1L)
+          .when(lhs >= lit(60000L) * s * w, 2L)
+          .when(lhs >= lit(30000L) * s * w, 1L)
+          .otherwise(0L).as("band"))
+      .orderBy($"doc_id")
+  }
+
+  private val q241Sql =
+    """WITH feat AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(list_transform(
+      |      regexp_split_to_array(
+      |        regexp_replace(text, '\b(the|a)\b', '.', 'g'), '[.!?]+'),
+      |      x -> trim(x)), x -> length(x) > 0)) AS BIGINT) AS n_sentences,
+      |    CAST(list_sum(list_transform(string_split(lower(text), ' '),
+      |      w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+      |      AS BIGINT) AS n_syllables
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  CAST(CASE
+      |    WHEN n_sentences = 0 OR n_words = 0 THEN -1
+      |    WHEN 206835 * n_sentences * n_words - 1015 * n_words * n_words
+      |         - 84600 * n_syllables * n_sentences
+      |         >= 60000 * n_sentences * n_words THEN 2
+      |    WHEN 206835 * n_sentences * n_words - 1015 * n_words * n_words
+      |         - 84600 * n_syllables * n_sentences
+      |         >= 30000 * n_sentences * n_words THEN 1
+      |    ELSE 0 END AS BIGINT) AS band
+      |FROM feat ORDER BY doc_id""".stripMargin
+
+  /** Homoglyph-skeleton dedup (north star): the dedup/decontamination
+    * EVASION countermeasure — a document that swaps Latin letters for
+    * Cyrillic/Greek lookalikes (U+0430 'а' for 'a', …) reads identically
+    * to a human but evades every exact-hash and shingle dedup in the
+    * pipeline. Folding through
+    * [[graft.functions.TextFunctions.homoglyphSkeleton]] (a fixed 1:1
+    * TR39-style confusables table, one codegen `translate`) before
+    * hashing collapses the evasion. The query plants corrupted copies of
+    * every 5th document with the REVERSE mapping, then clusters by
+    * skeleton md5: each planted copy must land in its source's cluster.
+    * The oracle replays the identical translate chain (chr()-built FROM
+    * string), so Spark's and DuckDB's unicode translate + md5 agree
+    * under one hash — the cross-engine contract that makes the skeleton
+    * a safe portable dedup key. Scale shape: one narrow map + one
+    * hash aggregate on the 16-byte skeleton digest. */
+  private def q242HomoglyphDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val planted = docs.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        translate($"text", "aeopcxy", q242Cyr).as("text"))
+    docs.union(planted)
+      .select($"doc_id", md5(homoglyphSkeleton($"text")).as("skeleton_hash"))
+      .groupBy($"skeleton_hash")
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"),
+        concat_ws(",", sort_array(collect_list($"doc_id"))).as("ids"))
+      .filter($"n_copies" > 1)
+      .select($"canonical_id", $"n_copies", $"ids", $"skeleton_hash")
+      .orderBy($"canonical_id")
+  }
+
+  /** The planted corruption: Latin -> Cyrillic lookalikes (the reverse
+    * of the first seven skeleton pairs; code points pinned by the spec). */
+  private val q242Cyr = "аеорсху"
+
+  private val q242Sql = {
+    val (hFrom, hTo) = graft.functions.TextFunctions.homoglyphTable
+    val fromExpr = hFrom.map(c => s"chr(${c.toInt})").mkString(" || ")
+    val cyrExpr = q242Cyr.map(c => s"chr(${c.toInt})").mkString(" || ")
+    s"""WITH uni AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    translate(text, 'aeopcxy', $cyrExpr) AS text
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |sk AS (
+       |  SELECT doc_id,
+       |    md5(translate(text, $fromExpr, '$hTo')) AS skeleton_hash
+       |  FROM uni)
+       |SELECT min(doc_id) AS canonical_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+       |  array_to_string(list_sort(list(doc_id)), ',') AS ids,
+       |  skeleton_hash
+       |FROM sk GROUP BY skeleton_hash HAVING COUNT(*) > 1
+       |ORDER BY canonical_id""".stripMargin
+  }
+
   /** Quality scoring: stopword ratio + mean token length + punctuation. */
   private def q19Quality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -3276,6 +3387,10 @@ object TextQueries extends QueryModule {
     Q("q18_text_stats", q18TextStats, Some(q18Sql), "token counting (north star)"),
     Q("q237_sentence_stats", q237SentenceStats, Some(q237Sql),
       "sentence segmentation + per-doc sentence-shape quality stats (north star)"),
+    Q("q241_readability", q241Readability, Some(q241Sql),
+      "Flesch readability bands via cross-multiplied integer cuts (north star)"),
+    Q("q242_homoglyph_dedup", q242HomoglyphDedup, Some(q242Sql),
+      "homoglyph-skeleton dedup: confusables translate collapses the lookalike evasion (north star)"),
     Q("q19_quality", q19Quality, Some(q19Sql), "document quality scoring (north star)"),
     Q("q20_langid", q20LangId, Some(q20Sql), "language-ID heuristic (north star)"),
     Q("q21_exact_dedup", q21ExactDedup, Some(q21Sql), "exact dedup by digest (north star)"),
