@@ -195,6 +195,94 @@ object TextQueries extends QueryModule {
        |ORDER BY canonical_id""".stripMargin
   }
 
+  /** Corpus health dashboard (north star): the per-language one-pass
+    * report a 100 TB curation run prints before anyone trains on the
+    * output — readability band mix (q241's integer cuts), sentence-shape
+    * flags (q237's contract), Gopher hard-gate pass counts (q217's rule,
+    * inlined), and the raw sentence/syllable mass, every cell an exact
+    * long. Scale shape: all signals are row-local codegen expressions,
+    * so the whole dashboard is ONE narrow groupBy(lang) aggregate with
+    * map-side partials — the report costs a single pass regardless of
+    * corpus size. */
+  private def q243CorpusHealth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ptext = regexp_replace($"text", "\\b(the|a)\\b", ".")
+    val w = tokenCount($"text").cast("long")
+    val s = sentenceCount(ptext).cast("long")
+    val y = syllableCount($"text")
+    val lhs = lit(206835L) * s * w - lit(1015L) * w * w -
+      lit(84600L) * y * s
+    val band = when(s === 0L || w === 0L, -1L)
+      .when(lhs >= lit(60000L) * s * w, 2L)
+      .when(lhs >= lit(30000L) * s * w, 1L)
+      .otherwise(0L)
+    val annotated = graft.operators.QualityRules.annotate(
+      Tables.documents(spark, dir), "text")
+    annotated
+      .select($"lang", band.as("__band"), s.as("__s"), y.as("__y"),
+        when($"gopher_pass", 1L).otherwise(0L).as("__gp"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"__band" === 2L, 1L).otherwise(0L)).as("n_easy"),
+        sum(when($"__band" === 1L, 1L).otherwise(0L)).as("n_standard"),
+        sum(when($"__band" === 0L, 1L).otherwise(0L)).as("n_difficult"),
+        sum(when($"__band" === -1L, 1L).otherwise(0L)).as("n_degenerate"),
+        sum(when($"__s" < 3L, 1L).otherwise(0L)).as("n_short_sentence_docs"),
+        sum($"__gp").as("n_gopher_pass"),
+        sum($"__s").as("total_sentences"),
+        sum($"__y").as("total_syllables"))
+      .orderBy($"lang")
+  }
+
+  private val q243Sql =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_words,
+      |    CAST(SUM(len(w)) AS BIGINT) AS sum_word_len,
+      |    CAST(SUM(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words,
+      |    CAST(SUM(CASE WHEN w IN ('the','a','and','of','to','in','be','that','have','with')
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords
+      |  FROM words GROUP BY doc_id),
+      |feat AS (
+      |  SELECT d.doc_id, d.lang,
+      |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS w,
+      |    CAST(len(list_filter(list_transform(
+      |      regexp_split_to_array(
+      |        regexp_replace(d.text, '\b(the|a)\b', '.', 'g'), '[.!?]+'),
+      |      x -> trim(x)), x -> length(x) > 0)) AS BIGINT) AS s,
+      |    CAST(list_sum(list_transform(string_split(lower(d.text), ' '),
+      |      t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1)))
+      |      AS BIGINT) AS y,
+      |    CASE WHEN g.n_words BETWEEN 50 AND 100000
+      |      AND g.sum_word_len >= 3 * g.n_words AND g.sum_word_len <= 10 * g.n_words
+      |      AND g.n_alpha_words * 100 >= 80 * g.n_words
+      |      AND g.n_stopwords >= 2 THEN 1 ELSE 0 END AS gp
+      |  FROM documents d JOIN g ON d.doc_id = g.doc_id),
+      |banded AS (
+      |  SELECT lang, s, y, gp,
+      |    CASE
+      |      WHEN s = 0 OR w = 0 THEN -1
+      |      WHEN 206835 * s * w - 1015 * w * w - 84600 * y * s
+      |           >= 60000 * s * w THEN 2
+      |      WHEN 206835 * s * w - 1015 * w * w - 84600 * y * s
+      |           >= 30000 * s * w THEN 1
+      |      ELSE 0 END AS band
+      |  FROM feat)
+      |SELECT lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN band = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
+      |  CAST(SUM(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_standard,
+      |  CAST(SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_difficult,
+      |  CAST(SUM(CASE WHEN band = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate,
+      |  CAST(SUM(CASE WHEN s < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_sentence_docs,
+      |  CAST(SUM(gp) AS BIGINT) AS n_gopher_pass,
+      |  CAST(SUM(s) AS BIGINT) AS total_sentences,
+      |  CAST(SUM(y) AS BIGINT) AS total_syllables
+      |FROM banded GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Quality scoring: stopword ratio + mean token length + punctuation. */
   private def q19Quality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -3391,6 +3479,8 @@ object TextQueries extends QueryModule {
       "Flesch readability bands via cross-multiplied integer cuts (north star)"),
     Q("q242_homoglyph_dedup", q242HomoglyphDedup, Some(q242Sql),
       "homoglyph-skeleton dedup: confusables translate collapses the lookalike evasion (north star)"),
+    Q("q243_corpus_health", q243CorpusHealth, Some(q243Sql),
+      "per-language corpus health dashboard: readability mix + sentence flags + Gopher pass, one pass (north star)"),
     Q("q19_quality", q19Quality, Some(q19Sql), "document quality scoring (north star)"),
     Q("q20_langid", q20LangId, Some(q20Sql), "language-ID heuristic (north star)"),
     Q("q21_exact_dedup", q21ExactDedup, Some(q21Sql), "exact dedup by digest (north star)"),
