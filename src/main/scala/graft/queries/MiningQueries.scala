@@ -1853,7 +1853,42 @@ object MiningQueries extends QueryModule {
       |ORDER BY acctbal_units DESC, n_name, s_name, p_partkey
       |LIMIT 100""".stripMargin
 
+  /** k-anonymity + l-diversity audit (north star): the publication gate
+    * after PII scrubbing — per (nation, market-segment) equivalence
+    * class, the class size against k=10 and the distinct wealth bands
+    * (truncating $1000 bands of the account balance, integer DIV on
+    * cents so BOTH engines truncate identically for every sign) against
+    * l=3. Engine: [[graft.operators.Anonymity.audit]] — one groupBy with
+    * map-side partials; the report is class-sized. */
+  private def q244KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val banded = Tables.customer(spark, dir)
+      .select($"c_nationkey", $"c_mktsegment",
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000")
+          .as("wealth_band"))
+    graft.operators.Anonymity.audit(banded,
+        Seq("c_nationkey", "c_mktsegment"), "wealth_band", k = 10L, l = 3L)
+      .select($"c_nationkey".cast("long").as("c_nationkey"), $"c_mktsegment",
+        $"n_rows", $"n_distinct_sensitive", $"k_ok", $"l_ok")
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
+  private val q244Sql =
+    """WITH c AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS band
+      |  FROM customer)
+      |SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT band) AS BIGINT) AS n_distinct_sensitive,
+      |  CAST(CASE WHEN COUNT(*) >= 10 THEN 1 ELSE 0 END AS BIGINT) AS k_ok,
+      |  CAST(CASE WHEN COUNT(DISTINCT band) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS l_ok
+      |FROM c GROUP BY c_nationkey, c_mktsegment
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   val queries: Seq[Q] = Seq(
+    Q("q244_k_anonymity", q244KAnonymity, Some(q244Sql),
+      "k-anonymity + l-diversity publication audit over quasi-identifier classes (north star)"),
     Q("q190_min_cost_supplier", q190MinCostSupplier, Some(q190Sql),
       "TPC-H Q2 shape: decorrelated per-part min-cost supplier, ties kept, TakeOrdered listing"),
     Q("q183_window_frames", q183WindowFrames, Some(q183Sql),
