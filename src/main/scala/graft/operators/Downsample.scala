@@ -110,4 +110,42 @@ object Downsample {
         col("__x").as("x_millis"), col("__y").as("y_units"),
         col("__n").as("n_points"))
   }
+
+  /** M4 downsampling (Jugel et al., VLDB 2014): per (key, bucket) the
+    * FOUR pixel-exact extreme points — first, last, min, max — the
+    * error-free rasterization reduction for line charts (any point
+    * between the four cannot change a 1-px-per-bucket rendering). Wide
+    * output, one row per bucket; callers needing point rows unpivot.
+    *
+    * Unlike [[lttb]] this needs no neighbor context: ONE groupBy with
+    * map-side partial min/max aggregates, no window, no join — the
+    * cheapest possible distributed shape. Tie contract (deterministic,
+    * oracle-replayable without min_by's unspecified ties): first =
+    * lexicographic min of (x, y); last = lexicographic max of (x, y);
+    * min = lexicographic min of (y, x); max = lexicographic max of
+    * (y, x) — struct ordering here, two-level MIN/MAX CASE in SQL. */
+  def m4(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      bucketMillis: Long, quantScale: Int = 6): DataFrame = {
+    require(bucketMillis > 0, s"bucketMillis must be positive, got $bucketMillis")
+    require(quantScale >= 0 && quantScale <= 9,
+      s"quantScale must be in [0, 9], got $quantScale")
+    val pts = df.select(
+        col(keyCol).as("__k"),
+        (unix_micros(col(tsCol)) / lit(1000L)).cast("long").as("__x"),
+        floor(col(valCol) * pow(lit(10.0), lit(quantScale))).cast("long")
+          .as("__y"))
+      .withColumn("__b", expr(s"__x DIV ${bucketMillis}L"))
+    pts.groupBy(col("__k"), col("__b"))
+      .agg(count(lit(1)).as("n_points"),
+        min(struct(col("__x"), col("__y"))).as("__first"),
+        max(struct(col("__x"), col("__y"))).as("__last"),
+        min(struct(col("__y"), col("__x"))).as("__min"),
+        max(struct(col("__y"), col("__x"))).as("__max"))
+      .select(col("__k").as(keyCol), col("__b").as("bucket"),
+        col("__first.__x").as("x_first"), col("__first.__y").as("y_first"),
+        col("__last.__x").as("x_last"), col("__last.__y").as("y_last"),
+        col("__min.__x").as("x_min"), col("__min.__y").as("y_min"),
+        col("__max.__x").as("x_max"), col("__max.__y").as("y_max"),
+        col("n_points"))
+  }
 }

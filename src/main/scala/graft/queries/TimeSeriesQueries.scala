@@ -928,7 +928,48 @@ object TimeSeriesQueries extends QueryModule {
       |FROM r WHERE rnk <= 10
       |ORDER BY event_type, rank""".stripMargin
 
+  /** M4 downsampling (north star): q238's error-free companion — per
+    * bucket the first/last/min/max points (Jugel et al.'s pixel-exact
+    * line-chart reduction; any other point cannot change a
+    * 1-px-per-bucket rendering). ONE groupBy with map-side struct
+    * min/max partials — no window, no join, the cheapest distributed
+    * shape. The oracle re-derives the deterministic tie contract with
+    * two-level MIN/MAX CASE aggregates. */
+  private def q245M4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Downsample.m4(
+        Tables.events(spark, dir), "event_type", "ts", "value",
+        bucketMillis = 21600000L)
+      .orderBy($"event_type", $"bucket")
+  }
+
+  private val q245Sql =
+    """WITH pts AS (
+      |  SELECT event_type AS k, epoch_ms(ts) AS x,
+      |    CAST(floor(value * 1000000.0) AS BIGINT) AS y,
+      |    epoch_ms(ts) // 21600000 AS b
+      |  FROM events),
+      |g AS (
+      |  SELECT k, b, COUNT(*) AS n, MIN(x) AS fx, MAX(x) AS lx,
+      |    MIN(y) AS miny, MAX(y) AS maxy
+      |  FROM pts GROUP BY k, b)
+      |SELECT g.k AS event_type, g.b AS bucket,
+      |  g.fx AS x_first,
+      |  CAST(MIN(CASE WHEN p.x = g.fx THEN p.y END) AS BIGINT) AS y_first,
+      |  g.lx AS x_last,
+      |  CAST(MAX(CASE WHEN p.x = g.lx THEN p.y END) AS BIGINT) AS y_last,
+      |  CAST(MIN(CASE WHEN p.y = g.miny THEN p.x END) AS BIGINT) AS x_min,
+      |  g.miny AS y_min,
+      |  CAST(MAX(CASE WHEN p.y = g.maxy THEN p.x END) AS BIGINT) AS x_max,
+      |  g.maxy AS y_max,
+      |  CAST(g.n AS BIGINT) AS n_points
+      |FROM pts p JOIN g ON p.k = g.k AND p.b = g.b
+      |GROUP BY g.k, g.b, g.fx, g.lx, g.miny, g.maxy, g.n
+      |ORDER BY event_type, bucket""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q245_m4", q245M4, Some(q245Sql),
+      "M4 pixel-exact downsampling: first/last/min/max per bucket, one aggregate (north star)"),
     Q("q240_decayed_leaders", q240DecayedLeaders, Some(q240Sql),
       "decayed trending leaderboard: exact power-of-two half-life weights, top-10 per key (north star)"),
     Q("q238_lttb", q238Lttb, Some(q238Sql),

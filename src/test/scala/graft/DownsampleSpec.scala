@@ -120,6 +120,47 @@ class DownsampleSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("m4 emits the four extreme points with the documented tie contract") {
+    val rows = Seq(
+      // bucket 0: first at x=100, last at x=900, min y at (500, 1.0),
+      // max y at (300, 9.0); tie on min y broken toward smaller x
+      ("a", 100L, 5.0), ("a", 300L, 9.0), ("a", 500L, 1.0),
+      ("a", 700L, 1.0), ("a", 900L, 4.0))
+    val got = Downsample.m4(df(rows), "k", "ts", "v", W).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(2), r.getLong(3)) === ((100L, 5000000L))) // first
+    assert((r.getLong(4), r.getLong(5)) === ((900L, 4000000L))) // last
+    assert((r.getLong(6), r.getLong(7)) === ((500L, 1000000L))) // min, tie→min x
+    assert((r.getLong(8), r.getLong(9)) === ((300L, 9000000L))) // max
+    assert(r.getLong(10) === 5L)
+  }
+
+  test("m4 matches a driver-side reference across random buckets") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 400).map { i =>
+      (if (i % 2 == 0) "a" else "b",
+        rnd.nextInt(10000).toLong, rnd.nextInt(500) / 10.0)
+    }
+    def q(v: Double): Long = math.floor(v * 1000000.0).toLong
+    val ref = rows.groupBy(r => (r._1, r._2 / W)).toSeq
+      .map { case ((k, b), ps) =>
+        val pts = ps.map(p => (p._2, q(p._3)))
+        val first = pts.minBy(identity)
+        val last = pts.maxBy(identity)
+        val mn = pts.minBy { case (x, y) => (y, x) }
+        val mx = pts.maxBy { case (x, y) => (y, x) }
+        (k, b, first._1, first._2, last._1, last._2, mn._1, mn._2,
+          mx._1, mx._2, ps.size.toLong)
+      }.sortBy(t => (t._1, t._2))
+    val got = Downsample.m4(df(rows), "k", "ts", "v", W)
+      .orderBy($"k", $"bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9), r.getLong(10))).toSeq
+    assert(got === ref)
+  }
+
   test("rejects non-positive bucket width and reserved columns") {
     intercept[IllegalArgumentException] {
       Downsample.lttb(df(Seq(("a", 1L, 1.0))), "k", "ts", "v", 0L)
