@@ -144,4 +144,41 @@ object StreamingDownsample {
         TimeMode.EventTime(), OutputMode.Append(),
         Encoders.product[DsSample])
   }
+
+  /** Streaming M4 ([[graft.operators.Downsample.m4]]'s twin) — and the
+    * contrast case to [[downsampled]]: M4 needs NO neighbor context, so
+    * no custom state processor is warranted. It is exactly a watermarked
+    * tumbling-window aggregation — `window(ts, width)` + struct min/max
+    * — and Structured Streaming's own window-close semantics emit each
+    * bucket once in append mode. Declarative-first: the engine's
+    * documented preference order says built-in windows beat
+    * transformWithState whenever the semantics fit, and here they fit
+    * exactly (same deterministic tie contract via struct ordering; the
+    * quantization mirrors the batch operator so streamed rows equal the
+    * batch frame row-for-row — spec-pinned). */
+  def m4Windows(events: Dataset[DsEvent], widthMs: Long,
+      delay: String): org.apache.spark.sql.DataFrame = {
+    require(widthMs > 0, s"widthMs must be positive, got $widthMs")
+    import org.apache.spark.sql.functions._
+    events.toDF()
+      .withWatermark("ts", delay)
+      .select(col("key"),
+        col("ts"),
+        (unix_micros(col("ts")) / lit(1000L)).cast("long").as("__x"),
+        floor(col("v") * lit(1000000.0)).cast("long").as("__y"))
+      .groupBy(col("key"),
+        window(col("ts"), s"$widthMs milliseconds"))
+      .agg(count(lit(1)).as("n_points"),
+        min(struct(col("__x"), col("__y"))).as("__first"),
+        max(struct(col("__x"), col("__y"))).as("__last"),
+        min(struct(col("__y"), col("__x"))).as("__min"),
+        max(struct(col("__y"), col("__x"))).as("__max"))
+      .select(col("key"),
+        expr(s"unix_millis(window.start) DIV ${widthMs}L").as("bucket"),
+        col("__first.__x").as("x_first"), col("__first.__y").as("y_first"),
+        col("__last.__x").as("x_last"), col("__last.__y").as("y_last"),
+        col("__min.__x").as("x_min"), col("__min.__y").as("y_min"),
+        col("__max.__x").as("x_max"), col("__max.__y").as("y_max"),
+        col("n_points"))
+  }
 }

@@ -112,6 +112,43 @@ class StreamingDownsampleSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming M4 windows equal the batch m4 frame row-for-row") {
+    val s = harness()
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val data = (0 until 150).map { _ =>
+      ev(if (rnd.nextBoolean()) "a" else "b",
+        100L + rnd.nextInt(3900), rnd.nextInt(4000) / 9.0)
+    }
+    val source = MemoryStream[StreamingDownsample.DsEvent]
+    val q = StreamingDownsample.m4Windows(source.toDS(), W, "0 seconds")
+      .writeStream.format("memory").queryName("m4_out")
+      .outputMode("append").start()
+    try {
+      source.addData(data: _*)
+      q.processAllAvailable()
+      source.addData(ev("wm", 100000L, 0.0))
+      q.processAllAvailable()
+      source.addData(ev("wm", 100001L, 0.0))
+      q.processAllAvailable()
+      val got = s.sql("SELECT * FROM m4_out WHERE key != 'wm'")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getLong(8), r.getLong(9), r.getLong(10)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val batch = graft.operators.Downsample.m4(
+          data.toDF("k", "ts", "v"), "k", "ts", "v", W)
+        .orderBy($"k", $"bucket").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getLong(8), r.getLong(9), r.getLong(10))).toSeq
+      assert(got === batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("late input past the watermark is dropped, not re-emitted") {
     val s = harness()
     implicit val sqlCtx = s.sqlContext
