@@ -283,6 +283,84 @@ object TextQueries extends QueryModule {
       |FROM banded GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Evasion-resistant decontamination (north star): q86 proves
+    * normalization-aware decontam catches REFORMATTED benchmark copies;
+    * this closes the remaining hole q242 exposed — a benchmark document
+    * re-encoded with homoglyphs normalizes to a DIFFERENT string, so the
+    * normalized digest misses it and the eval set leaks into training.
+    * The query plants homoglyph-corrupted copies of benchmark (src0)
+    * rows into the current corpus and screens with BOTH digests: the
+    * normalized one (misses the plants) and the skeleton-folded one
+    * (catches them) — the per-source delta sits under the hash, so the
+    * oracle certifies both that the evasion works against naive
+    * decontam AND that the skeleton closes it. Scale shape: benchmark
+    * digest sets are eval-corpus sized — broadcast semi-join material
+    * by nature; everything else is row-local digest computation. */
+  private def q246SkeletonDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter($"source" === "src0")
+    val current = docs.filter($"source" =!= "src0")
+      .select($"doc_id", $"source", $"text")
+    val planted = bench.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 2000000L).as("doc_id"),
+        lit("planted").as("source"),
+        translate($"text", "aeopcxy", q242Cyr).as("text"))
+    def normD(c: org.apache.spark.sql.Column) = md5(normalizeText(c))
+    def skelD(c: org.apache.spark.sql.Column) =
+      md5(homoglyphSkeleton(normalizeText(c)))
+    val benchNorm = bench.select(normD($"text").as("dn")).distinct()
+    val benchSkel = bench.select(skelD($"text").as("ds")).distinct()
+    current.unionByName(planted)
+      .withColumn("__nd", normD($"text"))
+      .withColumn("__sd", skelD($"text"))
+      .join(broadcast(benchNorm), $"__nd" === $"dn", "left")
+      .join(broadcast(benchSkel), $"__sd" === $"ds", "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"dn".isNotNull, 1L).otherwise(0L)).as("caught_naive"),
+        sum(when($"ds".isNotNull, 1L).otherwise(0L)).as("caught_skeleton"))
+      .orderBy($"source")
+  }
+
+  private val q246Sql = {
+    val (hFrom, hTo) = graft.functions.TextFunctions.homoglyphTable
+    val fromExpr = hFrom.map(c => s"chr(${c.toInt})").mkString(" || ")
+    val cyrExpr = q242Cyr.map(c => s"chr(${c.toInt})").mkString(" || ")
+    s"""WITH bench AS (
+       |  SELECT doc_id, text FROM documents WHERE source = 'src0'),
+       |cur AS (
+       |  SELECT doc_id, source, text FROM documents WHERE source <> 'src0'),
+       |corpus AS (
+       |  SELECT doc_id, source, text FROM cur
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, 'planted' AS source,
+       |    translate(text, 'aeopcxy', $cyrExpr) AS text
+       |  FROM bench WHERE doc_id % 7 = 0),
+       |bn AS (
+       |  SELECT DISTINCT md5(trim(regexp_replace(lower(nfc_normalize(text)),
+       |    '\\s+', ' ', 'g'))) AS dn FROM bench),
+       |bs AS (
+       |  SELECT DISTINCT md5(translate(trim(regexp_replace(
+       |    lower(nfc_normalize(text)), '\\s+', ' ', 'g')),
+       |    $fromExpr, '$hTo')) AS ds FROM bench),
+       |flagged AS (
+       |  SELECT c.source,
+       |    CASE WHEN bn.dn IS NOT NULL THEN 1 ELSE 0 END AS hn,
+       |    CASE WHEN bs.ds IS NOT NULL THEN 1 ELSE 0 END AS hs
+       |  FROM corpus c
+       |  LEFT JOIN bn ON md5(trim(regexp_replace(lower(nfc_normalize(c.text)),
+       |    '\\s+', ' ', 'g'))) = bn.dn
+       |  LEFT JOIN bs ON md5(translate(trim(regexp_replace(
+       |    lower(nfc_normalize(c.text)), '\\s+', ' ', 'g')),
+       |    $fromExpr, '$hTo')) = bs.ds)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(hn) AS BIGINT) AS caught_naive,
+       |  CAST(SUM(hs) AS BIGINT) AS caught_skeleton
+       |FROM flagged GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   /** Quality scoring: stopword ratio + mean token length + punctuation. */
   private def q19Quality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -3481,6 +3559,8 @@ object TextQueries extends QueryModule {
       "homoglyph-skeleton dedup: confusables translate collapses the lookalike evasion (north star)"),
     Q("q243_corpus_health", q243CorpusHealth, Some(q243Sql),
       "per-language corpus health dashboard: readability mix + sentence flags + Gopher pass, one pass (north star)"),
+    Q("q246_skeleton_decontam", q246SkeletonDecontam, Some(q246Sql),
+      "evasion-resistant decontamination: skeleton digest catches homoglyph-corrupted benchmark plants (north star)"),
     Q("q19_quality", q19Quality, Some(q19Sql), "document quality scoring (north star)"),
     Q("q20_langid", q20LangId, Some(q20Sql), "language-ID heuristic (north star)"),
     Q("q21_exact_dedup", q21ExactDedup, Some(q21Sql), "exact dedup by digest (north star)"),

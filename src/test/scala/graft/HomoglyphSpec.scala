@@ -64,6 +64,22 @@ class HomoglyphSpec extends SparkSpec {
     assert(out.map(_.getLong(4)).toSet.subsetOf(Set(-1L, 0L, 1L, 2L)))
   }
 
+  test("q246: naive decontam misses the homoglyph plants, skeleton catches all") {
+    val out = SparkEntry.queries("q246_skeleton_decontam")(spark, sfDir)
+      .collect()
+    val planted = out.find(_.getString(0) == "planted").get
+    assert(planted.getLong(1) > 0)
+    assert(planted.getLong(2) === 0L) // the evasion defeats the naive digest
+    assert(planted.getLong(3) === planted.getLong(1)) // skeleton catches all
+    // control: skeleton never over-catches on uncorrupted current rows
+    // beyond what the naive digest already flags (skeleton is a superset
+    // fold of normalize, so hits can only grow via confusable collisions,
+    // absent from the Latin-only fixture corpus)
+    out.filter(_.getString(0) != "planted").foreach { r =>
+      assert(r.getLong(3) === r.getLong(2), s"source ${r.getString(0)}")
+    }
+  }
+
   test("q242 clusters pair every planted corruption with its source") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val planted = docs.filter($"doc_id" % 5 === 0).count()
