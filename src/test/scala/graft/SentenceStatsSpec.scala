@@ -60,6 +60,45 @@ class SentenceStatsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("segmentation matches a driver-side reference on random strings") {
+    val rnd = new scala.util.Random(47)
+    val alphabet = "ab .!?  cd?? e.g  "
+    val strs = (1 to 200).map { _ =>
+      (1 to rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+    }
+    def ref(s: String): Seq[String] =
+      s.split("[.!?]+", -1).map(_.trim).filter(_.nonEmpty).toSeq
+    val got = strs.zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("i", "text")
+      .select($"i", TextFunctions.sentences($"text").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    strs.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i) === ref(s), s"input ${s.map(_.toInt)}")
+    }
+  }
+
+  test("syllables match a driver-side reference on random token strings") {
+    val rnd = new scala.util.Random(53)
+    val words = Seq("spark", "merge", "xyz", "aeiou", "rhythm", "b", "",
+      "queueing", "mmm", "yyy")
+    val strs = (1 to 100).map { _ =>
+      (1 to 1 + rnd.nextInt(8)).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(" ")
+    }
+    def refSyl(s: String): Long =
+      s.toLowerCase.split(" ", -1).map { w =>
+        math.max("[aeiouy]+".r.findAllIn(w).length, 1).toLong
+      }.sum
+    val got = strs.zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("i", "text")
+      .select($"i", TextFunctions.syllableCount($"text").as("y"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    strs.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i) === refSyl(s), s"input '$s'")
+    }
+  }
+
   test("segmentation is invariant to input partitioning") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val a = docs.select($"doc_id",
