@@ -41,6 +41,20 @@ import org.apache.spark.sql.types.DecimalType
   * NON-EMPTY buckets (gaps skip, matching lag/lead over the summary).
   * Ties on area break on (x asc, y asc) — fully deterministic.
   *
+  * Rounding convention: micros→millis and millis→bucket are both FLOOR
+  * division in exact integer arithmetic (`x - pmod(x,w)` makes the
+  * dividend an exact multiple, so integral DIV equals mathematical
+  * floor for any sign) — the one convention shared by this operator,
+  * the streaming twin ([[graft.streaming.StreamingDownsample]] uses
+  * `Timestamp.getTime`/`Math.floorDiv`, floor by construction) and the
+  * DuckDB oracle, so the three agree bit-for-bit on negative epochs
+  * too, not just post-1970 data. Oracle caveat: DuckDB's `//` truncates
+  * toward zero on NEGATIVE numerators, so an oracle over signed epochs
+  * must subtract the positive modulus first —
+  * `((n) - (((n) % w) + w) % w) // w` — the repo's standard floor
+  * mirror; `epoch_ms(ts) // w` alone is only correct for epochs ≥ 0
+  * (true of all the driver test data).
+  *
   * Scale shape: one groupBy(key, bucket) aggregate (map-side partial),
   * one key-partitioned window over the SUMMARY frame (bucket-count
   * sized, not point-sized), one shuffle-on-(key,bucket) join back to the
@@ -48,6 +62,27 @@ import org.apache.spark.sql.types.DecimalType
   * once; everything else moves (key, bucket)-sized summaries. At 100 TB
   * the output is ~n_keys·n_buckets rows — the whole point. */
 object Downsample {
+
+  /** Exact integer floor division `floor(x / w)` for `w > 0`: subtracting
+    * the non-negative `pmod` remainder makes the dividend an exact
+    * multiple of `w`, so the (truncating) integral DIV equals the
+    * mathematical floor for any sign of `x` — no double ever touches the
+    * value, so it stays exact past 2^52 too. */
+  private def floorDivL(x: Column, w: Long): Column =
+    call_function("div", x - pmod(x, lit(w)), lit(w))
+
+  /** Internal working names plus each operator's output names; a key /
+    * ts / value column reusing one would silently shadow or duplicate. */
+  private val internalCols = Seq("__k", "__x", "__y", "__b")
+
+  private def guardCols(op: String, keyCol: String, tsCol: String,
+      valCol: String, outCols: Seq[String]): Unit = {
+    val ins = Seq(keyCol, tsCol, valCol)
+    require(ins.forall(c => !internalCols.contains(c)),
+      s"$op: input column names may not use reserved internals $internalCols")
+    require(!outCols.contains(keyCol),
+      s"$op: keyCol '$keyCol' collides with output columns $outCols")
+  }
 
   /** One row per (key, bucket): the selected point (`x_millis`,
     * `y_units`) plus the bucket's population `n_points`.
@@ -59,18 +94,16 @@ object Downsample {
     require(bucketMillis > 0, s"bucketMillis must be positive, got $bucketMillis")
     require(quantScale >= 0 && quantScale <= 9,
       s"quantScale must be in [0, 9], got $quantScale")
-    val reserved = Seq("__x", "__y", "__b", "bucket", "x_millis", "y_units",
-      "n_points")
-    require(reserved.forall(c => !df.columns.contains(c) || c == keyCol),
-      s"column names $reserved are reserved by lttb")
+    guardCols("lttb", keyCol, tsCol, valCol,
+      Seq("bucket", "x_millis", "y_units", "n_points"))
 
     val k = col(keyCol)
     val pts = df.select(
         k.as("__k"),
-        (unix_micros(col(tsCol)) / lit(1000L)).cast("long").as("__x"),
+        floorDivL(unix_micros(col(tsCol)), 1000L).as("__x"),
         floor(col(valCol) * pow(lit(10.0), lit(quantScale))).cast("long")
           .as("__y"))
-      .withColumn("__b", expr(s"__x DIV ${bucketMillis}L"))
+      .withColumn("__b", floorDivL(col("__x"), bucketMillis))
 
     val sums = pts.groupBy(col("__k"), col("__b"))
       .agg(count(lit(1)).as("__n"),
@@ -129,12 +162,15 @@ object Downsample {
     require(bucketMillis > 0, s"bucketMillis must be positive, got $bucketMillis")
     require(quantScale >= 0 && quantScale <= 9,
       s"quantScale must be in [0, 9], got $quantScale")
+    guardCols("m4", keyCol, tsCol, valCol,
+      Seq("bucket", "x_first", "y_first", "x_last", "y_last",
+        "x_min", "y_min", "x_max", "y_max", "n_points"))
     val pts = df.select(
         col(keyCol).as("__k"),
-        (unix_micros(col(tsCol)) / lit(1000L)).cast("long").as("__x"),
+        floorDivL(unix_micros(col(tsCol)), 1000L).as("__x"),
         floor(col(valCol) * pow(lit(10.0), lit(quantScale))).cast("long")
           .as("__y"))
-      .withColumn("__b", expr(s"__x DIV ${bucketMillis}L"))
+      .withColumn("__b", floorDivL(col("__x"), bucketMillis))
     pts.groupBy(col("__k"), col("__b"))
       .agg(count(lit(1)).as("n_points"),
         min(struct(col("__x"), col("__y"))).as("__first"),

@@ -1824,8 +1824,11 @@ object TextQueries extends QueryModule {
     * cross-multiplied — p_prev·n_cur ≤ p_cur·n_prev — so no float ratio
     * ever decides it). The whole audit replays relationally: the oracle
     * re-derives training, scoring, binning, and the monotonicity join.
-    * Scale shape: one narrow aggregate over the scored corpus into ≤10
-    * rows, then a 10-row broadcast self-join — audit cost is one pass. */
+    * Scale shape: one narrow aggregate over the scored corpus into at
+    * most 1000 rows (one per occupied millesimal bin — ~tens in
+    * practice), localCheckpointed so the quantized-GD train/score chain
+    * runs ONCE, then a bounded broadcast self-join — audit cost is one
+    * pass over the corpus. */
   private def q239Calibration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val byBin = quantizedLrScored(spark, dir)
@@ -1836,6 +1839,9 @@ object TextQueries extends QueryModule {
       .groupBy($"bin")
       .agg(count(lit(1)).as("n_docs"), sum($"__label").as("n_pos"),
         sum($"__su").as("sum_score_micros"))
+      // ≤1000 rows; both sides of the self-join below would otherwise
+      // re-run the whole iterative training/scoring lineage
+      .localCheckpoint()
     byBin.as("c")
       .join(broadcast(byBin.as("p")), col("c.bin") === col("p.bin") + 1, "left")
       .select(col("c.bin").as("bin"), col("c.n_docs").as("n_docs"),

@@ -49,8 +49,14 @@ object StreamingDownsample {
   final case class DsSample(key: String, bucket: Long, x_millis: Long,
       y_units: Long, n_points: Long)
 
-  private[streaming] class DownsampleProcessor(widthMs: Long)
+  private[streaming] class DownsampleProcessor(widthMs: Long,
+      quantScale: Int = 6)
       extends StatefulProcessor[String, DsEvent, DsSample] {
+
+    // same double-multiply-then-floor the batch operator's
+    // floor(value * pow(10, quantScale)) evaluates to — Math.pow on both
+    // sides, so y quantization is bit-identical batch vs stream
+    private val quantMul: Double = math.pow(10.0, quantScale)
 
     @transient private var pts: ListState[DsPt] = _
     @transient private var sums: MapState[Long, BSum] = _
@@ -67,7 +73,7 @@ object StreamingDownsample {
       var horizons = Set.empty[Long]
       rows.foreach { e =>
         val x = e.ts.getTime
-        val y = math.floor(e.v * 1000000.0).toLong
+        val y = math.floor(e.v * quantMul).toLong
         val b = Math.floorDiv(x, widthMs)
         pts.appendValue(DsPt(b, x, y))
         val s = if (sums.containsKey(b)) sums.getValue(b) else BSum(0L, 0L, 0L)
@@ -132,15 +138,20 @@ object StreamingDownsample {
   }
 
   /** Append-mode stream of per-bucket representatives; `delay` bounds
-    * disorder exactly as in every other event-time job here. */
+    * disorder exactly as in every other event-time job here.
+    * `quantScale` mirrors the batch parameter (y = floor(v·10^scale)) so
+    * a caller running the batch operator at a non-default scale gets a
+    * matching streaming twin. */
   def downsampled(events: Dataset[DsEvent], widthMs: Long,
-      delay: String): Dataset[DsSample] = {
+      delay: String, quantScale: Int = 6): Dataset[DsSample] = {
     require(widthMs > 0, s"widthMs must be positive, got $widthMs")
+    require(quantScale >= 0 && quantScale <= 9,
+      s"quantScale must be in [0, 9], got $quantScale")
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", delay)
       .groupByKey(_.key)
-      .transformWithState(new DownsampleProcessor(widthMs),
+      .transformWithState(new DownsampleProcessor(widthMs, quantScale),
         TimeMode.EventTime(), OutputMode.Append(),
         Encoders.product[DsSample])
   }
@@ -157,15 +168,20 @@ object StreamingDownsample {
     * quantization mirrors the batch operator so streamed rows equal the
     * batch frame row-for-row — spec-pinned). */
   def m4Windows(events: Dataset[DsEvent], widthMs: Long,
-      delay: String): org.apache.spark.sql.DataFrame = {
+      delay: String, quantScale: Int = 6): org.apache.spark.sql.DataFrame = {
     require(widthMs > 0, s"widthMs must be positive, got $widthMs")
+    require(quantScale >= 0 && quantScale <= 9,
+      s"quantScale must be in [0, 9], got $quantScale")
     import org.apache.spark.sql.functions._
     events.toDF()
       .withWatermark("ts", delay)
       .select(col("key"),
         col("ts"),
-        (unix_micros(col("ts")) / lit(1000L)).cast("long").as("__x"),
-        floor(col("v") * lit(1000000.0)).cast("long").as("__y"))
+        call_function("div",
+          unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(1000L)),
+          lit(1000L)).as("__x"),
+        floor(col("v") * pow(lit(10.0), lit(quantScale))).cast("long")
+          .as("__y"))
       .groupBy(col("key"),
         window(col("ts"), s"$widthMs milliseconds"))
       .agg(count(lit(1)).as("n_points"),

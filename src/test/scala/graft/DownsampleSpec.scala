@@ -161,13 +161,48 @@ class DownsampleSpec extends SparkSpec {
     assert(got === ref)
   }
 
-  test("rejects non-positive bucket width and reserved columns") {
+  test("rejects non-positive bucket width and colliding column names") {
     intercept[IllegalArgumentException] {
       Downsample.lttb(df(Seq(("a", 1L, 1.0))), "k", "ts", "v", 0L)
     }
+    // keyCol reusing an OUTPUT name would duplicate a column in the result
     intercept[IllegalArgumentException] {
-      Downsample.lttb(df(Seq(("a", 1L, 1.0))).withColumn("bucket", lit(1)),
-        "k", "ts", "v", W)
+      Downsample.lttb(df(Seq(("a", 1L, 1.0))).withColumnRenamed("k", "bucket"),
+        "bucket", "ts", "v", W)
     }
+    // same guard on m4 (previously unguarded)
+    intercept[IllegalArgumentException] {
+      Downsample.m4(df(Seq(("a", 1L, 1.0))).withColumnRenamed("k", "x_min"),
+        "x_min", "ts", "v", W)
+    }
+    // an input column reusing a reserved INTERNAL would silently shadow
+    intercept[IllegalArgumentException] {
+      Downsample.lttb(df(Seq(("a", 1L, 1.0))).withColumnRenamed("v", "__y"),
+        "k", "ts", "__y", W)
+    }
+    // a merely-present unused column named like an output is fine — it is
+    // projected away before any name is introduced
+    val ok = Downsample.lttb(
+      df(Seq(("a", 1L, 1.0))).withColumn("bucket", lit(1)),
+      "k", "ts", "v", W)
+    assert(ok.columns.toSeq === Seq("k", "bucket", "x_millis", "y_units",
+      "n_points"))
+    assert(ok.count() === 1L)
+  }
+
+  test("floor convention: negative epochs bucket identically to the " +
+      "streaming floorDiv twin (no trunc-toward-zero divergence)") {
+    import java.sql.Timestamp
+    // -1 ms is inside bucket floor(-1/W) = -1, not trunc(-1/W) = 0
+    val rows = Seq(("a", -1L, 1.0), ("a", -W - 1L, 2.0), ("a", 1L, 3.0))
+    val got = Downsample.lttb(df(rows), "k", "ts", "v", W)
+      .orderBy($"bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val expectBuckets = rows.map(r => Math.floorDiv(r._2, W)).distinct.sorted
+    assert(got.map(_._1) === expectBuckets)
+    assert(got.map(_._2) === rows.map(_._2).sorted) // one point per bucket
+    val m4b = Downsample.m4(df(rows), "k", "ts", "v", W)
+      .orderBy($"bucket").collect().map(_.getLong(1)).toSeq
+    assert(m4b === expectBuckets)
   }
 }
