@@ -317,8 +317,24 @@ object IndexSnapshots {
     * immutable by contract, and nothing stops a caller armed with a raw
     * path except this sentence. Fails loudly on a missing tag rather
     * than returning a path whose read would fail later. */
-  def at(spark: SparkSession, path: String, tag: String): String = {
+  def at(spark: SparkSession, path: String, tag: String): String =
+    at(spark, path, tag, maxViews = 0)
+
+  /** [[at]] with an explicit serving-cost bound: `maxViews > 0` caps the
+    * number of materialized `.view_*` copies held between prunes — after
+    * this call's view exists, the OLDEST other views (materialization
+    * mtime order, the promotion rename stamps it) are evicted down to
+    * the cap. Views are pure caches (the next `at` of an evicted tag
+    * rebuilds), so eviction never loses data; but it follows the same
+    * single-writer discipline as prune's view sweep — a concurrent
+    * reader still scanning a path a PREVIOUS `at` returned must not race
+    * an eviction of that tag. `maxViews = 0` keeps the historical
+    * contract: views accumulate until prune sweeps them or [[dropView]]
+    * reclaims one explicitly. */
+  def at(spark: SparkSession, path: String, tag: String,
+      maxViews: Int): String = {
     validTag(tag)
+    require(maxViews >= 0, s"maxViews must be >= 0, got $maxViews")
     val f = fs(spark, path)
     val root = new Path(path)
     val snapRoot = new Path(root, snapDirName)
@@ -333,18 +349,71 @@ object IndexSnapshots {
       !st.isDirectory && st.getPath.getName.endsWith(refSuffix))
     if (!hasRefs) return dest.toString
     val view = new Path(snapRoot, s".view_$tag")
-    if (f.exists(view)) return view.toString
-    val conf = spark.sparkContext.hadoopConfiguration
-    val staging = new Path(snapRoot, s".tmpview_$tag")
-    if (f.exists(staging) && !f.delete(staging, true))
-      throw new java.io.IOException(s"at: cannot clear stale $staging")
-    f.mkdirs(staging)
-    entries(f, root, dest).foreach { case (name, src) =>
-      copyDir(f, src, new Path(staging, name), conf)
+    val result =
+      if (f.exists(view)) view.toString
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val staging = new Path(snapRoot, s".tmpview_$tag")
+        if (f.exists(staging) && !f.delete(staging, true))
+          throw new java.io.IOException(s"at: cannot clear stale $staging")
+        f.mkdirs(staging)
+        entries(f, root, dest).foreach { case (name, src) =>
+          copyDir(f, src, new Path(staging, name), conf)
+        }
+        if (!f.rename(staging, view))
+          throw new java.io.IOException(s"at: cannot promote $staging to $view")
+        view.toString
+      }
+    if (maxViews > 0) {
+      val others = viewDirs(f, snapRoot)
+        .filterNot(_.getPath.getName == view.getName)
+        .sortBy(st => (st.getModificationTime, st.getPath.getName))
+      others.dropRight(math.max(maxViews - 1, 0)).foreach { st =>
+        if (!f.delete(st.getPath, true) && f.exists(st.getPath))
+          throw new java.io.IOException(s"at: cannot evict view ${st.getPath}")
+      }
     }
-    if (!f.rename(staging, view))
-      throw new java.io.IOException(s"at: cannot promote $staging to $view")
-    view.toString
+    result
+  }
+
+  private def viewDirs(f: FileSystem, snapRoot: Path) =
+    if (!f.exists(snapRoot)) Seq.empty
+    else f.listStatus(snapRoot).toSeq.filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith(".view_"))
+
+  /** The materialized time-travel views as a dashboard frame: one (tag,
+    * n_files, bytes) row per `.view_*` cache currently held on disk —
+    * the explicit serving-cost companion to [[list]], so a read-heavy
+    * consumer can SEE the storage its `at` calls accumulated between
+    * prunes instead of discovering it in a disk audit. */
+  def viewStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, path)
+    val snapRoot = new Path(new Path(path), snapDirName)
+    val rows: Seq[(String, Long, Long)] = viewDirs(f, snapRoot)
+      .map { st =>
+        val s = f.getContentSummary(st.getPath)
+        (st.getPath.getName.stripPrefix(".view_"), s.getFileCount, s.getLength)
+      }.sortBy(_._1)
+    rows.toDF("tag", "n_files", "bytes")
+  }
+
+  /** Reclaim snapshot `tag`'s materialized [[at]] view now instead of
+    * waiting for the next prune. Returns whether a view existed. Loud on
+    * a failed delete (a half-deleted view must not be servable); a
+    * missing view is a normal no-op — full-copy snapshots never
+    * materialize one. The tag itself is untouched: the next `at(tag)`
+    * simply re-materializes. */
+  def dropView(spark: SparkSession, path: String, tag: String): Boolean = {
+    validTag(tag)
+    val f = fs(spark, path)
+    val view = new Path(new Path(new Path(path), snapDirName), s".view_$tag")
+    if (!f.exists(view)) false
+    else {
+      if (!f.delete(view, true) && f.exists(view))
+        throw new java.io.IOException(s"dropView: cannot delete $view")
+      true
+    }
   }
 
   /** The snapshot inventory as a dashboard frame: one (tag, n_files,

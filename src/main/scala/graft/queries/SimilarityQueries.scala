@@ -209,6 +209,114 @@ object SimilarityQueries extends QueryModule {
       |WHERE bit_count(xor(a.fp, b.fp)) <= 4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Deterministic constant-amplitude PCM WAV for q249: 65 windows × 4
+    * samples (n = 260, the [[graft.operators.Multimodal]] eHash kernel's
+    * exact window boundaries at this n), each window holding one
+    * amplitude — so the engine's per-window energy sums are 4·a² with
+    * count 4 and the cross-multiplied envelope-order bits reduce to
+    * a(w) < a(w+1), a relation DuckDB replays exactly. Doc structure is
+    * the q168 cluster trick: 8-doc groups share a pseudo-random
+    * amplitude profile; member r ≠ 0 boosts ONE window ((r·8) mod 65)
+    * far above the base range, flipping ≤2 order bits — true
+    * within-group distances ≤ 4, cross-group ≈ 32. */
+  private def q249Wav(d: Long): Array[Byte] = {
+    val k = 4
+    val n = 65 * k
+    val g = d / 8
+    val r = d % 8
+    val pert = (r * 8) % 65
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val w = i / k
+      // squared residue mod 900: a LINEAR profile mod 900 makes the
+      // w→w+1 step constant, so nearly every order bit comes out 1 and
+      // ALL groups collide within a few bits — the square decorrelates
+      // consecutive windows (u stays < 1e6, so u·u fits a Long and a
+      // DuckDB BIGINT alike)
+      val u = (g * 2654435761L + w * 1103515245L + 12345L) % 1000003L
+      val a =
+        if (r > 0 && w == pert) 1200L
+        else 100L + (u * u % 900L)
+      val s = a.toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Cross-engine verdict for the AUDIO fingerprint chain (north star):
+    * [[graft.operators.Multimodal.audioEHash]] + `audioNearDupPairs`
+    * were spec-only (DuckDB cannot decode WAV) — this closes the seam
+    * with the q168 synthesis trick: REAL RIFF/WAVE payloads are built
+    * from doc_id arithmetic on the executors (never the driver), the
+    * PRODUCTION kernel decodes them (javax PCM parse, window energy
+    * sums, BigInt cross-multiplied order bits, covering-code pairing),
+    * and the oracle re-derives the expected envelope energies, the 64
+    * order bits, and the brute-force ≤3-hamming pairs relationally.
+    * One hash pins decode → envelope → bits → banded pairing end to
+    * end: 'hash' rows carry each doc's 64-bit fingerprint as a bit
+    * string (bin(), two's complement — no 1<<63 overflow on either
+    * engine), 'pair' rows the near-dup verdicts. */
+  private def q249AudioEnvelopeOracle(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir).select($"doc_id").as[Long]
+      .map(d => (d, q249Wav(d))).toDF("doc_id", "payload")
+    val fps = graft.operators.Multimodal.audioEHash(payloads).toDF()
+    val hashRows = fps.select(lit("hash").as("kind"), $"doc_id".as("id_a"),
+      lit(0L).as("id_b"), lpad(bin($"ehash"), 64, "0").as("v"))
+    val pairRows = graft.operators.Multimodal
+      .audioNearDupPairs(payloads, maxHamming = 3)
+      .select(lit("pair").as("kind"), $"id_a", $"id_b",
+        $"hamming".cast("string").as("v"))
+    hashRows.unionByName(pairRows).orderBy($"kind", $"id_a", $"id_b")
+  }
+
+  private val q249Sql =
+    """WITH ws AS (SELECT unnest(generate_series(0, 64)) AS w),
+      |amp AS (
+      |  SELECT d.doc_id, ws.w,
+      |    CASE WHEN (d.doc_id % 8) > 0 AND ws.w = ((d.doc_id % 8) * 8) % 65
+      |         THEN 1200
+      |         ELSE 100 + (((((d.doc_id // 8) * 2654435761 + ws.w * 1103515245 + 12345) % 1000003)
+      |                    * (((d.doc_id // 8) * 2654435761 + ws.w * 1103515245 + 12345) % 1000003)) % 900)
+      |    END AS a
+      |  FROM documents d CROSS JOIN ws),
+      |bits AS (
+      |  SELECT x.doc_id, x.w AS i,
+      |    CASE WHEN (4 * x.a * x.a) * 4 < (4 * y.a * y.a) * 4
+      |         THEN 1 ELSE 0 END AS b
+      |  FROM amp x JOIN amp y ON y.doc_id = x.doc_id AND y.w = x.w + 1
+      |  WHERE x.w < 64),
+      |h AS (
+      |  SELECT doc_id,
+      |    string_agg(CAST(b AS VARCHAR), '' ORDER BY i DESC) AS bits64,
+      |    bit_or(CASE WHEN b = 1 THEN
+      |        (CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |              ELSE (CAST(1 AS BIGINT) << i) END)
+      |      ELSE 0 END) AS hv
+      |  FROM bits GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    bit_count(xor(a.hv, b.hv)) AS ham
+      |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.hv, b.hv)) <= 3)
+      |SELECT 'hash' AS kind, doc_id AS id_a, CAST(0 AS BIGINT) AS id_b,
+      |  bits64 AS v
+      |FROM h
+      |UNION ALL
+      |SELECT 'pair' AS kind, id_a, id_b, CAST(ham AS VARCHAR) AS v
+      |FROM pairs
+      |ORDER BY kind, id_a, id_b""".stripMargin
+
   /** IVF-clustered ANN — the second scale path besides LSH. Build and
     * probe are explicitly split: `fit` trains the centroid model once (one
     * bounded sample-collection job, local Lloyd), `probe` scans only the
@@ -1791,5 +1899,7 @@ object SimilarityQueries extends QueryModule {
       "exact cosine top-k in JL-projected space: the project-then-search recipe (north star)"),
     Q("q32_binary_meta", q32BinaryMeta, Some(q32Sql), "binary payload metadata (multimodal plumbing)"),
     Q("q168_hamming_pairs", q168HammingPairs, Some(q168Sql),
-      "covering-code hamming band join vs brute-force oracle on synthesized fingerprints (north star)"))
+      "covering-code hamming band join vs brute-force oracle on synthesized fingerprints (north star)"),
+    Q("q249_audio_envelope_oracle", q249AudioEnvelopeOracle, Some(q249Sql),
+      "audio eHash cross-engine verdict: real WAV decode -> envelope order bits -> near-dup pairs vs relational replay (north star)"))
 }

@@ -1115,6 +1115,152 @@ object TextQueries extends QueryModule {
       |FROM ranked WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Serving parity for a STREAM-MAINTAINED index (north star): the
+    * corpus is ingested through the LIVE ingest stream in four
+    * micro-batches with the in-stream [[graft.streaming.StreamingJobs
+    * .MaintenancePolicy]] knob on (everyNBatches = 2, keepLast = 2), so
+    * the foreachBatch itself runs recover → compact-iff-fragmented →
+    * fsck gate → incremental snapshot → prune after batches 1 and 3 —
+    * no external scheduler. The live generation is then POISONED (every
+    * doc_id ≡ 0 mod 3 deleted) and rolled back through the LAST
+    * in-stream snapshot, and one batched probeAll plan answers three
+    * queries. The hash pins, at once: streamed appends produce a corpus
+    * ≡ a batch build (stats included), the in-stream cycle's snapshot
+    * is a REAL restorable generation (a stale or partial freeze would
+    * leave the poison visible and fail), and the probe arithmetic —
+    * the q227 discipline with the lifecycle driven by the stream
+    * itself (r13 verdict Next #1). Deliberately SHARES q225Sql: the
+    * claim is "≡ the plain full-corpus probe", the q221/q119 precedent.
+    * The ingest feed is a FILE-SOURCE stream (each batch's parquet
+    * lands in a watched dir), so no corpus rows ever pass through the
+    * driver. Re-runnable by design: the scratch root (checkpoint,
+    * feed, index) is cleared at entry — bench's two passes each drive
+    * a fresh stream. */
+  private def q247StreamMaintainedProbe(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val root = graft.core.Scratch.dir(dir, "bm25smx")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath) && !fs.delete(rootPath, true))
+      throw new java.io.IOException(s"cannot reset scratch $root")
+    val feed = s"$root/feed"
+    val idx = s"$root/index"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(feed))
+    val q = graft.streaming.StreamingJobs.indexOnArrival(
+        spark.readStream.schema(docs.schema).parquet(feed),
+        "doc_id", "text", idx, s"$root/ckpt",
+        clearCachePerBatch = false,
+        autoCompactFilesPerDir = Some(6),
+        maintenance = Some(graft.streaming.StreamingJobs
+          .MaintenancePolicy(everyNBatches = 2, keepLast = 2)))
+      .start()
+    try {
+      (0 to 3).foreach { b =>
+        docs.filter($"doc_id" % 4 === b)
+          .write.mode("append").parquet(feed)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    graft.operators.TextIndex.delete(spark, idx,
+      docs.filter($"doc_id" % 3 === 0).select($"doc_id"))
+    val last = graft.operators.IndexSnapshots.list(spark, idx)
+      .agg(max($"tag")).head().getString(0)
+    graft.operators.IndexSnapshots.restore(spark, idx, last)
+    val queries = Seq(
+      (0L, Seq("spark", "merge", "join")),
+      (1L, Seq("window")),
+      (2L, Seq("vector", "scan"))).toDF("query_id", "terms")
+    graft.operators.TextIndex.probeAll(
+        queries, "query_id", "terms", idx, k = 10)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** MinHash screen recall AFTER the index lifecycle (north star): q71
+    * gates the banding screen's recall over a fresh save; this gates it
+    * over the mutation chain a production dedup index actually lives on
+    * — save half the standing corpus, append the other half, DELETE a
+    * slice (doc_id ≡ 0 mod 9), compact — closing the r13 verdict's Next
+    * #5 seam. Two claims under one hash:
+    *  - `caught` rows: every src0 doc with a TRUE near-duplicate (exact
+    *    3-gram Jaccard ≥ 0.5) in the POST-DELETE standing corpus is
+    *    flagged by the index screen — a lifecycle-induced recall
+    *    regression (bands lost in append/compact) drops a row and
+    *    fails the hash;
+    *  - `stale_match` rows: NO probe hit may reference a deleted id —
+    *    delete leaving stale band rows would add rows the oracle does
+    *    not have, failing the hash from the other side.
+    * The oracle re-derives the true-partner set relationally with the
+    * same standing-corpus filter and emits zero stale rows. */
+  private def q248MinhashLifecycleRecall(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val path = graft.core.Scratch.dir(dir, "mhlc")
+    val corpus = docs.filter($"source" =!= "src0")
+    graft.operators.MinHashIndex.save(
+      corpus.filter($"doc_id" % 2 === 0), "doc_id", "text", path)
+    graft.operators.MinHashIndex.append(
+      corpus.filter($"doc_id" % 2 === 1), "doc_id", "text", path)
+    graft.operators.MinHashIndex.delete(spark, path,
+      corpus.filter($"doc_id" % 9 === 0).select($"doc_id"))
+    graft.operators.MinHashIndex.compact(spark, path)
+    val hits = graft.operators.MinHashIndex.probe(
+      docs.filter($"source" === "src0"), "doc_id", "text", path,
+      minEstJac = 0.5)
+    val stale = hits
+      .join(corpus.filter($"doc_id" % 9 === 0)
+        .select($"doc_id".as("corpus_id")), Seq("corpus_id"), "left_semi")
+      .select($"corpus_id".as("doc_id")).distinct()
+      .withColumn("kind", lit("stale_match"))
+    val dropped = hits.select($"doc_id").distinct()
+    val src = docs.select($"doc_id", $"source")
+    val truePartnered = Dedup.jaccardPairsAuto(docs, "doc_id", "text",
+        n = 3, minJac = 0.5)
+      .join(src.select($"doc_id".as("id_a"), $"source".as("sa")), "id_a")
+      .join(src.select($"doc_id".as("id_b"), $"source".as("sb")), "id_b")
+      .filter(($"sa" === "src0") =!= ($"sb" === "src0"))
+      // the partner must be in the POST-DELETE standing corpus
+      .filter(when($"sa" === "src0", $"id_b").otherwise($"id_a") % 9 =!= 0)
+      .select(when($"sa" === "src0", $"id_a").otherwise($"id_b").as("doc_id"))
+      .distinct()
+    truePartnered.join(dropped, Seq("doc_id"), "left_semi")
+      .withColumn("kind", lit("caught"))
+      .unionByName(stale)
+      .orderBy($"doc_id", $"kind")
+  }
+
+  /** q71Sql with the post-delete standing-corpus filter; zero
+    * stale_match rows by construction. */
+  private val q248Sql =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w || ' ' || lead(w, 1) OVER o || ' ' || lead(w, 2) OVER o AS shingle
+      |  FROM words WINDOW o AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY shingle IS NOT NULL),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN cnt ca ON ca.doc_id = id_a
+      |  JOIN cnt cb ON cb.doc_id = id_b
+      |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5)
+      |SELECT DISTINCT CASE WHEN da.source = 'src0' THEN p.id_a ELSE p.id_b END AS doc_id,
+      |  'caught' AS kind
+      |FROM pairs p
+      |JOIN documents da ON da.doc_id = p.id_a
+      |JOIN documents db ON db.doc_id = p.id_b
+      |WHERE (da.source = 'src0') <> (db.source = 'src0')
+      |  AND (CASE WHEN da.source = 'src0' THEN db.doc_id ELSE da.doc_id END) % 9 <> 0
+      |ORDER BY doc_id, kind""".stripMargin
+
   /** The batched probe against a MUTATED index (north star): q225 pins
     * probeAll over a fresh save; this pins it over the LIFECYCLE path a
     * serving index actually lives on — save, targeted delete (doc_id ≡
@@ -3466,6 +3612,13 @@ object TextQueries extends QueryModule {
       "batched BM25 probe: N queries in ONE plan over the persisted index, scores+ranks under one hash (north star)"),
     Q("q228_batched_probe_lifecycle", q228BatchedProbeLifecycle, Some(q228Sql),
       "batched probe over a MUTATED index: save -> delete -> upsert, then one plan for N queries, corrected stats under one hash (north star)"),
+    // q247 deliberately SHARES q225Sql (the q221/q119 precedent): its
+    // claim is "stream-maintained + restored ≡ the plain full-corpus
+    // probe" — edit q225Sql with care.
+    Q("q247_stream_maintained_probe", q247StreamMaintainedProbe, Some(q225Sql),
+      "ingest stream with in-stream maintenance cycles (fsck-gated snapshots + prune inside foreachBatch), poison, restore from the stream's own snapshot, one batched probe (north star)"),
+    Q("q248_minhash_lifecycle_recall", q248MinhashLifecycleRecall, Some(q248Sql),
+      "MinHash screen recall gate AFTER save/append/delete/compact: every true near-dup caught, zero stale matches on deleted ids (north star)"),
     Q("q220_index_upsert", q220IndexUpsert, Some(q220Sql),
       "upsert on the persisted BM25 index: edited docs replace, fresh docs insert, stats corrected, under one hash (north star)"),
     // q221 deliberately SHARES q119Sql (the q121 precedent): its claim is

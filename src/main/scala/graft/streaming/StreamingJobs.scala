@@ -15,6 +15,65 @@ import graft.sinks.Sinks.AlertHook
   */
 object StreamingJobs {
 
+  /** Every-N-batches in-stream maintenance schedule for the ingest/upsert
+    * jobs: after the Nth, 2Nth, … micro-batch's mutation commits, the
+    * same foreachBatch (already the index's single writer, so no second
+    * scheduler and no writer race) runs the full
+    * [[graft.operators.Maintenance.cycle]] — recover → compact-iff-
+    * fragmented → fsck GATE → incremental snapshot → prune-with-GC — so
+    * a continuously-ingesting 100 TB index gets snapshots, retention,
+    * and object GC without any external scheduler.
+    *
+    * Semantics:
+    *  - Tags derive from the streaming batchId (`<tagPrefix><batchId>`):
+    *    clock-free and REPLAY-STABLE — a redelivered batch re-takes its
+    *    own tag (the cycle runs with `retakeTag = true`) and converges
+    *    instead of failing on the duplicate or leaking a second tag.
+    *  - A failing fsck THROWS out of the cycle, which fails the batch
+    *    and halts the stream: corruption is never frozen into the
+    *    snapshot store, and the standing snapshots are exactly the
+    *    restore candidates the operator then needs (the
+    *    [[graft.operators.Maintenance]] abort contract, now in-stream).
+    *  - `keepLast`/`protect` bound snapshot storage between cycles; the
+    *    incremental content-addressed store makes each cycle O(changed
+    *    bytes), which is what makes a per-N-batches cadence affordable.
+    *  - Cost shape: the gate is one modulus test per batch; the cycle
+    *    itself (a directory listing, the audit's id-only joins, the
+    *    changed-subdir copies) is paid once per N batches. */
+  final case class MaintenancePolicy(
+      everyNBatches: Int,
+      keepLast: Int,
+      protect: Set[String] = Set.empty,
+      maxFilesPerDir: Int = 4,
+      tagPrefix: String = "auto_b") {
+    require(everyNBatches >= 1,
+      s"everyNBatches must be >= 1, got $everyNBatches")
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    /** Due after batches N-1, 2N-1, … (0-indexed batchId): "every N
+      * batches", counting from the stream's first batch. */
+    private[streaming] def due(batchId: Long): Boolean =
+      (batchId + 1) % everyNBatches == 0
+    /** Zero-padded so the LEXICAL tag order equals batch order — "latest
+      * tag" readers (max over list()) stay correct past batch 9. */
+    private[streaming] def tag(batchId: Long): String =
+      f"$tagPrefix$batchId%09d"
+  }
+
+  private def maybeCycle(spark: SparkSession,
+      family: graft.operators.Maintenance.IndexFamily, indexPath: String,
+      batchId: Long, policy: Option[MaintenancePolicy]): Unit =
+    policy.filter(_.due(batchId)).foreach { p =>
+      // cold-start guard: a due batch before the index's first save
+      // (empty early batches) has nothing to maintain — skipping beats
+      // failing the stream on recover-of-nothing
+      val root = new org.apache.hadoop.fs.Path(indexPath)
+      val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(root))
+        graft.operators.Maintenance.cycle(spark, family, indexPath,
+          p.tag(batchId), p.keepLast, p.protect, p.maxFilesPerDir,
+          retakeTag = true)
+    }
+
   /** T2: at-least-once → effectively-once via event-time watermark + keyed
     * dedup. State is bounded by the watermark horizon — the streaming
     * equivalent of the JDBC ON CONFLICT absorption. */
@@ -122,10 +181,11 @@ object StreamingJobs {
   def dedupOnArrival(stream: DataFrame, idCol: String, textCol: String,
       indexPath: String, outPath: String, checkpoint: String,
       minJac: Double = 0.5, clearCachePerBatch: Boolean = true,
-      autoCompactFilesPerDir: Option[Int] = None): DataStreamWriter[Row] =
+      autoCompactFilesPerDir: Option[Int] = None,
+      maintenance: Option[MaintenancePolicy] = None): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // the intra-batch stage must judge near-dups by the SAME hash
         // parameters the index was built with, or same-batch and
@@ -162,6 +222,8 @@ object StreamingJobs {
           if (autoCompactFilesPerDir.exists(t =>
               graft.operators.IndexMaintenance.needsCompact(spark, indexPath, t)))
             graft.operators.MinHashIndex.compact(spark, indexPath)
+          maybeCycle(spark, graft.operators.Maintenance.MinHashFamily,
+            indexPath, batchId, maintenance)
         } finally {
           fresh.unpersist()
           if (clearCachePerBatch) spark.catalog.clearCache()
@@ -186,10 +248,11 @@ object StreamingJobs {
   def indexOnArrival(stream: DataFrame, idCol: String, textCol: String,
       indexPath: String, checkpoint: String,
       clearCachePerBatch: Boolean = true,
-      autoCompactFilesPerDir: Option[Int] = None): DataStreamWriter[Row] =
+      autoCompactFilesPerDir: Option[Int] = None,
+      maintenance: Option[MaintenancePolicy] = None): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val docs = batch.dropDuplicates(idCol).persist()
         try {
@@ -241,6 +304,8 @@ object StreamingJobs {
           if (autoCompactFilesPerDir.exists(t =>
               graft.operators.IndexMaintenance.needsCompact(spark, indexPath, t)))
             graft.operators.TextIndex.compact(spark, indexPath)
+          maybeCycle(spark, graft.operators.Maintenance.TextFamily,
+            indexPath, batchId, maintenance)
         } finally {
           docs.unpersist()
           if (clearCachePerBatch) spark.catalog.clearCache()
@@ -267,10 +332,11 @@ object StreamingJobs {
   def upsertOnArrival(stream: DataFrame, idCol: String, textCol: String,
       indexPath: String, checkpoint: String,
       clearCachePerBatch: Boolean = true,
-      autoCompactFilesPerDir: Option[Int] = None): DataStreamWriter[Row] =
+      autoCompactFilesPerDir: Option[Int] = None,
+      maintenance: Option[MaintenancePolicy] = None): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val docs = batch.groupBy(col(idCol))
           .agg(max(col(textCol)).as(textCol)).persist()
@@ -311,6 +377,8 @@ object StreamingJobs {
                 graft.operators.IndexMaintenance.needsCompact(spark, indexPath, t)))
               graft.operators.TextIndex.compact(spark, indexPath)
           }
+          maybeCycle(spark, graft.operators.Maintenance.TextFamily,
+            indexPath, batchId, maintenance)
         } finally {
           docs.unpersist()
           if (clearCachePerBatch) spark.catalog.clearCache()
@@ -332,10 +400,11 @@ object StreamingJobs {
   def upsertMinHashOnArrival(stream: DataFrame, idCol: String,
       textCol: String, indexPath: String, checkpoint: String,
       clearCachePerBatch: Boolean = true,
-      autoCompactFilesPerDir: Option[Int] = None): DataStreamWriter[Row] =
+      autoCompactFilesPerDir: Option[Int] = None,
+      maintenance: Option[MaintenancePolicy] = None): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val docs = batch.groupBy(col(idCol))
           .agg(max(col(textCol)).as(textCol)).persist()
@@ -361,6 +430,8 @@ object StreamingJobs {
                 graft.operators.IndexMaintenance.needsCompact(spark, indexPath, t)))
               graft.operators.MinHashIndex.compact(spark, indexPath)
           }
+          maybeCycle(spark, graft.operators.Maintenance.MinHashFamily,
+            indexPath, batchId, maintenance)
         } finally {
           docs.unpersist()
           if (clearCachePerBatch) spark.catalog.clearCache()
@@ -387,10 +458,11 @@ object StreamingJobs {
   def upsertVectorsOnArrival(stream: DataFrame, idCol: String,
       vecCol: String, indexPath: String, checkpoint: String,
       clearCachePerBatch: Boolean = true,
-      autoCompactFilesPerDir: Option[Int] = None): DataStreamWriter[Row] =
+      autoCompactFilesPerDir: Option[Int] = None,
+      maintenance: Option[MaintenancePolicy] = None): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val vecs = batch.groupBy(col(idCol))
           .agg(max(col(vecCol)).as(vecCol)).persist()
@@ -402,6 +474,8 @@ object StreamingJobs {
                 graft.operators.IndexMaintenance.needsCompact(spark, indexPath, t)))
               graft.operators.ProductQuantizer.compact(spark, indexPath)
           }
+          maybeCycle(spark, graft.operators.Maintenance.PqFamily,
+            indexPath, batchId, maintenance)
         } finally {
           vecs.unpersist()
           if (clearCachePerBatch) spark.catalog.clearCache()
@@ -422,10 +496,11 @@ object StreamingJobs {
   def upsertIvfOnArrival(stream: DataFrame, idCol: String,
       vecCol: String, indexPath: String, checkpoint: String,
       clearCachePerBatch: Boolean = true,
-      autoCompactFilesPerDir: Option[Int] = None): DataStreamWriter[Row] =
+      autoCompactFilesPerDir: Option[Int] = None,
+      maintenance: Option[MaintenancePolicy] = None): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val vecs = batch.groupBy(col(idCol))
           .agg(max(col(vecCol)).as(vecCol)).persist()
@@ -436,6 +511,8 @@ object StreamingJobs {
                 graft.operators.IndexMaintenance.needsCompact(spark, indexPath, t)))
               graft.operators.IvfIndex.compact(spark, indexPath)
           }
+          maybeCycle(spark, graft.operators.Maintenance.IvfFamily,
+            indexPath, batchId, maintenance)
         } finally {
           vecs.unpersist()
           if (clearCachePerBatch) spark.catalog.clearCache()
@@ -582,14 +659,27 @@ object StreamingJobs {
     *  - The job is READ-ONLY on the index. Concurrent single-writer
     *    mutations swap artifact dirs atomically, so a batch planned
     *    across a swap can fail its read and retry (at-least-once
-    *    recovers it); for strict generation isolation serve a
-    *    [[graft.operators.IndexSnapshots.at]] snapshot path and roll it
-    *    on the maintenance cadence. */
+    *    recovers it); for strict generation isolation pass
+    *    `snapshotTag` (below) and roll it on the maintenance cadence.
+    *  - ROLLING-LATEST HANDOFF: with `snapshotTag = Some(t)`, every
+    *    micro-batch re-resolves the tag through
+    *    [[graft.operators.IndexSnapshots.at]] and serves THAT frozen
+    *    generation — so when the maintenance cycle retakes the tag
+    *    (`retakeTag`, the nightly rolling-latest discipline), the
+    *    serving stream picks up the new generation on its next batch
+    *    WITHOUT a restart, old answers stay immutable (write-once),
+    *    and a batch never straddles two generations. The per-batch
+    *    `refreshByPath` is load-bearing: a retake rebuilds the view at
+    *    the SAME hidden path, behind Spark's file-listing caches.
+    *    `snapshotMaxViews` bounds the view copies held between prunes
+    *    (the [[graft.operators.IndexSnapshots.at]] LRU cap). */
   def probeOnArrival(queries: DataFrame, queryIdCol: String,
       termsCol: String, indexPath: String, outPath: String,
       checkpoint: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
       maxDfFrac: Double = 1.0,
-      clearCachePerBatch: Boolean = true): DataStreamWriter[Row] =
+      clearCachePerBatch: Boolean = true,
+      snapshotTag: Option[String] = None,
+      snapshotMaxViews: Int = 2): DataStreamWriter[Row] =
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -599,8 +689,10 @@ object StreamingJobs {
           .persist()
         try {
           if (qs.head(1).nonEmpty) {
+            val servePath = resolveServePath(spark, indexPath,
+              snapshotTag, snapshotMaxViews)
             val topk = graft.operators.TextIndex.probeAll(
-              qs, queryIdCol, termsCol, indexPath, k, k1, b, maxDfFrac)
+              qs, queryIdCol, termsCol, servePath, k, k1, b, maxDfFrac)
             graft.sinks.Sinks.upsertIgnoreParquet(
               topk, outPath, Seq("query_id", "rank"))
           }
@@ -610,6 +702,22 @@ object StreamingJobs {
         }
       }
 
+  /** Per-batch generation resolution for the serving jobs: a tag
+    * resolves through [[graft.operators.IndexSnapshots.at]] (with the
+    * view cap) and gets a defensive `refreshByPath` — a retaken tag
+    * rebuilds its view at the same path behind Spark's listing caches,
+    * and serving a stale listing would mix generations. */
+  private def resolveServePath(spark: SparkSession, indexPath: String,
+      snapshotTag: Option[String], maxViews: Int): String =
+    snapshotTag match {
+      case None => indexPath
+      case Some(t) =>
+        val p = graft.operators.IndexSnapshots.at(spark, indexPath, t,
+          maxViews)
+        spark.catalog.refreshByPath(p)
+        p
+    }
+
   /** [[probeOnArrival]]'s vector twin — streaming ANN serving over the
     * persisted IVFADC index: query embeddings arrive as (`queryIdCol`,
     * `vecCol: array<double>`), each micro-batch runs ONE
@@ -618,12 +726,16 @@ object StreamingJobs {
     * answers land write-once on (query_id, rank). Same contracts as the
     * text job: unique ids per ask, deterministic intra-batch dedup,
     * read-only on the index, optional `idFilter` for filtered search
-    * (the q218 semi-join — applied BEFORE ranking, never after). */
+    * (the q218 semi-join — applied BEFORE ranking, never after),
+    * per-batch `snapshotTag` resolution for the rolling-latest
+    * generation handoff. */
   def vectorProbeOnArrival(queries: DataFrame, queryIdCol: String,
       vecCol: String, indexPath: String, outPath: String,
       checkpoint: String, k: Int, nProbe: Int,
       idFilter: Option[DataFrame] = None,
-      clearCachePerBatch: Boolean = true): DataStreamWriter[Row] =
+      clearCachePerBatch: Boolean = true,
+      snapshotTag: Option[String] = None,
+      snapshotMaxViews: Int = 2): DataStreamWriter[Row] =
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -633,8 +745,10 @@ object StreamingJobs {
           .persist()
         try {
           if (qs.head(1).nonEmpty) {
+            val servePath = resolveServePath(spark, indexPath,
+              snapshotTag, snapshotMaxViews)
             val topk = graft.operators.ProductQuantizer.probeSaved(
-              qs, queryIdCol, vecCol, spark, indexPath, k, nProbe, idFilter)
+              qs, queryIdCol, vecCol, spark, servePath, k, nProbe, idFilter)
             graft.sinks.Sinks.upsertIgnoreParquet(
               topk, outPath, Seq("query_id", "rank"))
           }
@@ -897,6 +1011,91 @@ object StreamingJobs {
       spark.read.parquet(src.toString).head())
     ps.map(p => (p, s.n, s.err, s.quantile(p)))
       .toDF("p", "n", "err", "q").orderBy(col("p"))
+  }
+
+  /** Streaming PER-STRATUM quantile maintenance — [[quantilesOnArrival]]
+    * generalized to the grouped store ([[graft.operators.QuantileSketch
+    * .summarizeToStore]]/[[graft.operators.QuantileSketch.mergeGrouped]],
+    * the q235 machinery): per micro-batch, ONE distributed grouped
+    * sketch aggregate over the batch, then a DISTRIBUTED group-keyed
+    * merge into the persisted store under the [[graft.operators
+    * .StagedSwap]] discipline — millions of strata (per-language length
+    * percentiles, the corpus-health cadence) never touch the driver,
+    * unlike the single-summary job's driver-side merge.
+    *
+    * Replay fence: MRL merges are not replay-free, so every state row
+    * carries the last folded batchId and a redelivered batch is fenced
+    * out. A null-group SENTINEL row is always written
+    * ([[graft.operators.QuantileSketch.summarizeToStore]] filters null
+    * groups, so no real stratum can collide with it), keeping the fence
+    * alive even when a batch drains zero data rows — the
+    * [[histogramOnArrival]] corner. `capacity` is fixed per statePath
+    * (the grouped merge enforces it where groups meet). Single-writer
+    * contract: one stream per statePath. */
+  def groupedQuantilesOnArrival(stream: DataFrame, valueCol: String,
+      byCol: String, capacity: Int, statePath: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldGroupedQuantiles(batch, batchId, valueCol, byCol, capacity,
+          statePath)
+      }
+
+  /** One micro-batch fold — exposed for redelivery tests: calling it
+    * twice with the same batchId must leave the state bit-identical. */
+  private[graft] def foldGroupedQuantiles(batch: DataFrame, batchId: Long,
+      valueCol: String, byCol: String, capacity: Int,
+      statePath: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(statePath, "state")
+    val tmp = new org.apache.hadoop.fs.Path(statePath, ".state_tmp")
+    val old = new org.apache.hadoop.fs.Path(statePath, ".state_old")
+    graft.operators.StagedSwap.recover(fs, live, tmp, old)
+    val prior: Option[DataFrame] =
+      if (fs.exists(live)) Some(spark.read.parquet(live.toString)) else None
+    val fence = prior.map(_.agg(max(col("batch_id"))).head().getLong(0))
+    if (fence.exists(batchId <= _)) return // redelivered: fenced out
+    val batchStore = graft.operators.QuantileSketch
+      .summarizeToStore(batch, valueCol, byCol, capacity)
+    val merged = prior match {
+      case Some(p) => graft.operators.QuantileSketch.mergeGrouped(
+        p.filter(col("g").isNotNull).drop("batch_id"), batchStore)
+      case None => batchStore
+    }
+    val sentinel = Seq((null: String, capacity, Seq.empty[Long],
+        Seq.empty[Seq[Long]], 0L, 0L))
+      .toDF("g", "capacity", "buf", "levels", "n", "err")
+    val out = merged.unionByName(sentinel)
+      .withColumn("batch_id", lit(batchId))
+    // the write's lineage READS the live dir it will replace — StagedSwap
+    // writes tmp fully (live untouched) before the promote rename
+    graft.operators.StagedSwap.swap(fs, live, tmp, old)(dir =>
+      out.write.parquet(dir))
+  }
+
+  /** Current per-stratum estimates off a [[groupedQuantilesOnArrival]]
+    * state path: one (byCol, p, n, q) row per stratum × p —
+    * [[graft.operators.QuantileSketch.quantilesOfStore]]'s shape, the
+    * q235 read surface. Non-mutating crash-window tolerance via
+    * [[graft.operators.StagedSwap.readable]]. */
+  def groupedQuantileEstimates(spark: SparkSession, statePath: String,
+      byCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "at least one quantile requested")
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = graft.operators.StagedSwap.readable(fs,
+      new org.apache.hadoop.fs.Path(statePath, "state"),
+      new org.apache.hadoop.fs.Path(statePath, ".state_tmp"),
+      new org.apache.hadoop.fs.Path(statePath, ".state_old"))
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no grouped quantile state under $statePath"))
+    graft.operators.QuantileSketch.quantilesOfStore(
+        spark.read.parquet(src.toString).filter(col("g").isNotNull), byCol, ps)
+      .orderBy(col(byCol), col("p"))
   }
 
   /** Streaming histogram maintenance for the drift gate

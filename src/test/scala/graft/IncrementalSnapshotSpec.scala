@@ -120,6 +120,56 @@ class IncrementalSnapshotSpec extends SparkSpec {
       Seq("spark", "join"), k = 10).collect().toSeq === p0)
   }
 
+  test("view lifecycle: viewStats sees held views, dropView reclaims one, " +
+      "and the at() maxViews cap bounds copies with answers unchanged") {
+    val path = Files.createTempDirectory("isnap_views").toString
+    TextIndex.save(docs, "doc_id", "text", path)
+    def probeAt(p: String) = TextIndex.probe(spark, p,
+      Seq("spark", "join"), k = 10).collect().toSeq
+    val p0 = probeAt(path)
+    // four generations: snapshot, mutate, snapshot, ... so each tag's
+    // view has distinct content
+    IndexSnapshots.snapshotIncremental(spark, path, "v1")
+    val perTag = scala.collection.mutable.Map("v1" -> p0)
+    Seq("v2", "v3", "v4").zipWithIndex.foreach { case (tag, i) =>
+      TextIndex.delete(spark, path,
+        docs.filter($"doc_id" === (i * 7 + 1).toLong).select($"doc_id"))
+      IndexSnapshots.snapshotIncremental(spark, path, tag)
+      perTag(tag) = probeAt(path)
+      Thread.sleep(20) // distinct mtimes for the LRU order
+    }
+    // uncapped reads accumulate: 3 views held, viewStats sees each
+    Seq("v1", "v2", "v3").foreach { t =>
+      IndexSnapshots.at(spark, path, t); Thread.sleep(20)
+    }
+    val held = IndexSnapshots.viewStats(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(held.map(_._1).sorted === Seq("v1", "v2", "v3"))
+    assert(held.forall(_._2 > 0), s"view bytes must be positive: $held")
+    // dropView reclaims exactly one; the tag itself still time-travels
+    assert(IndexSnapshots.dropView(spark, path, "v2"))
+    assert(!IndexSnapshots.dropView(spark, path, "v2"), "second drop no-op")
+    assert(IndexSnapshots.viewStats(spark, path).collect()
+      .map(_.getString(0)).sorted.toSeq === Seq("v1", "v3"))
+    assert(probeAt(IndexSnapshots.at(spark, path, "v2")) === perTag("v2"))
+    // capped read: v4 under maxViews=2 evicts down to {newest other, v4}
+    assert(IndexSnapshots.viewStats(spark, path).count() === 3)
+    probeAt(IndexSnapshots.at(spark, path, "v4", maxViews = 2))
+    val afterCap = IndexSnapshots.viewStats(spark, path).collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(afterCap.size === 2 && afterCap.contains("v4"),
+      s"cap must hold <= 2 views incl. the just-read one: $afterCap")
+    // evicted tags re-materialize with unchanged answers
+    Seq("v1", "v2", "v3", "v4").foreach { t =>
+      assert(probeAt(IndexSnapshots.at(spark, path, t, maxViews = 2))
+        === perTag(t), s"answers unchanged for $t")
+    }
+    assert(IndexSnapshots.viewStats(spark, path).count() <= 2)
+    // prune still sweeps every view (cache rule unchanged)
+    IndexSnapshots.prune(spark, path, keepLast = 9)
+    assert(IndexSnapshots.viewStats(spark, path).count() === 0)
+  }
+
   test("prune refcounts the object store: survivors' objects stay, " +
       "orphans and crashed-copy staging are collected") {
     val path = Files.createTempDirectory("isnap_gc").toString

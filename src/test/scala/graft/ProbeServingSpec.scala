@@ -107,6 +107,56 @@ class ProbeServingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rolling-latest handoff: serving a snapshot tag isolates asks from " +
+      "live mutations until a maintenance retake re-points the stream, " +
+      "no restart, committed answers immutable") {
+    import graft.operators.Maintenance
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("serve_retake").toString
+    val (idx, out, ckpt) = (s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    TextIndex.save(docs, "doc_id", "text", idx)
+    // night 0: the cycle freezes generation 0 under the rolling tag
+    Maintenance.cycle(spark, Maintenance.TextFamily, idx, "latest",
+      keepLast = 3)
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[String])]
+    val q = StreamingJobs.probeOnArrival(
+        source.toDF().toDF("query_id", "terms"), "query_id", "terms",
+        idx, out, ckpt, k = 8, clearCachePerBatch = false,
+        snapshotTag = Some("latest"))
+      .start()
+    try {
+      source.addData((1L, Seq("spark", "join")))
+      q.processAllAvailable()
+      def servedDocs(qid: Long): Seq[Long] = spark.read.parquet(out)
+        .filter($"query_id" === qid).orderBy($"rank")
+        .select($"doc_id").as[Long].collect().toSeq
+      val a1 = servedDocs(1L)
+      assert(a1.nonEmpty)
+      // LIVE index mutates (single-writer, stream idle): serving must
+      // NOT see it — the frozen generation isolates asks
+      TextIndex.delete(spark, idx,
+        docs.filter($"doc_id" % 8 === 0).select($"doc_id"))
+      source.addData((2L, Seq("spark", "join")))
+      q.processAllAvailable()
+      assert(servedDocs(2L) === a1,
+        "pre-retake asks must serve the frozen generation, not live")
+      // night 1: the cycle RETAKES the tag over the mutated live index;
+      // the serving stream must pick the new generation up on its next
+      // batch without a restart
+      Maintenance.cycle(spark, Maintenance.TextFamily, idx, "latest",
+        keepLast = 3, retakeTag = true)
+      source.addData((3L, Seq("spark", "join")))
+      q.processAllAvailable()
+      val a3 = servedDocs(3L)
+      assert(a3.nonEmpty && a3.forall(_ % 8 != 0),
+        s"post-retake asks must rank over the new generation: $a3")
+      assert(a3 !== a1, "the handoff must actually change the ranking")
+      assert(servedDocs(1L) === a1 && servedDocs(2L) === a1,
+        "committed answers stay immutable across the handoff")
+    } finally q.stop()
+  }
+
   test("vectorProbeOnArrival: streamed ANN asks equal batch probeSaved; " +
       "write-once under redelivery") {
     implicit val sqlCtx = spark.sqlContext

@@ -72,5 +72,86 @@ class StreamingQuantilesSpec extends SparkSpec {
     intercept[java.io.FileNotFoundException] {
       StreamingJobs.quantileEstimates(spark, s"$dir/state", Seq(0.5))
     }
+    intercept[java.io.FileNotFoundException] {
+      StreamingJobs.groupedQuantileEstimates(spark, s"$dir/gstate",
+        "lang", Seq(0.5))
+    }
+  }
+
+  test("grouped streamed folds equal the batch store over the union; " +
+      "strata merge DISTRIBUTED, never on the driver") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("sq_grp").toString
+    val (st, ckpt) = (s"$dir/state", s"$dir/ckpt")
+    def rows(lo: Int, hi: Int): Seq[(String, Long)] =
+      (lo until hi).map(i => (s"lang${i % 5}", ((i * 48271L) % 10007)))
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val q = StreamingJobs.groupedQuantilesOnArrival(
+        source.toDF().toDF("lang", "v"), "v", "lang",
+        capacity = 64, st, ckpt)
+      .start()
+    try {
+      source.addData(rows(0, 700): _*)
+      q.processAllAvailable()
+      source.addData() // empty batch: fence must survive, state unchanged
+      q.processAllAvailable()
+      source.addData(rows(700, 2000): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val ps = Seq(0.5, 0.9)
+    val streamed = StreamingJobs.groupedQuantileEstimates(spark, st,
+        "lang", ps)
+      .as[(String, Double, Long, Long)].collect().toSeq
+    assert(streamed.map(_._1).distinct.sorted ===
+      (0 until 5).map(i => s"lang$i"))
+    // each stratum's n appears once per requested p (2 ps here), so the
+    // sum over all rows is ps.size × the 2000-row union
+    assert(streamed.map(_._3).sum === ps.size * 2000L,
+      s"per-stratum n must partition the union: $streamed")
+    // per-stratum self-certified bound vs the true union, q235's contract
+    val byLang = rows(0, 2000).groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).sorted }
+    for ((g, p, n, est) <- streamed) {
+      val union = byLang(g)
+      assert(n === union.size.toLong)
+      val r = math.max(1L, math.ceil(p * n).toLong)
+      // bound check through the store row's self-certified err
+      val err = spark.read.parquet(s"$st/state").filter($"g" === g)
+        .select($"err").as[Long].head()
+      val lo = union.count(_ < est) + 1L
+      val hi = union.count(_ <= est).toLong
+      assert(lo <= r + err && hi >= r - err, s"g=$g p=$p est=$est err=$err")
+    }
+  }
+
+  test("grouped fence: replayed batch ids leave the store bit-identical, " +
+      "including after an empty batch carried the fence") {
+    val dir = Files.createTempDirectory("sq_gfence").toString
+    val st = s"$dir/state"
+    def df(lo: Int, hi: Int) =
+      (lo until hi).map(i => (s"g${i % 3}", i.toLong)).toDF("k", "v")
+    StreamingJobs.foldGroupedQuantiles(df(0, 500), 0L, "v", "k", 32, st)
+    // empty batch still advances the fence (sentinel row)
+    StreamingJobs.foldGroupedQuantiles(df(0, 0), 1L, "v", "k", 32, st)
+    StreamingJobs.foldGroupedQuantiles(df(500, 900), 2L, "v", "k", 32, st)
+    val before = StreamingJobs.groupedQuantileEstimates(spark, st,
+      "k", Seq(0.5, 0.99)).collect().toSeq
+    Seq(0L, 1L, 2L).foreach { bid =>
+      StreamingJobs.foldGroupedQuantiles(df(0, 900), bid, "v", "k", 32, st)
+    }
+    val after = StreamingJobs.groupedQuantileEstimates(spark, st,
+      "k", Seq(0.5, 0.99)).collect().toSeq
+    assert(after === before, "fenced replays must not change the store")
+    // streamed folds ≡ one batch store over the union (same capacity):
+    // n per stratum must match exactly; estimates stay within the
+    // union store's certified bounds (merge orders differ, so the
+    // ESTIMATES may differ — the n and bound contract is the invariant)
+    val batchStore = graft.operators.QuantileSketch.summarizeToStore(
+      df(0, 900), "v", "k", 32)
+    val nStream = after.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val nBatch = batchStore.select($"g", $"n").as[(String, Long)]
+      .collect().toMap
+    assert(nStream === nBatch, "per-stratum n must equal the batch store")
   }
 }
