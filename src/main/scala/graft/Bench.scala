@@ -172,6 +172,16 @@ object Bench {
     // self-documenting instead of re-litigated by hand each round).
     // Anchors sit at the repeated THROTTLED sweep level; clean values
     // run ~0.7-1.2 (see BASELINE.md round-14 table).
+    // r14 new-query anchors (solo min-of-two under 1.9-2.5x canaries).
+    // q247 is DRIVER-LATENCY-bound (a live stream: 2 ingest batches +
+    // 2 full in-stream maintenance cycles + restore + probe — dozens of
+    // small jobs, the q191/q193 class); clean-equivalent ~7-9
+    "q247_stream_maintained_probe" -> 14.0,
+    // q71's jaccard-pair class plus the minhash save/append/delete/
+    // compact chain; solo 6.6 under a ~1.6x canary
+    "q248_minhash_lifecycle_recall" -> 6.5,
+    // WAV synthesis + decode over 5k docs + banded pairing; solo 1.71
+    "q249_audio_envelope_oracle" -> 2.0,
     "q145_item_sim" -> 2.5,
     "q209_quantile_bins" -> 2.5,
     "q206_quantile_shift" -> 2.0,
