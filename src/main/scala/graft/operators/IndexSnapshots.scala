@@ -347,10 +347,10 @@ object IndexSnapshots {
     // rule) and the next at() rebuilds.
     val hasRefs = f.listStatus(dest).exists(st =>
       !st.isDirectory && st.getPath.getName.endsWith(refSuffix))
-    if (!hasRefs) return dest.toString
     val view = new Path(snapRoot, s".view_$tag")
     val result =
-      if (f.exists(view)) view.toString
+      if (!hasRefs) dest.toString // full-copy tag: readable directly
+      else if (f.exists(view)) view.toString
       else {
         val conf = spark.sparkContext.hadoopConfiguration
         val staging = new Path(snapRoot, s".tmpview_$tag")
@@ -364,11 +364,15 @@ object IndexSnapshots {
           throw new java.io.IOException(s"at: cannot promote $staging to $view")
         view.toString
       }
+    // the cap applies on EVERY capped read — including a ref-less tag's
+    // (which holds no view of its own but must still evict older tags'
+    // stale view copies, or a full-copy-serving stream never reclaims)
     if (maxViews > 0) {
+      val keep = if (hasRefs) math.max(maxViews - 1, 0) else maxViews
       val others = viewDirs(f, snapRoot)
         .filterNot(_.getPath.getName == view.getName)
         .sortBy(st => (st.getModificationTime, st.getPath.getName))
-      others.dropRight(math.max(maxViews - 1, 0)).foreach { st =>
+      others.dropRight(keep).foreach { st =>
         if (!f.delete(st.getPath, true) && f.exists(st.getPath))
           throw new java.io.IOException(s"at: cannot evict view ${st.getPath}")
       }

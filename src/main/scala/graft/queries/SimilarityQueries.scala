@@ -270,11 +270,15 @@ object SimilarityQueries extends QueryModule {
     import spark.implicits._
     val payloads = Tables.documents(spark, dir).select($"doc_id").as[Long]
       .map(d => (d, q249Wav(d))).toDF("doc_id", "payload")
+    // decode ONCE: both output branches read the fingerprints, and
+    // audioNearDupPairs would re-run the synthesis + decode internally
     val fps = graft.operators.Multimodal.audioEHash(payloads).toDF()
+      .localCheckpoint()
     val hashRows = fps.select(lit("hash").as("kind"), $"doc_id".as("id_a"),
       lit(0L).as("id_b"), lpad(bin($"ehash"), 64, "0").as("v"))
-    val pairRows = graft.operators.Multimodal
-      .audioNearDupPairs(payloads, maxHamming = 3)
+    val pairRows = graft.operators.Dedup.hammingPairs(
+        fps.filter($"status" === "decoded").select($"doc_id", $"ehash"),
+        "doc_id", "ehash", maxHamming = 3)
       .select(lit("pair").as("kind"), $"id_a", $"id_b",
         $"hamming".cast("string").as("v"))
     hashRows.unionByName(pairRows).orderBy($"kind", $"id_a", $"id_b")

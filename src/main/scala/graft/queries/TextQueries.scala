@@ -1214,9 +1214,12 @@ object TextQueries extends QueryModule {
     graft.operators.MinHashIndex.delete(spark, path,
       corpus.filter($"doc_id" % 9 === 0).select($"doc_id"))
     graft.operators.MinHashIndex.compact(spark, path)
+    // probe ONCE: both the stale and dropped branches read the hits, and
+    // Spark re-executes common subtrees (the q239 localCheckpoint rule)
     val hits = graft.operators.MinHashIndex.probe(
-      docs.filter($"source" === "src0"), "doc_id", "text", path,
-      minEstJac = 0.5)
+        docs.filter($"source" === "src0"), "doc_id", "text", path,
+        minEstJac = 0.5)
+      .localCheckpoint()
     val stale = hits
       .join(corpus.filter($"doc_id" % 9 === 0)
         .select($"doc_id".as("corpus_id")), Seq("corpus_id"), "left_semi")

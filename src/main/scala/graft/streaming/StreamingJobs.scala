@@ -54,9 +54,12 @@ object StreamingJobs {
     private[streaming] def due(batchId: Long): Boolean =
       (batchId + 1) % everyNBatches == 0
     /** Zero-padded so the LEXICAL tag order equals batch order — "latest
-      * tag" readers (max over list()) stay correct past batch 9. */
+      * tag" readers (max over list()) stay correct past batch 9. Twelve
+      * digits holds the invariant to batchId 10^12 (≈31,000 years at one
+      * batch per second) — the load-bearing ordering never inverts on a
+      * real stream's horizon. */
     private[streaming] def tag(batchId: Long): String =
-      f"$tagPrefix$batchId%09d"
+      f"$tagPrefix$batchId%012d"
   }
 
   private def maybeCycle(spark: SparkSession,

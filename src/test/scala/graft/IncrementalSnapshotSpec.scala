@@ -168,6 +168,18 @@ class IncrementalSnapshotSpec extends SparkSpec {
     // prune still sweeps every view (cache rule unchanged)
     IndexSnapshots.prune(spark, path, keepLast = 9)
     assert(IndexSnapshots.viewStats(spark, path).count() === 0)
+    // the cap also enforces on a REF-LESS (full-copy) tag's capped read:
+    // it holds no view of its own, but older tags' stale views must
+    // still evict or a full-copy-serving stream never reclaims
+    IndexSnapshots.snapshot(spark, path, "vfull")
+    IndexSnapshots.at(spark, path, "v1"); Thread.sleep(20)
+    IndexSnapshots.at(spark, path, "v2"); Thread.sleep(20)
+    assert(IndexSnapshots.viewStats(spark, path).count() === 2)
+    val atFull = IndexSnapshots.at(spark, path, "vfull", maxViews = 1)
+    assert(atFull.endsWith("vfull"), "full-copy tag serves its own dir")
+    assert(IndexSnapshots.viewStats(spark, path).collect()
+      .map(_.getString(0)).toSeq === Seq("v2"),
+      "capped ref-less read must evict down to maxViews other views")
   }
 
   test("prune refcounts the object store: survivors' objects stay, " +

@@ -135,6 +135,47 @@ class StreamingMaintenanceSpec extends SparkSpec {
       "the corrupt generation must never be frozen; the good tag stands")
   }
 
+  test("minhash family: the upsert stream's in-stream cycle snapshots and " +
+      "prunes the dedup index; probe verdicts unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.MinHashIndex
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("smx_mh").toString
+    val idx = s"$dir/index"
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingJobs.upsertMinHashOnArrival(
+        source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idx, s"$dir/ckpt", clearCachePerBatch = false,
+        maintenance = Some(StreamingJobs.MaintenancePolicy(
+          everyNBatches = 2, keepLast = 1)))
+      .start()
+    var corpus = Seq.empty[(Long, String)]
+    try {
+      (0 until 4).foreach { b =>
+        val batch = (0 until 10).map(i => doc(b, i))
+        source.addData(batch: _*)
+        q.processAllAvailable()
+        corpus = corpus ++ batch
+      }
+    } finally q.stop()
+    val held = tags(idx)
+    assert(held.size === 1 && held.head.startsWith("auto_b"),
+      s"keepLast=1 retention on the minhash family: $held")
+    assert(objectCount(idx) > 0)
+    // probe verdicts equal a batch rebuild's — maintenance never changed
+    // the standing signatures
+    val rebuilt = s"$dir/rebuild"
+    MinHashIndex.save(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      rebuilt)
+    val asks = Seq((9001L, corpus(3)._2), (9002L, "nothing like this zz"))
+      .toDF("doc_id", "text")
+    def verdicts(p: String) = MinHashIndex.probe(asks, "doc_id", "text",
+        p, minEstJac = 0.5)
+      .orderBy($"doc_id", $"corpus_id").collect().toSeq
+    assert(verdicts(idx) === verdicts(rebuilt),
+      "in-stream maintenance must not move any probe verdict")
+  }
+
   test("policy validation and cold-start skip: a due batch before the " +
       "index exists is a no-op, not a stream failure") {
     intercept[IllegalArgumentException] {
