@@ -182,6 +182,10 @@ object Bench {
     "q248_minhash_lifecycle_recall" -> 6.5,
     // WAV synthesis + decode over 5k docs + banded pairing; solo 1.71
     "q249_audio_envelope_oracle" -> 2.0,
+    // save + two incremental snapshots + delete + per-tag exposure
+    // counts + scrub-with-GC (q226's lifecycle class); solo 6.22 under
+    // a ~2.3x canary
+    "q250_snapshot_exposure" -> 6.0,
     "q145_item_sim" -> 2.5,
     "q209_quantile_bins" -> 2.5,
     "q206_quantile_shift" -> 2.0,

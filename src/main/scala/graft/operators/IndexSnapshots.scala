@@ -516,6 +516,71 @@ object IndexSnapshots {
     dropped
   }
 
+  /** Which standing snapshots still CONTAIN any of `ids` — the
+    * right-to-be-forgotten blind spot: the families' `delete` scrubs
+    * the LIVE generation, but every standing snapshot keeps the
+    * pre-delete corpus until retention rotates it out (or
+    * [[scrubSnapshots]] drops it). One (tag, n_exposed) row per visible
+    * snapshot, exact longs.
+    *
+    * Reads ONLY the id-bearing artifact (`docs`/`sigs`/`codes`/`lists`
+    * — the caller names it and its id column), never text or vectors;
+    * incremental tags resolve their `.ref` through the object store and
+    * read the artifact IN PLACE — no view materialization. One bounded
+    * semi-join count per tag, and tags are bounded by the retention
+    * policy, so the report is O(keepLast) small jobs. */
+  def exposure(spark: SparkSession, path: String, ids: DataFrame,
+      idArtifact: String, idColName: String): DataFrame = {
+    import spark.implicits._
+    require(ids.columns.length == 1,
+      s"ids must be a one-column frame, got ${ids.columns.toSeq}")
+    val f = fs(spark, path)
+    val root = new Path(path)
+    val snapRoot = new Path(root, snapDirName)
+    val wanted = ids.toDF("__fid").distinct()
+    val rows: Seq[(String, Long)] =
+      if (!f.exists(snapRoot)) Seq.empty
+      else f.listStatus(snapRoot).toSeq
+        .filter(_.isDirectory).map(_.getPath)
+        .filterNot(p => p.getName.startsWith(".") || p.getName == objectsDirName)
+        .sortBy(_.getName)
+        .map { tagDir =>
+          val src = entries(f, root, tagDir).toMap.getOrElse(idArtifact,
+            throw new IllegalStateException(
+              s"snapshot '${tagDir.getName}' has no '$idArtifact' artifact"))
+          val n = spark.read.parquet(src.toString)
+            .select(org.apache.spark.sql.functions.col(idColName)
+              .as("__fid"))
+            .join(wanted, Seq("__fid"), "left_semi")
+            .count()
+          (tagDir.getName, n)
+        }
+    rows.toDF("tag", "n_exposed")
+  }
+
+  /** Drop every standing snapshot that still contains any of `ids`, then
+    * GC the object store; returns the dropped tags. The erasure
+    * companion to the families' `delete`: live scrubbing alone leaves
+    * the forgotten rows RESTORABLE through every pre-delete snapshot.
+    *
+    * DROP, never rewrite-in-place: a snapshot is an internally
+    * consistent index generation (meta stats ↔ postings ↔ sidecars —
+    * exactly the invariants [[IndexAudit]] pins), so filtering one
+    * artifact inside a frozen tag would corrupt it. The compliance flow
+    * is scrub → the nightly [[Maintenance.cycle]] (or an explicit
+    * snapshot) re-freezes the already-clean live generation. Runs under
+    * the single-writer contract like every snapshot mutation. */
+  def scrubSnapshots(spark: SparkSession, path: String, ids: DataFrame,
+      idArtifact: String, idColName: String): Seq[String] = {
+    import spark.implicits._
+    val exposed = exposure(spark, path, ids, idArtifact, idColName)
+      .filter($"n_exposed" > 0L)
+      .select($"tag").as[String].collect().toSeq.sorted // bounded: retention-sized
+    exposed.foreach(tag => drop(spark, path, tag))
+    if (exposed.nonEmpty) gcObjects(spark, path)
+    exposed
+  }
+
   /** Delete snapshot `tag`. Loud on failure (a half-deleted snapshot
     * must not look restorable). Drops the tag's materialized [[at]]
     * view FIRST — a re-snapshot under the same tag must never serve the

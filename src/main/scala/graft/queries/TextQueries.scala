@@ -1185,6 +1185,62 @@ object TextQueries extends QueryModule {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Snapshot erasure exposure (north star): the right-to-be-forgotten
+    * blind spot, closed and hash-pinned. The families' `delete` scrubs
+    * the LIVE generation, but every standing snapshot keeps the
+    * pre-delete corpus — a "forgotten" document stays RESTORABLE until
+    * retention rotates the tag out. The chain: save the corpus, freeze
+    * tag `pre`, forget every doc_id ≡ 0 mod 5, freeze tag `post`
+    * (clean), then [[graft.operators.IndexSnapshots.exposure]] — one
+    * (tag, n_exposed) row per standing snapshot, reading ONLY the
+    * id-bearing artifact through the object store, no view
+    * materialization — and
+    * [[graft.operators.IndexSnapshots.scrubSnapshots]], which DROPS
+    * exposed tags (rewriting inside a frozen tag would corrupt the
+    * meta↔artifact invariants fsck pins) and GCs their objects. The
+    * hash pins: `pre` exposes EXACTLY the forgotten count, `post`
+    * exposes zero, and after the scrub only `post` stands — a stale
+    * surviving tag or an under-counted exposure both fail the compare. */
+  private def q250SnapshotExposure(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val path = graft.core.Scratch.dir(dir, "bm25scrub")
+    graft.operators.TextIndex.save(docs, "doc_id", "text", path)
+    // bench reruns in one process over one Scratch dir: drop last
+    // pass's tags before re-snapshotting (snapshots are immutable)
+    Seq("pre", "post").foreach { t =>
+      if (graft.operators.IndexSnapshots.list(spark, path)
+          .filter($"tag" === t).head(1).nonEmpty)
+        graft.operators.IndexSnapshots.drop(spark, path, t)
+    }
+    graft.operators.IndexSnapshots.snapshotIncremental(spark, path, "pre")
+    val forget = docs.filter($"doc_id" % 5 === 0).select($"doc_id")
+    graft.operators.TextIndex.delete(spark, path, forget)
+    graft.operators.IndexSnapshots.snapshotIncremental(spark, path, "post")
+    // materialize the pre-scrub report BEFORE scrubbing: its lineage
+    // reads the very snapshot dirs the scrub will delete
+    val before = graft.operators.IndexSnapshots
+      .exposure(spark, path, forget, "docs", "doc_id")
+      .select(lit("exposure").as("stage"), $"tag", $"n_exposed".as("n"))
+      .localCheckpoint()
+    graft.operators.IndexSnapshots.scrubSnapshots(
+      spark, path, forget, "docs", "doc_id")
+    val standing = graft.operators.IndexSnapshots
+      .exposure(spark, path, forget, "docs", "doc_id")
+      .select(lit("standing").as("stage"), $"tag", $"n_exposed".as("n"))
+    before.unionByName(standing).orderBy($"stage", $"tag")
+  }
+
+  private val q250Sql =
+    """WITH n5 AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 5 = 0)
+      |SELECT 'exposure' AS stage, 'post' AS tag, CAST(0 AS BIGINT) AS n
+      |UNION ALL
+      |SELECT 'exposure' AS stage, 'pre' AS tag, CAST(n AS BIGINT) AS n FROM n5
+      |UNION ALL
+      |SELECT 'standing' AS stage, 'post' AS tag, CAST(0 AS BIGINT) AS n
+      |ORDER BY stage, tag""".stripMargin
+
   /** MinHash screen recall AFTER the index lifecycle (north star): q71
     * gates the banding screen's recall over a fresh save; this gates it
     * over the mutation chain a production dedup index actually lives on
@@ -3630,6 +3686,8 @@ object TextQueries extends QueryModule {
       "ingest stream with in-stream maintenance cycles (fsck-gated snapshots + prune inside foreachBatch), poison, restore from the stream's own snapshot, one batched probe (north star)"),
     Q("q248_minhash_lifecycle_recall", q248MinhashLifecycleRecall, Some(q248Sql),
       "MinHash screen recall gate AFTER save/append/delete/compact: every true near-dup caught, zero stale matches on deleted ids (north star)"),
+    Q("q250_snapshot_exposure", q250SnapshotExposure, Some(q250Sql),
+      "right-to-be-forgotten vs snapshots: exposure report per standing tag, scrub drops exposed tags, clean tag survives (north star)"),
     Q("q220_index_upsert", q220IndexUpsert, Some(q220Sql),
       "upsert on the persisted BM25 index: edited docs replace, fresh docs insert, stats corrected, under one hash (north star)"),
     // q221 deliberately SHARES q119Sql (the q121 precedent): its claim is

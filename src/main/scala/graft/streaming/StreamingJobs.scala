@@ -533,6 +533,11 @@ object StreamingJobs {
     def family: String
     def delete(spark: SparkSession, ids: DataFrame): Unit
     def rows(spark: SparkSession): Long
+    /** The family's id-bearing artifact subdir and its id column —
+      * what [[graft.operators.IndexSnapshots.exposure]]/`scrubSnapshots`
+      * read to find forgotten ids still frozen in standing snapshots. */
+    def idArtifact: String
+    def idColName(spark: SparkSession): String
   }
   /** [[graft.operators.TextIndex]] (BM25) at `path`. */
   final case class TextIndexAt(path: String) extends ErasureTarget {
@@ -541,6 +546,8 @@ object StreamingJobs {
       graft.operators.TextIndex.delete(spark, path, ids)
     def rows(spark: SparkSession): Long =
       spark.read.parquet(s"$path/docs").count()
+    def idArtifact = "docs"
+    def idColName(spark: SparkSession): String = "doc_id"
   }
   /** [[graft.operators.MinHashIndex]] (near-dup) at `path`. */
   final case class MinHashIndexAt(path: String) extends ErasureTarget {
@@ -549,6 +556,8 @@ object StreamingJobs {
       graft.operators.MinHashIndex.delete(spark, path, ids)
     def rows(spark: SparkSession): Long =
       spark.read.parquet(s"$path/sigs").count()
+    def idArtifact = "sigs"
+    def idColName(spark: SparkSession): String = "id"
   }
   /** [[graft.operators.ProductQuantizer]] (IVFADC vectors) at `path`. */
   final case class PqIndexAt(path: String) extends ErasureTarget {
@@ -557,6 +566,8 @@ object StreamingJobs {
       graft.operators.ProductQuantizer.delete(spark, path, ids)
     def rows(spark: SparkSession): Long =
       spark.read.parquet(s"$path/codes").count()
+    def idArtifact = "codes"
+    def idColName(spark: SparkSession): String = "id"
   }
   /** [[graft.operators.IvfIndex]] (exact-vector IVF) at `path`. */
   final case class IvfIndexAt(path: String) extends ErasureTarget {
@@ -565,6 +576,16 @@ object StreamingJobs {
       graft.operators.IvfIndex.delete(spark, path, ids)
     def rows(spark: SparkSession): Long =
       spark.read.parquet(s"$path/lists").count()
+    def idArtifact = "lists"
+    // lists keep the caller's id column name; discover it the way
+    // IvfIndex.delete does — the scalar that isn't the list key
+    def idColName(spark: SparkSession): String =
+      spark.read.parquet(s"$path/lists").schema.fields
+        .find(f => f.name != "list_id" &&
+          !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        .map(_.name)
+        .getOrElse(throw new IllegalStateException(
+          s"no id column in $path/lists"))
   }
 
   /** Continuous right-to-be-forgotten propagation — the delete half of
@@ -599,11 +620,22 @@ object StreamingJobs {
     *   vectors move); the append is at-least-once like the deletes
     *   (foreachBatch replay can duplicate a batch's rows — dedupe on
     *   (batch_id, family) downstream; rows_before/rows_after converge
-    *   because the deletes are idempotent). */
+    *   because the deletes are idempotent).
+    * @param scrubSnapshots when true, each target's delete is followed by
+    *   [[graft.operators.IndexSnapshots.scrubSnapshots]] — standing
+    *   snapshots that still CONTAIN any of the batch's ids are DROPPED
+    *   (and their objects GC'd), closing the right-to-be-forgotten blind
+    *   spot where live scrubbing leaves the rows restorable through
+    *   every pre-delete snapshot. Idempotent under replay (an already
+    *   -dropped tag no longer exposes). When auditing, an extra
+    *   `<family>:snapshots` row records tags before/after per target —
+    *   same six columns, so existing audit readers keep working. The
+    *   maintenance cadence then re-freezes the clean live generation. */
   def forgetOnArrival(stream: DataFrame, idCol: String,
       targets: Seq[ErasureTarget], checkpoint: String,
       clearCachePerBatch: Boolean = true,
-      auditPath: Option[String] = None): DataStreamWriter[Row] = {
+      auditPath: Option[String] = None,
+      scrubSnapshots: Boolean = false): DataStreamWriter[Row] = {
     require(targets.nonEmpty, "forgetOnArrival needs at least one target")
     require(targets.map(_.path).distinct.length == targets.length,
       s"duplicate erasure-target paths: ${targets.map(_.path)}")
@@ -616,11 +648,21 @@ object StreamingJobs {
         try {
           if (ids.head(1).nonEmpty) {
             val nIds = ids.count()
-            val audit = targets.map { t =>
+            val audit = targets.flatMap { t =>
               val before = if (auditPath.isDefined) t.rows(spark) else 0L
               t.delete(spark, ids)
-              (batchId, t.family, t.path, nIds, before,
+              val deleteRow = (batchId, t.family, t.path, nIds, before,
                 if (auditPath.isDefined) t.rows(spark) else 0L)
+              if (!scrubSnapshots) Seq(deleteRow)
+              else {
+                val tagsBefore =
+                  graft.operators.IndexSnapshots.list(spark, t.path).count()
+                val dropped = graft.operators.IndexSnapshots.scrubSnapshots(
+                  spark, t.path, ids, t.idArtifact, t.idColName(spark))
+                Seq(deleteRow,
+                  (batchId, s"${t.family}:snapshots", t.path, nIds,
+                    tagsBefore, tagsBefore - dropped.size))
+              }
             }
             auditPath.foreach { p =>
               audit.toDF("batch_id", "family", "path", "ids_requested",

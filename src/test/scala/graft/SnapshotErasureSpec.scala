@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IndexSnapshots, MinHashIndex, TextIndex}
+import graft.streaming.StreamingJobs
+
+/** Right-to-be-forgotten vs immutable snapshots: the families' delete
+  * scrubs the LIVE generation only — every standing snapshot keeps the
+  * pre-delete corpus restorable. exposure() reports which tags still
+  * hold forgotten ids, scrubSnapshots() drops exactly those, and the
+  * forgetOnArrival knob runs the scrub per erasure batch with audit
+  * evidence. */
+class SnapshotErasureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(seed: String, n: Int): String =
+    (1 to n).map(i => s"w${seed}_$i").mkString(" ")
+  private lazy val docs = (1 to 40)
+    .map(i => (i.toLong, words(s"c$i", 25) + (if (i % 4 == 0) " spark" else "")))
+    .toDF("doc_id", "text").cache()
+
+  test("exposure counts forgotten ids per tag (incremental AND full " +
+      "snapshots); scrub drops exactly the exposed tags and GCs") {
+    val path = Files.createTempDirectory("scrub_tx").toString
+    TextIndex.save(docs, "doc_id", "text", path)
+    IndexSnapshots.snapshotIncremental(spark, path, "inc_pre")
+    IndexSnapshots.snapshot(spark, path, "full_pre") // full-copy form too
+    val forget = docs.filter($"doc_id" % 5 === 0).select($"doc_id")
+    TextIndex.delete(spark, path, forget)
+    Thread.sleep(20)
+    IndexSnapshots.snapshotIncremental(spark, path, "clean")
+    val exp = IndexSnapshots.exposure(spark, path, forget, "docs", "doc_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n5 = docs.filter($"doc_id" % 5 === 0).count()
+    assert(exp === Map("inc_pre" -> n5, "full_pre" -> n5, "clean" -> 0L),
+      s"exposure must count forgotten ids per tag: $exp")
+    val dropped = IndexSnapshots.scrubSnapshots(
+      spark, path, forget, "docs", "doc_id")
+    assert(dropped === Seq("full_pre", "inc_pre"))
+    assert(IndexSnapshots.list(spark, path).select($"tag")
+      .as[String].collect().toSeq === Seq("clean"),
+      "only the clean tag may survive the scrub")
+    // the forgotten rows are no longer restorable through ANY tag
+    IndexSnapshots.restore(spark, path, "clean")
+    assert(spark.read.parquet(s"$path/docs")
+      .filter($"doc_id" % 5 === 0).count() === 0L)
+    intercept[IllegalArgumentException] {
+      IndexSnapshots.restore(spark, path, "inc_pre")
+    }
+    // idempotent: nothing left to scrub
+    assert(IndexSnapshots.scrubSnapshots(
+      spark, path, forget, "docs", "doc_id") === Seq.empty)
+  }
+
+  test("forgetOnArrival with scrubSnapshots drops exposed tags on EVERY " +
+      "fanned-out family and records the :snapshots audit rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("scrub_stream").toString
+    val (tx, mh, audit) = (s"$dir/tx", s"$dir/mh", s"$dir/audit")
+    TextIndex.save(docs, "doc_id", "text", tx)
+    MinHashIndex.save(docs, "doc_id", "text", mh)
+    Seq(tx, mh).foreach { p =>
+      IndexSnapshots.snapshotIncremental(spark, p, "night0")
+      Thread.sleep(20)
+    }
+    val source = MemoryStream[Long]
+    val q = StreamingJobs.forgetOnArrival(
+        source.toDF().toDF("doc_id"), "doc_id",
+        Seq(StreamingJobs.TextIndexAt(tx), StreamingJobs.MinHashIndexAt(mh)),
+        s"$dir/ckpt", clearCachePerBatch = false,
+        auditPath = Some(audit), scrubSnapshots = true)
+      .start()
+    try {
+      source.addData(docs.select($"doc_id").as[Long].collect()
+        .filter(_ % 3 == 0).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // night0 froze pre-erasure corpora on both families: both dropped
+    Seq(tx, mh).foreach { p =>
+      assert(IndexSnapshots.list(spark, p).count() === 0L,
+        s"exposed snapshot must be dropped at $p")
+    }
+    val rows = spark.read.parquet(audit)
+      .select($"family", $"rows_before", $"rows_after")
+      .as[(String, Long, Long)].collect().toSeq
+    val byFam = rows.groupBy(_._1)
+    assert(byFam.keySet === Set("text_bm25", "text_bm25:snapshots",
+      "minhash", "minhash:snapshots"))
+    // the :snapshots rows prove the drop: 1 tag before, 0 after
+    Seq("text_bm25:snapshots", "minhash:snapshots").foreach { f =>
+      assert(byFam(f).map(r => (r._2, r._3)) === Seq((1L, 0L)),
+        s"audit must record the snapshot drop for $f: ${byFam(f)}")
+    }
+    // a fresh snapshot of the scrubbed generation stays clean + standing
+    IndexSnapshots.snapshotIncremental(spark, tx, "night1")
+    val forget = docs.filter($"doc_id" % 3 === 0).select($"doc_id")
+    assert(IndexSnapshots.exposure(spark, tx, forget, "docs", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("night1", 0L)))
+  }
+}
