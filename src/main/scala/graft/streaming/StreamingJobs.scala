@@ -569,6 +569,50 @@ object StreamingJobs {
     def idArtifact = "codes"
     def idColName(spark: SparkSession): String = "id"
   }
+  /** A plain keyed parquet CORPUS at `path` — the curated-output half of
+    * the erasure story the index targets alone miss: [[dedupOnArrival]]'s
+    * `outPath` (and any `upsertIgnoreParquet` sink) retains a forgotten
+    * document even after every index dropped it. Delete is an anti-join
+    * filtered rewrite under the [[graft.operators.StagedSwap]] swap
+    * (recover-first, so a crashed prior rewrite is repaired before the
+    * read; the tmp write reads the live dir it will replace — the
+    * standard pattern). Idempotent: absent ids are no-ops. No snapshot
+    * store applies to a bare corpus dir, so the scrub half is a no-op
+    * by construction ([[graft.operators.IndexSnapshots.exposure]] of a
+    * dir with no `_snapshots` is empty). */
+  final case class ParquetCorpusAt(path: String, idColumn: String)
+      extends ErasureTarget {
+    def family = "parquet_corpus"
+    private def paths = {
+      val live = new org.apache.hadoop.fs.Path(path)
+      (live,
+        new org.apache.hadoop.fs.Path(path + "_del"),
+        new org.apache.hadoop.fs.Path(path + "_old"))
+    }
+    def delete(spark: SparkSession, ids: DataFrame): Unit = {
+      val (live, tmp, old) = paths
+      val f = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.operators.StagedSwap.recover(f, live, tmp, old)
+      require(f.exists(live), s"no corpus at $path")
+      val del = ids.toDF("__del_id").distinct()
+      graft.operators.StagedSwap.swap(f, live, tmp, old) { dir =>
+        spark.read.parquet(path)
+          .join(del, col(idColumn) === col("__del_id"), "left_anti")
+          .write.parquet(dir)
+      }
+      spark.catalog.refreshByPath(path)
+    }
+    def rows(spark: SparkSession): Long = {
+      val (live, tmp, old) = paths
+      val f = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val src = graft.operators.StagedSwap.readable(f, live, tmp, old)
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"no corpus at $path"))
+      spark.read.parquet(src.toString).count()
+    }
+    def idArtifact = "" // bare corpus dirs carry no snapshot store
+    def idColName(spark: SparkSession): String = idColumn
+  }
   /** [[graft.operators.IvfIndex]] (exact-vector IVF) at `path`. */
   final case class IvfIndexAt(path: String) extends ErasureTarget {
     def family = "ivf_exact"

@@ -55,6 +55,48 @@ class SnapshotErasureSpec extends SparkSpec {
       spark, path, forget, "docs", "doc_id") === Seq.empty)
   }
 
+  test("ParquetCorpusAt: the curated-output corpus joins the erasure " +
+      "fan-out — forgotten rows leave the parquet too, idempotently, " +
+      "and the snapshot scrub half is a harmless no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("scrub_corpus").toString
+    val (corpus, tx, audit) = (s"$dir/corpus", s"$dir/tx", s"$dir/audit")
+    docs.write.parquet(corpus)
+    TextIndex.save(docs, "doc_id", "text", tx)
+    val erase = docs.filter($"doc_id" % 4 === 0).select($"doc_id")
+      .as[Long].collect().toSeq
+    val source = MemoryStream[Long]
+    val q = StreamingJobs.forgetOnArrival(
+        source.toDF().toDF("doc_id"), "doc_id",
+        Seq(StreamingJobs.ParquetCorpusAt(corpus, "doc_id"),
+          StreamingJobs.TextIndexAt(tx)),
+        s"$dir/ckpt", clearCachePerBatch = false,
+        auditPath = Some(audit), scrubSnapshots = true)
+      .start()
+    try {
+      source.addData(erase: _*)
+      q.processAllAvailable()
+      // redelivery (same ids again) must converge, not error or double
+      source.addData(erase.take(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(corpus)
+      .orderBy($"doc_id").as[(Long, String)].collect().toSeq
+    val expect = docs.filter($"doc_id" % 4 =!= 0)
+      .orderBy($"doc_id").as[(Long, String)].collect().toSeq
+    assert(kept === expect, "forgotten rows must leave the corpus; " +
+      "surviving rows byte-identical")
+    // the index target converged too
+    assert(spark.read.parquet(s"$tx/docs")
+      .filter($"doc_id" % 4 === 0).count() === 0L)
+    val a = spark.read.parquet(audit)
+      .filter($"family" === "parquet_corpus" && $"batch_id" === 0L)
+      .select($"rows_before", $"rows_after").as[(Long, Long)].head()
+    assert(a === ((docs.count(), expect.size.toLong)),
+      s"corpus audit must prove the exact removal: $a")
+  }
+
   test("forgetOnArrival with scrubSnapshots drops exposed tags on EVERY " +
       "fanned-out family and records the :snapshots audit rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
