@@ -48,6 +48,52 @@ object Sinks {
       .write.mode(SaveMode.Append).parquet(path)
   }
 
+  /** Data-file count of a bare (flat) parquet corpus dir — the
+    * fragmentation signal for [[compactParquet]], the
+    * [[graft.operators.IndexMaintenance]] files-per-dir policy without
+    * artifact subdirs. Pure driver work (one listing, no Spark job):
+    * safe to call once per micro-batch. Zero when the dir is absent. */
+  def corpusDataFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.toLong
+  }
+
+  /** Rewrite a keyed parquet corpus dir into size-targeted files — the
+    * small-files valve for [[upsertIgnoreParquet]]'s per-batch appends:
+    * a long-running ingest accretes ~one file set per micro-batch, and
+    * at 100 TB every reader then pays an open per tiny file. The
+    * rewrite runs under the [[graft.operators.StagedSwap]] swap
+    * (recover-first; a crash at any point leaves the previous corpus
+    * servable and the rerun converges), sizes the output at
+    * ceil(bytes / targetBytesPerFile) files from one metadata listing,
+    * and refreshes Spark's listing caches after the out-of-band move.
+    * Content-preserving and idempotent; single-writer like every
+    * rewrite here. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytesPerFile: Long = 128L * 1024 * 1024): Unit = {
+    require(targetBytesPerFile > 0,
+      s"targetBytesPerFile must be positive, got $targetBytesPerFile")
+    val live = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_del")
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.StagedSwap.recover(fs, live, tmp, old)
+    require(fs.exists(live), s"no corpus at $path")
+    val bytes = fs.getContentSummary(live).getLength
+    val n = math.max(1L,
+      (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+    graft.operators.StagedSwap.swap(fs, live, tmp, old) { dir =>
+      spark.read.parquet(path).repartition(n).write.parquet(dir)
+    }
+    spark.catalog.refreshByPath(path)
+  }
+
   /** Kafka-shaped frame (K3): key column + whole-row JSON value — matches
     * send_to_kafka.py:14-16 (key=uuid, value=json.dumps(msg)). Feed to
     * `.write.format("kafka")` in a real deployment; tests assert the frame. */

@@ -185,7 +185,8 @@ object StreamingJobs {
       indexPath: String, outPath: String, checkpoint: String,
       minJac: Double = 0.5, clearCachePerBatch: Boolean = true,
       autoCompactFilesPerDir: Option[Int] = None,
-      maintenance: Option[MaintenancePolicy] = None): DataStreamWriter[Row] =
+      maintenance: Option[MaintenancePolicy] = None,
+      outCompactFiles: Option[Int] = None): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -227,6 +228,12 @@ object StreamingJobs {
             graft.operators.MinHashIndex.compact(spark, indexPath)
           maybeCycle(spark, graft.operators.Maintenance.MinHashFamily,
             indexPath, batchId, maintenance)
+          // the OUTPUT corpus fragments at the same per-batch rate the
+          // index does (upsertIgnoreParquet appends one file set per
+          // batch) — same files-per-dir policy, same one-listing cost
+          if (outCompactFiles.exists(t =>
+              graft.sinks.Sinks.corpusDataFiles(spark, outPath) > t))
+            graft.sinks.Sinks.compactParquet(spark, outPath)
         } finally {
           fresh.unpersist()
           if (clearCachePerBatch) spark.catalog.clearCache()

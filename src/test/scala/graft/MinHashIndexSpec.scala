@@ -329,6 +329,41 @@ class MinHashIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("output-corpus compaction on dedupOnArrival: the kept-docs parquet " +
+      "stays under the file policy with rows byte-identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("mh_outc").toString
+    val (idx, out, ckpt) = (s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    MinHashIndex.save(corpus, "doc_id", "text", idx)
+    val source = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs.dedupOnArrival(
+        source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idx, out, ckpt, clearCachePerBatch = false,
+        outCompactFiles = Some(3))
+      .start()
+    try {
+      for (b <- 0 until 6) {
+        source.addData((1 to 3).map(i =>
+          ((400 + b * 10 + i).toLong, words(s"oc${b}_$i", 40))): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // without the knob, six appended batches would hold >= 6 file sets;
+    // the policy bounds the dir while preserving every kept row
+    assert(graft.sinks.Sinks.corpusDataFiles(spark, out) <= 4L,
+      "the output corpus must stay compacted under the policy")
+    assert(spark.read.parquet(out).select($"doc_id").as[Long]
+      .collect().toSet === (0 until 6).flatMap(b =>
+        (1 to 3).map(i => (400 + b * 10 + i).toLong)).toSet)
+    // compactParquet is idempotent and content-preserving standalone
+    val before = spark.read.parquet(out).orderBy($"doc_id")
+      .as[(Long, String)].collect().toSeq
+    graft.sinks.Sinks.compactParquet(spark, out)
+    assert(spark.read.parquet(out).orderBy($"doc_id")
+      .as[(Long, String)].collect().toSeq === before)
+  }
+
   test("stats: band/sig invariants across append; skew stat sees shared buckets") {
     val dir = Files.createTempDirectory("mh_stats").toString
     MinHashIndex.save(corpus, "doc_id", "text", dir)
