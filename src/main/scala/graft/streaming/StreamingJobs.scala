@@ -775,7 +775,8 @@ object StreamingJobs {
       maxDfFrac: Double = 1.0,
       clearCachePerBatch: Boolean = true,
       snapshotTag: Option[String] = None,
-      snapshotMaxViews: Int = 2): DataStreamWriter[Row] =
+      snapshotMaxViews: Int = 2,
+      outCompactFiles: Option[Int] = None): DataStreamWriter[Row] =
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -791,6 +792,11 @@ object StreamingJobs {
               qs, queryIdCol, termsCol, servePath, k, k1, b, maxDfFrac)
             graft.sinks.Sinks.upsertIgnoreParquet(
               topk, outPath, Seq("query_id", "rank"))
+            // the answers dir accretes one file set per batch, same as
+            // every keyed-append sink — same files-per-dir valve
+            if (outCompactFiles.exists(t =>
+                graft.sinks.Sinks.corpusDataFiles(spark, outPath) > t))
+              graft.sinks.Sinks.compactParquet(spark, outPath)
           }
         } finally {
           qs.unpersist()
@@ -831,7 +837,8 @@ object StreamingJobs {
       idFilter: Option[DataFrame] = None,
       clearCachePerBatch: Boolean = true,
       snapshotTag: Option[String] = None,
-      snapshotMaxViews: Int = 2): DataStreamWriter[Row] =
+      snapshotMaxViews: Int = 2,
+      outCompactFiles: Option[Int] = None): DataStreamWriter[Row] =
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -847,6 +854,9 @@ object StreamingJobs {
               qs, queryIdCol, vecCol, spark, servePath, k, nProbe, idFilter)
             graft.sinks.Sinks.upsertIgnoreParquet(
               topk, outPath, Seq("query_id", "rank"))
+            if (outCompactFiles.exists(t =>
+                graft.sinks.Sinks.corpusDataFiles(spark, outPath) > t))
+              graft.sinks.Sinks.compactParquet(spark, outPath)
           }
         } finally {
           qs.unpersist()

@@ -107,6 +107,38 @@ class ProbeServingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("answer-corpus compaction: served output stays under the file " +
+      "policy across many batches, committed answers byte-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("serve_outc").toString
+    val (idx, out, ckpt) = (s"$dir/index", s"$dir/out", s"$dir/ckpt")
+    TextIndex.save(docs, "doc_id", "text", idx)
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[String])]
+    val q = StreamingJobs.probeOnArrival(
+        source.toDF().toDF("query_id", "terms"), "query_id", "terms",
+        idx, out, ckpt, k = 5, clearCachePerBatch = false,
+        outCompactFiles = Some(3))
+      .start()
+    try {
+      (0 until 6).foreach { b =>
+        source.addData((100L + b, Seq("spark", "join")))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(graft.sinks.Sinks.corpusDataFiles(spark, out) <= 4L,
+      "the answers dir must stay compacted under the policy")
+    val served = spark.read.parquet(out)
+      .select($"query_id", $"doc_id", $"score", $"rank")
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(served.map(_._1).distinct === (0 until 6).map(100L + _),
+      "every ask answered exactly once")
+    // all asks share terms, so every answer block is the same ranking
+    val blocks = served.groupBy(_._1).values.map(_.map(t => (t._2, t._3, t._4)))
+    assert(blocks.toSet.size === 1, "compaction must not move any answer")
+  }
+
   test("rolling-latest handoff: serving a snapshot tag isolates asks from " +
       "live mutations until a maintenance retake re-points the stream, " +
       "no restart, committed answers immutable") {
