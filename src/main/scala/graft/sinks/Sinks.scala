@@ -41,8 +41,22 @@ object Sinks {
     // than silently appending the whole batch and breaking idempotence.
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Repair a crashed [[compactParquet]] swap BEFORE the existence probe.
+    // A crash between the swap's two renames leaves `path` MISSING with
+    // the whole corpus sitting in `_old`/`_del`; reading exists() first
+    // would misdiagnose that as a first write, recreate `path` with only
+    // this batch's rows, and the NEXT swap's recover — seeing a "healthy"
+    // live dir — would then delete `_old` holding the entire prior corpus.
+    // Silent permanent loss, triggered by every foreachBatch that both
+    // upserts and compacts (dedupOnArrival / the probe streams). Recover
+    // first and the crashed swap is repaired before any append can
+    // recreate live; a no-op (a handful of exists calls) on every clean
+    // batch. Single-writer like the compactor itself.
+    graft.operators.StagedSwap.recover(fs, hPath,
+      new org.apache.hadoop.fs.Path(path + "_del"),
+      new org.apache.hadoop.fs.Path(path + "_old"))
     val existing =
-      if (fs.exists(hPath)) spark.read.parquet(path)
+      if (fs.exists(hPath)) { spark.catalog.refreshByPath(path); spark.read.parquet(path) }
       else incoming.limit(0)
     newRowsOnly(existing, incoming, keys)
       .write.mode(SaveMode.Append).parquet(path)

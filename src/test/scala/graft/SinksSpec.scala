@@ -21,6 +21,38 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 150)
   }
 
+  test("upsert-ignore repairs a compactParquet swap crashed between its renames — no corpus loss") {
+    val dir = Files.createTempDirectory("upsert-crash").toString + "/t"
+    val users = FakeDataGenerator.users(spark, 100).toDF()
+    Sinks.upsertIgnoreParquet(users, dir, Seq("uuid"))
+    // Simulate compactParquet dying between rename(live->_old) and
+    // rename(_del->live): the compacted copy is fully written (with its
+    // _SUCCESS marker) in _del, the original staged aside in _old, and
+    // live is MISSING — the exact state the r14 advice flagged. Before
+    // the recover-first fix, the replayed batch below recreated live
+    // with only its own rows and the next swap deleted the real corpus.
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(dir).coalesce(1).write.parquet(dir + "_del")
+    assert(fs.rename(live, new org.apache.hadoop.fs.Path(dir + "_old")))
+    assert(!fs.exists(live))
+    // the replayed micro-batch: 100 old keys + 20 new
+    val replay = FakeDataGenerator.users(spark, 120).toDF()
+    Sinks.upsertIgnoreParquet(replay, dir, Seq("uuid"))
+    // the promoted compacted corpus survived AND the batch appended
+    assert(spark.read.parquet(dir).count() === 120)
+    assert(spark.read.parquet(dir).select("uuid").distinct().count() === 120)
+    // staging leftovers are gone — nothing for a later swap to misread
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "_del")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "_old")))
+    // redelivery still converges (idempotence unchanged by the repair)
+    Sinks.upsertIgnoreParquet(replay, dir, Seq("uuid"))
+    assert(spark.read.parquet(dir).count() === 120)
+    // and a subsequent compact sees the repaired corpus, not an empty one
+    Sinks.compactParquet(spark, dir, targetBytesPerFile = 1L << 20)
+    assert(spark.read.parquet(dir).count() === 120)
+  }
+
   test("upsert-ignore equals union+dropDuplicates on the key (property)") {
     val existing = FakeDataGenerator.users(spark, 80).toDF()
     val incoming = FakeDataGenerator.users(spark, 120).toDF() // 80 overlap
