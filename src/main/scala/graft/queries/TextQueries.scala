@@ -1118,11 +1118,15 @@ object TextQueries extends QueryModule {
   /** Serving parity for a STREAM-MAINTAINED index (north star): the
     * corpus is ingested through the LIVE ingest stream in two
     * micro-batches with the in-stream [[graft.streaming.StreamingJobs
-    * .MaintenancePolicy]] knob on (everyNBatches = 1, keepLast = 2), so
+    * .MaintenancePolicy]] knob on (everyNBatches = 2, keepLast = 2), so
     * the foreachBatch itself runs recover → compact-iff-fragmented →
-    * fsck gate → incremental snapshot → prune after every batch — no
-    * external scheduler (the every-N modulus cadence is pinned by
-    * StreamingMaintenanceSpec at N = 2). The live generation is then POISONED (every
+    * fsck gate → incremental snapshot → prune after the SECOND batch —
+    * no external scheduler, and BOTH due-gate verdicts exercised in one
+    * stream (batch 0 not-due, batch 1 due; r14 ran the full cycle on
+    * every batch, which doubled the fixture-scale job count for no
+    * extra coverage — the restored generation, and therefore the hash,
+    * is identical because the LAST cycle is the one restored from).
+    * The live generation is then POISONED (every
     * doc_id ≡ 0 mod 3 deleted) and rolled back through the LAST
     * in-stream snapshot, and one batched probeAll plan answers three
     * queries. The hash pins, at once: streamed appends produce a corpus
@@ -1160,7 +1164,7 @@ object TextQueries extends QueryModule {
         // compact-iff-fragmented step covers it, and running both would
         // pay the compaction scan twice per due batch
         maintenance = Some(graft.streaming.StreamingJobs
-          .MaintenancePolicy(everyNBatches = 1, keepLast = 2)))
+          .MaintenancePolicy(everyNBatches = 2, keepLast = 2)))
       .start()
     try {
       (0 to 1).foreach { b =>

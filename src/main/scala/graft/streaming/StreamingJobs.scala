@@ -77,6 +77,24 @@ object StreamingJobs {
           retakeTag = true)
     }
 
+  /** A fenced-out batch is normally checkpoint REPLAY (the engine
+    * redelivered a batchId the state already folded) — but batch 0 fenced
+    * by a positive committed id almost always means a FRESH checkpoint
+    * was pointed at an EXISTING statePath: batchIds restart at 0, so
+    * every new batch is silently dropped forever while the state just
+    * stops updating. The pairing contract for every fold job here:
+    * statePath and checkpoint are created and destroyed TOGETHER. Warn
+    * loudly rather than fail — the state is still correct for its own
+    * history, and a genuine replay of batch 0 against committed 0 passes
+    * the fence without entering this path. */
+  private def warnIfMismatchedCheckpoint(batchId: Long, committed: Long,
+      statePath: String): Unit =
+    if (batchId == 0L && committed > 0L)
+      System.err.println(s"[graft] state at $statePath fenced out batch 0 " +
+        s"(committed=$committed): a FRESH checkpoint is replaying against " +
+        "an EXISTING state — statePath and checkpoint must be created and " +
+        "destroyed together; new data is being dropped, not folded")
+
   /** T2: at-least-once → effectively-once via event-time watermark + keyed
     * dedup. State is bounded by the watermark horizon — the streaming
     * equivalent of the JDBC ON CONFLICT absorption. */
@@ -752,11 +770,26 @@ object StreamingJobs {
     *  - Zero-match queries (terms absent from the index) emit no rows —
     *    the inverted-index contract; distinguish "no answer yet" from
     *    "no matches" downstream by joining asks against `outPath`.
-    *  - The job is READ-ONLY on the index. Concurrent single-writer
-    *    mutations swap artifact dirs atomically, so a batch planned
-    *    across a swap can fail its read and retry (at-least-once
-    *    recovers it); for strict generation isolation pass
-    *    `snapshotTag` (below) and roll it on the maintenance cadence.
+    *  - With `snapshotTag = None` the job is READ-ONLY on the index.
+    *    Concurrent single-writer mutations swap artifact dirs
+    *    atomically, so a batch planned across a swap can fail its read
+    *    and retry (at-least-once recovers it); for strict generation
+    *    isolation pass `snapshotTag` (below) and roll it on the
+    *    maintenance cadence.
+    *  - With `snapshotTag = Some(_)` the job is NOT read-only: the
+    *    per-batch [[graft.operators.IndexSnapshots.at]] materializes
+    *    (and, past `snapshotMaxViews`, EVICTS) `.view_*` dirs under the
+    *    index's `_snapshots` store — so a tag-serving stream counts
+    *    against the view store's single-writer discipline. Run AT MOST
+    *    ONE eviction-capable serving stream per index: two such streams
+    *    can delete each other's views mid-scan (transient batch
+    *    failures, spurious IOExceptions from concurrent deletes), and a
+    *    serving stream also races a maintenance stream's own
+    *    dropView/prune/gcObjects. Additional concurrent readers of the
+    *    same index must either serve the live path (`snapshotTag =
+    *    None`) or resolve views out-of-band and never evict. The index
+    *    ARTIFACTS themselves stay untouched either way — "writer" here
+    *    means the `_snapshots` view cache only.
     *  - ROLLING-LATEST HANDOFF: with `snapshotTag = Some(t)`, every
     *    micro-batch re-resolves the tag through
     *    [[graft.operators.IndexSnapshots.at]] and serves THAT frozen
@@ -827,10 +860,12 @@ object StreamingJobs {
     * codes scan, broadcast probe set, ADC fold, per-query top-k) and
     * answers land write-once on (query_id, rank). Same contracts as the
     * text job: unique ids per ask, deterministic intra-batch dedup,
-    * read-only on the index, optional `idFilter` for filtered search
-    * (the q218 semi-join — applied BEFORE ranking, never after),
-    * per-batch `snapshotTag` resolution for the rolling-latest
-    * generation handoff. */
+    * read-only on the index artifacts (with `snapshotTag` set the
+    * stream WRITES the `_snapshots` view cache and counts against its
+    * single-writer discipline — see [[probeOnArrival]]'s contract),
+    * optional `idFilter` for filtered search (the q218 semi-join —
+    * applied BEFORE ranking, never after), per-batch `snapshotTag`
+    * resolution for the rolling-latest generation handoff. */
   def vectorProbeOnArrival(queries: DataFrame, queryIdCol: String,
       vecCol: String, indexPath: String, outPath: String,
       checkpoint: String, k: Int, nProbe: Int,
@@ -966,7 +1001,9 @@ object StreamingJobs {
     * Error contract (mergeable-summaries): across everything folded, any
     * item with true count > n/(capacity+1) is present, and every estimate
     * undercounts by at most n/(capacity+1). Driver-side work per batch is
-    * ≤ 2·capacity map entries — parameter-bounded, corpus-independent. */
+    * ≤ 2·capacity map entries — parameter-bounded, corpus-independent.
+    * statePath↔checkpoint pairing contract: see
+    * [[groupedQuantilesOnArrival]]. */
   def heavyHittersOnArrival(stream: DataFrame, itemCol: String,
       capacity: Int, statePath: String, checkpoint: String)
       : DataStreamWriter[Row] =
@@ -1008,7 +1045,9 @@ object StreamingJobs {
           rows.iterator.collect { case (Some(k), c, _) => k -> c }.toMap))
       } else None
     val committed = prior.map(_._1).getOrElse(-1L)
-    if (batchId <= committed) return // redelivered batch: fenced out
+    if (batchId <= committed) { // redelivered batch: fenced out
+      warnIfMismatchedCheckpoint(batchId, committed, statePath); return
+    }
     val batchCounts = graft.operators.HeavyHitters
       .summarize(batch, itemCol, capacity)
       .as[(String, Long)].collect().toMap
@@ -1056,7 +1095,9 @@ object StreamingJobs {
     * redelivered batch is fenced out — the [[histogramOnArrival]]
     * exactly-once corner. The state is always exactly ONE row (an empty
     * summary is still a row), so the row itself is the fence.
-    * Single-writer contract: one stream per statePath. */
+    * Single-writer contract: one stream per statePath.
+    * statePath↔checkpoint pairing contract: see
+    * [[groupedQuantilesOnArrival]]. */
   def quantilesOnArrival(stream: DataFrame, valueCol: String,
       capacity: Int, statePath: String, checkpoint: String)
       : DataStreamWriter[Row] =
@@ -1084,7 +1125,9 @@ object StreamingJobs {
         Some((r.getAs[Long]("batch_id"),
           graft.operators.QuantileSketch.summaryOfRow(r)))
       } else None
-    if (prior.exists(batchId <= _._1)) return // redelivered: fenced out
+    if (prior.exists(batchId <= _._1)) { // redelivered: fenced out
+      warnIfMismatchedCheckpoint(batchId, prior.get._1, statePath); return
+    }
     val batchSummary =
       graft.operators.QuantileSketch.sketch(batch, valueCol, capacity)
     val merged = prior match {
@@ -1137,7 +1180,13 @@ object StreamingJobs {
     * alive even when a batch drains zero data rows — the
     * [[histogramOnArrival]] corner. `capacity` is fixed per statePath
     * (the grouped merge enforces it where groups meet). Single-writer
-    * contract: one stream per statePath. */
+    * contract: one stream per statePath.
+    *
+    * PAIRING CONTRACT (all fenced fold jobs): statePath and checkpoint
+    * are created and destroyed TOGETHER. A fresh checkpoint restarts
+    * batchIds at 0, so pointing one at an existing statePath makes the
+    * fence silently drop every new batch — the fold warns loudly
+    * ([[warnIfMismatchedCheckpoint]]) when it sees that signature. */
   def groupedQuantilesOnArrival(stream: DataFrame, valueCol: String,
       byCol: String, capacity: Int, statePath: String, checkpoint: String)
       : DataStreamWriter[Row] =
@@ -1164,7 +1213,9 @@ object StreamingJobs {
     val prior: Option[DataFrame] =
       if (fs.exists(live)) Some(spark.read.parquet(live.toString)) else None
     val fence = prior.map(_.agg(max(col("batch_id"))).head().getLong(0))
-    if (fence.exists(batchId <= _)) return // redelivered: fenced out
+    if (fence.exists(batchId <= _)) { // redelivered: fenced out
+      warnIfMismatchedCheckpoint(batchId, fence.get, statePath); return
+    }
     val batchStore = graft.operators.QuantileSketch
       .summarizeToStore(batch, valueCol, byCol, capacity)
     val merged = prior match {
@@ -1215,7 +1266,9 @@ object StreamingJobs {
     * data rows. The bucketing is [[graft.operators.Drift.binOf]], the
     * SAME expression the batch gate uses, so streamed counts are
     * bit-identical to a batch recount of the union of all batches.
-    * Single-writer contract: one stream per statePath. */
+    * Single-writer contract: one stream per statePath.
+    * statePath↔checkpoint pairing contract: see
+    * [[groupedQuantilesOnArrival]]. */
   def histogramOnArrival(stream: DataFrame, valueCol: String, nBins: Int,
       lo: Double, hi: Double, statePath: String, checkpoint: String)
       : DataStreamWriter[Row] =
@@ -1246,7 +1299,10 @@ object StreamingJobs {
         Some((rows.iterator.map(_._3).foldLeft(-1L)(math.max),
           rows.iterator.collect { case (b, n, _) if b >= 0 => b -> n }.toMap))
       } else None
-    if (batchId <= prior.map(_._1).getOrElse(-1L)) return // fenced out
+    if (batchId <= prior.map(_._1).getOrElse(-1L)) { // fenced out
+      warnIfMismatchedCheckpoint(batchId, prior.map(_._1).getOrElse(-1L),
+        statePath); return
+    }
     val batchCounts = graft.operators.Drift
       .binCounts(batch, valueCol, nBins, lo, hi)
       .as[(Long, Long)].collect().toMap // ≤ nBins entries — param-bounded

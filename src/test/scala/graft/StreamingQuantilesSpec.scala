@@ -154,4 +154,69 @@ class StreamingQuantilesSpec extends SparkSpec {
       .collect().toMap
     assert(nStream === nBatch, "per-stratum n must equal the batch store")
   }
+
+  test("mismatched checkpoint signature (fresh batch 0 vs advanced state) " +
+      "warns loudly; genuine replay stays silent") {
+    val dir = Files.createTempDirectory("sq_warn").toString
+    val st = s"$dir/state"
+    def df(lo: Int, hi: Int) =
+      (lo until hi).map(i => (s"g${i % 2}", i.toLong)).toDF("k", "v")
+    StreamingJobs.foldGroupedQuantiles(df(0, 100), 5L, "v", "k", 32, st)
+    def captureErr(body: => Unit): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val orig = System.err
+      // route this thread's warnings into the buffer; suites run in
+      // parallel, so only ASSERT ON CONTENT we caused, never on absence
+      // of unrelated output
+      System.setErr(new java.io.PrintStream(buf, true))
+      try body finally System.setErr(orig)
+      buf.toString
+    }
+    // the misconfiguration signature: a FRESH checkpoint (batchIds
+    // restart at 0) pointed at the advanced state — fenced AND warned
+    val warned = captureErr {
+      StreamingJobs.foldGroupedQuantiles(df(100, 200), 0L, "v", "k", 32, st)
+    }
+    assert(warned.contains("fenced out batch 0"), warned)
+    assert(warned.contains(st), warned)
+    // a genuine replay of the committed id is silent (normal redelivery)
+    val silent = captureErr {
+      StreamingJobs.foldGroupedQuantiles(df(0, 100), 5L, "v", "k", 32, st)
+    }
+    assert(!silent.contains("fenced out"), silent)
+    // and neither path changed the state
+    val est = StreamingJobs.groupedQuantileEstimates(spark, st,
+      "k", Seq(0.5)).collect().toSeq
+    assert(est.map(_.getLong(2)).sum === 100L, "no new data folded")
+  }
+
+  test("long-run ledger stays bounded: 50 grouped folds leave one state " +
+      "generation, no staging leftovers") {
+    val dir = Files.createTempDirectory("sq_bound").toString
+    val st = s"$dir/state"
+    def df(lo: Int, hi: Int) =
+      (lo until hi).map(i => (s"g${i % 2}", i.toLong)).toDF("k", "v")
+    (0 until 50).foreach { b =>
+      StreamingJobs.foldGroupedQuantiles(
+        df(b * 10, b * 10 + 10), b.toLong, "v", "k", 8, st)
+    }
+    val fs = new org.apache.hadoop.fs.Path(st)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // exactly the live generation stands — StagedSwap's swap deletes
+    // `.state_old` at promote time, so superseded generations never
+    // accrete across folds (the index families' auto-compact analogy)
+    val children = fs.listStatus(new org.apache.hadoop.fs.Path(st))
+      .map(_.getPath.getName).toSet
+    assert(children === Set("state"), children.toString)
+    // and the live generation itself is a handful of part files (one
+    // write), not one per fold
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$st/state"))
+      .count(_.getPath.getName.startsWith("part-"))
+    assert(parts <= spark.sparkContext.defaultParallelism * 2,
+      s"state dir fragmenting: $parts part files after 50 folds")
+    // the fold count actually landed (nothing silently fenced)
+    val n = StreamingJobs.groupedQuantileEstimates(spark, st, "k", Seq(0.5))
+      .collect().map(_.getLong(2)).sum
+    assert(n === 500L)
+  }
 }
