@@ -194,6 +194,13 @@ object Bench {
     // counts + scrub-with-GC (q226's lifecycle class); solo 6.22 under
     // a ~2.3x canary
     "q250_snapshot_exposure" -> 6.0,
+    // r15 additions (solo min-of-two under a ~2.1x canary). q251 is two
+    // live streams (serve, then forget fan-out rewriting index +
+    // answers); q252 is the vector q247: PQ+coarse fits, save, two
+    // upsert batches with an in-stream cycle, poison, frozen-tag
+    // serving stream, restore, batch probe, exact reference
+    "q251_answers_erasure" -> 6.5,
+    "q252_vector_stream_gate" -> 15.0,
     "q145_item_sim" -> 2.5,
     "q209_quantile_bins" -> 2.5,
     "q206_quantile_shift" -> 2.0,

@@ -859,6 +859,126 @@ object SimilarityQueries extends QueryModule {
       |  true AS pass_ndcg, true AS pass_mrr
       |FROM nq""".stripMargin
 
+  /** Stream-maintained vector serving gate (north star) — the q247
+    * discipline composed over the IVFADC family, closing the r14
+    * verdict's Next #5: q247 pins the BM25 family's in-stream lifecycle
+    * end-to-end; here EVERY vector data-plane step runs through the live
+    * streams. The chain: fit + save(half), then
+    * [[graft.streaming.StreamingJobs.upsertVectorsOnArrival]] ingests
+    * the other half in two micro-batches with the in-stream
+    * [[graft.streaming.StreamingJobs.MaintenancePolicy]] (everyNBatches
+    * = 2 — the due cycle runs recover → compact-iff-fragmented → fsck
+    * GATE → incremental snapshot → prune after batch 1, freezing the
+    * FULL corpus under the stream's own auto tag). The live generation
+    * is then POISONED (vec_id ≡ 0 mod 3 deleted) and the standing
+    * queries are served by [[graft.streaming.StreamingJobs
+    * .vectorProbeOnArrival]] with `snapshotTag` pointed at the frozen
+    * generation — serving answers must come from the PRE-poison corpus.
+    * Two gate rows under one hash ([[graft.operators.RankMetrics
+    * .gateRow]] integer arithmetic):
+    *  - `..._equals_batch` at saturating floors (5/100/100/100): the
+    *    streamed answers' id sets equal a batch
+    *    [[graft.operators.ProductQuantizer.probeSaved]] over the
+    *    RESTORED generation, query for query — a stale view, a
+    *    generation mix, or serving the poisoned live all change the id
+    *    sets and trip it;
+    *  - `..._quality` at q227's conservative floors (0/10/10/10) vs
+    *    exact cosine top-k over the full corpus: the frozen generation
+    *    retains the in-memory variant's recall/nDCG/MRR quality.
+    * Re-runnable by design (scratch root cleared at entry). */
+  private def q252VectorStreamGate(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).cache()
+    val queries = emb.filter($"vec_id" < 10)
+    val root = graft.core.Scratch.dir(dir, "pqsmg")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath) && !fs.delete(rootPath, true))
+      throw new java.io.IOException(s"cannot reset scratch $root")
+    val path = s"$root/index"
+    val feed = s"$root/feed"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(feed))
+    val pq = graft.operators.ProductQuantizer.fit(
+      emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val coarse = graft.operators.KMeans.fit(
+      emb, "vec_id", "embedding", k = 8, iters = 2)
+    graft.operators.ProductQuantizer.save(
+      emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      coarse, pq, path, residual = false)
+    val vecs = emb.select($"vec_id", $"embedding")
+    val ingest = graft.streaming.StreamingJobs.upsertVectorsOnArrival(
+        spark.readStream.schema(vecs.schema).parquet(feed),
+        "vec_id", "embedding", path, s"$root/ckpt",
+        clearCachePerBatch = false,
+        maintenance = Some(graft.streaming.StreamingJobs
+          .MaintenancePolicy(everyNBatches = 2, keepLast = 2)))
+      .start()
+    try {
+      Seq(1, 3).foreach { r =>
+        vecs.filter($"vec_id" % 4 === r).write.mode("append").parquet(feed)
+        ingest.processAllAvailable()
+      }
+    } finally ingest.stop()
+    // the stream's own due-batch snapshot froze the FULL corpus
+    val tag = graft.operators.IndexSnapshots.list(spark, path)
+      .agg(max($"tag")).head().getString(0)
+    // poison the live generation: frozen-tag serving must not see this
+    graft.operators.ProductQuantizer.delete(spark, path,
+      emb.filter($"vec_id" % 3 === 0).select($"vec_id"))
+    val out = s"$root/answers"
+    val qfeed = s"$root/qfeed"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(qfeed))
+    val serve = graft.streaming.StreamingJobs.vectorProbeOnArrival(
+        spark.readStream.schema(vecs.schema).parquet(qfeed),
+        "vec_id", "embedding", path, out, s"$root/qckpt",
+        k = 5, nProbe = 3, clearCachePerBatch = false,
+        snapshotTag = Some(tag))
+      .start()
+    try {
+      queries.select($"vec_id", $"embedding").write.mode("append").parquet(qfeed)
+      serve.processAllAvailable()
+    } finally serve.stop()
+    val ann = spark.read.parquet(out).select($"query_id", $"id", $"rank")
+    // restore undoes the poison; equality then says the served view WAS
+    // the frozen full generation
+    graft.operators.IndexSnapshots.restore(spark, path, tag)
+    val batch = graft.operators.ProductQuantizer.probeSaved(
+        queries, "vec_id", "embedding", spark, path, k = 5, nProbe = 3)
+      .select($"query_id", $"id")
+    val exact = Similarity.cosineTopK(queries, emb, "vec_id", "embedding",
+        k = 5)
+      .select($"query_id", $"neighbor_id".as("id"))
+    graft.operators.RankMetrics.gateRow("ivfadc_stream_served_equals_batch",
+        ann, batch, "query_id", "id", "rank", k = 5,
+        minHitsFloor = 5, meanPctFloor = 100, ndcgPctFloor = 100,
+        mrrPctFloor = 100)
+      .unionAll(graft.operators.RankMetrics.gateRow(
+        "ivfadc_stream_served_quality", ann, exact,
+        "query_id", "id", "rank", k = 5,
+        minHitsFloor = 0, meanPctFloor = 10, ndcgPctFloor = 10,
+        mrrPctFloor = 10))
+      .orderBy($"variant")
+  }
+
+  /** The constant expectation table: the streamed-serving gate rows at
+    * their floors — set equality with the restored-generation batch
+    * probe at saturating floors, quality at q227's conservative ones. */
+  private val q252Sql =
+    """WITH nq AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 10),
+      |exp(variant, min_hits_floor, mean_pct_floor, ndcg_pct_floor, mrr_pct_floor) AS (VALUES
+      |  ('ivfadc_stream_served_equals_batch', 5, 100, 100, 100),
+      |  ('ivfadc_stream_served_quality', 0, 10, 10, 10))
+      |SELECT variant, CAST(nq.n AS BIGINT) AS n_queries,
+      |  CAST(min_hits_floor AS BIGINT) AS min_hits_floor,
+      |  CAST(mean_pct_floor AS BIGINT) AS mean_pct_floor,
+      |  CAST(ndcg_pct_floor AS BIGINT) AS ndcg_pct_floor,
+      |  CAST(mrr_pct_floor AS BIGINT) AS mrr_pct_floor,
+      |  true AS pass_min, true AS pass_mean,
+      |  true AS pass_ndcg, true AS pass_mrr
+      |FROM exp CROSS JOIN nq
+      |ORDER BY variant""".stripMargin
+
   /** MMR diversified retrieval ([[graft.operators.Similarity.mmrTopK]],
     * λ = 0.6, pool 20 → top-5): the redundancy-penalized selection a
     * retrieval or exemplar-sampling pass runs after top-k. Greedy and
@@ -1905,5 +2025,7 @@ object SimilarityQueries extends QueryModule {
     Q("q168_hamming_pairs", q168HammingPairs, Some(q168Sql),
       "covering-code hamming band join vs brute-force oracle on synthesized fingerprints (north star)"),
     Q("q249_audio_envelope_oracle", q249AudioEnvelopeOracle, Some(q249Sql),
-      "audio eHash cross-engine verdict: real WAV decode -> envelope order bits -> near-dup pairs vs relational replay (north star)"))
+      "audio eHash cross-engine verdict: real WAV decode -> envelope order bits -> near-dup pairs vs relational replay (north star)"),
+    Q("q252_vector_stream_gate", q252VectorStreamGate, Some(q252Sql),
+      "stream-maintained IVFADC serving gate: in-stream snapshot + poison + frozen-tag serving == restored-generation batch probe, plus quality floors (north star)"))
 }

@@ -1245,6 +1245,104 @@ object TextQueries extends QueryModule {
       |SELECT 'standing' AS stage, 'post' AS tag, CAST(0 AS BIGINT) AS n
       |ORDER BY stage, tag""".stripMargin
 
+  /** Served-answers erasure (north star): the LAST place a forgotten
+    * document stood. The forget fan-out scrubs the index families,
+    * standing snapshots (q250), and the curated corpus — but the probe
+    * streams' answer dirs retain forgotten doc_ids as ranked hits. The
+    * chain, every data-plane step through the LIVE streams: the three
+    * standing queries are served by [[graft.streaming.StreamingJobs
+    * .probeOnArrival]] into a write-once answers dir, then an erasure
+    * feed drains through [[graft.streaming.StreamingJobs
+    * .forgetOnArrival]] fanning out to the index AND the
+    * [[graft.streaming.StreamingJobs.ServedAnswersAt]] target (doc_id ≡
+    * 0 mod 5 forgotten). The hash pins GAP semantics cross-engine: the
+    * oracle recomputes the FULL-corpus ranking (answers were served
+    * before the erasure, so surviving scores and rank numbers are the
+    * pre-erasure ones) and drops the forgotten rows KEEPING their rank
+    * numbers — a recompacted rank, a stale surviving hit, or an
+    * over-deleted survivor all fail the compare. Re-runnable by design
+    * (scratch root cleared at entry — bench's passes each drive fresh
+    * streams). */
+  private def q251AnswersErasure(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val root = graft.core.Scratch.dir(dir, "anserase")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath) && !fs.delete(rootPath, true))
+      throw new java.io.IOException(s"cannot reset scratch $root")
+    val idx = s"$root/index"
+    val out = s"$root/answers"
+    graft.operators.TextIndex.save(docs, "doc_id", "text", idx)
+    val queries = Seq(
+      (0L, Seq("spark", "merge", "join")),
+      (1L, Seq("window")),
+      (2L, Seq("vector", "scan"))).toDF("query_id", "terms")
+    val qfeed = s"$root/qfeed"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(qfeed))
+    val serve = graft.streaming.StreamingJobs.probeOnArrival(
+        spark.readStream.schema(queries.schema).parquet(qfeed),
+        "query_id", "terms", idx, out, s"$root/sckpt", k = 10,
+        clearCachePerBatch = false)
+      .start()
+    try {
+      queries.write.mode("append").parquet(qfeed)
+      serve.processAllAvailable()
+    } finally serve.stop()
+    val forgetIds = docs.filter($"doc_id" % 5 === 0).select($"doc_id")
+    val ffeed = s"$root/ffeed"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(ffeed))
+    val forget = graft.streaming.StreamingJobs.forgetOnArrival(
+        spark.readStream.schema(forgetIds.schema).parquet(ffeed), "doc_id",
+        Seq(graft.streaming.StreamingJobs.TextIndexAt(idx),
+          graft.streaming.StreamingJobs.ServedAnswersAt(out, "doc_id")),
+        s"$root/fckpt", clearCachePerBatch = false)
+      .start()
+    try {
+      forgetIds.write.mode("append").parquet(ffeed)
+      forget.processAllAvailable()
+    } finally forget.stop()
+    spark.read.parquet(out)
+      .select($"query_id", $"doc_id", $"score", $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** q225's relational replay MINUS the forgotten rows, rank numbers
+    * KEPT (the gap-semantics pin): scores and ranks compute over the
+    * FULL corpus — the answers were served before the erasure — and the
+    * forgotten filter applies AFTER ranking. */
+  private val q251Sql =
+    """WITH q(query_id, term) AS (VALUES
+      |  (0, 'spark'), (0, 'merge'), (0, 'join'),
+      |  (1, 'window'),
+      |  (2, 'vector'), (2, 'scan')),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |         FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |       FROM documents),
+      |stats AS (SELECT COUNT(*) AS n,
+      |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |contrib AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1) * (tf.tf * 2.2) /
+      |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS c
+      |  FROM q JOIN tf USING (term) JOIN df USING (term)
+      |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s),
+      |scored AS (SELECT query_id, doc_id, round(SUM(c), 6) AS score
+      |  FROM contrib GROUP BY 1, 2),
+      |ranked AS (SELECT query_id, doc_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+      |  CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 10 AND doc_id % 5 <> 0
+      |ORDER BY query_id, rank""".stripMargin
+
   /** MinHash screen recall AFTER the index lifecycle (north star): q71
     * gates the banding screen's recall over a fresh save; this gates it
     * over the mutation chain a production dedup index actually lives on
@@ -3692,6 +3790,8 @@ object TextQueries extends QueryModule {
       "MinHash screen recall gate AFTER save/append/delete/compact: every true near-dup caught, zero stale matches on deleted ids (north star)"),
     Q("q250_snapshot_exposure", q250SnapshotExposure, Some(q250Sql),
       "right-to-be-forgotten vs snapshots: exposure report per standing tag, scrub drops exposed tags, clean tag survives (north star)"),
+    Q("q251_answers_erasure", q251AnswersErasure, Some(q251Sql),
+      "right-to-be-forgotten vs SERVED ANSWERS: live serve stream, then forget fan-out erases ranked hits under gap semantics — original ranks kept, forgotten rows gone (north star)"),
     Q("q220_index_upsert", q220IndexUpsert, Some(q220Sql),
       "upsert on the persisted BM25 index: edited docs replace, fresh docs insert, stats corrected, under one hash (north star)"),
     // q221 deliberately SHARES q119Sql (the q121 precedent): its claim is

@@ -638,6 +638,45 @@ object StreamingJobs {
     def idArtifact = "" // bare corpus dirs carry no snapshot store
     def idColName(spark: SparkSession): String = idColumn
   }
+  /** A streaming-serving ANSWERS directory — the write-once
+    * (query_id, rank, hit, …) rows [[probeOnArrival]] /
+    * [[vectorProbeOnArrival]] upsert — as an erasure target: rows whose
+    * HIT column (`hitColumn`: doc_id / id) references a forgotten id are
+    * dropped. This is VALUE-COLUMN erasure — the forgotten id stands in
+    * served results as a ranked hit, not as the row key — and it was the
+    * last place a forgotten document survived after the index families,
+    * standing snapshots, and the curated corpus were all scrubbed.
+    *
+    * GAP SEMANTICS, deliberately: surviving ranks keep their original
+    * numbers (…, 3, 5, …) rather than being recompacted. Recompaction
+    * would (a) falsify the serving record — rank is part of the answer
+    * that was actually served, and an answer list that never existed
+    * must not be fabricated after the fact; (b) rewrite the write-once
+    * (query_id, rank) KEYS, re-opening the vacated keys to any replayed
+    * probe batch and breaking the first-committed-answer contract. The
+    * gaps themselves are the audit trail: a missing rank says "a result
+    * stood here and was erased".
+    *
+    * Replay window: a probe batch replayed AFTER the index delete
+    * re-scores against the post-delete index and cannot re-emit the
+    * forgotten id; only a probe batch in flight ACROSS the erasure could
+    * land a stale hit, and the forget stream's own at-least-once replay
+    * then re-erases it — the same convergence story as every other
+    * target. The rewrite itself is the [[ParquetCorpusAt]] anti-join
+    * under the StagedSwap discipline (recover-first, idempotent, absent
+    * ids are no-ops); no snapshot store applies to a bare answers dir,
+    * so the scrub half is a no-op by construction. */
+  final case class ServedAnswersAt(path: String, hitColumn: String)
+      extends ErasureTarget {
+    def family = "served_answers"
+    private val rewrite = ParquetCorpusAt(path, hitColumn)
+    def delete(spark: SparkSession, ids: DataFrame): Unit =
+      rewrite.delete(spark, ids)
+    def rows(spark: SparkSession): Long = rewrite.rows(spark)
+    def idArtifact = "" // bare answers dirs carry no snapshot store
+    def idColName(spark: SparkSession): String = hitColumn
+  }
+
   /** [[graft.operators.IvfIndex]] (exact-vector IVF) at `path`. */
   final case class IvfIndexAt(path: String) extends ErasureTarget {
     def family = "ivf_exact"

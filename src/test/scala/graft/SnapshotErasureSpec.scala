@@ -97,6 +97,72 @@ class SnapshotErasureSpec extends SparkSpec {
       s"corpus audit must prove the exact removal: $a")
   }
 
+  test("ServedAnswersAt: forgotten doc_ids leave the served-answers dir " +
+      "under GAP semantics — survivors byte-identical with ORIGINAL " +
+      "ranks, redelivery converges, audit rows land") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("scrub_answers").toString
+    val (idx, out, audit) = (s"$dir/index", s"$dir/out", s"$dir/audit")
+    TextIndex.save(docs, "doc_id", "text", idx)
+    // serve two asks through the live stream into the write-once dir
+    val asks = MemoryStream[(Long, Seq[String])]
+    val serve = StreamingJobs.probeOnArrival(
+        asks.toDF().toDF("query_id", "terms"), "query_id", "terms",
+        idx, out, s"$dir/sckpt", k = 5, clearCachePerBatch = false)
+      .start()
+    try {
+      asks.addData((1L, Seq("spark")), (2L, Seq("spark", "w_c8_3")))
+      serve.processAllAvailable()
+    } finally serve.stop()
+    val before = spark.read.parquet(out)
+      .select($"query_id", $"doc_id", $"score", $"rank")
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(before.nonEmpty)
+    // forget a doc that IS a served hit (so the erasure bites) — pick the
+    // rank-2 hit of query 1 so a surviving rank stands on each side
+    val victim = before.filter(_._1 == 1L).find(_._4 == 2L).map(_._2).get
+    val forget = MemoryStream[Long]
+    val q = StreamingJobs.forgetOnArrival(
+        forget.toDF().toDF("doc_id"), "doc_id",
+        Seq(StreamingJobs.TextIndexAt(idx),
+          StreamingJobs.ServedAnswersAt(out, "doc_id")),
+        s"$dir/fckpt", clearCachePerBatch = false,
+        auditPath = Some(audit))
+      .start()
+    try {
+      forget.addData(victim)
+      q.processAllAvailable()
+      // redelivery (same id again) must converge, not error or re-delete
+      forget.addData(victim)
+      q.processAllAvailable()
+    } finally q.stop()
+    val after = spark.read.parquet(out)
+      .select($"query_id", $"doc_id", $"score", $"rank")
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // survivors byte-identical: exactly the pre-erasure rows minus every
+    // row that served the victim — scores AND rank numbers untouched
+    assert(after === before.filterNot(_._2 == victim),
+      "survivors must keep their original scores and ranks")
+    // GAP semantics: rank 2 of query 1 is a hole, ranks 1 and 3 stand
+    val q1Ranks = after.filter(_._1 == 1L).map(_._4)
+    assert(!q1Ranks.contains(2L), "the erased rank must stay a gap")
+    assert(q1Ranks.contains(1L) && q1Ranks.contains(3L),
+      "neighboring ranks must survive un-recompacted")
+    // no doc_id anywhere references the forgotten id
+    assert(after.forall(_._2 != victim))
+    // the index target converged too (the fan-out ran both)
+    assert(spark.read.parquet(s"$idx/docs")
+      .filter($"doc_id" === victim).count() === 0L)
+    // audit: served_answers rows_before/rows_after prove the removal
+    val a = spark.read.parquet(audit)
+      .filter($"family" === "served_answers" && $"batch_id" === 0L)
+      .select($"rows_before", $"rows_after").as[(Long, Long)].head()
+    assert(a === ((before.size.toLong, after.size.toLong)), a.toString)
+  }
+
   test("forgetOnArrival with scrubSnapshots drops exposed tags on EVERY " +
       "fanned-out family and records the :snapshots audit rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
