@@ -229,12 +229,15 @@ object Bench {
   //    sample, recorded as -3.0 in the samples map) and only invalid
   //    queries still get isolated rescue re-measures.
   // Sample legend (samples map in bench_full.json): >=0 seconds;
-  // -1 failure; -2 watchdog timeout; -3 skipped for wall budget (in
-  // pass 2 the pass-1 sample governs; a pass-1 skip — deep-throttle
-  // hosts only — leaves the query to the isolated rescue). A query's
-  // headline value is the MIN OVER VALID samples — one timed-out pass
-  // marks a throttle phase, not the query; a genuine failure fails both
-  // passes and stays -1.
+  // -1 failure; -2 watchdog timeout (task unwound inside the 5 s grace);
+  // -2.5 watchdog timeout with a ZOMBIE (the cancelled task outlived the
+  // grace — its jobs may still run, contaminating successors — or the
+  // same query's next sample was skipped while the zombie lived);
+  // -3 skipped for wall budget / global deadline (in pass 2 the pass-1
+  // sample governs; a pass-1 skip — deep-throttle hosts only — leaves
+  // the query to the isolated rescue). A query's headline value is the
+  // MIN OVER VALID samples — one timed-out pass marks a throttle phase,
+  // not the query; a genuine failure fails both passes and stays -1.
   private val sampleCapFactor =
     sys.env.get("SPARK_GRAFT_SAMPLE_CAP_FACTOR").map(_.toDouble).getOrElse(10.0)
   private val sampleCapMinSec =
@@ -253,6 +256,30 @@ object Bench {
     sys.env.get("SPARK_GRAFT_WARMUP_CAP").map(_.toDouble).getOrElse(30.0)
   private val warmupBudgetSec =
     sys.env.get("SPARK_GRAFT_WARMUP_BUDGET_SEC").map(_.toDouble).getOrElse(600.0)
+
+  // ---- ONE GLOBAL DEADLINE over ALL phases (r15 verdict #1) --------------
+  // BENCH_r15 died rc=124 even with the watchdog + wall budget firing,
+  // because the r15 budgets were PER-PHASE and additive: JVM/sbt startup,
+  // the 600 s warmup budget, the 1500 s timed budget, the 1.2x rescue
+  // grace, the UNBUDGETED contracts phase, and teardown summed past the
+  // driver's 3600 s kill under a deep-throttle phase (~3% of one core).
+  // The fix is a single finish-by deadline measured from JVM START (the
+  // RuntimeMXBean start time, so the in-process sbt load is charged too):
+  // EVERY phase checks it — warmup, both passes, rescues, AND contracts —
+  // and when it nears, the run skips straight to artifact write + the
+  // stdout line. reserveSec is held back for artifact formatting + the
+  // (watchdogged) spark.stop() + JVM exit. A degraded-but-parsed artifact
+  // beats a complete-but-killed one, globally applied.
+  private val deadlineSec =
+    sys.env.get("SPARK_GRAFT_DEADLINE_SEC").map(_.toDouble).getOrElse(2400.0)
+  private val reserveSec = 90.0
+  private val jvmStartMs =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+  private def sinceJvmStartSec: Double =
+    (System.currentTimeMillis() - jvmStartMs) / 1e3
+  /** Seconds left before the global deadline, after the teardown reserve.
+    * <= 0 means: stop sampling, ship the artifact now. */
+  private def remainingSec: Double = deadlineSec - reserveSec - sinceJvmStartSec
 
   private def capSecFor(name: String): Double =
     math.max(sampleCapFactor * anchorSec.getOrElse(name, defaultAnchorSec),
@@ -286,12 +313,33 @@ object Bench {
     // daemon thread under a dedicated job group; on cap expiry cancel the
     // group's jobs (interruptOnCancel), give the task a 5 s grace to
     // unwind, cancel once more (an iterative query may have launched a
-    // fresh job between the two), and record the timeout marker.
+    // fresh job between the two), and record the timeout marker: -2.0
+    // when the task unwound inside the grace, -2.5 when it did NOT
+    // (a cancellation-resistant ZOMBIE whose jobs may still be running —
+    // its successors' samples are contamination-suspect, and the same
+    // query's next sample is SKIPPED with -2.5 while the zombie lives,
+    // because re-entering the query would race its scratch-root reset).
+    // The per-sample cap is additionally clamped to the global deadline's
+    // remaining seconds, so no single sample can run the JVM past it.
     // (t0 = sample start, epoch millis; sec = duration; see legend above)
     final case class Sample(t0: Long, sec: Double)
+    val zombies = scala.collection.mutable.Map[String, java.util.concurrent.Future[Unit]]()
     def timeOnceAt(name: String, sf: String, capSec: Double,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Sample = {
       val start = System.currentTimeMillis()
+      zombies.get(name).foreach { z =>
+        // give this query's prior zombie a bounded chance to die; if it
+        // outlives the wait, do NOT relaunch over its live scratch state
+        val wait = System.nanoTime() + 15000000000L
+        while (!z.isDone && System.nanoTime() < wait) Thread.sleep(100)
+        if (z.isDone) zombies.remove(name)
+        else {
+          System.err.println(s"[bench] $name SKIPPED: prior zombie still running")
+          return Sample(start, -2.5)
+        }
+      }
+      val effCapSec = math.min(capSec, math.max(1.0, remainingSec))
+      if (remainingSec <= 0) return Sample(start, -3.0)
       val t0 = System.nanoTime()
       val group = s"bench-$name-$start"
       val task = watchdogPool.submit(new java.util.concurrent.Callable[Unit] {
@@ -303,7 +351,7 @@ object Bench {
         }
       })
       val sec = try {
-        task.get(math.max(1L, (capSec * 1000).toLong),
+        task.get(math.max(1L, (effCapSec * 1000).toLong),
           java.util.concurrent.TimeUnit.MILLISECONDS)
         (System.nanoTime() - t0) / 1e9
       } catch {
@@ -313,8 +361,16 @@ object Bench {
           val grace = System.nanoTime() + 5000000000L
           while (!task.isDone && System.nanoTime() < grace) Thread.sleep(100)
           spark.sparkContext.cancelJobGroup(group)
-          System.err.println(f"[bench] $name TIMEOUT after $capSec%.0f s cap — cancelled")
-          -2.0
+          if (task.isDone) {
+            System.err.println(f"[bench] $name TIMEOUT after $effCapSec%.0f s cap — cancelled")
+            -2.0
+          } else {
+            zombies(name) = task
+            System.err.println(f"[bench] $name TIMEOUT after $effCapSec%.0f s cap — " +
+              "ZOMBIE (grace expired with the task still running; follow-on " +
+              "samples are contamination-suspect)")
+            -2.5
+          }
         case e: Throwable =>
           val cause = Option(e.getCause).getOrElse(e)
           System.err.println(s"[bench] $name FAILED: ${cause.getMessage}")
@@ -334,7 +390,11 @@ object Bench {
     val warmupStart = System.nanoTime()
     var warmupSkipped = 0
     selected.foreach { case (name, fn) =>
-      if ((System.nanoTime() - warmupStart) / 1e9 > warmupBudgetSec)
+      // global-deadline check: warmup may not eat into the nominal timed
+      // budget — stop early so the passes (which degrade gracefully on
+      // their own) get their full window under the deadline
+      if ((System.nanoTime() - warmupStart) / 1e9 > warmupBudgetSec ||
+          remainingSec < wallBudgetSec)
         warmupSkipped += 1
       else timeOnceAt(name, "/root/testdata/sf0.001", warmupCapSec, fn)
     }
@@ -356,7 +416,8 @@ object Bench {
     // outcome on a host that unusable, and the artifact still ships.
     val p1Start = System.nanoTime()
     val pass1 = selected.map { case (name, fn) =>
-      name -> (if (elapsedSec > wallBudgetSec) Sample(0L, -3.0)
+      name -> (if (elapsedSec > wallBudgetSec || remainingSec <= 0)
+                 Sample(0L, -3.0)
                else timeOnce(name, fn))
     }
     val p1Wall = (System.nanoTime() - p1Start) / 1e9
@@ -369,7 +430,8 @@ object Bench {
     // truncated-but-parsed artifact beats a complete-but-killed one.
     val p2Start = System.nanoTime()
     val pass2 = selected.map { case (name, fn) =>
-      name -> (if (elapsedSec > wallBudgetSec) Sample(0L, -3.0)
+      name -> (if (elapsedSec > wallBudgetSec || remainingSec <= 0)
+                 Sample(0L, -3.0)
                else timeOnce(name, fn))
     }
     val p2Wall = (System.nanoTime() - p2Start) / 1e9
@@ -397,7 +459,7 @@ object Bench {
     val rescues = sweepMin.collect { case (name, t) if t < 0 => name }.toSeq.sorted
     val suspects = rescues ++ overAnchor
     val isolated = suspects.flatMap { name =>
-      if (elapsedSec > wallBudgetSec * 1.2) None
+      if (elapsedSec > wallBudgetSec * 1.2 || remainingSec <= 0) None
       else {
         System.gc()
         Some(name -> timeOnce(name, selected(name)).sec)
@@ -413,20 +475,50 @@ object Bench {
     // bound) are oracle-checked at sf0.01 — here the same frames are
     // evaluated at the sweep's SF so a sketch drifting only at volume
     // shows up in the bench artifact, not just in toy-scale specs.
+    // The contracts phase runs under the SAME watchdog + global deadline
+    // as any sample (r15 verdict #1: this phase was unbudgeted and helped
+    // blow the driver's kill under deep throttle). A contract that cannot
+    // be evaluated before the deadline (or that times out) records null —
+    // "not verified this run", distinct from a genuine false.
     val contractNames = Seq("q108_profile_contract", "q72_sketch_bounds",
       "q123_cm_contract").filter(selected.contains)
-    val contracts = contractNames.map { name =>
-      val ok = try {
-        import org.apache.spark.sql.functions.{coalesce, col, lit, min}
-        val df = selected(name)(spark, sfDir)
-        val boolCols = df.schema.fields
-          .filter(_.dataType == org.apache.spark.sql.types.BooleanType).map(_.name)
-        boolCols.isEmpty ||
-          df.select(boolCols.toSeq.map(c =>
-              min(coalesce(col(c).cast("int"), lit(0))).as(c)): _*)
-            .head().toSeq.forall(_ == 1)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] contract $name FAILED: ${e.getMessage}"); false }
+    val contracts: Seq[(String, Option[Boolean])] = contractNames.map { name =>
+      val ok: Option[Boolean] =
+        if (remainingSec <= 0) None
+        else {
+          val cap = math.min(capSecFor(name), math.max(1.0, remainingSec))
+          val group = s"bench-contract-$name-${System.currentTimeMillis()}"
+          val task = watchdogPool.submit(
+            new java.util.concurrent.Callable[Boolean] {
+              def call(): Boolean = {
+                spark.sparkContext.setJobGroup(group, s"contract $name",
+                  interruptOnCancel = true)
+                try {
+                  import org.apache.spark.sql.functions.{coalesce, col, lit, min}
+                  val df = selected(name)(spark, sfDir)
+                  val boolCols = df.schema.fields
+                    .filter(_.dataType == org.apache.spark.sql.types.BooleanType)
+                    .map(_.name)
+                  boolCols.isEmpty ||
+                    df.select(boolCols.toSeq.map(c =>
+                        min(coalesce(col(c).cast("int"), lit(0))).as(c)): _*)
+                      .head().toSeq.forall(_ == 1)
+                } finally spark.sparkContext.clearJobGroup()
+              }
+            })
+          try Some(task.get(math.max(1L, (cap * 1000).toLong),
+            java.util.concurrent.TimeUnit.MILLISECONDS))
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              spark.sparkContext.cancelJobGroup(group)
+              task.cancel(true)
+              System.err.println(f"[bench] contract $name TIMEOUT after $cap%.0f s — null")
+              None
+            case e: Throwable =>
+              System.err.println(s"[bench] contract $name FAILED: ${e.getMessage}")
+              Some(false)
+          }
+        }
       spark.catalog.clearCache()
       name -> ok
     }
@@ -445,16 +537,19 @@ object Bench {
     val isoJson = fmtMap(suspects.filter(isolated.contains).map { name =>
       name -> s"""{"sweep":${ms(sweepMin(name))},"isolated":${ms(isolated(name))}}"""
     })
-    val contractsJson = fmtMap(contracts.map { case (k, v) => k -> v.toString })
+    val contractsJson = fmtMap(contracts.map { case (k, v) =>
+      k -> v.map(_.toString).getOrElse("null") })
     val total = results.values.filter(_ >= 0).sum
     val nFail = results.values.count(_ < 0)
-    val nTimeout = (pass1.values ++ pass2.values).count(_.sec == -2.0)
+    val nTimeout = (pass1.values ++ pass2.values)
+      .count(s => s.sec == -2.0 || s.sec == -2.5)
     // Full diagnostic artifact (per-sample timestamps, pass walls) goes to
     // a FILE: BENCH_r07/r08 landed "parsed": null because the driver keeps
     // only a truncated stdout tail and the samples map blew the line past
     // the cut. Stdout gets a compact line the tail always fits.
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""started":$started,"pass_wall":[$p1Wall,$p2Wall],""" +
+      s""""deadline_sec":$deadlineSec,"since_jvm_start":${ms(sinceJvmStartSec)},""" +
       s""""budget_sec":$wallBudgetSec,"pass1_skipped":$pass1Skipped,""" +
       s""""pass2_skipped":$pass2Skipped,""" +
       s""""n_timeout":$nTimeout,"warmup_skipped":$warmupSkipped,""" +
@@ -468,7 +563,16 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
     }
-    spark.stop()
+    // spark.stop() itself is deadline-guarded: a teardown hang (zombie
+    // tasks, a stuck listener) must not outlive the reserve — the stdout
+    // line ships regardless, on a daemon thread's best effort.
+    val stopTask = watchdogPool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = spark.stop()
+    })
+    try stopTask.get(60L, java.util.concurrent.TimeUnit.SECONDS)
+    catch { case _: Throwable =>
+      System.err.println("[bench] spark.stop() did not finish in 60 s — proceeding")
+    }
     // The driver-parsed line is printed LAST, after spark.stop(), so no
     // late executor/console output can land below it in the stdout tail.
     // The line must stay WELL under the driver's retained tail (r7–r9 all

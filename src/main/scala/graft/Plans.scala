@@ -76,7 +76,8 @@ object Plans {
       "q237_sentence_stats", "q238_lttb", "q239_calibration",
       "q240_decayed_leaders", "q241_readability", "q242_homoglyph_dedup", "q243_corpus_health", "q244_k_anonymity", "q245_m4", "q246_skeleton_decontam",
       "q247_stream_maintained_probe", "q248_minhash_lifecycle_recall",
-      "q249_audio_envelope_oracle", "q250_snapshot_exposure")
+      "q249_audio_envelope_oracle", "q250_snapshot_exposure",
+      "q251_answers_erasure", "q252_vector_stream_gate")
     picks.foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -65,19 +65,25 @@ object IndexAudit {
     val side = docs.agg(count(lit(1)),
       coalesce(sum(col("dl")), lit(0L))).collect().head
     val (nSide, sdlSide) = (side.getLong(0), side.getLong(1))
-    // one pass over postings: placement violations + per-doc presence
+    // two passes over postings, not four (r16): the placement scan needs
+    // (bucket, term); every id-level check shares ONE cached per-doc
+    // distinct frame
     val misplaced = postings
       .filter(col("bucket") =!= pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .count()
-    val orphans = postings.select(col("doc_id")).distinct()
-      .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
-    val missing = docs.filter(col("dl") > 0).select(col("doc_id"))
-      .join(postings.select(col("doc_id")).distinct(), Seq("doc_id"),
-        "left_anti").count()
-    val dlMismatch = postings.select(col("doc_id"), col("dl").as("__pdl"))
-      .distinct()
-      .join(docs.select(col("doc_id"), col("dl")), Seq("doc_id"))
-      .filter(col("__pdl") =!= col("dl")).count()
+    val pd = postings.select(col("doc_id"), col("dl").as("__pdl"))
+      .distinct().cache()
+    val (orphans, missing, dlMismatch) = try {
+      val pids = pd.select(col("doc_id")).distinct()
+      val o = pids
+        .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
+      val m = docs.filter(col("dl") > 0).select(col("doc_id"))
+        .join(pids, Seq("doc_id"), "left_anti").count()
+      val d = pd
+        .join(docs.select(col("doc_id"), col("dl")), Seq("doc_id"))
+        .filter(col("__pdl") =!= col("dl")).count()
+      (o, m, d)
+    } finally pd.unpersist()
     unionAll(Seq(
       row(spark, "text", "n_docs", nSide, nSide == n),
       row(spark, "text", "sum_dl", sdlSide, sdlSide == sdl),
@@ -96,11 +102,14 @@ object IndexAudit {
     val fanout = banded.groupBy(col("id"))
       .agg(countDistinct(col("band_idx")).as("__b"))
       .filter(col("__b") =!= bands.toLong).count()
-    val orphanBands = banded.select(col("id")).distinct()
-      .join(sigs.distinct(), Seq("id"), "left_anti").count()
-    val missingBands = sigs.distinct()
-      .join(banded.select(col("id")).distinct(), Seq("id"), "left_anti")
-      .count()
+    // one cached distinct-id frame serves both membership directions
+    // (r16; was two more full scans of the band layout)
+    val bandIds = banded.select(col("id")).distinct().cache()
+    val (orphanBands, missingBands) = try {
+      val o = bandIds.join(sigs.distinct(), Seq("id"), "left_anti").count()
+      val m = sigs.distinct().join(bandIds, Seq("id"), "left_anti").count()
+      (o, m)
+    } finally bandIds.unpersist()
     unionAll(Seq(
       row(spark, "minhash", "sig_rows", nSigs, true),
       row(spark, "minhash", "band_fanout_violations", fanout, fanout == 0L),

@@ -212,7 +212,11 @@ object IvfIndex {
     // writes would trip the fragmentation policy compact can't clear
     model.toDF(vectors.sparkSession)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    // list-aligned write (the compact layout): ~one file per list dir,
+    // not input-partitions × lists — a fresh save must not instantly
+    // flag IndexMaintenance.needsCompact
     assign(vectors, idCol, vecCol, model.toDF(vectors.sparkSession))
+      .repartition(model.centroids.size, col("list_id"))
       .write.partitionBy("list_id").mode("overwrite").parquet(s"$dir/lists")
     distProfile(vectors, vecCol, model)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
@@ -309,7 +313,20 @@ object IvfIndex {
     val spark = vectors.sparkSession
     recover(spark, dir)
     val centroids = spark.read.parquet(s"$dir/centroids")
-    assign(vectors, idCol, vecCol, centroids)
+    val nLists = centroids.count().toInt
+    // type homogeneity: coerce the batch's vector column to the SAVED
+    // element type. An index mixing float and double part files makes
+    // every later read's inferred schema a file-listing-order lottery —
+    // a float-inferred schema dies on a double file. No-op for batches
+    // already in the index's type (every homogeneous pipeline).
+    val vecType = spark.read.parquet(s"$dir/lists").schema.fields
+      .find(f => f.name != "list_id" &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      .map(_.dataType)
+    val batch = vecType.fold(vectors)(t =>
+      vectors.withColumn(vecCol, col(vecCol).cast(t)))
+    assign(batch, idCol, vecCol, centroids)
+      .repartition(nLists, col("list_id"))
       .write.partitionBy("list_id").mode("append").parquet(s"$dir/lists")
   }
 

@@ -63,7 +63,11 @@ object MinHashIndex {
       .select(col(idCol).as("id"), col("sig")).cache()
     try {
       sigs.write.mode("overwrite").parquet(s"$path/sigs")
-      banded(sigs, "id", k, bands).write.mode("overwrite")
+      // band-aligned write (the compact layout): one file per band dir,
+      // not input-partitions × bands small files — a fresh save must not
+      // instantly flag IndexMaintenance.needsCompact
+      banded(sigs, "id", k, bands).repartition(bands, col("band_idx"))
+        .write.mode("overwrite")
         .partitionBy("band_idx").parquet(s"$path/bands")
       StagedSwap.swapSub(spark, path, "meta", "_del") { tmp =>
         Seq((n, k, bands, seed)).toDF("n", "k", "bands", "seed")
@@ -92,7 +96,8 @@ object MinHashIndex {
       .select(col(idCol).as("id"), col("sig")).cache()
     try {
       sigs.write.mode("append").parquet(s"$path/sigs")
-      banded(sigs, "id", k, bands).write.mode("append")
+      banded(sigs, "id", k, bands).repartition(bands, col("band_idx"))
+        .write.mode("append")
         .partitionBy("band_idx").parquet(s"$path/bands")
     } finally sigs.unpersist()
   }
@@ -143,6 +148,9 @@ object MinHashIndex {
           .write.parquet(tmp)
       }
       swapSub("bands") { tmp =>
+        // no repartition: a broadcast anti-join over a band-aligned
+        // layout keeps input partitioning, so the rewrite stays aligned
+        // for free (the TextIndex.delete rationale)
         spark.read.parquet(s"$path/bands")
           .join(del, col("id") === col("__del_id"), "left_anti")
           .write.partitionBy("band_idx").parquet(tmp)

@@ -110,21 +110,29 @@ object ProductQuantizer {
     }
   }
 
+  /** The codes array<int> column for a vector column under codebook
+    * `cb` — m nearest-subcentroid codegen kernels, centroids inlined as
+    * plan literals; shared by [[encode]] and the save/append artifact
+    * builder so both stay bit-identical. */
+  private def codesColumn(vec: Column,
+      cb: Array[Array[Array[Double]]]): Column = {
+    val subDim = cb(0)(0).length
+    val v = vec.cast("array<double>")
+    array(cb.zipWithIndex.map { case (cents, s) =>
+      graft.functions.expressions.VectorExpressions.nearest_centroid_l2(
+        slice(v, s * subDim + 1, subDim), cents.map(_.toSeq).toSeq)
+        .cast("int")
+    }: _*)
+  }
+
   /** Encode every vector as its `m` nearest-subcentroid positions —
     * (idCol, codes Array[Int]). One codegen nearest-centroid kernel call
     * per subspace per row, codebook inlined as plan literals: a narrow
     * map, zero shuffle, zero join. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
-      model: DataFrame): DataFrame = {
-    val cb = collectCodebook(model)
-    val subDim = cb(0)(0).length
-    val v = col(vecCol).cast("array<double>")
-    val codes = cb.zipWithIndex.map { case (cents, s) =>
-      graft.functions.expressions.VectorExpressions.nearest_centroid_l2(
-        slice(v, s * subDim + 1, subDim), cents.map(_.toSeq).toSeq)
-    }
-    df.select(col(idCol), array(codes.map(_.cast("int")): _*).as("codes"))
-  }
+      model: DataFrame): DataFrame =
+    df.select(col(idCol),
+      codesColumn(col(vecCol), collectCodebook(model)).as("codes"))
 
   /** ADC top-k: for each query row, the k nearest corpus codes by
     * asymmetric distance, ties broken by id. The per-query distance
@@ -224,19 +232,12 @@ object ProductQuantizer {
     * corpus-side IVFADC artifact in one pass (assignment kernel +
     * residual zip_with + m nearest-subcentroid kernels, all narrow). */
   def encodeResidual(df: DataFrame, idCol: String, vecCol: String,
-      coarse: DataFrame, model: DataFrame): DataFrame = {
-    val cb = collectCodebook(model)
-    val subDim = cb(0)(0).length
-    val codes = cb.zipWithIndex.map { case (cents, s) =>
-      graft.functions.expressions.VectorExpressions.nearest_centroid_l2(
-        slice(col("__resid"), s * subDim + 1, subDim),
-        cents.map(_.toSeq).toSeq).cast("int")
-    }
+      coarse: DataFrame, model: DataFrame): DataFrame =
     KMeans.assign(df.select(col(idCol), col(vecCol)), vecCol, coarse)
       .withColumn("__resid", residualCol(vecCol, "cluster_id", coarse))
-      .select(col(idCol), array(codes.toIndexedSeq: _*).as("codes"),
+      .select(col(idCol),
+        codesColumn(col("__resid"), collectCodebook(model)).as("codes"),
         col("cluster_id").as("list_id"))
-  }
 
   /** IVF-PQ composition: the ADC scan restricted to each query's
     * `nProbe` nearest coarse cells, multiplying the two prunings — the
@@ -378,7 +379,12 @@ object ProductQuantizer {
     // (compact only rewrites codes/, the corpus-sized artifact)
     coarse.coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
     model.coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_model")
+    // list-aligned write (the compact layout): ~one file per cell dir,
+    // not shuffle-partitions × cells — a fresh save must not instantly
+    // flag IndexMaintenance.needsCompact
+    val nLists = coarse.select(col("cluster_id")).distinct().count().toInt
     indexArtifact(df, idCol, vecCol, coarse, model, residual)
+      .repartition(nLists, col("list_id"))
       .write.partitionBy("list_id").mode("overwrite").parquet(s"$dir/codes")
     Seq(residual).toDF("residual")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
@@ -387,10 +393,15 @@ object ProductQuantizer {
   private def indexArtifact(df: DataFrame, idCol: String, vecCol: String,
       coarse: DataFrame, model: DataFrame, residual: Boolean): DataFrame =
     if (residual) encodeResidual(df, idCol, vecCol, coarse, model)
-    else KMeans.assign(
-        encode(df, idCol, vecCol, model).join(df, idCol), vecCol, coarse)
-      .withColumnRenamed("cluster_id", "list_id")
-      .select(col(idCol), col("codes"), col("list_id"))
+    else
+      // one narrow pass: coarse assignment + PQ codes over the same row
+      // ([[encodeResidual]]'s discipline). The r15 form ran encode()
+      // first and JOINED the vectors back on id — a full corpus
+      // self-join shuffle for a column the row already carried.
+      KMeans.assign(df.select(col(idCol), col(vecCol)), vecCol, coarse)
+        .select(col(idCol),
+          codesColumn(col(vecCol), collectCodebook(model)).as("codes"),
+          col("cluster_id").as("list_id"))
 
   /** Append new vectors to a persisted index, encoded against the SAVED
     * codebooks — deliberately immutable per batch, the [[IvfIndex.append]]
@@ -404,9 +415,11 @@ object ProductQuantizer {
     recover(spark, dir)
     val residual = spark.read.parquet(s"$dir/meta")
       .head().getAs[Boolean]("residual")
-    indexArtifact(df, idCol, vecCol,
-        spark.read.parquet(s"$dir/coarse"),
+    val coarse = spark.read.parquet(s"$dir/coarse")
+    val nLists = coarse.select(col("cluster_id")).distinct().count().toInt
+    indexArtifact(df, idCol, vecCol, coarse,
         spark.read.parquet(s"$dir/pq_model"), residual)
+      .repartition(nLists, col("list_id"))
       .write.partitionBy("list_id").mode("append").parquet(s"$dir/codes")
   }
 
@@ -515,6 +528,9 @@ object ProductQuantizer {
       StagedSwap.swapSub(spark, dir, "codes", "_del") { tmpDir =>
         val codes = spark.read.parquet(s"$dir/codes")
         val idName = codesIdCol(codes)
+        // no repartition: a broadcast anti-join over a list-aligned
+        // layout keeps input partitioning, so the rewrite stays aligned
+        // for free (the TextIndex.delete rationale)
         codes.join(del, col(idName) === col("__del_id"), "left_anti")
           .write.partitionBy("list_id").parquet(tmpDir)
       }

@@ -56,14 +56,6 @@ object TextIndex {
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
   }
 
-  /** Corpus statistics of a document frame: (n_docs, sum_dl). */
-  private def corpusStats(docs: DataFrame, textCol: String): (Long, Long) = {
-    val r = docs.agg(count(lit(1)),
-      coalesce(sum(size(TextFunctions.tokens(col(textCol))).cast("long")), lit(0L)))
-      .collect().head
-    (r.getLong(0), r.getLong(1))
-  }
-
   /** The (doc_id, dl) membership sidecar rows of a document frame. */
   private def docRowsOf(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
@@ -99,21 +91,42 @@ object TextIndex {
 
   /** Build and persist the index over `docs`. Overwrites `path`. Meta is
     * written LAST (and atomically) — an index without readable meta is
-    * by construction a save that never completed, never a served one. */
+    * by construction a save that never completed, never a served one.
+    *
+    * Cost shape (r16): TWO tokenization passes over the corpus (the r15
+    * form paid three — postings, the docs sidecar, and a third full text
+    * scan for the corpus stats; stats now aggregate over the cached
+    * narrow (doc_id, dl) sidecar frame, which costs 16 bytes/row to
+    * hold). The postings write repartitions on `bucket` first, so
+    * partitionBy emits ~one file per bucket (the [[compact]] layout) —
+    * the r15 form fanned out shuffle-partitions × buckets small files,
+    * which made a FRESH save instantly flag
+    * [[IndexMaintenance.needsCompact]] and cost a full compact on the
+    * first in-stream maintenance cycle. */
   def save(docs: DataFrame, idCol: String, textCol: String, path: String,
       nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val spark = docs.sparkSession
     postingsOf(docs, idCol, textCol, nBuckets)
+      .repartition(nBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
-    docRowsOf(docs, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$path/docs")
-    val (n, sdl) = corpusStats(docs, textCol)
-    writeMeta(spark, path, n, sdl, nBuckets)
+    val docRows = docRowsOf(docs, idCol, textCol).persist()
+    try {
+      // stats aggregate FIRST, sidecar write second — the append-path
+      // recache discipline (see [[append]]): `docs` may read this index.
+      val r = docRows.agg(count(lit(1)),
+        coalesce(sum(col("dl")), lit(0L))).collect().head
+      docRows.write.mode("overwrite").parquet(s"$path/docs")
+      writeMeta(spark, path, r.getLong(0), r.getLong(1), nBuckets)
+    } finally docRows.unpersist()
   }
 
   /** Admit a new batch into an EXISTING index: postings append into the
-    * bucket layout, then meta rewrites with merged statistics. */
+    * bucket layout (bucket-aligned — one file per bucket per batch, not
+    * shuffle-partitions × buckets), then meta rewrites with merged
+    * statistics. Cost shape (r16): two tokenization passes over the
+    * batch (postings + the cached sidecar rows, whose aggregate also
+    * feeds meta) — the r15 form paid a third for the stats. */
   def append(batch: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
     val spark = batch.sparkSession
@@ -121,12 +134,23 @@ object TextIndex {
     val meta = spark.read.parquet(s"$path/meta").collect().head
     val nBuckets = meta.getInt(2)
     postingsOf(batch, idCol, textCol, nBuckets)
+      .repartition(nBuckets, col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
-    docRowsOf(batch, idCol, textCol)
-      .write.mode("append").parquet(s"$path/docs")
-    val (bn, bsdl) = corpusStats(batch, textCol)
-    writeMeta(spark, path, meta.getLong(0) + bn, meta.getLong(1) + bsdl,
-      nBuckets)
+    val docRows = docRowsOf(batch, idCol, textCol).persist()
+    try {
+      // stats aggregate FIRST, sidecar write second: `batch` may read
+      // THIS index (an ingest stream's seen-set anti-join does), and the
+      // sidecar write's recacheByPath re-resolves such a cached plan's
+      // file listing to include the rows just written — an after-write
+      // aggregate would recompute over a self-excluding (empty) batch
+      // and silently lose the meta increment. Aggregating first pins the
+      // cache to the pre-write listing; the write then reuses it.
+      val r = docRows.agg(count(lit(1)),
+        coalesce(sum(col("dl")), lit(0L))).collect().head
+      docRows.write.mode("append").parquet(s"$path/docs")
+      writeMeta(spark, path, meta.getLong(0) + r.getLong(0),
+        meta.getLong(1) + r.getLong(1), nBuckets)
+    } finally docRows.unpersist()
   }
 
   /** Upsert (replace-or-insert) a batch — the document-EDITED path of
@@ -275,6 +299,11 @@ object TextIndex {
       def swapSub(sub: String)(write: String => Unit): Unit =
         StagedSwap.swapSub(spark, path, sub, "_del")(write)
       swapSub("postings") { tmp =>
+        // no repartition here: on a bucket-aligned index (save/append/
+        // compact all emit ~one file per bucket) a broadcast anti-join
+        // keeps input partitioning, so the rewrite stays aligned for
+        // free — an explicit exchange measured +20% on the delete-heavy
+        // lifecycle queries for zero file-count benefit
         spark.read.parquet(s"$path/postings")
           .join(del, col("doc_id") === col("__del_id"), "left_anti")
           .write.partitionBy("bucket").parquet(tmp)

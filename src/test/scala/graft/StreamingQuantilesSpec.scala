@@ -179,11 +179,14 @@ class StreamingQuantilesSpec extends SparkSpec {
     }
     assert(warned.contains("fenced out batch 0"), warned)
     assert(warned.contains(st), warned)
-    // a genuine replay of the committed id is silent (normal redelivery)
+    // a genuine replay of the committed id is silent (normal redelivery).
+    // System.setErr swaps the PROCESS-global stream, so a concurrent
+    // suite legitimately warning during this window lands in our buffer
+    // too — assert absence only for THIS test's own statePath
     val silent = captureErr {
       StreamingJobs.foldGroupedQuantiles(df(0, 100), 5L, "v", "k", 32, st)
     }
-    assert(!silent.contains("fenced out"), silent)
+    assert(!silent.contains(st), silent)
     // and neither path changed the state
     val est = StreamingJobs.groupedQuantileEstimates(spark, st,
       "k", Seq(0.5)).collect().toSeq
