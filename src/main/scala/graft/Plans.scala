@@ -4,10 +4,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Dumps formatted physical plans for representative queries — the
   * `.explain("formatted")` iteration artifact (see PLANS.md).
-  * Usage: runMain graft.Plans [sfDir] */
+  * Usage: runMain graft.Plans [sfDir] [queryName...] — with names given,
+  * only those queries are dumped (per-query before/after evidence). */
 object Plans {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val only = args.drop(1).toSet
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -78,7 +80,7 @@ object Plans {
       "q247_stream_maintained_probe", "q248_minhash_lifecycle_recall",
       "q249_audio_envelope_oracle", "q250_snapshot_exposure",
       "q251_answers_erasure", "q252_vector_stream_gate")
-    picks.foreach { name =>
+    picks.filter(n => only.isEmpty || only.contains(n)).foreach { name =>
       println(s"\n===== $name =====")
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(df.queryExecution.explainString(
@@ -86,6 +88,7 @@ object Plans {
     }
     // the native Catalyst as-of join (not a SparkEntry query: q34 keeps the
     // composed default) — shows AsOfJoinExec with one exchange+sort per side
+    if (only.nonEmpty) { spark.stop(); return }
     println(s"\n===== native_asof (q34 route via AsOfJoinExec) =====")
     val events = graft.core.Tables.events(spark, sfDir)
       .selectExpr("event_id", "user_id", "ts")

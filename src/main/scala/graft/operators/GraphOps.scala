@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Generic graph primitives over edge DataFrames — the shared substrate
   * beside [[PageRank]] (influence) and [[Components]] (connectivity):
@@ -115,14 +116,31 @@ object GraphOps {
           .otherwise(struct(col("du").as("d"), col("u").as("n")))
           .as("dst_ord"))
       .select(col("src"), col("dst_ord.n").as("dst"), col("dst_ord"))
+    // oriented is consumed THREE times (both wedge spokes + the closing
+    // edge); the wedge self-join's identical exchanges dedup via
+    // ReuseExchange, but the closing side exchanges on different keys
+    // and re-ran the whole canon+degree subtree — persist it once
+    // (Dedup's cache contract: results are lazy, Bench/Verify clear the
+    // session cache between queries)
+    val orientedC = oriented.persist()
     // wedges at the common source, spokes ordered by the global total
     // order; the closing edge — if present — is oriented spoke1 -> spoke2
-    val wedges = oriented.select(col("src"), col("dst").as("w1"), col("dst_ord").as("o1"))
-      .join(oriented.select(col("src"), col("dst").as("w2"), col("dst_ord").as("o2")), "src")
+    val wedges = orientedC.select(col("src"), col("dst").as("w1"), col("dst_ord").as("o1"))
+      .join(orientedC.select(col("src"), col("dst").as("w2"), col("dst_ord").as("o2")), "src")
       .filter(col("o1") < col("o2"))
       .select(col("src").as("a"), col("w1").as("b"), col("w2").as("c"))
+    // left_semi, not inner: oriented edges are distinct, so the closing
+    // join never multiplies wedges — a semi join says so to the planner
+    // (no output columns from the build side, cheaper hashed relation).
+    // shuffle_hash on the EDGE side: the wedge side is O(sum deg²) rows
+    // — an order of magnitude larger than the edge list — and sort-merge
+    // would sort it; hashing the edge side per partition skips that sort
+    // at every scale (the build side is edges/partitions, which AQE
+    // keeps bounded)
     wedges.join(
-      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      orientedC.select(col("src").as("b"), col("dst").as("c"))
+        .hint("shuffle_hash"),
+      Seq("b", "c"), "left_semi")
       .select(col("a"), col("b"), col("c"))
   }
 
@@ -285,6 +303,13 @@ object GraphOps {
     var dist = sources.toDF("node").distinct()
       .withColumn("dist", lit(0L)).cache()
     var distCount = dist.count()
+    // fixpoint in ONE aggregate per round (r16; was a count PLUS a full
+    // next⋈prev improvement join): each round's min-fold can only ADD
+    // nodes or LOWER existing distances, so "same node count AND same
+    // exact distance sum" ⟺ nothing improved. The sum is an exact
+    // DECIMAL(38,0) — a long could overflow on extreme graphs and a
+    // silent wrap would fake a fixpoint.
+    var distSum = java.math.BigDecimal.ZERO // sources sit at distance 0
     var round = 0
     var converged = false
     while (round < maxHops && !converged) {
@@ -292,14 +317,17 @@ object GraphOps {
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       val next = dist.unionByName(relaxed)
         .groupBy("node").agg(min(col("dist")).as("dist")).cache()
-      val nextCount = next.count()
-      // fixpoint: same node set AND no distance improved
+      val agg = next.agg(count(lit(1)),
+        sum(col("dist").cast(DecimalType(38, 0)))).collect().head
+      val nextCount = agg.getLong(0)
+      val nextSum = Option(agg.getDecimal(1))
+        .getOrElse(java.math.BigDecimal.ZERO)
       val improved = nextCount != distCount ||
-        next.join(dist.withColumnRenamed("dist", "__prev"), "node")
-          .filter(col("dist") < col("__prev")).limit(1).count() > 0
+        nextSum.compareTo(distSum) != 0
       dist.unpersist()
       dist = next
       distCount = nextCount
+      distSum = nextSum
       converged = !improved
       round += 1
     }

@@ -45,7 +45,9 @@ object PageRank {
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val n = nodes.count()
     require(n > 0, "empty edge list")
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // cached: every iteration's contribution join re-reads this degree
+    // frame — uncached it re-ran the groupBy per power iteration
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).cache()
     val teleport = 15L * RankUnit / (100L * n) // floor, nonneg
 
     var r = nodes.select(col("node"), lit(RankUnit / n).as("rank_units"))
@@ -62,6 +64,11 @@ object PageRank {
             .as("rank_units"))
         .localCheckpoint()
     }
+    // the final r is checkpoint-truncated (self-contained): the loop's
+    // working caches can be released instead of leaking to clearCache
+    outdeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     r
   }
 }

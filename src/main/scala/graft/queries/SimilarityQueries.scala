@@ -865,11 +865,12 @@ object SimilarityQueries extends QueryModule {
     * end-to-end; here EVERY vector data-plane step runs through the live
     * streams. The chain: fit + save(half), then
     * [[graft.streaming.StreamingJobs.upsertVectorsOnArrival]] ingests
-    * the other half in two micro-batches with the in-stream
+    * the other half in one micro-batch with the in-stream
     * [[graft.streaming.StreamingJobs.MaintenancePolicy]] (everyNBatches
-    * = 2 — the due cycle runs recover → compact-iff-fragmented → fsck
-    * GATE → incremental snapshot → prune after batch 1, freezing the
-    * FULL corpus under the stream's own auto tag). The live generation
+    * = 1 — the due cycle runs recover → compact-iff-fragmented → fsck
+    * GATE → incremental snapshot → prune after the batch, freezing the
+    * FULL corpus under the stream's own auto tag; the r16 trim from two
+    * batches, hash unchanged — see the inline note). The live generation
     * is then POISONED (vec_id ≡ 0 mod 3 deleted) and the standing
     * queries are served by [[graft.streaming.StreamingJobs
     * .vectorProbeOnArrival]] with `snapshotTag` pointed at the frozen
@@ -907,18 +908,23 @@ object SimilarityQueries extends QueryModule {
       emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
       coarse, pq, path, residual = false)
     val vecs = emb.select($"vec_id", $"embedding")
+    // ONE ingest batch (r15 verdict "What's wrong" #3 trim): the odd half
+    // upserts in a single micro-batch whose due cycle (everyNBatches = 1)
+    // freezes the full corpus — the restored generation, and therefore
+    // the hash, is identical to the r15 two-batch form, at roughly half
+    // the fixture-scale stream cost. The both-due-gate-verdicts coverage
+    // (not-due batch 0, due batch 1) stays pinned by q247's text-family
+    // stream; this gate's job is the VECTOR serving contract.
     val ingest = graft.streaming.StreamingJobs.upsertVectorsOnArrival(
         spark.readStream.schema(vecs.schema).parquet(feed),
         "vec_id", "embedding", path, s"$root/ckpt",
         clearCachePerBatch = false,
         maintenance = Some(graft.streaming.StreamingJobs
-          .MaintenancePolicy(everyNBatches = 2, keepLast = 2)))
+          .MaintenancePolicy(everyNBatches = 1, keepLast = 2)))
       .start()
     try {
-      Seq(1, 3).foreach { r =>
-        vecs.filter($"vec_id" % 4 === r).write.mode("append").parquet(feed)
-        ingest.processAllAvailable()
-      }
+      vecs.filter($"vec_id" % 2 === 1).write.mode("append").parquet(feed)
+      ingest.processAllAvailable()
     } finally ingest.stop()
     // the stream's own due-batch snapshot froze the FULL corpus
     val tag = graft.operators.IndexSnapshots.list(spark, path)
@@ -1010,41 +1016,54 @@ object SimilarityQueries extends QueryModule {
     * deleted ids absent from BOTH legs, and the fused ordering. */
   private def q216HybridPersisted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val docs = Tables.documents(spark, dir)
     val emb = Tables.embeddings(spark, dir)
-    // BM25 leg over the persisted inverted index
-    val tPath = graft.core.Scratch.dir(dir, "hybm25")
-    graft.operators.TextIndex.save(docs, "doc_id", "text", tPath)
-    graft.operators.TextIndex.delete(spark, tPath,
-      docs.filter($"doc_id" % 5 === 0).select($"doc_id"))
-    val wBm = graft.operators.BoundedWindow
-      .ordered($"doc_id", $"score".desc, $"doc_id")
-    val bm = graft.operators.TextIndex.probe(spark, tPath,
-        Seq("spark", "merge", "join"), k = 20)
-      .withColumn("r", row_number().over(wBm))
-      .select($"doc_id", $"r")
-    // vector leg over the persisted IVFADC index
-    val vPath = graft.core.Scratch.dir(dir, "hypq")
-    val pq = graft.operators.ProductQuantizer.fit(
-      emb, "vec_id", "embedding", m = 2, k = 4, iters = 1)
-    val coarse = graft.operators.KMeans.fit(
-      emb, "vec_id", "embedding", k = 4, iters = 1)
-    graft.operators.ProductQuantizer.save(
-      emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
-      coarse, pq, vPath, residual = false)
-    graft.operators.ProductQuantizer.append(
-      emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", vPath)
-    graft.operators.ProductQuantizer.delete(spark, vPath,
-      emb.filter($"vec_id" % 5 === 0).select($"vec_id"))
-    val wV = org.apache.spark.sql.expressions.Window
-      .partitionBy($"query_id").orderBy($"adist", $"id")
-    val vec = graft.operators.ProductQuantizer.probeSavedDistances(
-        emb.filter($"vec_id" === 0), "vec_id", "embedding",
-        spark, vPath, nProbe = 4)
-      .withColumn("adist", round($"approx_dist", 6))
-      .withColumn("r", row_number().over(wV))
-      .filter($"r" <= 20)
-      .select($"id".as("doc_id"), $"r")
+    // the two retrieval legs are independent lifecycles on disjoint
+    // paths — run them as concurrent Spark jobs (the q232 §2.6 overlap
+    // pattern); each future keeps its own mutation order and returns
+    // its leg's ranked frame, so the fuse is bit-identical
+    val fBm = Future {
+      // BM25 leg over the persisted inverted index
+      val tPath = graft.core.Scratch.dir(dir, "hybm25")
+      graft.operators.TextIndex.save(docs, "doc_id", "text", tPath)
+      graft.operators.TextIndex.delete(spark, tPath,
+        docs.filter($"doc_id" % 5 === 0).select($"doc_id"))
+      val wBm = graft.operators.BoundedWindow
+        .ordered($"doc_id", $"score".desc, $"doc_id")
+      graft.operators.TextIndex.probe(spark, tPath,
+          Seq("spark", "merge", "join"), k = 20)
+        .withColumn("r", row_number().over(wBm))
+        .select($"doc_id", $"r")
+    }
+    val fVec = Future {
+      // vector leg over the persisted IVFADC index
+      val vPath = graft.core.Scratch.dir(dir, "hypq")
+      val pq = graft.operators.ProductQuantizer.fit(
+        emb, "vec_id", "embedding", m = 2, k = 4, iters = 1)
+      val coarse = graft.operators.KMeans.fit(
+        emb, "vec_id", "embedding", k = 4, iters = 1)
+      graft.operators.ProductQuantizer.save(
+        emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+        coarse, pq, vPath, residual = false)
+      graft.operators.ProductQuantizer.append(
+        emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", vPath)
+      graft.operators.ProductQuantizer.delete(spark, vPath,
+        emb.filter($"vec_id" % 5 === 0).select($"vec_id"))
+      val wV = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"adist", $"id")
+      graft.operators.ProductQuantizer.probeSavedDistances(
+          emb.filter($"vec_id" === 0), "vec_id", "embedding",
+          spark, vPath, nProbe = 4)
+        .withColumn("adist", round($"approx_dist", 6))
+        .withColumn("r", row_number().over(wV))
+        .filter($"r" <= 20)
+        .select($"id".as("doc_id"), $"r")
+    }
+    val bm = Await.result(fBm, Duration.Inf)
+    val vec = Await.result(fVec, Duration.Inf)
     graft.operators.Rrf.fuse(
         Seq("bm25" -> bm, "vec" -> vec), "doc_id", "r", topK = 10)
       .orderBy($"rank")
@@ -1268,39 +1287,55 @@ object SimilarityQueries extends QueryModule {
     * (TextIndexSpec / MinHashIndexSpec / PqSpec) instead. */
   private def q219IndexStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val docs = Tables.documents(spark, dir)
     val emb = Tables.embeddings(spark, dir)
-    val tPath = graft.core.Scratch.dir(dir, "stx")
-    graft.operators.TextIndex.save(
-      docs.filter($"doc_id" % 2 === 0), "doc_id", "text", tPath)
-    graft.operators.TextIndex.append(
-      docs.filter($"doc_id" % 2 === 1), "doc_id", "text", tPath)
-    val mPath = graft.core.Scratch.dir(dir, "smh")
-    graft.operators.MinHashIndex.save(docs, "doc_id", "text", mPath)
-    val vPath = graft.core.Scratch.dir(dir, "spq")
-    val pq = graft.operators.ProductQuantizer.fit(
-      emb, "vec_id", "embedding", m = 2, k = 4, iters = 1)
-    val coarse = graft.operators.KMeans.fit(
-      emb, "vec_id", "embedding", k = 4, iters = 1)
-    graft.operators.ProductQuantizer.save(
-      emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
-      coarse, pq, vPath, residual = false)
-    graft.operators.ProductQuantizer.append(
-      emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", vPath)
-    val text = graft.operators.TextIndex.stats(spark, tPath)
-      .filter($"stat".isin(
-        "n_docs", "doc_rows", "sum_dl", "posting_rows", "distinct_terms",
-        "posting_doc_ids"))
-      .select(lit("text").as("idx"), $"stat", $"value")
-    val mh = graft.operators.MinHashIndex.stats(spark, mPath)
-      .filter($"stat".isin(
-        "sig_rows", "band_rows", "distinct_banded_ids", "n", "k", "bands",
-        "seed"))
-      .select(lit("minhash").as("idx"), $"stat", $"value")
-    val vec = graft.operators.ProductQuantizer.stats(spark, vPath)
-      .filter($"stat".isin("code_rows", "m", "residual"))
-      .select(lit("pq").as("idx"), $"stat", $"value")
-    text.unionByName(mh).unionByName(vec).orderBy($"idx", $"stat")
+    // three independent family chains (disjoint paths) run as concurrent
+    // Spark jobs — the q232 §2.6 overlap pattern; each future keeps its
+    // own build → stats order and the stats frames are local rows, so
+    // the union is bit-identical to the sequential form
+    val fText = Future {
+      val tPath = graft.core.Scratch.dir(dir, "stx")
+      graft.operators.TextIndex.save(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text", tPath)
+      graft.operators.TextIndex.append(
+        docs.filter($"doc_id" % 2 === 1), "doc_id", "text", tPath)
+      graft.operators.TextIndex.stats(spark, tPath)
+        .filter($"stat".isin(
+          "n_docs", "doc_rows", "sum_dl", "posting_rows", "distinct_terms",
+          "posting_doc_ids"))
+        .select(lit("text").as("idx"), $"stat", $"value")
+    }
+    val fMh = Future {
+      val mPath = graft.core.Scratch.dir(dir, "smh")
+      graft.operators.MinHashIndex.save(docs, "doc_id", "text", mPath)
+      graft.operators.MinHashIndex.stats(spark, mPath)
+        .filter($"stat".isin(
+          "sig_rows", "band_rows", "distinct_banded_ids", "n", "k", "bands",
+          "seed"))
+        .select(lit("minhash").as("idx"), $"stat", $"value")
+    }
+    val fVec = Future {
+      val vPath = graft.core.Scratch.dir(dir, "spq")
+      val pq = graft.operators.ProductQuantizer.fit(
+        emb, "vec_id", "embedding", m = 2, k = 4, iters = 1)
+      val coarse = graft.operators.KMeans.fit(
+        emb, "vec_id", "embedding", k = 4, iters = 1)
+      graft.operators.ProductQuantizer.save(
+        emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+        coarse, pq, vPath, residual = false)
+      graft.operators.ProductQuantizer.append(
+        emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", vPath)
+      graft.operators.ProductQuantizer.stats(spark, vPath)
+        .filter($"stat".isin("code_rows", "m", "residual"))
+        .select(lit("pq").as("idx"), $"stat", $"value")
+    }
+    Seq(fText, fMh, fVec)
+      .map(Await.result(_, Duration.Inf))
+      .reduce(_ unionByName _)
+      .orderBy($"idx", $"stat")
   }
 
   /** Every oracled stat recomputed from the raw tables: token counts
@@ -1354,44 +1389,66 @@ object SimilarityQueries extends QueryModule {
     * leaves any inter-artifact inconsistency flips a row. */
   private def q232IndexFsck(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val docs = Tables.documents(spark, dir)
     val emb = Tables.embeddings(spark, dir)
-    val tPath = graft.core.Scratch.dir(dir, "fsck_tx")
-    graft.operators.TextIndex.save(
-      docs.filter($"doc_id" % 2 === 0), "doc_id", "text", tPath)
-    graft.operators.TextIndex.append(
-      docs.filter($"doc_id" % 2 === 1), "doc_id", "text", tPath)
-    graft.operators.TextIndex.delete(spark, tPath,
-      docs.filter($"doc_id" % 7 === 0).select($"doc_id"))
-    val mPath = graft.core.Scratch.dir(dir, "fsck_mh")
-    graft.operators.MinHashIndex.save(
-      docs.filter($"doc_id" % 2 === 0), "doc_id", "text", mPath)
-    graft.operators.MinHashIndex.append(
-      docs.filter($"doc_id" % 2 === 1), "doc_id", "text", mPath)
-    graft.operators.MinHashIndex.delete(spark, mPath,
-      docs.filter($"doc_id" % 7 === 0).select($"doc_id"))
-    val pPath = graft.core.Scratch.dir(dir, "fsck_pq")
-    val pq = graft.operators.ProductQuantizer.fit(
-      emb, "vec_id", "embedding", m = 2, k = 4, iters = 1)
-    val coarse = graft.operators.KMeans.fit(
-      emb, "vec_id", "embedding", k = 4, iters = 1)
-    graft.operators.ProductQuantizer.save(
-      emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
-      coarse, pq, pPath, residual = false)
-    graft.operators.ProductQuantizer.append(
-      emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", pPath)
-    graft.operators.ProductQuantizer.delete(spark, pPath,
-      emb.filter($"vec_id" % 7 === 0).select($"vec_id"))
-    val iPath = graft.core.Scratch.dir(dir, "fsck_ivf")
-    val ivf = graft.operators.IvfIndex.fit(
-      emb, "vec_id", "embedding", nLists = 8, iters = 2)
-    graft.operators.IvfIndex.save(emb, "vec_id", "embedding", ivf, iPath)
-    graft.operators.IvfIndex.delete(spark, iPath,
-      emb.filter($"vec_id" % 7 === 0).select($"vec_id"))
-    graft.operators.IndexAudit.auditText(spark, tPath)
-      .unionAll(graft.operators.IndexAudit.auditMinHash(spark, mPath))
-      .unionAll(graft.operators.IndexAudit.auditPq(spark, pPath))
-      .unionAll(graft.operators.IndexAudit.auditIvf(spark, iPath))
+    // the four family lifecycles are INDEPENDENT (disjoint scratch
+    // paths, no shared mutable state): run them as concurrent Spark
+    // jobs (the §2.6 overlap pattern, same as ProductQuantizer.fit's
+    // subspace fan-out) — sequential submission serialized ~15 small
+    // driver round-trips per family at fixture scale. Each future keeps
+    // ITS OWN save → append → delete → audit order; the audit frames'
+    // values collect eagerly inside the future, so the final unionAll
+    // is over local rows and the result is bit-identical.
+    val fText = Future {
+      val tPath = graft.core.Scratch.dir(dir, "fsck_tx")
+      graft.operators.TextIndex.save(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text", tPath)
+      graft.operators.TextIndex.append(
+        docs.filter($"doc_id" % 2 === 1), "doc_id", "text", tPath)
+      graft.operators.TextIndex.delete(spark, tPath,
+        docs.filter($"doc_id" % 7 === 0).select($"doc_id"))
+      graft.operators.IndexAudit.auditText(spark, tPath)
+    }
+    val fMh = Future {
+      val mPath = graft.core.Scratch.dir(dir, "fsck_mh")
+      graft.operators.MinHashIndex.save(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text", mPath)
+      graft.operators.MinHashIndex.append(
+        docs.filter($"doc_id" % 2 === 1), "doc_id", "text", mPath)
+      graft.operators.MinHashIndex.delete(spark, mPath,
+        docs.filter($"doc_id" % 7 === 0).select($"doc_id"))
+      graft.operators.IndexAudit.auditMinHash(spark, mPath)
+    }
+    val fPq = Future {
+      val pPath = graft.core.Scratch.dir(dir, "fsck_pq")
+      val pq = graft.operators.ProductQuantizer.fit(
+        emb, "vec_id", "embedding", m = 2, k = 4, iters = 1)
+      val coarse = graft.operators.KMeans.fit(
+        emb, "vec_id", "embedding", k = 4, iters = 1)
+      graft.operators.ProductQuantizer.save(
+        emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+        coarse, pq, pPath, residual = false)
+      graft.operators.ProductQuantizer.append(
+        emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", pPath)
+      graft.operators.ProductQuantizer.delete(spark, pPath,
+        emb.filter($"vec_id" % 7 === 0).select($"vec_id"))
+      graft.operators.IndexAudit.auditPq(spark, pPath)
+    }
+    val fIvf = Future {
+      val iPath = graft.core.Scratch.dir(dir, "fsck_ivf")
+      val ivf = graft.operators.IvfIndex.fit(
+        emb, "vec_id", "embedding", nLists = 8, iters = 2)
+      graft.operators.IvfIndex.save(emb, "vec_id", "embedding", ivf, iPath)
+      graft.operators.IvfIndex.delete(spark, iPath,
+        emb.filter($"vec_id" % 7 === 0).select($"vec_id"))
+      graft.operators.IndexAudit.auditIvf(spark, iPath)
+    }
+    Seq(fText, fMh, fPq, fIvf)
+      .map(Await.result(_, Duration.Inf))
+      .reduce(_ unionAll _)
       .orderBy($"family", $"check")
   }
 
