@@ -84,14 +84,18 @@ object Bench {
     // q114's part graph is DENSE at sf0.1 — 1.2M edges / 20k nodes — so
     // its ~70M-wedge stage is intrinsic, not contamination)
     "q113_sparse_cosine" -> 6.0,
-    "q114_triangles" -> 11.0,
+    // r16: oriented-frame persist + semi/shuffle-hash closing join
+    // roughly halved the triangle pair (q114 sweep 6.4-7.8, q170
+    // 7.8-10.5 across three r16 measurements); was 11.0 each
+    "q114_triangles" -> 8.0,
     // shares q114's intrinsic wedge stage; only the final explode differs
-    "q170_triangle_total" -> 11.0,
+    "q170_triangle_total" -> 10.0,
     "q115_bfs_hops" -> 6.0,
     "q116_assoc_rules" -> 3.5,
     "q117_rfm_segments" -> 1.8,
     // index build (save) dominates; probe alone is milliseconds
-    "q121_indexed_bm25" -> 2.8,
+    // (r16: save tokenizes 2x not 3x + bucket-aligned write; was 2.8)
+    "q121_indexed_bm25" -> 2.0,
     // round-8 wave (clean min-of-two at sf0.1): q149 runs exactQuantiles
     // twice (median, then MAD) plus the outlier join; q146 is the
     // two-level pareto prefix; q152 is three aggregation shuffles
@@ -122,7 +126,9 @@ object Bench {
     // durable middle (see BASELINE.md round-13 adjudications)
     "q214_ann_recall" -> 4.5,
     "q215_two_stage" -> 1.2,
-    "q216_hybrid_persisted" -> 6.5,
+    // r16: the two retrieval legs run concurrently (sweep 4.9, solo
+    // 6.8-7.5 under mild throttle); was 6.5
+    "q216_hybrid_persisted" -> 6.0,
     "q217_trained_quality" -> 2.5,
     // later r12 additions (mid-r12 sweep + isolated/solo re-measures).
     // q219 builds ALL THREE index families (text save+append, minhash
@@ -130,9 +136,13 @@ object Bench {
     // are multi-rewrite lifecycles (save+upsert / save+snapshot+delete+
     // upsert+restore); all index-build-dominated
     "q218_filtered_ann" -> 3.5,
-    "q219_index_stats" -> 8.5,
-    "q220_index_upsert" -> 7.5, // +compact in-chain since late r12
-    "q221_index_rollback" -> 7.0,
+    // r16: three family chains concurrent + cheaper saves (sweep 4.3,
+    // solo 4.7); was 8.5
+    "q219_index_stats" -> 5.5,
+    // r16 cheaper save/append/delete: sweep/solo 4.9-5.9 (was 7.5) and
+    // 5.5-5.7 (was 7.0)
+    "q220_index_upsert" -> 6.0, // +compact in-chain since late r12
+    "q221_index_rollback" -> 6.0,
     // r13 re-anchor: r12's 7.0 was contaminated; r13 sweep min 4.03,
     // trough solo 4.92
     "q222_rank_drift" -> 5.0,
@@ -157,7 +167,9 @@ object Bench {
     // save+append+delete each before the audit joins (q219's class,
     // plus the IVF family and three targeted deletes)
     "q231_incremental_snapshot" -> 10.0,
-    "q232_index_fsck" -> 17.5,
+    // r16: the four family chains run concurrently + cheaper mutations
+    // (sweep 7.5-9.5); was 17.5
+    "q232_index_fsck" -> 10.0,
     // two sketch aggregates + a summary save/load round trip (small
     // but filesystem-touching); throttled solo min-of-two 0.94
     "q233_sketch_merge" -> 1.2,
@@ -184,7 +196,9 @@ object Bench {
     // q247 is DRIVER-LATENCY-bound (a live stream: 2 ingest batches +
     // 2 full in-stream maintenance cycles + restore + probe — dozens of
     // small jobs, the q191/q193 class); clean-equivalent ~7-9
-    "q247_stream_maintained_probe" -> 14.0,
+    // r16: bucket-aligned saves/appends stopped the in-stream cycle's
+    // forced compact (sweep 10.3-12.1); was 14.0
+    "q247_stream_maintained_probe" -> 11.0,
     // q71's jaccard-pair class plus the minhash save/append/delete/
     // compact chain; solo 6.6 under a ~1.6x canary
     "q248_minhash_lifecycle_recall" -> 6.5,
@@ -200,7 +214,9 @@ object Bench {
     // upsert batches with an in-stream cycle, poison, frozen-tag
     // serving stream, restore, batch probe, exact reference
     "q251_answers_erasure" -> 6.5,
-    "q252_vector_stream_gate" -> 15.0,
+    // r16: one ingest batch (hash unchanged) + cheaper mutations
+    // (sweep 9.8, solo 11.6-12.1); was 15.0
+    "q252_vector_stream_gate" -> 11.0,
     "q145_item_sim" -> 2.5,
     "q209_quantile_bins" -> 2.5,
     "q206_quantile_shift" -> 2.0,
@@ -423,8 +439,9 @@ object Bench {
     val p1Wall = (System.nanoTime() - p1Start) / 1e9
     val pass1Skipped = pass1.values.count(_.sec == -3.0)
     if (pass1Skipped > 0)
-      System.err.println(s"[bench] wall budget ($wallBudgetSec s) hit in " +
-        s"PASS 1 — $pass1Skipped queries unsampled (deep throttle phase)")
+      System.err.println(s"[bench] wall budget ($wallBudgetSec s) or global " +
+        s"deadline ($deadlineSec s from JVM start) hit in PASS 1 — " +
+        s"$pass1Skipped queries unsampled (deep throttle phase)")
     // Pass 2 degrades under the wall budget: once elapsed time crosses it,
     // the remaining queries reuse their pass-1 sample (marked -3.0) — a
     // truncated-but-parsed artifact beats a complete-but-killed one.
@@ -437,8 +454,8 @@ object Bench {
     val p2Wall = (System.nanoTime() - p2Start) / 1e9
     val pass2Skipped = pass2.values.count(_.sec == -3.0)
     if (pass2Skipped > 0)
-      System.err.println(s"[bench] wall budget ($wallBudgetSec s) hit — " +
-        s"$pass2Skipped pass-2 samples reuse pass-1")
+      System.err.println(s"[bench] wall budget ($wallBudgetSec s) or global " +
+        s"deadline hit — $pass2Skipped pass-2 samples reuse pass-1")
     // min over VALID samples: one timed-out/failed pass is phase evidence,
     // not query evidence — a genuine failure fails both passes and the
     // query stays negative (never masquerading as a fast run)

@@ -55,29 +55,25 @@ object KMeans {
 
     var centroids: Seq[(Long, Array[Double])] =
       init.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
-    // Update stage (r16): one per-dim decimal sum column per dimension in
-    // a single (cid)-keyed aggregate — the r15 posexplode form expanded
-    // every row dim× and hashed (cid, pos) per element before the
-    // exchange. Arithmetic is bit-identical (the same order-independent
-    // DECIMAL(18,8) sums divided by the same member count; vectors are
-    // fixed-width by the k-means contract, so the per-(cid,dim) count ≡
-    // the per-cid count), and the exploded (cid, dim, m, n) shape is
-    // recovered AFTER aggregation over k rows, not corpus×dim rows.
-    val dim = init.head.length
-    val perDim = (0 until dim).map(d =>
-      sum(element_at(col("__v"), d + 1).cast(DecimalType(18, 8))).as(s"__s$d"))
+    // Update-stage note (r16, measured and kept as-is): a per-dim
+    // decimal-sum-column variant (one (cid)-keyed aggregate with dim
+    // DECIMAL(18,8) buffers, no posexplode) was tried and REGRESSED the
+    // wide fits 2× at sf0.1 (q81: k=512 over 64 dims — 64 decimal agg
+    // buffers per group blow past what whole-stage codegen handles
+    // gracefully) while only the tiny PQ subspace fits broke even. The
+    // posexplode form's dim× expansion is the exact-decimal portability
+    // price and partial-aggregates map-side, so its exchange stays
+    // k×dim-bounded per map task.
     var sums: DataFrame = null
     for (iter <- 1 to iters) {
       sums = vecs
         .withColumn("cid", nearest(col("__v"), centroids))
-        .groupBy(col("cid"))
-        .agg(perDim.head, (perDim.tail :+ count(lit(1)).as("__n")): _*)
-        .select(col("cid"), col("__n"),
-          posexplode(array((0 until dim).map(d =>
-            col(s"__s$d").cast("double") / col("__n")): _*))
-            .as(Seq("pos", "m")))
-        .select(col("cid"), col("pos").cast("long").as("dim"),
-          col("m"), col("__n").as("n"))
+        .select(col("cid"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos").cast("long").as("dim"))
+        .agg(
+          (sum(col("x").cast(DecimalType(18, 8))).cast("double") /
+            count(lit(1))).as("m"),
+          count(lit(1)).as("n"))
       if (iter < iters) {
         val rows = sums.select(col("cid"), col("dim"), col("m")).collect()
         centroids = rows.groupBy(_.getLong(0)).toSeq.map { case (cid, rs) =>
