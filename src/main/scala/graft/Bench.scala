@@ -322,7 +322,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Local iteration aid: SPARK_GRAFT_ONLY=q60_fuzzy_names,q23_ngram_jaccard
     // restricts the run to a comma-separated subset (driver never sets it).
+    // SPARK_GRAFT_SCALE_PROBE=1 is a preset subset of the most DATA-bound
+    // queries (no index-lifecycle filesystem churn, no streams): run it at
+    // two core counts (SPARK_GRAFT_CPUS) to measure parallel scaling where
+    // the full sweep is driver-latency-bound at small SFs. Timing
+    // methodology is IDENTICAL to the normal sweep — this only picks the
+    // subset; the driver never sets either env.
+    val scaleProbeSet = Set("q1_agg", "q23_ngram_jaccard", "q53_dup_clusters",
+      "q85_ccnet_buckets", "q89_exact_quantiles", "q104_pagerank",
+      "q113_sparse_cosine", "q114_triangles", "q149_mad_outliers",
+      "q170_triangle_total")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+      .orElse(if (sys.env.get("SPARK_GRAFT_SCALE_PROBE").contains("1"))
+        Some(scaleProbeSet) else None)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name)) }
     // One watchdogged execution of `fn` at `sf`: run the count() on a
@@ -343,10 +355,16 @@ object Bench {
     def timeOnceAt(name: String, sf: String, capSec: Double,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Sample = {
       val start = System.currentTimeMillis()
+      // deadline FIRST: past it, each remaining sample of a zombied query
+      // must not burn its 15 s zombie wait inside the phase that should
+      // skip straight to the artifact write (the teardown reserve)
+      if (remainingSec <= 0) return Sample(start, -3.0)
       zombies.get(name).foreach { z =>
-        // give this query's prior zombie a bounded chance to die; if it
-        // outlives the wait, do NOT relaunch over its live scratch state
-        val wait = System.nanoTime() + 15000000000L
+        // give this query's prior zombie a bounded chance to die (never
+        // longer than the global deadline leaves); if it outlives the
+        // wait, do NOT relaunch over its live scratch state
+        val waitSec = math.min(15.0, math.max(0.0, remainingSec))
+        val wait = System.nanoTime() + (waitSec * 1e9).toLong
         while (!z.isDone && System.nanoTime() < wait) Thread.sleep(100)
         if (z.isDone) zombies.remove(name)
         else {

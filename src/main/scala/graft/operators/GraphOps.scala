@@ -34,9 +34,9 @@ object GraphOps {
     * away; self-loops dropped). Output: (node, triangles) for nodes in at
     * least one triangle — each triangle credits all three corners. */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
-    closedTriangles(edges, srcCol, dstCol)
-      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    withClosedTriangles(edges, srcCol, dstCol)(
+      _.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("triangles")))
 
   /** Global triangle COUNT — one row (n_triangles BIGINT). Same oriented
     * wedge pipeline as [[triangleCounts]], but when only the total is
@@ -45,8 +45,8 @@ object GraphOps {
     * join output directly into a single partial-count scalar — no
     * post-join shuffle rows at all. */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
-    closedTriangles(edges, srcCol, dstCol)
-      .agg(count(lit(1)).as("n_triangles"))
+    withClosedTriangles(edges, srcCol, dstCol)(
+      _.agg(count(lit(1)).as("n_triangles")))
 
   /** Degree-capped triangle count — the skew-emergency variant of
     * [[triangleCount]]: every node whose (deduplicated, undirected)
@@ -89,9 +89,25 @@ object GraphOps {
     triangleCount(capped, "src", "dst")
   }
 
-  /** The shared enumeration: one row (a, b, c) per triangle, each listed
-    * exactly once at its degree-orientation apex. */
-  private def closedTriangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  /** The shared enumeration — one row (a, b, c) per triangle, each listed
+    * exactly once at its degree-orientation apex — handed to `consume`,
+    * whose (node- or parameter-bounded) aggregate result is materialized
+    * via an eager localCheckpoint so the `oriented` working cache can be
+    * RELEASED before returning: library callers no longer leak one cached
+    * frame per call (they relied on Bench/Verify's session clearCache),
+    * and the checkpoint cuts the unrolled wedge lineage exactly like
+    * [[kCore]]'s materializing count. `consume` must aggregate (its
+    * output is what gets block-stored), which both public triangle APIs
+    * do. */
+  private def withClosedTriangles(edges: DataFrame, srcCol: String,
+      dstCol: String)(consume: DataFrame => DataFrame): DataFrame = {
+    val closed = closedTrianglesRaw(edges, srcCol, dstCol)
+    try consume(closed._1).localCheckpoint()
+    finally closed._2.unpersist()
+  }
+
+  private def closedTrianglesRaw(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame) = {
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
@@ -119,9 +135,8 @@ object GraphOps {
     // oriented is consumed THREE times (both wedge spokes + the closing
     // edge); the wedge self-join's identical exchanges dedup via
     // ReuseExchange, but the closing side exchanges on different keys
-    // and re-ran the whole canon+degree subtree — persist it once
-    // (Dedup's cache contract: results are lazy, Bench/Verify clear the
-    // session cache between queries)
+    // and re-ran the whole canon+degree subtree — persist it once;
+    // withClosedTriangles releases it after the consumer materializes
     val orientedC = oriented.persist()
     // wedges at the common source, spokes ordered by the global total
     // order; the closing edge — if present — is oriented spoke1 -> spoke2
@@ -137,11 +152,11 @@ object GraphOps {
     // would sort it; hashing the edge side per partition skips that sort
     // at every scale (the build side is edges/partitions, which AQE
     // keeps bounded)
-    wedges.join(
+    (wedges.join(
       orientedC.select(col("src").as("b"), col("dst").as("c"))
         .hint("shuffle_hash"),
       Seq("b", "c"), "left_semi")
-      .select(col("a"), col("b"), col("c"))
+      .select(col("a"), col("b"), col("c")), orientedC)
   }
 
   /** The k-core of the undirected graph — the maximal node set in which
@@ -308,8 +323,12 @@ object GraphOps {
     // nodes or LOWER existing distances, so "same node count AND same
     // exact distance sum" ⟺ nothing improved. The sum is an exact
     // DECIMAL(38,0) — a long could overflow on extreme graphs and a
-    // silent wrap would fake a fixpoint.
-    var distSum = java.math.BigDecimal.ZERO // sources sit at distance 0
+    // silent wrap would fake a fixpoint. A DECIMAL(38,0) overflow itself
+    // returns NULL (non-ANSI mode): None here, and None never compares
+    // equal below — two consecutive overflowing rounds keep iterating to
+    // maxHops instead of faking convergence.
+    var distSum: Option[java.math.BigDecimal] =
+      Some(java.math.BigDecimal.ZERO) // sources sit at distance 0
     var round = 0
     var converged = false
     while (round < maxHops && !converged) {
@@ -320,10 +339,13 @@ object GraphOps {
       val agg = next.agg(count(lit(1)),
         sum(col("dist").cast(DecimalType(38, 0)))).collect().head
       val nextCount = agg.getLong(0)
+      // null sum with rows present = decimal overflow, NOT an empty set
       val nextSum = Option(agg.getDecimal(1))
-        .getOrElse(java.math.BigDecimal.ZERO)
-      val improved = nextCount != distCount ||
-        nextSum.compareTo(distSum) != 0
+      val sumChanged = (nextSum, distSum) match {
+        case (Some(a), Some(b)) => a.compareTo(b) != 0
+        case _ => nextCount > 0 // overflow: cannot prove a fixpoint
+      }
+      val improved = nextCount != distCount || sumChanged
       dist.unpersist()
       dist = next
       distCount = nextCount

@@ -62,27 +62,33 @@ object IndexAudit {
       (meta.getLong(0), meta.getLong(1), meta.getInt(2))
     val docs = spark.read.parquet(s"$path/docs")
     val postings = spark.read.parquet(s"$path/postings")
-    val side = docs.agg(count(lit(1)),
-      coalesce(sum(col("dl")), lit(0L))).collect().head
-    val (nSide, sdlSide) = (side.getLong(0), side.getLong(1))
     // two passes over postings, not four (r16): the placement scan needs
     // (bucket, term); every id-level check shares ONE cached per-doc
-    // distinct frame
-    val misplaced = postings
-      .filter(col("bucket") =!= pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-      .count()
+    // distinct frame. The independent counts run as concurrent jobs
+    // (§2.6, r17): wave 1 overlaps the sidecar aggregate, the placement
+    // scan, and the shared frame's materialization; wave 2 overlaps the
+    // three id-level checks over the materialized cache.
     val pd = postings.select(col("doc_id"), col("dl").as("__pdl"))
       .distinct().cache()
-    val (orphans, missing, dlMismatch) = try {
+    val (orphans, missing, dlMismatch, nSide, sdlSide, misplaced) = try {
+      val wave1 = graft.core.Concurrency.runAll(Seq[() => Any](
+        () => docs.agg(count(lit(1)),
+          coalesce(sum(col("dl")), lit(0L))).collect().head,
+        () => postings.filter(col("bucket") =!=
+          pmod(xxhash64(col("term")), lit(nBuckets.toLong))).count(),
+        () => pd.count()))
+      val side = wave1(0).asInstanceOf[org.apache.spark.sql.Row]
+      val mis = wave1(1).asInstanceOf[Long]
       val pids = pd.select(col("doc_id")).distinct()
-      val o = pids
-        .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
-      val m = docs.filter(col("dl") > 0).select(col("doc_id"))
-        .join(pids, Seq("doc_id"), "left_anti").count()
-      val d = pd
-        .join(docs.select(col("doc_id"), col("dl")), Seq("doc_id"))
-        .filter(col("__pdl") =!= col("dl")).count()
-      (o, m, d)
+      val wave2 = graft.core.Concurrency.runAll(Seq(
+        () => pids
+          .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti").count(),
+        () => docs.filter(col("dl") > 0).select(col("doc_id"))
+          .join(pids, Seq("doc_id"), "left_anti").count(),
+        () => pd
+          .join(docs.select(col("doc_id"), col("dl")), Seq("doc_id"))
+          .filter(col("__pdl") =!= col("dl")).count()))
+      (wave2(0), wave2(1), wave2(2), side.getLong(0), side.getLong(1), mis)
     } finally pd.unpersist()
     unionAll(Seq(
       row(spark, "text", "n_docs", nSide, nSide == n),
@@ -98,17 +104,21 @@ object IndexAudit {
     val bands = spark.read.parquet(s"$path/meta").head().getAs[Int]("bands")
     val sigs = spark.read.parquet(s"$path/sigs").select(col("id"))
     val banded = spark.read.parquet(s"$path/bands")
-    val nSigs = sigs.count()
-    val fanout = banded.groupBy(col("id"))
-      .agg(countDistinct(col("band_idx")).as("__b"))
-      .filter(col("__b") =!= bands.toLong).count()
     // one cached distinct-id frame serves both membership directions
-    // (r16; was two more full scans of the band layout)
+    // (r16; was two more full scans of the band layout); the independent
+    // counts run as concurrent jobs in two waves (§2.6, r17)
     val bandIds = banded.select(col("id")).distinct().cache()
-    val (orphanBands, missingBands) = try {
-      val o = bandIds.join(sigs.distinct(), Seq("id"), "left_anti").count()
-      val m = sigs.distinct().join(bandIds, Seq("id"), "left_anti").count()
-      (o, m)
+    val (nSigs, fanout, orphanBands, missingBands) = try {
+      val wave1 = graft.core.Concurrency.runAll(Seq(
+        () => sigs.count(),
+        () => banded.groupBy(col("id"))
+          .agg(countDistinct(col("band_idx")).as("__b"))
+          .filter(col("__b") =!= bands.toLong).count(),
+        () => bandIds.count()))
+      val wave2 = graft.core.Concurrency.runAll(Seq(
+        () => bandIds.join(sigs.distinct(), Seq("id"), "left_anti").count(),
+        () => sigs.distinct().join(bandIds, Seq("id"), "left_anti").count()))
+      (wave1(0), wave1(1), wave2(0), wave2(1))
     } finally bandIds.unpersist()
     unionAll(Seq(
       row(spark, "minhash", "sig_rows", nSigs, true),
@@ -125,12 +135,17 @@ object IndexAudit {
     val codes = spark.read.parquet(s"$dir/codes")
     val idCol = codes.schema.fields
       .find(f => f.name != "list_id" && f.name != "codes").get.name
-    val c = codes.agg(count(lit(1)), countDistinct(col(idCol))).collect().head
-    val widthBad = codes.filter(size(col("codes")) =!= m.toInt).count()
-    val unknownList = codes.select(col("list_id")).distinct()
-      .join(spark.read.parquet(s"$dir/coarse")
-        .select(col("cluster_id").as("list_id")).distinct(),
-        Seq("list_id"), "left_anti").count()
+    // independent counts as concurrent jobs (§2.6, r17)
+    val pqWave = graft.core.Concurrency.runAll(Seq[() => Any](
+      () => codes.agg(count(lit(1)), countDistinct(col(idCol))).collect().head,
+      () => codes.filter(size(col("codes")) =!= m.toInt).count(),
+      () => codes.select(col("list_id")).distinct()
+        .join(spark.read.parquet(s"$dir/coarse")
+          .select(col("cluster_id").as("list_id")).distinct(),
+          Seq("list_id"), "left_anti").count()))
+    val c = pqWave(0).asInstanceOf[org.apache.spark.sql.Row]
+    val widthBad = pqWave(1).asInstanceOf[Long]
+    val unknownList = pqWave(2).asInstanceOf[Long]
     unionAll(Seq(
       row(spark, "pq", "code_rows", c.getLong(0),
         c.getLong(0) == c.getLong(1)),
@@ -144,12 +159,17 @@ object IndexAudit {
     val idCol = lists.schema.fields
       .find(f => f.name != "list_id" &&
         !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]).get.name
-    val c = lists.agg(count(lit(1)), countDistinct(col(idCol))).collect().head
     val centroids = spark.read.parquet(s"$dir/centroids")
-    val nCentroidRows = centroids.count()
-    val unknownList = lists.select(col("list_id")).distinct()
-      .join(centroids.select(col("list_id")).distinct(),
-        Seq("list_id"), "left_anti").count()
+    // independent counts as concurrent jobs (§2.6, r17)
+    val ivfWave = graft.core.Concurrency.runAll(Seq[() => Any](
+      () => lists.agg(count(lit(1)), countDistinct(col(idCol))).collect().head,
+      () => centroids.count(),
+      () => lists.select(col("list_id")).distinct()
+        .join(centroids.select(col("list_id")).distinct(),
+          Seq("list_id"), "left_anti").count()))
+    val c = ivfWave(0).asInstanceOf[org.apache.spark.sql.Row]
+    val nCentroidRows = ivfWave(1).asInstanceOf[Long]
+    val unknownList = ivfWave(2).asInstanceOf[Long]
     unionAll(Seq(
       row(spark, "ivf", "vector_rows", c.getLong(0),
         c.getLong(0) == c.getLong(1)),

@@ -107,12 +107,23 @@ object IndexSnapshots {
     f.mkdirs(dst)
     val (markers, data) = f.listStatus(src).toSeq
       .partition(_.getPath.getName == "_SUCCESS")
-    (data ++ markers).foreach { st =>
+    def copyOne(st: org.apache.hadoop.fs.FileStatus): Unit =
       if (!FileUtil.copy(f, st.getPath, f, new Path(dst, st.getPath.getName),
           false, true, conf))
         throw new java.io.IOException(
           s"snapshot: cannot copy ${st.getPath} to $dst")
-    }
+    // the data children — a partitioned artifact's bucket/band/list dirs
+    // — copy CONCURRENTLY (bounded pool): FileUtil.copy streams each
+    // sequentially on the calling thread, which serialized an entire
+    // snapshot/restore behind one driver thread's byte loop (on an
+    // object store these are server-side copies; either way the wall
+    // time divides by the pool). `_SUCCESS` still lands strictly LAST —
+    // the completeness-marker contract recover/readable trust.
+    if (data.size > 1)
+      graft.core.Concurrency.runAll(
+        data.map(st => () => copyOne(st)), maxThreads = 16)
+    else data.foreach(copyOne)
+    markers.foreach(copyOne)
   }
 
   /** Freeze the index's current generation as `<index>/_snapshots/<tag>`.
@@ -133,7 +144,11 @@ object IndexSnapshots {
     if (f.exists(staging) && !f.delete(staging, true))
       throw new java.io.IOException(s"snapshot: cannot clear stale $staging")
     f.mkdirs(staging)
-    subs.foreach(s => copyDir(f, s, new Path(staging, s.getName), conf))
+    // artifact subdirs copy into staging CONCURRENTLY (disjoint dest
+    // dirs; the tag only becomes visible via the single rename below, so
+    // partial-order states are invisible exactly as before)
+    graft.core.Concurrency.runAll(
+      subs.map(s => () => copyDir(f, s, new Path(staging, s.getName), conf)))
     if (!f.rename(staging, dest))
       throw new java.io.IOException(s"snapshot: cannot promote $staging to $dest")
   }
@@ -289,12 +304,16 @@ object IndexSnapshots {
     requireQuiescent(f, root, ownSuffixes = Set("_rst", "_old"))
     val snapSubs = entries(f, root, snap)
     require(snapSubs.nonEmpty, s"snapshot '$tag' is empty at $snap")
-    snapSubs.foreach { case (name, src) =>
+    // the per-artifact swaps touch DISJOINT subdirs, so they run
+    // concurrently; the crash contract is unchanged — the subdirs were
+    // never swapped atomically TOGETHER (a crash can leave a mixed
+    // generation either way) and rerunning the SAME restore converges it
+    graft.core.Concurrency.runAll(snapSubs.map { case (name, src) => () => {
       val live = new Path(root, name)
       val tmp = new Path(root, s"${name}_rst")
       val old = new Path(root, s"${name}_old")
       StagedSwap.swap(f, live, tmp, old)(t => copyDir(f, src, new Path(t), conf))
-    }
+    }})
     val snapNames = snapSubs.map(_._1).toSet
     artifactDirs(f, root).filterNot(p => snapNames.contains(p.getName))
       .foreach { extra =>
@@ -357,9 +376,10 @@ object IndexSnapshots {
         if (f.exists(staging) && !f.delete(staging, true))
           throw new java.io.IOException(s"at: cannot clear stale $staging")
         f.mkdirs(staging)
-        entries(f, root, dest).foreach { case (name, src) =>
-          copyDir(f, src, new Path(staging, name), conf)
-        }
+        // disjoint dest dirs; visibility still gated by the one rename
+        graft.core.Concurrency.runAll(entries(f, root, dest).map {
+          case (name, src) => () => copyDir(f, src, new Path(staging, name), conf)
+        })
         if (!f.rename(staging, view))
           throw new java.io.IOException(s"at: cannot promote $staging to $view")
         view.toString
@@ -538,23 +558,27 @@ object IndexSnapshots {
     val root = new Path(path)
     val snapRoot = new Path(root, snapDirName)
     val wanted = ids.toDF("__fid").distinct()
-    val rows: Seq[(String, Long)] =
+    val tagDirs =
       if (!f.exists(snapRoot)) Seq.empty
       else f.listStatus(snapRoot).toSeq
         .filter(_.isDirectory).map(_.getPath)
         .filterNot(p => p.getName.startsWith(".") || p.getName == objectsDirName)
         .sortBy(_.getName)
-        .map { tagDir =>
-          val src = entries(f, root, tagDir).toMap.getOrElse(idArtifact,
-            throw new IllegalStateException(
-              s"snapshot '${tagDir.getName}' has no '$idArtifact' artifact"))
-          val n = spark.read.parquet(src.toString)
-            .select(org.apache.spark.sql.functions.col(idColName)
-              .as("__fid"))
-            .join(wanted, Seq("__fid"), "left_semi")
-            .count()
-          (tagDir.getName, n)
-        }
+    // the per-tag counts are independent READ-ONLY bounded jobs — run
+    // them concurrently (§2.6 overlap); runAll preserves tag order
+    val rows: Seq[(String, Long)] =
+      if (tagDirs.isEmpty) Seq.empty
+      else graft.core.Concurrency.runAll(tagDirs.map(tagDir => () => {
+        val src = entries(f, root, tagDir).toMap.getOrElse(idArtifact,
+          throw new IllegalStateException(
+            s"snapshot '${tagDir.getName}' has no '$idArtifact' artifact"))
+        val n = spark.read.parquet(src.toString)
+          .select(org.apache.spark.sql.functions.col(idColName)
+            .as("__fid"))
+          .join(wanted, Seq("__fid"), "left_semi")
+          .count()
+        (tagDir.getName, n)
+      }))
     rows.toDF("tag", "n_exposed")
   }
 

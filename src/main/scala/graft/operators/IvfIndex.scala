@@ -217,7 +217,7 @@ object IvfIndex {
     // flag IndexMaintenance.needsCompact
     assign(vectors, idCol, vecCol, model.toDF(vectors.sparkSession))
       .repartition(model.centroids.size, col("list_id"))
-      .write.partitionBy("list_id").mode("overwrite").parquet(s"$dir/lists")
+      .write.option("maxRecordsPerFile", graft.core.IndexLayout.maxRecordsPerFile).partitionBy("list_id").mode("overwrite").parquet(s"$dir/lists")
     distProfile(vectors, vecCol, model)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
@@ -280,7 +280,7 @@ object IvfIndex {
     swapIn("lists") { tmp =>
       assign(current, idCol, vecCol, model.toDF(spark))
         .repartition(k, col("list_id"))
-        .write.partitionBy("list_id").parquet(tmp)
+        .write.option("maxRecordsPerFile", graft.core.IndexLayout.maxRecordsPerFile).partitionBy("list_id").parquet(tmp)
     }
     swapIn("centroids")(tmp =>
       model.toDF(spark).coalesce(1).write.parquet(tmp))
@@ -327,7 +327,7 @@ object IvfIndex {
       vectors.withColumn(vecCol, col(vecCol).cast(t)))
     assign(batch, idCol, vecCol, centroids)
       .repartition(nLists, col("list_id"))
-      .write.partitionBy("list_id").mode("append").parquet(s"$dir/lists")
+      .write.option("maxRecordsPerFile", graft.core.IndexLayout.maxRecordsPerFile).partitionBy("list_id").mode("append").parquet(s"$dir/lists")
   }
 
   /** Targeted delete (right-to-be-forgotten) — the [[TextIndex.delete]]
@@ -364,7 +364,7 @@ object IvfIndex {
         spark.read.parquet(s"$dir/lists")
           .join(del, col(idCol) === col("__del_id"), "left_anti")
           .repartition(nLists, col("list_id"))
-          .write.partitionBy("list_id").parquet(tmpDir)
+          .write.option("maxRecordsPerFile", graft.core.IndexLayout.maxRecordsPerFile).partitionBy("list_id").parquet(tmpDir)
       }
     } finally del.unpersist()
   }
@@ -422,7 +422,7 @@ object IvfIndex {
       // partitionBy emits ~one file per list directory
       spark.read.parquet(s"$dir/lists")
         .repartition(nLists, col("list_id"))
-        .write.partitionBy("list_id").parquet(tmpDir)
+        .write.option("maxRecordsPerFile", graft.core.IndexLayout.maxRecordsPerFile).partitionBy("list_id").parquet(tmpDir)
     }
     // heal multi-file parameter artifacts (older saves wrote centroids
     // un-coalesced): compact must clear everything the fragmentation

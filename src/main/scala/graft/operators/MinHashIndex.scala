@@ -62,13 +62,21 @@ object MinHashIndex {
     val sigs = Dedup.minhashSignatures(docs, idCol, textCol, n, k, seed)
       .select(col(idCol).as("id"), col("sig")).cache()
     try {
-      sigs.write.mode("overwrite").parquet(s"$path/sigs")
-      // band-aligned write (the compact layout): one file per band dir,
-      // not input-partitions × bands small files — a fresh save must not
-      // instantly flag IndexMaintenance.needsCompact
-      banded(sigs, "id", k, bands).repartition(bands, col("band_idx"))
-        .write.mode("overwrite")
-        .partitionBy("band_idx").parquet(s"$path/bands")
+      // materialize the signature cache ONCE, then the two artifact
+      // writes (disjoint subdirs, both reading the cache) run as
+      // concurrent jobs (§2.6, r17) — sequential writes serialized two
+      // cache scans behind one driver thread. Meta still lands LAST.
+      sigs.count()
+      graft.core.Concurrency.runAll(Seq(
+        () => sigs.write.mode("overwrite").parquet(s"$path/sigs"),
+        // band-aligned write (the compact layout): one file per band dir,
+        // not input-partitions × bands small files — a fresh save must
+        // not instantly flag IndexMaintenance.needsCompact
+        () => banded(sigs, "id", k, bands)
+          .repartition(bands, col("band_idx"))
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", graft.core.IndexLayout.maxRecordsPerFile)
+          .partitionBy("band_idx").parquet(s"$path/bands")))
       StagedSwap.swapSub(spark, path, "meta", "_del") { tmp =>
         Seq((n, k, bands, seed)).toDF("n", "k", "bands", "seed")
           .coalesce(1).write.parquet(tmp)
@@ -95,9 +103,17 @@ object MinHashIndex {
     val sigs = Dedup.minhashSignatures(newDocs, idCol, textCol, n, k, seed)
       .select(col(idCol).as("id"), col("sig")).cache()
     try {
+      // sequential, NOT overlapped (the TextIndex.append lesson, r17):
+      // an ingest stream's batch lineage reads THIS index (the probe's
+      // sigs/bands scans), and a concurrent artifact commit recaches the
+      // cached signature frame mid-wave — the sibling write then
+      // recomputes over a self-excluding listing. save() overlaps
+      // safely; append must keep the strict sigs → bands order.
       sigs.write.mode("append").parquet(s"$path/sigs")
-      banded(sigs, "id", k, bands).repartition(bands, col("band_idx"))
+      banded(sigs, "id", k, bands)
+        .repartition(bands, col("band_idx"))
         .write.mode("append")
+        .option("maxRecordsPerFile", graft.core.IndexLayout.maxRecordsPerFile)
         .partitionBy("band_idx").parquet(s"$path/bands")
     } finally sigs.unpersist()
   }
@@ -142,19 +158,25 @@ object MinHashIndex {
         "delete would empty the index; drop the index directory instead")
       def swapSub(sub: String)(write: String => Unit): Unit =
         StagedSwap.swapSub(spark, path, sub, "_del")(write)
-      swapSub("sigs") { tmp =>
-        spark.read.parquet(s"$path/sigs")
-          .join(del, col("id") === col("__del_id"), "left_anti")
-          .write.parquet(tmp)
-      }
-      swapSub("bands") { tmp =>
-        // no repartition: a broadcast anti-join over a band-aligned
-        // layout keeps input partitioning, so the rewrite stays aligned
-        // for free (the TextIndex.delete rationale)
-        spark.read.parquet(s"$path/bands")
-          .join(del, col("id") === col("__del_id"), "left_anti")
-          .write.partitionBy("band_idx").parquet(tmp)
-      }
+      // disjoint subdirs, both reading pre-swap state + the cached
+      // delete set: run the two rewrites as concurrent Spark jobs
+      // (§2.6). The documented crash contract already covers either
+      // artifact landing first (deleted ids in one but not the other
+      // never surface — the candidate join is inner on id).
+      graft.core.Concurrency.runAll(Seq(
+        () => swapSub("sigs") { tmp =>
+          spark.read.parquet(s"$path/sigs")
+            .join(del, col("id") === col("__del_id"), "left_anti")
+            .write.parquet(tmp)
+        },
+        () => swapSub("bands") { tmp =>
+          // no repartition: a broadcast anti-join over a band-aligned
+          // layout keeps input partitioning, so the rewrite stays aligned
+          // for free (the TextIndex.delete rationale)
+          spark.read.parquet(s"$path/bands")
+            .join(del, col("id") === col("__del_id"), "left_anti")
+            .write.partitionBy("band_idx").parquet(tmp)
+        }))
     } finally del.unpersist()
   }
 
@@ -178,20 +200,26 @@ object MinHashIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     def swap(sub: String)(write: String => Unit): Unit =
       StagedSwap.swapSub(spark, path, sub, "_compact")(write)
-    swap("bands") { tmp =>
-      // repartition on band_idx: each task holds whole band partitions, so
-      // partitionBy emits ~one file per band directory
-      spark.read.parquet(s"$path/bands")
-        .repartition(bands, col("band_idx"))
-        .write.partitionBy("band_idx").parquet(tmp)
-    }
-    swap("sigs") { tmp =>
-      // ~128 MB-target file count from the on-disk byte size, min 1
-      val live = new org.apache.hadoop.fs.Path(s"$path/sigs")
-      val bytes = live.getFileSystem(conf).getContentSummary(live).getLength
-      val nFiles = math.max(1L, bytes / (128L << 20)).toInt
-      spark.read.parquet(s"$path/sigs").repartition(nFiles).write.parquet(tmp)
-    }
+    // disjoint subdirs, content-preserving rewrites: concurrent jobs
+    // (§2.6) — a crash leaving one artifact compacted and the other not
+    // is a valid (identical-content) state
+    graft.core.Concurrency.runAll(Seq(
+      () => swap("bands") { tmp =>
+        // repartition on band_idx: each task holds whole band partitions,
+        // so partitionBy emits ~one file per band directory
+        spark.read.parquet(s"$path/bands")
+          .repartition(bands, col("band_idx"))
+          .write.partitionBy("band_idx")
+          .option("maxRecordsPerFile", graft.core.IndexLayout.maxRecordsPerFile)
+          .parquet(tmp)
+      },
+      () => swap("sigs") { tmp =>
+        // ~128 MB-target file count from the on-disk byte size, min 1
+        val live = new org.apache.hadoop.fs.Path(s"$path/sigs")
+        val bytes = live.getFileSystem(conf).getContentSummary(live).getLength
+        val nFiles = math.max(1L, bytes / (128L << 20)).toInt
+        spark.read.parquet(s"$path/sigs").repartition(nFiles).write.parquet(tmp)
+      }))
   }
 
   private def meta(spark: SparkSession, path: String): (Int, Int, Int, Long) = {

@@ -67,22 +67,22 @@ object ProductQuantizer {
       // sequentially they serialize m·iters driver round-trips, so run
       // them as concurrent Spark jobs over the cache — the scheduler
       // just overlaps the round-trips
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val fits = Future.traverse((0 until m).toList) { s => Future {
+      // Concurrency.runAll (fresh per-call pool, not the global EC): the
+      // subspace legs inherit the caller's job group, so a harness that
+      // cancels the group reaches them too
+      val fits = graft.core.Concurrency.runAll((0 until m).map(s => () => {
         val sub = base.select(col(idCol),
           slice(col("__vec"), s * subDim + 1, subDim).as("__sub"))
         KMeans.fit(sub, idCol, "__sub", k, iters)
           .withColumn("subspace", lit(s))
           .select(col("subspace"), col("cluster_id"), col("dim"),
             col("centroid"), col("n_members"))
-      }}
+      }))
       // the model is parameter-bounded (m·k·(D/m) = k·D rows), so pin it
       // as a local relation: downstream collects (codebooks, encode, ADC
       // tables) never re-run the training chain — and never re-read the
       // cache this method is about to release
-      localized(Await.result(fits, Duration.Inf).reduce(_.unionAll(_)))
+      localized(fits.reduce(_.unionAll(_)))
     } finally base.unpersist()
   }
 
@@ -385,7 +385,7 @@ object ProductQuantizer {
     val nLists = coarse.select(col("cluster_id")).distinct().count().toInt
     indexArtifact(df, idCol, vecCol, coarse, model, residual)
       .repartition(nLists, col("list_id"))
-      .write.partitionBy("list_id").mode("overwrite").parquet(s"$dir/codes")
+      .write.option("maxRecordsPerFile", graft.core.IndexLayout.maxRecordsPerFile).partitionBy("list_id").mode("overwrite").parquet(s"$dir/codes")
     Seq(residual).toDF("residual")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -420,7 +420,7 @@ object ProductQuantizer {
     indexArtifact(df, idCol, vecCol, coarse,
         spark.read.parquet(s"$dir/pq_model"), residual)
       .repartition(nLists, col("list_id"))
-      .write.partitionBy("list_id").mode("append").parquet(s"$dir/codes")
+      .write.option("maxRecordsPerFile", graft.core.IndexLayout.maxRecordsPerFile).partitionBy("list_id").mode("append").parquet(s"$dir/codes")
   }
 
   private def codesIdCol(codes: DataFrame): String =
@@ -532,7 +532,7 @@ object ProductQuantizer {
         // layout keeps input partitioning, so the rewrite stays aligned
         // for free (the TextIndex.delete rationale)
         codes.join(del, col(idName) === col("__del_id"), "left_anti")
-          .write.partitionBy("list_id").parquet(tmpDir)
+          .write.option("maxRecordsPerFile", graft.core.IndexLayout.maxRecordsPerFile).partitionBy("list_id").parquet(tmpDir)
       }
     } finally del.unpersist()
   }
@@ -560,7 +560,7 @@ object ProductQuantizer {
     StagedSwap.swapSub(spark, dir, "codes", "_compact") { tmpDir =>
       spark.read.parquet(s"$dir/codes")
         .repartition(nLists, col("list_id"))
-        .write.partitionBy("list_id").parquet(tmpDir)
+        .write.option("maxRecordsPerFile", graft.core.IndexLayout.maxRecordsPerFile).partitionBy("list_id").parquet(tmpDir)
     }
     Seq("coarse", "pq_model").foreach(sub =>
       IndexMaintenance.coalesceFlatArtifact(spark, dir, sub))

@@ -107,15 +107,24 @@ object TextIndex {
       nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val spark = docs.sparkSession
-    postingsOf(docs, idCol, textCol, nBuckets)
-      .repartition(nBuckets, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
     val docRows = docRowsOf(docs, idCol, textCol).persist()
     try {
-      // stats aggregate FIRST, sidecar write second — the append-path
-      // recache discipline (see [[append]]): `docs` may read this index.
-      val r = docRows.agg(count(lit(1)),
-        coalesce(sum(col("dl")), lit(0L))).collect().head
+      // the postings write and the sidecar stats aggregate are the two
+      // tokenization passes — independent reads, so they run as
+      // concurrent jobs (§2.6, r17): the narrow aggregate back-fills the
+      // big write's stage tails instead of paying a separate round-trip.
+      // Ordering constraints preserved: the stats aggregate still runs
+      // BEFORE the sidecar write (the append-path recache discipline —
+      // `docs` may read this index), and meta still lands LAST.
+      val wave = graft.core.Concurrency.runAll(Seq[() => Any](
+        () => postingsOf(docs, idCol, textCol, nBuckets)
+          .repartition(nBuckets, col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .option("maxRecordsPerFile", graft.core.IndexLayout.maxRecordsPerFile)
+          .parquet(s"$path/postings"),
+        () => docRows.agg(count(lit(1)),
+          coalesce(sum(col("dl")), lit(0L))).collect().head))
+      val r = wave(1).asInstanceOf[org.apache.spark.sql.Row]
       docRows.write.mode("overwrite").parquet(s"$path/docs")
       writeMeta(spark, path, r.getLong(0), r.getLong(1), nBuckets)
     } finally docRows.unpersist()
@@ -135,7 +144,9 @@ object TextIndex {
     val nBuckets = meta.getInt(2)
     postingsOf(batch, idCol, textCol, nBuckets)
       .repartition(nBuckets, col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+      .write.mode("append").partitionBy("bucket")
+      .option("maxRecordsPerFile", graft.core.IndexLayout.maxRecordsPerFile)
+      .parquet(s"$path/postings")
     val docRows = docRowsOf(batch, idCol, textCol).persist()
     try {
       // stats aggregate FIRST, sidecar write second: `batch` may read
@@ -145,6 +156,14 @@ object TextIndex {
       // aggregate would recompute over a self-excluding (empty) batch
       // and silently lose the meta increment. Aggregating first pins the
       // cache to the pre-write listing; the write then reuses it.
+      // NOTE (r17): do NOT overlap the postings write with this
+      // aggregate — the seen-set reads postings TOO (docs ∪ postings),
+      // and a concurrent postings commit recaches the sidecar frame
+      // mid-wave: the sidecar write then lands EMPTY (measured live as
+      // q247's fsck failing with every batch-1 posting orphaned). The
+      // strict order postings → aggregate → sidecar → meta is
+      // load-bearing; save() can overlap because a cold-start input
+      // cannot read an index that does not exist yet.
       val r = docRows.agg(count(lit(1)),
         coalesce(sum(col("dl")), lit(0L))).collect().head
       docRows.write.mode("append").parquet(s"$path/docs")
@@ -232,19 +251,25 @@ object TextIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     def swap(sub: String)(write: String => Unit): Unit =
       StagedSwap.swapSub(spark, path, sub, "_compact")(write)
-    swap("postings") { tmp =>
-      // repartition on bucket: each task holds whole bucket partitions,
-      // so partitionBy emits ~one file per bucket directory
-      spark.read.parquet(s"$path/postings")
-        .repartition(nBuckets, col("bucket"))
-        .write.partitionBy("bucket").parquet(tmp)
-    }
-    swap("docs") { tmp =>
-      val live = new org.apache.hadoop.fs.Path(s"$path/docs")
-      val bytes = live.getFileSystem(conf).getContentSummary(live).getLength
-      val nFiles = math.max(1L, bytes / (128L << 20)).toInt
-      spark.read.parquet(s"$path/docs").repartition(nFiles).write.parquet(tmp)
-    }
+    // disjoint subdirs, content-preserving rewrites: the two swaps run
+    // as concurrent Spark jobs (§2.6) — a crash leaving one artifact
+    // compacted and the other not is a valid (identical-content) state
+    graft.core.Concurrency.runAll(Seq(
+      () => swap("postings") { tmp =>
+        // repartition on bucket: each task holds whole bucket partitions,
+        // so partitionBy emits ~one file per bucket directory
+        spark.read.parquet(s"$path/postings")
+          .repartition(nBuckets, col("bucket"))
+          .write.partitionBy("bucket")
+          .option("maxRecordsPerFile", graft.core.IndexLayout.maxRecordsPerFile)
+          .parquet(tmp)
+      },
+      () => swap("docs") { tmp =>
+        val live = new org.apache.hadoop.fs.Path(s"$path/docs")
+        val bytes = live.getFileSystem(conf).getContentSummary(live).getLength
+        val nFiles = math.max(1L, bytes / (128L << 20)).toInt
+        spark.read.parquet(s"$path/docs").repartition(nFiles).write.parquet(tmp)
+      }))
   }
 
   /** Targeted delete (right-to-be-forgotten): remove `ids` (a one-column
@@ -256,14 +281,15 @@ object TextIndex {
     * keep scoring deleted mass forever). Contract (TextIndexSpec):
     * post-delete probe ≡ probe of an index rebuilt without the ids.
     *
-    * Crash windows, in write order (postings swap → docs swap → meta):
-    * any prefix leaves a structurally sound index (fewer postings under
-    * the old, slightly-too-large stats — the [[append]] stale-stats
-    * contract), and re-running the SAME delete is idempotent and
-    * completes the repair, because nothing is decremented: meta is
-    * RECOMPUTED from the surviving docs sidecar (one aggregate over one
-    * row per doc), so a rerun after any crash point converges to the
-    * rebuilt-without-ids state. Same single-writer contract as
+    * Crash windows (the two artifact swaps run CONCURRENTLY, meta last):
+    * any subset of {postings, docs} swapped under the old meta leaves a
+    * structurally sound index (fewer postings under slightly-too-large
+    * stats — the [[append]] stale-stats contract), and re-running the
+    * SAME delete is idempotent and completes the repair, because nothing
+    * is decremented: meta is RECOMPUTED from the surviving sidecar rows
+    * (the anti-join aggregate below — identical on a fresh run and on
+    * every crash-rerun), so a rerun after any crash point converges to
+    * the rebuilt-without-ids state. Same single-writer contract as
     * [[append]].
     *
     * Deleting ids not in the index is a no-op for them. Deleting the
@@ -298,27 +324,39 @@ object TextIndex {
           "and rebuild instead")
       def swapSub(sub: String)(write: String => Unit): Unit =
         StagedSwap.swapSub(spark, path, sub, "_del")(write)
-      swapSub("postings") { tmp =>
-        // no repartition here: on a bucket-aligned index (save/append/
-        // compact all emit ~one file per bucket) a broadcast anti-join
-        // keeps input partitioning, so the rewrite stays aligned for
-        // free — an explicit exchange measured +20% on the delete-heavy
-        // lifecycle queries for zero file-count benefit
-        spark.read.parquet(s"$path/postings")
-          .join(del, col("doc_id") === col("__del_id"), "left_anti")
-          .write.partitionBy("bucket").parquet(tmp)
-      }
-      swapSub("docs") { tmp =>
-        spark.read.parquet(s"$path/docs")
-          .join(del, col("doc_id") === col("__del_id"), "left_anti")
-          .write.parquet(tmp)
-      }
-      // meta LAST, recomputed from the now-live sidecar — not decremented
-      // from the old meta, so a rerun after any crash point self-heals
-      val stats = spark.read.parquet(s"$path/docs")
-        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
-        .collect().head
-      writeMeta(spark, path, stats.getLong(0), stats.getLong(1), nBuckets)
+      // the two artifact rewrites touch DISJOINT subdirs and both read
+      // only pre-swap state + the cached delete set — run them as
+      // concurrent Spark jobs (§2.6 overlap). Crash contract unchanged
+      // in kind: any subset of {postings, docs} swapped under the old
+      // meta is structurally sound (the append stale-stats contract; a
+      // band hit whose sidecar row is gone still scores consistently
+      // because postings are self-contained), and re-running the SAME
+      // delete is idempotent and completes the repair.
+      graft.core.Concurrency.runAll(Seq(
+        () => swapSub("postings") { tmp =>
+          // no repartition here: on a bucket-aligned index (save/append/
+          // compact all emit ~one file per bucket) a broadcast anti-join
+          // keeps input partitioning, so the rewrite stays aligned for
+          // free — an explicit exchange measured +20% on the delete-heavy
+          // lifecycle queries for zero file-count benefit
+          spark.read.parquet(s"$path/postings")
+            .join(del, col("doc_id") === col("__del_id"), "left_anti")
+            .write.partitionBy("bucket").parquet(tmp)
+        },
+        () => swapSub("docs") { tmp =>
+          spark.read.parquet(s"$path/docs")
+            .join(del, col("doc_id") === col("__del_id"), "left_anti")
+            .write.parquet(tmp)
+        }))
+      // meta LAST, recomputed from the SURVIVING sidecar rows — never
+      // decremented from the old meta, so a rerun after any crash point
+      // self-heals. The `surviving` aggregate above IS that recompute
+      // (docs anti-join del ≡ the post-swap sidecar, on a fresh run and
+      // on every crash-rerun: an already-filtered docs makes the
+      // anti-join a no-op), so re-reading the swapped sidecar here was a
+      // third corpus-sidecar job for the same two numbers.
+      writeMeta(spark, path, surviving.getLong(0), surviving.getLong(1),
+        nBuckets)
     } finally del.unpersist()
   }
 

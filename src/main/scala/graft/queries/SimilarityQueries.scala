@@ -1016,16 +1016,15 @@ object SimilarityQueries extends QueryModule {
     * deleted ids absent from BOTH legs, and the fused ordering. */
   private def q216HybridPersisted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     val docs = Tables.documents(spark, dir)
     val emb = Tables.embeddings(spark, dir)
     // the two retrieval legs are independent lifecycles on disjoint
     // paths — run them as concurrent Spark jobs (the q232 §2.6 overlap
-    // pattern); each future keeps its own mutation order and returns
-    // its leg's ranked frame, so the fuse is bit-identical
-    val fBm = Future {
+    // pattern); each leg keeps its own mutation order and returns
+    // its ranked frame, so the fuse is bit-identical. Concurrency.runAll
+    // (not the global pool): legs must inherit the caller's job group so
+    // a harness cancellation reaches them
+    val legBm = () => {
       // BM25 leg over the persisted inverted index
       val tPath = graft.core.Scratch.dir(dir, "hybm25")
       graft.operators.TextIndex.save(docs, "doc_id", "text", tPath)
@@ -1038,7 +1037,7 @@ object SimilarityQueries extends QueryModule {
         .withColumn("r", row_number().over(wBm))
         .select($"doc_id", $"r")
     }
-    val fVec = Future {
+    val legVec = () => {
       // vector leg over the persisted IVFADC index
       val vPath = graft.core.Scratch.dir(dir, "hypq")
       val pq = graft.operators.ProductQuantizer.fit(
@@ -1062,8 +1061,7 @@ object SimilarityQueries extends QueryModule {
         .filter($"r" <= 20)
         .select($"id".as("doc_id"), $"r")
     }
-    val bm = Await.result(fBm, Duration.Inf)
-    val vec = Await.result(fVec, Duration.Inf)
+    val (bm, vec) = graft.core.Concurrency.both(legBm, legVec)
     graft.operators.Rrf.fuse(
         Seq("bm25" -> bm, "vec" -> vec), "doc_id", "r", topK = 10)
       .orderBy($"rank")
@@ -1287,16 +1285,15 @@ object SimilarityQueries extends QueryModule {
     * (TextIndexSpec / MinHashIndexSpec / PqSpec) instead. */
   private def q219IndexStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     val docs = Tables.documents(spark, dir)
     val emb = Tables.embeddings(spark, dir)
     // three independent family chains (disjoint paths) run as concurrent
-    // Spark jobs — the q232 §2.6 overlap pattern; each future keeps its
-    // own build → stats order and the stats frames are local rows, so
-    // the union is bit-identical to the sequential form
-    val fText = Future {
+    // Spark jobs — the q232 §2.6 overlap pattern via Concurrency.runAll
+    // (legs inherit the caller's job group, so harness cancellation
+    // reaches them); each leg keeps its own build → stats order and the
+    // stats frames are local rows, so the union is bit-identical to the
+    // sequential form
+    val fText = () => {
       val tPath = graft.core.Scratch.dir(dir, "stx")
       graft.operators.TextIndex.save(
         docs.filter($"doc_id" % 2 === 0), "doc_id", "text", tPath)
@@ -1308,7 +1305,7 @@ object SimilarityQueries extends QueryModule {
           "posting_doc_ids"))
         .select(lit("text").as("idx"), $"stat", $"value")
     }
-    val fMh = Future {
+    val fMh = () => {
       val mPath = graft.core.Scratch.dir(dir, "smh")
       graft.operators.MinHashIndex.save(docs, "doc_id", "text", mPath)
       graft.operators.MinHashIndex.stats(spark, mPath)
@@ -1317,7 +1314,7 @@ object SimilarityQueries extends QueryModule {
           "seed"))
         .select(lit("minhash").as("idx"), $"stat", $"value")
     }
-    val fVec = Future {
+    val fVec = () => {
       val vPath = graft.core.Scratch.dir(dir, "spq")
       val pq = graft.operators.ProductQuantizer.fit(
         emb, "vec_id", "embedding", m = 2, k = 4, iters = 1)
@@ -1332,8 +1329,7 @@ object SimilarityQueries extends QueryModule {
         .filter($"stat".isin("code_rows", "m", "residual"))
         .select(lit("pq").as("idx"), $"stat", $"value")
     }
-    Seq(fText, fMh, fVec)
-      .map(Await.result(_, Duration.Inf))
+    graft.core.Concurrency.runAll(Seq(fText, fMh, fVec))
       .reduce(_ unionByName _)
       .orderBy($"idx", $"stat")
   }
@@ -1389,20 +1385,18 @@ object SimilarityQueries extends QueryModule {
     * leaves any inter-artifact inconsistency flips a row. */
   private def q232IndexFsck(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     val docs = Tables.documents(spark, dir)
     val emb = Tables.embeddings(spark, dir)
     // the four family lifecycles are INDEPENDENT (disjoint scratch
     // paths, no shared mutable state): run them as concurrent Spark
-    // jobs (the §2.6 overlap pattern, same as ProductQuantizer.fit's
-    // subspace fan-out) — sequential submission serialized ~15 small
-    // driver round-trips per family at fixture scale. Each future keeps
-    // ITS OWN save → append → delete → audit order; the audit frames'
-    // values collect eagerly inside the future, so the final unionAll
-    // is over local rows and the result is bit-identical.
-    val fText = Future {
+    // jobs (the §2.6 overlap pattern via Concurrency.runAll, whose legs
+    // inherit the caller's job group so harness cancellation reaches
+    // them) — sequential submission serialized ~15 small driver
+    // round-trips per family at fixture scale. Each leg keeps ITS OWN
+    // save → append → delete → audit order; the audit frames' values
+    // collect eagerly inside the leg, so the final unionAll is over
+    // local rows and the result is bit-identical.
+    val fText = () => {
       val tPath = graft.core.Scratch.dir(dir, "fsck_tx")
       graft.operators.TextIndex.save(
         docs.filter($"doc_id" % 2 === 0), "doc_id", "text", tPath)
@@ -1412,7 +1406,7 @@ object SimilarityQueries extends QueryModule {
         docs.filter($"doc_id" % 7 === 0).select($"doc_id"))
       graft.operators.IndexAudit.auditText(spark, tPath)
     }
-    val fMh = Future {
+    val fMh = () => {
       val mPath = graft.core.Scratch.dir(dir, "fsck_mh")
       graft.operators.MinHashIndex.save(
         docs.filter($"doc_id" % 2 === 0), "doc_id", "text", mPath)
@@ -1422,7 +1416,7 @@ object SimilarityQueries extends QueryModule {
         docs.filter($"doc_id" % 7 === 0).select($"doc_id"))
       graft.operators.IndexAudit.auditMinHash(spark, mPath)
     }
-    val fPq = Future {
+    val fPq = () => {
       val pPath = graft.core.Scratch.dir(dir, "fsck_pq")
       val pq = graft.operators.ProductQuantizer.fit(
         emb, "vec_id", "embedding", m = 2, k = 4, iters = 1)
@@ -1437,7 +1431,7 @@ object SimilarityQueries extends QueryModule {
         emb.filter($"vec_id" % 7 === 0).select($"vec_id"))
       graft.operators.IndexAudit.auditPq(spark, pPath)
     }
-    val fIvf = Future {
+    val fIvf = () => {
       val iPath = graft.core.Scratch.dir(dir, "fsck_ivf")
       val ivf = graft.operators.IvfIndex.fit(
         emb, "vec_id", "embedding", nLists = 8, iters = 2)
@@ -1446,8 +1440,7 @@ object SimilarityQueries extends QueryModule {
         emb.filter($"vec_id" % 7 === 0).select($"vec_id"))
       graft.operators.IndexAudit.auditIvf(spark, iPath)
     }
-    Seq(fText, fMh, fPq, fIvf)
-      .map(Await.result(_, Duration.Inf))
+    graft.core.Concurrency.runAll(Seq(fText, fMh, fPq, fIvf))
       .reduce(_ unionAll _)
       .orderBy($"family", $"check")
   }
